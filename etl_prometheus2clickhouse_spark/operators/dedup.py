@@ -1,0 +1,307 @@
+"""Deduplication operators — exact and near-dup — for training-data
+pipelines at 100 TB (engine extension; BASELINE.json north star).
+
+Design for scale:
+
+- **Exact dedup** hashes content to 64/128 bits and groups on the hash —
+  one shuffle on a uniformly-distributed key (no skew by construction);
+  at 100 TB this is the canonical map-side-combine-friendly job.
+- **MinHash + LSH** computes per-document signatures entirely JVM-side
+  (shingle → xxhash64 with per-permutation seeds → array_min), then
+  *bands* signatures so near-duplicates collide in buckets. The only
+  shuffle is the band-bucket self-join; candidate pairs are verified
+  with exact Jaccard. Bucket sizes are data-bounded (cap via
+  ``max_bucket``) so a degenerate bucket (e.g. boilerplate) can't
+  produce a quadratic explosion — the classic large-scale failure mode.
+- **SimHash** packs a 64-bit signature (vectorized Pandas UDF over
+  JVM-computed shingle hashes) and generates candidates by exact-match
+  on 16-bit chunks (Hamming ≤ 3 ⇒ some chunk matches — pigeonhole), so
+  there is never an all-pairs comparison.
+- **N-gram Jaccard** without LSH is supported only *blocked* (caller
+  provides a blocking key); unblocked all-pairs is O(n²) and
+  deliberately not offered.
+
+References for the technique family: Broder's MinHash resemblance
+estimation, Charikar's SimHash (public literature; see PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Keep one row per distinct content hash over ``cols``.
+
+    ``xxhash64`` + ``md5`` double-hash: a 64-bit + 128-bit pair makes
+    accidental collisions at 100 TB-row counts negligible while keeping
+    the shuffle key compact."""
+    key = [F.xxhash64(*cols).alias("__h64"), F.md5(F.concat_ws("\x1f", *cols)).alias("__h128")]
+    w = Window.partitionBy("__h64", "__h128").orderBy(*[F.col(c) for c in df.columns[:1]])
+    return (
+        df.select("*", *key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h64", "__h128", "__rn")
+    )
+
+
+def distinct_by_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact near-whitespace dedup: one row per normalized-text md5
+    (first by ascending id-ish ordering of remaining columns)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    with_fp = df.withColumn("__fp", F.md5(norm))
+    w = Window.partitionBy("__fp").orderBy(*[F.col(c) for c in df.columns])
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text (JVM-only:
+    split → sequence → slice → concat)."""
+    tokens = F.filter(F.split(F.lower(text), r"\W+"), lambda t: F.length(t) > 0)
+    k = F.size(tokens) - (n - 1)
+    return F.when(k <= 0, F.array_distinct(F.array(F.concat_ws(" ", tokens)))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            )
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked exact n-gram-Jaccard near-dup pairs.
+
+    ``block_col`` bounds the candidate space (pairs only form within a
+    block). At scale the block is an LSH bucket (see
+    :func:`minhash_lsh_pairs`); exposing the blocked-exact variant
+    separately keeps an oracle-checkable deterministic operator.
+    Output: (id_a, id_b, jaccard_sim), id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
+    """``num_hashes`` min-hash values: permutation *i* is
+    ``xxhash64(shingle, i)``; empty shingle sets sign to +inf sentinels.
+    Entirely JVM-side (transform + array_min)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+            F.lit(2**63 - 1),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    banding: ``bands`` bands × ``num_hashes/bands`` rows; two docs become
+    candidates iff some band matches (P ≈ 1-(1-s^r)^b). Buckets larger
+    than ``max_bucket`` are dropped with their size recorded — at 100 TB
+    a boilerplate bucket of 10⁶ docs would otherwise emit 10¹² pairs.
+    Output: (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # cap pathological buckets before the self-join
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("bucket_n") <= max_bucket)
+
+    a, b = sized.alias("a"), sized.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
+    )
+    return candidates.select(
+        "id_a",
+        "id_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-shingle 64-bit hashes (Charikar): bit b of
+    the signature is the sign of Σ_doc(±1 per shingle bit b). Vectorized
+    per Arrow batch with numpy."""
+    import numpy as np
+
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        counts = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 sums)
+        sig = np.uint64(0)
+        for b in range(64):
+            if counts[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, simhash64) — shingle hashes JVM-side, bit-packing in a
+    vectorized Pandas UDF."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    return sh.select("id", _simhash_from_hashes(F.col("hs")).alias("simhash64"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
+
+    Candidate generation by pigeonhole over 4 × 16-bit chunks: distance
+    ≤ 3 guarantees ≥ 1 identical chunk, so candidates come from 4
+    equi-joins on chunk value — never an all-pairs scan.
+    """
+    sig = simhash(df, id_col, text_col, n)
+    chunked = sig.select(
+        "id",
+        "simhash64",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash64"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                ),
+            )
+        ).alias("cv"),
+    ).select("id", "simhash64", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash64").alias("s_a"),
+            F.col("b.simhash64").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

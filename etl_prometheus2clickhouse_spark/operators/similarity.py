@@ -1,0 +1,229 @@
+"""Embedding similarity search (engine extension; BASELINE.json north star).
+
+Two tiers, same contract:
+
+- :func:`cosine_topk_bruteforce` — exact top-k by cosine. The join is
+  ``broadcast(queries) × corpus`` (no shuffle of the big side; the
+  corpus streams through one stage), then a per-query top-k window.
+  Correct at any scale where queries are small; the per-row cost is a
+  fused zip_with/aggregate dot product inside codegen.
+- :func:`cosine_topk_lsh` — random-hyperplane LSH: ``nbits`` sign bits
+  from dot products with seeded Gaussian planes, banded into buckets;
+  only bucket-colliding (query, doc) pairs get exact scoring. This is
+  the 100 TB path: candidate generation is an equi-join on bucket id,
+  and the planes are a driver-seeded constant broadcast with the plan.
+- :func:`embedding_near_dup_pairs` — corpus self near-dup via the same
+  hyperplane bucketing.
+
+All vector math is built-in higher-order functions (JVM, codegen); no
+Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double arrays (0 when either norm
+    is 0)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda v: v.cast("double"))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank 1..k,
+    neighbor ≠ query, ties broken by neighbor_id ascending
+    (deterministic — oracle-checkable).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side constant; becomes
+    a folded literal array in the plan)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def _bucket_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit string of the vector against each plane."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucketing → banded candidate
+    join → exact cosine on candidates only.
+
+    A query and doc are candidates iff some band of sign bits matches.
+    Recall rises with ``bands``; cost is the bucket-join fan-out. Output
+    schema matches :func:`cosine_topk_bruteforce` (ranks over retrieved
+    candidates — per-query result may have < k rows on low recall).
+    """
+    planes = _hyperplanes(dim, nbits, seed)
+    per_band = nbits // bands
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        v = _as_double(vec_col)
+        return (
+            df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
+            .withColumn("__bits", _bucket_bits(F.col(vec_alias), planes))
+            .select(
+                id_alias,
+                vec_alias,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.substring(
+                                F.col("__bits"), b * per_band + 1, per_band
+                            ).alias("bucket"),
+                        ),
+                    )
+                ).alias("bb"),
+            )
+            .select(
+                id_alias,
+                vec_alias,
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
+        )
+
+    cb = banded(corpus, "neighbor_id", "cvec")
+    qb = banded(queries, "query_id", "qvec")
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.band == qb.band)
+            & (cb.bucket == qb.bucket)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Self near-dup: pairs with cosine ≥ threshold, candidates from
+    hyperplane-band collisions (id_a < id_b)."""
+    planes = _hyperplanes(dim, nbits, seed)
+    per_band = nbits // bands
+    v = _as_double(vec_col)
+    banded = (
+        corpus.select(F.col(id_col).alias("id"), v.alias("vec"))
+        .withColumn("__bits", _bucket_bits(F.col("vec"), planes))
+        .select(
+            "id",
+            "vec",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.substring(F.col("__bits"), b * per_band + 1, per_band).alias(
+                            "bucket"
+                        ),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+    ).where(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,140 @@
+"""ClickHouse TabSeparated/HTTP sink (reference clickhouse_client.py:131-217).
+
+Wire parity: rows are serialized to exactly the reference's TSV line shape
+``<ts %.6f>\\t<name esc>\\t<['k',..]>\\t<['v',..]>\\t<float no-sci>\\n``
+(etl_job.py:726-732) using the golden-tested expressions in functions/tsv,
+then POSTed as ``INSERT INTO <t> FORMAT TabSeparated``. Empty batches
+short-circuit without touching the network (clickhouse_client.py:166-170).
+
+Two write paths:
+
+- ``distributed=True`` (default, the 100 TB path): each partition POSTs
+  its own TSV batch from the executor via ``foreachPartition`` — N
+  parallel inserts, no driver bottleneck, exactly how a ClickHouse bulk
+  loader wants to be fed (many moderate inserts into a MergeTree).
+- ``distributed=False`` (reference-parity path): one request streaming
+  all rows through the driver — byte-identical to the reference's single
+  ``--data-binary`` upload; useful for wire-level golden tests.
+
+Idempotency is inherited from the target table being a
+ReplacingMergeTree over the content hash, exactly like the reference
+(README.md:96-113): at-least-once POSTs, exactly-once effect.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+import urllib.request
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.functions import (
+    escape_tsv,
+    format_clickhouse_array,
+    format_float_udf,
+    format_timestamp_6f,
+)
+from etl_prometheus2clickhouse_spark.operators.transform import rows_to_sink_shape
+from etl_prometheus2clickhouse_spark.sources.state_store import validate_table_name
+
+
+def rows_to_tsv_lines(rows: DataFrame) -> DataFrame:
+    """Fact rows → single-column ``line`` DataFrame in reference TSV shape
+    (etl_job.py:726-732). All JVM expressions except the no-sci float
+    format (vectorized pandas UDF)."""
+    sink = rows_to_sink_shape(rows)
+    return sink.select(
+        F.concat_ws(
+            "\t",
+            format_timestamp_6f("timestamp"),
+            escape_tsv("name"),
+            format_clickhouse_array("labels_key"),
+            format_clickhouse_array("labels_value"),
+            format_float_udf("value"),
+        ).alias("line")
+    )
+
+
+def _post_tsv(
+    url: str,
+    table: str,
+    body: bytes,
+    user: str | None,
+    password: str | None,
+    timeout: int,
+) -> None:
+    query = f"INSERT INTO {table} FORMAT TabSeparated"
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/?{urllib.parse.urlencode({'query': query})}",
+        data=body,
+        method="POST",
+    )
+    if user is not None:
+        req.add_header("X-ClickHouse-User", user)
+        req.add_header("X-ClickHouse-Key", password or "")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # nosec B310
+        resp.read()
+
+
+class ClickHouseHttpSink:
+    def __init__(
+        self,
+        url: str,
+        table: str = "default.metrics",
+        user: str | None = None,
+        password: str | None = None,
+        send_receive_timeout: int = 300,
+        distributed: bool = True,
+        batch_rows: int = 100_000,
+    ) -> None:
+        validate_table_name(table, "table_metrics")
+        self._url = url
+        self._table = table
+        self._user = user
+        self._password = password
+        self._timeout = send_receive_timeout
+        self._distributed = distributed
+        self._batch_rows = batch_rows
+
+    def write(self, rows: DataFrame) -> None:
+        lines = rows_to_tsv_lines(rows)
+        if self._distributed:
+            url, table = self._url, self._table
+            user, password = self._user, self._password
+            timeout, batch_rows = self._timeout, self._batch_rows
+
+            def _send_partition(it: Iterator) -> None:
+                buf: list[str] = []
+                for row in it:
+                    buf.append(row.line)
+                    if len(buf) >= batch_rows:
+                        _post_tsv(
+                            url, table,
+                            ("\n".join(buf) + "\n").encode(),
+                            user, password, timeout,
+                        )
+                        buf.clear()
+                if buf:  # empty partitions never POST
+                    _post_tsv(
+                        url, table,
+                        ("\n".join(buf) + "\n").encode(),
+                        user, password, timeout,
+                    )
+
+            lines.foreachPartition(_send_partition)
+        else:
+            # Reference-parity: one upload through the driver; empty batch
+            # short-circuits before any network I/O.
+            collected = [r.line for r in lines.toLocalIterator()]
+            if not collected:
+                return
+            _post_tsv(
+                self._url,
+                self._table,
+                ("\n".join(collected) + "\n").encode(),
+                self._user,
+                self._password,
+                self._timeout,
+            )
