@@ -9,9 +9,14 @@ short-circuit without touching the network (clickhouse_client.py:166-170).
 Two write paths:
 
 - ``distributed=True`` (default, the 100 TB path): each partition POSTs
-  its own TSV batch from the executor via ``foreachPartition`` — N
+  its own TSV batches from the executor inside ``mapInPandas`` — N
   parallel inserts, no driver bottleneck, exactly how a ClickHouse bulk
-  loader wants to be fed (many moderate inserts into a MergeTree).
+  loader wants to be fed (many moderate inserts into a MergeTree). The
+  upload is driven by a single *DataFrame* action (``collect`` of the
+  per-partition posted counts), so upstream ``observe`` counters fire on
+  the same pass — ``foreachPartition`` would run via the RDD path, which
+  never emits SQL observed-metrics events and deadlocks
+  ``Observation.get`` (streaming/job.py).
 - ``distributed=False`` (reference-parity path): one request streaming
   all rows through the driver — byte-identical to the reference's single
   ``--data-binary`` upload; useful for wire-level golden tests.
@@ -26,6 +31,8 @@ from __future__ import annotations
 import urllib.parse
 import urllib.request
 from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +71,7 @@ def _post_tsv(
     user: str | None,
     password: str | None,
     timeout: int,
+    insecure: bool = False,
 ) -> None:
     query = f"INSERT INTO {table} FORMAT TabSeparated"
     req = urllib.request.Request(
@@ -74,7 +82,18 @@ def _post_tsv(
     if user is not None:
         req.add_header("X-ClickHouse-User", user)
         req.add_header("X-ClickHouse-Key", password or "")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # nosec B310
+    # CLICKHOUSE_INSECURE parity: skip TLS certificate verification
+    # (reference clickhouse_client.py:55-85, verify=False path).
+    ctx = None
+    if insecure and url.startswith("https"):
+        import ssl
+
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    with urllib.request.urlopen(  # nosec B310
+        req, timeout=timeout, context=ctx
+    ) as resp:
         resp.read()
 
 
@@ -88,6 +107,7 @@ class ClickHouseHttpSink:
         send_receive_timeout: int = 300,
         distributed: bool = True,
         batch_rows: int = 100_000,
+        insecure: bool = False,
     ) -> None:
         validate_table_name(table, "table_metrics")
         self._url = url
@@ -97,6 +117,7 @@ class ClickHouseHttpSink:
         self._timeout = send_receive_timeout
         self._distributed = distributed
         self._batch_rows = batch_rows
+        self._insecure = insecure
 
     def write(self, rows: DataFrame) -> None:
         lines = rows_to_tsv_lines(rows)
@@ -104,26 +125,36 @@ class ClickHouseHttpSink:
             url, table = self._url, self._table
             user, password = self._user, self._password
             timeout, batch_rows = self._timeout, self._batch_rows
+            insecure = self._insecure
 
-            def _send_partition(it: Iterator) -> None:
+            def _send_partition(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
                 buf: list[str] = []
-                for row in it:
-                    buf.append(row.line)
-                    if len(buf) >= batch_rows:
-                        _post_tsv(
-                            url, table,
-                            ("\n".join(buf) + "\n").encode(),
-                            user, password, timeout,
-                        )
-                        buf.clear()
-                if buf:  # empty partitions never POST
+                posted = 0
+
+                def _flush() -> None:
+                    nonlocal posted
                     _post_tsv(
                         url, table,
                         ("\n".join(buf) + "\n").encode(),
-                        user, password, timeout,
+                        user, password, timeout, insecure,
                     )
+                    posted += len(buf)
+                    buf.clear()
 
-            lines.foreachPartition(_send_partition)
+                for pdf in batches:
+                    for line in pdf["line"]:
+                        buf.append(line)
+                        if len(buf) >= batch_rows:
+                            _flush()
+                if buf:  # empty partitions never POST
+                    _flush()
+                yield pd.DataFrame({"posted": [posted]})
+
+            # One DataFrame action drives every partition's POSTs *and*
+            # fires upstream observe metrics (RDD actions would not).
+            lines.mapInPandas(_send_partition, "posted bigint").collect()
         else:
             # Reference-parity: one upload through the driver; empty batch
             # short-circuits before any network I/O.
@@ -137,4 +168,5 @@ class ClickHouseHttpSink:
                 self._user,
                 self._password,
                 self._timeout,
+                self._insecure,
             )
