@@ -45,7 +45,9 @@ def lenient_double(col: Column | str) -> Column:
     (etl_job.py:664-683).
     """
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
+    # Python float() strips *all* surrounding whitespace ("1\n", "\t2"
+    # parse); F.trim strips only ASCII spaces, so strip with a regex.
+    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
     lowered = F.lower(trimmed)
     # Normalize digit-group underscores, then reject any remaining ones.
     de_underscored = F.regexp_replace(trimmed, _UNDERSCORE_BETWEEN_DIGITS, "")

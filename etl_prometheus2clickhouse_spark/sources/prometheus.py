@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import ssl
 import time
+import urllib.error
 import urllib.parse
 import urllib.request
 from base64 import b64encode
@@ -50,6 +51,12 @@ from pyspark.sql.types import StructType
 
 SERIES_DDL = "metric map<string,string>, values array<array<string>>"
 DEFAULT_SELECTOR = '{__name__=~".+"}'  # reference etl_job.py:437
+
+
+class PrometheusQueryError(RuntimeError):
+    """Prometheus fetch failure with a diagnosable message (reference
+    prometheus_client.py:139-196 wraps HTTP/timeout/connection errors
+    with a response-body preview)."""
 
 
 # ---------------------------------------------------------------------------
@@ -82,8 +89,32 @@ def fetch_query_range(
         token = b64encode(f"{user}:{password or ''}".encode()).decode()
         req.add_header("Authorization", f"Basic {token}")
     ctx = ssl._create_unverified_context() if insecure else None  # nosec B323
-    with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:  # nosec B310
-        return json.load(resp)
+    # Distinct timeout/connection/HTTP-error wrapping with a response-body
+    # preview, like the reference (prometheus_client.py:139-196) — raw
+    # urllib tracebacks are useless in an executor log at 3am.
+    try:
+        with urllib.request.urlopen(  # nosec B310
+            req, timeout=timeout, context=ctx
+        ) as resp:
+            return json.load(resp)
+    except urllib.error.HTTPError as exc:
+        preview = exc.read(500).decode("utf-8", "replace")
+        raise PrometheusQueryError(
+            f"Prometheus query_range failed: HTTP {exc.code} {exc.reason}; "
+            f"response preview: {preview!r}"
+        ) from exc
+    except urllib.error.URLError as exc:
+        if isinstance(exc.reason, TimeoutError):
+            raise PrometheusQueryError(
+                f"Prometheus query_range timed out after {timeout}s: {url}"
+            ) from exc
+        raise PrometheusQueryError(
+            f"Prometheus connection failed: {exc.reason}"
+        ) from exc
+    except TimeoutError as exc:
+        raise PrometheusQueryError(
+            f"Prometheus query_range timed out after {timeout}s: {url}"
+        ) from exc
 
 
 def response_to_series(doc: dict) -> Iterator[tuple[dict, list]]:
@@ -226,16 +257,20 @@ class PrometheusStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         now = int(time.time())
         # never into the future (reference etl_job.py:148-177)
-        return {"progress": min(self._initial_or_last() + self._window, now)}
+        return {"progress": min(self._high_water() + self._window, now)}
 
-    def _initial_or_last(self) -> int:
-        # Spark drives offset bookkeeping through the checkpoint; this
-        # in-memory high-water mark only shapes the next proposed batch.
+    def _high_water(self) -> int:
+        # Spark owns offset bookkeeping through the checkpoint; this
+        # in-memory mark only shapes the next proposed batch. It is
+        # re-seeded from every start/end offset Spark hands us
+        # (partitions/commit below), so after a checkpoint restart the
+        # first real batch re-aligns to the committed offset instead of
+        # regressing to initial_progress and crawling forward.
         return getattr(self, "_last", self._initial)
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        self._last = int(end["progress"])
         s, e = int(start["progress"]), int(end["progress"])
+        self._last = max(self._high_water(), s, e)
         if e <= s:
             return []
         return [
@@ -258,7 +293,9 @@ class PrometheusStreamReader(DataSourceStreamReader):
         yield from response_to_series(doc)
 
     def commit(self, end: dict) -> None:
-        pass  # checkpoint owns offsets; sink idempotency handles replays
+        # checkpoint owns offsets; sink idempotency handles replays —
+        # just keep the in-memory high-water mark aligned.
+        self._last = max(self._high_water(), int(end["progress"]))
 
 
 class PrometheusDataSource(DataSource):

@@ -24,6 +24,7 @@ every interpolated table name in both backends.
 
 from __future__ import annotations
 
+import calendar
 import fcntl
 import json
 import os
@@ -180,6 +181,7 @@ class ClickHouseStateStore:
         user: str | None = None,
         password: str | None = None,
         timeout: int = 10,
+        insecure: bool = False,
     ) -> None:
         validate_table_name(table, "table_etl")
         self._url = url.rstrip("/")
@@ -187,6 +189,7 @@ class ClickHouseStateStore:
         self._user = user
         self._password = password
         self._timeout = timeout
+        self._insecure = insecure
 
     def _execute(self, query: str) -> str:
         params = {"query": query}
@@ -196,7 +199,17 @@ class ClickHouseStateStore:
         if self._user is not None:
             req.add_header("X-ClickHouse-User", self._user)
             req.add_header("X-ClickHouse-Key", self._password or "")
-        with urllib.request.urlopen(req, timeout=self._timeout) as resp:  # nosec B310
+        # CLICKHOUSE_INSECURE parity (reference clickhouse_client.py:55-85).
+        ctx = None
+        if self._insecure and self._url.startswith("https"):
+            import ssl
+
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        with urllib.request.urlopen(  # nosec B310
+            req, timeout=self._timeout, context=ctx
+        ) as resp:
             return resp.read().decode("utf-8")
 
     def all_rows(self) -> list[StateRow]:
@@ -299,12 +312,15 @@ class ClickHouseStateStore:
 
 
 def _to_epoch(v) -> int:
+    """ClickHouse UTC DateTime string → epoch seconds.
+
+    ``calendar.timegm`` is timezone-independent; ``time.mktime(...) -
+    time.timezone`` would be off by one hour while the driver host's
+    local zone observes DST (the reference normalizes strictly via UTC,
+    clickhouse_client.py:96-129)."""
     if isinstance(v, (int, float)):
         return int(v)
-    return int(
-        time.mktime(time.strptime(str(v)[:19], "%Y-%m-%d %H:%M:%S"))
-        - time.timezone
-    )
+    return calendar.timegm(time.strptime(str(v)[:19], "%Y-%m-%d %H:%M:%S"))
 
 
 def _opt_epoch(v) -> int | None:
