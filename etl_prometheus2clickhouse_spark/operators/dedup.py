@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -38,32 +38,48 @@ from pyspark.sql import types as T
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def _keep_one_per_key(df: DataFrame, key_cols: list[str], order_col: str | None) -> DataFrame:
+    """One row per key, as a hash aggregate (map-side partial combine, no
+    sort — a window + row_number would force a full sort shuffle).
+
+    ``order_col`` picks the minimum-ordered row deterministically via
+    ``min_by``; without it the pick is arbitrary (``dropDuplicates``),
+    which is cheapest and fine when survivors are content-identical."""
+    out_cols = [c for c in df.columns if c not in key_cols]
+    if order_col is None:
+        return df.dropDuplicates(key_cols).drop(*key_cols)
+    agg = df.groupBy(*key_cols).agg(
+        F.min_by(F.struct(*out_cols), F.col(order_col)).alias("__row")
+    )
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in out_cols])
+
+
+def exact_dedup(
+    df: DataFrame, cols: Sequence[str], order_col: str | None = None
+) -> DataFrame:
     """Keep one row per distinct content hash over ``cols``.
 
     ``xxhash64`` + ``md5`` double-hash: a 64-bit + 128-bit pair makes
     accidental collisions at 100 TB-row counts negligible while keeping
-    the shuffle key compact."""
-    key = [F.xxhash64(*cols).alias("__h64"), F.md5(F.concat_ws("\x1f", *cols)).alias("__h128")]
-    w = Window.partitionBy("__h64", "__h128").orderBy(*[F.col(c) for c in df.columns[:1]])
-    return (
-        df.select("*", *key)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__h64", "__h128", "__rn")
+    the shuffle key compact and uniformly distributed (no skew by
+    construction). ``order_col`` makes the surviving row deterministic
+    (lowest value wins) at the same single-shuffle cost."""
+    keyed = df.select(
+        "*",
+        F.xxhash64(*cols).alias("__h64"),
+        F.md5(F.concat_ws("\x1f", *cols)).alias("__h128"),
     )
+    return _keep_one_per_key(keyed, ["__h64", "__h128"], order_col)
 
 
-def distinct_by_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact near-whitespace dedup: one row per normalized-text md5
-    (first by ascending id-ish ordering of remaining columns)."""
+def distinct_by_fingerprint(
+    df: DataFrame, text_col: str = "text", order_col: str | None = None
+) -> DataFrame:
+    """Whitespace-insensitive exact dedup: one row per normalized-text
+    md5 (lowercase, runs of whitespace collapsed)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    with_fp = df.withColumn("__fp", F.md5(norm))
-    w = Window.partitionBy("__fp").orderBy(*[F.col(c) for c in df.columns])
-    return (
-        with_fp.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+    return _keep_one_per_key(
+        df.withColumn("__fp", F.md5(norm)), ["__fp"], order_col
     )
 
 
@@ -103,16 +119,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Blocked exact n-gram-Jaccard near-dup pairs.
 
-    ``block_col`` bounds the candidate space (pairs only form within a
-    block). At scale the block is an LSH bucket (see
-    :func:`minhash_lsh_pairs`); exposing the blocked-exact variant
-    separately keeps an oracle-checkable deterministic operator.
+    ``block_col`` is REQUIRED: it bounds the candidate space (pairs only
+    form within a block). Without one, the self-join degenerates to an
+    O(n²) all-pairs scan — the textbook 100 TB scale-killer — so that is
+    refused rather than silently executed. At scale the block is an LSH
+    bucket (see :func:`minhash_lsh_pairs`); the blocked-exact variant
+    exists as an oracle-checkable deterministic operator.
     Output: (id_a, id_b, jaccard_sim), id_a < id_b.
     """
+    if block_col is None:
+        raise ValueError(
+            "ngram_jaccard_pairs requires block_col: unblocked all-pairs "
+            "Jaccard is O(n²) — use minhash_lsh_pairs for unblocked input"
+        )
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        F.col(block_col).alias("blk"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -153,24 +176,32 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    bucket_stats: Observation | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     banding: ``bands`` bands × ``num_hashes/bands`` rows; two docs become
-    candidates iff some band matches (P ≈ 1-(1-s^r)^b). Buckets larger
-    than ``max_bucket`` are dropped with their size recorded — at 100 TB
-    a boilerplate bucket of 10⁶ docs would otherwise emit 10¹² pairs.
+    candidates iff some band matches (P ≈ 1-(1-s^r)^b).
+
+    Scale shape: the band explode and bucket self-join carry ONLY
+    ``(id, band, bucket)`` — 24 bytes/row — never the shingle arrays;
+    shingles shuffle exactly once, in the verification join against the
+    deduped candidate pairs. Buckets larger than ``max_bucket`` are
+    dropped (at 100 TB a boilerplate bucket of 10⁶ docs would otherwise
+    emit 10¹² pairs); pass ``bucket_stats`` (a ``pyspark.sql.Observation``)
+    to record ``dropped_entries`` / ``max_bucket_size`` on the same pass
+    instead of dropping silently.
     Output: (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold.
     """
     rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
-    banded = sh.select(
+    banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -188,12 +219,21 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # cap pathological buckets before the self-join
     sized = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("bucket_n") <= max_bucket)
+    )
+    if bucket_stats is not None:
+        sized = sized.observe(
+            bucket_stats,
+            F.coalesce(
+                F.sum(F.when(F.col("bucket_n") > max_bucket, F.lit(1))), F.lit(0)
+            ).alias("dropped_entries"),
+            F.coalesce(F.max("bucket_n"), F.lit(0)).alias("max_bucket_size"),
+        )
+    sized = sized.where(F.col("bucket_n") <= max_bucket)
 
     a, b = sized.alias("a"), sized.alias("b")
     candidates = (
@@ -203,15 +243,18 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
     )
-    return candidates.select(
+    # single shingle shuffle: verify candidates against the (id, sh) table
+    verified = (
+        candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        ).join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+    )
+    return verified.select(
         "id_a",
         "id_b",
         jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
@@ -272,14 +315,16 @@ def simhash_near_pairs(
         "id",
         "simhash64",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash64"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash64"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("cv"),
     ).select("id", "simhash64", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))

@@ -120,38 +120,12 @@ def cosine_topk_lsh(
     candidates — per-query result may have < k rows on low recall).
     """
     planes = _hyperplanes(dim, nbits, seed)
-    per_band = nbits // bands
 
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        v = _as_double(vec_col)
-        return (
-            df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
-            .withColumn("__bits", _bucket_bits(F.col(vec_alias), planes))
-            .select(
-                id_alias,
-                vec_alias,
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(bands - 1)),
-                        lambda b: F.struct(
-                            b.alias("band"),
-                            F.substring(
-                                F.col("__bits"), b * per_band + 1, per_band
-                            ).alias("bucket"),
-                        ),
-                    )
-                ).alias("bb"),
-            )
-            .select(
-                id_alias,
-                vec_alias,
-                F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"),
-            )
-        )
-
-    cb = banded(corpus, "neighbor_id", "cvec")
-    qb = banded(queries, "query_id", "qvec")
+    # Band rows carry ONLY (id, band, bucket); vectors never ride the
+    # explode×bands fan-out — they join back once against the deduped
+    # candidate set (queries stay broadcast throughout).
+    cb = _banded_ids(corpus, id_col, vec_col, planes, bands, "neighbor_id")
+    qb = _banded_ids(queries, id_col, vec_col, planes, bands, "query_id")
     cand = (
         cb.join(
             F.broadcast(qb),
@@ -159,18 +133,63 @@ def cosine_topk_lsh(
             & (cb.bucket == qb.bucket)
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    scored = (
+        cand.join(cvecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _banded_ids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    id_alias: str,
+) -> DataFrame:
+    """(id, band, bucket) rows — the slim frame for candidate joins."""
+    per_band = len(planes) // bands
+    return (
+        df.select(F.col(id_col).alias(id_alias), _as_double(vec_col).alias("__v"))
+        .withColumn("__bits", _bucket_bits(F.col("__v"), planes))
+        .select(
+            id_alias,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.substring(
+                            F.col("__bits"), b * per_band + 1, per_band
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(
+            id_alias,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
 
 
 def embedding_near_dup_pairs(
@@ -184,30 +203,10 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Self near-dup: pairs with cosine ≥ threshold, candidates from
-    hyperplane-band collisions (id_a < id_b)."""
+    hyperplane-band collisions (id_a < id_b). Band rows are (id, band,
+    bucket) only; vectors join back once against deduped candidates."""
     planes = _hyperplanes(dim, nbits, seed)
-    per_band = nbits // bands
-    v = _as_double(vec_col)
-    banded = (
-        corpus.select(F.col(id_col).alias("id"), v.alias("vec"))
-        .withColumn("__bits", _bucket_bits(F.col("vec"), planes))
-        .select(
-            "id",
-            "vec",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.substring(F.col("__bits"), b * per_band + 1, per_band).alias(
-                            "bucket"
-                        ),
-                    ),
-                )
-            ).alias("bb"),
-        )
-        .select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
+    banded = _banded_ids(corpus, id_col, vec_col, planes, bands, "id")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -216,14 +215,13 @@ def embedding_near_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
-    ).where(F.col("cosine_sim") >= threshold)
+    vecs = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
