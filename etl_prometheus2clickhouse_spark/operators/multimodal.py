@@ -1,0 +1,251 @@
+"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+columns with typed metadata (engine extension; BASELINE.json north star).
+
+The contract at 100 TB: media bytes stay an opaque ``BinaryType`` column
+riding the normal columnar scan (parquet stores them page-compressed;
+column pruning drops them when a query doesn't touch pixels), typed
+metadata lives in ordinary scalar columns so Catalyst can filter/prune
+on it *without* reading the blob, and per-item decode work happens in
+Arrow-batched ``mapInPandas`` stages that scale with input splits.
+
+What is REAL here (tested, production-shaped):
+
+- magic-byte media-type sniffing as pure JVM expressions
+  (:func:`sniff_media_type`) — no Python in the scan path;
+- PNG / GIF / WAV header field extraction (width/height/sample-rate) as
+  JVM byte arithmetic (:func:`extract_media_metadata`);
+- content-hash dedup over binary columns (:func:`binary_dedup`),
+  reusing the exact-dedup shuffle shape;
+- the ``mapInPandas`` decode/frame-sample plumbing — schema, batch
+  iteration, per-row fan-out (:func:`decode_images`,
+  :func:`sample_frames`).
+
+What is STUBBED (this container ships no image/audio codecs): the
+actual pixel/sample decode. ``mode="strict"`` raises
+``NotImplementedError`` at the decode site; ``mode="fake"`` produces a
+deterministic content-hash-seeded payload so tests can assert the batch
+shape, partitioning, and determinism end-to-end. Swap ``_decode_one`` /
+``_sample_one`` for Pillow/ffmpeg calls on a real cluster and nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.dedup import _keep_one_per_key
+
+# ---------------------------------------------------------------------------
+# JVM-side metadata extraction (no Python in the scan path)
+# ---------------------------------------------------------------------------
+
+def _be_u32(col: Column, pos: int) -> Column:
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substring(col, pos, 4)), 16, 10).cast("bigint")
+
+
+def _le_u32(col: Column, pos: int) -> Column:
+    """Little-endian uint32 at 1-based byte offset ``pos``."""
+    b = lambda i: F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast("bigint")  # noqa: E731
+    return b(0) + b(1) * 256 + b(2) * 65536 + b(3) * 16777216
+
+
+def _le_u16(col: Column, pos: int) -> Column:
+    b = lambda i: F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast("bigint")  # noqa: E731
+    return b(0) + b(1) * 256
+
+
+def sniff_media_type(col: Column | str) -> Column:
+    """Magic-byte container sniffing, entirely JVM-side.
+
+    Covers the containers a crawl pipeline actually meets: PNG, JPEG,
+    GIF, WebP, WAV, MP3 (ID3), MP4/ISO-BMFF, PDF; anything else is
+    ``application/octet-stream``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.hex(F.substring(c, 1, 12))  # 24 hex chars
+    return (
+        F.when(head.startswith("89504E47"), F.lit("image/png"))
+        .when(head.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(head.startswith("47494638"), F.lit("image/gif"))
+        .when(
+            head.startswith("52494646") & (F.substring(head, 17, 8) == "57454250"),
+            F.lit("image/webp"),
+        )
+        .when(
+            head.startswith("52494646") & (F.substring(head, 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(head.startswith("494433"), F.lit("audio/mpeg"))
+        .when(F.substring(head, 9, 8) == "66747970", F.lit("video/mp4"))
+        .when(head.startswith("25504446"), F.lit("application/pdf"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def extract_media_metadata(
+    df: DataFrame, binary_col: str = "content"
+) -> DataFrame:
+    """Append typed metadata columns parsed from container headers.
+
+    ``media_type``, ``byte_len`` always; ``width``/``height`` for
+    PNG (IHDR, big-endian at offset 17/21) and GIF (logical screen
+    descriptor, little-endian u16 at offset 7/9); ``sample_rate`` for
+    WAV (fmt chunk, little-endian u32 at offset 25). All JVM byte
+    arithmetic — the blob is read but never leaves the JVM, and a query
+    that later filters on these columns never touches the blob again.
+    """
+    c = F.col(binary_col)
+    mt = sniff_media_type(c)
+    return (
+        df.withColumn("media_type", mt)
+        .withColumn("byte_len", F.length(c).cast("bigint"))
+        .withColumn(
+            "width",
+            F.when(mt == "image/png", _be_u32(c, 17))
+            .when(mt == "image/gif", _le_u16(c, 7))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "height",
+            F.when(mt == "image/png", _be_u32(c, 21))
+            .when(mt == "image/gif", _le_u16(c, 9))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.when(mt == "audio/wav", _le_u32(c, 25)).cast("bigint"),
+        )
+    )
+
+
+def binary_dedup(
+    df: DataFrame, binary_col: str = "content", order_col: str | None = None
+) -> DataFrame:
+    """Exact content dedup over a binary column: single hash-aggregate
+    shuffle on (xxhash64, md5) of the bytes — same shape as
+    :func:`~etl_prometheus2clickhouse_spark.operators.dedup.exact_dedup`,
+    but hashing raw bytes (both hash functions accept BinaryType)."""
+    keyed = df.select(
+        "*",
+        F.xxhash64(F.col(binary_col)).alias("__h64"),
+        F.md5(F.col(binary_col)).alias("__h128"),
+    )
+    return _keep_one_per_key(keyed, ["__h64", "__h128"], order_col)
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas decode plumbing (Arrow-batched; decode site stubbed)
+# ---------------------------------------------------------------------------
+
+DECODED_IMAGE_DDL = (
+    "id bigint, media_type string, width bigint, height bigint, "
+    "channels int, pixels binary"
+)
+
+FRAME_DDL = "id bigint, frame_idx int, frame_ts_ms bigint, frame bytes".replace(
+    "bytes", "binary"
+)
+
+
+def _fake_payload(content: bytes, n: int) -> bytes:
+    """Deterministic pseudo-payload seeded by content hash — lets tests
+    pin batch shape and determinism without a codec."""
+    seed = hashlib.sha256(content).digest()
+    reps = n // len(seed) + 1
+    return (seed * reps)[:n]
+
+
+def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
+    """STUB decode site. Replace with Pillow on a real cluster:
+    ``img = PIL.Image.open(io.BytesIO(content)); img.size`` etc."""
+    if mode == "strict":
+        raise NotImplementedError(
+            "image decode requires a codec library (e.g. Pillow), which "
+            "this environment does not ship; use mode='fake' for plumbing "
+            "tests or install a codec on the cluster"
+        )
+    w, h, ch = 4, 4, 3
+    return w, h, ch, _fake_payload(content, w * h * ch)
+
+
+def decode_images(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "id",
+    mode: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image decode: one output row per input row with
+    ``(id, media_type, width, height, channels, pixels)``.
+
+    The ``mapInPandas`` stage is the real 100 TB shape — per-partition
+    generator over Arrow batches, no driver involvement, output schema
+    declared up front. Only ``_decode_one`` is a stub."""
+
+    def _decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "id": [], "media_type": [], "width": [],
+                "height": [], "channels": [], "pixels": [],
+            }
+            for rid, content, mt in zip(
+                pdf[id_col], pdf[binary_col], pdf["media_type"]
+            ):
+                b = bytes(content) if content is not None else b""
+                w, h, ch, px = _decode_one(b, mode)
+                out["id"].append(rid)
+                out["media_type"].append(mt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["pixels"].append(px)
+            yield pd.DataFrame(out)
+
+    with_type = df.withColumn("media_type", sniff_media_type(binary_col))
+    return with_type.mapInPandas(_decode_batches, DECODED_IMAGE_DDL)
+
+
+def _sample_one(
+    content: bytes, num_frames: int, frame_bytes: int
+) -> list[tuple[int, int, bytes]]:
+    """STUB frame-sample site (ffmpeg on a real cluster). Deterministic:
+    frame *i* is content-hash-seeded; timestamps step 1000 ms."""
+    return [
+        (i, i * 1000, _fake_payload(content + bytes([i]), frame_bytes))
+        for i in range(num_frames)
+    ]
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "id",
+    num_frames: int = 4,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Video → N sampled frames per row (row fan-out inside
+    ``mapInPandas`` — the output batch is bigger than the input batch,
+    which is exactly how a frame sampler behaves)."""
+
+    def _sample_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for rid, content in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(content) if content is not None else b""
+                for idx, ts, frame in _sample_one(b, num_frames, frame_bytes):
+                    out["id"].append(rid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample_batches, FRAME_DDL)
