@@ -3,36 +3,48 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual catalog lives in
+``etl_prometheus2clickhouse_spark/plans/catalog.py`` — one entry per
+SURVEY.md §2 operator plus the LLM-pipeline layer (dedup, similarity,
+text analysis, multimodal). Entries without an oracle (MinHash/SimHash/
+LSH — xxhash64 and seeded-numpy constructs DuckDB can't express) get
+the driver's weaker rows-only check; their semantics are pinned by
+pytest instead (tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_prometheus2clickhouse_spark.plans.catalog import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    q_prom_counts,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize Prometheus query_range documents from the
+    events table, run the full parse/transform pipeline (from_json →
+    explode → pair state machine → lenient cast → label restructure),
+    and aggregate per-metric row/NaN/Inf counters — the engine's core
+    ETL path end-to-end on sf0.001."""
+    return q_prom_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + LLM layer."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    return dict(ORACLES)

@@ -216,9 +216,11 @@ def _sample_one(
     content: bytes, num_frames: int, frame_bytes: int
 ) -> list[tuple[int, int, bytes]]:
     """STUB frame-sample site (ffmpeg on a real cluster). Deterministic:
-    frame *i* is content-hash-seeded; timestamps step 1000 ms."""
+    frame *i* is seeded by ``sha256(content || str(i))`` — ASCII index
+    suffix so the seed is also expressible in the SQL oracle;
+    timestamps step 1000 ms."""
     return [
-        (i, i * 1000, _fake_payload(content + bytes([i]), frame_bytes))
+        (i, i * 1000, _fake_payload(content + str(i).encode(), frame_bytes))
         for i in range(num_frames)
     ]
 

@@ -192,6 +192,26 @@ def _banded_ids(
     )
 
 
+def embedding_near_dup_bruteforce(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (id_a < id_b, cosine ≥ threshold).
+
+    O(n²) by construction — the correctness baseline the LSH variant is
+    measured against; at scale use :func:`embedding_near_dup_pairs`."""
+    v = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

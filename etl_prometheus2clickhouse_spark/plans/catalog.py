@@ -1,0 +1,1174 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 plus
+the LLM-pipeline layer, each as a ``(spark, sf_dir) -> DataFrame``
+builder with (where SQL-expressible) a DuckDB oracle that reproduces the
+same result over the same parquet tables.
+
+Output-column discipline (the driver hashes values order-insensitively
+after sorting columns by name, so both sides must agree bit-for-bit):
+
+- money/quantity aggregates go through ``DECIMAL`` casts *before*
+  summation — decimal addition is exact and associative, so shuffle
+  order can't perturb the last ulp the way double sums can;
+- per-row double arithmetic (ratios, cosines) is kept: identical input
+  doubles produce identical IEEE results; cross-engine *aggregated*
+  doubles are avoided or rounded;
+- timestamps are emitted as epoch-second BIGINTs (engine-neutral);
+- the Prometheus operators are driven end-to-end by synthesizing a
+  ``query_range`` response document from the ``events`` table and
+  parsing it back with the production pipeline; the oracle computes the
+  expected rows directly from ``events``.
+
+ETL-core oracle entries cite the reference behavior they pin
+(reference files under /root/reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.functions import (
+    label_keys_sorted,
+    label_values_sorted,
+    lenient_double,
+)
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    distinct_by_fingerprint,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from etl_prometheus2clickhouse_spark.operators.multimodal import (
+    decode_images,
+    extract_media_metadata,
+    sample_frames,
+)
+from etl_prometheus2clickhouse_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_bruteforce,
+    embedding_near_dup_pairs,
+)
+from etl_prometheus2clickhouse_spark.operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+    with_token_count,
+)
+from etl_prometheus2clickhouse_spark.operators.transform import parse_response
+from etl_prometheus2clickhouse_spark.plans.state_queries import (
+    latest_valid_state,
+    open_leases,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to a microsecond TimestampType.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is on; with it on, the column surfaces as BIGINT nanoseconds. Handle
+    both session states and always return a real timestamp column
+    (truncated to µs, matching what DuckDB's reader does natively)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down — fall through and hope ts reads as-is
+    df = _t(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Prometheus ETL core, driven end-to-end over synthesized response docs
+# ---------------------------------------------------------------------------
+
+def _synth_prom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one Prometheus query_range response document per
+    event_type series. Values carry the reference's full value-variant
+    matrix (reference tests/test_etl_job_full_coverage.py:21-62):
+    numeric strings, NaN, Inf, and an unparseable string that must be
+    skipped-and-counted."""
+    ev = _events(spark, sf_dir)
+    val_str = (
+        F.when(F.col("event_id") % 13 == 0, F.lit("NaN"))
+        .when(F.col("event_id") % 17 == 0, F.lit("Inf"))
+        .when(F.col("event_id") % 19 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("value").cast("string"))
+    )
+    ts_sec = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    pairs = ev.select(
+        "event_type",
+        F.array(ts_sec.cast("string"), val_str).alias("pair"),
+    )
+    series = pairs.groupBy("event_type").agg(F.collect_list("pair").alias("vals"))
+    return series.select(
+        F.to_json(
+            F.struct(
+                F.lit("success").alias("status"),
+                F.struct(
+                    F.lit("matrix").alias("resultType"),
+                    F.array(
+                        F.struct(
+                            F.create_map(
+                                F.lit("__name__"), F.col("event_type"),
+                                F.lit("source"), F.lit("events"),
+                            ).alias("metric"),
+                            F.col("vals").alias("values"),
+                        )
+                    ).alias("result"),
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+
+
+_PROM_VARIANT_FILTER = (
+    "NOT (event_id % 13 <> 0 AND event_id % 17 <> 0 AND event_id % 19 = 0)"
+)
+
+
+def q_prom_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/T1/T2/T4/T5: full parse pipeline (reference etl_job.py:545-738)."""
+    rows = parse_response(_synth_prom_docs(spark, sf_dir), "value").rows
+    finite = ~F.isnan("value") & (F.col("value") != float("inf")) & (
+        F.col("value") != float("-inf")
+    )
+    return rows.select(
+        F.col("name"),
+        F.floor(F.unix_micros("timestamp") / 1_000_000).cast("long").alias("ts"),
+        F.isnan("value").alias("is_nan"),
+        (F.col("value") == float("inf")).alias("is_inf"),
+        F.when(finite, F.col("value")).cast("decimal(18,2)").alias("value_dec"),
+    )
+
+
+ORACLE_PROM_PARSE = f"""
+SELECT event_type AS name,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+       (event_id % 13 = 0) AS is_nan,
+       (event_id % 13 <> 0 AND event_id % 17 = 0) AS is_inf,
+       CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
+            ELSE CAST(value AS DECIMAL(18,2)) END AS value_dec
+FROM events
+WHERE {_PROM_VARIANT_FILTER}
+"""
+
+
+def q_prom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 counting aggregations over the parse output
+    (reference etl_job.py:568-570,716,732)."""
+    return (
+        q_prom_parse(spark, sf_dir)
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("rows_cnt"),
+            F.sum(F.when(F.col("is_nan"), 1).otherwise(0)).alias("nan_cnt"),
+            F.sum(F.when(F.col("is_inf"), 1).otherwise(0)).alias("inf_cnt"),
+            F.sum("value_dec").cast("decimal(38,2)").alias("sum_finite"),
+        )
+    )
+
+
+ORACLE_PROM_COUNTS = f"""
+SELECT name,
+       count(*) AS rows_cnt,
+       CAST(sum(CASE WHEN is_nan THEN 1 ELSE 0 END) AS BIGINT) AS nan_cnt,
+       CAST(sum(CASE WHEN is_inf THEN 1 ELSE 0 END) AS BIGINT) AS inf_cnt,
+       CAST(sum(value_dec) AS DECIMAL(38,2)) AS sum_finite
+FROM ({ORACLE_PROM_PARSE})
+GROUP BY name
+"""
+
+
+def q_prom_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 label restructuring: __name__ extraction/removal + key-sorted
+    parallel arrays (reference etl_job.py:611-625)."""
+    ev = _events(spark, sf_dir)
+    metric = F.create_map(
+        F.lit("__name__"), F.col("event_type"),
+        F.lit("zone"), F.concat(F.lit("z"), (F.col("user_id") % 3).cast("string")),
+        F.lit("app"), F.lit("events"),
+    )
+    from etl_prometheus2clickhouse_spark.functions import (
+        labels_without_name,
+        metric_name,
+    )
+    shaped = ev.select(
+        F.col("event_id"),
+        metric_name(metric).alias("name"),
+        labels_without_name(metric).alias("labels"),
+    )
+    return shaped.select(
+        "event_id",
+        "name",
+        F.concat_ws("|", label_keys_sorted("labels")).alias("label_keys"),
+        F.concat_ws("|", label_values_sorted("labels")).alias("label_values"),
+    )
+
+
+ORACLE_PROM_LABELS = """
+SELECT event_id,
+       event_type AS name,
+       'app|zone' AS label_keys,
+       'events|z' || CAST(user_id % 3 AS VARCHAR) AS label_values
+FROM events
+"""
+
+
+_CAST_CORPUS: list[tuple[str, bool, bool, bool, bool, str | None]] = [
+    # (input, ok, is_nan, is_pinf, is_ninf, finite value as exact string)
+    ("1.5", True, False, False, False, "1.5"),
+    (" 42 ", True, False, False, False, "42"),
+    ("\t7\n", True, False, False, False, "7"),
+    ("+3", True, False, False, False, "3"),
+    ("-3.25", True, False, False, False, "-3.25"),
+    (".5", True, False, False, False, "0.5"),
+    ("5.", True, False, False, False, "5"),
+    ("1e3", True, False, False, False, "1000"),
+    ("1E-2", True, False, False, False, "0.01"),
+    ("+1e+2", True, False, False, False, "100"),
+    ("NaN", True, True, False, False, None),
+    ("nan", True, True, False, False, None),
+    ("+nan", True, True, False, False, None),
+    ("-nan", True, True, False, False, None),
+    ("Inf", True, False, True, False, None),
+    ("+inf", True, False, True, False, None),
+    ("Infinity", True, False, True, False, None),
+    ("-Inf", True, False, False, True, None),
+    ("-Infinity", True, False, False, True, None),
+    ("1_000.5", True, False, False, False, "1000.5"),
+    ("1__0", False, False, False, False, None),
+    ("_1", False, False, False, False, None),
+    ("1_", False, False, False, False, None),
+    ("0x1p3", False, False, False, False, None),
+    ("1.5f", False, False, False, False, None),
+    ("abc", False, False, False, False, None),
+    ("", False, False, False, False, None),
+    (" ", False, False, False, False, None),
+    ("1.2.3", False, False, False, False, None),
+    ("+-1", False, False, False, False, None),
+    ("12e", False, False, False, False, None),
+    ("e12", False, False, False, False, None),
+    ("true", False, False, False, False, None),
+]
+
+
+def q_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 lenient Float64 cast — Python ``float()`` parity corpus
+    (reference etl_job.py:664-717; corpus seeded from
+    reference tests/test_etl_job.py:1449-1827)."""
+    df = spark.createDataFrame([(s,) for s, *_ in _CAST_CORPUS], "s string")
+    v = lenient_double(F.col("s"))
+    finite = v.isNotNull() & ~F.isnan(v) & (v != float("inf")) & (v != float("-inf"))
+    return df.select(
+        "s",
+        v.isNotNull().alias("ok"),
+        F.coalesce(F.isnan(v), F.lit(False)).alias("is_nan"),
+        F.coalesce(v == float("inf"), F.lit(False)).alias("is_pinf"),
+        F.coalesce(v == float("-inf"), F.lit(False)).alias("is_ninf"),
+        F.when(finite, v).cast("decimal(18,6)").alias("val"),
+    )
+
+
+def _sql_str(s: str) -> str:
+    """String literal for DuckDB: control chars via chr() concat."""
+    if s == "":
+        return "''"
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ch in ("\t", "\n", "\r"):
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def _oracle_lenient_cast() -> str:
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {str(ok).lower()}, {str(nan).lower()}, "
+        f"{str(pinf).lower()}, {str(ninf).lower()}, "
+        f"{'CAST(' + v + ' AS DECIMAL(18,6))' if v is not None else 'CAST(NULL AS DECIMAL(18,6))'})"
+        for s, ok, nan, pinf, ninf, v in _CAST_CORPUS
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + rows + "\n) AS t(s, ok, is_nan, is_pinf, is_ninf, val)"
+    )
+
+
+def q_tsv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T6/T7 golden wire format: the exact TSV line the ClickHouse
+    sink emits (reference etl_job.py:726-844)."""
+    ev = _events(spark, sf_dir).where("event_id % 13 <> 0 AND event_id % 17 <> 0")
+    ts_sec = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    rows = ev.select(
+        F.col("event_id"),
+        F.timestamp_seconds(ts_sec).alias("timestamp"),
+        F.col("event_type").alias("name"),
+        F.create_map(
+            F.lit("source"), F.lit("events"),
+            F.lit("user"), (F.col("user_id") % 10).cast("string"),
+        ).alias("labels"),
+        F.col("value"),
+    )
+    # event_id rides along as a stable comparison key
+    from etl_prometheus2clickhouse_spark.functions import (
+        escape_tsv,
+        format_clickhouse_array,
+        format_float_udf,
+        format_timestamp_6f,
+    )
+    shaped = rows_to_sink_shape_with_id(rows)
+    return shaped.select(
+        "event_id",
+        F.concat_ws(
+            "\t",
+            format_timestamp_6f("timestamp"),
+            escape_tsv("name"),
+            format_clickhouse_array("labels_key"),
+            format_clickhouse_array("labels_value"),
+            format_float_udf("value"),
+        ).alias("line"),
+    )
+
+
+def rows_to_sink_shape_with_id(rows: DataFrame) -> DataFrame:
+    return rows.select(
+        "event_id",
+        "timestamp",
+        "name",
+        label_keys_sorted("labels").alias("labels_key"),
+        label_values_sorted("labels").alias("labels_value"),
+        "value",
+    )
+
+
+ORACLE_TSV_LINES = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) || '.000000' || chr(9) ||
+       event_type || chr(9) ||
+       '[''source'',''user'']' || chr(9) ||
+       '[''events'',''' || CAST(user_id % 10 AS VARCHAR) || ''']' || chr(9) ||
+       printf('%.15g', value) AS line
+FROM events
+WHERE event_id % 13 <> 0 AND event_id % 17 <> 0
+"""
+
+
+def q_window_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 window arithmetic + progress clamp as column expressions
+    (reference etl_job.py:357-393, 148-186), driven by per-event progress
+    values. Constants: window=300, overlap=30, min_start/now fixed."""
+    window, overlap = 300, 30
+    min_start, now = 1704067100, 1704070000
+    ev = _events(spark, sf_dir)
+    progress = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
+    ws = F.greatest(progress - overlap, F.lit(min_start))
+    we = ws + window
+    ts_start = progress + 7
+    return ev.select(
+        "event_id",
+        ws.alias("window_start"),
+        we.alias("window_end"),
+        F.least(we, F.lit(now)).alias("new_progress"),
+        (F.least(we, F.lit(now)) - ws).alias("actual_window_seconds"),
+        F.greatest(F.lit(now), ts_start + 1).alias("timestamp_end"),
+    )
+
+
+ORACLE_WINDOW_RULES = """
+WITH p AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS progress FROM events
+)
+SELECT event_id,
+       GREATEST(progress - 30, 1704067100) AS window_start,
+       GREATEST(progress - 30, 1704067100) + 300 AS window_end,
+       LEAST(GREATEST(progress - 30, 1704067100) + 300, 1704070000) AS new_progress,
+       LEAST(GREATEST(progress - 30, 1704067100) + 300, 1704070000)
+         - GREATEST(progress - 30, 1704067100) AS actual_window_seconds,
+       GREATEST(1704070000, progress + 8) AS timestamp_end
+FROM p
+"""
+
+
+def _synth_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → a versioned state table (ReplacingMergeTree shape,
+    reference README.md:162-178): many versions per timestamp_start."""
+    o = _t(spark, sf_dir, "orders")
+    start = (F.col("o_orderkey") % 200).cast("long")
+    return o.select(
+        start.alias("timestamp_start"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long")
+        ).otherwise(start + 1 + (F.col("o_custkey") % 50)).alias("timestamp_end"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long")
+        ).otherwise(start + (F.col("o_custkey") % 30)).alias("timestamp_progress"),
+        F.col("o_orderkey").cast("long").alias("version"),
+    )
+
+
+_ORACLE_STATE = """
+SELECT CAST(o_orderkey % 200 AS BIGINT) AS timestamp_start,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE CAST(o_orderkey % 200 + 1 + o_custkey % 50 AS BIGINT) END AS timestamp_end,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE CAST(o_orderkey % 200 + o_custkey % 30 AS BIGINT) END AS timestamp_progress,
+       CAST(o_orderkey AS BIGINT) AS version
+FROM orders
+"""
+
+
+def q_state_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 state scan: FINAL merge → valid filter → top-1 by start desc
+    (reference clickhouse_client.py:219-294)."""
+    return latest_valid_state(_synth_state(spark, sf_dir)).select(
+        "timestamp_start", "timestamp_end", "timestamp_progress"
+    )
+
+
+ORACLE_STATE_TOP1 = f"""
+WITH state AS ({_ORACLE_STATE}),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY timestamp_start ORDER BY version DESC) AS rn
+    FROM state) WHERE rn = 1
+)
+SELECT timestamp_start, timestamp_end, timestamp_progress
+FROM final
+WHERE timestamp_progress IS NOT NULL AND timestamp_end IS NOT NULL
+  AND timestamp_end > timestamp_start
+ORDER BY timestamp_start DESC LIMIT 1
+"""
+
+
+def q_lease_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 lease scan: distinct starts of open leases over FINAL
+    (reference clickhouse_client.py:440-534, 582-594)."""
+    return open_leases(_synth_state(spark, sf_dir))
+
+
+ORACLE_LEASE_SCAN = f"""
+WITH state AS ({_ORACLE_STATE}),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY timestamp_start ORDER BY version DESC) AS rn
+    FROM state) WHERE rn = 1
+)
+SELECT DISTINCT timestamp_start FROM final WHERE timestamp_end IS NULL
+"""
+
+
+def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 dedup-on-storage semantics: content-hash exact dedup over a
+    deliberately duplicated corpus (reference README.md:96-113)."""
+    d = _t(spark, sf_dir, "documents")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = exact_dedup(doubled, ["text"], order_col="doc_id")
+    return kept.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+ORACLE_CONTENT_DEDUP = """
+WITH doubled AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, n_chars FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(min(n_chars) AS BIGINT) AS n_chars
+FROM doubled GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "n_punct",
+        "punct_ratio",
+        "avg_token_len",
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_computed,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
+         CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS BIGINT) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars_computed, n_tokens_ws, n_tokens_bpe, n_punct,
+       CASE WHEN n_chars_computed > 0
+            THEN CAST(n_punct AS DOUBLE) / n_chars_computed ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens_ws > 0
+            THEN CAST(n_chars_computed - (n_tokens_ws - 1) AS DOUBLE) / n_tokens_ws
+            ELSE 0.0 END AS avg_token_len
+FROM s
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens_bpe
+FROM documents
+"""
+
+
+_SW = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "que", "de", "en", "una", "es", "por", "con"],
+}
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang_hits_en",
+        "lang_hits_de",
+        "lang_hits_fr",
+        "lang_hits_es",
+        "lang_pred",
+    )
+
+
+def _oracle_language_id() -> str:
+    hits = ",\n".join(
+        f"         CAST(len(regexp_extract_all(text, '(?i)\\b({'|'.join(ws)})\\b')) AS INTEGER) AS lang_hits_{lang}"
+        for lang, ws in _SW.items()
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+{hits}
+  FROM documents
+),
+b AS (
+  SELECT *, GREATEST(lang_hits_en, lang_hits_de, lang_hits_fr, lang_hits_es) AS best FROM h
+)
+SELECT doc_id, lang_hits_en, lang_hits_de, lang_hits_fr, lang_hits_es,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN lang_hits_en = best THEN 'en'
+            WHEN lang_hits_de = best THEN 'de'
+            WHEN lang_hits_fr = best THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM b
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+
+
+def _oracle_quality_score() -> str:
+    lang = _oracle_language_id()
+    return f"""
+WITH lid AS ({lang}),
+st AS ({ORACLE_TEXT_STATS})
+SELECT st.doc_id,
+       CAST((CASE WHEN st.n_chars_computed BETWEEN 50 AND 20000 THEN 1 ELSE 0 END) * 0.25
+          + (CASE WHEN st.punct_ratio <= 0.2 THEN 1 ELSE 0 END) * 0.25
+          + (CASE WHEN lid.lang_pred <> 'und' THEN 1 ELSE 0 END) * 0.25
+          + (CASE WHEN st.avg_token_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) * 0.25
+          AS DOUBLE) AS quality_score
+FROM st JOIN lid ON st.doc_id = lid.doc_id
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5"
+    )
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+FROM documents
+"""
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-insensitive dedup over a corpus with mangled copies."""
+    d = _t(spark, sf_dir, "documents")
+    mangled = d.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit("  \n"))
+    )
+    kept = distinct_by_fingerprint(
+        d.unionByName(mangled), "text", order_col="doc_id"
+    )
+    return kept.select("doc_id")
+
+
+ORACLE_FINGERPRINT_DEDUP = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || '  ' || chr(10) FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM doubled
+GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup: n-gram Jaccard (oracle), MinHash/SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        text_col="text",
+        block_col="lang",
+        n=3,
+        threshold=0.2,
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(
+           CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+           END) AS sh
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+    FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+            THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh)))
+            ELSE 0.0 END AS jaccard_sim
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+           THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh)))
+           ELSE 0.0 END >= 0.2
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (no SQL oracle: xxhash64 signatures are not
+    DuckDB-expressible; exact-Jaccard verification is pytest-covered)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.5
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming pairs (no SQL oracle: xxhash64-based signature)."""
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_COS = """
+list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+  (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+   sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") < 10), id_col="vec_id", k=5
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_COS} AS sim
+  FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank_k,
+         round(sim, 6) AS cos_sim
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank_k, cos_sim FROM ranked WHERE rank_k <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup_bruteforce(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id", threshold=0.4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cos_sim")
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.4
+"""
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH (no SQL oracle: seeded numpy
+    hyperplanes; recall vs the exact oracle is pytest-covered)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, id_col="vec_id", k=5
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup (no SQL oracle — hyperplane buckets)."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, id_col="vec_id", threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header metadata extraction over synthesized PNG headers
+    (width/height from the part table)."""
+    p = _t(spark, sf_dir, "part")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(F.col("p_size")), 8, "0"),
+            F.lpad(F.hex(F.col("p_size") * 2), 8, "0"),
+        )
+    )
+    df = p.select(F.col("p_partkey"), png.alias("content"))
+    return extract_media_metadata(df, "content").select(
+        "p_partkey", "media_type", "byte_len", "width", "height"
+    )
+
+
+ORACLE_MULTIMODAL_PNG = """
+SELECT p_partkey,
+       'image/png' AS media_type,
+       CAST(24 AS BIGINT) AS byte_len,
+       CAST(p_size AS BIGINT) AS width,
+       CAST(p_size * 2 AS BIGINT) AS height
+FROM part
+"""
+
+
+def q_multimodal_text_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary columns from document bytes: sniff fall-through +
+    byte length + content hash."""
+    d = _t(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.col("text").cast("binary").alias("content"))
+    meta = extract_media_metadata(df, "content")
+    return meta.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+ORACLE_MULTIMODAL_TEXT = """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing: deterministic stub payloads are
+    sha256-seeded, so the oracle can reproduce them byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("content")
+    )
+    out = decode_images(df, "content", "id", mode="fake")
+    return out.select(
+        "id",
+        F.col("width"),
+        F.col("height"),
+        F.col("channels"),
+        F.lower(F.hex("pixels")).alias("pixels_hex"),
+    )
+
+
+ORACLE_DECODE_PIXELS = """
+SELECT doc_id AS id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       4*0+3 AS channels,
+       sha256(text) || substr(sha256(text), 1, 32) AS pixels_hex
+FROM documents
+"""
+
+
+def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: 2 deterministic frames per document."""
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("content")
+    )
+    out = sample_frames(df, "content", "id", num_frames=2, frame_bytes=64)
+    return out.select(
+        "id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+ORACLE_SAMPLE_FRAMES = """
+SELECT doc_id AS id, f.frame_idx, CAST(f.frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+       sha256(text || CAST(f.frame_idx AS VARCHAR))
+         || sha256(text || CAST(f.frame_idx AS VARCHAR)) AS frame_hex
+FROM documents, (SELECT UNNEST([0, 1]) AS frame_idx) f
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational analytics (flagship/bench queries over the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(
+                dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+            ).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DECIMAL(38,4)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+            ).cast("decimal(38,4)").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        dims, o.o_custkey == F.col("c_custkey")
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(
+            dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+        ).cast("decimal(38,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q5 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DECIMAL(38,4)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregation (the batch face of
+    the Structured Streaming windowed path)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+        )
+        .select(
+            F.floor(F.unix_micros("w.start") / 1_000_000).cast("long").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column."""
+    ev = _events(spark, sf_dir)
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+ORACLE_EVENTS_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_parts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 parts by retail price per brand."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select(
+            "p_partkey", "p_brand", "rn",
+            F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+
+
+ORACLE_PARTS_RANK = """
+SELECT p_partkey, p_brand, rn, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+                                 ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+  FROM part)
+WHERE rn <= 3
+"""
+
+
+def q_supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by sort (the S2 top-1 pattern generalized)."""
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .limit(5)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_TOPK = """
+SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ETL core (SURVEY §2)
+    "prom_parse": q_prom_parse,
+    "prom_counts": q_prom_counts,
+    "prom_labels": q_prom_labels,
+    "lenient_cast": q_lenient_cast,
+    "tsv_lines": q_tsv_lines,
+    "window_rules": q_window_rules,
+    "state_top1": q_state_top1,
+    "lease_scan": q_lease_scan,
+    "content_dedup": q_content_dedup,
+    # text analysis
+    "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "language_id": q_language_id,
+    "quality_score": q_quality_score,
+    "fingerprints": q_fingerprints,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    # near-dup
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    # embeddings
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    # multimodal
+    "multimodal_png_meta": q_multimodal_png_meta,
+    "multimodal_text_meta": q_multimodal_text_meta,
+    "decode_pixels": q_decode_pixels,
+    "sample_frames": q_sample_frames,
+    # relational analytics
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "events_hourly": q_events_hourly,
+    "events_props": q_events_props,
+    "parts_rank": q_parts_rank,
+    "supplier_topk": q_supplier_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "prom_parse": ORACLE_PROM_PARSE,
+    "prom_counts": ORACLE_PROM_COUNTS,
+    "prom_labels": ORACLE_PROM_LABELS,
+    "lenient_cast": _oracle_lenient_cast(),
+    "tsv_lines": ORACLE_TSV_LINES,
+    "window_rules": ORACLE_WINDOW_RULES,
+    "state_top1": ORACLE_STATE_TOP1,
+    "lease_scan": ORACLE_LEASE_SCAN,
+    "content_dedup": ORACLE_CONTENT_DEDUP,
+    "text_stats": ORACLE_TEXT_STATS,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "language_id": _oracle_language_id(),
+    "quality_score": _oracle_quality_score(),
+    "fingerprints": ORACLE_FINGERPRINTS,
+    "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # minhash_lsh / simhash_pairs / cosine_topk_lsh / embedding_near_dup_lsh:
+    # deliberately omitted (xxhash64 / seeded-numpy constructs are not
+    # SQL-expressible; the driver records rows-only checks for these).
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "multimodal_png_meta": ORACLE_MULTIMODAL_PNG,
+    "multimodal_text_meta": ORACLE_MULTIMODAL_TEXT,
+    "decode_pixels": ORACLE_DECODE_PIXELS,
+    "sample_frames": ORACLE_SAMPLE_FRAMES,
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_top_orders": ORACLE_Q3,
+    "q5_region_revenue": ORACLE_Q5,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_props": ORACLE_EVENTS_PROPS,
+    "parts_rank": ORACLE_PARTS_RANK,
+    "supplier_topk": ORACLE_SUPPLIER_TOPK,
+}

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares against
+``oracle_sql()`` in DuckDB: row count, column names, and an
+order-insensitive multiset of stringified rows (columns sorted by name,
+exact value equality — stricter than any reasonable hash).
+
+Usage: python scripts/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return f"dec:{v.normalize()}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if v is None:
+        return "null"
+    return f"{type(v).__name__}:{v}"
+
+
+def _multiset(rows, cols_order):
+    idx = sorted(range(len(cols_order)), key=lambda i: cols_order[i])
+    return Counter(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            if len(srows) == 0:
+                print(f"      WARNING: rows-only entry returned 0 rows")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            ok = False
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            ok = False
+        else:
+            sm = _multiset([tuple(r) for r in srows], scols)
+            om = _multiset(orows, ocols)
+            if sm != om:
+                diff_s = list((sm - om).items())[:3]
+                diff_o = list((om - sm).items())[:3]
+                print(f"FAIL  {name}: value mismatch")
+                for d in diff_s:
+                    print(f"      spark-only: {d}")
+                for d in diff_o:
+                    print(f"      oracle-only: {d}")
+                ok = False
+        if ok:
+            print(f"OK    {name}: {len(srows)} rows")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
