@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is forced end-to-end with a noop write (computes every output
+column, unlike count(), which lets Catalyst prune the projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_prometheus2clickhouse_spark.plans.catalog import QUERIES  # noqa: E402
+from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    # ETL core: synthesized query_range docs → full parse pipeline → counters
+    "prom_parse",
+    "prom_counts",
+    "tsv_lines",
+    # relational analytics
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "events_hourly",
+    # LLM layer
+    "text_stats",
+    "quality_score",
+    "content_dedup",
+    "fingerprint_dedup",
+    "minhash_lsh",
+    "simhash_pairs",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plans, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds (14 queries, local)",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

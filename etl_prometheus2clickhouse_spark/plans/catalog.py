@@ -99,7 +99,14 @@ def _synth_prom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type series. Values carry the reference's full value-variant
     matrix (reference tests/test_etl_job_full_coverage.py:21-62):
     numeric strings, NaN, Inf, and an unparseable string that must be
-    skipped-and-counted."""
+    skipped-and-counted.
+
+    Series are sharded by ``user_id % 64`` so the corpus is ~320 bounded
+    documents instead of 5 giant ones — a single unsharded doc per
+    metric would cap the downstream parse at 5-way parallelism (the
+    same reason the production DataSource splits the window into
+    sub-range partitions). The shard key does not appear in the output,
+    so the oracle is unaffected."""
     ev = _events(spark, sf_dir)
     val_str = (
         F.when(F.col("event_id") % 13 == 0, F.lit("NaN"))
@@ -110,9 +117,12 @@ def _synth_prom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_sec = F.floor(F.unix_micros("ts") / 1_000_000).cast("long")
     pairs = ev.select(
         "event_type",
+        (F.col("user_id") % 64).alias("shard"),
         F.array(ts_sec.cast("string"), val_str).alias("pair"),
     )
-    series = pairs.groupBy("event_type").agg(F.collect_list("pair").alias("vals"))
+    series = pairs.groupBy("event_type", "shard").agg(
+        F.collect_list("pair").alias("vals")
+    )
     return series.select(
         F.to_json(
             F.struct(
