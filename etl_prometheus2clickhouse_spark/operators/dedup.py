@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Observation, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -237,7 +237,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 1000,
-    bucket_stats: Observation | None = None,
+    bucket_stats: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -251,9 +251,13 @@ def minhash_lsh_pairs(
     the deduped candidate pairs (exact Jaccard over the hash sets).
     Buckets larger than ``max_bucket`` are
     dropped (at 100 TB a boilerplate bucket of 10⁶ docs would otherwise
-    emit 10¹² pairs); pass ``bucket_stats`` (a ``pyspark.sql.Observation``)
-    to record ``dropped_entries`` / ``max_bucket_size`` on the same pass
-    instead of dropping silently.
+    emit 10¹² pairs); pass ``bucket_stats`` (a dict) to have
+    ``dropped_entries`` / ``max_bucket_size`` filled in instead of
+    dropping silently — one cheap eager aggregate over the persisted
+    (id, band, bucket) frame, which the candidate join then reuses from
+    cache. (An ``observe`` can't deliver these: the self-join
+    duplicates / cache-replaces the CollectMetrics node and the
+    Observation never resolves.)
     Output: (id_a, id_b, jaccard_sim) with jaccard_sim ≥ threshold.
     """
     rows_per_band = num_hashes // bands
@@ -291,18 +295,19 @@ def minhash_lsh_pairs(
     # cap pathological buckets before the self-join; persist the slim
     # (id, band, bucket) frame so the self-join's two branches don't
     # recompute signatures
-    sized = banded.withColumn(
+    sized_all = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).persist()
     if bucket_stats is not None:
-        sized = sized.observe(
-            bucket_stats,
+        row = sized_all.agg(
             F.coalesce(
                 F.sum(F.when(F.col("bucket_n") > max_bucket, F.lit(1))), F.lit(0)
             ).alias("dropped_entries"),
             F.coalesce(F.max("bucket_n"), F.lit(0)).alias("max_bucket_size"),
-        )
-    sized = sized.where(F.col("bucket_n") <= max_bucket)
+        ).first()
+        bucket_stats["dropped_entries"] = int(row["dropped_entries"])
+        bucket_stats["max_bucket_size"] = int(row["max_bucket_size"])
+    sized = sized_all.where(F.col("bucket_n") <= max_bucket)
 
     a, b = sized.alias("a"), sized.alias("b")
     candidates = (

@@ -1,0 +1,143 @@
+"""Dedup operator semantics: exact/fingerprint survivors, blocked
+Jaccard, MinHash+LSH recall/verification/bucket-cap, SimHash Hamming
+(operators/dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    distinct_by_fingerprint,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE, "a"),
+        (2, BASE, "a"),  # exact duplicate
+        (3, BASE + " today", "a"),  # near duplicate
+        (4, "completely different text about spark dataframes and shuffles", "a"),
+        (5, "  the quick   brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun \n", "b"),
+        (6, "another unrelated document mentioning prometheus metrics", "b"),
+    ]
+    return spark.createDataFrame(rows, "id bigint, text string, blk string")
+
+
+def test_exact_dedup_deterministic_survivor(corpus):
+    kept = exact_dedup(corpus, ["text"], order_col="id")
+    ids = sorted(r.id for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # 2 collapsed into 1
+
+
+def test_exact_dedup_arbitrary_survivor_count(corpus):
+    assert exact_dedup(corpus, ["text"]).count() == 5
+
+
+def test_fingerprint_dedup_whitespace_insensitive(corpus):
+    kept = distinct_by_fingerprint(corpus, "text", order_col="id")
+    ids = sorted(r.id for r in kept.collect())
+    assert ids == [1, 3, 4, 6]  # 2 (exact) and 5 (whitespace) fold into 1
+
+
+def test_ngram_jaccard_requires_block(corpus):
+    with pytest.raises(ValueError, match="block_col"):
+        ngram_jaccard_pairs(corpus, "id")
+
+
+def test_ngram_jaccard_blocked_pairs(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            corpus, "id", block_col="blk", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    # 5 is whitespace-identical to 1 but in block "b": never a candidate
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups_and_verifies(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_lsh_pairs(corpus, "id", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs  # whitespace variant tokenizes identically
+    assert (2, 5) in pairs
+    # verification step: every reported similarity is the EXACT Jaccard
+    sh = corpus.select("id", shingle_hashes(F.col("text")).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    exact = {
+        (r.id_a, r.id_b): r.j
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()
+    }
+    for p, j in pairs.items():
+        assert abs(exact[p] - j) < 1e-12
+        assert j >= 0.5
+    # and no qualifying pair was missed on this corpus (recall check)
+    for p, j in exact.items():
+        if j >= 0.5:
+            assert p in pairs
+
+
+def test_minhash_bucket_cap_records_drops(spark):
+    # 30 identical docs land in the same buckets; cap of 10 drops them
+    rows = [(i, BASE) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    stats: dict = {}
+    out = minhash_lsh_pairs(
+        df, "id", threshold=0.5, max_bucket=10, bucket_stats=stats
+    )
+    assert stats["dropped_entries"] > 0  # recorded, not silent
+    assert stats["max_bucket_size"] == 30
+    assert out.count() == 0  # every bucket over cap → no candidates
+
+
+def test_simhash_identical_docs_distance_zero(corpus):
+    sigs = {r.id: r.simhash64 for r in simhash(corpus, "id").collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(corpus, "id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0  # same token stream
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_shingles_and_hashes_agree_on_set_size(corpus):
+    both = corpus.select(
+        F.size(F.array_distinct(shingles(F.col("text")))).alias("ns"),
+        F.size(shingle_hashes(F.col("text")).alias("h")).alias("nh"),
+    ).collect()
+    for r in both:
+        assert r.ns == r.nh  # tuple-hashing preserves the distinct count
+
+
+def test_short_text_single_shingle(spark):
+    df = spark.createDataFrame([(1, "two words")], "id bigint, text string")
+    r = df.select(
+        shingles(F.col("text"), 3).alias("s"),
+        shingle_hashes(F.col("text"), 3).alias("h"),
+    ).first()
+    assert r.s == ["two words"] and len(r.h) == 1

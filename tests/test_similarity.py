@@ -1,0 +1,130 @@
+"""Embedding similarity: brute-force top-k vs a numpy reference, LSH
+candidate soundness (exact rescoring, subset of brute force), near-dup
+variants (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.similarity import (
+    cosine,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_bruteforce,
+    embedding_near_dup_pairs,
+)
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((N, DIM))
+    v[1] = v[0] + 0.01 * rng.standard_normal(DIM)  # planted near-dup
+    v[2] = -v[0]
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _np_cosine(a, b):
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+
+def test_bruteforce_topk_matches_numpy(emb, vectors):
+    qids = [0, 5, 9]
+    got = cosine_topk_bruteforce(
+        emb, emb.where(F.col("vec_id").isin(qids)), id_col="vec_id", k=4
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q in qids:
+        rows = sorted(by_q[q], key=lambda r: r.rank)
+        sims = sorted(
+            ((_np_cosine(vectors[q], vectors[i]), -i) for i in range(N) if i != q),
+            reverse=True,
+        )[:4]
+        expect = [(-i, s) for s, i in sims]
+        for r, (nid, s) in zip(rows, expect):
+            assert r.neighbor_id == nid
+            assert abs(r.cosine_sim - s) < 1e-9
+    assert all(len(v) == 4 for v in by_q.values())
+
+
+def test_bruteforce_planted_neighbor(emb):
+    top1 = (
+        cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") == 0), id_col="vec_id", k=1)
+        .first()
+    )
+    assert top1.neighbor_id == 1 and top1.cosine_sim > 0.99
+
+
+def test_lsh_topk_is_exactly_rescored_subset(emb):
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") < 6), id_col="vec_id", k=N
+        ).collect()
+    }
+    lsh = cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 6), dim=DIM, id_col="vec_id", k=5
+    ).collect()
+    assert lsh  # nonempty retrieval
+    for r in lsh:
+        # candidates only from real corpus pairs, scored EXACTLY
+        assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-12
+
+
+def test_lsh_recall_of_planted_near_dup(emb):
+    lsh = cosine_topk_lsh(
+        emb, emb.where(F.col("vec_id") == 0), dim=DIM, id_col="vec_id", k=3
+    ).collect()
+    # near-identical vector shares every hyperplane sign bucket
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in lsh)
+
+
+def test_near_dup_brute_and_lsh_agree_on_planted_pair(emb):
+    brute = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_bruteforce(
+            emb, id_col="vec_id", threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in brute
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(
+            emb, dim=DIM, id_col="vec_id", threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in lsh
+    assert abs(lsh[(0, 1)] - brute[(0, 1)]) < 1e-12
+    # LSH pairs are a sound subset: every reported pair is a true pair
+    for p, s in lsh.items():
+        assert abs(brute[p] - s) < 1e-12
+
+
+def test_cosine_zero_norm_guard(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).first().c == 0.0
+
+
+def test_opposite_vectors(emb, vectors):
+    got = (
+        embedding_near_dup_bruteforce(emb, id_col="vec_id", threshold=0.95)
+        .where((F.col("id_a") == 0) & (F.col("id_b") == 2))
+        .collect()
+    )
+    assert got == []  # cosine(v, -v) = -1 never passes a 0.95 threshold
