@@ -82,6 +82,76 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query, scored with BLAS.
+
+    Same contract as :func:`cosine_topk_bruteforce`, but the scoring
+    stage is a ``mapInPandas`` matrix multiply: the (small) normalized
+    query matrix is captured in the task closure, each Arrow batch of
+    corpus vectors becomes one ``(batch × dim) @ (dim × q)`` GEMM, and
+    only ``(query_id, neighbor_id, cosine_sim)`` rows leave the stage.
+    This is the 100 TB scorer — per-row cost is a vectorized dot
+    product instead of an interpreted JVM array fold (the fold is kept
+    in :func:`cosine_topk_bruteforce` for bit-exact oracle parity).
+    Top-k selection stays the same per-query window.
+    """
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    ).collect()
+    if not q_rows:
+        schema = "query_id bigint, neighbor_id bigint, cosine_sim double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qvec for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.inf  # zero-norm query → all sims 0
+    q_unit = (q_mat / q_norm[:, None]).T  # dim × q
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            if len(c) == 0:
+                continue
+            norms = np.linalg.norm(c, axis=1)
+            norms[norms == 0] = np.inf
+            sims = (c / norms[:, None]) @ q_unit  # batch × q
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_c),
+                    "neighbor_id": np.tile(ids, n_q),
+                    "cosine_sim": sims.T.ravel(),
+                }
+            )
+
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+        )
+        .mapInPandas(
+            _score, "query_id bigint, neighbor_id bigint, cosine_sim double"
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side constant; becomes
     a folded literal array in the plan)."""

@@ -47,6 +47,7 @@ from etl_prometheus2clickhouse_spark.operators.multimodal import (
     sample_frames,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
+    cosine_topk_arrow,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_near_dup_bruteforce,
@@ -759,6 +760,22 @@ SELECT query_id, neighbor_id, rank_k, cos_sim FROM ranked WHERE rank_k <= 5
 """
 
 
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow GEMM) exact top-k. Oracle-checked against the
+    same SQL as the JVM fold — safe because similarities are rounded to
+    6 dp and rank ties are broken by id on exact values in both."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_arrow(
+        emb, emb.where(F.col("vec_id") < 10), id_col="vec_id", k=5
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embedding_near_dup_bruteforce(
         _t(spark, sf_dir, "embeddings"), id_col="vec_id", threshold=0.4
@@ -1130,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     # embeddings
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_arrow": q_cosine_topk_arrow,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1169,6 +1187,7 @@ ORACLES: dict[str, str] = {
     # deliberately omitted (xxhash64 / seeded-numpy constructs are not
     # SQL-expressible; the driver records rows-only checks for these).
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "cosine_topk_arrow": ORACLE_COSINE_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_png_meta": ORACLE_MULTIMODAL_PNG,
     "multimodal_text_meta": ORACLE_MULTIMODAL_TEXT,

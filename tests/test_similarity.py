@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine,
+    cosine_topk_arrow,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_near_dup_bruteforce,
@@ -112,6 +113,24 @@ def test_near_dup_brute_and_lsh_agree_on_planted_pair(emb):
     # LSH pairs are a sound subset: every reported pair is a true pair
     for p, s in lsh.items():
         assert abs(brute[p] - s) < 1e-12
+
+
+def test_arrow_gemm_matches_jvm_fold(emb):
+    """The vectorized scorer is a drop-in for the JVM fold: same pairs,
+    same ranks, same similarities to 1e-9."""
+    q = emb.where(F.col("vec_id") < 4)
+    jvm = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine_sim)
+        for r in cosine_topk_bruteforce(emb, q, id_col="vec_id", k=6).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id): (r.rank, r.cosine_sim)
+        for r in cosine_topk_arrow(emb, q, id_col="vec_id", k=6).collect()
+    }
+    assert set(jvm) == set(arrow)
+    for key in jvm:
+        assert jvm[key][0] == arrow[key][0]
+        assert abs(jvm[key][1] - arrow[key][1]) < 1e-9
 
 
 def test_cosine_zero_norm_guard(spark):
