@@ -6,9 +6,15 @@ same result over the same parquet tables.
 Output-column discipline (the driver hashes values order-insensitively
 after sorting columns by name, so both sides must agree bit-for-bit):
 
-- money/quantity aggregates go through ``DECIMAL`` casts *before*
-  summation — decimal addition is exact and associative, so shuffle
-  order can't perturb the last ulp the way double sums can;
+- **no DECIMAL output columns, ever.** Money/quantity aggregates go
+  through ``DECIMAL`` casts *before* summation — decimal addition is
+  exact and associative, so shuffle order can't perturb the last ulp
+  the way double sums can — but the *emitted* column is always the
+  fixed-point BIGINT (cents / micro-units): a DECIMAL survives an
+  engine's client fetch with its scale ("1.50") or collapses to a
+  float ("1.5") depending on the fetch path, so a value hash over
+  DECIMAL output is representation-fragile even when values are exact
+  (round-2 lesson: 7 queries value-exact yet hash-amber);
 - per-row double arithmetic (ratios, cosines) is kept: identical input
   doubles produce identical IEEE results; cross-engine *aggregated*
   doubles are avoided or rounded;
@@ -76,13 +82,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
     parquet reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
-    is on; with it on, the column surfaces as BIGINT nanoseconds. Handle
-    both session states and always return a real timestamp column
-    (truncated to µs, matching what DuckDB's reader does natively)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down — fall through and hope ts reads as-is
+    is on (set once in :func:`session.get_spark` — builders are
+    side-effect-free); with it on, the column surfaces as BIGINT
+    nanoseconds. Handle both session states and always return a real
+    timestamp column (truncated to µs, matching what DuckDB's reader
+    does natively).
+
+    Defensive set for *externally created* sessions (the driver calls
+    ``queries()`` with its own SparkSession): the value written is a
+    constant, so this is idempotent and order-independent — it never
+    changes behavior between two builds on the same session."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down — fall through and hope ts reads as-is
     df = _t(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
         df = df.withColumn(
@@ -161,7 +175,11 @@ def q_prom_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("timestamp") / 1_000_000).cast("long").alias("ts"),
         F.isnan("value").alias("is_nan"),
         (F.col("value") == float("inf")).alias("is_inf"),
-        F.when(finite, F.col("value")).cast("decimal(18,2)").alias("value_dec"),
+        # cents BIGINT: the decimal cast fixes the rounding, the BIGINT
+        # makes the emitted value fetch-path-neutral
+        (F.when(finite, F.col("value")).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_c"),
     )
 
 
@@ -171,7 +189,7 @@ SELECT event_type AS name,
        (event_id % 13 = 0) AS is_nan,
        (event_id % 13 <> 0 AND event_id % 17 = 0) AS is_inf,
        CASE WHEN event_id % 13 = 0 OR event_id % 17 = 0 THEN NULL
-            ELSE CAST(value AS DECIMAL(18,2)) END AS value_dec
+            ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS value_c
 FROM events
 WHERE {_PROM_VARIANT_FILTER}
 """
@@ -187,7 +205,7 @@ def q_prom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("rows_cnt"),
             F.sum(F.when(F.col("is_nan"), 1).otherwise(0)).alias("nan_cnt"),
             F.sum(F.when(F.col("is_inf"), 1).otherwise(0)).alias("inf_cnt"),
-            F.sum("value_dec").cast("decimal(38,2)").alias("sum_finite"),
+            F.sum("value_c").alias("sum_finite_c"),
         )
     )
 
@@ -197,7 +215,7 @@ SELECT name,
        count(*) AS rows_cnt,
        CAST(sum(CASE WHEN is_nan THEN 1 ELSE 0 END) AS BIGINT) AS nan_cnt,
        CAST(sum(CASE WHEN is_inf THEN 1 ELSE 0 END) AS BIGINT) AS inf_cnt,
-       CAST(sum(value_dec) AS DECIMAL(38,2)) AS sum_finite
+       CAST(sum(value_c) AS BIGINT) AS sum_finite_c
 FROM ({ORACLE_PROM_PARSE})
 GROUP BY name
 """
@@ -289,7 +307,11 @@ def q_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.isnan(v), F.lit(False)).alias("is_nan"),
         F.coalesce(v == float("inf"), F.lit(False)).alias("is_pinf"),
         F.coalesce(v == float("-inf"), F.lit(False)).alias("is_ninf"),
-        F.when(finite, v).cast("decimal(18,6)").alias("val"),
+        # micro-units BIGINT (decimal(18,6) fixes rounding, BIGINT is
+        # fetch-path-neutral)
+        (F.when(finite, v).cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("val_u"),
     )
 
 
@@ -313,14 +335,20 @@ def _sql_str(s: str) -> str:
 
 
 def _oracle_lenient_cast() -> str:
+    from decimal import Decimal
+
+    def micros(v: str | None) -> str:
+        if v is None:
+            return "CAST(NULL AS BIGINT)"
+        return f"CAST({int(Decimal(v) * 10**6)} AS BIGINT)"
+
     rows = ",\n".join(
         f"({_sql_str(s)}, {str(ok).lower()}, {str(nan).lower()}, "
-        f"{str(pinf).lower()}, {str(ninf).lower()}, "
-        f"{'CAST(' + v + ' AS DECIMAL(18,6))' if v is not None else 'CAST(NULL AS DECIMAL(18,6))'})"
+        f"{str(pinf).lower()}, {str(ninf).lower()}, {micros(v)})"
         for s, ok, nan, pinf, ninf, v in _CAST_CORPUS
     )
     return (
-        "SELECT * FROM (VALUES\n" + rows + "\n) AS t(s, ok, is_nan, is_pinf, is_ninf, val)"
+        "SELECT * FROM (VALUES\n" + rows + "\n) AS t(s, ok, is_nan, is_pinf, is_ninf, val_u)"
     )
 
 
@@ -924,11 +952,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            # per-row decimal cast fixes rounding; the summed column is
+            # integer cents / 10^-4 units — exact, associative, and
+            # fetch-path-neutral
+            F.sum((dec2("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum((dec2("l_extendedprice") * 100).cast("long")).alias("sum_base_price_c"),
             F.sum(
-                dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
-            ).cast("decimal(38,4)").alias("sum_disc_price"),
+                (
+                    dec2("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("sum_disc_price_u"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -936,11 +971,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -953,33 +988,40 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    # no broadcast hint on customer: it scales with sf (a forced
+    # broadcast of a multi-GB dim OOMs executors at 100×); AQE picks
+    # broadcast at small sf and shuffle join at scale on its own
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     return (
         joined.groupBy("o_orderkey")
         .agg(
             F.sum(
-                dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
-            ).cast("decimal(38,4)").alias("revenue")
+                (
+                    dec2("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("revenue_u")
         )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .orderBy(F.col("revenue_u").desc(), F.col("o_orderkey"))
         .limit(10)
     )
 
 
 ORACLE_Q3 = """
 SELECT o_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(38,4)) AS revenue
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     * 10000 AS BIGINT)) AS BIGINT) AS revenue_u
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
-ORDER BY revenue DESC, o_orderkey
+ORDER BY revenue_u DESC, o_orderkey
 LIMIT 10
 """
 
@@ -991,7 +1033,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
-    dims = F.broadcast(
+    # nation/region are fixed-size (25 / 5 rows at any sf) — broadcast
+    # them explicitly; customer scales with sf, so no hint there (AQE
+    # decides per actual size)
+    dims = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
@@ -1001,17 +1046,21 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name", "n_name").agg(
         F.sum(
-            dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
-        ).cast("decimal(38,4)").alias("revenue"),
+            (
+                dec2("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount"))
+                * 10000
+            ).cast("long")
+        ).alias("revenue_u"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 ORACLE_Q5 = """
 SELECT r_name, n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(38,4)) AS revenue,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     * 10000 AS BIGINT)) AS BIGINT) AS revenue_u,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1030,13 +1079,15 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("sum_value_c"),
         )
         .select(
             F.floor(F.unix_micros("w.start") / 1_000_000).cast("long").alias("hour_ts"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_c",
         )
     )
 
@@ -1045,7 +1096,7 @@ ORACLE_EVENTS_HOURLY = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events
 GROUP BY 1, 2
 """
@@ -1082,13 +1133,16 @@ def q_parts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select(
             "p_partkey", "p_brand", "rn",
-            F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_c"),
         )
     )
 
 
 ORACLE_PARTS_RANK = """
-SELECT p_partkey, p_brand, rn, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+SELECT p_partkey, p_brand, rn,
+       CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
 FROM (
   SELECT p_partkey, p_brand, p_retailprice,
          CAST(row_number() OVER (PARTITION BY p_brand
@@ -1106,13 +1160,16 @@ def q_supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select(
             "s_suppkey", "s_name",
-            F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("acctbal_c"),
         )
     )
 
 
 ORACLE_SUPPLIER_TOPK = """
-SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+SELECT s_suppkey, s_name,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c
 FROM supplier
 ORDER BY s_acctbal DESC, s_suppkey
 LIMIT 5

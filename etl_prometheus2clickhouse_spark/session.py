@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TIMESTAMP(NANOS) parquet (e.g. the driver's events table) reads
+        # as BIGINT nanoseconds instead of erroring; set once here so
+        # query builders never mutate session state (order-independence)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -31,7 +31,9 @@ TABLES = [
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return f"dec:{v.normalize()}"
+        # No normalize(): the driver's value hash sees scale/trailing-zero
+        # differences (1.50 vs 1.5), so the local gate must too.
+        return f"dec:{v}"
     if isinstance(v, float):
         return f"f:{v!r}"
     if isinstance(v, bool):
