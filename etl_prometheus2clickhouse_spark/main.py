@@ -144,6 +144,11 @@ def main(argv: list[str] | None = None) -> None:
             extra={
                 "main.application_error.error": str(exc),
                 "main.application_error.error_type": type(exc).__name__,
+                # third key of the reference's monitoring contract
+                # (reference main.py:73-81)
+                "main.application_error.message": (
+                    f"Unexpected error occurred: {exc}"
+                ),
             },
         )
         sys.exit(1)

@@ -34,6 +34,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def release_cached(df: DataFrame) -> None:
+    """Unpersist intermediate frames an operator cached for plan reuse.
+
+    The LSH operators persist slim intermediates (shingle-hash tables,
+    band rows) because several plan branches consume them; in a
+    long-lived session those cached partitions would otherwise
+    accumulate until LRU pressure. After materializing the result
+    (collect/write), call ``release_cached(result)`` to free them.
+    No-op for DataFrames without cached dependencies."""
+    for dep in getattr(df, "_cached_deps", ()):
+        try:
+            dep.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _with_cached_deps(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    df._cached_deps = deps  # type: ignore[attr-defined]
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -328,11 +349,12 @@ def minhash_lsh_pairs(
             sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
         )
     )
-    return verified.select(
+    out = verified.select(
         "id_a",
         "id_b",
         jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
     ).where(F.col("jaccard_sim") >= threshold)
+    return _with_cached_deps(out, [sh, sized_all])
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +393,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> D
     return sh.select("id", _simhash_from_hashes(F.col("hs")).alias("simhash64"))
 
 
+def _simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) for ``max_hamming + 1`` pigeonhole chunks of the
+    64-bit signature: if Hamming(a,b) ≤ H, at most H chunks differ, so
+    with H+1 chunks at least one is identical — candidate recall is
+    GUARANTEED for the requested radius, never probabilistic. Widths
+    split 64 as evenly as possible."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, rem = divmod(64, n_chunks)
+    if base == 0:
+        raise ValueError(f"max_hamming={max_hamming} leaves zero-width chunks")
+    chunks, shift = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        chunks.append((shift, width))
+        shift += width
+    return chunks
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -380,9 +422,13 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
-    Candidate generation by pigeonhole over 4 × 16-bit chunks: distance
-    ≤ 3 guarantees ≥ 1 identical chunk, so candidates come from 4
-    equi-joins on chunk value — never an all-pairs scan.
+    Candidate generation by pigeonhole over ``max_hamming + 1`` chunks
+    (:func:`_simhash_chunks`): distance ≤ H guarantees ≥ 1 identical
+    chunk, so candidates come from equi-joins on chunk value — never an
+    all-pairs scan, and recall within the radius is exact (a fixed
+    4-chunk split would silently miss distance-4.. pairs). Wider radii
+    mean narrower chunks (64/(H+1) bits), i.e. coarser buckets — at
+    scale keep H small (real simhash near-dup is H ≤ 4) or cap buckets.
     """
     # slim persisted frame: the chunk self-join's two branches would
     # otherwise each re-scan the corpus and recompute signatures
@@ -395,11 +441,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash64"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash64"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c, (shift, width) in enumerate(_simhash_chunks(max_hamming))
                 ]
             )
         ).alias("cv"),
@@ -421,8 +467,72 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    out = cand.select(
         "id_a",
         "id_b",
         F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+    return _with_cached_deps(out, [sig])
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SimHash-bucketed near-dup pairs verified with exact Jaccard.
+
+    Same candidate generation as :func:`simhash_near_pairs` (pigeonhole
+    chunks — guaranteed recall within the Hamming radius), but each
+    candidate is rescored with exact n-gram Jaccard over the shingle
+    hash sets and only pairs ≥ ``threshold`` are emitted. The output is
+    therefore a *deterministic exact-similarity* result (a subset of
+    the exact all-pairs Jaccard set, equal to it whenever the Hamming
+    radius covers every true pair) — oracle-checkable against plain
+    SQL, unlike the raw Hamming distances. Output:
+    (id_a, id_b, jaccard_sim)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).persist()
+    sig = sh.select("id", _simhash_from_hashes(F.col("sh")).alias("simhash64"))
+    chunked = sig.select(
+        "id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash64"), shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c, (shift, width) in enumerate(_simhash_chunks(max_hamming))
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    out = verified.select(
+        "id_a",
+        "id_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= threshold)
+    return _with_cached_deps(out, [sh])

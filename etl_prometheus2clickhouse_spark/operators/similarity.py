@@ -88,6 +88,7 @@ def cosine_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query, scored with BLAS.
 
@@ -103,9 +104,25 @@ def cosine_topk_arrow(
     """
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
-    ).collect()
+    # The queries-are-small contract made explicit: the query matrix is
+    # collected to the driver and shipped in every task closure, so an
+    # unbounded query side would silently OOM driver/executors. limit()
+    # bounds the scan itself; the count check turns overflow into a
+    # loud error instead of a truncated answer.
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow: query side exceeds max_queries="
+            f"{max_queries}; broadcast-GEMM requires a small query set "
+            "(raise max_queries only with matching driver/executor memory)"
+        )
+    q_rows = [r for r in q_rows if r.qvec is not None]
     if not q_rows:
         schema = "query_id bigint, neighbor_id bigint, cosine_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], schema)
@@ -117,6 +134,11 @@ def cosine_topk_arrow(
 
     def _score(batches):
         for pdf in batches:
+            # a null corpus vector would make np.asarray raise deep in
+            # the task; skip those rows (contract: null vec = no match)
+            mask = pdf["cvec"].notna()
+            if not mask.all():
+                pdf = pdf[mask]
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             c = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]

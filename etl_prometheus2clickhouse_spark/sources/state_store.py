@@ -100,6 +100,12 @@ class LocalStateStore:
 
     def __init__(self, path: str) -> None:
         self._path = path
+        # max version seen by THIS process; None until first read. Keeps
+        # save_state O(1) per append instead of re-reading the whole log
+        # (other writers are serialized through the .lock file for lease
+        # ops; plain save_state is same-process per the job lifecycle, so
+        # a cached high-water mark is safe and monotonic).
+        self._max_version: int | None = None
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
 
     # -- read side ---------------------------------------------------------
@@ -130,9 +136,13 @@ class LocalStateStore:
             f.write(json.dumps(asdict(row)) + "\n")
             f.flush()
             os.fsync(f.fileno())
+        self._max_version = max(self._max_version or 0, row.version)
 
-    def _next_version(self, rows: list[StateRow]) -> int:
-        return 1 + max((r.version for r in rows), default=0)
+    def _next_version(self, rows: list[StateRow] | None = None) -> int:
+        if self._max_version is None:
+            rows = self.all_rows() if rows is None else rows
+            self._max_version = max((r.version for r in rows), default=0)
+        return 1 + self._max_version
 
     def try_mark_start(self, timestamp_start: int) -> bool:
         """Atomic lease acquire: under an exclusive file lock, re-check
@@ -144,12 +154,16 @@ class LocalStateStore:
             fcntl.flock(lock_f.fileno(), fcntl.LOCK_EX)
             try:
                 rows = self.all_rows()
+                # authoritative read under the lock: refresh the cached
+                # high-water mark so versions from OTHER processes are
+                # never reused
+                self._max_version = max((r.version for r in rows), default=0)
                 if any(r.timestamp_end is None for r in _latest_per_key(rows)):
                     return False
                 self._append(
                     StateRow(
                         timestamp_start=timestamp_start,
-                        version=self._next_version(rows),
+                        version=self._next_version(),
                     )
                 )
                 return True
@@ -159,8 +173,9 @@ class LocalStateStore:
     def save_state(self, row: StateRow) -> None:
         """Versioned append — "update" is insert-newer-version, exactly the
         reference's ReplacingMergeTree write model
-        (clickhouse_client.py:333-438)."""
-        row.version = self._next_version(self.all_rows())
+        (clickhouse_client.py:333-438). O(1) per append: the version
+        high-water mark is cached in-process after the first read."""
+        row.version = self._next_version()
         self._append(row)
 
 

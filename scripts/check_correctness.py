@@ -10,6 +10,7 @@ Usage: python scripts/check_correctness.py [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import Counter
 from decimal import Decimal
@@ -22,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __spark_entry__ as entry_mod  # noqa: E402
 from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

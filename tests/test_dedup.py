@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.operators.dedup import (
+    _simhash_chunks,
     distinct_by_fingerprint,
     exact_dedup,
     jaccard,
@@ -17,6 +18,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     shingles,
     simhash,
     simhash_near_pairs,
+    simhash_verified_pairs,
 )
 
 BASE = (
@@ -123,6 +125,86 @@ def test_simhash_identical_docs_distance_zero(corpus):
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 5)] == 0  # same token stream
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_chunks_pigeonhole_invariants():
+    for h in (0, 3, 8, 10, 31, 63):
+        chunks = _simhash_chunks(h)
+        # H+1 chunks covering all 64 bits exactly once, every width ≥ 1
+        assert len(chunks) == h + 1
+        assert sum(w for _, w in chunks) == 64
+        assert all(w >= 1 for _, w in chunks)
+        covered = set()
+        for shift, width in chunks:
+            covered |= set(range(shift, shift + width))
+        assert covered == set(range(64))
+    with pytest.raises(ValueError):
+        _simhash_chunks(64)
+
+
+def test_simhash_wide_radius_guaranteed_recall(spark):
+    # Pairs at Hamming 4-8 share no 16-bit quarter in the worst case; a
+    # fixed 4-chunk split misses them. With H+1 pigeonhole chunks the
+    # candidate join must find every pair within the radius.
+    # Construct signatures via documents whose simhash differs in spread
+    # positions is fiddly; instead assert on the corpus that radius-10
+    # output ⊇ radius-3 output and every emitted distance ≤ 10.
+    rows = [(i, BASE + " extra" * (i % 5)) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    wide = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(df, "id", max_hamming=10).collect()
+    }
+    narrow = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(df, "id", max_hamming=3).collect()
+    }
+    assert set(narrow) <= set(wide)
+    assert all(h <= 10 for h in wide.values())
+    # brute-force ground truth: every pair within radius 10 is emitted
+    sigs = {r.id: r.simhash64 for r in simhash(df, "id").collect()}
+    ids = sorted(sigs)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1:]:
+            d = bin((sigs[ia] ^ sigs[ib]) & (2**64 - 1)).count("1")
+            if d <= 10:
+                assert (ia, ib) in wide, (ia, ib, d)
+
+
+def test_simhash_verified_pairs_match_exact_jaccard(corpus):
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in simhash_verified_pairs(
+            corpus, "id", max_hamming=10, threshold=0.5
+        ).collect()
+    }
+    # exact all-pairs ground truth over the same shingle hashes
+    sh = corpus.select("id", shingle_hashes(F.col("text")).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    exact = {
+        (r.id_a, r.id_b): r.j
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()
+        if r.j >= 0.5
+    }
+    assert got.keys() == exact.keys()
+    for p in got:
+        assert abs(got[p] - exact[p]) < 1e-12
+
+
+def test_release_cached_unpersists_intermediates(corpus):
+    from etl_prometheus2clickhouse_spark.operators.dedup import release_cached
+
+    out = minhash_lsh_pairs(corpus, "id", threshold=0.5)
+    out.collect()
+    deps = out._cached_deps
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    release_cached(out)
+    assert all(not d.storageLevel.useMemory for d in deps)
+    # no-op on frames without cached deps
+    release_cached(corpus)
 
 
 def test_shingles_and_hashes_agree_on_set_size(corpus):

@@ -128,6 +128,46 @@ def test_empty_store(tmp_path):
     assert s.has_running_job() is False
 
 
+def test_save_state_o1_versioning(tmp_path, monkeypatch):
+    # save_state must not re-read the whole log per append: after the
+    # first version probe, all_rows is never called again on the write
+    # path (O(1) per append instead of O(n) → O(n²) over the log life).
+    s = _store(tmp_path)
+    calls = {"n": 0}
+    orig = LocalStateStore.all_rows
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(LocalStateStore, "all_rows", counting)
+    for i in range(100):
+        s.save_state(
+            StateRow(timestamp_start=i, timestamp_end=i + 1, timestamp_progress=i)
+        )
+    assert calls["n"] <= 1
+    # versions stay strictly monotonic and dense
+    versions = [r.version for r in orig(s)]
+    assert versions == sorted(versions) and len(set(versions)) == 100
+
+
+def test_version_cache_survives_second_instance(tmp_path):
+    # a fresh store on the same path must continue the version sequence,
+    # not restart it (the cache is lazy-initialized from the log)
+    s1 = _store(tmp_path)
+    s1.save_state(StateRow(timestamp_start=1, timestamp_end=2, timestamp_progress=1))
+    s1.save_state(StateRow(timestamp_start=2, timestamp_end=3, timestamp_progress=2))
+    s2 = _store(tmp_path)
+    s2.save_state(StateRow(timestamp_start=3, timestamp_end=4, timestamp_progress=3))
+    versions = [r.version for r in s2.all_rows()]
+    assert versions == [1, 2, 3]
+    # lease acquire under the lock refreshes the mark from disk, so a
+    # stale third instance never reuses a version
+    s3 = _store(tmp_path)
+    assert s3.try_mark_start(999) is True
+    assert max(r.version for r in s3.all_rows()) == 4
+
+
 def test_validate_table_name():
     validate_table_name("default.metrics")
     validate_table_name("metrics")
