@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash_pairs",
     "cosine_topk",
+    # the 100 TB scale paths: Arrow GEMM scorer, banded-LSH ANN +
+    # near-dup, multimodal decode plumbing
+    "cosine_topk_arrow",
+    "cosine_topk_lsh",
+    "embedding_near_dup",
+    "decode_pixels",
 ]
 
 
@@ -68,7 +74,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall seconds (14 queries, local)",
+                "metric": f"headline-suite wall seconds ({len(BENCH_QUERIES)} queries, local)",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,

@@ -515,14 +515,27 @@ def simhash_verified_pairs(
                 ]
             )
         ).alias("cv"),
-    ).select("id", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    ).select(
+        "id", "simhash64", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val")
+    )
     a, b = chunked.alias("a"), chunked.alias("b")
+    # the Hamming cut runs ON the chunk join (a bit_count over two longs
+    # already in hand) BEFORE the dedup and the shingle join: wide radii
+    # mean narrow chunks and big candidate sets, and carrying millions
+    # of false candidates into an array-intersect verify is exactly the
+    # cost this filter deletes (21s → ~1s at sf0.1)
     cand = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            )
+            <= max_hamming
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

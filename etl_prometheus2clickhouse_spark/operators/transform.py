@@ -124,6 +124,30 @@ class ParsedBatch:
     series_observation: Observation
 
 
+def _pair_stage(series_df: DataFrame) -> DataFrame:
+    """Shared explode + pair-machine stage (pre-filter, pre-observe)."""
+    exploded = series_df.select(
+        metric_name("metric").alias("name"),
+        labels_without_name("metric").alias("labels"),
+        F.explode_outer("values").alias("pair"),
+    )
+    return exploded.select(
+        "name",
+        "labels",
+        _surviving_pair(F.col("pair")).alias("kept"),
+        F.coalesce(_skipped_in_pair(F.col("pair")), F.lit(0)).alias("pair_skipped"),
+    )
+
+
+def _kept_to_rows(staged: DataFrame) -> DataFrame:
+    return staged.where(F.size("kept") == 2).select(
+        F.timestamp_seconds(lenient_double(F.col("kept")[0])).alias("timestamp"),
+        "name",
+        "labels",
+        lenient_double(F.col("kept")[1]).alias("value"),
+    )
+
+
 def series_to_rows(series_df: DataFrame) -> ParsedBatch:
     """Series rows → fact rows ``(timestamp, name, labels, value)``.
 
@@ -135,19 +159,7 @@ def series_to_rows(series_df: DataFrame) -> ParsedBatch:
     with_series = series_df.observe(
         series_obs, F.count(F.lit(1)).alias("series_count")
     )
-
-    exploded = with_series.select(
-        metric_name("metric").alias("name"),
-        labels_without_name("metric").alias("labels"),
-        F.explode_outer("values").alias("pair"),
-    )
-
-    staged = exploded.select(
-        "name",
-        "labels",
-        _surviving_pair(F.col("pair")).alias("kept"),
-        F.coalesce(_skipped_in_pair(F.col("pair")), F.lit(0)).alias("pair_skipped"),
-    )
+    staged = _pair_stage(with_series)
 
     obs = Observation()
     observed = staged.observe(
@@ -158,14 +170,21 @@ def series_to_rows(series_df: DataFrame) -> ParsedBatch:
         ).alias("rows_count"),
         F.coalesce(F.sum("pair_skipped"), F.lit(0)).alias("skipped_count"),
     )
-
-    rows = observed.where(F.size("kept") == 2).select(
-        F.timestamp_seconds(lenient_double(F.col("kept")[0])).alias("timestamp"),
-        "name",
-        "labels",
-        lenient_double(F.col("kept")[1]).alias("value"),
+    return ParsedBatch(
+        rows=_kept_to_rows(observed),
+        observation=obs,
+        series_observation=series_obs,
     )
-    return ParsedBatch(rows=rows, observation=obs, series_observation=series_obs)
+
+
+def series_to_rows_plan(series_df: DataFrame) -> DataFrame:
+    """Observation-free variant of :func:`series_to_rows` — same fact
+    rows, no counters. Required when the transform must live INSIDE a
+    streaming plan (upstream of stateful operators like
+    ``dropDuplicatesWithinWatermark``): ``Observation`` objects are
+    batch-only, and streaming metrics flow through query progress
+    instead."""
+    return _kept_to_rows(_pair_stage(series_df))
 
 
 def parse_response(df: DataFrame, json_col: str = "value") -> ParsedBatch:

@@ -236,9 +236,21 @@ class PrometheusStreamReader(DataSourceStreamReader):
 
     ``initial_progress`` is required — same hard-fail contract as the
     reference's ``_load_progress`` (etl_job.py:298-355). Each micro-batch
-    covers ``(progress, min(progress + window, now - overlap_slack))``;
-    Spark's checkpoint persists offsets, replacing the hand-rolled state
-    table for the streaming mode.
+    covers ``(progress, min(progress + window, now))``; Spark's
+    checkpoint persists offsets, replacing the hand-rolled state table
+    for the streaming mode.
+
+    ``overlap_seconds`` is the streaming face of the reference's
+    boundary-safety re-read (``BATCH_WINDOW_OVERLAP_SECONDS``,
+    reference config.py:165-173, README.md:62-63; batch analog
+    ``calc_window`` in plans/lifecycle.py): each micro-batch *fetches*
+    from ``committed_progress − overlap`` (clamped to the stream's
+    initial progress, the ``min_start`` analog) so samples that land at
+    a window boundary after the previous batch read it are captured by
+    the next one. Offsets are NOT widened — the checkpoint contract is
+    untouched — so the replayed rows rely on the sink's content-hash
+    dedup (exactly how the reference pairs overlap with its
+    ReplacingMergeTree sink).
     """
 
     def __init__(self, options: dict) -> None:
@@ -250,6 +262,9 @@ class PrometheusStreamReader(DataSourceStreamReader):
             )
         self._initial = int(options["initial_progress"])
         self._window = int(options.get("window_size_seconds", "300"))
+        self._overlap = int(options.get("overlap_seconds", "0"))
+        if self._overlap < 0:
+            raise ValueError("overlap_seconds must be >= 0")
 
     def initialOffset(self) -> dict:
         return {"progress": self._initial}
@@ -273,9 +288,24 @@ class PrometheusStreamReader(DataSourceStreamReader):
         self._last = max(self._high_water(), s, e)
         if e <= s:
             return []
+        # widen the FETCH window backwards by the overlap (never before
+        # the stream's initial progress — the min_start analog); offsets
+        # themselves stay (s, e] so checkpoint semantics are unchanged
+        fetch_s = max(s - self._overlap, min(s, self._initial))
+        if self._overlap and fetch_s > self._initial:
+            # snap DOWN onto the stream's global instant grid
+            # (initial + k*step): query_range evaluates at start + k*step,
+            # so re-reads only reproduce identical (timestamp, value)
+            # rows — the ones sink dedup can collapse — when every batch
+            # shares the grid. Snapping only widens the overlap (≤ one
+            # step), never narrows it.
+            step = self._o.step
+            fetch_s = self._initial + ((fetch_s - self._initial) // step) * step
         return [
             _WindowPartition(ps, pe)
-            for ps, pe in _aligned_subwindows(s, e, self._o.partitions, self._o.step)
+            for ps, pe in _aligned_subwindows(
+                fetch_s, e, self._o.partitions, self._o.step
+            )
         ]
 
     def read(self, partition: _WindowPartition) -> Iterator[tuple]:
@@ -303,7 +333,7 @@ class PrometheusDataSource(DataSource):
 
     Options: url (required), start, end (batch, epoch seconds), query,
     step_seconds, partitions, user, password, insecure, timeout,
-    initial_progress + window_size_seconds (streaming).
+    initial_progress + window_size_seconds + overlap_seconds (streaming).
     """
 
     @classmethod

@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_prometheus2clickhouse_spark.operators.transform import series_to_rows
+from etl_prometheus2clickhouse_spark.functions import content_hash
+from etl_prometheus2clickhouse_spark.operators.transform import (
+    series_to_rows,
+    series_to_rows_plan,
+)
 from etl_prometheus2clickhouse_spark.sources.prometheus import (
     DEFAULT_SELECTOR,
     register,
@@ -59,6 +63,8 @@ class EtlStreamingJob:
         query_step_seconds: int = 15,
         query: str = DEFAULT_SELECTOR,
         partitions: int = 1,
+        overlap_seconds: int = 0,
+        dedup_within_watermark: str | None = None,
         now_fn: Callable[[], int] = lambda: int(time.time()),
     ) -> None:
         self._spark = spark
@@ -71,6 +77,16 @@ class EtlStreamingJob:
         self._step = query_step_seconds
         self._query = query
         self._partitions = partitions
+        # boundary-safety re-read (reference BATCH_WINDOW_OVERLAP_SECONDS,
+        # config.py:165-173): each micro-batch fetches from
+        # progress − overlap; replayed rows rely on sink dedup
+        self._overlap = overlap_seconds
+        # streaming-native K3: content-hash dedup ACROSS micro-batches
+        # via dropDuplicatesWithinWatermark (e.g. "10 minutes") — the
+        # overlap's replayed rows collapse in-stream, so a plain
+        # (non-ReplacingMergeTree) sink still sees each sample once.
+        # None = rely on storage-side dedup, the reference's model.
+        self._dedup_watermark = dedup_within_watermark
         self._now = now_fn
 
     # -- per-epoch processing ----------------------------------------------
@@ -104,6 +120,37 @@ class EtlStreamingJob:
             )
         )
 
+    def _process_deduped_batch(self, rows_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body for the in-stream-dedup mode: rows arrive
+        already transformed AND deduped (the stateful operator must live
+        in the streaming plan, upstream of here). Same write-then-commit
+        ordering; ``batch_skipped_count`` is None in this mode (the
+        parse-stage counter lives inside the streaming plan, where batch
+        Observations can't — the reference's state schema makes the
+        column Nullable for exactly this kind of gap)."""
+        started = self._now()
+        obs = Observation()
+        rows = rows_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_count"),
+            F.max(F.unix_micros("timestamp")).alias("max_us"),
+        )
+        self._sink.write(rows)
+        metrics = dict(obs.get)
+        max_us = metrics["max_us"]
+        now = self._now()
+        self._state.save_state(
+            StateRow(
+                timestamp_start=started,
+                timestamp_end=max(now, started + 1),
+                timestamp_progress=(
+                    int(max_us // 1_000_000) if max_us is not None else None
+                ),
+                batch_rows=int(metrics["rows_count"]),
+                batch_skipped_count=None,
+            )
+        )
+
     # -- lifecycle ----------------------------------------------------------
 
     def start(self) -> StreamingQuery:
@@ -116,10 +163,25 @@ class EtlStreamingJob:
             .option("partitions", self._partitions)
             .option("initial_progress", self._initial)
             .option("window_size_seconds", self._window)
+            .option("overlap_seconds", self._overlap)
             .load()
         )
+        if self._dedup_watermark is None:
+            df, process = stream, self._process_batch
+        else:
+            # transform in-stream, then stateful content-hash dedup:
+            # replayed rows (overlap re-read, epoch retry) collapse
+            # before the sink, state bounded by the watermark delay
+            rows = series_to_rows_plan(stream)
+            deduped = (
+                rows.withColumn("id", content_hash())
+                .withWatermark("timestamp", self._dedup_watermark)
+                .dropDuplicatesWithinWatermark(["id"])
+                .drop("id")
+            )
+            df, process = deduped, self._process_deduped_batch
         return (
-            stream.writeStream.foreachBatch(self._process_batch)
+            df.writeStream.foreachBatch(process)
             .option("checkpointLocation", self._checkpoint)
             .start()
         )
