@@ -60,12 +60,19 @@ def _with_cached_deps(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _keep_one_per_key(df: DataFrame, key_cols: list[str], order_col: str | None) -> DataFrame:
-    """One row per key, as a hash aggregate (map-side partial combine, no
-    sort — a window + row_number would force a full sort shuffle).
+    """One row per key via an aggregate with map-side partial combine.
 
     ``order_col`` picks the minimum-ordered row deterministically via
     ``min_by``; without it the pick is arbitrary (``dropDuplicates``),
-    which is cheapest and fine when survivors are content-identical."""
+    which is cheapest and fine when survivors are content-identical.
+
+    Plan note: ``min_by`` over a struct buffer physically lands as
+    SortAggregate (struct buffers aren't hash-map mutable), i.e. a
+    per-partition sort on both sides of the exchange — but the partial
+    aggregate still collapses duplicates BEFORE the shuffle, so shuffle
+    volume is one survivor per key. The window/row_number alternative
+    shuffles and sorts EVERY row; at 100 TB that difference dominates
+    the local sorts."""
     out_cols = [c for c in df.columns if c not in key_cols]
     if order_col is None:
         return df.dropDuplicates(key_cols).drop(*key_cols)

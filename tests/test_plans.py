@@ -1,0 +1,151 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (pushdown, column pruning, map-side combine, broadcast
+discipline, JVM-only hot paths, top-k instead of global sort) asserted
+against the actual Catalyst output, so a refactor that silently turns a
+pruned scan into a full scan or drops a partial aggregate fails CI —
+the 100 TB behavior is encoded, not just hoped for.
+
+These assert plan SHAPE, not sizes: properties that must hold at any
+scale factor (AQE may re-choose join strategies per actual size — that
+freedom is exactly what the no-forced-broadcast rule preserves)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_prometheus2clickhouse_spark.plans.catalog import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str, mode: str = "simple") -> str:
+    df = QUERIES[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_scan_pruned_and_pushed(spark):
+    p = _plan(spark, "q1_pricing_summary", "formatted")
+    # filter reaches the parquet reader
+    assert "LessThanOrEqual(l_shipdate" in p
+    # column pruning: 6 needed columns, not lineitem's full width
+    # (formatted mode prints the untruncated ReadSchema)
+    scan = next(l for l in p.splitlines() if l.startswith("ReadSchema"))
+    read_schema = scan.split("ReadSchema:")[1]
+    assert read_schema.count(":") == 6
+    assert "l_comment" not in read_schema
+    # map-side combine before the one exchange
+    assert "partial_sum" in p
+    import re
+
+    shuffles = re.findall(r"^\(\d+\) Exchange$", p, flags=re.M)
+    assert len(shuffles) == 1
+
+
+def test_q3_q5_no_forced_broadcast_on_scaling_tables(spark):
+    # analyzed plans keep hint nodes: q5 hints exactly its two
+    # fixed-size dims (nation, region); q3 hints nothing — customer
+    # scales with sf, AQE must stay free to choose
+    def analyzed(name: str) -> str:
+        p = _plan(spark, name, "extended")
+        return p.split("== Analyzed Logical Plan ==")[1].split(
+            "== Optimized Logical Plan =="
+        )[0]
+
+    assert analyzed("q5_region_revenue").count("ResolvedHint") == 2
+    assert analyzed("q3_top_orders").count("ResolvedHint") == 0
+    # physical: the big-table scan is pruned to the referenced columns
+    q5p = _plan(spark, "q5_region_revenue", "formatted")
+    chunks = [c for c in q5p.split("\n\n") if "lineitem.parquet" in c]
+    assert chunks
+    schema_line = next(
+        l for l in chunks[0].splitlines() if l.startswith("ReadSchema")
+    )
+    assert schema_line.split("ReadSchema:")[1].count(":") == 3
+
+
+def test_topk_queries_avoid_global_sort(spark):
+    # order-by + limit must plan as TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a full Sort of the input
+    for name in ("supplier_topk", "q3_top_orders"):
+        p = _plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_text_ops_are_shuffle_free(spark):
+    # per-document column math: a scan and a project, nothing else
+    for name in ("text_stats", "token_count", "language_id", "fingerprints"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "EvalPython" not in p, name  # pure JVM, no Python workers
+
+
+def test_exact_dedup_partial_combines_before_shuffle(spark):
+    p = _plan(spark, "content_dedup")
+    # one data exchange; duplicates collapse map-side first
+    assert p.count("Exchange") == 1
+    assert "partial_min_by" in p
+    # and no window/row_number formulation (that would sort every row)
+    assert "Window" not in p
+
+
+def test_etl_core_is_jvm_only(spark):
+    # the parse pipeline's hot path must stay inside codegen: no
+    # row-at-a-time Python UDFs anywhere, no Arrow UDFs either (the
+    # sink-boundary float formatter is outside this query)
+    p = _plan(spark, "prom_parse")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    # codegen mode reports the compiled subtrees even under AQE
+    assert "WholeStageCodegen subtrees" in _plan(spark, "prom_parse", "codegen")
+
+
+def test_tsv_lines_python_is_arrow_only(spark):
+    # the reference-parity float formatter is the one sanctioned Python
+    # site in the sink path — it must be Arrow-vectorized, never
+    # row-at-a-time
+    p = _plan(spark, "tsv_lines")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p
+
+
+def test_minhash_python_is_arrow_only(spark):
+    p = _plan(spark, "minhash_lsh")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p  # the vectorized signature kernel
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    p = _plan(spark, "cosine_topk")
+    assert "BroadcastExchange" in p
+    # corpus side streams straight from the scan into the join: the only
+    # non-broadcast exchange is the per-query top-k window's
+    assert p.count("Exchange") - p.count("BroadcastExchange") == 1
+
+
+@pytest.mark.parametrize("name", ["embedding_near_dup", "cosine_topk_lsh"])
+def test_lsh_band_rows_not_vectors_in_candidate_join(spark, name):
+    # the band explode and the candidate-dedup shuffle must carry only
+    # (id, band/bits, bucket) — embedding arrays join back once AFTER
+    # candidate dedup, so the ×bands fan-out never multiplies vector
+    # payloads (at 100 TB that fan-out on vectors IS the bill)
+    p = _plan(spark, name, "formatted")
+    blocks = p.split("\n\n")
+    generates = [b for b in blocks if b.startswith("(") and "Generate\n" in b]
+    assert generates, "expected explode nodes in the LSH plan"
+    for b in generates:
+        input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert "__v" not in input_line, f"vector rides the explode: {input_line}"
+    # the candidate-dedup exchange carries ids only, never vectors
+    for b in blocks:
+        if b.startswith("(") and "\nExchange\n" not in b and not b.split("\n")[0].endswith("Exchange"):
+            continue
+        if b.startswith("(") and b.split("\n")[0].endswith("Exchange"):
+            input_line = next(
+                (l for l in b.splitlines() if l.startswith("Input")), ""
+            )
+            for veccol in ("__v", "va#", "vb#", "cvec", "qvec"):
+                if "Broadcast" in b.split("\n")[0]:
+                    continue  # vector joins are broadcast by design here
+                assert veccol not in input_line, (veccol, input_line)
