@@ -13,10 +13,16 @@ A plain Spark ``try_cast(... AS DOUBLE)`` is NOT equivalent:
   and therefore the reference — rejects;
 - Python accepts digit-group underscores (``1_000.5``).
 
-So the recipe is: trim → special spellings (nan/inf/infinity, signed,
+So the recipe is: trim (the exact Py_UNICODE_ISSPACE set float()
+strips) → special spellings (nan/inf/infinity, signed,
 case-insensitive) → strict decimal-literal regex gate (with underscore
 normalization) → ``cast``. All built-in expressions, fully
 whole-stage-codegen'd; no UDF.
+
+Remaining documented divergence: CPython float() also accepts
+*unicode digits* ("١٢٣"); this recipe accepts ASCII digits only —
+Prometheus wire data is ASCII, and silently normalizing unicode
+numerals in an analytics engine is a misfeature, not parity.
 """
 
 from __future__ import annotations
@@ -34,6 +40,19 @@ PY_FLOAT_REGEX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 _UNDERSCORE_BETWEEN_DIGITS = r"(?<=\d)_(?=\d)"
 _ANY_UNDERSCORE = "_"
 
+# CPython float() strips Py_UNICODE_ISSPACE characters — a superset of
+# Java regex \s ([ \t\n\x0B\f\r]): NEL
+# \x85, NBSP \xa0, and the Unicode space separators (empirically,
+# CPython float() does NOT strip the C0 separators \x1c-\x1f even
+# though str.isspace() is true for them — verified exhaustively over
+# the BMP against float() itself; see the property test). Spelled as a
+# literal character class so the JVM trim matches float() exactly
+# (reference parser etl_job.py:664-717 inherits float()'s behavior).
+_PY_SPACE_CLASS = (
+    "[\t\n\x0b\x0c\r \x85\xa0 "
+    " -     　]"
+)
+
 
 def lenient_double(col: Column | str) -> Column:
     """Parse a string column exactly like Python ``float()``.
@@ -45,9 +64,12 @@ def lenient_double(col: Column | str) -> Column:
     (etl_job.py:664-683).
     """
     c = F.col(col) if isinstance(col, str) else col
-    # Python float() strips *all* surrounding whitespace ("1\n", "\t2"
-    # parse); F.trim strips only ASCII spaces, so strip with a regex.
-    trimmed = F.regexp_replace(c, r"^\s+|\s+$", "")
+    # Python float() strips *all* surrounding whitespace ("1\n", "\t2",
+    # "\xa01" parse); F.trim strips only ASCII spaces and \s misses the
+    # unicode spaces, so strip the exact Py_UNICODE_ISSPACE class.
+    trimmed = F.regexp_replace(
+        c, f"^{_PY_SPACE_CLASS}+|{_PY_SPACE_CLASS}+$", ""
+    )
     lowered = F.lower(trimmed)
     # Normalize digit-group underscores, then reject any remaining ones.
     de_underscored = F.regexp_replace(trimmed, _UNDERSCORE_BETWEEN_DIGITS, "")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -322,10 +322,15 @@ def minhash_lsh_pairs(
 
     # cap pathological buckets before the self-join; persist the slim
     # (id, band, bucket) frame so the self-join's two branches don't
-    # recompute signatures
-    sized_all = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).persist()
+    # recompute signatures. Bucket sizes come from a groupBy + join
+    # back, NOT a window count: the window formulation shuffles AND
+    # sorts every band row, while the size table is tiny (one row per
+    # non-empty bucket) so AQE broadcasts it and the band rows never
+    # shuffle for sizing at all.
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    sized_all = banded.join(bucket_sizes, ["band", "bucket"]).persist()
     if bucket_stats is not None:
         row = sized_all.agg(
             F.coalesce(

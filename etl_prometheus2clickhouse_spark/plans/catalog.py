@@ -261,6 +261,14 @@ _CAST_CORPUS: list[tuple[str, bool, bool, bool, bool, str | None]] = [
     ("1.5", True, False, False, False, "1.5"),
     (" 42 ", True, False, False, False, "42"),
     ("\t7\n", True, False, False, False, "7"),
+    # float() whitespace parity beyond ASCII \s: NBSP and ideographic
+    # space are stripped by CPython float()
+    ("\xa01", True, False, False, False, "1"),
+    ("　2　", True, False, False, False, "2"),
+    # NOT float() whitespace (empirically): C0 separators \x1c-\x1f
+    # (despite str.isspace()) and zero-width space → reject
+    ("\x1c3\x1f", False, False, False, False, None),
+    ("​4", False, False, False, False, None),
     ("+3", True, False, False, False, "3"),
     ("-3.25", True, False, False, False, "-3.25"),
     (".5", True, False, False, False, "0.5"),
@@ -322,7 +330,7 @@ def _sql_str(s: str) -> str:
     parts: list[str] = []
     buf = ""
     for ch in s:
-        if ch in ("\t", "\n", "\r"):
+        if ord(ch) < 0x20:
             if buf:
                 parts.append("'" + buf.replace("'", "''") + "'")
                 buf = ""

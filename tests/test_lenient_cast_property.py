@@ -1,11 +1,12 @@
 """Property test: ``lenient_double`` is Python ``float()`` over ASCII
-input (functions/casts.py; reference parser etl_job.py:664-717, corpus
-seeded from reference tests/test_etl_job.py:1449-1827).
+digits with the FULL float() whitespace set (functions/casts.py;
+reference parser etl_job.py:664-717, corpus seeded from reference
+tests/test_etl_job.py:1449-1827).
 
-Scope note: the contract is pinned for ASCII text (all Prometheus wire
-data). CPython's float() additionally accepts unicode digits and
-unicode whitespace, which the JVM expression recipe deliberately does
-not — see the casts.py docstring."""
+Scope note: CPython's float() additionally accepts unicode *digits*,
+which the JVM expression recipe deliberately does not — see the
+casts.py docstring. Unicode whitespace IS at parity (the
+Py_UNICODE_ISSPACE trim class), so the alphabet includes it."""
 
 from __future__ import annotations
 
@@ -18,7 +19,14 @@ from pyspark.sql import functions as F
 from etl_prometheus2clickhouse_spark.functions import lenient_double
 
 _ASCII = st.text(
-    alphabet=st.sampled_from(list("0123456789+-._eExXpPfFaAnNiItTyY \t\n\r")),
+    alphabet=st.sampled_from(
+        list("0123456789+-._eExXpPfFaAnNiItTyY \t\n\r")
+        # float()'s full whitespace set (must trim) plus lookalikes
+        # that are NOT whitespace (must reject when adjacent to digits)
+        + ["\x0b", "\x1c", "\x1f", "\x85", "\xa0", " ", " ",
+           " ", " ", " ", " ", "　",
+           "​", "⁠"]  # zero-width: not float() whitespace
+    ),
     max_size=12,
 )
 _NUMERIC_ISH = st.from_regex(
