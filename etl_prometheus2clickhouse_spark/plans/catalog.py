@@ -99,9 +99,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # conf locked down — fall through and hope ts reads as-is
     df = _t(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer `div`, NOT `/`: float division casts the ns epoch
+        # (~1.7e18) to double, whose spacing there is 256 ns — the
+        # truncated µs can come out 1 off, which µs-resolution queries
+        # see as value mismatches vs an engine converting exactly
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -1240,6 +1242,86 @@ WHERE rn <= 3
 """
 
 
+def q_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter rate with reset handling, per
+    (event_type, user_id) series — one keyed-window plan (single
+    Exchange + Sort on the series key). Per-row double arithmetic on
+    identical inputs is engine-exact, so increase/rate emit raw
+    (no rounding needed); ties are impossible in this corpus
+    ((event_type, user_id, ts) is unique — verified), so lag() is
+    deterministic."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import counter_rate
+
+    ev = _events(spark, sf_dir)
+    return counter_rate(ev, ["event_type", "user_id"], ts_col="ts", value_col="value")
+
+
+ORACLE_EVENTS_RATE = """
+WITH s AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) / 1000000.0 AS ts_sec, value,
+         lag(value) OVER w AS pv,
+         lag(epoch_us(ts) / 1000000.0) OVER w AS pt
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)
+)
+SELECT event_type, user_id, ts_sec,
+       CASE WHEN pv IS NULL THEN NULL
+            WHEN value - pv < 0 THEN value
+            ELSE value - pv END AS increase,
+       CASE WHEN pv IS NULL OR ts_sec - pt <= 0 THEN NULL
+            ELSE (CASE WHEN value - pv < 0 THEN value ELSE value - pv END)
+                 / (ts_sec - pt) END AS rate
+FROM s
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h gap) aggregated to session stats —
+    the classic behavior-pipeline op as lag → boundary flag →
+    cumulative sum, reproduced identically in the oracle."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import session_stats
+
+    ev = _events(spark, sf_dir)
+    out = session_stats(ev, ["user_id"], ts_col="ts", gap_seconds=3600)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "start_sec",
+        "end_sec",
+        "duration_sec",
+    )
+
+
+ORACLE_USER_SESSIONS = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) / 1000000.0 AS ts_sec,
+         lag(epoch_us(ts) / 1000000.0)
+           OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events
+),
+f AS (
+  SELECT user_id, ts_sec,
+         CASE WHEN pt IS NULL OR ts_sec - pt > 3600 THEN 1 ELSE 0 END AS nb
+  FROM s
+),
+sid AS (
+  SELECT user_id, ts_sec,
+         CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_sec
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM f
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts_sec) AS start_sec,
+       max(ts_sec) AS end_sec,
+       max(ts_sec) - min(ts_sec) AS duration_sec
+FROM sid
+GROUP BY 1, 2
+"""
+
+
 def q_supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by sort (the S2 top-1 pattern generalized)."""
     s = _t(spark, sf_dir, "supplier")
@@ -1307,6 +1389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_region_revenue": q5_region_revenue,
     "events_hourly": q_events_hourly,
     "events_props": q_events_props,
+    "events_rate": q_events_rate,
+    "user_sessions": q_user_sessions,
     "parts_rank": q_parts_rank,
     "supplier_topk": q_supplier_topk,
 }
@@ -1348,6 +1432,8 @@ ORACLES: dict[str, str] = {
     "q5_region_revenue": ORACLE_Q5,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_props": ORACLE_EVENTS_PROPS,
+    "events_rate": ORACLE_EVENTS_RATE,
+    "user_sessions": ORACLE_USER_SESSIONS,
     "parts_rank": ORACLE_PARTS_RANK,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
 }

@@ -1,0 +1,53 @@
+"""Streaming windowed aggregation with event-time watermarks — the
+streaming face of the catalog's ``events_hourly`` batch query.
+
+``windowed_event_counts`` is a plain streaming plan (no foreachBatch):
+tumbling event-time windows, keyed by event type, with a watermark that
+(a) admits late events up to the configured delay — they merge into
+their window's still-open state — and (b) bounds that state: windows
+older than the watermark finalize, emit (append mode), and evict.
+This is the Structured Streaming-native replacement for the
+reference's single fixed pipeline when the workload is aggregation
+rather than row shipping: state is bounded by ``watermark_delay`` ×
+active keys, independent of stream length, which is what makes the
+operator viable on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums per key over an event-time stream.
+
+    Output (append mode emits one final row per closed window):
+    ``hour_ts`` (window start, epoch seconds), key, ``n_events``,
+    ``sum_value_c`` (cents BIGINT — catalog output discipline).
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+            ).alias("sum_value_c"),
+        )
+        .select(
+            F.floor(F.unix_micros("w.start") / 1_000_000)
+            .cast("long")
+            .alias("hour_ts"),
+            key_col,
+            "n_events",
+            "sum_value_c",
+        )
+    )

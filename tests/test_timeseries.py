@@ -1,0 +1,100 @@
+"""Time-series operators: counter-reset rate semantics and gap
+sessionization (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.timeseries import (
+    counter_rate,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(sec: float):
+    return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in rows],
+        "series string, ts timestamp, value double",
+    )
+
+
+def test_counter_rate_monotonic_series(spark):
+    df = _series(spark, [("a", 0, 10.0), ("a", 10, 25.0), ("a", 20, 25.0)])
+    got = {
+        r.ts_sec: (r.increase, r.rate)
+        for r in counter_rate(df, ["series"]).collect()
+    }
+    assert got[0.0] == (None, None)  # first sample: no interval
+    assert got[10.0] == (15.0, 1.5)
+    assert got[20.0] == (0.0, 0.0)
+
+
+def test_counter_rate_reset_counts_new_value(spark):
+    # 100 → 2: the counter restarted; increase is 2, not −98
+    df = _series(spark, [("a", 0, 100.0), ("a", 50, 2.0), ("a", 100, 52.0)])
+    got = {
+        r.ts_sec: (r.increase, r.rate)
+        for r in counter_rate(df, ["series"]).collect()
+    }
+    assert got[50.0] == (2.0, 2.0 / 50)
+    assert got[100.0] == (50.0, 1.0)
+
+
+def test_counter_rate_series_are_independent(spark):
+    df = _series(spark, [("a", 0, 5.0), ("b", 10, 7.0)])
+    rows = counter_rate(df, ["series"]).collect()
+    # each series' first sample has no predecessor — no cross-series lag
+    assert all(r.increase is None and r.rate is None for r in rows)
+
+
+def test_sessionize_gap_boundaries(spark):
+    df = _series(
+        spark,
+        [
+            ("u1", 0, 0.0),
+            ("u1", 100, 0.0),     # same session (gap 100 ≤ 1800)
+            ("u1", 2000, 0.0),    # new session (gap 1900 > 1800)
+            ("u1", 2100, 0.0),
+            ("u2", 0, 0.0),       # separate key → own session numbering
+        ],
+    )
+    got = {
+        (r.series, r.ts_sec): r.session_id
+        for r in sessionize(df, ["series"]).collect()
+    }
+    assert got[("u1", 0.0)] == 1
+    assert got[("u1", 100.0)] == 1
+    assert got[("u1", 2000.0)] == 2
+    assert got[("u1", 2100.0)] == 2
+    assert got[("u2", 0.0)] == 1
+
+
+def test_session_stats_aggregates(spark):
+    df = _series(
+        spark,
+        [("u1", 0, 0.0), ("u1", 100, 0.0), ("u1", 5000, 0.0)],
+    )
+    got = {
+        (r.series, r.session_id): (r.n_events, r.start_sec, r.end_sec, r.duration_sec)
+        for r in session_stats(df, ["series"]).collect()
+    }
+    assert got[("u1", 1)] == (2, 0.0, 100.0, 100.0)
+    assert got[("u1", 2)] == (1, 5000.0, 5000.0, 0.0)
+
+
+def test_counter_rate_single_window_plan(spark):
+    # one Exchange + one Sort: every derived column rides the same
+    # keyed window; a second sort/shuffle means the plan regressed
+    df = _series(spark, [("a", 0, 1.0)])
+    p = spark._jvm.PythonSQLUtils.explainString(
+        counter_rate(df, ["series"])._jdf.queryExecution(), "simple"
+    )
+    assert p.count("Exchange") == 1
+    assert p.count("Sort") == 1
