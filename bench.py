@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q3_top_orders",
     "q5_region_revenue",
     "events_hourly",
+    "events_rate",
+    "user_sessions",
     # LLM layer
     "text_stats",
     "quality_score",
@@ -60,9 +62,14 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
-    # warm the JVM + parquet footers once so per-query times measure the
-    # plans, not session startup
+    # warm the JVM + parquet footers + whole-stage-codegen JIT once so
+    # per-query times measure the plans, not session startup or first
+    # compilation of the big generated stages (first execution of the
+    # parse pipeline pays ~4s of JIT that no steady-state run sees)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    QUERIES["prom_parse"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -1,0 +1,87 @@
+"""Stateful streaming counter rate: per-series state survives across
+micro-batches, counter resets count the new value, replayed/stale rows
+are flagged not rated (streaming/stateful.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from etl_prometheus2clickhouse_spark.streaming.stateful import (
+    streaming_counter_rate,
+)
+
+BASE = 1_700_000_000
+
+
+def _write_batch(spark, path, rows, n):
+    df = spark.createDataFrame(
+        [
+            (k, datetime.fromtimestamp(t, tz=timezone.utc), float(v))
+            for k, t, v in rows
+        ],
+        "series string, ts timestamp, value double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{n}")
+
+
+def test_state_crosses_micro_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "series string, ts timestamp, value double"
+
+    # batch 0: two samples of series a, one of b
+    _write_batch(
+        spark,
+        src,
+        [("a", BASE, 10.0), ("a", BASE + 10, 40.0), ("b", BASE, 5.0)],
+        0,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    out = streaming_counter_rate(stream)
+    qname = "stateful_rate_sink"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: continuation of a (rate must use state from batch 0),
+        # a counter RESET on b, and a replay of a's first sample
+        _write_batch(
+            spark,
+            src,
+            [
+                ("a", BASE + 20, 100.0),  # inc 60 over 10 s → rate 6
+                ("b", BASE + 100, 3.0),   # 5 → 3: reset → inc 3
+                ("a", BASE, 10.0),        # stale replay → flagged late
+            ],
+            1,
+        )
+        q.processAllAvailable()
+        all_rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        got = {
+            (r.series, r.ts_sec, r.late): (r.increase, r.rate)
+            for r in all_rows
+        }
+        # batch-0 facts
+        assert got[("a", float(BASE), False)] == (None, None)
+        assert got[("a", float(BASE + 10), False)] == (30.0, 3.0)
+        assert got[("b", float(BASE), False)] == (None, None)
+        # cross-batch continuation: state remembered (40.0 @ BASE+10)
+        assert got[("a", float(BASE + 20), False)] == (60.0, 6.0)
+        # counter reset: increase = new value
+        assert got[("b", float(BASE + 100), False)] == (3.0, 3.0 / 100)
+        # the replay of a's first sample is a SEPARATE row, flagged
+        # late and unrated — and it did not corrupt state (the
+        # continuation row above rated against the true last sample)
+        assert got[("a", float(BASE), True)] == (None, None)
+        assert len(all_rows) == 6
+    finally:
+        q.stop()
