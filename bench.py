@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "cosine_topk_arrow",
     "cosine_topk_lsh",
     "embedding_near_dup",
+    "embedding_near_dup_exact_baseline",
     "decode_pixels",
 ]
 

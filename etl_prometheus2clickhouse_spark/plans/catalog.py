@@ -56,7 +56,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_arrow,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
-    embedding_near_dup_bruteforce,
+    embedding_near_dup_block_gemm,
     embedding_near_dup_pairs,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
@@ -870,7 +870,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact all-pairs set (verified at sf0.001: 66/66 and sf0.01: 59/59),
     so the exact SQL is a true oracle. At a real near-dup threshold
     (≥0.9) fewer, wider bands are selective — the catalog entry's
-    parameters are tuned for this corpus's unusually low threshold."""
+    parameters are tuned for this corpus's unusually low threshold,
+    and at that setting the banding is non-selective, so the exact
+    tiled block-GEMM (``embedding_near_dup_exact_baseline``) measures
+    ~4× faster here (2.4s vs 11s at sf0.1): below LSH's selectivity
+    regime, exact-with-BLAS-constants wins. Both are benched so the
+    crossover is a recorded number, not a claim."""
     out = embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         dim=64,
@@ -893,9 +898,11 @@ WHERE {_COS} >= 0.4
 
 
 def q_embedding_near_dup_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O(n²)-by-construction exact baseline the LSH headline is measured
-    against. Correctness anchor only — never the scale path."""
-    out = embedding_near_dup_bruteforce(
+    """Exact all-pairs baseline the LSH headline is measured against —
+    as the tiled block-GEMM (exact O(n²) work with BLAS constants,
+    bounded task memory, no row explosion; the per-pair JVM-fold
+    bruteforce stays in the library as the bit-exact anchor)."""
+    out = embedding_near_dup_block_gemm(
         _t(spark, sf_dir, "embeddings"), id_col="vec_id", threshold=0.4
     )
     return out.select(

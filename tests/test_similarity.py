@@ -13,6 +13,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_arrow,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_near_dup_block_gemm,
     embedding_near_dup_bruteforce,
     embedding_near_dup_pairs,
 )
@@ -84,6 +85,29 @@ def test_lsh_topk_is_exactly_rescored_subset(emb):
     for r in lsh:
         # candidates only from real corpus pairs, scored EXACTLY
         assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-12
+
+
+def test_block_gemm_matches_bruteforce_exactly(emb):
+    # the tiled GEMM is the same EXACT operator: identical pair set at
+    # every threshold, sims equal to the fold's within float noise;
+    # multiple block counts exercise diagonal + off-diagonal tiles
+    for threshold in (0.2, 0.5, 0.95):
+        brute = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in embedding_near_dup_bruteforce(
+                emb, id_col="vec_id", threshold=threshold
+            ).collect()
+        }
+        for blocks in (1, 4, 16):
+            gemm = {
+                (r.id_a, r.id_b): r.cosine_sim
+                for r in embedding_near_dup_block_gemm(
+                    emb, id_col="vec_id", threshold=threshold, blocks=blocks
+                ).collect()
+            }
+            assert gemm.keys() == brute.keys(), (threshold, blocks)
+            for p in brute:
+                assert abs(gemm[p] - brute[p]) < 1e-9
 
 
 def test_lsh_recall_of_planted_near_dup(emb):
