@@ -8,10 +8,13 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual catalog lives in
 ``etl_prometheus2clickhouse_spark/plans/catalog.py`` — one entry per
 SURVEY.md §2 operator plus the LLM-pipeline layer (dedup, similarity,
-text analysis, multimodal). Entries without an oracle (MinHash/SimHash/
-LSH — xxhash64 and seeded-numpy constructs DuckDB can't express) get
-the driver's weaker rows-only check; their semantics are pinned by
-pytest instead (tests/test_dedup.py, tests/test_similarity.py).
+text analysis, time-series, multimodal). EVERY entry has an oracle:
+the MinHash/SimHash/LSH variants (whose xxhash64 / seeded-numpy
+internals DuckDB can't express) are checked against exact-similarity
+SQL — sound because candidates are exact-rescored, and complete
+because their banding/radius parameters are tuned for verified
+recall 1.0 on this corpus (see each query's docstring; semantics
+additionally pinned by tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations

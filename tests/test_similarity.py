@@ -87,6 +87,25 @@ def test_lsh_topk_is_exactly_rescored_subset(emb):
         assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-12
 
 
+def test_arrow_topk_bounds_query_side(emb):
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_arrow(emb, emb, id_col="vec_id", k=2, max_queries=5)
+
+
+def test_arrow_topk_skips_null_corpus_vectors(spark, emb):
+    # a null embedding in the corpus must be skipped, not crash the UDF
+    withnull = emb.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    out = cosine_topk_arrow(
+        withnull, emb.where(F.col("vec_id") == 0), id_col="vec_id", k=100
+    ).collect()
+    assert all(r.neighbor_id != 999 for r in out)
+    assert len(out) == N - 1  # everyone else scored
+
+
 def test_block_gemm_matches_bruteforce_exactly(emb):
     # the tiled GEMM is the same EXACT operator: identical pair set at
     # every threshold, sims equal to the fold's within float noise;
