@@ -88,20 +88,44 @@ def sniff_media_type(col: Column | str) -> Column:
     )
 
 
+def _jpeg_sof_hexpos(hexhead: Column) -> Column:
+    """1-based hex-char position of the first aligned SOF0/1/2 marker
+    in the hex dump of the header region. Alignment check (odd hex
+    index = even byte boundary) rejects matches straddling two bytes;
+    a marker byte-sequence inside an earlier APPn payload can still
+    false-positive — acceptable for a header heuristic (real tooling
+    walks segments; that needs a UDF, not the scan path)."""
+    cands = []
+    for m in ("FFC0", "FFC1", "FFC2"):
+        p = F.locate(m, hexhead)
+        cands.append(F.when((p > 0) & (p % 2 == 1), p))
+    return F.least(*cands)
+
+
+def _hex_be_u16(hexstr: Column, pos: Column) -> Column:
+    return F.conv(F.substring(hexstr, pos, 4), 16, 10).cast("bigint")
+
+
 def extract_media_metadata(
     df: DataFrame, binary_col: str = "content"
 ) -> DataFrame:
     """Append typed metadata columns parsed from container headers.
 
     ``media_type``, ``byte_len`` always; ``width``/``height`` for
-    PNG (IHDR, big-endian at offset 17/21) and GIF (logical screen
-    descriptor, little-endian u16 at offset 7/9); ``sample_rate`` for
-    WAV (fmt chunk, little-endian u32 at offset 25). All JVM byte
-    arithmetic — the blob is read but never leaves the JVM, and a query
-    that later filters on these columns never touches the blob again.
+    PNG (IHDR, big-endian at offset 17/21), GIF (logical screen
+    descriptor, little-endian u16 at offset 7/9), and JPEG (SOF
+    frame header located by aligned marker scan over the first 4 KiB:
+    marker(2B) len(2B) precision(1B) height(2B) width(2B));
+    ``sample_rate`` for WAV (fmt chunk, little-endian u32 at offset
+    25); ``container_brand`` for MP4/ISO-BMFF (ftyp major brand at
+    offset 9). All JVM byte arithmetic — the blob is read but never
+    leaves the JVM, and a query that later filters on these columns
+    never touches the blob again.
     """
     c = F.col(binary_col)
     mt = sniff_media_type(c)
+    jhex = F.hex(F.substring(c, 1, 4096))
+    sof = _jpeg_sof_hexpos(jhex)
     return (
         df.withColumn("media_type", mt)
         .withColumn("byte_len", F.length(c).cast("bigint"))
@@ -109,17 +133,29 @@ def extract_media_metadata(
             "width",
             F.when(mt == "image/png", _be_u32(c, 17))
             .when(mt == "image/gif", _le_u16(c, 7))
+            .when(
+                (mt == "image/jpeg") & sof.isNotNull(),
+                _hex_be_u16(jhex, sof + 14),
+            )
             .cast("bigint"),
         )
         .withColumn(
             "height",
             F.when(mt == "image/png", _be_u32(c, 21))
             .when(mt == "image/gif", _le_u16(c, 9))
+            .when(
+                (mt == "image/jpeg") & sof.isNotNull(),
+                _hex_be_u16(jhex, sof + 10),
+            )
             .cast("bigint"),
         )
         .withColumn(
             "sample_rate",
             F.when(mt == "audio/wav", _le_u32(c, 25)).cast("bigint"),
+        )
+        .withColumn(
+            "container_brand",
+            F.when(mt == "video/mp4", F.decode(F.substring(c, 9, 4), "UTF-8")),
         )
     )
 

@@ -965,6 +965,67 @@ FROM part
 """
 
 
+def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG SOF header extraction over synthesized minimal JPEGs
+    (SOI + SOF0 frame header; height/width from the part table)."""
+    p = _t(spark, sf_dir, "part")
+    jpeg = F.unhex(
+        F.concat(
+            F.lit("FFD8FFC0001108"),
+            F.lpad(F.hex(F.col("p_size") * 3), 4, "0"),  # height u16
+            F.lpad(F.hex(F.col("p_size")), 4, "0"),      # width u16
+            F.lit("03"),
+        )
+    )
+    df = p.select(F.col("p_partkey"), jpeg.alias("content"))
+    return extract_media_metadata(df, "content").select(
+        "p_partkey", "media_type", "byte_len", "width", "height"
+    )
+
+
+ORACLE_MULTIMODAL_JPEG = """
+SELECT p_partkey,
+       'image/jpeg' AS media_type,
+       CAST(12 AS BIGINT) AS byte_len,
+       CAST(p_size AS BIGINT) AS width,
+       CAST(p_size * 3 AS BIGINT) AS height
+FROM part
+"""
+
+
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF ftyp parsing over synthesized MP4 headers: the video
+    slot of the multimodal layer — typed container metadata (major
+    brand) filterable without touching the blob."""
+    p = _t(spark, sf_dir, "part")
+    brand = F.element_at(
+        F.array(F.lit("isom"), F.lit("mp42"), F.lit("avc1")),
+        (F.col("p_partkey") % 3 + 1).cast("int"),
+    )
+    mp4 = F.unhex(
+        F.concat(
+            F.lit("0000001066747970"),
+            F.hex(F.encode(brand, "UTF-8")),
+            F.lit("00000200"),
+        )
+    )
+    df = p.select(F.col("p_partkey"), mp4.alias("content"))
+    return extract_media_metadata(df, "content").select(
+        "p_partkey", "media_type", "byte_len", "container_brand"
+    )
+
+
+ORACLE_MULTIMODAL_MP4 = """
+SELECT p_partkey,
+       'video/mp4' AS media_type,
+       CAST(16 AS BIGINT) AS byte_len,
+       CASE CAST(p_partkey % 3 AS INTEGER)
+            WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1'
+       END AS container_brand
+FROM part
+"""
+
+
 def q_multimodal_text_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary columns from document bytes: sniff fall-through +
     byte length + content hash."""
@@ -1387,6 +1448,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_lsh": q_cosine_topk_lsh,
     # multimodal
     "multimodal_png_meta": q_multimodal_png_meta,
+    "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
+    "multimodal_mp4_meta": q_multimodal_mp4_meta,
     "multimodal_text_meta": q_multimodal_text_meta,
     "decode_pixels": q_decode_pixels,
     "sample_frames": q_sample_frames,
@@ -1431,6 +1494,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_png_meta": ORACLE_MULTIMODAL_PNG,
+    "multimodal_jpeg_meta": ORACLE_MULTIMODAL_JPEG,
+    "multimodal_mp4_meta": ORACLE_MULTIMODAL_MP4,
     "multimodal_text_meta": ORACLE_MULTIMODAL_TEXT,
     "decode_pixels": ORACLE_DECODE_PIXELS,
     "sample_frames": ORACLE_SAMPLE_FRAMES,

@@ -52,6 +52,31 @@ def media_df(spark):
     return spark.createDataFrame(rows, "id bigint, content binary")
 
 
+def _jpeg(width: int, height: int) -> bytes:
+    # realistic shape: SOI, APP0/JFIF segment, THEN SOF0 — the marker
+    # scan must find the SOF past the APP0 payload
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + b"\x03"
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 8
+
+
+def test_jpeg_sof_and_mp4_brand(spark):
+    df = spark.createDataFrame(
+        [(1, _jpeg(1920, 1080)), (2, _mp4()), (3, b"\xff\xd8\xff\xdb" + b"\x00" * 8)],
+        "id bigint, content binary",
+    )
+    got = {r.id: r for r in extract_media_metadata(df, "content").collect()}
+    assert got[1].media_type == "image/jpeg"
+    assert (got[1].width, got[1].height) == (1920, 1080)
+    assert got[2].media_type == "video/mp4"
+    assert got[2].container_brand == "isom"
+    # a JPEG without any SOF marker: type sniffs, dimensions stay null
+    assert got[3].media_type == "image/jpeg"
+    assert got[3].width is None and got[3].height is None
+
+
 def test_sniff_and_header_metadata(media_df):
     got = {
         r.id: r
