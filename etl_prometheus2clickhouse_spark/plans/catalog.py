@@ -1278,6 +1278,54 @@ GROUP BY event_type
 """
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key percentiles (p50/p95/p99). Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the same linear-interpolation
+    definition and agree bit-for-bit on identical input doubles
+    (verified at sf0.01), so the doubles are emitted raw. Exact
+    percentile sorts within groups — the approximate sketch
+    (``percentile_approx``) is the 100 TB default; this entry is the
+    oracle-checkable exact face."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+ORACLE_EVENTS_QUANTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: per-type subtotals plus the grand total in one
+    pass (``rollup`` — Catalyst expands to a single aggregate over the
+    grouping-set union, not N scans)."""
+    ev = _events(spark, sf_dir)
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("sum_value_c"),
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY ROLLUP (event_type)
+"""
+
+
 def q_parts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: top-3 parts by retail price per brand."""
     from pyspark.sql import Window
@@ -1461,6 +1509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props": q_events_props,
     "events_rate": q_events_rate,
     "user_sessions": q_user_sessions,
+    "events_quantiles": q_events_quantiles,
+    "events_rollup": q_events_rollup,
     "parts_rank": q_parts_rank,
     "supplier_topk": q_supplier_topk,
 }
@@ -1506,6 +1556,8 @@ ORACLES: dict[str, str] = {
     "events_props": ORACLE_EVENTS_PROPS,
     "events_rate": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
+    "events_quantiles": ORACLE_EVENTS_QUANTILES,
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
 }
