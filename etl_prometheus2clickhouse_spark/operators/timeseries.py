@@ -63,6 +63,70 @@ def counter_rate(
     )
 
 
+def counter_rate_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "day",
+) -> DataFrame:
+    """Skew-proof :func:`counter_rate`: identical output, but the
+    window partitions on ``(keys, time-bucket)`` instead of the bare
+    series key, so one enormous series no longer lands in one task.
+
+    The price of splitting a series is that each bucket's FIRST sample
+    has its predecessor in the previous bucket. That gap is stitched
+    with a *slim* per-bucket frame — one row per (series, bucket)
+    carrying the bucket's last sample — which flows through its own
+    tiny window (ordered by bucket) and joins back onto only the
+    boundary rows. Data volume: full rows shuffle once by
+    (keys, bucket); the stitch frame is O(series × buckets).
+
+    This is the general recipe for any lag/lead-style window at 100 TB
+    with skewed keys: bucket the order column, window within buckets,
+    stitch boundaries through the aggregated bucket frame.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ts_sec = F.unix_micros(F.col(ts_col)) / 1_000_000.0
+    rows = df.select(*keys, b, ts_sec.alias("__t"), F.col(value_col).alias("__v"))
+
+    w = Window.partitionBy(*keys, "__b").orderBy("__t")
+    in_bucket = rows.select(
+        *keys,
+        "__b",
+        "__t",
+        "__v",
+        F.lag("__v").over(w).alias("__pv"),
+        F.lag("__t").over(w).alias("__pt"),
+    )
+
+    # slim stitch frame: last sample of each (series, bucket), shifted
+    # one bucket forward so it is the predecessor of the next bucket's
+    # first row
+    per_bucket = rows.groupBy(*keys, "__b").agg(
+        F.max_by(F.struct(F.col("__t"), F.col("__v")), F.col("__t")).alias("__last")
+    )
+    wb = Window.partitionBy(*keys).orderBy("__b")
+    stitch = per_bucket.select(
+        *keys,
+        "__b",
+        F.lag("__last").over(wb).alias("__prev_last"),
+    )
+
+    joined = in_bucket.join(stitch, [*keys, "__b"], "left")
+    pv = F.coalesce(F.col("__pv"), F.col("__prev_last.__v"))
+    pt = F.coalesce(F.col("__pt"), F.col("__prev_last.__t"))
+    delta = F.col("__v") - pv
+    increase = F.when(delta < 0, F.col("__v")).otherwise(delta)
+    dt = F.col("__t") - pt
+    return joined.select(
+        *keys,
+        F.col("__t").alias("ts_sec"),
+        F.when(pv.isNotNull(), increase).alias("increase"),
+        F.when(pv.isNotNull() & (dt > 0), increase / dt).alias("rate"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     keys: Sequence[str],

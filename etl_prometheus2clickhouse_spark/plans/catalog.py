@@ -1392,6 +1392,22 @@ FROM s
 """
 
 
+def q_events_rate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof variant of ``events_rate``: window partitioned on
+    (series, day-bucket) with boundary stitching through a slim
+    per-bucket frame — same oracle as the plain variant because the
+    semantics are identical; what changes is that a single giant
+    series can no longer pin the job to one task."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        counter_rate_bucketed,
+    )
+
+    ev = _events(spark, sf_dir)
+    return counter_rate_bucketed(
+        ev, ["event_type", "user_id"], ts_col="ts", value_col="value", bucket="day"
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h gap) aggregated to session stats —
     the classic behavior-pipeline op as lag → boundary flag →
@@ -1508,6 +1524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_props": q_events_props,
     "events_rate": q_events_rate,
+    "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions": q_user_sessions,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
@@ -1555,6 +1572,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_props": ORACLE_EVENTS_PROPS,
     "events_rate": ORACLE_EVENTS_RATE,
+    "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.operators.timeseries import (
     counter_rate,
+    counter_rate_bucketed,
     session_stats,
     sessionize,
 )
@@ -87,6 +88,36 @@ def test_session_stats_aggregates(spark):
     }
     assert got[("u1", 1)] == (2, 0.0, 100.0, 100.0)
     assert got[("u1", 2)] == (1, 5000.0, 5000.0, 0.0)
+
+
+def test_bucketed_rate_equals_plain_across_boundaries(spark):
+    # samples span 3 day-buckets with a counter RESET exactly on a
+    # bucket boundary — the stitch must hand the previous bucket's last
+    # sample to the next bucket's first row, including reset handling
+    day = 86_400
+    rows = [
+        ("a", 10, 5.0),
+        ("a", day - 10, 100.0),      # last of bucket 0
+        ("a", day + 10, 2.0),        # first of bucket 1: RESET vs 100
+        ("a", day + 500, 42.0),
+        ("a", 2 * day + 5, 50.0),    # first of bucket 2
+        ("b", day + 7, 1.0),         # other series: independent
+    ]
+    df = _series(spark, rows)
+    plain = {
+        (r.series, r.ts_sec): (r.increase, r.rate)
+        for r in counter_rate(df, ["series"]).collect()
+    }
+    bucketed = {
+        (r.series, r.ts_sec): (r.increase, r.rate)
+        for r in counter_rate_bucketed(df, ["series"], bucket="day").collect()
+    }
+    assert bucketed == plain
+    # spot-check the boundary reset itself
+    assert bucketed[("a", float(day + 10))] == (2.0, 2.0 / 20)
+    # and every series' very first sample is still unrated
+    assert bucketed[("a", 10.0)] == (None, None)
+    assert bucketed[("b", float(day + 7))] == (None, None)
 
 
 def test_counter_rate_single_window_plan(spark):
