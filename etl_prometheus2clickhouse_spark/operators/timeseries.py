@@ -160,19 +160,98 @@ def sessionize(
     )
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    bucket: str = "day",
+) -> DataFrame:
+    """Skew-proof :func:`sessionize`: identical session ids, windows
+    partitioned on ``(keys, time-bucket)``.
+
+    Two stitches are needed (vs one for :func:`counter_rate_bucketed`):
+
+    1. each bucket's FIRST row decides its boundary flag against the
+       previous bucket's LAST timestamp (slim frame, as for rate);
+    2. session ids are global running counts, so each bucket adds the
+       TOTAL boundary count of all earlier buckets as an offset —
+       a cumulative sum over the same slim frame.
+
+    Full rows shuffle once by (keys, bucket); everything else moves
+    O(series × buckets) rows.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ts_sec = F.unix_micros(F.col(ts_col)) / 1_000_000.0
+    rows = df.select(*keys, b, ts_sec.alias("__t"))
+
+    w = Window.partitionBy(*keys, "__b").orderBy("__t")
+    flagged = rows.select(
+        *keys,
+        "__b",
+        "__t",
+        # mid-bucket boundary flags; the bucket's first row stays NULL
+        # until the stitch decides it
+        F.when(
+            F.lag("__t").over(w).isNotNull(),
+            ((F.col("__t") - F.lag("__t").over(w)) > gap_seconds).cast("long"),
+        ).alias("__mid_flag"),
+    )
+
+    per_bucket = flagged.groupBy(*keys, "__b").agg(
+        F.min("__t").alias("__first_t"),
+        F.max("__t").alias("__last_t"),
+        F.coalesce(F.sum("__mid_flag"), F.lit(0)).alias("__n_mid"),
+    )
+    wb = Window.partitionBy(*keys).orderBy("__b")
+    first_flag = F.when(
+        F.lag("__last_t").over(wb).isNull()
+        | ((F.col("__first_t") - F.lag("__last_t").over(wb)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stitch = per_bucket.select(
+        *keys,
+        "__b",
+        first_flag.alias("__first_flag"),
+        (
+            F.sum(first_flag + F.col("__n_mid")).over(run)
+            - (first_flag + F.col("__n_mid"))
+        ).alias("__offset"),
+    )
+
+    joined = flagged.join(stitch, [*keys, "__b"])
+    flag = F.coalesce(F.col("__mid_flag"), F.col("__first_flag"))
+    running = Window.partitionBy(*keys, "__b").orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        *keys,
+        F.col("__t").alias("ts_sec"),
+        (F.col("__offset") + F.sum(flag).over(running)).alias("session_id"),
+    )
+
+
 def session_stats(
     df: DataFrame,
     keys: Sequence[str],
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     value_col: str | None = None,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Aggregate sessionized events to one row per (keys, session_id):
     event count, start/end seconds, duration. Partial aggregation
     collapses each session map-side before the (keys, session_id)
     exchange, so the second shuffle moves one row per session, not per
-    event."""
-    s = sessionize(df, keys, ts_col, gap_seconds)
+    event. ``bucket`` (e.g. "day") switches to the skew-proof
+    :func:`sessionize_bucketed` — identical ids, bounded task size."""
+    if bucket is None:
+        s = sessionize(df, keys, ts_col, gap_seconds)
+    else:
+        s = sessionize_bucketed(df, keys, ts_col, gap_seconds, bucket)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts_sec").alias("start_sec"),

@@ -1426,6 +1426,26 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sessionization (day-bucketed windows with
+    boundary-flag and id-offset stitching) — same oracle as the plain
+    variant because the session ids are identical by construction."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import session_stats
+
+    ev = _events(spark, sf_dir)
+    out = session_stats(
+        ev, ["user_id"], ts_col="ts", gap_seconds=3600, bucket="day"
+    )
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "start_sec",
+        "end_sec",
+        "duration_sec",
+    )
+
+
 ORACLE_USER_SESSIONS = """
 WITH s AS (
   SELECT user_id, epoch_us(ts) / 1000000.0 AS ts_sec,
@@ -1526,6 +1546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rate": q_events_rate,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions": q_user_sessions,
+    "user_sessions_bucketed": q_user_sessions_bucketed,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
     "parts_rank": q_parts_rank,
@@ -1574,6 +1595,7 @@ ORACLES: dict[str, str] = {
     "events_rate": ORACLE_EVENTS_RATE,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
+    "user_sessions_bucketed": ORACLE_USER_SESSIONS,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,

@@ -12,6 +12,7 @@ from etl_prometheus2clickhouse_spark.operators.timeseries import (
     counter_rate_bucketed,
     session_stats,
     sessionize,
+    sessionize_bucketed,
 )
 
 
@@ -118,6 +119,36 @@ def test_bucketed_rate_equals_plain_across_boundaries(spark):
     # and every series' very first sample is still unrated
     assert bucketed[("a", 10.0)] == (None, None)
     assert bucketed[("b", float(day + 7))] == (None, None)
+
+
+def test_bucketed_sessionize_equals_plain(spark):
+    # sessions that continue across a bucket boundary, break exactly at
+    # one, and multiple sessions inside one bucket — ids must match the
+    # single-window operator everywhere
+    day = 86_400
+    gap = 1800
+    rows = [
+        ("u", 100, 0.0),
+        ("u", day - 60, 0.0),          # same? gap > 1800 → new session
+        ("u", day + 60, 0.0),          # continues across the boundary (120s gap)
+        ("u", day + 60 + gap + 1, 0.0),  # new session inside bucket 1
+        ("u", 3 * day, 0.0),           # far later → new session, skipped bucket
+        ("v", day + 5, 0.0),
+    ]
+    df = _series(spark, rows)
+    plain = {
+        (r.series, r.ts_sec): r.session_id
+        for r in sessionize(df, ["series"], gap_seconds=gap).collect()
+    }
+    bucketed = {
+        (r.series, r.ts_sec): r.session_id
+        for r in sessionize_bucketed(
+            df, ["series"], gap_seconds=gap, bucket="day"
+        ).collect()
+    }
+    assert bucketed == plain
+    assert bucketed[("u", float(day + 60))] == bucketed[("u", float(day - 60))]
+    assert bucketed[("u", float(3 * day))] == bucketed[("u", float(day + 60))] + 2
 
 
 def test_counter_rate_single_window_plan(spark):
