@@ -1,0 +1,98 @@
+"""Temporal joins Spark lacks as built-ins — expressed as compositions
+of existing DataFrame ops (no UDFs, no custom physical operators).
+
+:func:`asof_join` — for each left row, attach the most recent right
+row of the same key with ``right_ts <= left_ts`` (backward as-of, the
+market-data/config-lookup join). The classic scalable formulation:
+
+    tag both sides → union → one window per key ordered by
+    (ts, side-tag) → ``last(right payload, ignorenulls)`` carries the
+    latest right values forward onto every left row.
+
+Why union+window instead of a join: a naive inequality join is a
+per-key cross product (O(n·m) per key); the union sorts each key ONCE
+and streams it — the same single shuffle+sort any keyed window costs,
+independent of match fan-out. Right-side rows sort before left rows at
+equal timestamps, so the match is inclusive (``<=``), matching DuckDB
+``ASOF JOIN``'s semantics (its oracle in the catalog).
+
+Skew note: a single giant key is the usual keyed-window failure mode;
+the bucket-window-stitch recipe in ``operators/timeseries.py`` applies
+here identically (carry the per-bucket last right-payload through the
+slim frame) if a deployment needs it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: left rows + latest right values at or
+    before the left timestamp (NULLs when no right row precedes).
+
+    ``right`` must be unique per ``(on, right_ts)`` — dedupe first if
+    not (ties would make "the most recent row" ambiguous in ANY as-of
+    implementation). ``tolerance_seconds`` optionally voids matches
+    older than the window (pandas ``merge_asof`` tolerance semantics).
+    Output: all left columns + the right side's non-key, non-ts columns.
+    """
+    on = list(on)
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    lcols = [c for c in left.columns]
+
+    tagged_r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+
+    # right rows (__side=0) sort before left rows at equal __ts →
+    # inclusive (<=) matching
+    w = Window.partitionBy(*on).orderBy("__ts", "__side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in rcols
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__m_ts"),
+    )
+    out = carried.where(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = F.col("__m_ts") < (
+            F.col("__ts") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        )
+        matched = [
+            F.when(~stale, F.col(f"__m_{c}")).alias(c) for c in rcols
+        ]
+    else:
+        matched = [F.col(f"__m_{c}").alias(c) for c in rcols]
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *matched,
+    )

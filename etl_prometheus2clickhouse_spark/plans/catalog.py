@@ -1278,6 +1278,59 @@ GROUP BY event_type
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py): every event picks the
+    most recent per-type "config" row at or before its timestamp —
+    the union-and-window formulation (one keyed sort, no per-key cross
+    product). The config timeline is synthesized from orders; DuckDB's
+    native ASOF LEFT JOIN is the oracle."""
+    from etl_prometheus2clickhouse_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    o = _t(spark, sf_dir, "orders")
+    etype = F.element_at(
+        F.array(*[F.lit(x) for x in ["click", "view", "purchase", "signup", "error"]]),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    cfg = (
+        o.select(
+            etype.alias("event_type"),
+            F.col("o_orderdate").alias("rts"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("threshold_c"),
+        )
+        # unique per (key, ts): ties would make "most recent" ambiguous
+        .groupBy("event_type", "rts")
+        .agg(F.max("threshold_c").alias("threshold_c"))
+    )
+    out = asof_join(ev, cfg, ["event_type"], left_ts="ts", right_ts="rts")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("ts"),
+        "threshold_c",
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH cfg AS (
+  SELECT CASE CAST(o_orderkey % 5 AS INTEGER)
+              WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+              WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+         o_orderdate AS rts,
+         CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS threshold_c
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts,
+       cfg.threshold_c
+FROM events e
+ASOF LEFT JOIN cfg ON e.event_type = cfg.event_type AND e.ts >= cfg.rts
+"""
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-key percentiles (p50/p95/p99). Spark's ``percentile``
     and DuckDB's ``quantile_cont`` share the same linear-interpolation
@@ -1547,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions": q_user_sessions,
     "user_sessions_bucketed": q_user_sessions_bucketed,
+    "events_asof": q_events_asof,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
     "parts_rank": q_parts_rank,
@@ -1596,6 +1650,7 @@ ORACLES: dict[str, str] = {
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,
+    "events_asof": ORACLE_EVENTS_ASOF,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,

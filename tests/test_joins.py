@@ -1,0 +1,61 @@
+"""Backward as-of join semantics: inclusive matching, no-predecessor
+NULLs, per-key isolation, tolerance voiding (operators/joins.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from etl_prometheus2clickhouse_spark.operators.joins import asof_join
+
+
+def _ts(sec: int):
+    return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts(50), 1),   # before any right row → NULL
+            ("a", _ts(100), 2),  # equal ts → inclusive match
+            ("a", _ts(150), 3),  # between updates → first config
+            ("a", _ts(250), 4),  # after second update
+            ("b", _ts(300), 5),  # other key: no right rows at all
+        ],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(100), 10.0), ("a", _ts(200), 20.0)],
+        "k string, ts timestamp, cfg double",
+    )
+    got = {r.eid: r.cfg for r in asof_join(left, right, ["k"]).collect()}
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: None}
+
+
+def test_asof_join_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(1000), 1), ("a", _ts(5000), 2)],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(900), 7.0)], "k string, ts timestamp, cfg double"
+    )
+    got = {
+        r.eid: r.cfg
+        for r in asof_join(
+            left, right, ["k"], tolerance_seconds=500
+        ).collect()
+    }
+    assert got == {1: 7.0, 2: None}  # 4100 s stale > 500 s tolerance
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(i), i) for i in range(100)],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(50), 1.0)], "k string, ts timestamp, cfg double"
+    )
+    out = asof_join(left, right, ["k"])
+    assert out.count() == 100  # never fans out or drops left rows
+    assert out.columns == ["k", "ts", "eid", "cfg"]
