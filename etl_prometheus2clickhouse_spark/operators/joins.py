@@ -26,8 +26,80 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ts_seconds(df: DataFrame, col: str) -> Column:
+    """Epoch seconds (double, µs precision) from a timestamp,
+    timestamp_ntz, or numeric-seconds column — WITHOUT consulting the
+    session timezone. TZ-sensitive coercions (NTZ→LTZ casts,
+    unix_timestamp) would make join results depend on whoever created
+    the SparkSession; NTZ columns are differenced against the NTZ epoch
+    instead (wall time interpreted as UTC, matching how engines that
+    store naive timestamps — DuckDB, ClickHouse — compare them)."""
+    t = dict(df.dtypes)[col]
+    if t == "timestamp_ntz":
+        return (
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+            )
+            / 1_000_000.0
+        )
+    if t.startswith("timestamp"):
+        return F.unix_micros(F.col(col)) / 1_000_000.0
+    return F.col(col).cast("double")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval-containment join: left rows × right intervals of the
+    same key with ``start <= ts <= end`` (inner; one output row per
+    matching pair — fan-out is the semantics).
+
+    Spark plans a raw inequality join as a nested loop; the scalable
+    shape buckets time: each right interval explodes into one slim row
+    per covered bucket, each left row computes its single bucket, and
+    the join becomes an equi-join on ``(key, bucket)`` followed by the
+    exact BETWEEN filter. A (row, interval) pair can only meet in the
+    row's own bucket, so no dedup is needed. Size ``bucket_seconds``
+    near the typical interval length: the explode factor is
+    ``interval/bucket + 1`` and candidate precision is
+    ``interval/(interval + bucket)``.
+    """
+    on = list(on)
+    g = int(bucket_seconds)
+    l_sec = _ts_seconds(left, left_ts)
+    s_sec = _ts_seconds(right, start_col)
+    e_sec = _ts_seconds(right, end_col)
+    l_tagged = left.withColumn("__sec", l_sec).withColumn(
+        "__bucket", F.floor(F.col("__sec") / g).cast("long")
+    )
+    r_exploded = (
+        right.withColumn("__s", s_sec)
+        .withColumn("__e", e_sec)
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s") / g).cast("long"),
+                    F.floor(F.col("__e") / g).cast("long"),
+                )
+            ),
+        )
+    )
+    joined = l_tagged.join(r_exploded, [*on, "__bucket"]).where(
+        (F.col("__sec") >= F.col("__s")) & (F.col("__sec") <= F.col("__e"))
+    )
+    return joined.drop("__bucket", "__sec", "__s", "__e")
 
 
 def asof_join(
@@ -53,14 +125,14 @@ def asof_join(
 
     tagged_r = right.select(
         *on,
-        F.col(right_ts).alias("__ts"),
+        _ts_seconds(right, right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
     )
     tagged_l = left.select(
         *on,
-        F.col(left_ts).alias("__ts"),
+        _ts_seconds(left, left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
@@ -84,9 +156,9 @@ def asof_join(
     )
     out = carried.where(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        stale = F.col("__m_ts") < (
-            F.col("__ts") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
-        )
+        # __ts is epoch seconds (see _ts_seconds) — plain arithmetic,
+        # no interval types, no session-timezone dependence
+        stale = F.col("__m_ts") < (F.col("__ts") - F.lit(float(tolerance_seconds)))
         matched = [
             F.when(~stale, F.col(f"__m_{c}")).alias(c) for c in rcols
         ]

@@ -1331,6 +1331,60 @@ ASOF LEFT JOIN cfg ON e.event_type = cfg.event_type AND e.ts >= cfg.rts
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/joins.py): events × per-type
+    promo windows synthesized from orders (1-7 day intervals), joined
+    via day-bucketed equi-join + exact BETWEEN filter instead of a
+    nested-loop inequality join. Aggregated per event_type so the
+    result is compact; the oracle is a plain DuckDB inequality join."""
+    from etl_prometheus2clickhouse_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    o = _t(spark, sf_dir, "orders")
+    etype = F.element_at(
+        F.array(*[F.lit(x) for x in ["click", "view", "purchase", "signup", "error"]]),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    promos = o.select(
+        etype.alias("event_type"),
+        F.col("o_orderdate").alias("start_ts"),
+        (
+            F.col("o_orderdate")
+            + F.make_dt_interval(F.col("o_orderkey") % 7 + 1)
+        ).alias("end_ts"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("promo_c"),
+    )
+    pairs = range_join(ev, promos, ["event_type"], left_ts="ts")
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("promo_c").alias("sum_promo_c"),
+        F.countDistinct("event_id").alias("n_events_covered"),
+    )
+
+
+ORACLE_EVENTS_RANGE_JOIN = """
+WITH promos AS (
+  SELECT CASE CAST(o_orderkey % 5 AS INTEGER)
+              WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+              WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+         o_orderdate AS start_ts,
+         o_orderdate + to_days(CAST(o_orderkey % 7 + 1 AS INTEGER)) AS end_ts,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS promo_c
+  FROM orders
+)
+SELECT e.event_type,
+       count(*) AS n_pairs,
+       CAST(sum(p.promo_c) AS BIGINT) AS sum_promo_c,
+       count(DISTINCT e.event_id) AS n_events_covered
+FROM events e
+JOIN promos p
+  ON e.event_type = p.event_type AND e.ts BETWEEN p.start_ts AND p.end_ts
+GROUP BY e.event_type
+"""
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-key percentiles (p50/p95/p99). Spark's ``percentile``
     and DuckDB's ``quantile_cont`` share the same linear-interpolation
@@ -1601,6 +1655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "user_sessions_bucketed": q_user_sessions_bucketed,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
     "parts_rank": q_parts_rank,
@@ -1651,6 +1706,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": ORACLE_USER_SESSIONS,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,
     "events_asof": ORACLE_EVENTS_ASOF,
+    "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,
