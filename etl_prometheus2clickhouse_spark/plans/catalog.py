@@ -1433,6 +1433,57 @@ GROUP BY ROLLUP (event_type)
 """
 
 
+def q_events_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and
+    per-type totals in ONE aggregation pass via GROUPING SETS
+    (Catalyst expands the set union inside a single aggregate — not
+    three scans). Buckets are epoch arithmetic, not date_trunc, so the
+    result is independent of the session timezone."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 1_000_000 / 3600) * 3600)
+        .cast("long")
+        .alias("hour_ts"),
+        (F.floor(F.unix_micros("ts") / 1_000_000 / 86400) * 86400)
+        .cast("long")
+        .alias("day_ts"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_c"),
+    )
+    return spark.sql(
+        """
+        SELECT event_type, hour_ts, day_ts,
+               CAST(2 * grouping(hour_ts) + grouping(day_ts) AS INT) AS gid,
+               count(*) AS n_events,
+               sum(v_c) AS sum_value_c
+        FROM {base}
+        GROUP BY GROUPING SETS (
+            (event_type, hour_ts), (event_type, day_ts), (event_type)
+        )
+        """,
+        base=base,
+    )
+
+
+ORACLE_EVENTS_MULTIRES = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_ts,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+  FROM events
+)
+SELECT event_type, hour_ts, day_ts,
+       CAST(2 * grouping(hour_ts) + grouping(day_ts) AS INT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM base
+GROUP BY GROUPING SETS (
+    (event_type, hour_ts), (event_type, day_ts), (event_type)
+)
+"""
+
+
 def q_parts_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: top-3 parts by retail price per brand."""
     from pyspark.sql import Window
@@ -1658,6 +1709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
+    "events_multires": q_events_multires,
     "parts_rank": q_parts_rank,
     "supplier_topk": q_supplier_topk,
 }
@@ -1709,6 +1761,7 @@ ORACLES: dict[str, str] = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
+    "events_multires": ORACLE_EVENTS_MULTIRES,
     "parts_rank": ORACLE_PARTS_RANK,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
 }
