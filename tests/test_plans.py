@@ -124,6 +124,24 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark):
     assert p.count("Exchange") - p.count("BroadcastExchange") == 1
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the whole point of the bucketed formulation: Catalyst must plan a
+    # hash/sort-merge equi-join on (key, bucket), never the nested-loop
+    # or cartesian fallback a raw inequality join degenerates to
+    p = _plan(spark, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("HashJoin" in p)
+
+
+def test_asof_join_is_one_keyed_window(spark):
+    # union + single window: exactly one sort over the unioned data,
+    # no join operator at all in the matching stage
+    p = _plan(spark, "events_asof")
+    assert "Window" in p
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 @pytest.mark.parametrize("name", ["embedding_near_dup", "cosine_topk_lsh"])
 def test_lsh_band_rows_not_vectors_in_candidate_join(spark, name):
     # the band explode and the candidate-dedup shuffle must carry only
