@@ -109,11 +109,14 @@ def main() -> None:
     )
     # signature width must grow with corpus size: 16 bits over 20k
     # vectors leaves ~1.2k-vector buckets whose candidate volume
-    # degenerates to all-pairs (measured 8-470s depending on load —
-    # dominated by rescoring tens of millions of candidates); 64 bits /
-    # 8-bit bands keeps buckets ~80 (measured ~70s) and identical-copy
-    # near-dups still collide with certainty. On corpora without
-    # selective structure the exact block-GEMM above simply wins.
+    # degenerates to all-pairs (measured minutes — dominated by
+    # rescoring tens of millions of candidates); 64 bits / 8-bit bands
+    # keeps buckets ~80 (measured ~15s, quiet machine) and
+    # identical-copy near-dups still collide with certainty. Reference
+    # numbers at K=10 after the round-3 kernels (quiet machine):
+    # exact_dedup 1.1s, minhash 14.8s (0 drops), simhash_verified 7.8s
+    # (the Hamming pre-filter cut it from 80s), block_gemm 14.6s,
+    # lsh-64bit 15.4s.
     run(
         "near_dup_lsh(0.9, 64-bit sig)",
         lambda: embedding_near_dup_pairs(
