@@ -34,7 +34,15 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "events_hourly",
     "events_rate",
+    "events_rate_bucketed",
     "user_sessions",
+    "user_sessions_bucketed",
+    # temporal joins + multi-resolution rollups
+    "events_asof",
+    "events_range_join",
+    "events_multires",
+    "events_rollup",
+    "events_quantiles",
     # LLM layer
     "text_stats",
     "quality_score",

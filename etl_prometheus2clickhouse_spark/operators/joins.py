@@ -29,27 +29,17 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.functions.ts import epoch_seconds
+
 
 def _ts_seconds(df: DataFrame, col: str) -> Column:
     """Epoch seconds (double, µs precision) from a timestamp,
     timestamp_ntz, or numeric-seconds column — WITHOUT consulting the
     session timezone. TZ-sensitive coercions (NTZ→LTZ casts,
     unix_timestamp) would make join results depend on whoever created
-    the SparkSession; NTZ columns are differenced against the NTZ epoch
-    instead (wall time interpreted as UTC, matching how engines that
-    store naive timestamps — DuckDB, ClickHouse — compare them)."""
-    t = dict(df.dtypes)[col]
-    if t == "timestamp_ntz":
-        return (
-            F.expr(
-                "timestampdiff(MICROSECOND, "
-                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
-            )
-            / 1_000_000.0
-        )
-    if t.startswith("timestamp"):
-        return F.unix_micros(F.col(col)) / 1_000_000.0
-    return F.col(col).cast("double")
+    the SparkSession; see :func:`functions.ts.epoch_seconds` (the
+    engine-wide dispatch this delegates to)."""
+    return epoch_seconds(df, col)
 
 
 def range_join(

@@ -28,6 +28,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.functions.ts import epoch_seconds
+
 
 def counter_rate(
     df: DataFrame,
@@ -49,7 +51,7 @@ def counter_rate(
     Output: input keys + ``ts_sec``, ``increase``, ``rate``.
     """
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    ts_sec = F.unix_micros(F.col(ts_col)) / 1_000_000.0
+    ts_sec = epoch_seconds(df, ts_col)
     prev_v = F.lag(value_col).over(w)
     prev_t = F.lag(ts_sec).over(w)
     delta = F.col(value_col) - prev_v
@@ -87,7 +89,7 @@ def counter_rate_bucketed(
     stitch boundaries through the aggregated bucket frame.
     """
     b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
-    ts_sec = F.unix_micros(F.col(ts_col)) / 1_000_000.0
+    ts_sec = epoch_seconds(df, ts_col)
     rows = df.select(*keys, b, ts_sec.alias("__t"), F.col(value_col).alias("__v"))
 
     w = Window.partitionBy(*keys, "__b").orderBy("__t")
@@ -145,7 +147,7 @@ def sessionize(
     Output: input keys + ``ts_sec``, ``session_id``.
     """
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    ts_sec = F.unix_micros(F.col(ts_col)) / 1_000_000.0
+    ts_sec = epoch_seconds(df, ts_col)
     prev_t = F.lag(ts_sec).over(w)
     new_session = (
         prev_t.isNull() | ((ts_sec - prev_t) > gap_seconds)
@@ -182,7 +184,7 @@ def sessionize_bucketed(
     O(series × buckets) rows.
     """
     b = F.date_trunc(bucket, F.col(ts_col)).alias("__b")
-    ts_sec = F.unix_micros(F.col(ts_col)) / 1_000_000.0
+    ts_sec = epoch_seconds(df, ts_col)
     rows = df.select(*keys, b, ts_sec.alias("__t"))
 
     w = Window.partitionBy(*keys, "__b").orderBy("__t")

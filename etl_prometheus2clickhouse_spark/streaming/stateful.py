@@ -90,11 +90,13 @@ def streaming_counter_rate(
     """
     from pyspark.sql import functions as F
 
+    from etl_prometheus2clickhouse_spark.functions.ts import epoch_micros
+
     prepared = (
         events.withWatermark(ts_col, watermark_delay)
         .select(
             F.col(key_col).alias("series"),
-            F.unix_micros(ts_col).alias("ts_us"),
+            epoch_micros(events, ts_col).alias("ts_us"),
             F.col(value_col).cast("double").alias("value"),
             F.col(ts_col),
         )

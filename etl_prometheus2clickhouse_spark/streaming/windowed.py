@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.functions.ts import epoch_micros
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -33,7 +35,7 @@ def windowed_event_counts(
     ``hour_ts`` (window start, epoch seconds), key, ``n_events``,
     ``sum_value_c`` (cents BIGINT — catalog output discipline).
     """
-    return (
+    agged = (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
         .agg(
@@ -42,12 +44,14 @@ def windowed_event_counts(
                 (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
             ).alias("sum_value_c"),
         )
-        .select(
-            F.floor(F.unix_micros("w.start") / 1_000_000)
-            .cast("long")
-            .alias("hour_ts"),
-            key_col,
-            "n_events",
-            "sum_value_c",
-        )
+    )
+    # window struct inherits ts_col's flavor (NTZ in → NTZ out);
+    # epoch_micros dispatches on the nested field's actual dtype
+    return agged.select(
+        F.floor(epoch_micros(agged, "w.start") / 1_000_000)
+        .cast("long")
+        .alias("hour_ts"),
+        key_col,
+        "n_events",
+        "sum_value_c",
     )

@@ -14,8 +14,10 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_near_dup_block_gemm,
+    embedding_near_dup_auto,
     embedding_near_dup_bruteforce,
     embedding_near_dup_pairs,
+    plan_near_dup,
 )
 
 DIM = 16
@@ -190,3 +192,77 @@ def test_opposite_vectors(emb, vectors):
         .collect()
     )
     assert got == []  # cosine(v, -v) = -1 never passes a 0.95 threshold
+
+
+# ---------------------------------------------------------------------------
+# self-sizing planner (plan_near_dup / embedding_near_dup_auto)
+# ---------------------------------------------------------------------------
+
+
+def test_planner_low_threshold_routes_to_exact_gemm():
+    """At a low threshold banding is non-selective (p≈0.63/bit): no
+    band width keeps background candidates sub-quadratic, so the
+    planner must pick the exact block-GEMM — the round-3 verdict's
+    regime, now decided analytically instead of benchmarked into a
+    docstring."""
+    plan = plan_near_dup(n=2_000, dim=64, threshold=0.4)
+    assert plan.strategy == "gemm"
+
+
+def test_planner_small_corpus_routes_to_exact_gemm():
+    # n² is tiny — exact wins below the LSH per-row overhead floor
+    assert plan_near_dup(n=100, dim=64, threshold=0.95).strategy == "gemm"
+
+
+def test_planner_large_corpus_high_threshold_routes_to_lsh():
+    plan = plan_near_dup(n=1_000_000, dim=64, threshold=0.95)
+    assert plan.strategy == "lsh"
+    assert plan.bands * plan.bits_per_band == plan.nbits
+    assert plan.est_cost < plan.est_cost_gemm
+
+
+def test_planner_candidates_stay_subquadratic():
+    """The sizing guarantee itself: background candidate volume grows
+    at most linearly in n (≤ cand_per_row · n), and the signature
+    width GROWS with the corpus — the fixed-nbits degeneration the
+    scale smoke recorded in round 3 cannot happen by construction."""
+    cap = 32.0
+    widths = []
+    for n in (10**5, 10**6, 10**7):
+        plan = plan_near_dup(n=n, dim=64, threshold=0.95, cand_per_row=cap)
+        assert plan.strategy == "lsh"
+        assert plan.est_bg_candidates <= cap * n
+        widths.append(plan.bits_per_band)
+    assert widths == sorted(widths) and widths[-1] > widths[0]
+
+
+def test_planner_recall_sizing_math():
+    """bands must actually deliver the recall target at the threshold:
+    1 − (1 − p^r)^b ≥ recall with p the Goemans–Williamson bit
+    agreement probability."""
+    import math
+
+    recall, t = 0.999, 0.95
+    plan = plan_near_dup(n=1_000_000, dim=64, threshold=t, recall=recall)
+    p = 1.0 - math.acos(t) / math.pi
+    achieved = 1.0 - (1.0 - p**plan.bits_per_band) ** plan.bands
+    assert achieved >= recall
+
+
+def test_auto_route_matches_bruteforce_exactly(emb):
+    """The auto front door at this corpus/threshold routes to the
+    exact GEMM, so its output must equal the all-pairs brute force
+    bit-for-bit."""
+    got = {
+        (r.id_a, r.id_b, round(r.cosine_sim, 9))
+        for r in embedding_near_dup_auto(
+            emb, dim=DIM, id_col="vec_id", threshold=0.4
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.cosine_sim, 9))
+        for r in embedding_near_dup_bruteforce(
+            emb, id_col="vec_id", threshold=0.4
+        ).collect()
+    }
+    assert got == want and len(want) > 0
