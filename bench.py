@@ -20,6 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope  # noqa: E402
 from etl_prometheus2clickhouse_spark.plans.catalog import QUERIES  # noqa: E402
 from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -82,9 +83,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        # scope per query: each run leaves zero persisted partitions
+        # behind, so a 28-query suite can't accumulate storage memory
+        with cached_scope():
+            df = QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
     print(

@@ -27,31 +27,72 @@ estimation, Charikar's SimHash (public literature; see PAPERS.md).
 
 from __future__ import annotations
 
-from typing import Sequence
+from contextlib import contextmanager
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Every intermediate an operator persists is also recorded here, so a
+# scope can free them without the caller holding the right DataFrame
+# object. The earlier contract ("call release_cached(result) on the
+# operator's return value") silently broke the moment a caller did
+# result.select(...) — the new Python object doesn't carry the
+# attribute — which is exactly what every catalog entry does.
+_LIVE_CACHES: list[DataFrame] = []
+
+
 def release_cached(df: DataFrame) -> None:
     """Unpersist intermediate frames an operator cached for plan reuse.
 
-    The LSH operators persist slim intermediates (shingle-hash tables,
-    band rows) because several plan branches consume them; in a
-    long-lived session those cached partitions would otherwise
-    accumulate until LRU pressure. After materializing the result
-    (collect/write), call ``release_cached(result)`` to free them.
-    No-op for DataFrames without cached dependencies."""
+    Operator results carry their persisted dependencies; call after
+    materializing (collect/write) to free them. No-op for DataFrames
+    without cached dependencies. Prefer :func:`cached_scope`, which
+    needs no attribute plumbing and survives re-selection."""
     for dep in getattr(df, "_cached_deps", ()):
-        try:
-            dep.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+        _release(dep)
+
+
+def _release(dep: DataFrame) -> None:
+    try:
+        dep.unpersist()
+    except Exception:  # session already stopped — nothing to free
+        pass
+    try:
+        _LIVE_CACHES.remove(dep)
+    except ValueError:
+        pass
+
+
+@contextmanager
+def cached_scope() -> Iterator[None]:
+    """Free every intermediate persisted by operators inside the block.
+
+    Materialize results (collect/write) INSIDE the block — after exit
+    their cached inputs are gone and any re-run recomputes them::
+
+        with cached_scope():
+            pairs = minhash_lsh_pairs(docs)
+            pairs.write.parquet(out)
+
+    This is the long-lived-session contract: N queries under N scopes
+    leave zero persisted partitions behind (pinned by
+    tests/test_dedup.py). Scopes nest (inner releases only its own);
+    single-threaded by design, like the driver-side plan building it
+    wraps."""
+    mark = len(_LIVE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_LIVE_CACHES) > mark:
+            _release(_LIVE_CACHES[-1])
 
 
 def _with_cached_deps(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
     df._cached_deps = deps  # type: ignore[attr-defined]
+    _LIVE_CACHES.extend(deps)
     return df
 
 

@@ -21,6 +21,7 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope  # noqa: E402
 from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
@@ -65,8 +66,9 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
+            with cached_scope():
+                sdf = fn(spark, SF_DIR)
+                srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)

@@ -223,3 +223,36 @@ def test_short_text_single_shingle(spark):
         shingle_hashes(F.col("text"), 3).alias("h"),
     ).first()
     assert r.s == ["two words"] and len(r.h) == 1
+
+
+def test_cached_scope_releases_even_after_reselect(spark, corpus):
+    """The round-3 leak: catalog entries re-select the operator output,
+    dropping the `_cached_deps` attribute, so release_cached(result)
+    silently freed nothing. cached_scope frees by registry, not by
+    attribute — the re-selected frame doesn't matter."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    with cached_scope():
+        out = minhash_lsh_pairs(corpus, "id", threshold=0.5).select("id_a")
+        out.collect()
+        assert n_persisted() > base  # intermediates really were cached
+    assert n_persisted() == base
+
+
+def test_cached_scope_long_lived_session_no_growth(spark, corpus):
+    """10 runs under 10 scopes must leave storage memory flat — the
+    long-lived-session contract (one-shot driver runs never noticed)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    for _ in range(10):
+        with cached_scope():
+            minhash_lsh_pairs(corpus, "id", threshold=0.5).collect()
+    assert n_persisted() == base
