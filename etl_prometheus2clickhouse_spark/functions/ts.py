@@ -82,6 +82,21 @@ def epoch_seconds(df: DataFrame, col: str) -> Column:
     return F.col(col).cast("double")
 
 
+def to_instant(df: DataFrame, col: str) -> DataFrame:
+    """Normalize ``col`` in place to ``timestamp`` (LTZ) carrying the
+    same instant (NTZ wall time read as UTC). Structured Streaming
+    watermarks REQUIRE the LTZ type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    otherwise), so streaming entry points normalize with this instead
+    of :func:`to_ntz`. Downstream epoch math stays TZ-proof because
+    ``unix_micros`` and tumbling windows are epoch-based for LTZ — only
+    wall-time ops (``date_trunc``/casts) would see the session zone,
+    and the streaming operators use none."""
+    t = _dtype_of(df, col)
+    if t == "timestamp":
+        return df
+    return df.withColumn(col, F.timestamp_micros(epoch_micros(df, col)))
+
+
 def to_ntz(df: DataFrame, col: str) -> DataFrame:
     """Normalize ``col`` in place to the canonical ``timestamp_ntz``
     (wall time = UTC instant). Idempotent; accepts timestamp_ntz,

