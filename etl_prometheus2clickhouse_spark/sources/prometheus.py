@@ -267,12 +267,23 @@ class PrometheusStreamReader(DataSourceStreamReader):
             raise ValueError("overlap_seconds must be >= 0")
 
     def initialOffset(self) -> dict:
-        return {"progress": self._initial}
+        # step + initial ride in the checkpointed offset so a restart
+        # with changed options FAILS LOUDLY instead of silently moving
+        # the instant grid (see partitions())
+        return {
+            "progress": self._initial,
+            "step": self._o.step,
+            "initial": self._initial,
+        }
 
     def latestOffset(self) -> dict:
         now = int(time.time())
         # never into the future (reference etl_job.py:148-177)
-        return {"progress": min(self._high_water() + self._window, now)}
+        return {
+            "progress": min(self._high_water() + self._window, now),
+            "step": self._o.step,
+            "initial": self._initial,
+        }
 
     def _high_water(self) -> int:
         # Spark owns offset bookkeeping through the checkpoint; this
@@ -284,6 +295,7 @@ class PrometheusStreamReader(DataSourceStreamReader):
         return getattr(self, "_last", self._initial)
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._check_grid(start)
         s, e = int(start["progress"]), int(end["progress"])
         self._last = max(self._high_water(), s, e)
         if e <= s:
@@ -321,6 +333,28 @@ class PrometheusStreamReader(DataSourceStreamReader):
             self._o.timeout,
         )
         yield from response_to_series(doc)
+
+    def _check_grid(self, offset: dict) -> None:
+        """Reject a restart whose options moved the instant grid.
+
+        query_range evaluates at ``start + k*step``: every batch of a
+        stream reproduces identical (timestamp, value) rows on replay —
+        the rows sink-side content dedup can collapse — ONLY while all
+        batches share the ``initial + k*step`` grid. A checkpoint
+        restart with a changed ``step_seconds`` or ``initial_progress``
+        would silently shift evaluation instants, emitting
+        near-duplicate rows no dedup can collapse; fail loudly instead.
+        Offsets from checkpoints written before these keys existed
+        carry no grid info and pass unchecked."""
+        for key, current in (("step", self._o.step), ("initial", self._initial)):
+            if key in offset and int(offset[key]) != current:
+                raise ValueError(
+                    f"checkpointed {key}={offset[key]} does not match the "
+                    f"configured {key}={current}: changing the query grid "
+                    "across restarts makes replayed overlap rows "
+                    "non-collapsible near-duplicates. Restart with the "
+                    "original options or start a fresh checkpoint."
+                )
 
     def commit(self, end: dict) -> None:
         # checkpoint owns offsets; sink idempotency handles replays —

@@ -121,6 +121,46 @@ def test_stream_reader_overlap_widens_fetch_not_offsets():
         PrometheusStreamReader(dict(opts, overlap_seconds="-1"))
 
 
+def test_stream_restart_with_changed_step_fails_loudly():
+    """A checkpoint restart whose step_seconds (or initial_progress)
+    differs from the run that wrote the offsets must REFUSE to start:
+    query_range evaluates at initial + k*step, so a moved grid makes
+    replayed overlap rows near-duplicates that content dedup cannot
+    collapse (round-3 verdict nit #4 — previously a silent corruption)."""
+    from etl_prometheus2clickhouse_spark.sources.prometheus import (
+        PrometheusStreamReader,
+    )
+
+    opts = {
+        "url": "http://unused:9090",
+        "initial_progress": "1000",
+        "window_size_seconds": "300",
+        "overlap_seconds": "30",
+        "step_seconds": "15",
+    }
+    # run 1 writes grid-stamped offsets into the checkpoint
+    committed = PrometheusStreamReader(opts).initialOffset()
+    assert committed["step"] == 15 and committed["initial"] == 1000
+
+    # same options: restart proceeds
+    PrometheusStreamReader(opts).partitions(committed, {"progress": 1300})
+
+    # changed step: loud failure, not a silently shifted grid
+    with pytest.raises(ValueError, match="step"):
+        PrometheusStreamReader(dict(opts, step_seconds="30")).partitions(
+            committed, {"progress": 1300}
+        )
+    with pytest.raises(ValueError, match="initial"):
+        PrometheusStreamReader(
+            dict(opts, initial_progress="985")
+        ).partitions(committed, {"progress": 1300})
+
+    # offsets from checkpoints predating the grid stamp pass unchecked
+    PrometheusStreamReader(opts).partitions(
+        {"progress": 1000}, {"progress": 1300}
+    )
+
+
 def test_stream_overlap_recaptures_boundary_samples(spark, tmp_path):
     """E2E: with overlap_seconds on, every micro-batch after the first
     re-fetches the tail of the previous window, so a boundary sample
