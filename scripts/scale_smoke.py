@@ -22,14 +22,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_prometheus2clickhouse_spark.operators.dedup import (  # noqa: E402
+    cached_scope,
     exact_dedup,
     minhash_lsh_pairs,
-    release_cached,
     simhash_verified_pairs,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (  # noqa: E402
+    embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
-    embedding_near_dup_pairs,
+    plan_near_dup,
 )
 from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -76,11 +77,11 @@ def main() -> None:
     print(f"corpus: {n_docs} docs, {n_vecs} vectors (K={k})")
 
     def run(label, df_fn):
-        t0 = time.perf_counter()
-        out = df_fn()
-        n = out.count()
-        dt = round(time.perf_counter() - t0, 1)
-        release_cached(out)
+        with cached_scope():
+            t0 = time.perf_counter()
+            out = df_fn()
+            n = out.count()
+            dt = round(time.perf_counter() - t0, 1)
         print(f"{label}: {n} rows in {dt}s")
 
     stats: dict = {}
@@ -107,20 +108,26 @@ def main() -> None:
             embs, id_col="vec_id", threshold=0.6, blocks=32
         ),
     )
-    # signature width must grow with corpus size: 16 bits over 20k
-    # vectors leaves ~1.2k-vector buckets whose candidate volume
-    # degenerates to all-pairs (measured minutes — dominated by
-    # rescoring tens of millions of candidates); 64 bits / 8-bit bands
-    # keeps buckets ~80 (measured ~15s, quiet machine) and
-    # identical-copy near-dups still collide with certainty. Reference
-    # numbers at K=10 after the round-3 kernels (quiet machine):
-    # exact_dedup 1.1s, minhash 14.8s (0 drops), simhash_verified 7.8s
-    # (the Hamming pre-filter cut it from 80s), block_gemm 14.6s,
-    # lsh-64bit 15.4s.
+    # signature width must grow with corpus size — round 3 recorded the
+    # failure mode by hand (16 bits over 20k vectors degenerates to
+    # all-pairs, minutes; 64 bits keeps buckets ~80, ~15s). The planner
+    # now sizes this analytically; the smoke asserts its sub-quadratic
+    # candidate guarantee holds at this K and then runs the plan it
+    # chose. Reference numbers at K=10 (quiet machine, round-5 code):
+    # exact_dedup 1.1s, minhash 14.8s (0 drops), simhash_verified 7.8s,
+    # block_gemm 14.6s, auto-LSH ~15s.
+    plan = plan_near_dup(n_vecs, dim=64, threshold=0.9)
+    print(
+        f"near_dup plan @n={n_vecs}, t=0.9: {plan.strategy} "
+        f"nbits={plan.nbits} bands={plan.bands} "
+        f"bg_candidates={plan.est_bg_candidates:.0f}"
+    )
+    assert plan.strategy == "lsh", "20k+ vectors at 0.9 should band"
+    assert plan.est_bg_candidates <= 32.0 * n_vecs, "sub-quadratic broken"
     run(
-        "near_dup_lsh(0.9, 64-bit sig)",
-        lambda: embedding_near_dup_pairs(
-            embs, dim=64, id_col="vec_id", threshold=0.9, nbits=64, bands=8
+        "near_dup_auto(0.9)",
+        lambda: embedding_near_dup_auto(
+            embs, dim=64, id_col="vec_id", threshold=0.9, n=n_vecs
         ),
     )
 
