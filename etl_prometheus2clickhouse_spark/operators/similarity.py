@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -283,6 +284,129 @@ def cosine_topk_lsh(
     scored = (
         cand.join(cvecs, "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _train_centroids(
+    X: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means over a sample matrix, driver-side numpy.
+
+    Bit-reproducible by construction: seeded init, fixed iteration
+    count, and single-threaded numpy reductions over a deterministic
+    row order — a DISTRIBUTED k-means would make centroid bits (and
+    thus cell boundaries and result hashes) depend on partition-order
+    float summation. Empty cells re-seed from the sample."""
+    rng = np.random.default_rng(seed)
+    init = rng.permutation(len(X))[:n_cells]
+    C = X[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members) == 0:
+                C[c] = X[int(rng.integers(0, len(X)))]
+                continue
+            m = members.sum(axis=0)
+            norm = np.linalg.norm(m)
+            if norm > 0:
+                C[c] = m / norm
+    return C
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 4096,
+    seed: int = 42,
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """Approximate top-k via an inverted file (IVF): partition the
+    corpus into ``n_cells`` Voronoi cells around coarse centroids, let
+    each query probe only its ``n_probe`` nearest cells, and score
+    exactly inside the probed cells.
+
+    This is the other classic ANN scale shape next to LSH
+    (:func:`cosine_topk_lsh`): one corpus pass assigns every vector to
+    a cell (a single ``(batch × dim) @ (dim × n_cells)`` GEMM against
+    the broadcast centroid matrix), the candidate join is an equi-join
+    on ``cell``, and the scored volume is ``~n_probe/n_cells`` of the
+    corpus per query. At 100 TB the corpus would be *written
+    partitioned by cell* so a probe prunes file listings; the coarse
+    quantizer is trained driver-side on a bounded deterministic sample
+    (the ``train_sample`` lowest ids — the offline-k-means shape; see
+    :func:`_train_centroids` for why the training is not distributed).
+    Recall rises with ``n_probe``; ``n_probe == n_cells`` degenerates
+    to exact brute-force. Output schema matches
+    :func:`cosine_topk_bruteforce`.
+
+    ``centroids="kmeans"`` (default) trains spherical k-means on the
+    sample; ``"first"`` uses the sample's first ``n_cells`` unit
+    vectors directly (cell ``i`` = vector of the ``i``-th smallest
+    id). "first" exists because it is *SQL-expressible*: the catalog's
+    oracle replicates the whole IVF computation (assign → probe →
+    rescore → rank) in DuckDB against the same centroid set, checking
+    the distributed implementation against an independent single-node
+    one — an algorithmic-parity oracle, the right check for an ANN
+    operator whose recall is approximate by design.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    n_cells = min(n_cells, len(X))
+    if centroids == "first":
+        C = X[:n_cells].T  # dim×cells, already unit-normalized
+    else:
+        C = _train_centroids(X, n_cells, seed=seed).T  # dim×cells
+
+    def _cells_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def cells(vs: pd.Series) -> pd.Series:
+            out = []
+            for v in vs:
+                if v is None:
+                    out.append([0])
+                    continue
+                sims = np.asarray(v, dtype=np.float64) @ C
+                top = np.argsort(-sims, kind="stable")[:n_top]
+                out.append([int(c) for c in top])
+            return pd.Series(out)
+
+        return cells
+
+    corpus_cells = vecs.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.element_at(_cells_udf(1)(F.col("vec")), 1).alias("cell"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), _unit(_as_double(vec_col)).alias("qvec")
+    )
+    query_cells = qvecs.select(
+        "query_id",
+        "qvec",
+        F.explode(_cells_udf(n_probe)(F.col("qvec"))).alias("cell"),
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -55,6 +55,7 @@ from etl_prometheus2clickhouse_spark.operators.multimodal import (
 from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_arrow,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
@@ -933,6 +934,89 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via an inverted file (operators/similarity.py
+    ``cosine_topk_ivf``): corpus partitioned into Voronoi cells, each
+    query probes its 8 nearest of 32 cells, exact rescoring inside
+    probed cells. Uses the SQL-expressible ``centroids="first"``
+    quantizer so the oracle can replicate the ENTIRE computation
+    (assign → probe → rescore → rank) in DuckDB — an
+    algorithmic-parity check of the distributed implementation, not a
+    recall claim: IVF recall is approximate by design (the kmeans
+    quantizer is the quality default; recall/probe trade-offs are
+    pinned in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        k=5,
+        n_cells=32,
+        n_probe=8,
+        centroids="first",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+def _cos2(x: str, y: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, 65), i -> {x}.v[i] * {y}.v[i])) /"
+        f" (sqrt(list_sum(list_transform(range(1, 65), i -> {x}.v[i] * {x}.v[i]))) *"
+        f"  sqrt(list_sum(list_transform(range(1, 65), i -> {y}.v[i] * {y}.v[i])))))"
+    )
+
+
+ORACLE_COSINE_TOPK_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM e ORDER BY vec_id LIMIT 32
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN cents c
+    WHERE a.vec_id < 10
+  ) WHERE rn <= 8
+)
+SELECT query_id, neighbor_id, CAST(rank_k AS INT) AS rank_k,
+       round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         {_cos2('q', 'n')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_cos2('q', 'n')} DESC, n.vec_id
+         ) AS rank_k
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell
+  JOIN e n ON n.vec_id = a.vec_id
+  JOIN e q ON q.vec_id = p.query_id
+  WHERE n.vec_id <> p.query_id
+) WHERE rank_k <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -1695,6 +1779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "cosine_topk_lsh": q_cosine_topk_lsh,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
     # multimodal
     "multimodal_png_meta": q_multimodal_png_meta,
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
@@ -1751,6 +1836,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK,
+    "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_png_meta": ORACLE_MULTIMODAL_PNG,

@@ -142,7 +142,17 @@ def test_asof_join_is_one_keyed_window(spark):
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
-@pytest.mark.parametrize("name", ["embedding_near_dup", "cosine_topk_lsh"])
+def test_near_dup_auto_routes_to_block_gemm_here(spark):
+    # at this corpus size × threshold no banding is sub-quadratic, so
+    # the self-sizing headline must plan the tiled block-GEMM: packed
+    # per-block lists aggregated, scored in MapInPandas — and NO band
+    # explode (a Generate over band structs would mean the LSH route)
+    p = _plan(spark, "embedding_near_dup", "formatted")
+    assert "MapInPandas" in p
+    assert "Generate" not in p
+
+
+@pytest.mark.parametrize("name", ["cosine_topk_lsh"])
 def test_lsh_band_rows_not_vectors_in_candidate_join(spark, name):
     # the band explode and the candidate-dedup shuffle must carry only
     # (id, band/bits, bucket) — embedding arrays join back once AFTER

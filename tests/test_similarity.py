@@ -12,6 +12,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine,
     cosine_topk_arrow,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_block_gemm,
     embedding_near_dup_auto,
@@ -266,3 +267,64 @@ def test_auto_route_matches_bruteforce_exactly(emb):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# IVF (cosine_topk_ivf)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_is_exactly_rescored_subset(emb, vectors):
+    """Every (query, neighbor) the IVF returns must carry the EXACT
+    cosine — approximation lives only in which candidates are probed,
+    never in the scores."""
+    got = cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id").isin([0, 5])), dim=DIM,
+        id_col="vec_id", k=4, n_cells=8, n_probe=3,
+    ).collect()
+    assert got, "no candidates probed"
+    for r in got:
+        assert abs(r.cosine_sim - _np_cosine(vectors[r.query_id], vectors[r.neighbor_id])) < 1e-9
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    """n_probe == n_cells degenerates to exact brute force."""
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_ivf(
+            emb, emb.where(F.col("vec_id") < 3), dim=DIM,
+            id_col="vec_id", k=4, n_cells=8, n_probe=8,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") < 3), id_col="vec_id", k=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_finds_planted_near_dup(emb):
+    """vec 1 is a tiny perturbation of vec 0 — they quantize to the
+    same cell, so even a 1-probe search must surface it at rank 1."""
+    got = cosine_topk_ivf(
+        emb, emb.where(F.col("vec_id") == 0), dim=DIM,
+        id_col="vec_id", k=1, n_cells=8, n_probe=1,
+    ).collect()
+    assert len(got) == 1 and got[0].neighbor_id == 1
+
+
+def test_ivf_centroid_training_is_deterministic():
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        _train_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((200, 8))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    a = _train_centroids(X, 16)
+    b = _train_centroids(X, 16)
+    assert (a == b).all()  # bit-identical, not just close
