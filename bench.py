@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     # near-dup, multimodal decode plumbing
     "cosine_topk_arrow",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
