@@ -391,10 +391,26 @@ def cosine_topk_ivf(
 
         return cells
 
+    @F.pandas_udf(T.IntegerType())
+    def _cell1(vs: pd.Series) -> pd.Series:
+        # scalar top-1 variant: keeping assignment a plain int column
+        # lets the join's implicit not-null filter apply to the UDF
+        # output directly — an element_at(array, 1) projection gets
+        # the UDF planned twice (once under the filter, once in the
+        # projection), doubling the corpus-side GEMM work
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(0)
+                continue
+            sims = np.asarray(v, dtype=np.float64) @ C
+            out.append(int(np.argsort(-sims, kind="stable")[0]))
+        return pd.Series(out)
+
     corpus_cells = vecs.select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("cvec"),
-        F.element_at(_cells_udf(1)(F.col("vec")), 1).alias("cell"),
+        _cell1(F.col("vec")).alias("cell"),
     )
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), _unit(_as_double(vec_col)).alias("qvec")
