@@ -177,3 +177,24 @@ def test_lsh_band_rows_not_vectors_in_candidate_join(spark, name):
                 if "Broadcast" in b.split("\n")[0]:
                     continue  # vector joins are broadcast by design here
                 assert veccol not in input_line, (veccol, input_line)
+
+
+def test_ivf_corpus_streams_once_queries_broadcast(spark):
+    # the IVF scale contract: the corpus is scanned once, cell-assigned
+    # by a single Arrow UDF pass, and joined via a BROADCAST of the
+    # (small) probed-query side — the corpus never shuffles before the
+    # candidate join, and the top-k is rank-limited (WindowGroupLimit),
+    # never a global sort
+    p = _plan(spark, "cosine_topk_ivf")
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    # exactly one Exchange: the per-query rank shuffle of candidates;
+    # a corpus-side exchange before the join would mean the broadcast
+    # discipline broke
+    import re
+
+    exchanges = [
+        l for l in p.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(exchanges) == 1, exchanges
