@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "user_sessions_bucketed",
     # temporal joins + multi-resolution rollups
     "events_asof",
+    "events_asof_forward",
     "events_range_join",
     "events_multires",
     "events_rollup",

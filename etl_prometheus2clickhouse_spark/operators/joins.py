@@ -99,16 +99,25 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + latest right values at or
-    before the left timestamp (NULLs when no right row precedes).
+    """As-of join: left rows + the nearest right values at or before
+    (``direction="backward"``, the default — latest ``rts <= lts``) or
+    at or after (``"forward"`` — earliest ``rts >= lts``) the left
+    timestamp; NULLs when no right row qualifies.
 
-    ``right`` must be unique per ``(on, right_ts)`` — dedupe first if
-    not (ties would make "the most recent row" ambiguous in ANY as-of
-    implementation). ``tolerance_seconds`` optionally voids matches
-    older than the window (pandas ``merge_asof`` tolerance semantics).
+    Both directions are the same single keyed sort: forward simply
+    orders the union DESCENDING, so "carry the last right payload
+    forward" becomes "carry the next one backward" — no second recipe,
+    no join. ``right`` must be unique per ``(on, right_ts)`` — dedupe
+    first if not (ties would make "the nearest row" ambiguous in ANY
+    as-of implementation). ``tolerance_seconds`` optionally voids
+    matches farther than the window (pandas ``merge_asof`` tolerance
+    semantics, direction-aware).
     Output: all left columns + the right side's non-key, non-ts columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     on = list(on)
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     lcols = [c for c in left.columns]
@@ -130,8 +139,14 @@ def asof_join(
     unioned = tagged_r.unionByName(tagged_l)
 
     # right rows (__side=0) sort before left rows at equal __ts →
-    # inclusive (<=) matching
-    w = Window.partitionBy(*on).orderBy("__ts", "__side").rowsBetween(
+    # inclusive matching in both directions; forward just walks the
+    # timeline from the other end
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__side").asc()]
+    )
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     carried = unioned.select(
@@ -148,7 +163,14 @@ def asof_join(
     if tolerance_seconds is not None:
         # __ts is epoch seconds (see _ts_seconds) — plain arithmetic,
         # no interval types, no session-timezone dependence
-        stale = F.col("__m_ts") < (F.col("__ts") - F.lit(float(tolerance_seconds)))
+        if direction == "backward":
+            stale = F.col("__m_ts") < (
+                F.col("__ts") - F.lit(float(tolerance_seconds))
+            )
+        else:
+            stale = F.col("__m_ts") > (
+                F.col("__ts") + F.lit(float(tolerance_seconds))
+            )
         matched = [
             F.when(~stale, F.col(f"__m_{c}")).alias(c) for c in rcols
         ]

@@ -1411,6 +1411,51 @@ ASOF LEFT JOIN cfg ON e.event_type = cfg.event_type AND e.ts >= cfg.rts
 """
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every event picks the EARLIEST per-type
+    config at or after its timestamp (the "next scheduled change"
+    lookup). Same union-and-one-keyed-window plan as the backward
+    entry, ordered from the other end (operators/joins.py). DuckDB's
+    ASOF JOIN is backward-only, so the oracle is the equivalent
+    correlated min-over-future subquery — an independent formulation,
+    which is the point."""
+    from etl_prometheus2clickhouse_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    cfg = (
+        ev.where(F.col("event_id") % 41 == 0)
+        .select("event_type", F.col("ts").alias("rts"), "event_id")
+        .groupBy("event_type", "rts")
+        .agg(F.max("event_id").alias("threshold_c"))
+    )
+    out = asof_join(
+        ev, cfg, ["event_type"], left_ts="ts", right_ts="rts",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.floor(ts.ntz_micros("ts") / 1_000_000).cast("long").alias("ts"),
+        "threshold_c",
+    )
+
+
+ORACLE_EVENTS_ASOF_FORWARD = """
+WITH cfg AS (
+  SELECT event_type, ts AS rts, max(event_id) AS threshold_c
+  FROM events
+  WHERE event_id % 41 = 0
+  GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts,
+       (SELECT c.threshold_c FROM cfg c
+        WHERE c.event_type = e.event_type AND c.rts >= e.ts
+        ORDER BY c.rts LIMIT 1) AS threshold_c
+FROM events e
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (operators/joins.py): events × per-type
     promo windows, joined via day-bucketed equi-join + exact BETWEEN
@@ -1798,6 +1843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "user_sessions_bucketed": q_user_sessions_bucketed,
     "events_asof": q_events_asof,
+    "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
     "events_quantiles": q_events_quantiles,
     "events_rollup": q_events_rollup,
@@ -1855,6 +1901,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": ORACLE_USER_SESSIONS,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,
     "events_asof": ORACLE_EVENTS_ASOF,
+    "events_asof_forward": ORACLE_EVENTS_ASOF_FORWARD,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_rollup": ORACLE_EVENTS_ROLLUP,

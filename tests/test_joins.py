@@ -59,3 +59,50 @@ def test_asof_join_preserves_left_rowcount(spark):
     out = asof_join(left, right, ["k"])
     assert out.count() == 100  # never fans out or drops left rows
     assert out.columns == ["k", "ts", "eid", "cfg"]
+
+
+def test_asof_join_forward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts(50), 1),   # before first config → matches it
+            ("a", _ts(100), 2),  # equal ts → inclusive match
+            ("a", _ts(150), 3),  # between updates → NEXT config
+            ("a", _ts(250), 4),  # after last config → NULL
+            ("b", _ts(300), 5),  # other key: no right rows at all
+        ],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(100), 10.0), ("a", _ts(200), 20.0)],
+        "k string, ts timestamp, cfg double",
+    )
+    got = {
+        r.eid: r.cfg
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    assert got == {1: 10.0, 2: 10.0, 3: 20.0, 4: None, 5: None}
+
+
+def test_asof_join_forward_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(1000), 1), ("a", _ts(100), 2)],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1100), 7.0)], "k string, ts timestamp, cfg double"
+    )
+    got = {
+        r.eid: r.cfg
+        for r in asof_join(
+            left, right, ["k"], tolerance_seconds=500, direction="forward"
+        ).collect()
+    }
+    assert got == {1: 7.0, 2: None}  # 1000 s ahead > 500 s tolerance
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", _ts(1), 1)], "k string, ts timestamp, eid int")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, ["k"], direction="nearest")
