@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "content_dedup",
     "fingerprint_dedup",
     "minhash_lsh",
+    "dup_clusters",
     "simhash_pairs",
     "cosine_topk",
     # the 100 TB scale paths: Arrow GEMM scorer, banded-LSH ANN +

@@ -152,6 +152,92 @@ def distinct_by_fingerprint(
     )
 
 
+def dup_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair list —
+    the cluster-resolution step between pair generation (MinHash /
+    SimHash / embedding near-dup) and "keep one document per cluster".
+
+    Output: one row per node that appears in any pair,
+    ``(node, component)`` with ``component`` = the minimum node id
+    reachable through the pair graph — the canonical deterministic
+    cluster label (transitively closed: A~B, B~C puts A and C in one
+    cluster even if the pair generator never compared them).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round replaces a node's label with the minimum over itself and its
+    neighbors' labels; the unique fixpoint is min-reachable-id. Rounds
+    are driver-iterated DataFrame joins (labels and the symmetrized
+    edge list are persisted and swapped per round, lineage cut by the
+    materializing convergence count), so the shuffle volume per round
+    is O(edges) and the round count is the cluster diameter — near-dup
+    clusters are shallow in practice; pathological chains are cut off
+    loudly at ``max_iterations``. The large-star/small-star
+    optimization (halving diameter per round) drops in here if a
+    deployment meets deep chains at 100 TB.
+    """
+    sym = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    _LIVE_CACHES.append(edges)
+    # localCheckpoint, NOT persist: persist caches partitions but the
+    # LOGICAL plan still nests one join deeper per round, and Catalyst
+    # tree processing over N self-referencing rounds explodes
+    # super-linearly (measured: an 11-round chain never finished
+    # analysis). Checkpointing replaces each round's plan with a leaf,
+    # so round cost stays flat; the blocks are reclaimed by the
+    # ContextCleaner when the frame is dropped.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        _release(edges)
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iterations} rounds — "
+            "a pathologically deep duplicate chain; raise max_iterations "
+            "or switch to a star-contraction variant"
+        )
+    out = labels.select("node", F.col("label").alias("component"))
+    return _with_cached_deps(out, [edges])
+
+
 # ---------------------------------------------------------------------------
 # shingling + Jaccard
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ from etl_prometheus2clickhouse_spark.functions import (
     lenient_double,
 )
 from etl_prometheus2clickhouse_spark.operators.dedup import (
+    dup_components,
     distinct_by_fingerprint,
     exact_dedup,
     minhash_lsh_pairs,
@@ -787,6 +788,43 @@ WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
            THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.sh, b.sh)))
            ELSE 0.0 END >= {threshold}
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash+LSH near-dup pairs (operators/dedup.py
+    ``dup_components``) — the transitive-closure step between pair
+    generation and keep-one-per-cluster. Component = min reachable
+    doc_id (deterministic unique fixpoint). The oracle computes the
+    same closure independently with a DuckDB recursive CTE over the
+    exact-Jaccard pair set (a true oracle because the LSH pair set
+    equals the exact set on this corpus — see ``minhash_lsh``)."""
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.5
+    ).select("id_a", "id_b")
+    return dup_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+    )
+
+
+def _oracle_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_oracle_jaccard_unblocked(0.5)}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT node AS doc_id, min(reach) AS component_id
+FROM walk GROUP BY node
 """
 
 
@@ -1818,6 +1856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
+    "dup_clusters": q_dup_clusters,
     # embeddings
     "cosine_topk": q_cosine_topk,
     "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -1879,6 +1918,7 @@ ORACLES: dict[str, str] = {
     # so equality holds — see each query's docstring.
     "minhash_lsh": _oracle_jaccard_unblocked(0.5),
     "simhash_pairs": _oracle_jaccard_unblocked(0.5),
+    "dup_clusters": _oracle_dup_clusters(),
     "cosine_topk": ORACLE_COSINE_TOPK,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK,

@@ -256,3 +256,37 @@ def test_cached_scope_long_lived_session_no_growth(spark, corpus):
         with cached_scope():
             minhash_lsh_pairs(corpus, "id", threshold=0.5).collect()
     assert n_persisted() == base
+
+
+def test_dup_components_transitive_closure(spark):
+    """A~B and B~C must land A, B, C in ONE cluster labeled min(id),
+    even though (A, C) was never emitted as a pair."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 9), (20, 21)], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.component for r in dup_components(pairs).collect()}
+    assert got == {2: 2, 7: 2, 9: 2, 20: 20, 21: 20}
+
+
+def test_dup_components_chain_converges(spark):
+    # a 12-node path is the worst case for plain propagation (diameter
+    # rounds); must still converge well under the default cap
+    from etl_prometheus2clickhouse_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.component for r in dup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_dup_components_nonconvergence_is_loud(spark):
+    from etl_prometheus2clickhouse_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(pairs, max_iterations=2)
