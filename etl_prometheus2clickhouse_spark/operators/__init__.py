@@ -5,9 +5,15 @@
   higher-order array functions).
 - ``dedup`` — exact and near-duplicate detection (engine extension for
   training-data pipelines: hash, MinHash+LSH, SimHash, n-gram Jaccard,
-  embedding-cosine).
-- ``similarity`` — embedding top-k search (brute-force cosine and
-  LSH-bucketed approximate variant).
+  embedding-cosine) plus duplicate-cluster resolution (connected
+  components) and the ``cached_scope`` cache-lifetime contract.
+- ``similarity`` — embedding top-k search (brute-force cosine, Arrow
+  GEMM, LSH-bucketed, and IVF variants) and self near-dup with the
+  self-sizing ``plan_near_dup`` strategy planner.
+- ``joins`` — temporal joins Spark lacks as built-ins: as-of
+  (backward/forward) and interval range join.
+- ``timeseries`` — counter rate and sessionization, plain and
+  skew-proof bucketed.
 - ``text`` — language-ID, quality scoring, token counting, document
   fingerprinting over the ``documents`` table.
 - ``multimodal`` — opaque-binary column plumbing with stubbed decoders.
