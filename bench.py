@@ -87,10 +87,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # scope per query: each run leaves zero persisted partitions
-        # behind, so a 28-query suite can't accumulate storage memory
+        # behind, so a long suite can't accumulate storage memory.
+        # t0 covers BUILD + write: plan building is sub-ms for
+        # declarative queries, but driver-iterative operators
+        # (dup_clusters' propagation rounds, streaming runs) do their
+        # real work at build time and would otherwise bench as ~0
         with cached_scope():
-            df = QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 

@@ -1585,6 +1585,25 @@ GROUP BY event_type
 """
 
 
+def q_events_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-key percentiles (``percentile_approx``,
+    Greenwald-Khanna): the 100 TB default the exact entry
+    (``events_quantiles``) anchors. Mergeable per-partition sketches —
+    bounded memory and one map-side-combining shuffle at any scale,
+    where the exact percentile must sort full groups. No SQL oracle:
+    DuckDB has no GK sketch and approximate outputs are not
+    hash-comparable; the driver records the weaker rows-only check,
+    and tests/test_timeseries.py pins the sketch against the exact
+    percentiles within the accuracy bound on real data."""
+    ev = _events(spark, sf_dir)
+    acc = 10_000  # GK accuracy: rank error ≤ n/acc
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("p50"),
+        F.percentile_approx("value", 0.95, acc).alias("p95"),
+        F.percentile_approx("value", 0.99, acc).alias("p99"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: per-type subtotals plus the grand total in one
     pass (``rollup`` — Catalyst expands to a single aggregate over the
@@ -1885,6 +1904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
     "events_quantiles": q_events_quantiles,
+    "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_rollup": q_events_rollup,
     "events_multires": q_events_multires,
     "parts_rank": q_parts_rank,

@@ -160,3 +160,49 @@ def test_counter_rate_single_window_plan(spark):
     )
     assert p.count("Exchange") == 1
     assert p.count("Sort") == 1
+
+
+def test_quantile_sketch_tracks_exact_percentiles(spark, sf_dir):
+    """The GK sketch entry (the 100 TB path) must agree with the exact
+    percentiles within its rank-error bound on real data — this is the
+    correctness pin for the rows-only catalog entry
+    events_quantiles_sketch."""
+    from etl_prometheus2clickhouse_spark.plans.catalog import (
+        q_events_quantiles,
+        q_events_quantiles_sketch,
+    )
+
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # rank-based bound, not value-based: in a sparse heavy tail the
+    # values of neighboring order statistics sit far apart, so the
+    # right contract is "the sketch's answer is an order statistic
+    # within ±1% rank of the target" (GK's own error at acc=1e4 is
+    # far smaller; the 1% absorbs sample sparsity at tiny SFs)
+    slack = 0.01
+    bounds = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", max(q - slack, 0.0)).alias(f"lo{i}")
+                for i, q in enumerate((0.5, 0.95, 0.99))
+            ],
+            *[
+                F.percentile("value", min(q + slack, 1.0)).alias(f"hi{i}")
+                for i, q in enumerate((0.5, 0.95, 0.99))
+            ],
+        )
+        .collect()
+    }
+    sketch = {
+        r.event_type: r for r in q_events_quantiles_sketch(spark, sf_dir).collect()
+    }
+    assert bounds.keys() == sketch.keys()
+    for t in sketch:
+        for i, q in enumerate(("p50", "p95", "p99")):
+            s = getattr(sketch[t], q)
+            lo = getattr(bounds[t], f"lo{i}")
+            hi = getattr(bounds[t], f"hi{i}")
+            assert lo - 1e-9 <= s <= hi + 1e-9, (t, q, lo, s, hi)
