@@ -208,23 +208,22 @@ def dup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # the change flag rides INSIDE the checkpointed frame (labels
+        # only ever decrease, so "changed" = "decreased"): convergence
+        # is then a scan of the already-materialized blocks instead of
+        # a second join against the previous round
+        lowered = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                lowered.alias("label"),
+                (lowered < F.col("label")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where("__chg").count()
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     else:
