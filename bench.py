@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_rate_bucketed",
     "user_sessions",
     "user_sessions_bucketed",
+    "events_session_window",
     # temporal joins + multi-resolution rollups
     "events_asof",
     "events_asof_forward",

@@ -1585,6 +1585,63 @@ GROUP BY event_type
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window``
+    aggregation — the streaming-capable merge-on-gap operator — as a
+    cross-check against the engine's lag-based ``sessionize``
+    formulation (``user_sessions``): both face equivalent oracles, so
+    a semantic drift between the two recipes surfaces as a hash
+    mismatch. One aggregation, no window function: at scale this is a
+    single shuffle on (user, merged-session) with map-side partial
+    merging of session state."""
+    ev = _events(spark, sf_dir)
+    agged = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))).alias(
+            "sum_value_c"
+        ),
+    )
+    return agged.select(
+        "user_id",
+        F.floor(ts.ntz_micros("w.start") / 1_000_000)
+        .cast("long")
+        .alias("session_start"),
+        "n_events",
+        "sum_value_c",
+    )
+
+
+ORACLE_EVENTS_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         -- session_window merges an event only while it falls STRICTLY
+         -- inside [last_ts, last_ts + gap): a gap of exactly 1800 s
+         -- starts a new session, hence >= (the lag-based sessionize
+         -- operator uses >, a deliberate contract difference)
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 def q_events_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based per-key percentiles (``percentile_approx``,
     Greenwald-Khanna): the 100 TB default the exact entry
@@ -1900,6 +1957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions": q_user_sessions,
     "user_sessions_bucketed": q_user_sessions_bucketed,
+    "events_session_window": q_events_session_window,
     "events_asof": q_events_asof,
     "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
@@ -1960,6 +2018,7 @@ ORACLES: dict[str, str] = {
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,
+    "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_asof_forward": ORACLE_EVENTS_ASOF_FORWARD,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
