@@ -77,8 +77,10 @@ from etl_prometheus2clickhouse_spark.plans.state_queries import (
 from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     ORACLE_STREAM_DEDUP_KEYS,
     ORACLE_STREAM_HOURLY,
+    ORACLE_STREAM_RATE,
     q_stream_dedup_keys,
     q_stream_hourly,
+    q_stream_rate,
 )
 
 
@@ -1971,6 +1973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Streaming runs whose sink tables face the same oracle
     "stream_hourly": q_stream_hourly,
     "stream_dedup_keys": q_stream_dedup_keys,
+    "stream_rate": q_stream_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2029,4 +2032,5 @@ ORACLES: dict[str, str] = {
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
+    "stream_rate": ORACLE_STREAM_RATE,
 }

@@ -123,3 +123,58 @@ SELECT DISTINCT event_type,
        CAST(floor(value * 10) AS BIGINT) AS value_decile_c
 FROM events
 """
+
+
+def q_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` per-series counter rate
+    (streaming/stateful.py) under the oracle — the custom stateful
+    operator, not a built-in aggregation. One AvailableNow batch over
+    the whole file: every series group arrives sorted-in-batch with no
+    remembered state and no timeouts, so the kernel's fold reproduces
+    the batch rate semantics row for row and the output is
+    deterministic (no late rows, `late` all false).
+
+    Float discipline: the kernel computes ``dt`` as the exact µs
+    difference divided once by 1e6; the oracle mirrors that spelling —
+    ``(us - us)/1e6`` is not bit-identical to ``us/1e6 - us/1e6``."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.streaming.stateful import (
+        streaming_counter_rate,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    src = ev.select(
+        F.concat_ws("|", "event_type", F.col("user_id").cast("string")).alias(
+            "series"
+        ),
+        "ts",
+        "value",
+    )
+    out = streaming_counter_rate(
+        src, ts_col="ts", key_col="series", value_col="value",
+        watermark_delay="40 days",
+    )
+    return _run_to_table(out, "append")
+
+
+ORACLE_STREAM_RATE = """
+WITH s AS (
+  SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS series,
+         epoch_us(ts) AS us, value,
+         lag(value) OVER w AS pv,
+         lag(epoch_us(ts)) OVER w AS pus
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)
+)
+SELECT series,
+       us / 1000000.0 AS ts_sec,
+       CASE WHEN pv IS NULL THEN NULL
+            WHEN value - pv < 0 THEN value
+            ELSE value - pv END AS increase,
+       CASE WHEN pv IS NULL THEN NULL
+            ELSE (CASE WHEN value - pv < 0 THEN value ELSE value - pv END)
+                 / ((us - pus) / 1000000.0) END AS rate,
+       FALSE AS late
+FROM s
+"""
