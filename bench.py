@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
+    # streaming faces (real AvailableNow runs, memory sink)
+    "stream_hourly",
+    "stream_rate",
 ]
 
 
