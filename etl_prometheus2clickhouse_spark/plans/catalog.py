@@ -1587,6 +1587,35 @@ GROUP BY event_type
 """
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per user decile, one count column per event
+    type. The explicit value list matters at scale — ``pivot`` without
+    it runs an extra distinct-collect job over the key column and can
+    blow the column budget on high-cardinality keys; with it, the
+    pivot compiles to one aggregation pass with CASE-style partial
+    aggregates (no extra shuffle vs a plain groupBy)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "purchase", "refund", "signup", "view"]
+    return (
+        ev.withColumn("user_decile", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_decile")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT user_id % 10 AS user_decile,
+       sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       sum(CASE WHEN event_type = 'refund' THEN 1 END) AS refund,
+       sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY 1
+"""
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via Spark's NATIVE ``session_window``
     aggregation — the streaming-capable merge-on-gap operator — as a
@@ -1960,6 +1989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "user_sessions_bucketed": q_user_sessions_bucketed,
     "events_session_window": q_events_session_window,
+    "events_pivot": q_events_pivot,
     "events_asof": q_events_asof,
     "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
@@ -2022,6 +2052,7 @@ ORACLES: dict[str, str] = {
     "user_sessions": ORACLE_USER_SESSIONS,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_asof_forward": ORACLE_EVENTS_ASOF_FORWARD,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
