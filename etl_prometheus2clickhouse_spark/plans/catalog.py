@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.functions import (
@@ -1587,6 +1587,68 @@ GROUP BY event_type
 """
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame sliding window: per-series 5-sample moving average
+    and running max — the bounded-frame window shape (state = frame
+    width per series, not whole-partition). Rounded to 6dp: Spark
+    maintains sliding frames incrementally (add/remove) while DuckDB
+    recomputes per frame, so raw float bits can differ in the last
+    ulp."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("ts")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg5"),
+        F.round(F.max("value").over(w), 6).alias("mmax5"),
+    )
+
+
+ORACLE_EVENTS_MOVING_AVG = """
+SELECT event_id, event_type, user_id,
+       round(avg(value) OVER w, 6) AS mavg5,
+       round(max(value) OVER w, 6) AS mmax5
+FROM events
+WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via ``stack``: the exact-percentile row per
+    event type melts into (event_type, quantile, value) rows — the
+    inverse of ``events_pivot``, all inside one projection (no shuffle
+    beyond the source aggregation)."""
+    q = q_events_quantiles(spark, sf_dir)
+    return q.select(
+        "event_type",
+        F.expr(
+            "stack(3, 'p50', p50, 'p95', p95, 'p99', p99) AS (quantile, value)"
+        ),
+    )
+
+
+ORACLE_EVENTS_UNPIVOT = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.95) AS p95,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 'p50' AS quantile, p50 AS value FROM q
+UNION ALL
+SELECT event_type, 'p95', p95 FROM q
+UNION ALL
+SELECT event_type, 'p99', p99 FROM q
+"""
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): per user decile, one count column per event
     type. The explicit value list matters at scale — ``pivot`` without
@@ -1990,6 +2052,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_bucketed": q_user_sessions_bucketed,
     "events_session_window": q_events_session_window,
     "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
+    "events_moving_avg": q_events_moving_avg,
     "events_asof": q_events_asof,
     "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
@@ -2053,6 +2117,8 @@ ORACLES: dict[str, str] = {
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "events_pivot": ORACLE_EVENTS_PIVOT,
+    "events_unpivot": ORACLE_EVENTS_UNPIVOT,
+    "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_asof_forward": ORACLE_EVENTS_ASOF_FORWARD,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
