@@ -1587,6 +1587,76 @@ GROUP BY event_type
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user decile): all four grouping
+    combinations in one aggregation pass — completes the grouping-set
+    family next to ROLLUP (``events_rollup``) and explicit GROUPING
+    SETS (``events_multires``)."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 10).alias("user_decile"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_c"),
+    )
+    return (
+        base.cube("event_type", "user_decile")
+        .agg(
+            # grouping() is only resolvable INSIDE the cube aggregate
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("user_decile").cast("int").alias("g_decile"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_c").alias("sum_value_c"),
+        )
+        .select(
+            "event_type", "user_decile", "g_type", "g_decile",
+            "n_events", "sum_value_c",
+        )
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type,
+       user_id % 10 AS user_decile,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(user_id % 10) AS INT) AS g_decile,
+       count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_value_c
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
+def q_orders_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): high-value orders with no large-quantity
+    line item — LEFT ANTI is the shape Catalyst turns into a
+    broadcast/hash anti join with the probe side never materializing
+    matches (vs the naive left-join-plus-null-filter, which carries
+    the join payload through the shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 30)
+    out = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+        .alias("sum_price_c"),
+    )
+
+
+ORACLE_ORDERS_ANTI_JOIN = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30
+)
+GROUP BY o_orderpriority
+"""
+
+
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-frame sliding window: per-series 5-sample moving average
     and running max — the bounded-frame window shape (state = frame
@@ -2054,6 +2124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_moving_avg": q_events_moving_avg,
+    "events_cube": q_events_cube,
+    "orders_anti_join": q_orders_anti_join,
     "events_asof": q_events_asof,
     "events_asof_forward": q_events_asof_forward,
     "events_range_join": q_events_range_join,
@@ -2119,6 +2191,8 @@ ORACLES: dict[str, str] = {
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
+    "events_cube": ORACLE_EVENTS_CUBE,
+    "orders_anti_join": ORACLE_ORDERS_ANTI_JOIN,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_asof_forward": ORACLE_EVENTS_ASOF_FORWARD,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
