@@ -1725,24 +1725,28 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     it runs an extra distinct-collect job over the key column and can
     blow the column budget on high-cardinality keys; with it, the
     pivot compiles to one aggregation pass with CASE-style partial
-    aggregates (no extra shuffle vs a plain groupBy)."""
+    aggregates (no extra shuffle vs a plain groupBy). Empty cells are
+    NULL (``sum(when(...))``), matching SQL ``sum(CASE WHEN ...)``
+    semantics for a pivot value absent from a group."""
     ev = _events(spark, sf_dir)
-    types = ["click", "purchase", "refund", "signup", "view"]
+    types = ["click", "error", "purchase", "signup", "view"]
     return (
         ev.withColumn("user_decile", (F.col("user_id") % 10).cast("long"))
         .groupBy("user_decile")
         .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
+        .agg(F.sum(F.lit(1)))
     )
 
 
 ORACLE_EVENTS_PIVOT = """
 SELECT user_id % 10 AS user_decile,
-       sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-       sum(CASE WHEN event_type = 'refund' THEN 1 END) AS refund,
-       sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+         AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
 FROM events
 GROUP BY 1
 """

@@ -31,6 +31,39 @@ TABLES = [
 ]
 
 
+def _arrow_type_names(schema):
+    """Normalized per-column Arrow type names, keyed by column.
+
+    The driver's value hash is type-sensitive at the Arrow layer, where
+    e.g. DuckDB HUGEINT surfaces as decimal128(38,0) while Spark's
+    BIGINT is int64 — both are plain ``int`` in Python, so the
+    row-value multiset alone cannot catch that class of break.
+    """
+    import pyarrow as pa
+
+    out = {}
+    for field in schema:
+        t = field.type
+        if pa.types.is_large_string(t) or pa.types.is_string(t):
+            name = "string"
+        elif pa.types.is_large_binary(t) or pa.types.is_binary(t):
+            name = "binary"
+        elif pa.types.is_timestamp(t):
+            name = "timestamp"
+        elif pa.types.is_large_list(t) or pa.types.is_list(t):
+            name = "list"
+        else:
+            name = str(t)
+        out[field.name] = name
+    return out
+
+
+def _spark_arrow_types(sdf):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return _arrow_type_names(to_arrow_schema(sdf.schema))
+
+
 def _norm(v):
     if isinstance(v, Decimal):
         # No normalize(): the driver's value hash sees scale/trailing-zero
@@ -81,8 +114,10 @@ def main() -> int:
             continue
         try:
             cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            otbl = cur.fetch_arrow_table()
+            ocols = otbl.column_names
+            orows = [tuple(r.values()) for r in otbl.to_pylist()]
+            otypes = _arrow_type_names(otbl.schema)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
@@ -90,6 +125,14 @@ def main() -> int:
         ok = True
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            ok = False
+        elif (stypes := _spark_arrow_types(sdf)) != otypes:
+            diff = {
+                c: (stypes[c], otypes[c])
+                for c in stypes
+                if stypes[c] != otypes[c]
+            }
+            print(f"FAIL  {name}: arrow type mismatch (spark, oracle): {diff}")
             ok = False
         elif len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
