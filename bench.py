@@ -21,7 +21,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope  # noqa: E402
-from etl_prometheus2clickhouse_spark.plans.catalog import QUERIES  # noqa: E402
+from etl_prometheus2clickhouse_spark.plans.catalog import (  # noqa: E402
+    ALL_QUERIES as QUERIES,
+)
 from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [

@@ -92,8 +92,15 @@ def main() -> int:
         )
     spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # the driver sees queries()/oracle_sql(); locally also verify the
+    # cross-checked variants so retired-from-window entries stay honest
+    from etl_prometheus2clickhouse_spark.plans.catalog import (
+        CROSS_CHECKED_ORACLES,
+        CROSS_CHECKED_QUERIES,
+    )
+
+    qs = {**entry_mod.queries(), **CROSS_CHECKED_QUERIES}
+    oracles = {**entry_mod.oracle_sql(), **CROSS_CHECKED_ORACLES}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
