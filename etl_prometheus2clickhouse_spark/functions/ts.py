@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def ensure_parquet_nanos_conf(spark) -> None:
+    """Idempotent defensive conf-set so TIMESTAMP(NANOS) parquet reads
+    surface as BIGINT nanos (``spark.sql.legacy.parquet.nanosAsLong``)
+    instead of failing the scan. Needed on *externally created*
+    sessions (the driver calls ``queries()`` with its own
+    SparkSession); the value written is a constant, so call order
+    between batch and streaming entries never matters."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down - fall through and hope ts reads as-is
+
+
 def _ntz_epoch() -> Column:
     return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 

@@ -349,18 +349,51 @@ def _minhash_sig_udf(num_hashes: int, seed: int):
     a = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
+    # Bound the (num_hashes × shingles) intermediate per chunk:
+    # 2^17 shingles × 64 hashes × 8 B ≈ 67 MB transient per task.
+    chunk_shingles = 1 << 17
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hs: pd.Series) -> pd.Series:
+        # Batched kernel: flatten every document's shingle hashes into
+        # one array, apply all permutations as a single broadcast
+        # multiply-add per chunk, and segment-min back to per-document
+        # signatures with np.minimum.reduceat — a handful of numpy
+        # dispatches per Arrow batch instead of one outer product per
+        # row. Documents are grouped so a chunk's flat length stays
+        # under ``chunk_shingles``.
         empty = [_EMPTY_SENTINEL] * num_hashes
-        out = []
+        arrs = [
+            None if h is None or len(h) == 0 else np.asarray(h, dtype=np.int64)
+            for h in hs
+        ]
+        out: list = [empty] * len(arrs)
+        i = 0
         with np.errstate(over="ignore"):
-            for h in hs:
-                if h is None or len(h) == 0:
-                    out.append(empty)
+            while i < len(arrs):
+                # next chunk of non-empty docs bounded by flat length
+                idxs: list[int] = []
+                total = 0
+                while i < len(arrs) and (
+                    total < chunk_shingles or not idxs
+                ):
+                    if arrs[i] is not None:
+                        idxs.append(i)
+                        total += len(arrs[i])
+                    i += 1
+                if not idxs:
                     continue
-                arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
-                perms = arr[None, :] * a[:, None] + b[:, None]  # wraps mod 2^64
-                out.append(perms.min(axis=1).astype(np.int64).tolist())
+                flat = np.concatenate([arrs[j] for j in idxs]).astype(
+                    np.uint64
+                )
+                perms = flat[None, :] * a[:, None] + b[:, None]  # mod 2^64
+                lens = np.array([len(arrs[j]) for j in idxs])
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                mins = np.minimum.reduceat(perms, starts, axis=1).astype(
+                    np.int64
+                )  # num_hashes × n_docs
+                for col, j in enumerate(idxs):
+                    out[j] = mins[:, col].tolist()
         return pd.Series(out)
 
     return sig

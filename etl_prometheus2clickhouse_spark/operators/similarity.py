@@ -376,18 +376,28 @@ def cosine_topk_ivf(
     else:
         C = _train_centroids(X, n_cells, seed=seed).T  # dim×cells
 
+    def _stack(vals: pd.Series) -> np.ndarray:
+        # one C-level memcpy per row into a (batch × dim) matrix —
+        # the per-row work is data movement only; all arithmetic
+        # happens in the single GEMM below
+        return np.vstack([np.asarray(v, dtype=np.float64) for v in vals])
+
     def _cells_udf(n_top: int):
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def cells(vs: pd.Series) -> pd.Series:
-            out = []
-            for v in vs:
-                if v is None:
-                    out.append([0])
-                    continue
-                sims = np.asarray(v, dtype=np.float64) @ C
-                top = np.argsort(-sims, kind="stable")[:n_top]
-                out.append([int(c) for c in top])
-            return pd.Series(out)
+            # one (batch × dim) @ (dim × cells) GEMM per Arrow batch;
+            # stable argsort on the negated sims keeps the tie-break
+            # (equal sim → lower cell id) of the scalar formulation
+            mask = vs.notna().to_numpy()
+            vals: list = [[0]] * len(vs)
+            if mask.any():
+                sims = _stack(vs[mask]) @ C
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]
+                rows = iter(top)
+                vals = [
+                    [int(c) for c in next(rows)] if m else [0] for m in mask
+                ]
+            return pd.Series(vals)
 
         return cells
 
@@ -397,15 +407,15 @@ def cosine_topk_ivf(
         # lets the join's implicit not-null filter apply to the UDF
         # output directly — an element_at(array, 1) projection gets
         # the UDF planned twice (once under the filter, once in the
-        # projection), doubling the corpus-side GEMM work
-        out = []
-        for v in vs:
-            if v is None:
-                out.append(0)
-                continue
-            sims = np.asarray(v, dtype=np.float64) @ C
-            out.append(int(np.argsort(-sims, kind="stable")[0]))
-        return pd.Series(out)
+        # projection), doubling the corpus-side GEMM work. argmax
+        # returns the FIRST maximum, matching the stable-argsort
+        # tie-break of the probe-side kernel.
+        mask = vs.notna().to_numpy()
+        res = np.zeros(len(vs), dtype=np.int32)
+        if mask.any():
+            sims = _stack(vs[mask]) @ C
+            res[mask] = sims.argmax(axis=1)
+        return pd.Series(res)
 
     corpus_cells = vecs.select(
         F.col("id").alias("neighbor_id"),

@@ -105,11 +105,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Defensive conf-set for *externally created* sessions (the driver
     calls ``queries()`` with its own SparkSession): the value written
     is a constant, so this is idempotent and order-independent."""
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # conf locked down — fall through and hope ts reads as-is
+    ts.ensure_parquet_nanos_conf(spark)
     return ts.to_ntz(_t(spark, sf_dir, "events"), "ts")
 
 

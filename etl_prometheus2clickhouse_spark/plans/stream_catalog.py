@@ -49,6 +49,10 @@ _sink_ids = itertools.count()
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded file stream with LTZ event time."""
+    # same defensive conf as catalog._events: a stream entry may be
+    # the FIRST reader on an externally created session, and a
+    # TIMESTAMP(NANOS) testdata generation would fail the schema probe
+    ts.ensure_parquet_nanos_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file stream source requires a DIRECTORY basePath; select the
     # single events file out of the sf dir with a glob filter
@@ -162,10 +166,21 @@ ORACLE_STREAM_RATE = """
 WITH s AS (
   SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS series,
          epoch_us(ts) AS us, value,
-         lag(value) OVER w AS pv,
-         lag(epoch_us(ts)) OVER w AS pus
+         -- the kernel sorts each batch by (ts, value): the
+         -- lowest-valued sample of a duplicate-timestamp group is
+         -- accepted, the rest are late (deterministic tie handling,
+         -- mirrored here so duplicate (series, ts) rows in a future
+         -- corpus cannot silently diverge)
+         row_number() OVER (PARTITION BY event_type, user_id, ts
+                            ORDER BY value) AS tie_rn
   FROM events
-  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)
+),
+accepted AS (
+  SELECT series, us, value,
+         lag(value) OVER w AS pv,
+         lag(us) OVER w AS pus
+  FROM s WHERE tie_rn = 1
+  WINDOW w AS (PARTITION BY series ORDER BY us)
 )
 SELECT series,
        us / 1000000.0 AS ts_sec,
@@ -176,5 +191,9 @@ SELECT series,
             ELSE (CASE WHEN value - pv < 0 THEN value ELSE value - pv END)
                  / ((us - pus) / 1000000.0) END AS rate,
        FALSE AS late
-FROM s
+FROM accepted
+UNION ALL
+SELECT series, us / 1000000.0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       TRUE
+FROM s WHERE tie_rn > 1
 """

@@ -40,40 +40,102 @@ def _rate_fn(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-key kernel: fold this batch's samples over the remembered
-    (last_us, last_value), emitting one row per sample."""
+    """Per-key kernel, vectorized: the whole batch's samples are
+    sorted once and the increase/rate math runs as numpy array ops —
+    only the two boundary scalars cross micro-batches through state.
+    (A per-sample Python fold here scales linearly with data volume;
+    at 100 TB the per-row interpreter cost dominates the operator.)
+
+    Sort key is ``(ts_us, value)``, so duplicate-timestamp samples are
+    handled deterministically: the lowest-valued sample of a tie group
+    is the accepted one, the rest are flagged late — the oracle can
+    (and does) mirror that exactly.
+
+    Late semantics are unchanged: a sample at or before the last
+    ACCEPTED sample's timestamp (remembered or in-batch) is a replay /
+    out-of-order straggler — flagged, never rated, never advancing
+    state. In a sorted batch that is precisely ``ts <= carried-last``
+    or ``ts == previous row's ts``.
+    """
+    import numpy as np
+
     if state.hasTimedOut:
         state.remove()
         return
     last_us, last_value = (
         state.get if state.exists else (None, None)
     )
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us")
-        for ts_us, value in zip(pdf["ts_us"], pdf["value"]):
-            ts_us = int(ts_us)
-            value = float(value)
-            if last_us is not None and ts_us <= last_us:
-                # older than (or equal to) the remembered sample: a
-                # replay or out-of-order straggler — flag, don't rate
-                out.append((key[0], ts_us / 1e6, None, None, True))
-                continue
+    # groups are often tiny (one series' samples per micro-batch), so
+    # the per-call constant matters as much as the asymptotics: stay
+    # on numpy arrays end to end — pandas sort_values alone costs
+    # ~40× a lexsort at n≈10 — and touch pandas only for the one
+    # output frame the API requires
+    chunks = [c for c in pdfs if len(c)]
+    n = sum(len(c) for c in chunks)
+    if n:
+        if len(chunks) == 1:
+            ts_us = chunks[0]["ts_us"].to_numpy(dtype=np.int64)
+            value = chunks[0]["value"].to_numpy(dtype=np.float64)
+        else:
+            ts_us = np.concatenate(
+                [c["ts_us"].to_numpy(dtype=np.int64) for c in chunks]
+            )
+            value = np.concatenate(
+                [c["value"].to_numpy(dtype=np.float64) for c in chunks]
+            )
+        order = np.lexsort((value, ts_us))
+        ts_us = ts_us[order]
+        value = value[order]
+
+        tie = np.zeros(n, dtype=bool)
+        tie[1:] = ts_us[1:] == ts_us[:-1]
+        late = tie if last_us is None else tie | (ts_us <= last_us)
+
+        acc_ts = ts_us[~late]
+        acc_val = value[~late]
+        increase = np.full(n, None, dtype=object)
+        rate = np.full(n, None, dtype=object)
+        if len(acc_ts):
+            # previous accepted sample per accepted row: the carried
+            # state scalar for row 0, the prior accepted row after
+            prev_ts = np.concatenate(([acc_ts[0]], acc_ts[:-1]))
+            prev_val = np.concatenate(([0.0], acc_val[:-1]))
+            has_prev = np.ones(len(acc_ts), dtype=bool)
             if last_us is None:
-                out.append((key[0], ts_us / 1e6, None, None, False))
+                has_prev[0] = False
             else:
-                delta = value - last_value
-                inc = value if delta < 0 else delta  # counter reset
-                dt = (ts_us - last_us) / 1e6
-                out.append((key[0], ts_us / 1e6, inc, inc / dt, False))
-            last_us, last_value = ts_us, value
+                prev_ts[0] = last_us
+                prev_val[0] = last_value
+            delta = acc_val - prev_val
+            inc = np.where(delta < 0.0, acc_val, delta)  # counter reset
+            dt = (acc_ts - prev_ts) / 1e6  # exact µs diff, one divide
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rt = inc / dt
+            acc_idx = np.flatnonzero(~late)
+            rated = acc_idx[has_prev]
+            increase[rated] = inc[has_prev]
+            rate[rated] = rt[has_prev]
+            last_us = int(acc_ts[-1])
+            last_value = float(acc_val[-1])
+        out = pd.DataFrame(
+            {
+                "series": np.repeat(key[0], n),
+                "ts_sec": ts_us / 1e6,
+                "increase": increase,
+                "rate": rate,
+                "late": late,
+            },
+            copy=False,
+        )
+    else:
+        out = pd.DataFrame(
+            columns=["series", "ts_sec", "increase", "rate", "late"]
+        )
     if last_us is not None:
         state.update((last_us, last_value))
         # evict series silent for > 1h of event time (watermark-driven)
         state.setTimeoutTimestamp(last_us // 1000 + 3_600_000)
-    yield pd.DataFrame(
-        out, columns=["series", "ts_sec", "increase", "rate", "late"]
-    )
+    yield out
 
 
 def streaming_counter_rate(

@@ -85,3 +85,52 @@ def test_state_crosses_micro_batches(spark, tmp_path):
         assert len(all_rows) == 6
     finally:
         q.stop()
+
+
+def test_duplicate_timestamp_ties_are_deterministic(spark, tmp_path):
+    """Duplicate (series, ts) samples in one batch: the kernel sorts by
+    (ts, value), so the LOWEST-valued sample of the tie group is the
+    accepted one and every other tie row is flagged late — regardless
+    of arrival order. Pins the contract ORACLE_STREAM_RATE mirrors."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "series string, ts timestamp, value double"
+    # arrival order deliberately puts the higher value first
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", BASE, 10.0),
+            ("a", BASE + 10, 99.0),  # tie, higher value → late
+            ("a", BASE + 10, 40.0),  # tie, lowest value → accepted
+            ("a", BASE + 20, 70.0),  # rates against 40, not 99
+        ],
+        0,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    out = streaming_counter_rate(stream)
+    qname = "stateful_tie_sink"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        got = {
+            (r.series, r.ts_sec, r.late): (r.increase, r.rate)
+            for r in rows
+        }
+        assert got[("a", float(BASE + 10), False)] == (30.0, 3.0)
+        assert got[("a", float(BASE + 10), True)] == (None, None)
+        assert got[("a", float(BASE + 20), False)] == (30.0, 3.0)
+        assert len(rows) == 4
+    finally:
+        q.stop()
