@@ -20,13 +20,14 @@ What is REAL here (tested, production-shaped):
   iteration, per-row fan-out (:func:`decode_images`,
   :func:`sample_frames`).
 
-What is STUBBED (this container ships no image/audio codecs): the
-actual pixel/sample decode. ``mode="strict"`` raises
-``NotImplementedError`` at the decode site; ``mode="fake"`` produces a
-deterministic content-hash-seeded payload so tests can assert the batch
-shape, partitioning, and determinism end-to-end. Swap ``_decode_one`` /
-``_sample_one`` for Pillow/ffmpeg calls on a real cluster and nothing
-else changes.
+The pixel decode has three modes: ``mode="real"`` decodes via Pillow
+when it is importable (optional dependency — the dev container ships
+no codecs, so tests for it auto-skip); ``mode="strict"`` raises at the
+decode site for fail-loud pipelines; ``mode="fake"`` (default)
+produces a deterministic content-hash-seeded payload so tests can
+assert the batch shape, partitioning, and determinism end-to-end
+hermetically. Frame sampling (`_sample_one`) remains a deterministic
+stub — swap in ffmpeg on a real cluster and nothing else changes.
 """
 
 from __future__ import annotations
@@ -198,13 +199,36 @@ def _fake_payload(content: bytes, n: int) -> bytes:
 
 
 def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
-    """STUB decode site. Replace with Pillow on a real cluster:
-    ``img = PIL.Image.open(io.BytesIO(content)); img.size`` etc."""
+    """Per-item decode site behind the ``mode`` switch.
+
+    - ``"real"``: Pillow decode (optional import — raises a clear
+      ImportError where the codec is missing; the container this repo
+      is developed in ships none, so the hermetic default stays fake).
+    - ``"strict"``: always raises — for pipelines that must fail loud
+      rather than produce fake pixels.
+    - ``"fake"`` (default): deterministic content-hash-seeded payload;
+      pins batch shape/partitioning/determinism without a codec.
+    """
+    if mode == "real":
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "decode_images(mode='real') requires pillow; install it "
+                "on the cluster or use mode='fake' for plumbing tests"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(content))
+        if img.mode not in ("L", "RGB", "RGBA"):
+            img = img.convert("RGB")
+        w, h = img.size
+        return w, h, len(img.getbands()), img.tobytes()
     if mode == "strict":
         raise NotImplementedError(
-            "image decode requires a codec library (e.g. Pillow), which "
-            "this environment does not ship; use mode='fake' for plumbing "
-            "tests or install a codec on the cluster"
+            "image decode requires a codec library (e.g. Pillow); use "
+            "mode='real' where one is installed, or mode='fake' for "
+            "plumbing tests"
         )
     w, h, ch = 4, 4, 3
     return w, h, ch, _fake_payload(content, w * h * ch)

@@ -1881,18 +1881,64 @@ def q_events_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Greenwald-Khanna): the 100 TB default the exact entry
     (``events_quantiles``) anchors. Mergeable per-partition sketches —
     bounded memory and one map-side-combining shuffle at any scale,
-    where the exact percentile must sort full groups. No SQL oracle:
-    DuckDB has no GK sketch and approximate outputs are not
-    hash-comparable; the driver records the weaker rows-only check,
-    and tests/test_timeseries.py pins the sketch against the exact
-    percentiles within the accuracy bound on real data."""
+    where the exact percentile must sort full groups.
+
+    The raw sketch values are approximate and merge-order dependent,
+    so they are not hash-comparable. The hash-checkable face emitted
+    here is the GK *rank guarantee itself*: a second distributed pass
+    computes the true rank interval of each sketched value
+    (``count(value < v)`` .. ``count(value <= v)``) and checks it
+    intersects ``target ± n/accuracy (± 1 slack for the engine's
+    target-rank rounding)``. ``within_bound`` must be TRUE for every
+    (key, φ) — exactly what the oracle states literally — so a sketch
+    regression breaks the hash, not just a pytest. The verification
+    join broadcasts the 15-row sketch side; the rank count is one
+    map-side-combining aggregation (no sort, unlike the exact entry).
+    tests/test_timeseries.py additionally pins sketch-vs-exact values
+    within the accuracy bound."""
     ev = _events(spark, sf_dir)
     acc = 10_000  # GK accuracy: rank error ≤ n/acc
-    return ev.groupBy("event_type").agg(
+    sk = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, acc).alias("p50"),
         F.percentile_approx("value", 0.95, acc).alias("p95"),
         F.percentile_approx("value", 0.99, acc).alias("p99"),
     )
+    long = sk.select(
+        "event_type",
+        F.expr(
+            "stack(3, 'p50', p50, 0.50d, 'p95', p95, 0.95d,"
+            " 'p99', p99, 0.99d) AS (quantile, v, phi)"
+        ),
+    )
+    ranked = (
+        ev.join(F.broadcast(long), "event_type")
+        .groupBy("event_type", "quantile", "phi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("v"), 1).otherwise(0)
+            ).alias("rank_lo"),
+            F.sum(
+                F.when(F.col("value") <= F.col("v"), 1).otherwise(0)
+            ).alias("rank_hi"),
+        )
+    )
+    eps = F.col("n") / F.lit(acc)
+    target = F.col("phi") * F.col("n")
+    within = (
+        (F.col("rank_hi") >= F.floor(target) - eps - 1)
+        & (F.col("rank_lo") + 1 <= F.ceil(target) + eps + 1)
+    )
+    return ranked.select(
+        "event_type", "quantile", "n", within.alias("within_bound")
+    )
+
+
+ORACLE_EVENTS_QUANTILES_SKETCH = """
+SELECT event_type, quantile, n, TRUE AS within_bound
+FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+CROSS JOIN (SELECT unnest(['p50', 'p95', 'p99']) AS quantile)
+"""
 
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2287,6 +2333,7 @@ ORACLES: dict[str, str] = {
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,
+    "events_quantiles_sketch": ORACLE_EVENTS_QUANTILES_SKETCH,
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {

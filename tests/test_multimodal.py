@@ -126,6 +126,44 @@ def test_decode_images_strict_raises(media_df):
         out.collect()
 
 
+def test_decode_images_real_png(spark):
+    """Real PNG decode through the same mapInPandas plumbing — runs
+    only where pillow is installed (the dev container ships no codecs,
+    so this skips there and exercises on a codec-equipped cluster)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL_Image.new("RGB", (5, 3))
+    img.putpixel((0, 0), (255, 0, 0))
+    img.putpixel((4, 2), (0, 0, 255))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "id bigint, content binary")
+    out = decode_images(df, "content", "id", mode="real").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.channels) == (5, 3, 3)
+    assert r.media_type == "image/png"
+    px = bytes(r.pixels)
+    assert len(px) == 5 * 3 * 3
+    assert px[0:3] == b"\xff\x00\x00"
+    assert px[-3:] == b"\x00\x00\xff"
+
+
+def test_decode_images_real_without_pillow_raises(media_df, monkeypatch):
+    """Where pillow is absent, mode='real' must fail loud with the
+    install hint, not fall back to fake pixels."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed - the ImportError path is dead here")
+    except ImportError:
+        pass
+    out = decode_images(media_df, "content", "id", mode="real")
+    with pytest.raises(Exception, match="pillow"):
+        out.collect()
+
+
 def test_sample_frames_fanout(media_df):
     out = sample_frames(media_df.where(F.col("id") == 4), "content", "id", num_frames=3, frame_bytes=32)
     rows = sorted(out.collect(), key=lambda r: r.frame_idx)

@@ -163,18 +163,25 @@ def test_counter_rate_single_window_plan(spark):
 
 
 def test_quantile_sketch_tracks_exact_percentiles(spark, sf_dir):
-    """The GK sketch entry (the 100 TB path) must agree with the exact
-    percentiles within its rank-error bound on real data — this is the
-    correctness pin for the rows-only catalog entry
-    events_quantiles_sketch."""
-    from etl_prometheus2clickhouse_spark.plans.catalog import (
-        q_events_quantiles,
-        q_events_quantiles_sketch,
-    )
-
+    """The raw GK sketch values (the 100 TB path) must agree with the
+    exact percentiles within the rank-error bound on real data. The
+    catalog entry now emits the rank-guarantee face (within_bound),
+    checked separately below; this pins the underlying VALUES against
+    an independent exact computation."""
     import pyspark.sql.functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    acc = 10_000
+    sketch = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, acc).alias("p50"),
+            F.percentile_approx("value", 0.95, acc).alias("p95"),
+            F.percentile_approx("value", 0.99, acc).alias("p99"),
+        )
+        .collect()
+    }
     # rank-based bound, not value-based: in a sparse heavy tail the
     # values of neighboring order statistics sit far apart, so the
     # right contract is "the sketch's answer is an order statistic
@@ -196,9 +203,6 @@ def test_quantile_sketch_tracks_exact_percentiles(spark, sf_dir):
         )
         .collect()
     }
-    sketch = {
-        r.event_type: r for r in q_events_quantiles_sketch(spark, sf_dir).collect()
-    }
     assert bounds.keys() == sketch.keys()
     for t in sketch:
         for i, q in enumerate(("p50", "p95", "p99")):
@@ -206,3 +210,18 @@ def test_quantile_sketch_tracks_exact_percentiles(spark, sf_dir):
             lo = getattr(bounds[t], f"lo{i}")
             hi = getattr(bounds[t], f"hi{i}")
             assert lo - 1e-9 <= s <= hi + 1e-9, (t, q, lo, s, hi)
+
+
+def test_quantile_sketch_rank_guarantee_face(spark, sf_dir):
+    """The catalog entry's hash-checkable face: within_bound must be
+    TRUE for every (event_type, quantile) — the same claim its oracle
+    states literally, verified here on the test corpus."""
+    from etl_prometheus2clickhouse_spark.plans.catalog import (
+        q_events_quantiles_sketch,
+    )
+
+    rows = q_events_quantiles_sketch(spark, sf_dir).collect()
+    assert len(rows) > 0 and len(rows) % 3 == 0
+    assert all(r.within_bound for r in rows), [
+        (r.event_type, r.quantile) for r in rows if not r.within_bound
+    ]
