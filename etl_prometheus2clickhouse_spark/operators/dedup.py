@@ -35,13 +35,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Every intermediate an operator persists is also recorded here, so a
-# scope can free them without the caller holding the right DataFrame
-# object. The earlier contract ("call release_cached(result) on the
-# operator's return value") silently broke the moment a caller did
-# result.select(...) — the new Python object doesn't carry the
-# attribute — which is exactly what every catalog entry does.
-_LIVE_CACHES: list[DataFrame] = []
+# Persisted intermediates are recorded against the innermost ACTIVE
+# scope (a stack of per-scope lists), so a scope frees exactly what was
+# registered inside it — not a length-mark slice of a shared global
+# list, which under-releases when release_cached() removes an entry
+# registered before a nested scope's mark. Outside any scope nothing
+# is registered globally (no unbounded growth in unscoped use); the
+# result's ``_cached_deps`` attribute still lets release_cached() free
+# them. The earlier attribute-only contract silently broke the moment
+# a caller did result.select(...) — the new Python object doesn't
+# carry the attribute — which is exactly what every catalog entry does.
+_SCOPE_STACK: list[list[DataFrame]] = []
 
 
 def release_cached(df: DataFrame) -> None:
@@ -60,10 +64,14 @@ def _release(dep: DataFrame) -> None:
         dep.unpersist()
     except Exception:  # session already stopped — nothing to free
         pass
-    try:
-        _LIVE_CACHES.remove(dep)
-    except ValueError:
-        pass
+    # drop it from whichever scope recorded it so scope exit doesn't
+    # re-release (and an inner scope's own entries stay its own)
+    for entries in _SCOPE_STACK:
+        try:
+            entries.remove(dep)
+            return
+        except ValueError:
+            continue
 
 
 @contextmanager
@@ -79,20 +87,29 @@ def cached_scope() -> Iterator[None]:
 
     This is the long-lived-session contract: N queries under N scopes
     leave zero persisted partitions behind (pinned by
-    tests/test_dedup.py). Scopes nest (inner releases only its own);
-    single-threaded by design, like the driver-side plan building it
-    wraps."""
-    mark = len(_LIVE_CACHES)
+    tests/test_dedup.py). Scopes nest — each scope releases exactly
+    the intermediates registered while it was innermost, regardless of
+    interleaved release_cached() calls; single-threaded by design,
+    like the driver-side plan building it wraps."""
+    entries: list[DataFrame] = []
+    _SCOPE_STACK.append(entries)
     try:
         yield
     finally:
-        while len(_LIVE_CACHES) > mark:
-            _release(_LIVE_CACHES[-1])
+        _SCOPE_STACK.pop()
+        while entries:
+            _release(entries.pop())
+
+
+def _register_cached(dep: DataFrame) -> None:
+    if _SCOPE_STACK:
+        _SCOPE_STACK[-1].append(dep)
 
 
 def _with_cached_deps(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
     df._cached_deps = deps  # type: ignore[attr-defined]
-    _LIVE_CACHES.extend(deps)
+    for dep in deps:
+        _register_cached(dep)
     return df
 
 
@@ -188,7 +205,7 @@ def dup_components(
         .distinct()
         .persist()
     )
-    _LIVE_CACHES.append(edges)
+    _register_cached(edges)
     # localCheckpoint, NOT persist: persist caches partitions but the
     # LOGICAL plan still nests one join deeper per round, and Catalyst
     # tree processing over N self-referencing rounds explodes
@@ -234,7 +251,11 @@ def dup_components(
             "or switch to a star-contraction variant"
         )
     out = labels.select("node", F.col("label").alias("component"))
-    return _with_cached_deps(out, [edges])
+    # edges was registered with the scope at creation (so the failure
+    # path above stays covered); only attach the attribute here to
+    # avoid a duplicate scope entry
+    out._cached_deps = [edges]  # type: ignore[attr-defined]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1730,11 +1730,14 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     width per series, not whole-partition). Rounded to 6dp: Spark
     maintains sliding frames incrementally (add/remove) while DuckDB
     recomputes per frame, so raw float bits can differ in the last
-    ulp."""
+    ulp. The frame orders by (ts, event_id): without the unique
+    tiebreaker, duplicate timestamps within a series would make the
+    frame contents engine-dependent (Spark vs DuckDB tie order) and
+    flip mavg5/mmax5 per row on a future corpus."""
     ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("event_type", "user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(-4, 0)
     )
     return ev.select(
@@ -1751,7 +1754,7 @@ SELECT event_id, event_type, user_id,
        round(avg(value) OVER w, 6) AS mavg5,
        round(max(value) OVER w, 6) AS mmax5
 FROM events
-WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 

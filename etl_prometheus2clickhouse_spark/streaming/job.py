@@ -66,7 +66,24 @@ class RunResult:
 
 class EtlBatchJob:
     """One process-level run = one window, like the reference's
-    externally-scheduled loop (main.py:64-69)."""
+    externally-scheduled loop (main.py:64-69).
+
+    **Restart-grid contract** (pinned by
+    tests/test_job_end_to_end.py::test_restart_grid_contract_batch_path):
+    Prometheus evaluates a range query at ``window_start + k*step``, so
+    the overlap region of a restart replays samples at the SAME
+    instants only while the grid is unchanged — identical replayed
+    rows, absorbed by dedup-on-storage (K3). Changing
+    ``query_step_seconds`` (or an overlap that moves ``window_start``
+    off the old grid) shifts the instants, and the replayed overlap
+    rows become near-duplicates storage dedup cannot collapse. The
+    state schema is wire-parity with the reference (README.md:162-178
+    — no step column), so the batch path cannot detect this at
+    startup; treat a step change as a re-deploy: run once with
+    ``overlap_seconds=0``, or accept near-dup samples in one overlap
+    window. The STREAMING path has no such gap — it stamps
+    ``step``/``initial`` into its checkpoint offsets and refuses a
+    mismatched restart (sources/prometheus.py ``_check_grid``)."""
 
     def __init__(
         self,

@@ -258,6 +258,58 @@ def test_cached_scope_long_lived_session_no_growth(spark, corpus):
     assert n_persisted() == base
 
 
+def test_nested_scope_with_interleaved_release(spark, corpus):
+    """A release_cached() of an OUTER scope's frame while an inner
+    scope is open must not eat the inner scope's own registrations
+    (the length-mark registry bug: removing a pre-mark entry shifted
+    the mark window and under-released). Per-scope membership makes
+    each scope free exactly what it registered."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        cached_scope,
+        release_cached,
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    with cached_scope():
+        outer = minhash_lsh_pairs(corpus, "id", threshold=0.5)
+        outer.collect()
+        after_outer = n_persisted()
+        assert after_outer > base
+        with cached_scope():
+            # n=2 so the persisted intermediate's plan differs from the
+            # outer run's (Spark's CacheManager dedupes identical plans)
+            inner = minhash_lsh_pairs(corpus, "id", n=2, threshold=0.4)
+            inner.collect()
+            assert n_persisted() > after_outer
+            # free the OUTER frame's deps while the inner scope is open
+            release_cached(outer)
+        # inner scope exit released the inner registrations too
+        assert n_persisted() == base
+    assert n_persisted() == base
+
+
+def test_unscoped_use_registers_nothing_globally(corpus):
+    """Operators run outside any scope must not grow a global registry
+    (a long-lived unscoped session would leak list entries forever);
+    release_cached() still frees via the result attribute."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        _SCOPE_STACK,
+        release_cached,
+    )
+
+    assert _SCOPE_STACK == []
+    out = minhash_lsh_pairs(corpus, "id", threshold=0.5)
+    out.collect()
+    assert _SCOPE_STACK == []
+    deps = out._cached_deps
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    release_cached(out)
+    assert all(not d.storageLevel.useMemory for d in deps)
+
+
 def test_dup_components_transitive_closure(spark):
     """A~B and B~C must land A, B, C in ONE cluster labeled min(id),
     even though (A, C) was never emitted as a pair."""

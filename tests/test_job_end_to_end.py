@@ -217,3 +217,65 @@ def test_clickhouse_sink_empty_short_circuit(spark, servers):
     )
     sink.write(empty)
     assert servers.inserts == []
+
+
+def test_restart_grid_contract_batch_path(spark, tmp_path, servers):
+    """The batch restart-grid contract (EtlBatchJob docstring): a
+    same-step restart replays the overlap region at IDENTICAL instants
+    (every replayed row appears twice — dedup-on-storage collapses
+    them), while a changed-step restart shifts the instant grid and
+    produces overlap samples that exist only once on each grid —
+    near-duplicates no content dedup can absorb. The state schema is
+    wire-parity with the reference (no step column), so this is a
+    pinned operational contract for the batch path; the streaming path
+    stamps the grid into its checkpoint and refuses instead."""
+    from pyspark.sql import functions as F
+
+    ov = 30
+    state = LocalStateStore(str(tmp_path / "grid_state.jsonl"))
+    bootstrap_progress(state, PROGRESS0, now=PROGRESS0 - 1)
+    facts_dir = str(tmp_path / "grid_facts")
+    clock = TickingClock(NOW)
+
+    def mk(step):
+        return EtlBatchJob(
+            spark,
+            state,
+            make_fetch_fn(servers.url, partitions=1),
+            ParquetSink(facts_dir),
+            window_size_seconds=WINDOW,
+            overlap_seconds=ov,
+            query_step_seconds=step,
+            now_fn=clock,
+        )
+
+    r1 = mk(STEP).run_once()
+    r2 = mk(STEP).run_once()
+    assert r2.window_start == r1.window_end - ov  # overlap really replays
+
+    def overlap_counts(lo, hi):
+        facts = spark.read.parquet(facts_dir)
+        return (
+            facts.where(
+                (F.unix_micros("timestamp") >= lo * 1_000_000)
+                & (F.unix_micros("timestamp") <= hi * 1_000_000)
+            )
+            .groupBy("name", "timestamp")
+            .count()
+            .collect()
+        )
+
+    same_grid = overlap_counts(r2.window_start, r1.window_end)
+    assert same_grid
+    # unchanged grid: every overlap instant was written by BOTH runs as
+    # an identical row - exactly what dedup-on-storage collapses
+    assert all(r["count"] == 2 for r in same_grid)
+
+    # run 3 with a CHANGED step: same state, moved grid
+    r3 = mk(10).run_once()
+    moved_grid = overlap_counts(r3.window_start, r2.window_end)
+    solo = [r for r in moved_grid if r["count"] == 1]
+    # instants exclusive to one grid exist on both sides: near-dup
+    # samples that no exact dedup can collapse (the documented cost of
+    # changing query_step_seconds without a clean re-deploy)
+    assert solo, "changed step unexpectedly preserved the instant grid"
