@@ -65,8 +65,12 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
+    # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
+    "multimodal_meta",
+    "events_quantiles_sketch",
     # streaming faces (real AvailableNow runs, memory sink)
     "stream_hourly",
+    "stream_dedup_keys",
     "stream_rate",
 ]
 

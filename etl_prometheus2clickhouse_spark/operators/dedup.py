@@ -370,51 +370,30 @@ def _minhash_sig_udf(num_hashes: int, seed: int):
     a = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
-    # Bound the (num_hashes × shingles) intermediate per chunk:
-    # 2^17 shingles × 64 hashes × 8 B ≈ 67 MB transient per task.
-    chunk_shingles = 1 << 17
-
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hs: pd.Series) -> pd.Series:
-        # Batched kernel: flatten every document's shingle hashes into
-        # one array, apply all permutations as a single broadcast
-        # multiply-add per chunk, and segment-min back to per-document
-        # signatures with np.minimum.reduceat — a handful of numpy
-        # dispatches per Arrow batch instead of one outer product per
-        # row. Documents are grouped so a chunk's flat length stays
-        # under ``chunk_shingles``.
+        # Per-document outer product, deliberately NOT batch-flattened:
+        # at realistic shingle densities (hundreds per document) each
+        # row's (num_hashes × n_shingles) multiply-add is already a
+        # vector op big enough to amortize numpy dispatch, and it stays
+        # cache-resident (64×250×8 ≈ 128 KB). The flatten-everything +
+        # minimum.reduceat formulation was measured (round 6) at
+        # 7-17 ms vs 6.6 ms per 156-doc batch standalone and 2.5×
+        # slower end-to-end in the bench — the batch-wide intermediate
+        # (tens of MB × 32 concurrent workers) turns a compute kernel
+        # memory-bandwidth-bound. Batch-flattening only pays when
+        # documents are tiny (few shingles), which shingled text never
+        # is.
         empty = [_EMPTY_SENTINEL] * num_hashes
-        arrs = [
-            None if h is None or len(h) == 0 else np.asarray(h, dtype=np.int64)
-            for h in hs
-        ]
-        out: list = [empty] * len(arrs)
-        i = 0
+        out = []
         with np.errstate(over="ignore"):
-            while i < len(arrs):
-                # next chunk of non-empty docs bounded by flat length
-                idxs: list[int] = []
-                total = 0
-                while i < len(arrs) and (
-                    total < chunk_shingles or not idxs
-                ):
-                    if arrs[i] is not None:
-                        idxs.append(i)
-                        total += len(arrs[i])
-                    i += 1
-                if not idxs:
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append(empty)
                     continue
-                flat = np.concatenate([arrs[j] for j in idxs]).astype(
-                    np.uint64
-                )
-                perms = flat[None, :] * a[:, None] + b[:, None]  # mod 2^64
-                lens = np.array([len(arrs[j]) for j in idxs])
-                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                mins = np.minimum.reduceat(perms, starts, axis=1).astype(
-                    np.int64
-                )  # num_hashes × n_docs
-                for col, j in enumerate(idxs):
-                    out[j] = mins[:, col].tolist()
+                arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                perms = arr[None, :] * a[:, None] + b[:, None]  # mod 2^64
+                out.append(perms.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return sig

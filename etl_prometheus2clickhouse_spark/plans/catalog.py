@@ -1797,7 +1797,16 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot compiles to one aggregation pass with CASE-style partial
     aggregates (no extra shuffle vs a plain groupBy). Empty cells are
     NULL (``sum(when(...))``), matching SQL ``sum(CASE WHEN ...)``
-    semantics for a pivot value absent from a group."""
+    semantics for a pivot value absent from a group.
+
+    Escape hatch for unknown domains: ``.pivot("event_type")`` with no
+    value list is the dynamic variant — Spark runs a distinct-collect
+    job over the key column first (driver-bounded by
+    ``spark.sql.pivotMaxValues``, default 10k) and then the same
+    single-pass aggregation. Deliberately not the catalog face: at
+    100 TB the extra full-column distinct scan is real money and an
+    unbounded key domain is a schema-explosion bug you want to fail
+    loudly, not absorb."""
     ev = _events(spark, sf_dir)
     types = ["click", "error", "purchase", "signup", "view"]
     return (
