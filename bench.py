@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "quality_score",
     "content_dedup",
     "fingerprint_dedup",
+    "stratified_sample",
     "minhash_lsh",
     "dup_clusters",
     "simhash_pairs",

@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data pipelines (engine
+extension; BASELINE.json north star).
+
+Data mixing — "keep 25% of English web text, all of the German, a
+tenth of the boilerplate source" — is a core training-pipeline
+operation at 100 TB, and the naive tools are wrong for it:
+``df.sample()`` is seed-per-partition (membership changes under
+repartitioning, retries, and scale-up), and sorting-based subsampling
+is a full shuffle. The right primitive is a *pure function of the row
+id*: deterministic multiplicative hashing.
+
+Scale shape: sampling is a broadcast join (the per-stratum rate table
+is tiny) plus a JVM filter over a hash expression — NO shuffle, no
+Python, fully pushdown-friendly; membership of a row is stable across
+runs, partitionings, cluster sizes, and even engines. The hash
+arithmetic is spelled in exact wide-integer math (``decimal(38,0)`` in
+Spark, ``HUGEINT`` in DuckDB) so it is ANSI-overflow-safe and
+bit-identical in the oracle: an auditor can recompute membership of
+any row with one line of SQL.
+
+Why multiplicative hashing (Knuth): ``(id * 2654435761 + salt) mod
+2^32`` scatters sequential ids uniformly (2654435761 ≈ 2^32/φ), which
+is exactly the common case for training corpora with dense monotone
+doc ids; the low bits of ``id`` itself would correlate with ingest
+order and bias the sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant: floor(2^32 / golden ratio), odd.
+_MULT = 2654435761
+_MODULUS = 2**32
+
+
+def sample_bucket(id_col: Column | str, salt: int = 12345) -> Column:
+    """Deterministic uniform bucket in ``[0, 2^32)`` from a numeric id.
+
+    Exact wide-integer arithmetic (``decimal(38,0)``): a 64-bit id
+    times a 32-bit constant overflows BIGINT, which under Spark 4's
+    default ANSI mode is a runtime error, not a wrap — decimal math
+    sidesteps it and matches DuckDB's HUGEINT spelling digit for
+    digit."""
+    wide = F.col(id_col).cast("decimal(38,0)") if isinstance(id_col, str) else id_col.cast("decimal(38,0)")
+    return (wide * F.lit(_MULT) + F.lit(salt)) % F.lit(_MODULUS)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    salt: int = 12345,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample.
+
+    ``rates`` is a tiny (stratum, rate) table — broadcast; a row
+    survives iff ``sample_bucket(id) < rate * 2^32``. Rate 0 drops a
+    stratum entirely, rate 1.0 keeps it whole, and a stratum absent
+    from ``rates`` is dropped (inner join) — the explicit-recipe
+    contract: a new surprise stratum in the data does not silently
+    ride through at some default rate.
+
+    Output keeps the input columns plus ``u_bucket`` (the hash bucket)
+    so every membership decision is auditable after the fact.
+    """
+    bucket = sample_bucket(id_col, salt=salt).cast("long").alias("u_bucket")
+    joined = df.join(F.broadcast(rates), stratum_col, "inner")
+    return joined.select("*", bucket).where(
+        F.col("u_bucket") < F.col("rate") * F.lit(float(_MODULUS))
+    ).drop("rate")

@@ -69,6 +69,9 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     with_token_count,
 )
 from etl_prometheus2clickhouse_spark.functions import ts
+from etl_prometheus2clickhouse_spark.operators.sampling import (
+    stratified_sample,
+)
 from etl_prometheus2clickhouse_spark.operators.transform import parse_response
 from etl_prometheus2clickhouse_spark.plans.state_queries import (
     latest_valid_state,
@@ -662,6 +665,37 @@ SELECT st.doc_id,
           + (CASE WHEN st.avg_token_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) * 0.25
           AS DOUBLE) AS quality_score
 FROM st JOIN lid ON st.doc_id = lid.doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (data mixing): keep
+    25% of English, all German, half of Spanish, a tenth of French,
+    three quarters of Chinese. Membership is a pure multiplicative-hash
+    function of doc_id — stable across runs, partitionings, and
+    engines — spelled in exact wide-integer math, so the oracle
+    recomputes the identical sample in DuckDB (operators/sampling.py:
+    broadcast rate join + JVM filter, no shuffle, no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 0.25), ("de", 1.0), ("es", 0.5), ("fr", 0.1), ("zh", 0.75)],
+        "lang string, rate double",
+    )
+    out = stratified_sample(d, rates, stratum_col="lang", id_col="doc_id")
+    return out.select("doc_id", "lang", "u_bucket")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT d.doc_id, d.lang,
+       CAST((d.doc_id::HUGEINT * 2654435761 + 12345) % 4294967296
+            AS BIGINT) AS u_bucket
+FROM documents d
+JOIN (VALUES ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(1.0 AS DOUBLE)),
+             ('es', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+             ('zh', CAST(0.75 AS DOUBLE))) r(lang, rate)
+  ON d.lang = r.lang
+WHERE CAST((d.doc_id::HUGEINT * 2654435761 + 12345) % 4294967296 AS BIGINT)
+      < r.rate * 4294967296.0
 """
 
 
@@ -2241,6 +2275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
+    "stratified_sample": q_stratified_sample,
     # near-dup
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -2307,6 +2342,7 @@ ORACLES: dict[str, str] = {
     "language_id": _oracle_language_id(),
     "quality_score": _oracle_quality_score(),
     "fingerprints": ORACLE_FINGERPRINTS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     # LSH variants are oracled against EXACT similarity SQL: candidates
     # are exact-rescored (sound by construction) and the banding is
