@@ -1614,7 +1614,15 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_prometheus2clickhouse_spark.operators.joins import range_join
 
     ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
-    anchor = F.date_trunc("hour", F.col("ts"))
+    # hour-truncate via epoch arithmetic, NOT F.date_trunc: date_trunc
+    # is typed for LTZ, so an NTZ input is implicitly cast through the
+    # SESSION timezone and the promo anchors shift with whoever created
+    # the SparkSession (caught by a non-UTC driver-simulation run in
+    # round 6 — DST-mix shifts changed the matched-pair counts)
+    anchor = ts.ntz_from_micros(
+        (F.floor(ts.ntz_micros("ts") / 3_600_000_000) * 3_600_000_000)
+        .cast("long")
+    )
     promos = (
         _events(spark, sf_dir)
         .where(F.col("event_id") % 43 == 0)
