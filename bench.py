@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # LLM layer
     "text_stats",
     "quality_score",
+    "repetition_stats",
+    "pii_scrub",
+    "decontaminate",
+    "events_distinct_kmv",
     "content_dedup",
     "fingerprint_dedup",
     "stratified_sample",

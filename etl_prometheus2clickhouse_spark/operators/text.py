@@ -14,6 +14,11 @@ Operators:
 - :func:`with_fingerprint`    — deterministic document fingerprints
   (md5 hex of normalized text + xxhash64).
 - :func:`with_token_count`    — whitespace and BPE-ish regex token counts.
+- :func:`repetition_stats`    — Gopher-style repetition signals
+  (duplicate-line fraction, most-frequent-word mass).
+- :func:`with_pii_scrub`      — email/URL redaction with match counts.
+- :func:`ngram_contamination` — corpus-vs-benchmark n-gram collision
+  join (train/test decontamination).
 """
 
 from __future__ import annotations
@@ -133,6 +138,179 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + tok_ok.cast("int") * 0.25
     )
     return out.withColumn("quality_score", score.cast("double"))
+
+
+# PII-ish patterns, ASCII-safe and identical under Java regex (Spark)
+# and RE2 (DuckDB) so the scrub is oracle-checkable cross-engine.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+
+
+def _words(c: Column) -> Column:
+    """Lowercased whitespace-token array with empties dropped."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Emits per document:
+
+    - ``n_lines`` / ``dup_line_frac`` — non-blank line count and the
+      fraction of lines that are repeats of an earlier line. Pure
+      array expressions (split → filter → array_distinct), shuffle-free
+      and whole-stage-codegen'd.
+    - ``n_words`` / ``top_word`` / ``top_word_frac`` — total word
+      count, the most frequent word (ties broken lexicographically so
+      the result is engine-independent), and the fraction of all words
+      it accounts for. This is a per-document word-count: one
+      hash aggregation keyed on (id, word) with map-side combine, then
+      a per-id reduction — both embarrassingly parallel at 100 TB
+      (key cardinality scales with the corpus, no global hot key).
+
+    High repetition on either axis is the classic low-quality signal
+    used by training-data pipelines (boilerplate, scraped nav bars,
+    keyword stuffing).
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    line_stats = df.select(
+        id_col,
+        n_lines.cast("bigint").alias("n_lines"),
+        F.when(
+            n_lines > 0,
+            (n_lines - n_distinct_lines).cast("double") / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+
+    words = df.select(F.col(id_col), F.explode(_words(c)).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # min(struct(-cnt, w)) == (max count, then lexicographically-min
+    # word): a deterministic argmax without a window sort.
+    top = wc.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("w"))).alias("m"),
+        F.sum("cnt").alias("n_words"),
+    )
+    top = top.select(
+        id_col,
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("m.w").alias("top_word"),
+        ((-F.col("m.neg_cnt")).cast("double") / F.col("n_words")).alias(
+            "top_word_frac"
+        ),
+    )
+    out = line_stats.join(top, id_col, "left")
+    return out.select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce(F.col("n_words"), F.lit(0).cast("bigint")).alias("n_words"),
+        "top_word",
+        F.coalesce(F.col("top_word_frac"), F.lit(0.0)).alias("top_word_frac"),
+    )
+
+
+def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact email addresses and URLs.
+
+    Adds ``n_emails`` / ``n_urls`` (match counts on the raw text) and
+    ``text_scrubbed`` (URLs replaced with ``<URL>`` first — so an
+    address inside a query string is not double-counted — then emails
+    with ``<EMAIL>``). All JVM regex expressions: shuffle-free,
+    linear in input splits.
+    """
+    c = F.col(text_col)
+    return (
+        df.withColumn(
+            "n_emails",
+            F.coalesce(F.regexp_count(c, F.lit(EMAIL_REGEX)), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "n_urls",
+            F.coalesce(F.regexp_count(c, F.lit(URL_REGEX)), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "text_scrubbed",
+            F.regexp_replace(
+                F.regexp_replace(c, URL_REGEX, "<URL>"),
+                EMAIL_REGEX,
+                "<EMAIL>",
+            ),
+        )
+    )
+
+
+def word_shingles(c: Column, n: int = 5) -> Column:
+    """All ``n``-word shingles of a text column as an array of
+    space-joined strings (empty array when the text has fewer than
+    ``n`` words). Built-in higher-order functions only."""
+    toks = _words(c)
+    n_sh = F.size(toks) - (n - 1)
+    return F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Train/test decontamination: flag corpus documents sharing any
+    word ``n``-gram with a benchmark set.
+
+    Both sides are expanded to DISTINCT shingles (per document on the
+    corpus side, globally on the benchmark side) and equi-joined on the
+    shingle string; hits aggregate back to one row per contaminated
+    document with ``n_shingles`` (document shingle count),
+    ``n_contaminated`` (distinct shingles that collided) and
+    ``contamination_frac``.
+
+    Scale shape: the benchmark side is deduplicated before the join and
+    carries only the shingle key, so the join is a shuffle hash join on
+    an evenly-hashed string key (or a broadcast join when the benchmark
+    is small — Catalyst/AQE picks); the corpus side never materializes
+    more than its exploded shingles, and the final rollup is a
+    map-side-combining count keyed by document. In production the join
+    key would be ``xxhash64(shingle)`` to shrink shuffle width — kept
+    as the raw string here so the DuckDB oracle is byte-identical.
+    """
+    sh = word_shingles(F.col(text_col), n)
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        (F.size(_words(F.col(text_col))) - (n - 1)).cast("bigint").alias(
+            "n_shingles"
+        ),
+        F.explode(F.array_distinct(sh)).alias("sh"),
+    )
+    bench_sh = benchmark.select(F.explode(sh).alias("sh")).distinct()
+    hits = corpus_sh.join(bench_sh, "sh").groupBy(id_col, "n_shingles").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return hits.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+            "contamination_frac"
+        ),
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -42,6 +42,7 @@ from etl_prometheus2clickhouse_spark.functions import (
 )
 from etl_prometheus2clickhouse_spark.operators.dedup import (
     dup_components,
+    dup_components_twostar,
     distinct_by_fingerprint,
     exact_dedup,
     minhash_lsh_pairs,
@@ -61,9 +62,13 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
 )
+from etl_prometheus2clickhouse_spark.operators.sketch import kmv_distinct
 from etl_prometheus2clickhouse_spark.operators.text import (
+    ngram_contamination,
+    repetition_stats,
     with_fingerprint,
     with_language_id,
+    with_pii_scrub,
     with_quality_score,
     with_text_stats,
     with_token_count,
@@ -736,6 +741,199 @@ GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fraction (pure
+    array expressions, shuffle-free) + most-frequent-word mass (one
+    map-side-combining word-count keyed by (doc, word)). See
+    operators/text.py:repetition_stats for the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    # The synthetic corpus is single-line; synthesize multi-line docs by
+    # reflowing every 8th word onto a new line so the line-level signal
+    # is exercised for real (duplicate lines DO occur in word-salad).
+    reflowed = d.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n")
+    )
+    return repetition_stats(reflowed, "text", "doc_id")
+
+
+ORACLE_REPETITION_STATS = """
+WITH reflowed AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\\S+\\s+){7}\\S+)\\s+', '\\1' || chr(10),
+                        'g') AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+           AS ls
+  FROM reflowed
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines
+),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS w
+  FROM reflowed
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+),
+top AS (
+  SELECT doc_id, w AS top_word, cnt,
+         sum(cnt) OVER (PARTITION BY doc_id) AS n_words,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, w) AS rn
+  FROM wc
+)
+SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
+       CAST(coalesce(t.n_words, 0) AS BIGINT) AS n_words,
+       t.top_word,
+       coalesce(CAST(t.cnt AS DOUBLE) / t.n_words, 0.0) AS top_word_frac
+FROM line_stats ls
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON ls.doc_id = t.doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL redaction. The word-salad corpus contains neither, so
+    both are injected deterministically (every 10th doc gets an email,
+    every 7th a URL — recomputed identically by the oracle) and the
+    operator must count and strip exactly those. Emits the scrubbed
+    text as md5 so the full redacted string is hash-checked without
+    shipping megabytes through the driver compare."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" see https://ex.com/d/"), sid, F.lit(" ok")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = with_pii_scrub(injected, "text")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_urls",
+        F.md5("text_scrubbed").alias("scrubbed_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = """
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' see https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                      || ' ok' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+         AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+             'g')) AS scrubbed_md5
+FROM injected
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: every corpus document (doc_id % 97
+    != 0) that shares a 3-word shingle with the pseudo-benchmark set
+    (doc_id % 97 == 0), with collision counts. Benchmark shingles are
+    globally deduplicated before the join (operators/text.py:
+    ngram_contamination for the 100 TB join shape). n=3 on this
+    small-vocabulary corpus yields a dense hit set (~1/3 of docs at
+    sf0.01); production pipelines use 8-13-gram exact overlap — the
+    plan shape is identical."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=3)
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CAST(len(toks) - 2 AS BIGINT) AS n_shingles,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+  FROM toks
+  WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, c.n_shingles,
+       CAST(count(*) AS BIGINT) AS n_contaminated,
+       CAST(count(*) AS DOUBLE) / c.n_shingles AS contamination_frac
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+def q_events_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality via the deterministic KMV
+    bottom-k sketch (operators/sketch.py) — the approximate operator
+    whose estimate is a pure function of the input set, so the oracle
+    reproduces it bit-for-bit in ANSI SQL. k=64 keeps the final
+    aggregate at 64 rows/group while the heavy lifting is one distinct
+    scan + WindowGroupLimit bottom-k."""
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+ORACLE_EVENTS_DISTINCT_KMV = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_k,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+            ELSE 270582939648.0 / max(h) END AS est_distinct
+FROM r WHERE rn <= 64
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup: n-gram Jaccard (oracle), MinHash/SimHash (rows-only)
 # ---------------------------------------------------------------------------
@@ -858,6 +1056,22 @@ walk(node, reach) AS (
 SELECT node AS doc_id, min(reach) AS component_id
 FROM walk GROUP BY node
 """
+
+
+def q_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution via the alternating large-star/small-star
+    contraction (operators/dedup.py ``dup_components_twostar``,
+    Kiveris et al. SoCC'14) — O(log diameter) rounds vs min-label
+    propagation's O(diameter), the drop-in for deep duplicate chains
+    at 100 TB. Same pair input and same recursive-CTE oracle as
+    ``dup_clusters``: two independent algorithms, one answer."""
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.5
+    ).select("id_a", "id_b")
+    return dup_components_twostar(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2274,14 +2488,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multi-resolution rollups, sketches, ranks
     "events_multires": q_events_multires,
     "events_quantiles_sketch": q_events_quantiles_sketch,
-    "events_rollup": q_events_rollup,
-    "parts_rank": q_parts_rank,
+    "events_distinct_kmv": q_events_distinct_kmv,
     "supplier_topk": q_supplier_topk,
     # text analysis
     "text_stats": q_text_stats,
-    "token_count": q_token_count,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
     "fingerprints": q_fingerprints,
     "stratified_sample": q_stratified_sample,
     # near-dup
@@ -2306,7 +2521,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props": q_events_props,
     "events_rate": q_events_rate,
     "user_sessions": q_user_sessions,
-    "events_session_window": q_events_session_window,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "events_moving_avg": q_events_moving_avg,
@@ -2323,6 +2537,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # against its oracle at sf0.001 (tests/test_cross_checked.py) and
 # scripts/check_correctness.py covers them at sf0.01.
 CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # demoted round 6 to fund new distinct operators: each is dominated
+    # by a remaining primary (token_count ⊂ text_stats; rollup by
+    # events_multires + events_cube, the general grouping-sets pair;
+    # parts_rank's windowed rank shape by events_distinct_kmv's
+    # WindowGroupLimit bottom-k + supplier_topk; session_window is the
+    # designed cross-check twin of user_sessions)
+    "token_count": q_token_count,
+    "events_rollup": q_events_rollup,
+    "parts_rank": q_parts_rank,
+    "events_session_window": q_events_session_window,
+    "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
@@ -2346,9 +2571,11 @@ ORACLES: dict[str, str] = {
     "lease_scan": ORACLE_LEASE_SCAN,
     "content_dedup": ORACLE_CONTENT_DEDUP,
     "text_stats": ORACLE_TEXT_STATS,
-    "token_count": ORACLE_TOKEN_COUNT,
     "language_id": _oracle_language_id(),
     "quality_score": _oracle_quality_score(),
+    "repetition_stats": ORACLE_REPETITION_STATS,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "fingerprints": ORACLE_FINGERPRINTS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
@@ -2373,7 +2600,6 @@ ORACLES: dict[str, str] = {
     "events_props": ORACLE_EVENTS_PROPS,
     "events_rate": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
-    "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
@@ -2382,9 +2608,8 @@ ORACLES: dict[str, str] = {
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
-    "events_rollup": ORACLE_EVENTS_ROLLUP,
     "events_multires": ORACLE_EVENTS_MULTIRES,
-    "parts_rank": ORACLE_PARTS_RANK,
+    "events_distinct_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
@@ -2393,6 +2618,11 @@ ORACLES: dict[str, str] = {
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {
+    "token_count": ORACLE_TOKEN_COUNT,
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
+    "parts_rank": ORACLE_PARTS_RANK,
+    "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
+    "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,

@@ -342,3 +342,58 @@ def test_dup_components_nonconvergence_is_loud(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_components(pairs, max_iterations=2)
+
+
+def test_twostar_matches_propagation_on_random_graph(spark):
+    """Two independent CC algorithms must produce identical labels on a
+    random multi-component graph (includes chains, stars, triangles)."""
+    import random
+
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        dup_components,
+        dup_components_twostar,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30)]          # one long chain
+    edges += [(100, v) for v in range(101, 110)]        # a star
+    edges += [(200, 201), (201, 202), (202, 200)]       # a triangle
+    edges += [
+        (rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    a = {r.node: r.component for r in dup_components(pairs).collect()}
+    b = {r.node: r.component for r in dup_components_twostar(pairs).collect()}
+    assert a == b
+
+
+def test_twostar_deep_chain_needs_few_rounds(spark):
+    """A 64-node path: propagation needs ~diameter rounds; the
+    alternating algorithm must finish in O(log d) — well under 10."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        dup_components_twostar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.component
+        for r in dup_components_twostar(pairs, max_iterations=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_twostar_chain_is_not_declared_converged_early(spark):
+    """{(3,2),(2,1)} is a fixpoint of small-star ALONE; the convergence
+    check must still contract it to a star rooted at 1."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        dup_components_twostar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(3, 2), (2, 1)], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.component for r in dup_components_twostar(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

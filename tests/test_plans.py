@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import pytest
 
-from etl_prometheus2clickhouse_spark.plans.catalog import QUERIES
+from etl_prometheus2clickhouse_spark.plans.catalog import (
+    ALL_QUERIES as QUERIES,
+)
 
 SF = "/root/testdata/sf0.01"
 

@@ -99,3 +99,95 @@ def test_fingerprint_whitespace_invariance(spark):
     import hashlib
 
     assert got[1].fp_md5 == hashlib.md5(b"hello world").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: repetition, PII scrub, decontamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    rows = [
+        (1, "alpha beta\nalpha beta\ngamma delta"),   # 1 dup line of 3
+        (2, "one two three"),                          # no dups
+        (3, ""),                                       # empty
+        (4, "x x x x y"),                              # top word x: 4/5
+        (5, "b a b a"),                                # tie 2-2 → 'a' wins
+        (6, "  \n \n  "),                              # blank lines only
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repetition_stats_known_answers(rep_docs):
+    from etl_prometheus2clickhouse_spark.operators.text import repetition_stats
+
+    got = {r.doc_id: r for r in repetition_stats(rep_docs).collect()}
+    assert len(got) == 6  # empty docs are kept, not dropped
+    r = got[1]
+    assert r.n_lines == 3
+    assert abs(r.dup_line_frac - 1 / 3) < 1e-12
+    assert r.top_word == "alpha" and abs(r.top_word_frac - 2 / 6) < 1e-12
+    assert got[2].dup_line_frac == 0.0 and got[2].n_words == 3
+    z = got[3]
+    assert (z.n_lines, z.n_words, z.top_word, z.top_word_frac) == (0, 0, None, 0.0)
+    assert got[4].top_word == "x" and abs(got[4].top_word_frac - 0.8) < 1e-12
+    # deterministic tie-break: max count, then lexicographically-min word
+    assert got[5].top_word == "a"
+    assert (got[6].n_lines, got[6].n_words) == (0, 0)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import with_pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.co.uk or b@x.io thanks"),
+        (2, "see https://example.com/a?b=c#d and http://x.io/y now"),
+        (3, "url with mail https://h.com/u@example.com trailing"),
+        (4, "plain text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in with_pii_scrub(df).collect()}
+    assert got[1].n_emails == 2 and got[1].n_urls == 0
+    assert got[1].text_scrubbed == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert got[2].n_urls == 2 and got[2].n_emails == 0
+    assert got[2].text_scrubbed == "see <URL> and <URL> now"
+    # URL containing an @ is scrubbed as a URL first, not double-counted
+    assert got[3].text_scrubbed == "url with mail <URL> trailing"
+    assert got[4].text_scrubbed == rows[3][1]
+    assert (got[4].n_emails, got[4].n_urls) == (0, 0)
+
+
+def test_ngram_contamination_known_answers(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        ngram_contamination,
+        word_shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox"
+            (2, "lazy dogs sleep all day"),     # no overlap
+            (3, "too short"),                   # < n words → cannot match
+            (4, "quick brown fox quick brown fox"),  # repeated shingle
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox runs far")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    assert set(got) == {1, 4}
+    r1 = got[1]
+    assert r1.n_shingles == 3 and r1.n_contaminated == 1
+    assert abs(r1.contamination_frac - 1 / 3) < 1e-12
+    # distinct-shingle semantics: the repeated match counts once
+    assert got[4].n_contaminated == 1 and got[4].n_shingles == 4
+
+    # shingle builder: short text yields an empty (not null) array
+    sh = corpus.select(word_shingles(F.col("text"), 3).alias("s"))
+    sizes = sorted(r.s if r.s is not None else None for r in sh.select(F.size("s").alias("s")).collect())
+    assert sizes == [0, 3, 3, 4]

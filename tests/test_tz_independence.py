@@ -18,7 +18,9 @@ from collections import Counter
 import pytest
 
 from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope
-from etl_prometheus2clickhouse_spark.plans.catalog import QUERIES
+from etl_prometheus2clickhouse_spark.plans.catalog import (
+    ALL_QUERIES as QUERIES,
+)
 
 # Batch entries whose plans touch the ts column (streaming faces are
 # covered by their own oracle runs; they are epoch-based end to end
