@@ -200,3 +200,37 @@ def test_ivf_corpus_streams_once_queries_broadcast(spark):
         if "Exchange" in l and "BroadcastExchange" not in l
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_pii_scrub_is_shuffle_free_jvm(spark):
+    # regex counting + redaction is per-row column math: scan + project
+    p = _plan(spark, "pii_scrub")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_repetition_stats_partial_aggregates(spark):
+    # the word-count half must partially aggregate map-side (keyed on
+    # (doc, word) — no hot key) and never drop to Python
+    p = _plan(spark, "repetition_stats")
+    assert "partial_count" in p or "partial_" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_is_hash_equi_join(spark):
+    # shingle collision must plan as an equi-join on the shingle key
+    # (shuffle hash / sort-merge / broadcast), never a nested loop, and
+    # the benchmark side must be deduplicated (an aggregate) pre-join
+    p = _plan(spark, "decontaminate")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_kmv_bottom_k_is_group_limited(spark):
+    # the per-group k-limit must sit below the shuffle (WindowGroupLimit)
+    # so map tasks emit <= k rows/group, and the hash must stay JVM-side
+    p = _plan(spark, "events_distinct_kmv")
+    assert "WindowGroupLimit" in p
+    assert "EvalPython" not in p
