@@ -437,22 +437,63 @@ def ngram_jaccard_pairs(
             "ngram_jaccard_pairs requires block_col: unblocked all-pairs "
             "Jaccard is O(n²) — use minhash_lsh_pairs for unblocked input"
         )
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_jaccard_pairs requires threshold > 0: the inverted-"
+            "index join never enumerates zero-overlap pairs"
+        )
+    # Inverted-index formulation (the classic exact set-similarity
+    # join): explode each document's HASHED shingle set (array<long>
+    # via shingle_hashes — set sizes equal the string-shingle sets' up
+    # to 2^-64 collisions), equi-join on (block, shingle-hash) with
+    # id_a < id_b, and count matches per pair — the intersection size.
+    # Union is then |A|+|B|-|A∩B| from per-doc sizes carried through
+    # the aggregation keys. Only pairs sharing at least one shingle are
+    # ever materialized (sound for any threshold > 0), so the cost is
+    # O(shingle collisions), not O(block²) pairwise intersects —
+    # measured 30× on the 2059-doc en block at sf0.1 (73 s → 2.4 s)
+    # and it is the shape that survives a 100× block: one shuffle on an
+    # evenly-hashed (block, shingle) key plus a map-side-combining
+    # count keyed by pair. (A degenerate boilerplate shingle shared by
+    # a whole block still fans out quadratically for that key — the cap
+    # there is frequent-shingle removal, which changes semantics, or
+    # the MinHash path.)
     sh = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
         F.col(block_col).alias("blk"),
+    ).withColumn("n_sh", F.size("sh").cast("double"))
+    ex = (
+        sh.select(
+            "id", "blk", "n_sh", F.explode_outer("sh").alias("h")
+        )
+        .where(F.col("h").isNotNull())
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
+    a, b = ex.alias("a"), ex.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("inter"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        co.select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / union).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -189,7 +189,15 @@ def repetition_stats(
         .alias("dup_line_frac"),
     )
 
-    words = df.select(F.col(id_col), F.explode(_words(c)).alias("w"))
+    # tokenize in its own projection + explode_outer: a plain explode
+    # of the tokenizer expression triggers InferFiltersFromGenerate,
+    # which re-evaluates the whole split/filter chain interpreted in a
+    # pushed-down size() filter (see ngram_contamination docstring)
+    words = (
+        df.select(F.col(id_col), _words(c).alias("__toks"))
+        .select(F.col(id_col), F.explode_outer("__toks").alias("w"))
+        .where(F.col("w").isNotNull())
+    )
     wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
     # min(struct(-cnt, w)) == (max count, then lexicographically-min
     # word): a deterministic argmax without a window sort.
@@ -250,11 +258,14 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(c: Column, n: int = 5) -> Column:
-    """All ``n``-word shingles of a text column as an array of
-    space-joined strings (empty array when the text has fewer than
-    ``n`` words). Built-in higher-order functions only."""
-    toks = _words(c)
+def shingles_of_tokens(toks: Column, n: int) -> Column:
+    """All ``n``-word shingles of a token-array column, space-joined
+    (empty array when fewer than ``n`` tokens). Pass a MATERIALIZED
+    column (from its own projection), not the tokenizer expression
+    inline: the slice-per-position lambda references its input once per
+    shingle, so an inlined ``split``+``filter`` would re-tokenize the
+    document O(shingles) times (measured 3-4× wall on the contamination
+    join before the split)."""
     n_sh = F.size(toks) - (n - 1)
     return F.when(
         n_sh >= 1,
@@ -263,6 +274,13 @@ def word_shingles(c: Column, n: int = 5) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(c: Column, n: int = 5) -> Column:
+    """All ``n``-word shingles of a text column (convenience form —
+    prefer tokenizing into a projected column and calling
+    :func:`shingles_of_tokens` in anything hot)."""
+    return shingles_of_tokens(_words(c), n)
 
 
 def ngram_contamination(
@@ -290,16 +308,43 @@ def ngram_contamination(
     map-side-combining count keyed by document. In production the join
     key would be ``xxhash64(shingle)`` to shrink shuffle width — kept
     as the raw string here so the DuckDB oracle is byte-identical.
+
+    Tokenization is materialized in its own projection, and the shingle
+    count + array are projected BEFORE the explode, so the tokenizer
+    runs once per document and the explode carries only precomputed
+    columns (inlining either one re-evaluates it per shingle row).
+    ``explode_outer`` (with a post-explode null filter) rather than
+    ``explode``: the InferFiltersFromGenerate rule rewrites a plain
+    explode into a pre-Generate ``size(arr) > 0`` filter with the WHOLE
+    generator expression inlined and pushed below the projections —
+    interpreted, outside codegen, re-tokenizing every document several
+    times per row (measured: the filter alone was ~7 s of an 8 s query
+    at sf0.1). The outer variant is exempt from that rule.
     """
-    sh = word_shingles(F.col(text_col), n)
-    corpus_sh = corpus.select(
-        F.col(id_col),
-        (F.size(_words(F.col(text_col))) - (n - 1)).cast("bigint").alias(
-            "n_shingles"
-        ),
-        F.explode(F.array_distinct(sh)).alias("sh"),
+    corpus_sh = (
+        corpus.select(
+            F.col(id_col), _words(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            (F.size("__toks") - (n - 1)).cast("bigint").alias("n_shingles"),
+            F.array_distinct(
+                shingles_of_tokens(F.col("__toks"), n)
+            ).alias("__arr"),
+        )
+        .select(id_col, "n_shingles", F.explode_outer("__arr").alias("sh"))
+        .where(F.col("sh").isNotNull())
     )
-    bench_sh = benchmark.select(F.explode(sh).alias("sh")).distinct()
+    bench_sh = (
+        benchmark.select(_words(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode_outer(
+                shingles_of_tokens(F.col("__toks"), n)
+            ).alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
     hits = corpus_sh.join(bench_sh, "sh").groupBy(id_col, "n_shingles").agg(
         F.count(F.lit(1)).alias("n_contaminated")
     )
