@@ -682,9 +682,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical sample in DuckDB (operators/sampling.py:
     broadcast rate join + JVM filter, no shuffle, no Python)."""
     d = _t(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        [("en", 0.25), ("de", 1.0), ("es", 0.5), ("fr", 0.1), ("zh", 0.75)],
-        "lang string, rate double",
+    # VALUES, not createDataFrame: a Python-list frame plans as a Scan
+    # ExistingRDD, whose first use pays the session's Python-RDD worker
+    # spin-up (~2.5 s); the SQL literal is a pure-JVM LocalTableScan
+    rates = spark.sql(
+        "SELECT * FROM VALUES ('en', 0.25D), ('de', 1.0D), ('es', 0.5D),"
+        " ('fr', 0.1D), ('zh', 0.75D) AS t(lang, rate)"
     )
     out = stratified_sample(d, rates, stratum_col="lang", id_col="doc_id")
     return out.select("doc_id", "lang", "u_bucket")
