@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "content_dedup",
     "fingerprint_dedup",
     "stratified_sample",
+    "weighted_sample",
     "ngram_jaccard",
     "minhash_lsh",
     "dup_clusters",

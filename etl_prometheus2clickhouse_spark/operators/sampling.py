@@ -71,3 +71,65 @@ def stratified_sample(
     return joined.select("*", bucket).where(
         F.col("u_bucket") < F.col("rate") * F.lit(float(_MODULUS))
     ).drop("rate")
+
+
+def weighted_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 12345,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: k rows per
+    stratum, selection probability proportional to weight (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006).
+
+    Each row gets priority ``u^(1/w)`` with ``u = (bucket+1) / 2^32``
+    drawn from the same multiplicative hash as the Bernoulli sampler —
+    a pure function of the row id, so the sample is reproducible across
+    runs, partitionings, and engines (the oracle recomputes it in SQL).
+    The top-k priorities per stratum ARE a weighted sample without
+    replacement — the one-pass distributed form of "pick k docs
+    proportional to quality/length" that a naive cumulative-weight
+    scheme needs a global prefix sum for.
+
+    Scale shape: one hash projection (no Python), then per-stratum
+    top-k via ``row_number() <= k``, which Spark executes with
+    WindowGroupLimit — map tasks emit at most k rows per stratum, so
+    the shuffle carries O(strata × k), not the corpus. Rows with
+    weight <= 0 are excluded (ES defines priorities for positive
+    weights).
+
+    Determinism note: ``pow`` is the one libm call in the engine's
+    oracle surface; both JVM ``Math.pow`` and DuckDB guarantee <1 ulp,
+    so a selection flip would need two priorities within ~1e-16 at the
+    rank-k boundary — ruled out on hash-spread inputs. Ties (equal
+    weight AND equal hash bucket) break on id.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample k must be >= 1")
+    from pyspark.sql import Window
+
+    u = (sample_bucket(id_col, salt=salt).cast("double") + 1.0) / float(
+        _MODULUS
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, 1.0 / w)
+    ranked = (
+        df.where(w > 0)
+        .withColumn("__pri", pri)
+        .withColumn(
+            "sample_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy(stratum_col).orderBy(
+                    F.col("__pri").desc(), F.col(id_col)
+                )
+            )
+            .cast("int"),
+        )
+        .where(F.col("sample_rank") <= k)
+        .drop("__pri")
+    )
+    return ranked

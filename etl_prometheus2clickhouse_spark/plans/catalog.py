@@ -76,6 +76,7 @@ from etl_prometheus2clickhouse_spark.operators.text import (
 from etl_prometheus2clickhouse_spark.functions import ts
 from etl_prometheus2clickhouse_spark.operators.sampling import (
     stratified_sample,
+    weighted_sample,
 )
 from etl_prometheus2clickhouse_spark.operators.transform import parse_response
 from etl_prometheus2clickhouse_spark.plans.state_queries import (
@@ -704,6 +705,40 @@ JOIN (VALUES ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(1.0 AS DOUBLE)),
   ON d.lang = r.lang
 WHERE CAST((d.doc_id::HUGEINT * 2654435761 + 12345) % 4294967296 AS BIGINT)
       < r.rate * 4294967296.0
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: the
+    20 documents per language with the highest ``u^(1/n_chars)``
+    priority — selection probability proportional to document length,
+    deterministic via the engine's multiplicative hash
+    (operators/sampling.py:weighted_sample; WindowGroupLimit keeps the
+    shuffle at O(strata × k))."""
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d, stratum_col="lang", id_col="doc_id", weight_col="n_chars", k=20
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_rank")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT lang, doc_id, n_chars,
+         pow((CAST((doc_id::HUGEINT * 2654435761 + 12345) % 4294967296
+                   AS DOUBLE) + 1.0) / 4294967296.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS p
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY p DESC, doc_id) AS INTEGER)
+           AS sample_rank
+  FROM pri
+)
+SELECT lang, doc_id, n_chars, sample_rank
+FROM ranked WHERE sample_rank <= 20
 """
 
 
@@ -2492,7 +2527,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_multires": q_events_multires,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_distinct_kmv": q_events_distinct_kmv,
-    "supplier_topk": q_supplier_topk,
     # text analysis
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -2502,6 +2536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "fingerprints": q_fingerprints,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     # near-dup
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -2550,6 +2585,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "parts_rank": q_parts_rank,
     "events_session_window": q_events_session_window,
+    "supplier_topk": q_supplier_topk,
     "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -2581,6 +2617,7 @@ ORACLES: dict[str, str] = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "fingerprints": ORACLE_FINGERPRINTS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     # LSH variants are oracled against EXACT similarity SQL: candidates
     # are exact-rescored (sound by construction) and the banding is
@@ -2613,7 +2650,6 @@ ORACLES: dict[str, str] = {
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_multires": ORACLE_EVENTS_MULTIRES,
     "events_distinct_kmv": ORACLE_EVENTS_DISTINCT_KMV,
-    "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,
@@ -2625,6 +2661,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
+    "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,

