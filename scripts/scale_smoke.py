@@ -25,7 +25,11 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (  # noqa: E402
     cached_scope,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_verified_pairs,
+)
+from etl_prometheus2clickhouse_spark.operators.text import (  # noqa: E402
+    ngram_contamination,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_auto,
@@ -128,6 +132,34 @@ def main() -> None:
         "near_dup_auto(0.9)",
         lambda: embedding_near_dup_auto(
             embs, dim=64, id_col="vec_id", threshold=0.9, n=n_vecs
+        ),
+    )
+    # round-6 additions: the inverted-index exact-Jaccard join and the
+    # decontamination shingle join — both must stay O(shingle
+    # collisions), not O(block²)/O(corpus × benchmark). Measured at
+    # K=10 (quiet machine): ngram_jaccard 8.6s on a ~20.6k-doc en
+    # block — the pre-fix pairwise-intersect formulation was already
+    # >390s at K=1 (2k-doc block) and scales as block², i.e. hours
+    # here; decontaminate 9.0s (copytagged near-dup copies make the
+    # collision set ~50k docs — far denser than real corpora).
+    docs_lang = docs.join(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            (F.col("doc_id") % 1_000_000).alias("base_id"), "lang"
+        ).distinct(),
+        docs.doc_id % 1_000_000 == F.col("base_id"),
+    ).drop("base_id")
+    run(
+        "ngram_jaccard(lang-blocked, 0.2)",
+        lambda: ngram_jaccard_pairs(
+            docs_lang, "doc_id", block_col="lang", n=3, threshold=0.2
+        ),
+    )
+    run(
+        "decontaminate(n=3)",
+        lambda: ngram_contamination(
+            docs.where(F.col("doc_id") % 97 != 0),
+            docs.where(F.col("doc_id") % 97 == 0),
+            n=3,
         ),
     )
 
