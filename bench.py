@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "decontaminate",
     "events_distinct_kmv",
+    "length_quantile_filter",
     "content_dedup",
     "fingerprint_dedup",
     "stratified_sample",

@@ -73,3 +73,58 @@ def kmv_distinct(
         F.lit((k - 1) * _HASH_SPACE) / F.col("kth_hash")
     )
     return agg.withColumn("est_distinct", est)
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    value_col: str,
+    phi: float,
+    bucket_width: int,
+) -> DataFrame:
+    """Keep rows at or above the corpus-level ``phi``-quantile of a
+    numeric column, located via a fixed-width histogram — the global-
+    percentile filter ("drop everything under the corpus p90 length")
+    without a global sort.
+
+    Pass 1 is one map-side-combining aggregation into
+    ``value div bucket_width`` bins: state is O(value range /
+    bucket_width), independent of row count. The cumulative scan and
+    threshold pick run as window/agg over the HISTOGRAM (thousands of
+    rows at most — the single-partition window is over sketch state,
+    never data). The threshold joins back as a broadcast single-row
+    frame, so no scalar ever passes through the driver and the whole
+    filter is one plan.
+
+    Threshold semantics (deterministic, oracle-exact): the kept set is
+    ``value >= lo(b*)`` where ``b*`` is the smallest bucket whose
+    cumulative count reaches ``ceil(phi * total)`` — i.e. the bucket
+    edge UNDER the true quantile, an over-inclusive bound off by at
+    most one bucket width. Integer bucket math end to end; the one
+    float op (``ceil(phi*total)``) is a single IEEE multiply both
+    engines share.
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError("phi must be in (0, 1)")
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    v = F.col(value_col)
+    hist = df.groupBy(
+        F.floor(v / bucket_width).cast("long").alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cum = hist.select(
+        "__b",
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_tot).alias("__total"),
+    )
+    thr = cum.where(
+        F.col("__cum") >= F.ceil(F.lit(phi) * F.col("__total"))
+    ).agg(F.min("__b").alias("__thr_b"))
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .where(v >= F.col("__thr_b") * bucket_width)
+        .drop("__thr_b")
+    )

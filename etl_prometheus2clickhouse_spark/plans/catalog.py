@@ -62,7 +62,10 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
 )
-from etl_prometheus2clickhouse_spark.operators.sketch import kmv_distinct
+from etl_prometheus2clickhouse_spark.operators.sketch import (
+    kmv_distinct,
+    quantile_threshold_filter,
+)
 from etl_prometheus2clickhouse_spark.operators.text import (
     ngram_contamination,
     repetition_stats,
@@ -705,6 +708,35 @@ JOIN (VALUES ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(1.0 AS DOUBLE)),
   ON d.lang = r.lang
 WHERE CAST((d.doc_id::HUGEINT * 2654435761 + 12345) % 4294967296 AS BIGINT)
       < r.rate * 4294967296.0
+"""
+
+
+def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level percentile filter: documents at or above the p90
+    length threshold located via a 64-char-wide histogram
+    (operators/sketch.py:quantile_threshold_filter) — two passes with
+    sketch-sized state and a broadcast single-row threshold join; no
+    global sort, no driver scalar."""
+    d = _t(spark, sf_dir, "documents")
+    out = quantile_threshold_filter(d, "n_chars", phi=0.9, bucket_width=64)
+    return out.select("doc_id", "n_chars")
+
+
+ORACLE_LENGTH_QUANTILE_FILTER = """
+WITH hist AS (
+  SELECT CAST(floor(n_chars / 64) AS BIGINT) AS b, count(*) AS cnt
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT b,
+         sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM hist
+),
+thr AS (SELECT min(b) AS thr_b FROM cum WHERE cum >= ceil(0.9 * total))
+SELECT d.doc_id, d.n_chars
+FROM documents d, thr
+WHERE d.n_chars >= thr.thr_b * 64
 """
 
 
@@ -2534,7 +2566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
-    "fingerprints": q_fingerprints,
+    "length_quantile_filter": q_length_quantile_filter,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     # near-dup
@@ -2586,6 +2618,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_rank": q_parts_rank,
     "events_session_window": q_events_session_window,
     "supplier_topk": q_supplier_topk,
+    "fingerprints": q_fingerprints,
     "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -2615,7 +2648,7 @@ ORACLES: dict[str, str] = {
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,
-    "fingerprints": ORACLE_FINGERPRINTS,
+    "length_quantile_filter": ORACLE_LENGTH_QUANTILE_FILTER,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
@@ -2662,6 +2695,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "parts_rank": ORACLE_PARTS_RANK,
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
+    "fingerprints": ORACLE_FINGERPRINTS,
     "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,

@@ -70,3 +70,67 @@ def test_bottom_k_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# quantile_threshold_filter
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_filter_known_answer(spark):
+    """100 rows valued 1..100, p90, bucket width 10: cumulative count
+    reaches ceil(0.9*100)=90 in bucket 9 (values 90..99; buckets below
+    hold 1..89 = 89 rows), so the kept set is value >= 90 — the true
+    p90 value's own bucket edge."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    got = sorted(
+        r.v for r in quantile_threshold_filter(df, "v", 0.9, 10).collect()
+    )
+    assert got == list(range(90, 101))
+
+
+def test_quantile_filter_overincludes_at_most_one_bucket(spark):
+    """The histogram bound must be over-inclusive (never drops a row
+    above the true quantile) and off by at most bucket_width."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        quantile_threshold_filter,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.randrange(0, 5000) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    kept = {r.v for r in quantile_threshold_filter(df, "v", 0.75, 64).collect()}
+    true_q = sorted(vals)[int(0.75 * len(vals)) - 1]
+    assert all(v in kept for v in vals if v >= true_q)
+    assert min(kept) >= true_q - 64
+
+
+def test_quantile_filter_no_driver_scalar(spark):
+    """The threshold must flow through a broadcast join, not a collect:
+    the returned frame is one lazy plan containing the histogram."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    out = quantile_threshold_filter(df, "v", 0.5, 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantile_filter_validates_args(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        quantile_threshold_filter(df, "v", 1.0, 8)
+    with pytest.raises(ValueError):
+        quantile_threshold_filter(df, "v", 0.5, 0)
