@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "stream_hourly",
     "stream_dedup_keys",
     "stream_rate",
+    "stream_join",
 ]
 
 

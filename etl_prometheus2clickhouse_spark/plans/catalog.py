@@ -89,9 +89,11 @@ from etl_prometheus2clickhouse_spark.plans.state_queries import (
 from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     ORACLE_STREAM_DEDUP_KEYS,
     ORACLE_STREAM_HOURLY,
+    ORACLE_STREAM_JOIN,
     ORACLE_STREAM_RATE,
     q_stream_dedup_keys,
     q_stream_hourly,
+    q_stream_join,
     q_stream_rate,
 )
 
@@ -2555,6 +2557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_dedup_keys": q_stream_dedup_keys,
     "stream_rate": q_stream_rate,
+    "stream_join": q_stream_join,
     # multi-resolution rollups, sketches, ranks
     "events_multires": q_events_multires,
     "events_quantiles_sketch": q_events_quantiles_sketch,
@@ -2582,7 +2585,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     "decode_pixels": q_decode_pixels,
-    "sample_frames": q_sample_frames,
     # relational analytics
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2619,6 +2621,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window": q_events_session_window,
     "supplier_topk": q_supplier_topk,
     "fingerprints": q_fingerprints,
+    "sample_frames": q_sample_frames,
     "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -2665,7 +2668,6 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "decode_pixels": ORACLE_DECODE_PIXELS,
-    "sample_frames": ORACLE_SAMPLE_FRAMES,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
     "q5_region_revenue": ORACLE_Q5,
@@ -2686,6 +2688,7 @@ ORACLES: dict[str, str] = {
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,
+    "stream_join": ORACLE_STREAM_JOIN,
     "events_quantiles_sketch": ORACLE_EVENTS_QUANTILES_SKETCH,
 }
 
@@ -2696,6 +2699,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_session_window": ORACLE_EVENTS_SESSION_WINDOW,
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "fingerprints": ORACLE_FINGERPRINTS,
+    "sample_frames": ORACLE_SAMPLE_FRAMES,
     "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,

@@ -197,3 +197,70 @@ SELECT series, us / 1000000.0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        TRUE
 FROM s WHERE tie_rn > 1
 """
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (streaming/joins.py):
+    every purchase within one hour after a signup by the same user,
+    both sides real file streams with watermarks bounding the join
+    state. One AvailableNow batch over the whole corpus makes the
+    match set identical to the batch interval join the oracle states
+    (no row is ever beyond the watermark relative to a single batch),
+    so green proves the symmetric-hash join state machine reproduces
+    batch join semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.functions.ts import epoch_micros
+    from etl_prometheus2clickhouse_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    signups = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("purchase_c"),
+        )
+    )
+    joined = interval_join_streams(
+        signups,
+        purchases,
+        key_col="user_id",
+        left_ts="s_ts",
+        right_ts="p_ts",
+        max_delay="1 hour",
+        watermark_delay="30 minutes",
+    )
+    out = joined.select(
+        "user_id",
+        F.floor(epoch_micros(joined, "s_ts") / 1_000_000)
+        .cast("long")
+        .alias("signup_ts"),
+        F.floor(epoch_micros(joined, "p_ts") / 1_000_000)
+        .cast("long")
+        .alias("purchase_ts"),
+        "purchase_c",
+    )
+    return _run_to_table(out, "append")
+
+
+ORACLE_STREAM_JOIN = """
+SELECT s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_ts,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+       CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS purchase_c
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+"""
