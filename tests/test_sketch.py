@@ -134,3 +134,37 @@ def test_quantile_filter_validates_args(spark):
         quantile_threshold_filter(df, "v", 1.0, 8)
     with pytest.raises(ValueError):
         quantile_threshold_filter(df, "v", 0.5, 0)
+
+
+def test_kmv_matches_pure_python_model(spark):
+    """End-to-end hash-pipeline parity: the Spark plan (md5 → hex
+    prefix → conv → bottom-k → estimate) must equal a pure-Python
+    reimplementation on randomized inputs — any drift in the hash
+    spelling (substr bounds, base, signedness) breaks equality."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 4}", rng.randrange(0, 3000)) for i in range(5000)
+    ]
+    k = 16
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n_k, r.kth_hash, r.est_distinct)
+        for r in kmv_distinct(df, ["g"], "v", k=k).collect()
+    }
+
+    def h32(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    want = {}
+    by_g: dict[str, set] = {}
+    for g, v in rows:
+        by_g.setdefault(g, set()).add(h32(v))
+    for g, hs in by_g.items():
+        bottom = sorted(hs)[:k]
+        n_k, kth = len(bottom), bottom[-1]
+        est = float(n_k) if n_k < k else (k - 1) * 2.0**32 / kth
+        want[g] = (n_k, kth, est)
+    assert got == want
