@@ -224,6 +224,44 @@ def repetition_stats(
     )
 
 
+def top_k_words(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Exact heavy hitters: the ``k`` most frequent words per stratum
+    (corpus vocabulary analysis — stopword discovery, boilerplate
+    tokens, language drift).
+
+    Shape: tokenize-project + explode_outer (see
+    :func:`ngram_contamination` for why not plain explode), one
+    map-side-combining count keyed by (stratum, word) — cardinality is
+    the vocabulary, not the corpus — then per-stratum top-k as
+    ``row_number() <= k`` over (count desc, word asc), which Spark
+    executes with WindowGroupLimit: map tasks emit at most k words per
+    stratum. Deterministic tie-break on the word itself.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.col(stratum_col), _words(F.col(text_col)).alias("__toks"))
+        .select(F.col(stratum_col), F.explode_outer("__toks").alias("w"))
+        .where(F.col("w").isNotNull())
+    )
+    wc = words.groupBy(stratum_col, "w").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.col("n_occurrences").desc(), F.col("w")
+    )
+    return (
+        wc.withColumn("word_rank", F.row_number().over(win).cast("int"))
+        .where(F.col("word_rank") <= k)
+        .select(stratum_col, F.col("w").alias("word"), "n_occurrences", "word_rank")
+    )
+
+
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Count and redact email addresses and URLs.
 

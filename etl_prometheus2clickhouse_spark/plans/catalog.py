@@ -69,6 +69,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
 from etl_prometheus2clickhouse_spark.operators.text import (
     ngram_contamination,
     repetition_stats,
+    top_k_words,
     with_fingerprint,
     with_language_id,
     with_pii_scrub,
@@ -739,6 +740,38 @@ thr AS (SELECT min(b) AS thr_b FROM cum WHERE cum >= ceil(0.9 * total))
 SELECT d.doc_id, d.n_chars
 FROM documents d, thr
 WHERE d.n_chars >= thr.thr_b * 64
+"""
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language heavy hitters: top-10 words by occurrence
+    (operators/text.py:top_k_words) — vocabulary-keyed count with
+    map-side combine, per-stratum top-k under WindowGroupLimit."""
+    return top_k_words(
+        _t(spark, sf_dir, "documents"), "lang", "text", k=10
+    )
+
+
+ORACLE_TOP_WORDS = """
+WITH words AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT lang, word, count(*) AS n_occurrences
+  FROM words GROUP BY lang, word
+),
+ranked AS (
+  SELECT lang, word, n_occurrences,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_occurrences DESC, word)
+              AS INTEGER) AS word_rank
+  FROM wc
+)
+SELECT lang, word, n_occurrences, word_rank
+FROM ranked WHERE word_rank <= 10
 """
 
 
@@ -2622,6 +2655,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_topk": q_supplier_topk,
     "fingerprints": q_fingerprints,
     "sample_frames": q_sample_frames,
+    "top_words": q_top_words,
     "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -2700,6 +2734,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "supplier_topk": ORACLE_SUPPLIER_TOPK,
     "fingerprints": ORACLE_FINGERPRINTS,
     "sample_frames": ORACLE_SAMPLE_FRAMES,
+    "top_words": ORACLE_TOP_WORDS,
     "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
