@@ -234,3 +234,12 @@ def test_kmv_bottom_k_is_group_limited(spark):
     p = _plan(spark, "events_distinct_kmv")
     assert "WindowGroupLimit" in p
     assert "EvalPython" not in p
+
+
+def test_top_words_group_limited(spark):
+    # heavy hitters: vocabulary count must partially aggregate map-side
+    # and the per-stratum k-limit must push below the shuffle
+    p = _plan(spark, "top_words")
+    assert "WindowGroupLimit" in p
+    assert "partial_count" in p or "partial_" in p
+    assert "EvalPython" not in p
