@@ -117,7 +117,9 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     pri = F.pow(u, 1.0 / w)
     ranked = (
-        df.where(w > 0)
+        # w > 0 excludes NULL weights too; a NULL id would hash to a
+        # NULL priority whose sort position is engine-dependent
+        df.where((w > 0) & F.col(id_col).isNotNull())
         .withColumn("__pri", pri)
         .withColumn(
             "sample_rank",

@@ -58,7 +58,14 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("kmv k must be >= 2")
     h = uniform_hash32(F.col(value_col))
-    distinct_h = df.select(*group_cols, h.alias("h")).distinct()
+    # NULL values are excluded, matching SQL COUNT(DISTINCT) — and a
+    # NULL hash would also rank engine-dependently (Spark ASC puts
+    # nulls first, DuckDB last), a silent cross-engine divergence
+    distinct_h = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("h")
     bottom_k = (
         distinct_h.withColumn("rn", F.row_number().over(w))
@@ -108,6 +115,9 @@ def quantile_threshold_filter(
     if bucket_width < 1:
         raise ValueError("bucket_width must be >= 1")
     v = F.col(value_col)
+    # NULL values fall outside any quantile and would create a NULL
+    # histogram bucket whose sort position is engine-dependent
+    df = df.where(v.isNotNull())
     hist = df.groupBy(
         F.floor(v / bucket_width).cast("long").alias("__b")
     ).agg(F.count(F.lit(1)).alias("__cnt"))

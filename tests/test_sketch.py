@@ -168,3 +168,23 @@ def test_kmv_matches_pure_python_model(spark):
         est = float(n_k) if n_k < k else (k - 1) * 2.0**32 / kth
         want[g] = (n_k, kth, est)
     assert got == want
+
+
+def test_kmv_and_quantile_ignore_nulls(spark):
+    """NULL values must be excluded (SQL COUNT(DISTINCT)/quantile
+    semantics) — a NULL hash or NULL histogram bucket would also sort
+    engine-dependently (Spark ASC nulls-first vs DuckDB nulls-last)."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        quantile_threshold_filter,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("a", None)],
+        "g string, v int",
+    )
+    row = kmv_distinct(df, ["g"], "v", k=8).collect()[0]
+    assert (row.n_k, row.est_distinct) == (2, 2.0)
+    # p50 of {1,2}: cum reaches ceil(0.5*2)=1 in bucket 1 → keep v>=1;
+    # the NULL rows are excluded from both the histogram and the output
+    kept = quantile_threshold_filter(df, "v", 0.5, 1).collect()
+    assert sorted(r.v for r in kept) == [1, 2]
