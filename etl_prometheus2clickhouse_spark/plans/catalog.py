@@ -1097,32 +1097,39 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_jaccard_unblocked(threshold: float) -> str:
-    """Exact all-pairs word-3-gram Jaccard ≥ threshold (the oracle for
-    both LSH near-dup variants — fine at sf0.01's 500 docs; the Spark
-    side never runs this all-pairs shape)."""
+    """Exact word-3-gram Jaccard ≥ threshold (the oracle for both LSH
+    near-dup variants), spelled as an inverted-index join: distinct
+    shingles unnested and self-joined on the shingle with id_a < id_b,
+    intersection = match count, union = |A|+|B|-|A∩B|. Identical
+    results to the all-pairs intersect for any threshold > 0 (a
+    zero-overlap pair can't pass) — verified value-equal at sf0.01 —
+    and ~140× faster (0.13 s vs 18 s at 500 docs), which is what lets
+    the sf0.1 oracle sweep cover the near-dup family."""
+    assert threshold > 0
     return f"""
-WITH sh AS (
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
   SELECT doc_id,
          list_distinct(
            CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
                 ELSE list_transform(range(1, len(toks) - 1),
                                     i -> array_to_string(toks[i:i+2], ' '))
            END) AS sh
-  FROM (
-    SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
-    FROM documents)
+  FROM toks
+),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-            THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh)))
-            ELSE 0.0 END AS jaccard_sim
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
-           THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh)))
-           ELSE 0.0 END >= {threshold}
+SELECT id_a, id_b, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard_sim
+FROM pairs WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {threshold}
 """
 
 
@@ -1182,16 +1189,19 @@ def q_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-bucketed near-dup, verified with exact Jaccard.
 
-    Hamming radius 10 covers every true ≥0.5-Jaccard pair on the
+    Hamming radius 12 covers every true ≥0.5-Jaccard pair on the
     reference corpus (measured max Hamming of a true pair: 9 at
-    sf0.001, 8 at sf0.01) and the pigeonhole chunking guarantees
-    candidate recall within the radius, so the emitted set equals the
-    exact all-pairs set — same oracle as ``minhash_lsh``. The raw
-    Hamming-distance variant (:func:`simhash_near_pairs`) stays
-    pytest-pinned in the operator library (its distances are
-    xxhash64-derived, not SQL-expressible)."""
+    sf0.001, 8 at sf0.01, **12 at sf0.1** — the round-6 sf0.1 oracle
+    sweep caught radius 10 missing 7/256 pairs there, the classic
+    SimHash recall/cost boundary) and the pigeonhole chunking
+    guarantees candidate recall within the radius, so the emitted set
+    equals the exact all-pairs set at all three verified scales — same
+    oracle as ``minhash_lsh``. The raw Hamming-distance variant
+    (:func:`simhash_near_pairs`) stays pytest-pinned in the operator
+    library (its distances are xxhash64-derived, not
+    SQL-expressible)."""
     return simhash_verified_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=10, threshold=0.5
+        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=12, threshold=0.5
     )
 
 
