@@ -396,6 +396,59 @@ def ngram_contamination(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the pre-tokenization chunking step of a training pipeline
+    (``stride < chunk_chars`` gives ``chunk_chars - stride`` chars of
+    overlap between consecutive chunks).
+
+    Chunks start at every multiple of ``stride`` strictly below the
+    text length; the final chunk may be short. Empty documents emit no
+    chunks. One row per (doc, chunk) with ``chunk_id`` (start/stride —
+    position-derived, no ordinality dependence), ``chunk_start``
+    (0-based), ``chunk_len``, and the chunk text.
+
+    Shape: a start-offset array projected per document then
+    ``explode_outer`` (see :func:`ngram_contamination` for why not
+    plain explode) and one ``substr`` per chunk — shuffle-free,
+    whole-stage codegen, output size ~ input × (1 + overlap ratio).
+    """
+    if chunk_chars < 1 or stride < 1:
+        raise ValueError("chunk_chars and stride must be >= 1")
+    c = F.col(text_col)
+    n = F.length(c)
+    starts = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / stride)),
+            lambda i: (i * stride).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    out = (
+        df.select(F.col(id_col), c.alias("__text"), starts.alias("__starts"))
+        .select(
+            id_col, "__text", F.explode_outer("__starts").alias("chunk_start")
+        )
+        .where(F.col("chunk_start").isNotNull())
+    )
+    chunk = F.col("__text").substr(
+        (F.col("chunk_start") + 1).cast("int"), F.lit(chunk_chars)
+    )
+    return out.select(
+        id_col,
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+        "chunk_start",
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        chunk.alias("chunk_text"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fingerprints of whitespace-normalized, lowercased
     text: ``fp_md5`` (hex, cross-engine stable — DuckDB md5 matches) and

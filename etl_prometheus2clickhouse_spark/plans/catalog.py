@@ -67,6 +67,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
     quantile_threshold_filter,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
+    chunk_documents,
     ngram_contamination,
     repetition_stats,
     top_k_words,
@@ -772,6 +773,38 @@ ranked AS (
 )
 SELECT lang, word, n_occurrences, word_rank
 FROM ranked WHERE word_rank <= 10
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (operators/text.py:
+    chunk_documents): 128-char chunks, 96-char stride. Chunk text is
+    emitted as md5 so the hash compare covers full content without
+    shipping the corpus through the driver."""
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_chars=128, stride=96,
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_start", "chunk_len",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_CHUNKS = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text) - 1) / 96) AS BIGINT) + 1))
+           * 96 AS chunk_start
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(chunk_start / 96 AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(chunk_start + 1 AS INTEGER), 128))
+            AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_start + 1 AS INTEGER), 128)) AS chunk_md5
+FROM starts
 """
 
 
@@ -2666,6 +2699,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "sample_frames": q_sample_frames,
     "top_words": q_top_words,
+    "doc_chunks": q_doc_chunks,
     "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
@@ -2745,6 +2779,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "fingerprints": ORACLE_FINGERPRINTS,
     "sample_frames": ORACLE_SAMPLE_FRAMES,
     "top_words": ORACLE_TOP_WORDS,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
     "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,

@@ -191,3 +191,42 @@ def test_ngram_contamination_known_answers(spark):
     sh = corpus.select(word_shingles(F.col("text"), 3).alias("s"))
     sizes = sorted(r.s if r.s is not None else None for r in sh.select(F.size("s").alias("s")).collect())
     assert sizes == [0, 3, 3, 4]
+
+
+def test_chunk_documents_known_answers(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "abcdefghij"),   # 10 chars
+        (2, "abc"),          # shorter than one chunk
+        (3, ""),             # empty: no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_len, r.chunk_text)
+        for r in chunk_documents(df, chunk_chars=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6,9 → "abcd","defg","ghij","j"
+    assert got[(1, 0)] == (0, 4, "abcd")
+    assert got[(1, 1)] == (3, 4, "defg")
+    assert got[(1, 2)] == (6, 4, "ghij")
+    assert got[(1, 3)] == (9, 1, "j")
+    assert got[(2, 0)] == (0, 3, "abc")
+    assert all(d != 3 for d, _ in got)
+    # overlap reconstruction: stride-prefixes concatenated == original
+    rebuilt = "".join(
+        got[(1, i)][2][:3] for i in range(3)
+    ) + got[(1, 3)][2]
+    assert rebuilt == "abcdefghij"
+
+
+def test_chunk_documents_validates_args(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=0, stride=1)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=4, stride=0)
