@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "quality_score",
     "repetition_stats",
     "pii_scrub",
+    "top_words",
+    "doc_chunks",
     "decontaminate",
     "events_distinct_kmv",
     "length_quantile_filter",
