@@ -108,10 +108,15 @@ def main() -> None:
     # providers, the Arrow-with-state Python runner, file-stream
     # source): the first stateful stream of a session pays ~5-8 s of
     # one-time init that a long-running streaming deployment never
-    # sees per-batch; run the heaviest face once at the smallest SF
-    QUERIES["stream_rate"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # sees per-batch; run the heaviest face once at the smallest
+    # sibling SF of the configured data root (falling back to the
+    # bench SF itself if no sf0.001 sibling exists)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    QUERIES["stream_rate"](spark, warm_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -325,6 +325,7 @@ def dup_components_twostar(
         return out.where(F.col("u") != F.col("v")).distinct()
 
     edges = base
+    n_edges = edges.count()
     for _ in range(max_iterations):
         ls = _large_star(edges).localCheckpoint()
         ss = _small_star(ls).localCheckpoint()
@@ -333,14 +334,16 @@ def dup_components_twostar(
         # min-rooted stars; a small-star-only check is unsound — a
         # monotone chain {(3,2),(2,1)} is small-star-stable but not
         # contracted). All frames are materialized checkpoints, so each
-        # equality is a count + one anti-join scan.
+        # equality is a count + one anti-join scan; the previous edge
+        # count is carried, not recomputed.
+        n_ls, n_ss = ls.count(), ss.count()
         converged = (
-            ls.count() == edges.count()
-            and ss.count() == ls.count()
+            n_ls == n_edges
+            and n_ss == n_ls
             and ls.exceptAll(edges).count() == 0
             and ss.exceptAll(ls).count() == 0
         )
-        edges = ss
+        edges, n_edges = ss, n_ss
         if converged:
             break
     else:

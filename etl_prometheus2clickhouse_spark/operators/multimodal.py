@@ -198,6 +198,9 @@ def _fake_payload(content: bytes, n: int) -> bytes:
     return (seed * reps)[:n]
 
 
+VALID_DECODE_MODES = ("real", "strict", "fake")
+
+
 def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
     """Per-item decode site behind the ``mode`` switch.
 
@@ -209,6 +212,11 @@ def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
     - ``"fake"`` (default): deterministic content-hash-seeded payload;
       pins batch shape/partitioning/determinism without a codec.
     """
+    if mode not in VALID_DECODE_MODES:
+        raise ValueError(
+            f"decode mode {mode!r} is not one of {VALID_DECODE_MODES} - "
+            "refusing to silently fall through to fake pixels"
+        )
     if mode == "real":
         try:
             from PIL import Image
@@ -246,6 +254,11 @@ def decode_images(
     The ``mapInPandas`` stage is the real 100 TB shape — per-partition
     generator over Arrow batches, no driver involvement, output schema
     declared up front. Only ``_decode_one`` is a stub."""
+    if mode not in VALID_DECODE_MODES:
+        # fail on the driver at plan-build time, not as a task error
+        raise ValueError(
+            f"decode mode {mode!r} is not one of {VALID_DECODE_MODES}"
+        )
 
     def _decode_batches(
         batches: Iterator[pd.DataFrame],

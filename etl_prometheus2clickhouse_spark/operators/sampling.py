@@ -66,6 +66,12 @@ def stratified_sample(
     Output keeps the input columns plus ``u_bucket`` (the hash bucket)
     so every membership decision is auditable after the fact.
     """
+    for reserved in ("rate", "u_bucket"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"stratified_sample reserves column name {reserved!r}; "
+                "rename it on the input frame first"
+            )
     bucket = sample_bucket(id_col, salt=salt).cast("long").alias("u_bucket")
     joined = df.join(F.broadcast(rates), stratum_col, "inner")
     return joined.select("*", bucket).where(

@@ -265,19 +265,21 @@ def top_k_words(
 def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Count and redact email addresses and URLs.
 
-    Adds ``n_emails`` / ``n_urls`` (match counts on the raw text) and
-    ``text_scrubbed`` (URLs replaced with ``<URL>`` first — so an
-    address inside a query string is not double-counted — then emails
-    with ``<EMAIL>``). All JVM regex expressions: shuffle-free,
-    linear in input splits.
+    URLs are scrubbed first (``<URL>``), then emails (``<EMAIL>``) on
+    the URL-scrubbed text — and ``n_emails`` is counted on the SAME
+    URL-scrubbed text, so the counters reconcile exactly with the
+    redaction markers: an address embedded in a URL counts as (and is
+    scrubbed as) a URL, never double-booked as an email. All JVM
+    regex expressions: shuffle-free, linear in input splits.
     """
     c = F.col(text_col)
+    url_scrubbed = F.regexp_replace(c, URL_REGEX, "<URL>")
     return (
         df.withColumn(
             "n_emails",
-            F.coalesce(F.regexp_count(c, F.lit(EMAIL_REGEX)), F.lit(0)).cast(
-                "bigint"
-            ),
+            F.coalesce(
+                F.regexp_count(url_scrubbed, F.lit(EMAIL_REGEX)), F.lit(0)
+            ).cast("bigint"),
         )
         .withColumn(
             "n_urls",
@@ -287,11 +289,7 @@ def with_pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "text_scrubbed",
-            F.regexp_replace(
-                F.regexp_replace(c, URL_REGEX, "<URL>"),
-                EMAIL_REGEX,
-                "<EMAIL>",
-            ),
+            F.regexp_replace(url_scrubbed, EMAIL_REGEX, "<EMAIL>"),
         )
     )
 

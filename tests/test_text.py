@@ -152,8 +152,10 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert got[1].text_scrubbed == "mail me at <EMAIL> or <EMAIL> thanks"
     assert got[2].n_urls == 2 and got[2].n_emails == 0
     assert got[2].text_scrubbed == "see <URL> and <URL> now"
-    # URL containing an @ is scrubbed as a URL first, not double-counted
+    # URL containing an @ is a URL, not an email — counters reconcile
+    # exactly with the redaction markers
     assert got[3].text_scrubbed == "url with mail <URL> trailing"
+    assert (got[3].n_emails, got[3].n_urls) == (0, 1)
     assert got[4].text_scrubbed == rows[3][1]
     assert (got[4].n_emails, got[4].n_urls) == (0, 0)
 
