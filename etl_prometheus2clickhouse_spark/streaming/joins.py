@@ -45,6 +45,11 @@ def interval_join_streams(
     time columns; append-mode output emits a match as soon as both
     rows have arrived.
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must be distinct column names "
+            f"(both {left_ts!r}); rename one side before joining"
+        )
     l_wm = left.withWatermark(left_ts, watermark_delay)
     r_wm = right.withWatermark(right_ts, watermark_delay)
     cond = (

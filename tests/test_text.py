@@ -232,3 +232,56 @@ def test_chunk_documents_validates_args(spark):
         chunk_documents(df, chunk_chars=0, stride=1)
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=4, stride=0)
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Property over random corpora: concatenating each chunk's first
+    `stride` characters (plus the final chunk's tail) reconstructs the
+    original text exactly, and chunk metadata is self-consistent."""
+    import random
+    import string
+
+    rng = random.Random(99)
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice(string.printable[:70])
+                for _ in range(rng.randrange(0, 40))
+            ),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from etl_prometheus2clickhouse_spark.operators.text import chunk_documents
+
+    chunk_chars, stride = 7, 5
+    got = {}
+    for r in chunk_documents(df, chunk_chars=chunk_chars, stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r
+    for doc_id, text in rows:
+        chunks = got.get(doc_id, {})
+        if not text:
+            assert chunks == {}
+            continue
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids)))
+        rebuilt = "".join(
+            chunks[i].chunk_text[:stride] for i in ids[:-1]
+        ) + chunks[ids[-1]].chunk_text
+        assert rebuilt == text, doc_id
+        for i in ids:
+            r = chunks[i]
+            assert r.chunk_start == i * stride
+            assert r.chunk_len == len(r.chunk_text) <= chunk_chars
+
+
+def test_interval_join_rejects_same_ts_name(spark):
+    from etl_prometheus2clickhouse_spark.streaming.joins import (
+        interval_join_streams,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "user_id bigint")
+    with _pytest.raises(ValueError):
+        interval_join_streams(df, df, "user_id", "ts", "ts")
