@@ -389,6 +389,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """Exact Jaccard for arrays ALREADY deduplicated (as the shingle
+    builders guarantee): union = |a| + |b| - |a∩b| from O(1) array
+    lengths, skipping ``array_union``'s per-pair merge+dedup
+    allocation — the hot verify path of the candidate rescorers.
+    Identical values to :func:`jaccard` on distinct inputs (same
+    integer division)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct 64-bit hashes of word n-gram shingles — the fast path
     for MinHash/SimHash: no shingle strings ever materialize.
@@ -669,7 +681,7 @@ def minhash_lsh_pairs(
     out = verified.select(
         "id_a",
         "id_b",
-        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
     ).where(F.col("jaccard_sim") >= threshold)
     return _with_cached_deps(out, [sh, sized_all])
 
@@ -863,6 +875,6 @@ def simhash_verified_pairs(
     out = verified.select(
         "id_a",
         "id_b",
-        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
     ).where(F.col("jaccard_sim") >= threshold)
     return _with_cached_deps(out, [sh])
