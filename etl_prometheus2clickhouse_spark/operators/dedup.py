@@ -285,15 +285,18 @@ def dup_components_twostar(
     plus its smaller neighbors to their collective minimum. At the
     fixpoint the edge set IS the star (child → component-min) mapping.
     """
+    raw = pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
     base = (
-        pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    # node set from the UNFILTERED pairs: a node appearing only in
+    # self-loop pairs still belongs in the output (labeled with itself),
+    # matching dup_components' contract exactly
     nodes = (
-        base.select(F.col("u").alias("node"))
-        .unionByName(base.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -436,6 +439,8 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
+    df_stats: dict | None = None,
 ) -> DataFrame:
     """Blocked exact n-gram-Jaccard near-dup pairs.
 
@@ -446,6 +451,22 @@ def ngram_jaccard_pairs(
     bucket (see :func:`minhash_lsh_pairs`); the blocked-exact variant
     exists as an oracle-checkable deterministic operator.
     Output: (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    ``max_df`` caps the per-(block, shingle) document frequency in the
+    inverted index — the stop-shingle / prefix filter from the exact
+    set-similarity-join literature. A boilerplate shingle shared by a
+    whole block otherwise fans out O(block²) for that one join key (on
+    real web text boilerplate is the COMMON case, not the degenerate
+    one); with the cap, every key fans out at most max_df²/2 candidate
+    rows. Semantics under the cap are one-sided: capped shingles are
+    removed from the INTERSECTION count only (per-doc set sizes — and
+    therefore the union — stay exact), so ``jaccard_sim`` is a lower
+    bound of the true similarity and the output is a SUBSET of the
+    exact result. A pair is missed only if df-heavy shingles carry it
+    over the threshold — the pairs near-dup pipelines route through
+    :func:`minhash_lsh_pairs` anyway. Pass ``df_stats`` (a dict) to get
+    ``capped_shingle_keys`` / ``max_df_seen`` filled in instead of
+    capping silently; with ``max_df=None`` the result is exact.
     """
     if block_col is None:
         raise ValueError(
@@ -456,6 +477,11 @@ def ngram_jaccard_pairs(
         raise ValueError(
             "ngram_jaccard_pairs requires threshold > 0: the inverted-"
             "index join never enumerates zero-overlap pairs"
+        )
+    if max_df is not None and max_df < 2:
+        raise ValueError(
+            "ngram_jaccard_pairs max_df must be >= 2: a shingle needs "
+            "df 2 to witness any pair at all"
         )
     # Inverted-index formulation (the classic exact set-similarity
     # join): explode each document's HASHED shingle set (array<long>
@@ -469,10 +495,8 @@ def ngram_jaccard_pairs(
     # measured 30× on the 2059-doc en block at sf0.1 (73 s → 2.4 s)
     # and it is the shape that survives a 100× block: one shuffle on an
     # evenly-hashed (block, shingle) key plus a map-side-combining
-    # count keyed by pair. (A degenerate boilerplate shingle shared by
-    # a whole block still fans out quadratically for that key — the cap
-    # there is frequent-shingle removal, which changes semantics, or
-    # the MinHash path.)
+    # count keyed by pair; ``max_df`` (above) bounds the one remaining
+    # hot-key fan-out.
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
@@ -484,6 +508,35 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("h").isNotNull())
     )
+    deps: list[DataFrame] = []
+    if max_df is not None:
+        # document frequency per inverted-index key: one map-side-
+        # combining count (same shape as the minhash bucket cap); the
+        # filtered index is persisted because the self-join consumes
+        # it twice and would otherwise recompute shingling + the df
+        # join per branch
+        dfreq = ex.groupBy("blk", "h").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        if df_stats is not None:
+            row = dfreq.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__df") > max_df, F.lit(1))),
+                    F.lit(0),
+                ).alias("capped"),
+                F.coalesce(F.max("__df"), F.lit(0)).alias("max_df_seen"),
+            ).first()
+            df_stats["capped_shingle_keys"] = int(row["capped"])
+            df_stats["max_df_seen"] = int(row["max_df_seen"])
+        ex = (
+            ex.join(
+                dfreq.where(F.col("__df") <= max_df), ["blk", "h"]
+            )
+            .drop("__df")
+            .persist()
+        )
+        deps.append(ex)
+        _register_cached(ex)
     a, b = ex.alias("a"), ex.alias("b")
     co = (
         a.join(
@@ -501,7 +554,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).cast("double").alias("inter"))
     )
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
-    return (
+    out = (
         co.select(
             "id_a",
             "id_b",
@@ -509,6 +562,10 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+    if deps:
+        # already scope-registered above; attach the attribute only
+        out._cached_deps = deps  # type: ignore[attr-defined]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,12 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError("weighted_sample k must be >= 1")
+    for reserved in ("__pri", "sample_rank"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"weighted_sample reserves column name {reserved!r}; "
+                "rename it on the input frame first"
+            )
     from pyspark.sql import Window
 
     u = (sample_bucket(id_col, salt=salt).cast("double") + 1.0) / float(

@@ -32,13 +32,23 @@ _HASH_SPACE = float(2**32)
 
 
 def uniform_hash32(col) -> "F.Column":
-    """Deterministic uniform hash of any value into [0, 2^32): the
-    first 8 hex digits of md5 of the value's canonical string form.
-    Public, engine-independent (DuckDB: ``('0x' || substr(md5(CAST(v
-    AS VARCHAR)), 1, 8))::UBIGINT``)."""
+    """Deterministic uniform hash into [0, 2^32): the first 8 hex
+    digits of md5 of the value's canonical string form. Public,
+    engine-independent (DuckDB: ``('0x' || substr(md5(CAST(v AS
+    VARCHAR)), 1, 8))::UBIGINT``) — **for integer and string columns
+    only**. Doubles and timestamps render to strings differently per
+    engine (scientific notation, fractional-second formatting), so the
+    md5 inputs would silently diverge cross-engine; callers with such
+    types must cast to bigint/string with explicit, engine-agreed
+    semantics first (:func:`kmv_distinct` enforces this)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
+
+
+# types whose CAST(v AS STRING) is identical across Spark and DuckDB —
+# the only ones uniform_hash32 may see (see its docstring)
+_HASHABLE_TYPES = ("byte", "short", "int", "bigint", "string", "long")
 
 
 def kmv_distinct(
@@ -57,6 +67,13 @@ def kmv_distinct(
     """
     if k < 2:
         raise ValueError("kmv k must be >= 2")
+    vtype = df.schema[value_col].dataType.simpleString()
+    if vtype not in _HASHABLE_TYPES:
+        raise ValueError(
+            f"kmv_distinct value column {value_col!r} has type {vtype}; "
+            "uniform_hash32 is engine-stable only for integer/string "
+            "types — cast explicitly (e.g. to bigint or string) first"
+        )
     h = uniform_hash32(F.col(value_col))
     # NULL values are excluded, matching SQL COUNT(DISTINCT) — and a
     # NULL hash would also rank engine-dependently (Spark ASC puts

@@ -1080,6 +1080,15 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact Jaccard with the df cap engaged.
+
+    ``max_df=100`` bounds the per-(block, shingle) fan-out — the
+    boilerplate-shingle hot key is the one quadratic edge the inverted
+    index has at 100×. On this corpus the observed max df is 14 at
+    sf0.1 (5 at sf0.01), so the cap never bites and the result stays
+    EXACT — the oracle remains a true equality check while the capped
+    plan shape is what runs (scripts/scale_smoke.py asserts the
+    fan-out bound on a planted whole-block shingle)."""
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
@@ -1087,6 +1096,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="lang",
         n=3,
         threshold=0.2,
+        max_df=100,
     )
 
 

@@ -22,8 +22,18 @@ like the batch equi-join's shuffle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# "<number> <unit>[s]" — the subset of interval syntax this join uses;
+# validated up front so a malformed delay fails with a clear message,
+# not an opaque SQL parse error from inside F.expr
+_DELAY_RE = re.compile(
+    r"^\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?$",
+    re.IGNORECASE,
+)
 
 
 def interval_join_streams(
@@ -50,11 +60,25 @@ def interval_join_streams(
             "left_ts and right_ts must be distinct column names "
             f"(both {left_ts!r}); rename one side before joining"
         )
+    if "`" in left_ts:
+        raise ValueError(
+            f"left_ts {left_ts!r} contains a backtick; rename the "
+            "column before joining"
+        )
+    if not _DELAY_RE.match(max_delay.strip()):
+        raise ValueError(
+            f"max_delay {max_delay!r} is not a simple interval "
+            "('<n> <unit>', e.g. '1 hour')"
+        )
     l_wm = left.withWatermark(left_ts, watermark_delay)
     r_wm = right.withWatermark(right_ts, watermark_delay)
+    # the upper bound needs an interval-add expression; backtick-quote
+    # the column so a ts name needing quoting fails validation above,
+    # never as an opaque parse error inside the expr
+    upper = F.expr(f"`{left_ts}` + INTERVAL {max_delay.strip()}")
     cond = (
         (l_wm[key_col] == r_wm[key_col])
         & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {max_delay}"))
+        & (F.col(right_ts) <= upper)
     )
     return l_wm.join(r_wm, cond, "inner").drop(r_wm[key_col])

@@ -163,6 +163,64 @@ def main() -> None:
         ),
     )
 
+    # round-7: the df cap must neutralize a WHOLE-BLOCK boilerplate
+    # shingle — the one join key that otherwise fans out O(block²).
+    # 3000 planted docs share one 5-word boilerplate sentence (3
+    # trigram keys at df=3000 → ~13.5M candidate rows uncapped); with
+    # max_df=100 those keys leave the inverted index entirely and the
+    # remaining keys are all df=1, so the candidate row count is
+    # provably ≤ Σ_kept df·(df-1)/2 ≤ block × max_df — sub-quadratic
+    # by construction.
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        shingle_hashes,
+    )
+
+    B, CAP = 3000, 100
+    boiler = "shared boilerplate footer sentence here"
+    planted = spark.range(B).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.format_string("u%d v%d w%d ", "id", "id", "id"), F.lit(boiler)
+        ).alias("text"),
+        F.lit("blk").alias("lang"),
+    )
+    stats = {}
+    with cached_scope():
+        t0 = time.perf_counter()
+        capped_pairs = ngram_jaccard_pairs(
+            planted,
+            "doc_id",
+            block_col="lang",
+            n=3,
+            threshold=0.1,
+            max_df=CAP,
+            df_stats=stats,
+        ).count()
+        dt = round(time.perf_counter() - t0, 1)
+    kept_fanout = (
+        planted.select(
+            "lang", F.explode(shingle_hashes(F.col("text"), 3)).alias("h")
+        )
+        .groupBy("lang", "h")
+        .count()
+        .where(F.col("count") <= CAP)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2), F.lit(0)
+            ).alias("cand")
+        )
+        .first()
+        .cand
+    )
+    print(
+        f"ngram_jaccard planted-boilerplate block (B={B}, cap={CAP}): "
+        f"{capped_pairs} pairs in {dt}s, stats={stats}, "
+        f"kept-key candidate bound={int(kept_fanout)}"
+    )
+    assert stats["max_df_seen"] == B, "planted shingle not seen block-wide"
+    assert stats["capped_shingle_keys"] >= 3, "boilerplate keys not capped"
+    assert kept_fanout <= B * CAP, "df cap failed to bound the fan-out"
+
 
 if __name__ == "__main__":
     main()

@@ -397,3 +397,67 @@ def test_twostar_chain_is_not_declared_converged_early(spark):
     )
     got = {r.node: r.component for r in dup_components_twostar(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_twostar_keeps_self_loop_only_nodes(spark):
+    """A node appearing only in self-loop pairs must still be emitted,
+    labeled with itself — same contract as dup_components."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        dup_components,
+        dup_components_twostar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "id_a bigint, id_b bigint"
+    )
+    a = {r.node: r.component for r in dup_components(pairs).collect()}
+    b = {r.node: r.component for r in dup_components_twostar(pairs).collect()}
+    assert a == b == {1: 1, 2: 1, 7: 7}
+
+
+def test_ngram_jaccard_max_df_cap_semantics(spark):
+    """A block-wide boilerplate shingle: with the df cap it no longer
+    witnesses pairs (output is a subset of exact, sims are lower
+    bounds); with a cap above the observed df the result is exact."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "the quick brown fox jumps"
+    rows = [(i, f"u{i} a{i} b{i} {boiler}", "en") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kw = dict(text_col="text", block_col="lang", n=3, threshold=0.1)
+
+    exact = ngram_jaccard_pairs(df, "doc_id", **kw).collect()
+    # 3 shared boiler trigrams, 6 trigrams per doc: sim = 3/9 for all 6 pairs
+    assert len(exact) == 6
+    assert all(abs(r.jaccard_sim - 1 / 3) < 1e-12 for r in exact)
+
+    stats: dict = {}
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", max_df=2, df_stats=stats, **kw
+    ).collect()
+    # every shared shingle has df=4 > 2 -> no intersection survives
+    assert capped == []
+    assert stats == {"capped_shingle_keys": 3, "max_df_seen": 4}
+
+    loose_stats: dict = {}
+    loose = ngram_jaccard_pairs(
+        df, "doc_id", max_df=10, df_stats=loose_stats, **kw
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in loose) == sorted(
+        (r.id_a, r.id_b) for r in exact
+    )
+    assert loose_stats == {"capped_shingle_keys": 0, "max_df_seen": 4}
+
+
+def test_ngram_jaccard_max_df_validation(spark):
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id bigint, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="max_df must be >= 2"):
+        ngram_jaccard_pairs(df, "doc_id", block_col="lang", max_df=1)

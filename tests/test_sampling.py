@@ -4,6 +4,7 @@ plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.operators.sampling import (
@@ -181,3 +182,16 @@ def test_weighted_sample_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_rejects_reserved_columns(spark):
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    for reserved in ("__pri", "sample_rank"):
+        df = spark.createDataFrame(
+            [(1, "g", 1.0, 0)], f"id bigint, g string, w double, {reserved} int"
+        )
+        with pytest.raises(ValueError, match=reserved):
+            weighted_sample(df, "g", "id", "w", k=1)

@@ -188,3 +188,11 @@ def test_kmv_and_quantile_ignore_nulls(spark):
     # the NULL rows are excluded from both the histogram and the output
     kept = quantile_threshold_filter(df, "v", 0.5, 1).collect()
     assert sorted(r.v for r in kept) == [1, 2]
+
+
+def test_kmv_rejects_engine_unstable_value_types(spark):
+    """Doubles/timestamps stringify differently across engines — the
+    hash input would silently diverge, so the operator refuses them."""
+    df = spark.createDataFrame([("a", 1.5)], "g string, v double")
+    with pytest.raises(ValueError, match="engine-stable"):
+        kmv_distinct(df, ["g"], "v", k=8)

@@ -72,3 +72,17 @@ def test_interval_bounds_inclusive_start_and_end(joined_rows):
 
 def test_no_match_without_left_row(joined_rows):
     assert all(r.user_id != 3 for r in joined_rows)
+
+
+def test_interval_join_validates_inputs(spark):
+    df = spark.readStream.format("rate").load()
+    l = df.selectExpr("value as k", "timestamp as l_ts")
+    r = df.selectExpr("value as k", "timestamp as r_ts")
+    with pytest.raises(ValueError, match="not a simple interval"):
+        interval_join_streams(l, r, "k", "l_ts", "r_ts", max_delay="1 hour; DROP")
+    with pytest.raises(ValueError, match="distinct column names"):
+        interval_join_streams(l, l, "k", "l_ts", "l_ts")
+    with pytest.raises(ValueError, match="backtick"):
+        interval_join_streams(
+            l.withColumnRenamed("l_ts", "l`ts"), r, "k", "l`ts", "r_ts"
+        )
