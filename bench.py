@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "decontaminate",
     "events_distinct_kmv",
+    "kmv_merge",
     "length_quantile_filter",
     "content_dedup",
     "fingerprint_dedup",
@@ -118,19 +119,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # scope per query: each run leaves zero persisted partitions
-        # behind, so a long suite can't accumulate storage memory.
-        # t0 covers BUILD + write: plan building is sub-ms for
-        # declarative queries, but driver-iterative operators
-        # (dup_clusters' propagation rounds, streaming runs) do their
-        # real work at build time and would otherwise bench as ~0
-        with cached_scope():
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    def run_suite() -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            # scope per query: each run leaves zero persisted
+            # partitions behind, so a long suite can't accumulate
+            # storage memory. t0 covers BUILD + write: plan building
+            # is sub-ms for declarative queries, but driver-iterative
+            # operators (dup_clusters' propagation rounds, streaming
+            # runs) do their real work at build time and would
+            # otherwise bench as ~0
+            with cached_scope():
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        return times
+
+    # cold pass first, then one warm re-run of each query: identical
+    # code measured twice in one JVM showed ±20%–2.5× cold-in-suite
+    # swings (BENCH_NOTES.md) from first-compilation of big codegen
+    # stages landing on whichever query triggers them — the warm
+    # column separates a real plan regression (slow in BOTH passes)
+    # from compile/load noise (slow only cold) without manual probes
+    times = run_suite()
+    times_warm = run_suite()
 
     print(
         json.dumps(
@@ -139,6 +152,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_warm": times_warm,
+                "value_warm": round(sum(times_warm.values()), 3),
                 "sf": sf,
             }
         )

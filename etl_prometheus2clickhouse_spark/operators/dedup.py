@@ -328,7 +328,6 @@ def dup_components_twostar(
         return out.where(F.col("u") != F.col("v")).distinct()
 
     edges = base
-    n_edges = edges.count()
     for _ in range(max_iterations):
         ls = _large_star(edges).localCheckpoint()
         ss = _small_star(ls).localCheckpoint()
@@ -336,18 +335,25 @@ def dup_components_twostar(
         # theorem guarantees a simultaneous fixpoint is a union of
         # min-rooted stars; a small-star-only check is unsound — a
         # monotone chain {(3,2),(2,1)} is small-star-stable but not
-        # contracted). All frames are materialized checkpoints, so each
-        # equality is a count + one anti-join scan; the previous edge
-        # count is carried, not recomputed.
-        n_ls, n_ss = ls.count(), ss.count()
-        converged = (
-            n_ls == n_edges
-            and n_ss == n_ls
-            and ls.exceptAll(edges).count() == 0
-            and ss.exceptAll(ls).count() == 0
+        # contracted), i.e. edges == ls == ss. All three frames are
+        # DISTINCT sets, so three-way set equality is ONE aggregate
+        # job: tag each set with a bit, sum bits per (u, v) key, and
+        # the sets are equal iff every key sums to 7. That replaces
+        # the r6 check's four actions per round (two counts + two
+        # exceptAll shuffles over 2×edges each) with a single shuffle
+        # over 3×edges — measured 1.5-1.7× per-round on a 2048-node
+        # planted chain (BENCH_NOTES.md round 7).
+        n_diff = (
+            edges.select("u", "v", F.lit(1).alias("__m"))
+            .unionByName(ls.select("u", "v", F.lit(2).alias("__m")))
+            .unionByName(ss.select("u", "v", F.lit(4).alias("__m")))
+            .groupBy("u", "v")
+            .agg(F.sum("__m").alias("__m"))
+            .where(F.col("__m") != 7)
+            .count()
         )
-        edges, n_edges = ss, n_ss
-        if converged:
+        edges = ss
+        if n_diff == 0:
             break
     else:
         raise RuntimeError(
@@ -750,22 +756,34 @@ def minhash_lsh_pairs(
 @F.pandas_udf(T.LongType())
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     """64-bit SimHash from per-shingle 64-bit hashes (Charikar): bit b of
-    the signature is the sign of Σ_doc(±1 per shingle bit b). Vectorized
-    per Arrow batch with numpy."""
+    the signature is the sign of Σ_doc(±1 per shingle bit b).
+
+    Kernel shape (measured, round 7, 156-doc × ~250-shingle batches):
+    per document, ``np.unpackbits`` over the hashes' little-endian byte
+    view yields the (n_shingles × 64) bit matrix in one C call, a
+    column sum gives the bit counts, and the signature packs as a
+    masked sum of the 64 powers of two — no per-bit Python loop. The
+    r6 kernel (int64 shift-matrix + 64-iteration packing loop) measured
+    14.8 ms/batch; this one 4.2 ms. A batch-flattened
+    ``add.reduceat`` variant was measured and REJECTED at 7.7 ms —
+    same verdict as the MinHash kernel: the batch-wide bit matrix
+    turns a cache-resident per-doc kernel memory-bandwidth-bound."""
     import numpy as np
 
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     out = np.zeros(len(hashes), dtype=np.int64)
     for i, hs in enumerate(hashes):
         if hs is None or len(hs) == 0:
             continue
-        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        counts = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 sums)
-        sig = np.uint64(0)
-        for b in range(64):
-            if counts[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
+        arr = np.asarray(hs, dtype=np.int64)
+        bits = np.unpackbits(
+            arr.view(np.uint8), bitorder="little"
+        ).reshape(len(arr), 64)
+        counts = bits.sum(axis=0, dtype=np.int64)
+        # bit b set iff strictly more ones than zeros (ties → 0), as
+        # before: counts*2 > n  ⇔  counts*2 - n > 0
+        sig = weights[counts * 2 > len(arr)].sum(dtype=np.uint64)
+        out[i] = sig.view(np.int64)
     return pd.Series(out)
 
 

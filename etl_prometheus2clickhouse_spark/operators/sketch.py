@@ -51,44 +51,48 @@ def uniform_hash32(col) -> "F.Column":
 _HASHABLE_TYPES = ("byte", "short", "int", "bigint", "string", "long")
 
 
-def kmv_distinct(
-    df: DataFrame,
-    group_cols: list[str],
-    value_col: str,
-    k: int = 64,
-) -> DataFrame:
-    """Per-group KMV distinct-count estimate.
-
-    Returns one row per group: ``n_k`` (hashes retained, == k unless
-    the group has fewer distinct hashes), ``kth_hash`` (the largest
-    retained hash), and ``est_distinct`` — the bottom-k estimate, or
-    the exact distinct-hash count when the group is smaller than k
-    (where the sketch IS the exact answer).
-    """
+def _validate_kmv_args(df: DataFrame, value_col: str, k: int) -> None:
     if k < 2:
         raise ValueError("kmv k must be >= 2")
     vtype = df.schema[value_col].dataType.simpleString()
     if vtype not in _HASHABLE_TYPES:
         raise ValueError(
-            f"kmv_distinct value column {value_col!r} has type {vtype}; "
+            f"kmv value column {value_col!r} has type {vtype}; "
             "uniform_hash32 is engine-stable only for integer/string "
             "types — cast explicitly (e.g. to bigint or string) first"
         )
+
+
+def _distinct_hashes(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group..., h): distinct per-group hashes of non-NULL values.
+
+    NULL values are excluded, matching SQL COUNT(DISTINCT) — and a
+    NULL hash would also rank engine-dependently (Spark ASC puts nulls
+    first, DuckDB last), a silent cross-engine divergence."""
     h = uniform_hash32(F.col(value_col))
-    # NULL values are excluded, matching SQL COUNT(DISTINCT) — and a
-    # NULL hash would also rank engine-dependently (Spark ASC puts
-    # nulls first, DuckDB last), a silent cross-engine divergence
-    distinct_h = (
+    return (
         df.where(F.col(value_col).isNotNull())
         .select(*group_cols, h.alias("h"))
         .distinct()
     )
+
+
+def _bottom_k(df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Keep the k smallest ``h`` per group — WindowGroupLimit pushes
+    the limit below the shuffle, so map tasks emit ≤ k rows/group."""
     w = Window.partitionBy(*group_cols).orderBy("h")
-    bottom_k = (
-        distinct_h.withColumn("rn", F.row_number().over(w))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _kmv_estimate(
+    bottom_k: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
     agg = bottom_k.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_k"),
         F.max("h").alias("kth_hash"),
@@ -97,6 +101,83 @@ def kmv_distinct(
         F.lit((k - 1) * _HASH_SPACE) / F.col("kth_hash")
     )
     return agg.withColumn("est_distinct", est)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate (one-shot).
+
+    Returns one row per group: ``n_k`` (hashes retained, == k unless
+    the group has fewer distinct hashes), ``kth_hash`` (the largest
+    retained hash), and ``est_distinct`` — the bottom-k estimate, or
+    the exact distinct-hash count when the group is smaller than k
+    (where the sketch IS the exact answer).
+    """
+    _validate_kmv_args(df, value_col, k)
+    distinct_h = _distinct_hashes(df, group_cols, value_col)
+    return _kmv_estimate(_bottom_k(distinct_h, group_cols, k), group_cols, k)
+
+
+def kmv_partial_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    batch_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Serialized KMV partial per (group, batch): the bottom-k distinct
+    hashes as a sorted ``array<long>`` — the mergeable artifact that
+    makes sketches pay at 100 TB. Each ingestion window (``batch_col``:
+    a date, a file id, a micro-batch id) sketches its own slice down to
+    ≤ k longs per group; corpus-level cardinality then comes from
+    :func:`kmv_merge` over O(batches × k) rows instead of a re-scan of
+    every batch — the incremental-window lifecycle the engine's
+    Prometheus ETL already runs (plans/lifecycle.py).
+
+    Scale shape per batch: identical to :func:`kmv_distinct` (distinct
+    agg with map-side combine, WindowGroupLimit bottom-k), with
+    ``batch_col`` joined into the grouping key.
+    """
+    _validate_kmv_args(df, value_col, k)
+    keys = [*group_cols, batch_col]
+    distinct_h = _distinct_hashes(df, keys, value_col)
+    return (
+        _bottom_k(distinct_h, keys, k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+    )
+
+
+def kmv_merge(
+    partials: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge per-batch KMV partials into the per-group estimate.
+
+    Exact by construction — not an approximation of the one-shot
+    sketch: every one of a group's k globally-smallest distinct hashes
+    is necessarily within the bottom-k of whichever batch contains it,
+    so ``bottom_k(∪ batches' bottom-k) == bottom_k(∪ batches)`` and
+    the merged ``(n_k, kth_hash, est_distinct)`` equals
+    :func:`kmv_distinct` on the union of the batches (pinned by the
+    ``kmv_merge`` catalog entry, whose oracle is the ONE-SHOT SQL).
+
+    Cost: explode + distinct + bottom-k over O(batches × k) rows per
+    group — independent of the corpus size the partials summarize.
+    """
+    if k < 2:
+        raise ValueError("kmv k must be >= 2")
+    ex = (
+        partials.select(*group_cols, F.explode(sketch_col).alias("h"))
+        .distinct()
+    )
+    return _kmv_estimate(_bottom_k(ex, group_cols, k), group_cols, k)
 
 
 def quantile_threshold_filter(

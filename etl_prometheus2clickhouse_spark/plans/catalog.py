@@ -64,6 +64,8 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
 )
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     kmv_distinct,
+    kmv_merge,
+    kmv_partial_sketches,
     quantile_threshold_filter,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
@@ -1073,6 +1075,25 @@ SELECT event_type,
 FROM r WHERE rn <= 64
 GROUP BY event_type
 """
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV: the events table is split into 8 synthetic
+    ingestion batches (event_id mod 8 — deterministic), each batch is
+    sketched to a serialized bottom-k array via kmv_partial_sketches,
+    and kmv_merge combines the partials into the per-type estimate.
+    The oracle is the ONE-SHOT kmv SQL over the whole table: merge is
+    exact by construction (every globally-bottom-k hash survives its
+    own batch's bottom-k), so partial+merge must reproduce the
+    one-shot answer bit-for-bit — the property that lets corpus stats
+    accumulate across 100 TB ingestion windows without re-scans."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__batch", (F.col("event_id") % 8).cast("int")
+    )
+    partials = kmv_partial_sketches(
+        ev, ["event_type"], "user_id", "__batch", k=64
+    )
+    return kmv_merge(partials, ["event_type"], k=64)
 
 
 # ---------------------------------------------------------------------------
@@ -2653,6 +2674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_multires": q_events_multires,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_distinct_kmv": q_events_distinct_kmv,
+    "kmv_merge": q_kmv_merge,
     # text analysis
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -2778,6 +2800,8 @@ ORACLES: dict[str, str] = {
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_multires": ORACLE_EVENTS_MULTIRES,
     "events_distinct_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    # merge is exact by construction → the one-shot SQL IS the oracle
+    "kmv_merge": ORACLE_EVENTS_DISTINCT_KMV,
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,

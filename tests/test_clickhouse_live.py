@@ -1,0 +1,203 @@
+"""LIVE ClickHouse integration — the falsifiable wire claim.
+
+Every ClickHouse path in this repo (K1 TSV insert, Q1 lease SQL, S2
+state scan) is pinned against pytest HTTP fakes elsewhere
+(tests/http_fixtures.py, test_clickhouse_state_store.py). This module
+runs the SAME code against a real server when one is reachable, and
+skips cleanly otherwise — the sandbox has no services, so these tests
+exist so that the day a cluster is available the wire format is
+verified with one command, not an argument.
+
+Run it against the reference's own stack
+(/root/reference/docker-compose.yml:1-206 — ClickHouse 25.x + the
+default.metrics / default.etl DDL):
+
+    docker compose up -d clickhouse clickhouse_init
+    CLICKHOUSE_URL=http://localhost:8123 python -m pytest tests/test_clickhouse_live.py
+
+The tests create their own uniquely-named tables (reference DDL
+shapes, docker-compose.yml:157-199) and drop them afterwards — safe
+to point at a shared server.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+import uuid
+
+import pytest
+
+CLICKHOUSE_URL = os.environ.get("CLICKHOUSE_URL")
+
+
+def _execute(query: str, data: bytes | None = None) -> str:
+    req = urllib.request.Request(
+        f"{CLICKHOUSE_URL.rstrip('/')}/?"
+        + urllib.parse.urlencode({"query": query}),
+        data=data,
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=5) as resp:  # nosec B310
+        return resp.read().decode()
+
+
+def _reachable() -> bool:
+    if not CLICKHOUSE_URL:
+        return False
+    try:
+        return _execute("SELECT 1").strip() == "1"
+    except (urllib.error.URLError, OSError, ValueError):
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _reachable(),
+    reason="CLICKHOUSE_URL unset or unreachable — live wire tests need "
+    "a real server (see module docstring for the one-command stack)",
+)
+
+
+@pytest.fixture()
+def metrics_table():
+    """Reference-DDL metrics table (docker-compose.yml:157-180) under a
+    unique name; dropped on teardown."""
+    name = f"default.metrics_it_{uuid.uuid4().hex[:12]}"
+    _execute(
+        f"""
+        CREATE TABLE {name} (
+            id UInt64 MATERIALIZED cityHash64(
+                timestamp, name, labels.key, labels.value, value),
+            timestamp DateTime64(6, 'UTC'),
+            name String,
+            labels Nested(key String, value String),
+            value Float64
+        ) ENGINE = ReplacingMergeTree()
+        PARTITION BY toYYYYMMDD(timestamp)
+        ORDER BY (timestamp, name,
+                  arraySort(arrayMap((k, v) -> tuple(k, v),
+                            labels.key, labels.value)))
+        """
+    )
+    yield name
+    _execute(f"DROP TABLE IF EXISTS {name}")
+
+
+@pytest.fixture()
+def etl_table():
+    """Reference-DDL state table (docker-compose.yml:184-200) under a
+    unique name; dropped on teardown."""
+    name = f"default.etl_it_{uuid.uuid4().hex[:12]}"
+    _execute(
+        f"""
+        CREATE TABLE {name} (
+            id UInt64 MATERIALIZED cityHash64(
+                timestamp_start,
+                coalesce(timestamp_end, toDateTime(0)),
+                coalesce(timestamp_progress, toDateTime(0)),
+                coalesce(batch_window_seconds, 0),
+                coalesce(batch_rows, 0),
+                coalesce(batch_skipped_count, 0)),
+            timestamp_start DateTime,
+            timestamp_end Nullable(DateTime),
+            timestamp_progress Nullable(DateTime),
+            batch_window_seconds Nullable(Int64),
+            batch_rows Nullable(Int64),
+            batch_skipped_count Nullable(Int64)
+        ) ENGINE = ReplacingMergeTree()
+        ORDER BY (timestamp_start)
+        """
+    )
+    yield name
+    _execute(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_k1_tsv_insert_round_trip(spark, metrics_table):
+    """K1: the distributed mapInPandas TSV sink inserts rows a real
+    server parses into the reference schema — values, µs timestamps,
+    and sorted parallel label arrays all survive the round trip."""
+    from etl_prometheus2clickhouse_spark.sinks.clickhouse_sink import (
+        ClickHouseHttpSink,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (
+                "2024-01-02 03:04:05.123456",
+                "http_requests_total",
+                {"job": "api", "instance": "i-1"},
+                1.5,
+            ),
+            (
+                "2024-01-02 03:04:06.000000",
+                'weird"metric\\name',
+                {"b": "2", "a": "1"},
+                float("inf"),
+            ),
+        ],
+        "ts string, name string, labels map<string,string>, value double",
+    ).selectExpr(
+        "CAST(ts AS TIMESTAMP) AS timestamp", "name", "labels", "value"
+    )
+    ClickHouseHttpSink(
+        CLICKHOUSE_URL, metrics_table, distributed=True
+    ).write(rows)
+
+    got = _execute(
+        f"SELECT name, toString(timestamp), labels.key, labels.value, value "
+        f"FROM {metrics_table} ORDER BY name FORMAT TSV"
+    ).strip().split("\n")
+    assert len(got) == 2
+    first = got[0].split("\t")
+    assert first[0] == "http_requests_total"
+    assert first[1] == "2024-01-02 03:04:05.123456"
+    assert first[2] == "['instance','job']"  # key-sorted parallel arrays
+    assert first[3] == "['i-1','api']"
+    assert float(first[4]) == 1.5
+    assert got[1].split("\t")[4] == "inf"
+
+
+def test_q1_lease_and_state_round_trip(spark, etl_table):
+    """Q1/K2/S2: atomic lease acquisition, one-holder semantics, and
+    the versioned state insert + top-1-valid scan, against real
+    ReplacingMergeTree FINAL behavior."""
+    from etl_prometheus2clickhouse_spark.sources.state_store import (
+        ClickHouseStateStore,
+        StateRow,
+    )
+
+    store = ClickHouseStateStore(CLICKHOUSE_URL, etl_table)
+    t0 = int(time.time()) // 60 * 60
+
+    assert store.get_state() is None
+    assert store.has_running_job() is False
+    assert store.try_mark_start(t0) is True
+    assert store.has_running_job() is True
+    # second acquisition while the lease is held must fail
+    assert store.try_mark_start(t0 + 60) is False
+
+    store.save_state(
+        StateRow(
+            timestamp_start=t0,
+            timestamp_end=t0 + 300,
+            timestamp_progress=t0 + 240,
+            batch_window_seconds=300,
+            batch_rows=123,
+            batch_skipped_count=4,
+        )
+    )
+    got = store.get_state()
+    assert got is not None
+    assert (got.timestamp_start, got.timestamp_end, got.timestamp_progress) == (
+        t0,
+        t0 + 300,
+        t0 + 240,
+    )
+    assert (got.batch_window_seconds, got.batch_rows, got.batch_skipped_count) == (
+        300,
+        123,
+        4,
+    )

@@ -196,3 +196,64 @@ def test_kmv_rejects_engine_unstable_value_types(spark):
     df = spark.createDataFrame([("a", 1.5)], "g string, v double")
     with pytest.raises(ValueError, match="engine-stable"):
         kmv_distinct(df, ["g"], "v", k=8)
+
+
+def test_kmv_merge_equals_one_shot(spark):
+    """Partial-sketch-then-merge must reproduce the one-shot estimate
+    exactly (bottom-k of a union == bottom-k of the union of per-batch
+    bottom-ks), for k both above and below the group cardinality."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        kmv_merge,
+        kmv_partial_sketches,
+    )
+
+    rows = [("g1", i % 200, i % 5) for i in range(1000)]
+    rows += [("g2", i % 7, i % 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v int, b int")
+    for k in (8, 64, 500):
+        one_shot = {
+            r.g: (r.n_k, r.kth_hash, r.est_distinct)
+            for r in kmv_distinct(df, ["g"], "v", k=k).collect()
+        }
+        partials = kmv_partial_sketches(df, ["g"], "v", "b", k=k)
+        merged = {
+            r.g: (r.n_k, r.kth_hash, r.est_distinct)
+            for r in kmv_merge(partials, ["g"], k=k).collect()
+        }
+        assert merged == one_shot, f"k={k}"
+
+
+def test_kmv_partials_are_sorted_bounded_arrays(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        kmv_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i % 4) for i in range(100)], "g string, v int, b int"
+    )
+    rows = kmv_partial_sketches(df, ["g"], "v", "b", k=10).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r.sketch) <= 10
+        assert list(r.sketch) == sorted(r.sketch)
+
+
+def test_kmv_merge_uses_window_group_limit(spark):
+    """The merge's bottom-k must keep the WindowGroupLimit shape —
+    partial sketches can number in the millions of batches at 100 TB."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        kmv_merge,
+        kmv_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i % 4) for i in range(100)], "g string, v int, b int"
+    )
+    partials = kmv_partial_sketches(df, ["g"], "v", "b", k=10)
+    plan = (
+        kmv_merge(partials, ["g"], k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
