@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "events_distinct_kmv",
     "kmv_merge",
+    "heavy_hitters_cms",
     "length_quantile_filter",
     "content_dedup",
     "fingerprint_dedup",

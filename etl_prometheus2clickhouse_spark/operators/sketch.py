@@ -180,6 +180,127 @@ def kmv_merge(
     return _kmv_estimate(_bottom_k(ex, group_cols, k), group_cols, k)
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    phi: float,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Approximate heavy hitters over an UNBOUNDED item domain via a
+    count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) —
+    the companion to the exact ``top_k_words`` face, for key domains
+    too large to count exactly.
+
+    Input is an occurrence frame (one row per item occurrence, e.g.
+    exploded words); output is one row per (group, item) whose CMS
+    estimate reaches ``ceil(phi × group_total)``:
+    ``(group…, item, n_occurrences, est_count)`` with the classic
+    one-sided guarantee ``est_count ≥ n_occurrences`` (hash collisions
+    only ever ADD), so every TRUE φ-heavy hitter is present —
+    false negatives are impossible; collisions can only admit extra
+    near-heavy items. Both columns are emitted so the error is
+    auditable row by row (and oracle-verified: the whole pipeline is a
+    pure function of the input multiset over the public md5 hash —
+    deterministic on any engine, same discipline as :func:`kmv_distinct`).
+
+    Scale shape — the point of the sketch: counting state is the CMS
+    itself, ``groups × depth × width`` counters built by ONE map-side-
+    combining aggregation whose key cardinality is independent of the
+    vocabulary. The per-item estimate then comes from ``depth``
+    BROADCAST hash joins against the counter table (each occurrence
+    computes its buckets and probes the broadcast map — no shuffle),
+    and only the surviving occurrences (≤ groups/φ true heavies plus
+    collision admits) reach the final exact (group, item) count. The
+    vocabulary-sized shuffle of the exact operator never happens.
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError("phi must be in (0, 1)")
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    itype = df.schema[item_col].dataType.simpleString()
+    if itype not in _HASHABLE_TYPES:
+        raise ValueError(
+            f"cms_heavy_hitters item column {item_col!r} has type "
+            f"{itype}; uniform_hash32 is engine-stable only for "
+            "integer/string types — cast explicitly first"
+        )
+    occ = df.where(F.col(item_col).isNotNull())
+
+    def _bucket(r: int):
+        # per-row hash family: row index salted into the md5 input
+        return uniform_hash32(
+            F.concat(F.lit(f"{r}:"), F.col(item_col).cast("string"))
+        ) % width
+
+    # CMS build: one corpus scan, depth× explode, then a map-side-
+    # combining count on (group, r, bucket) — at most
+    # groups × depth × width distinct keys regardless of vocabulary
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rb")
+    # persisted: the probe consumes the counter table depth times (one
+    # branch per broadcast join) and would otherwise re-scan the corpus
+    # per branch; both frames are sketch-sized. Registered with the
+    # dedup cached_scope lifecycle so catalog/bench runs free them.
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        _register_cached,
+    )
+
+    cms = (
+        occ.select(*group_cols, rb)
+        .select(*group_cols, "rb.r", "rb.bucket")
+        .groupBy(*group_cols, "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    totals = (
+        occ.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__total"))
+        .persist()
+    )
+    _register_cached(cms)
+    _register_cached(totals)
+
+    # probe: each occurrence computes its depth buckets and takes the
+    # min counter via depth broadcast joins (inner — an item's own
+    # occurrences guarantee its buckets exist); the φ threshold joins
+    # as a broadcast one-row-per-group frame. All map-side.
+    probed = occ
+    for r in range(depth):
+        cms_r = cms.where(F.col("r") == r).select(
+            *group_cols,
+            F.col("bucket").alias(f"__b{r}"),
+            F.col("cnt").alias(f"__c{r}"),
+        )
+        probed = probed.withColumn(f"__b{r}", _bucket(r)).join(
+            F.broadcast(cms_r), [*group_cols, f"__b{r}"]
+        )
+    est = F.least(*[F.col(f"__c{r}") for r in range(depth)])
+    surv = (
+        probed.join(F.broadcast(totals), list(group_cols))
+        .withColumn("__est", est)
+        .where(
+            F.col("__est") >= F.ceil(F.lit(phi) * F.col("__total"))
+        )
+    )
+    out = surv.groupBy(*group_cols, item_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        # every occurrence of an item carries the identical estimate
+        F.min("__est").alias("est_count"),
+    )
+    out._cached_deps = [cms, totals]  # type: ignore[attr-defined]
+    return out
+
+
 def quantile_threshold_filter(
     df: DataFrame,
     value_col: str,

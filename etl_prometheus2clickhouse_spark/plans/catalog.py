@@ -69,6 +69,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
     quantile_threshold_filter,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
+    _words as _doc_words,
     chunk_documents,
     ngram_contamination,
     repetition_stats,
@@ -775,6 +776,63 @@ ranked AS (
 )
 SELECT lang, word, n_occurrences, word_rank
 FROM ranked WHERE word_rank <= 10
+"""
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-language heavy hitters via count-min sketch
+    (operators/sketch.py:cms_heavy_hitters) — the unbounded-domain
+    companion to the exact top_words face: counting state is the
+    depth×width counter table (never the vocabulary), the per-word
+    estimate is depth broadcast probes, and only CMS-passing words
+    reach an exact count. Both n_occurrences and est_count are
+    emitted; the one-sided CMS guarantee (est ≥ true, no false
+    negatives) is therefore oracle-verified row by row — the same
+    deterministic-public-hash discipline as the KMV sketch."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang", F.explode_outer(_doc_words(F.col("text"))).alias("word")
+    ).where(F.col("word").isNotNull())
+    return cms_heavy_hitters(
+        occ, ["lang"], "word", phi=0.01, depth=3, width=1024
+    )
+
+
+ORACLE_HEAVY_HITTERS_CMS = """
+WITH words AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT lang, word, count(*) AS n FROM words GROUP BY lang, word),
+tot AS (SELECT lang, count(*) AS total FROM words GROUP BY lang),
+buck AS (
+  SELECT lang, word, n, r,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 8))
+              AS UBIGINT) % 1024 AS bucket
+  FROM wc, (SELECT unnest(range(3)) AS r)
+),
+cms AS (
+  SELECT lang, r, bucket, sum(n) AS cnt
+  FROM buck GROUP BY lang, r, bucket
+),
+est AS (
+  SELECT b.lang, b.word, min(c.cnt) AS est_count
+  FROM buck b
+  JOIN cms c ON b.lang = c.lang AND b.r = c.r AND b.bucket = c.bucket
+  GROUP BY b.lang, b.word
+)
+SELECT w.lang, w.word, w.n AS n_occurrences,
+       CAST(e.est_count AS BIGINT) AS est_count
+FROM wc w
+JOIN est e ON w.lang = e.lang AND w.word = e.word
+JOIN tot t ON w.lang = t.lang
+WHERE e.est_count >= ceil(0.01 * t.total)
 """
 
 
@@ -2675,6 +2733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_distinct_kmv": q_events_distinct_kmv,
     "kmv_merge": q_kmv_merge,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     # text analysis
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -2802,6 +2861,7 @@ ORACLES: dict[str, str] = {
     "events_distinct_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     # merge is exact by construction → the one-shot SQL IS the oracle
     "kmv_merge": ORACLE_EVENTS_DISTINCT_KMV,
+    "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,
