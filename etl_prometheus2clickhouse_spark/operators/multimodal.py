@@ -200,13 +200,121 @@ def _fake_payload(content: bytes, n: int) -> bytes:
 
 VALID_DECODE_MODES = ("real", "strict", "fake")
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class _UnsupportedPng(ValueError):
+    """A well-formed PNG outside the built-in decoder's subset (16-bit,
+    palette, interlaced) — falls back to Pillow where installed."""
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth). Up/None rows are whole-row numpy ops; Sub/Average/
+    Paeth carry an intra-row byte dependency, so those rows run a
+    per-byte loop — fine for the correctness role this decoder plays
+    (see :func:`_decode_png_stdlib`)."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur
+    return out.tobytes()
+
+
+def _decode_png_stdlib(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure stdlib+numpy PNG decode (zlib inflate + scanline unfilter)
+    for 8-bit gray/RGB/RGBA non-interlaced images — the common subset.
+
+    PNG is a fully public format (W3C spec; IHDR/IDAT chunking, zlib
+    streams, five scanline filters), so real image decode need not
+    gate on an optional codec package for this subset: this is the
+    path that lets ``decode_images(mode="real")`` EXECUTE — and be
+    pytest-pinned byte-for-byte — in codec-less environments like this
+    repo's own container. Pillow remains the production path for
+    everything else (JPEG, palette/16-bit/interlaced PNG → raises
+    :class:`_UnsupportedPng` to trigger that fallback); malformed PNGs
+    raise ValueError rather than falling through, so a truncated file
+    fails as itself, not as a missing-codec error."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if len(chunk) != 13:
+                raise ValueError("malformed IHDR")
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ct, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ct not in (0, 2, 6):
+        raise _UnsupportedPng(
+            f"PNG flavor outside the built-in subset (bit_depth={depth}, "
+            f"color_type={ct}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    return w, h, ch, _png_unfilter(raw, h, stride, ch)
+
 
 def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
     """Per-item decode site behind the ``mode`` switch.
 
-    - ``"real"``: Pillow decode (optional import — raises a clear
-      ImportError where the codec is missing; the container this repo
-      is developed in ships none, so the hermetic default stays fake).
+    - ``"real"``: common-subset PNGs (8-bit gray/RGB/RGBA,
+      non-interlaced) decode via the built-in stdlib decoder
+      (:func:`_decode_png_stdlib`) — no optional dependency, executes
+      and is pytest-pinned even in this codec-less container.
+      Everything else (JPEG, exotic PNG flavors) goes through Pillow,
+      whose absence raises a clear ImportError. Malformed PNGs raise
+      ValueError as themselves.
     - ``"strict"``: always raises — for pipelines that must fail loud
       rather than produce fake pixels.
     - ``"fake"`` (default): deterministic content-hash-seeded payload;
@@ -218,12 +326,19 @@ def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
             "refusing to silently fall through to fake pixels"
         )
     if mode == "real":
+        if content[:8] == _PNG_MAGIC:
+            try:
+                return _decode_png_stdlib(content)
+            except _UnsupportedPng:
+                pass  # Pillow handles the exotic flavors below
         try:
             from PIL import Image
         except ImportError as e:  # pragma: no cover - env-dependent
             raise ImportError(
-                "decode_images(mode='real') requires pillow; install it "
-                "on the cluster or use mode='fake' for plumbing tests"
+                "decode_images(mode='real') requires pillow for this "
+                "content (non-PNG, or a PNG flavor outside the built-in "
+                "8-bit gray/RGB/RGBA subset); install it on the cluster "
+                "or use mode='fake' for plumbing tests"
             ) from e
         import io
 

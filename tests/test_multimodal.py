@@ -126,40 +126,156 @@ def test_decode_images_strict_raises(media_df):
         out.collect()
 
 
-def test_decode_images_real_png(spark):
-    """Real PNG decode through the same mapInPandas plumbing — runs
-    only where pillow is installed (the dev container ships no codecs,
-    so this skips there and exercises on a codec-equipped cluster)."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+def _encode_png(
+    w: int, h: int, ch: int, pixels: bytes, filters: list[int] | None = None
+) -> bytes:
+    """Minimal test-side PNG encoder (spec-conformant chunks + CRCs,
+    per-row filter choice) so the REAL decode path executes and is
+    byte-pinned without any codec package — independent code from the
+    decoder under test (forward filters here, inverse there)."""
+    import struct
+    import zlib
 
-    img = PIL_Image.new("RGB", (5, 3))
-    img.putpixel((0, 0), (255, 0, 0))
-    img.putpixel((4, 2), (0, 0, 255))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    df = spark.createDataFrame([(1, buf.getvalue())], "id bigint, content binary")
+    ct = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    stride = w * ch
+    out = []
+    for y in range(h):
+        f = filters[y] if filters else 0
+        row = pixels[y * stride : (y + 1) * stride]
+        prev = pixels[(y - 1) * stride : y * stride] if y else bytes(stride)
+
+        def a(i):
+            return row[i - ch] if i >= ch else 0
+
+        def c(i):
+            return prev[i - ch] if i >= ch else 0
+
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = bytes((row[i] - a(i)) & 0xFF for i in range(stride))
+        elif f == 2:
+            enc = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            enc = bytes(
+                (row[i] - (a(i) + prev[i]) // 2) & 0xFF for i in range(stride)
+            )
+        elif f == 4:
+            enc = bytearray()
+            for i in range(stride):
+                p = a(i) + prev[i] - c(i)
+                pa, pb, pc = abs(p - a(i)), abs(p - prev[i]), abs(p - c(i))
+                pred = (
+                    a(i)
+                    if (pa <= pb and pa <= pc)
+                    else (prev[i] if pb <= pc else c(i))
+                )
+                enc.append((row[i] - pred) & 0xFF)
+            enc = bytes(enc)
+        else:
+            raise AssertionError(f)
+        out.append(bytes([f]) + enc)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_images_real_png(spark):
+    """REAL PNG decode end-to-end through the mapInPandas plumbing —
+    executes everywhere: the built-in stdlib decoder needs no codec
+    package. Byte-exact pixels, dimensions, and sniffed type."""
+    px = bytes([255, 0, 0] + [7] * (5 * 3 * 3 - 6) + [0, 0, 255])
+    df = spark.createDataFrame(
+        [(1, _encode_png(5, 3, 3, px))], "id bigint, content binary"
+    )
     out = decode_images(df, "content", "id", mode="real").collect()
     assert len(out) == 1
     r = out[0]
     assert (r.width, r.height, r.channels) == (5, 3, 3)
     assert r.media_type == "image/png"
-    px = bytes(r.pixels)
-    assert len(px) == 5 * 3 * 3
-    assert px[0:3] == b"\xff\x00\x00"
-    assert px[-3:] == b"\x00\x00\xff"
+    assert bytes(r.pixels) == px
 
 
-def test_decode_images_real_without_pillow_raises(media_df, monkeypatch):
-    """Where pillow is absent, mode='real' must fail loud with the
-    install hint, not fall back to fake pixels."""
+def test_decode_png_all_filter_types_and_channels():
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) and every
+    supported channel count round-trips byte-exact through the inverse
+    filters."""
+    import random
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        _decode_png_stdlib,
+    )
+
+    rng = random.Random(42)
+    for ch in (1, 3, 4):
+        w, h = 7, 5
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        data = _encode_png(w, h, ch, px, filters=[0, 1, 2, 3, 4])
+        assert _decode_png_stdlib(data) == (w, h, ch, px)
+
+
+def test_decode_png_rejects_malformed_and_falls_back_unsupported():
+    """A truncated PNG fails as itself (ValueError), never as a
+    missing-codec error; an exotic-but-valid flavor (16-bit) raises
+    the fallback signal for the Pillow path."""
+    import struct
+    import zlib
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        _UnsupportedPng,
+        _decode_png_stdlib,
+    )
+
+    good = _encode_png(4, 4, 3, bytes(48))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png_stdlib(good[:20])  # cut inside the IHDR chunk data
+    with pytest.raises(ValueError, match="missing IHDR/IDAT"):
+        _decode_png_stdlib(good[:33])  # complete IHDR, no IDAT at all
+    # 16-bit IHDR → unsupported flavor, not malformed
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(_UnsupportedPng):
+        _decode_png_stdlib(deep)
+
+
+def test_decode_images_real_without_pillow_raises(spark):
+    """Where pillow is absent, mode='real' on NON-PNG content must
+    fail loud with the install hint, not fall back to fake pixels."""
     try:
         import PIL  # noqa: F401
 
         pytest.skip("pillow installed - the ImportError path is dead here")
     except ImportError:
         pass
-    out = decode_images(media_df, "content", "id", mode="real")
+    jpeg = spark.createDataFrame(
+        [(5, b"\xff\xd8\xff\xe0" + b"\x00" * 20)], "id bigint, content binary"
+    )
+    out = decode_images(jpeg, "content", "id", mode="real")
     with pytest.raises(Exception, match="pillow"):
         out.collect()
 

@@ -257,3 +257,84 @@ def test_kmv_merge_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def _word_occurrences(spark, counts: dict[str, int]):
+    rows = [("g", w) for w, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "g string, w string")
+
+
+def test_cms_no_false_negatives_and_one_sided_error(spark):
+    """Every true phi-heavy item must appear (CMS only over-counts),
+    with est_count >= n_occurrences on every row — even at a tiny
+    width that forces collisions."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    counts = {"a": 50, "b": 30, "c": 15, **{f"r{i}": 1 for i in range(25)}}
+    total = sum(counts.values())  # 120
+    occ = _word_occurrences(spark, counts)
+    for width in (4, 1024):
+        rows = cms_heavy_hitters(
+            occ, ["g"], "w", phi=0.1, depth=3, width=width
+        ).collect()
+        got = {r.w: (r.n_occurrences, r.est_count) for r in rows}
+        # true heavies: count >= ceil(0.1 * 120) = 12 -> a, b, c
+        assert {"a", "b", "c"} <= set(got), f"width={width}"
+        for w, (n, est) in got.items():
+            assert n == counts[w]
+            assert est >= n, f"CMS under-counted {w} at width={width}"
+
+
+def test_cms_exact_when_collision_free(spark):
+    """With a wide sketch and tiny vocabulary, estimates are exact and
+    the output is exactly the true heavy-hitter set."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    counts = {"a": 6, "b": 3, "c": 1}
+    rows = cms_heavy_hitters(
+        _word_occurrences(spark, counts), ["g"], "w", phi=0.3,
+        depth=3, width=4096,
+    ).collect()
+    # threshold ceil(0.3 * 10) = 3 -> a and b
+    assert {r.w: (r.n_occurrences, r.est_count) for r in rows} == {
+        "a": (6, 6),
+        "b": (3, 3),
+    }
+
+
+def test_cms_validates_args(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    occ = _word_occurrences(spark, {"a": 1})
+    with pytest.raises(ValueError, match="phi"):
+        cms_heavy_hitters(occ, ["g"], "w", phi=1.5)
+    with pytest.raises(ValueError, match="depth"):
+        cms_heavy_hitters(occ, ["g"], "w", phi=0.1, depth=0)
+    bad = spark.createDataFrame([("g", 1.5)], "g string, v double")
+    with pytest.raises(ValueError, match="engine-stable"):
+        cms_heavy_hitters(bad, ["g"], "v", phi=0.1)
+
+
+def test_cms_probe_is_broadcast_joins(spark):
+    """The counter probes must be broadcast hash joins — the sketch is
+    tiny by construction; a shuffle join over occurrences would defeat
+    the vocabulary-independence argument."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    occ = _word_occurrences(spark, {"a": 5, "b": 2})
+    plan = (
+        cms_heavy_hitters(occ, ["g"], "w", phi=0.2, depth=3, width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
