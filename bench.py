@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_distinct_kmv",
     "kmv_merge",
     "heavy_hitters_cms",
+    "quantile_merge",
     "length_quantile_filter",
     "content_dedup",
     "fingerprint_dedup",

@@ -180,6 +180,90 @@ def kmv_merge(
     return _kmv_estimate(_bottom_k(ex, group_cols, k), group_cols, k)
 
 
+def histogram_partial_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_width: float,
+    batch_col: str,
+) -> DataFrame:
+    """Serialized quantile-sketch partial per (group, batch): a
+    fixed-width histogram ``(group…, batch, bucket, cnt)`` — the
+    mergeable companion to :func:`quantile_threshold_filter`'s
+    histogram method, for corpus quantiles that accumulate across
+    ingestion windows. State per batch is O(value range/bucket_width),
+    independent of row count; the merge (:func:`histogram_merge_quantile`)
+    is a count sum — EXACT by construction, unlike GK/t-digest merges
+    whose results are merge-order dependent. Rank error of the final
+    quantile is bounded by one bucket width, same deterministic
+    contract as the one-shot filter."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *group_cols,
+            batch_col,
+            F.floor(v / bucket_width).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge_quantile(
+    partials: DataFrame,
+    group_cols: list[str],
+    phi: float,
+    bucket_width: float,
+) -> DataFrame:
+    """Merge histogram partials and locate the per-group φ-quantile.
+
+    Returns one row per group: ``n_total``, ``q_bucket`` (the smallest
+    bucket whose cumulative count reaches ``ceil(phi × n_total)``) and
+    ``q_lo = q_bucket × bucket_width`` — the bucket edge at or under
+    the true quantile, over-approximating by at most one bucket width
+    (identical semantics to :func:`quantile_threshold_filter`'s
+    threshold, so the two faces agree). Because the merge is a plain
+    count sum, the result EQUALS the one-shot histogram over the
+    union of the batches — the catalog entry's oracle is therefore
+    the one-shot SQL over raw data.
+
+    Scale shape: one map-side-combining sum keyed on (group, bucket)
+    over O(batches × buckets) partial rows, then windows over the
+    merged HISTOGRAM only (sketch-sized state, never data)."""
+    if not 0.0 < phi < 1.0:
+        raise ValueError("phi must be in (0, 1)")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+    merged = partials.groupBy(*group_cols, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_tot).alias("n_total"),
+    )
+    return (
+        cum.where(F.col("__cum") >= F.ceil(F.lit(phi) * F.col("n_total")))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("n_total").alias("n_total"),
+            F.min("bucket").alias("q_bucket"),
+        )
+        .withColumn(
+            "q_lo", F.col("q_bucket") * F.lit(float(bucket_width))
+        )
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     group_cols: list[str],

@@ -1158,6 +1158,51 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup: n-gram Jaccard (oracle), MinHash/SimHash (rows-only)
 # ---------------------------------------------------------------------------
 
+def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus quantiles: per-batch fixed-width-histogram
+    partials (events split into 8 synthetic ingestion batches) merged
+    into the per-type p90 (operators/sketch.py:
+    histogram_partial_sketches / histogram_merge_quantile). The merge
+    is a count sum — exact by construction — so the oracle is the
+    ONE-SHOT histogram SQL over the raw table, same discipline as
+    kmv_merge."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        histogram_merge_quantile,
+        histogram_partial_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__batch", (F.col("event_id") % 8).cast("int")
+    )
+    partials = histogram_partial_sketches(
+        ev, ["event_type"], "value", 5.0, "__batch"
+    )
+    return histogram_merge_quantile(partials, ["event_type"], 0.9, 5.0)
+
+
+ORACLE_QUANTILE_MERGE = """
+WITH h AS (
+  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, bucket
+),
+c AS (
+  SELECT event_type, bucket,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n_total
+  FROM h
+)
+SELECT event_type,
+       CAST(min(n_total) AS BIGINT) AS n_total,
+       min(bucket) AS q_bucket,
+       CAST(min(bucket) * 5.0 AS DOUBLE) AS q_lo
+FROM c WHERE cum >= ceil(0.9 * n_total)
+GROUP BY event_type
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact Jaccard with the df cap engaged.
 
@@ -2787,6 +2832,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # banded-LSH design stays primary via embedding_near_dup
     "events_hourly": q_events_hourly,
     "cosine_topk_lsh": q_cosine_topk_lsh,
+    # round-7 addition: the mergeable-quantile twin of kmv_merge
+    "quantile_merge": q_quantile_merge,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
     # events_multires + events_cube, the general grouping-sets pair;
@@ -2876,6 +2923,7 @@ ORACLES: dict[str, str] = {
 CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK,
+    "quantile_merge": ORACLE_QUANTILE_MERGE,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,

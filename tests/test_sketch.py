@@ -338,3 +338,45 @@ def test_cms_probe_is_broadcast_joins(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_histogram_merge_equals_one_shot_and_brackets_quantile(spark):
+    """Merged per-batch histograms must equal the single-batch sketch,
+    and the located bucket edge must sit at or below the true p90 by
+    less than one bucket width."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        histogram_merge_quantile,
+        histogram_partial_sketches,
+    )
+
+    vals = [(i % 100, i % 4) for i in range(1000)]
+    df = spark.createDataFrame(
+        [("g", v, b) for v, b in vals], "g string, v int, b int"
+    )
+    split = histogram_partial_sketches(df, ["g"], "v", 10, "b")
+    one = histogram_partial_sketches(
+        df.withColumn("b", F.lit(0)), ["g"], "v", 10, "b"
+    )
+    merged = histogram_merge_quantile(split, ["g"], 0.9, 10).collect()[0]
+    single = histogram_merge_quantile(one, ["g"], 0.9, 10).collect()[0]
+    assert (merged.n_total, merged.q_bucket, merged.q_lo) == (
+        single.n_total,
+        single.q_bucket,
+        single.q_lo,
+    )
+    true_p90 = sorted(v for v, _ in vals)[int(0.9 * 1000) - 1]  # 89
+    assert merged.q_lo <= true_p90 < merged.q_lo + 10
+
+
+def test_histogram_sketch_validates_args(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        histogram_merge_quantile,
+        histogram_partial_sketches,
+    )
+
+    df = spark.createDataFrame([("g", 1, 0)], "g string, v int, b int")
+    with pytest.raises(ValueError, match="bucket_width"):
+        histogram_partial_sketches(df, ["g"], "v", 0, "b")
+    p = histogram_partial_sketches(df, ["g"], "v", 10, "b")
+    with pytest.raises(ValueError, match="phi"):
+        histogram_merge_quantile(p, ["g"], 1.2, 10)
