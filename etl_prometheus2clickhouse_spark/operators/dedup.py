@@ -525,6 +525,11 @@ def ngram_jaccard_pairs(
             F.count(F.lit(1)).alias("__df")
         )
         if df_stats is not None:
+            # persisted so the eager stats aggregate and the index
+            # join share one shingle pass instead of two
+            dfreq = dfreq.persist()
+            deps.append(dfreq)
+            _register_cached(dfreq)
             row = dfreq.agg(
                 F.coalesce(
                     F.sum(F.when(F.col("__df") > max_df, F.lit(1))),

@@ -380,3 +380,58 @@ def test_histogram_sketch_validates_args(spark):
     p = histogram_partial_sketches(df, ["g"], "v", 10, "b")
     with pytest.raises(ValueError, match="phi"):
         histogram_merge_quantile(p, ["g"], 1.2, 10)
+
+
+def test_kmv_partials_accumulate_across_micro_batches(spark, tmp_path):
+    """The incremental-sketch lifecycle end-to-end under Structured
+    Streaming: each micro-batch (maxFilesPerTrigger=1 over a 3-file
+    source) sketches its slice via foreachBatch into a partials store;
+    merging the accumulated partials reproduces the one-shot estimate
+    over the whole stream — the 100 TB pattern where corpus stats
+    accumulate across ingestion windows without re-scans."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        kmv_merge,
+        kmv_partial_sketches,
+    )
+
+    rows = [("g1", i % 97) for i in range(300)] + [
+        ("g2", i % 11) for i in range(60)
+    ]
+    full = spark.createDataFrame(rows, "g string, v int")
+    src_dir, store = str(tmp_path / "src"), str(tmp_path / "partials")
+    for i in range(3):
+        full.where(F.expr(f"pmod(hash(g, v), 3) = {i}")).coalesce(1).write.parquet(
+            f"{src_dir}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/f*")
+    )
+
+    def _sink(batch_df, batch_id):
+        part = kmv_partial_sketches(
+            batch_df.withColumn("b", F.lit(int(batch_id))),
+            ["g"], "v", "b", k=16,
+        )
+        part.write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(store)
+    assert partials.select("b").distinct().count() >= 2  # real multi-batch
+    merged = {
+        r.g: (r.n_k, r.kth_hash, r.est_distinct)
+        for r in kmv_merge(partials, ["g"], k=16).collect()
+    }
+    one_shot = {
+        r.g: (r.n_k, r.kth_hash, r.est_distinct)
+        for r in kmv_distinct(full, ["g"], "v", k=16).collect()
+    }
+    assert merged == one_shot
