@@ -455,3 +455,79 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_xxh64", F.xxhash64(norm)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest-TF-IDF terms
+    per document (smoothed idf, sklearn spelling:
+    ``tf × (ln((1+N)/(1+df)) + 1)``) — the classic corpus-level
+    document representation for clustering, topic labeling, and
+    near-dup triage.
+
+    Output: ``(id, word, tf, df, tfidf_r, term_rank)`` with the score
+    rounded to 6 decimals (``tfidf_r``) for cross-engine hash
+    stability; ranking uses the unrounded score, ties break on the
+    word (same discipline as the cosine entries).
+
+    Scale shape: term frequencies are one map-side-combining count on
+    (doc, word); document frequencies aggregate THAT table on word
+    (never re-tokenizing); the one corpus-wide shuffle joins tf to df
+    on the evenly-hashed word key; N arrives as a broadcast one-row
+    frame (no driver scalar); the per-doc top-k is ``row_number() <= k``
+    — WindowGroupLimit, map tasks emit ≤ k rows per doc. The tf table
+    is persisted (scope-registered): both the df aggregation and the
+    join consume it.
+    """
+    from pyspark.sql import Window
+
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        _register_cached,
+    )
+
+    if k < 1:
+        raise ValueError("tfidf_top_terms k must be >= 1")
+    tf = (
+        df.select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__toks"))
+        .select("id", F.explode_outer("__toks").alias("word"))
+        .where(F.col("word").isNotNull())
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    _register_cached(tf)
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("__n"))
+    score = F.col("tf") * (
+        F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + F.lit(1.0)
+    )
+    ranked = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("__s", score)
+        .withColumn(
+            "term_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("id").orderBy(
+                    F.col("__s").desc(), F.col("word")
+                )
+            )
+            .cast("int"),
+        )
+        .where(F.col("term_rank") <= k)
+    )
+    out = ranked.select(
+        F.col("id").alias(id_col),
+        "word",
+        "tf",
+        "df",
+        F.round("__s", 6).alias("tfidf_r"),
+        "term_rank",
+    )
+    out._cached_deps = [tf]  # type: ignore[attr-defined]
+    return out

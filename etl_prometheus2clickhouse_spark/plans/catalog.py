@@ -868,6 +868,47 @@ FROM starts
 """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (operators/text.py:
+    tfidf_top_terms) — smoothed-idf sklearn spelling, score rounded to
+    6 decimals for hash stability, ranking on the unrounded score with
+    word tie-break (same float discipline as the cosine entries)."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
+ORACLE_DOC_KEYWORDS = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         t.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0) AS s
+  FROM tf t JOIN dfreq d ON t.word = d.word CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tf, df, s,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, word) AS INTEGER)
+           AS term_rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, round(s, 6) AS tfidf_r, term_rank
+FROM ranked WHERE term_rank <= 5
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement: the
     20 documents per language with the highest ``u^(1/n_chars)``
@@ -2832,8 +2873,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # banded-LSH design stays primary via embedding_near_dup
     "events_hourly": q_events_hourly,
     "cosine_topk_lsh": q_cosine_topk_lsh,
-    # round-7 addition: the mergeable-quantile twin of kmv_merge
+    # round-7 additions: the mergeable-quantile twin of kmv_merge, and
+    # TF-IDF keyword extraction
     "quantile_merge": q_quantile_merge,
+    "doc_keywords": q_doc_keywords,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
     # events_multires + events_cube, the general grouping-sets pair;
@@ -2924,6 +2967,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK,
     "quantile_merge": ORACLE_QUANTILE_MERGE,
+    "doc_keywords": ORACLE_DOC_KEYWORDS,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,

@@ -285,3 +285,58 @@ def test_interval_join_rejects_same_ts_name(spark):
     df = spark.createDataFrame([(1,)], "user_id bigint")
     with _pytest.raises(ValueError):
         interval_join_streams(df, df, "user_id", "ts", "ts")
+
+
+def test_tfidf_top_terms_known_answer(spark):
+    """Hand-checkable TF-IDF: scores recomputed in Python must select
+    the same terms in the same rank order."""
+    import math
+
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = [
+        (r.doc_id, r.word, r.tf, r.df, r.term_rank)
+        for r in tfidf_top_terms(df, k=2)
+        .orderBy("doc_id", "term_rank")
+        .collect()
+    ]
+
+    def s(tf, df_):
+        return tf * (math.log((1.0 + 3) / (1.0 + df_)) + 1.0)
+
+    # doc 1: apple tf2 df1 -> 2*(ln(2)+1); banana tf1 df2; common tf1 df3
+    assert got[0] == (1, "apple", 2, 1, 1)
+    assert got[1] == (1, "banana", 1, 2, 2)
+    # doc 3: cherry tf3 df2 beats common tf1 df3
+    assert (got[4], got[5]) == ((3, "cherry", 3, 2, 1), (3, "common", 1, 3, 2))
+    # rounded score matches the Python recomputation
+    rows = {(r.doc_id, r.word): r.tfidf_r for r in tfidf_top_terms(df, k=2).collect()}
+    assert rows[(1, "apple")] == round(s(2, 1), 6)
+    assert rows[(3, "cherry")] == round(s(3, 2), 6)
+
+
+def test_tfidf_uses_window_group_limit(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    plan = (
+        tfidf_top_terms(df, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        tfidf_top_terms(df, k=0)
