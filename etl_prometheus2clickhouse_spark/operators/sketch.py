@@ -346,13 +346,16 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
+    # group totals fall out of the sketch itself — row 0's counters
+    # partition the group's occurrences, so their sum IS the total;
+    # one aggregation over sketch-sized state instead of a third
+    # corpus scan (measured: the extra scan was ~25% of entry wall)
     totals = (
-        occ.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("__total"))
-        .persist()
+        cms.where(F.col("r") == 0)
+        .groupBy(*group_cols)
+        .agg(F.sum("cnt").alias("__total"))
     )
     _register_cached(cms)
-    _register_cached(totals)
 
     # probe: each occurrence computes its depth buckets and takes the
     # min counter via depth broadcast joins (inner — an item's own
@@ -381,7 +384,7 @@ def cms_heavy_hitters(
         # every occurrence of an item carries the identical estimate
         F.min("__est").alias("est_count"),
     )
-    out._cached_deps = [cms, totals]  # type: ignore[attr-defined]
+    out._cached_deps = [cms]  # type: ignore[attr-defined]
     return out
 
 
