@@ -531,3 +531,72 @@ def tfidf_top_terms(
     )
     out._cached_deps = [tf]  # type: ignore[attr-defined]
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in
+    deterministic ``(stratum, id)`` order and the token stream is
+    chunked into fixed-``budget`` training sequences — the layout step
+    between a curated corpus and a pretraining dataloader. Documents
+    may straddle sequence boundaries (the standard concat-then-chunk
+    packing); the output locates every document in that layout:
+
+    ``(stratum…, id, n_tokens, start_tok, seq_id, seq_offset,
+    spans_boundary)`` where ``start_tok`` is the document's offset in
+    its stratum's token stream, ``seq_id = start_tok div budget``,
+    ``seq_offset = start_tok mod budget``, and ``spans_boundary``
+    flags documents whose tokens cross into the next sequence.
+
+    A true bin packer (docs never split, first-fit) is a sequential
+    recurrence — not a window function — and is NOT what pretraining
+    pipelines do; the cumulative-sum formulation is exactly the
+    concat-and-chunk semantics and is one prefix-sum window per
+    stratum, fully ANSI-SQL-expressible for the oracle.
+
+    Scale shape: one shuffle+sort per stratum (the window). Strata are
+    corpus slices (language × source), so per-partition volume is the
+    stratum, not the corpus; for a skewed mega-stratum the bucketed-
+    window recipe from the sessionize operators applies (window on
+    (stratum, id-bucket), boundaries stitched via a slim per-bucket
+    cumsum — see operators/timeseries.py).
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError("pack_sequences budget must be >= 1")
+    t = F.col(token_col).cast("bigint")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(t).over(w) - t).alias("start_tok")
+    out = df.select(
+        stratum_col,
+        id_col,
+        t.alias("n_tokens"),
+        start,
+    )
+    end_tok = F.col("start_tok") + F.col("n_tokens") - 1
+    return out.select(
+        stratum_col,
+        id_col,
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / budget).alias("seq_id"),
+        (F.col("start_tok") % budget).alias("seq_offset"),
+        # an empty document occupies no tokens and never spans
+        F.when(
+            (F.col("n_tokens") > 0)
+            & (F.floor(end_tok / budget) != F.floor(F.col("start_tok") / budget)),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("spans_boundary"),
+    )

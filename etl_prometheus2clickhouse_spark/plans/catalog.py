@@ -909,6 +909,49 @@ FROM ranked WHERE term_rank <= 5
 """
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout (operators/text.py:
+    pack_sequences): documents concatenated per language in doc_id
+    order, token stream chunked into 2048-token training sequences;
+    every document located by (seq_id, seq_offset) with a
+    boundary-straddle flag. One prefix-sum window per stratum."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(_doc_words(F.col("text"))).alias("n_tok"),
+    )
+    return pack_sequences(docs, "lang", "doc_id", "n_tok", budget=2048)
+
+
+ORACLE_SEQ_PACKING = """
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT lang, doc_id, n_tokens, start_tok,
+       CAST(floor(start_tok / 2048) AS BIGINT) AS seq_id,
+       start_tok % 2048 AS seq_offset,
+       CASE WHEN n_tokens > 0
+                 AND floor((start_tok + n_tokens - 1) / 2048)
+                     != floor(start_tok / 2048)
+            THEN TRUE ELSE FALSE END AS spans_boundary
+FROM c
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement: the
     20 documents per language with the highest ``u^(1/n_chars)``
@@ -2877,6 +2920,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # TF-IDF keyword extraction
     "quantile_merge": q_quantile_merge,
     "doc_keywords": q_doc_keywords,
+    "seq_packing": q_seq_packing,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
     # events_multires + events_cube, the general grouping-sets pair;
@@ -2968,6 +3012,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "cosine_topk_lsh": ORACLE_COSINE_TOPK,
     "quantile_merge": ORACLE_QUANTILE_MERGE,
     "doc_keywords": ORACLE_DOC_KEYWORDS,
+    "seq_packing": ORACLE_SEQ_PACKING,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,

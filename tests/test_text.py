@@ -340,3 +340,50 @@ def test_tfidf_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     with pytest.raises(ValueError, match="k must be >= 1"):
         tfidf_top_terms(df, k=0)
+
+
+def test_pack_sequences_known_layout(spark):
+    """Hand-checked concat-and-chunk layout: budget 10, docs of 4/7/3/6
+    tokens -> starts 0,4,11,14; doc 2 straddles the seq-0/1 boundary,
+    doc 4 straddles seq-1/2."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 4), ("s", 2, 7), ("s", 3, 3), ("s", 4, 6)],
+        "g string, id bigint, n int",
+    )
+    got = {
+        r.id: (r.start_tok, r.seq_id, r.seq_offset, r.spans_boundary)
+        for r in pack_sequences(df, "g", "id", "n", budget=10).collect()
+    }
+    assert got == {
+        1: (0, 0, 0, False),
+        2: (4, 0, 4, True),   # tokens 4..10 cross the seq-0/1 boundary
+        3: (11, 1, 1, False),
+        4: (14, 1, 4, False),  # tokens 14..19 stay inside seq 1
+    }
+    # empty docs never span and keep their predecessor's offset
+    df2 = spark.createDataFrame(
+        [("s", 1, 10), ("s", 2, 0), ("s", 3, 5)], "g string, id bigint, n int"
+    )
+    got2 = {
+        r.id: (r.start_tok, r.seq_id, r.spans_boundary)
+        for r in pack_sequences(df2, "g", "id", "n", budget=10).collect()
+    }
+    assert got2 == {1: (0, 0, False), 2: (10, 1, False), 3: (10, 1, False)}
+
+
+def test_pack_sequences_strata_independent(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("b", 1, 5)], "g string, id bigint, n int"
+    )
+    rows = pack_sequences(df, "g", "id", "n", budget=8).collect()
+    assert all(r.start_tok == 0 and r.seq_id == 0 for r in rows)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "g", "id", "n", budget=0)
