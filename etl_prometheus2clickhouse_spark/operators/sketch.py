@@ -51,6 +51,18 @@ def uniform_hash32(col) -> "F.Column":
 _HASHABLE_TYPES = ("byte", "short", "int", "bigint", "string", "long")
 
 
+def _check_reserved(cols: list[str], reserved: tuple[str, ...], op: str) -> None:
+    """Input columns may not collide with an operator's internal
+    names — a silent overwrite corrupts results (same contract the
+    samplers enforce)."""
+    clash = sorted(set(cols) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"{op} reserves column name(s) {clash}; rename them on the "
+            "input frame first"
+        )
+
+
 def _validate_kmv_args(df: DataFrame, value_col: str, k: int) -> None:
     if k < 2:
         raise ValueError("kmv k must be >= 2")
@@ -118,6 +130,7 @@ def kmv_distinct(
     (where the sketch IS the exact answer).
     """
     _validate_kmv_args(df, value_col, k)
+    _check_reserved(group_cols, ("h", "rn"), "kmv_distinct")
     distinct_h = _distinct_hashes(df, group_cols, value_col)
     return _kmv_estimate(_bottom_k(distinct_h, group_cols, k), group_cols, k)
 
@@ -144,6 +157,7 @@ def kmv_partial_sketches(
     """
     _validate_kmv_args(df, value_col, k)
     keys = [*group_cols, batch_col]
+    _check_reserved(keys, ("h", "rn", "sketch"), "kmv_partial_sketches")
     distinct_h = _distinct_hashes(df, keys, value_col)
     return (
         _bottom_k(distinct_h, keys, k)
@@ -173,6 +187,7 @@ def kmv_merge(
     """
     if k < 2:
         raise ValueError("kmv k must be >= 2")
+    _check_reserved(group_cols, ("h", "rn"), "kmv_merge")
     ex = (
         partials.select(*group_cols, F.explode(sketch_col).alias("h"))
         .distinct()
@@ -199,6 +214,10 @@ def histogram_partial_sketches(
     contract as the one-shot filter."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be > 0")
+    _check_reserved(
+        [*group_cols, batch_col], ("bucket", "cnt"),
+        "histogram_partial_sketches",
+    )
     v = F.col(value_col)
     return (
         df.where(v.isNotNull())
@@ -303,6 +322,13 @@ def cms_heavy_hitters(
         raise ValueError("phi must be in (0, 1)")
     if depth < 1 or width < 2:
         raise ValueError("need depth >= 1 and width >= 2")
+    _check_reserved(
+        [*group_cols, item_col],
+        ("r", "bucket", "cnt", "__est", "__total",
+         *(f"__b{r}" for r in range(depth)),
+         *(f"__c{r}" for r in range(depth))),
+        "cms_heavy_hitters",
+    )
     itype = df.schema[item_col].dataType.simpleString()
     if itype not in _HASHABLE_TYPES:
         raise ValueError(
@@ -310,7 +336,12 @@ def cms_heavy_hitters(
             f"{itype}; uniform_hash32 is engine-stable only for "
             "integer/string types — cast explicitly first"
         )
-    occ = df.where(F.col(item_col).isNotNull())
+    # only the keys are needed anywhere downstream — project eagerly so
+    # unrelated input columns can neither collide with the probe's
+    # internal names nor ride through the joins
+    occ = df.where(F.col(item_col).isNotNull()).select(
+        *group_cols, item_col
+    )
 
     def _bucket(r: int):
         # per-row hash family: row index salted into the md5 input

@@ -435,3 +435,29 @@ def test_kmv_partials_accumulate_across_micro_batches(spark, tmp_path):
         for r in kmv_distinct(full, ["g"], "v", k=16).collect()
     }
     assert merged == one_shot
+
+
+def test_sketch_operators_reject_reserved_columns(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+        histogram_partial_sketches,
+        kmv_merge,
+        kmv_partial_sketches,
+    )
+
+    df = spark.createDataFrame([("x", 1, 0)], "h string, v int, b int")
+    with pytest.raises(ValueError, match="reserves"):
+        kmv_distinct(df, ["h"], "v", k=8)
+    with pytest.raises(ValueError, match="reserves"):
+        kmv_partial_sketches(df, ["h"], "v", "b", k=8)
+    cms_df = spark.createDataFrame([("x", "w")], "bucket string, w string")
+    with pytest.raises(ValueError, match="reserves"):
+        cms_heavy_hitters(cms_df, ["bucket"], "w", phi=0.1)
+    hist_df = spark.createDataFrame([("x", 1, 0)], "cnt string, v int, b int")
+    with pytest.raises(ValueError, match="reserves"):
+        histogram_partial_sketches(hist_df, ["cnt"], "v", 10, "b")
+    part = spark.createDataFrame(
+        [("x", [1, 2])], "h string, sketch array<bigint>"
+    )
+    with pytest.raises(ValueError, match="reserves"):
+        kmv_merge(part, ["h"], k=8)
