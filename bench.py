@@ -54,7 +54,9 @@ BENCH_QUERIES = [
     "repetition_stats",
     "pii_scrub",
     "top_words",
+    "doc_keywords",
     "doc_chunks",
+    "seq_packing",
     "decontaminate",
     "events_distinct_kmv",
     "kmv_merge",

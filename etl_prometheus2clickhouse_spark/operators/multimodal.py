@@ -400,6 +400,76 @@ def decode_images(
     return with_type.mapInPandas(_decode_batches, DECODED_IMAGE_DDL)
 
 
+DECODED_AUDIO_DDL = (
+    "id bigint, media_type string, sample_rate bigint, channels int, "
+    "sample_width int, n_frames bigint, pcm binary"
+)
+
+
+def _decode_wav_stdlib(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """PCM WAV decode via the stdlib ``wave`` module (RIFF is a public
+    format; no codec package involved): returns (sample_rate, channels,
+    sample_width_bytes, n_frames, raw_pcm). Malformed or non-PCM
+    containers raise ValueError as themselves — same fail-as-yourself
+    contract as the PNG decoder."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            return (
+                w.getframerate(),
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getnframes(),
+                w.readframes(w.getnframes()),
+            )
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a decodable PCM WAV: {e}") from e
+
+
+def decode_audio(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Arrow-batched REAL audio decode for PCM WAV content — the audio
+    face of :func:`decode_images`: one output row per input row with
+    ``(id, media_type, sample_rate, channels, sample_width, n_frames,
+    pcm)``. Pure stdlib decode (see :func:`_decode_wav_stdlib`), so
+    the path executes and is byte-pinned in codec-less environments;
+    compressed formats (mp3/ogg/flac) belong to an external codec on
+    the cluster and non-WAV content fails loud here. Same
+    ``mapInPandas`` 100 TB shape as the image decoder: per-partition
+    Arrow batches, no driver involvement, schema declared up front."""
+
+    def _decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "id": [], "media_type": [], "sample_rate": [],
+                "channels": [], "sample_width": [], "n_frames": [],
+                "pcm": [],
+            }
+            for rid, content, mt in zip(
+                pdf[id_col], pdf[binary_col], pdf["media_type"]
+            ):
+                b = bytes(content) if content is not None else b""
+                rate, ch, width, n, pcm = _decode_wav_stdlib(b)
+                out["id"].append(rid)
+                out["media_type"].append(mt)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["sample_width"].append(width)
+                out["n_frames"].append(n)
+                out["pcm"].append(pcm)
+            yield pd.DataFrame(out)
+
+    with_type = df.withColumn("media_type", sniff_media_type(binary_col))
+    return with_type.mapInPandas(_decode_batches, DECODED_AUDIO_DDL)
+
+
 def _sample_one(
     content: bytes, num_frames: int, frame_bytes: int
 ) -> list[tuple[int, int, bytes]]:

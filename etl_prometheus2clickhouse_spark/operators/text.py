@@ -570,6 +570,13 @@ def pack_sequences(
 
     if budget < 1:
         raise ValueError("pack_sequences budget must be >= 1")
+    reserved = {"n_tokens", "start_tok", "seq_id", "seq_offset", "spans_boundary"}
+    clash = sorted({stratum_col, id_col} & reserved)
+    if clash:
+        raise ValueError(
+            f"pack_sequences reserves column name(s) {clash}; rename "
+            "them on the input frame first"
+        )
     t = F.col(token_col).cast("bigint")
     w = (
         Window.partitionBy(stratum_col)

@@ -295,3 +295,48 @@ def test_sample_frames_fanout(media_df):
         key=lambda r: r.frame_idx,
     )
     assert [bytes(r.frame) for r in rows] == [bytes(r.frame) for r in again]
+
+
+def _encode_wav(rate: int, channels: int, width: int, frames: bytes) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav(spark):
+    """REAL PCM WAV decode through the mapInPandas plumbing — stdlib
+    wave module, executes everywhere. Byte-exact PCM round trip."""
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    pcm = bytes(range(64)) * 2  # 64 stereo 16-bit frames
+    wav = _encode_wav(8000, 2, 2, pcm)
+    df = spark.createDataFrame([(1, wav)], "id bigint, content binary")
+    out = decode_audio(df, "content", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.media_type == "audio/wav"
+    assert (r.sample_rate, r.channels, r.sample_width, r.n_frames) == (
+        8000, 2, 2, 32,
+    )
+    assert bytes(r.pcm) == pcm
+
+
+def test_decode_audio_rejects_non_wav(spark):
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"not audio at all")], "id bigint, content binary"
+    )
+    with pytest.raises(Exception, match="not a decodable PCM WAV"):
+        decode_audio(df, "content", "id").collect()

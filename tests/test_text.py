@@ -387,3 +387,47 @@ def test_pack_sequences_strata_independent(spark):
     assert all(r.start_tok == 0 and r.seq_id == 0 for r in rows)
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "g", "id", "n", budget=0)
+
+
+def test_pack_sequences_invariants_property(spark):
+    """Property-pinned packing invariants on randomized token counts:
+    contiguity (each doc starts where its predecessor ended), offsets
+    inside the budget, and the straddle flag exactly when the doc's
+    tokens cross a boundary."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        ns=st.lists(st.integers(min_value=0, max_value=37), min_size=1, max_size=24),
+        budget=st.integers(min_value=1, max_value=19),
+    )
+    def run(ns, budget):
+        df = spark.createDataFrame(
+            [("s", i, n) for i, n in enumerate(ns)],
+            "g string, id bigint, n int",
+        )
+        rows = sorted(
+            pack_sequences(df, "g", "id", "n", budget=budget).collect(),
+            key=lambda r: r.id,
+        )
+        expect_start = 0
+        for r, n in zip(rows, ns):
+            assert r.n_tokens == n
+            assert r.start_tok == expect_start
+            assert r.seq_id == r.start_tok // budget
+            assert r.seq_offset == r.start_tok % budget
+            assert 0 <= r.seq_offset < budget
+            should_span = n > 0 and (r.seq_offset + n) > budget
+            assert r.spans_boundary == should_span, (r, n, budget)
+            expect_start += n
+
+    run()
