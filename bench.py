@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
+    "decode_audio_wav",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
     "events_quantiles_sketch",

@@ -50,6 +50,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     simhash_verified_pairs,
 )
 from etl_prometheus2clickhouse_spark.operators.multimodal import (
+    decode_audio,
     decode_images,
     extract_media_metadata,
     sample_frames,
@@ -1785,6 +1786,55 @@ FROM documents
 """
 
 
+# Complete, valid 8 kHz mono 8-bit PCM WAV with a fixed 16-frame data
+# chunk: RIFF/WAVE + fmt (PCM, 1ch, 8000 Hz, 8-bit) + data headers.
+# PCM payload per row = the 16 md5 bytes of the row id, appended in SQL
+# hex — so the REAL stdlib decode path (operators/multimodal.py:
+# decode_audio) executes distributed under an exact oracle.
+_WAV_HDR_HEX = (
+    "52494646" "34000000" "57415645"            # RIFF, size 52, WAVE
+    "666d7420" "10000000" "0100" "0100"          # fmt , 16, PCM, mono
+    "401F0000" "401F0000" "0100" "0800"          # 8000 Hz, 8000 B/s, align 1, 8-bit
+    "64617461" "10000000"                        # data, 16 bytes
+)
+
+
+def q_decode_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real distributed WAV decode under the oracle: every part row
+    becomes a complete synthesized PCM WAV (fixed header, md5-derived
+    payload), decode_audio parses it with the stdlib wave module
+    inside mapInPandas, and the oracle restates every decoded field —
+    the PCM round trip as ``hex(pcm) == upper(md5(id))``."""
+    p = _t(spark, sf_dir, "part")
+    wav = F.unhex(
+        F.concat(
+            F.lit(_WAV_HDR_HEX), F.md5(F.col("p_partkey").cast("string"))
+        )
+    )
+    df = p.select(F.col("p_partkey").alias("id"), wav.alias("content"))
+    return decode_audio(df, "content", "id").select(
+        "id",
+        "media_type",
+        "sample_rate",
+        "channels",
+        "sample_width",
+        "n_frames",
+        F.hex("pcm").alias("pcm_hex"),
+    )
+
+
+ORACLE_DECODE_AUDIO_WAV = """
+SELECT p_partkey AS id,
+       'audio/wav' AS media_type,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(1 AS INTEGER) AS sample_width,
+       CAST(16 AS BIGINT) AS n_frames,
+       upper(md5(CAST(p_partkey AS VARCHAR))) AS pcm_hex
+FROM part
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four sniff paths (PNG IHDR, JPEG SOF, MP4 ftyp, opaque-binary
     fall-through) union-aligned on one NULL-padded schema — the single
@@ -2921,6 +2971,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_merge": q_quantile_merge,
     "doc_keywords": q_doc_keywords,
     "seq_packing": q_seq_packing,
+    "decode_audio_wav": q_decode_audio_wav,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
     # events_multires + events_cube, the general grouping-sets pair;
@@ -3013,6 +3064,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quantile_merge": ORACLE_QUANTILE_MERGE,
     "doc_keywords": ORACLE_DOC_KEYWORDS,
     "seq_packing": ORACLE_SEQ_PACKING,
+    "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,
