@@ -780,7 +780,11 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     for i, hs in enumerate(hashes):
         if hs is None or len(hs) == 0:
             continue
-        arr = np.asarray(hs, dtype=np.int64)
+        # '<i8' pins the byte view little-endian: a no-copy view on LE
+        # hosts, an explicit byteswap on BE — signatures stay identical
+        # across mixed-endianness clusters (the r6 shift-matrix kernel
+        # was endian-free; the byte view must not regress that)
+        arr = np.ascontiguousarray(np.asarray(hs, dtype=np.int64), dtype="<i8")
         bits = np.unpackbits(
             arr.view(np.uint8), bitorder="little"
         ).reshape(len(arr), 64)

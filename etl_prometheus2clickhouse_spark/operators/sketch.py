@@ -47,8 +47,10 @@ def uniform_hash32(col) -> "F.Column":
 
 
 # types whose CAST(v AS STRING) is identical across Spark and DuckDB —
-# the only ones uniform_hash32 may see (see its docstring)
-_HASHABLE_TYPES = ("byte", "short", "int", "bigint", "string", "long")
+# the only ones uniform_hash32 may see (see its docstring). date
+# ('YYYY-MM-DD') and boolean ('true'/'false') render identically in
+# both engines; doubles/timestamps/decimals do not.
+_HASHABLE_TYPES = ("byte", "short", "int", "bigint", "string", "date", "boolean")
 
 
 def _check_reserved(cols: list[str], reserved: tuple[str, ...], op: str) -> None:
@@ -157,12 +159,18 @@ def kmv_partial_sketches(
     """
     _validate_kmv_args(df, value_col, k)
     keys = [*group_cols, batch_col]
-    _check_reserved(keys, ("h", "rn", "sketch"), "kmv_partial_sketches")
+    _check_reserved(keys, ("h", "rn", "sketch", "k"), "kmv_partial_sketches")
     distinct_h = _distinct_hashes(df, keys, value_col)
     return (
         _bottom_k(distinct_h, keys, k)
         .groupBy(*keys)
         .agg(F.sort_array(F.collect_list("h")).alias("sketch"))
+        # the k the partial was truncated to rides WITH the artifact:
+        # a merge at a larger k cannot reconstruct the global bottom-k
+        # from tighter partials, and kmv_merge validates against this
+        # column so the mismatch fails loud instead of silently
+        # underestimating
+        .withColumn("k", F.lit(int(k)))
     )
 
 
@@ -188,8 +196,23 @@ def kmv_merge(
     if k < 2:
         raise ValueError("kmv k must be >= 2")
     _check_reserved(group_cols, ("h", "rn"), "kmv_merge")
+    sk = F.col(sketch_col)
+    if "k" in partials.columns:
+        # exactness precondition: every partial must have been
+        # truncated at >= the merge k, or the global bottom-k is not
+        # reconstructible — fail at the offending row, not silently
+        sk = F.when(
+            F.col("k") < k,
+            F.raise_error(
+                F.concat(
+                    F.lit("kmv_merge: partial sketch built with k="),
+                    F.col("k").cast("string"),
+                    F.lit(f" cannot be merged at k={int(k)}"),
+                )
+            ).cast(partials.schema[sketch_col].dataType),
+        ).otherwise(sk)
     ex = (
-        partials.select(*group_cols, F.explode(sketch_col).alias("h"))
+        partials.select(*group_cols, F.explode(sk).alias("h"))
         .distinct()
     )
     return _kmv_estimate(_bottom_k(ex, group_cols, k), group_cols, k)
@@ -255,6 +278,11 @@ def histogram_merge_quantile(
         raise ValueError("phi must be in (0, 1)")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be > 0")
+    _check_reserved(
+        group_cols,
+        ("bucket", "cnt", "n_total", "q_bucket", "q_lo", "__cum"),
+        "histogram_merge_quantile",
+    )
     merged = partials.groupBy(*group_cols, "bucket").agg(
         F.sum("cnt").alias("cnt")
     )

@@ -577,7 +577,20 @@ def pack_sequences(
             f"pack_sequences reserves column name(s) {clash}; rename "
             "them on the input frame first"
         )
-    t = F.col(token_col).cast("bigint")
+    # a negative token count would silently shift every later doc's
+    # start_tok backwards (and Spark's % would emit a negative
+    # seq_offset) — fail loud at the row instead of corrupting the
+    # layout; NULL counts are equally invalid for a prefix sum
+    raw_t = F.col(token_col).cast("bigint")
+    t = F.when(
+        raw_t.isNull() | (raw_t < 0),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: invalid token count "),
+                F.coalesce(raw_t.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(raw_t)
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(id_col)

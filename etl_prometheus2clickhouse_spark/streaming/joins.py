@@ -27,11 +27,13 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# "<number> <unit>[s]" — the subset of interval syntax this join uses;
+# one or more "<number> <unit>[s]" groups — the interval syntax this
+# join accepts (compound intervals like "1 hour 30 minutes" included);
 # validated up front so a malformed delay fails with a clear message,
 # not an opaque SQL parse error from inside F.expr
 _DELAY_RE = re.compile(
-    r"^\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?$",
+    r"^\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?"
+    r"(\s+\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?)*$",
     re.IGNORECASE,
 )
 
@@ -75,7 +77,7 @@ def interval_join_streams(
     # the upper bound needs an interval-add expression; backtick-quote
     # the column so a ts name needing quoting fails validation above,
     # never as an opaque parse error inside the expr
-    upper = F.expr(f"`{left_ts}` + INTERVAL {max_delay.strip()}")
+    upper = F.expr(f"`{left_ts}` + INTERVAL '{max_delay.strip()}'")
     cond = (
         (l_wm[key_col] == r_wm[key_col])
         & (F.col(right_ts) >= F.col(left_ts))

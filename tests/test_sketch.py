@@ -461,3 +461,22 @@ def test_sketch_operators_reject_reserved_columns(spark):
     )
     with pytest.raises(ValueError, match="reserves"):
         kmv_merge(part, ["h"], k=8)
+
+
+def test_kmv_merge_rejects_tighter_partials(spark):
+    """Partials truncated at a smaller k cannot reconstruct the global
+    bottom-k — merging them at a larger k must fail loud, not
+    underestimate silently."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        kmv_merge,
+        kmv_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i % 3) for i in range(100)], "g string, v int, b int"
+    )
+    partials = kmv_partial_sketches(df, ["g"], "v", "b", k=8)
+    with pytest.raises(Exception, match="cannot be merged at k=16"):
+        kmv_merge(partials, ["g"], k=16).collect()
+    # equal k still merges fine
+    assert kmv_merge(partials, ["g"], k=8).count() == 1

@@ -86,3 +86,16 @@ def test_interval_join_validates_inputs(spark):
         interval_join_streams(
             l.withColumnRenamed("l_ts", "l`ts"), r, "k", "l`ts", "r_ts"
         )
+
+
+def test_interval_join_accepts_compound_delay(spark):
+    """Compound interval strings ('1 hour 30 minutes') are valid Spark
+    syntax and must pass validation — the regex guard may not narrow
+    the accepted surface."""
+    df = spark.readStream.format("rate").load()
+    l = df.selectExpr("value as k", "timestamp as l_ts")
+    r = df.selectExpr("value as k", "timestamp as r_ts")
+    joined = interval_join_streams(
+        l, r, "k", "l_ts", "r_ts", max_delay="1 hour 30 minutes"
+    )
+    assert joined.isStreaming

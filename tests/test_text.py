@@ -431,3 +431,20 @@ def test_pack_sequences_invariants_property(spark):
             expect_start += n
 
     run()
+
+
+def test_pack_sequences_rejects_bad_token_counts(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+    )
+
+    neg = spark.createDataFrame(
+        [("s", 1, 4), ("s", 2, -5)], "g string, id bigint, n int"
+    )
+    with pytest.raises(Exception, match="invalid token count -5"):
+        pack_sequences(neg, "g", "id", "n", budget=10).collect()
+    nul = spark.createDataFrame(
+        [("s", 1, None)], "g string, id bigint, n int"
+    )
+    with pytest.raises(Exception, match="invalid token count NULL"):
+        pack_sequences(nul, "g", "id", "n", budget=10).collect()
