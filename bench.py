@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "seq_packing",
     "decontaminate",
+    "bloom_decontaminate",
     "events_distinct_kmv",
     "kmv_merge",
     "heavy_hitters_cms",

@@ -311,6 +311,124 @@ def histogram_merge_quantile(
     )
 
 
+def _bloom_position(col, r: int, m_bits: int):
+    """Position of hash r for a value: same salted-md5 family as the
+    CMS rows (``"{r}:" + value``), mod the bit-space."""
+    return (
+        uniform_hash32(F.concat(F.lit(f"{r}:"), col.cast("string")))
+        % m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 16384,
+    k_hashes: int = 4,
+    batch_col: str | None = None,
+) -> DataFrame:
+    """Deterministic Bloom-membership sketch: the distinct set of bit
+    positions lit by the values' ``k_hashes`` salted md5 hashes,
+    serialized as a sorted ``array<long>`` — one row (or one row per
+    ``batch_col`` ingestion batch). The fourth member of the engine's
+    mergeable-sketch family (KMV = cardinality, CMS = frequency,
+    histogram = quantiles, Bloom = membership): ship the position set
+    instead of the member values — at most ``k_hashes × |set|`` longs,
+    bounded by ``m_bits`` — and probe any corpus against it with
+    :func:`bloom_probe`. Classic one-sided guarantee: a true member
+    always hits; a non-member hits with probability ~(k·n/m)^k —
+    deterministic either way over the public hash, so the oracle
+    reproduces every hit and false positive exactly.
+
+    Scale shape: explode to k positions per value, one distinct
+    (shuffle keyed on ≤ m_bits values), one bounded collect per
+    batch. Merge across batches = position-set union
+    (:func:`bloom_merge`), exact by construction."""
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("need m_bits >= 2 and k_hashes >= 1")
+    _validate_kmv_args(df, value_col, k=2)  # same hashable-type contract
+    keys = [batch_col] if batch_col is not None else []
+    _check_reserved(keys, ("p", "bloom", "m_bits", "k_hashes"), "bloom_build")
+    v = F.col(value_col)
+    pos = F.explode(
+        F.array(*[_bloom_position(v, r, m_bits) for r in range(k_hashes)])
+    ).alias("p")
+    positions = (
+        df.where(v.isNotNull()).select(*keys, pos).distinct()
+    )
+    return (
+        positions.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("p")).alias("bloom"))
+        .withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("k_hashes", F.lit(int(k_hashes)))
+    )
+
+
+def bloom_merge(partials: DataFrame) -> DataFrame:
+    """Union per-batch Bloom position sets into one sketch row —
+    exact: the union of lit positions IS the position set of the
+    unioned inputs. Parameter rows must agree on (m_bits, k_hashes);
+    mixed parameters make positions incomparable, so that fails loud."""
+    merged = (
+        partials.select(F.explode("bloom").alias("p"), "m_bits", "k_hashes")
+        .distinct()
+    )
+    # one tiny aggregate validates parameter agreement and collects
+    out = merged.agg(
+        F.sort_array(F.collect_set("p")).alias("bloom"),
+        F.min("m_bits").alias("m_bits"),
+        F.max("m_bits").alias("__m2"),
+        F.min("k_hashes").alias("k_hashes"),
+        F.max("k_hashes").alias("__k2"),
+    ).select(
+        F.when(
+            (F.col("m_bits") != F.col("__m2"))
+            | (F.col("k_hashes") != F.col("__k2")),
+            F.raise_error(
+                F.lit(
+                    "bloom_merge: partials disagree on (m_bits, k_hashes)"
+                )
+            ).cast("array<bigint>"),
+        )
+        .otherwise(F.col("bloom"))
+        .alias("bloom"),
+        "m_bits",
+        "k_hashes",
+    )
+    return out
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 16384,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe every row's value against a (broadcast) Bloom sketch row:
+    adds ``bloom_hit`` — TRUE iff all ``k_hashes`` positions are lit.
+    True members always hit (no false negatives); deterministic false
+    positives at ~(k·n/m)^k. The probe is a single-row broadcast
+    nested-loop join plus JVM ``array_contains`` — no shuffle of the
+    probed corpus, the right shape for 'filter 100 TB against a
+    benchmark set'. NULL values never hit."""
+    if "bloom_hit" in df.columns or "bloom" in df.columns:
+        raise ValueError(
+            "bloom_probe reserves column names ['bloom', 'bloom_hit']; "
+            "rename them on the input frame first"
+        )
+    v = F.col(value_col)
+    hit = F.lit(True)
+    for r in range(k_hashes):
+        hit = hit & F.array_contains(
+            F.col("bloom"), _bloom_position(v, r, m_bits)
+        )
+    joined = df.crossJoin(F.broadcast(bloom.select("bloom")))
+    return joined.withColumn(
+        "bloom_hit", F.when(v.isNotNull(), hit).otherwise(F.lit(False))
+    ).drop("bloom")
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     group_cols: list[str],

@@ -1288,6 +1288,60 @@ GROUP BY event_type
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-sketch decontamination (operators/sketch.py:
+    bloom_build/bloom_merge/bloom_probe): the benchmark split
+    (doc_id % 97 = 0, same split as the exact decontaminate entry) is
+    sketched per 2 synthetic batches into Bloom position sets, merged,
+    and every document's normalized-text md5 is probed against the
+    merged sketch — a broadcast no-shuffle filter whose hits (true
+    members AND deterministic false positives) the oracle reproduces
+    exactly over the public hash."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("v")
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0).withColumn(
+        "b", (F.col("doc_id") % 2).cast("int")
+    )
+    partials = bloom_build(bench, "v", m_bits=16384, k_hashes=4, batch_col="b")
+    sketch = bloom_merge(partials)
+    return bloom_probe(docs, "v", sketch, m_bits=16384, k_hashes=4).select(
+        "doc_id", "bloom_hit"
+    )
+
+
+def _oracle_bloom_pos(expr: str, r: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{r}:' || {expr}), 1, 8)) AS UBIGINT)"
+        " % 16384"
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATE = f"""
+WITH d AS (SELECT doc_id, md5(text) AS v FROM documents),
+bench AS (SELECT v FROM d WHERE doc_id % 97 = 0),
+pos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || v), 1, 8))
+              AS UBIGINT) % 16384 AS p
+  FROM bench CROSS JOIN (SELECT unnest(range(4)) AS r)
+)
+SELECT doc_id,
+       ({_oracle_bloom_pos('v', 0)} IN (SELECT p FROM pos)
+        AND {_oracle_bloom_pos('v', 1)} IN (SELECT p FROM pos)
+        AND {_oracle_bloom_pos('v', 2)} IN (SELECT p FROM pos)
+        AND {_oracle_bloom_pos('v', 3)} IN (SELECT p FROM pos))
+         AS bloom_hit
+FROM d
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact Jaccard with the df cap engaged.
 
@@ -2972,6 +3026,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_keywords": q_doc_keywords,
     "seq_packing": q_seq_packing,
     "decode_audio_wav": q_decode_audio_wav,
+    "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
     # events_multires + events_cube, the general grouping-sets pair;
@@ -3065,6 +3120,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "doc_keywords": ORACLE_DOC_KEYWORDS,
     "seq_packing": ORACLE_SEQ_PACKING,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
+    "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "parts_rank": ORACLE_PARTS_RANK,

@@ -480,3 +480,81 @@ def test_kmv_merge_rejects_tighter_partials(spark):
         kmv_merge(partials, ["g"], k=16).collect()
     # equal k still merges fine
     assert kmv_merge(partials, ["g"], k=8).count() == 1
+
+
+def test_bloom_no_false_negatives_and_merge_equals_one_shot(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}", i % 3) for i in range(30)], "v string, b int"
+    )
+    probe_rows = [(f"m{i}",) for i in range(30)] + [
+        (f"x{i}",) for i in range(200)
+    ] + [(None,)]
+    probe = spark.createDataFrame(probe_rows, "v string")
+
+    one_shot = bloom_build(members, "v", m_bits=4096, k_hashes=4)
+    merged = bloom_merge(
+        bloom_build(members, "v", m_bits=4096, k_hashes=4, batch_col="b")
+    )
+    assert one_shot.first().bloom == merged.first().bloom
+
+    hits = {
+        r.v: r.bloom_hit
+        for r in bloom_probe(probe, "v", merged, 4096, 4).collect()
+    }
+    assert all(hits[f"m{i}"] for i in range(30))  # no false negatives
+    assert hits[None] is False
+    # false positives are rare at this sizing and deterministic:
+    # two probes agree exactly
+    again = {
+        r.v: r.bloom_hit
+        for r in bloom_probe(probe, "v", one_shot, 4096, 4).collect()
+    }
+    assert hits == again
+    fp = sum(1 for i in range(200) if hits[f"x{i}"])
+    assert fp <= 5  # (k*n/m)^k ~ 7e-7 per probe; 5 allows huge slack
+
+
+def test_bloom_merge_rejects_mixed_parameters(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = bloom_build(
+        spark.createDataFrame([("x",)], "v string"), "v", m_bits=1024
+    )
+    b = bloom_build(
+        spark.createDataFrame([("y",)], "v string"), "v", m_bits=2048
+    )
+    with pytest.raises(Exception, match="disagree"):
+        bloom_merge(a.unionByName(b)).collect()
+
+
+def test_bloom_probe_is_broadcast_no_shuffle(spark):
+    """The probed corpus must not shuffle — the sketch broadcasts."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([("m",)], "v string")
+    probe = spark.createDataFrame([("m",), ("x",)], "v string")
+    sketch = bloom_build(members, "v", m_bits=256, k_hashes=2)
+    plan = (
+        bloom_probe(probe, "v", sketch, 256, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning(v" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    with pytest.raises(ValueError, match="reserves"):
+        bloom_probe(
+            probe.withColumn("bloom_hit", F.lit(True)), "v", sketch, 256, 2
+        )
