@@ -368,32 +368,66 @@ def bloom_merge(partials: DataFrame) -> DataFrame:
     """Union per-batch Bloom position sets into one sketch row —
     exact: the union of lit positions IS the position set of the
     unioned inputs. Parameter rows must agree on (m_bits, k_hashes);
-    mixed parameters make positions incomparable, so that fails loud."""
+    mixed parameters make positions incomparable, so that fails loud.
+    An EMPTY partials frame also fails loud: a global agg over zero
+    rows would emit ``bloom=[]`` with NULL parameters — a sketch whose
+    geometry can no longer be validated downstream (bloom_probe's
+    parameter check would silently pass on NULLs). An intentionally
+    empty benchmark set should be built with :func:`bloom_build`
+    (no ``batch_col``), which pins the parameters on its one row."""
     merged = (
-        partials.select(F.explode("bloom").alias("p"), "m_bits", "k_hashes")
+        partials.select(F.explode("bloom").alias("p"))
         .distinct()
     )
-    # one tiny aggregate validates parameter agreement and collects
-    out = merged.agg(
-        F.sort_array(F.collect_set("p")).alias("bloom"),
+    # parameters and the empty-input check come from the RAW partial
+    # rows (a partial whose position array is empty still carries its
+    # geometry and must participate in agreement validation); the
+    # exploded side only collects positions. Both aggs are one slim
+    # row, crossed broadcast — still a single plan.
+    params = partials.agg(
+        F.count(F.lit(1)).alias("__n_partials"),
+        # count() skips NULLs — a NULL geometry hides from min/max, so
+        # require every partial row to carry both parameters
+        F.count("m_bits").alias("__nm"),
+        F.count("k_hashes").alias("__nk"),
         F.min("m_bits").alias("m_bits"),
         F.max("m_bits").alias("__m2"),
         F.min("k_hashes").alias("k_hashes"),
         F.max("k_hashes").alias("__k2"),
-    ).select(
-        F.when(
-            (F.col("m_bits") != F.col("__m2"))
-            | (F.col("k_hashes") != F.col("__k2")),
-            F.raise_error(
-                F.lit(
-                    "bloom_merge: partials disagree on (m_bits, k_hashes)"
-                )
-            ).cast("array<bigint>"),
+    )
+    out = (
+        merged.agg(
+            F.sort_array(F.collect_set("p")).alias("bloom"),
         )
-        .otherwise(F.col("bloom"))
-        .alias("bloom"),
-        "m_bits",
-        "k_hashes",
+        .crossJoin(F.broadcast(params))
+        .select(
+            F.when(
+                F.col("__n_partials") == 0,
+                F.raise_error(
+                    F.lit(
+                        "bloom_merge: no partial sketches to merge — an "
+                        "empty benchmark set must be built via bloom_build "
+                        "without batch_col so its parameters stay pinned"
+                    )
+                ).cast("array<bigint>"),
+            )
+            .when(
+                (F.col("__nm") != F.col("__n_partials"))
+                | (F.col("__nk") != F.col("__n_partials"))
+                | (F.col("m_bits") != F.col("__m2"))
+                | (F.col("k_hashes") != F.col("__k2")),
+                F.raise_error(
+                    F.lit(
+                        "bloom_merge: partials disagree on (or are missing) "
+                        "(m_bits, k_hashes)"
+                    )
+                ).cast("array<bigint>"),
+            )
+            .otherwise(F.col("bloom"))
+            .alias("bloom"),
+            "m_bits",
+            "k_hashes",
+        )
     )
     return out
 
@@ -411,19 +445,73 @@ def bloom_probe(
     positives at ~(k·n/m)^k. The probe is a single-row broadcast
     nested-loop join plus JVM ``array_contains`` — no shuffle of the
     probed corpus, the right shape for 'filter 100 TB against a
-    benchmark set'. NULL values never hit."""
+    benchmark set'. NULL values never hit.
+
+    The sketch frame is validated inside the plan: its carried
+    ``(m_bits, k_hashes)`` must equal the probe parameters (positions
+    computed at a different geometry would silently break the
+    no-false-negative guarantee — contaminated docs would pass), a
+    multi-row frame (unmerged per-batch partials) fails loud, and a
+    zero-row frame probes as all-miss (the empty set has no members)."""
     if "bloom_hit" in df.columns or "bloom" in df.columns:
         raise ValueError(
             "bloom_probe reserves column names ['bloom', 'bloom_hit']; "
             "rename them on the input frame first"
         )
+    # collapse the sketch to exactly one validated row: >1 rows means
+    # the caller passed unmerged partials (first() would pick one
+    # nondeterministically); 0 rows collapses to an empty position set
+    # (all-miss); carried geometry disagreeing with the probe
+    # parameters breaks the guarantee, so it raises at the row
+    sk = bloom.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.first("bloom").alias("bloom"),
+        F.min("m_bits").alias("__m"),
+        F.min("k_hashes").alias("__k"),
+    ).select(
+        F.when(
+            F.col("__n") > 1,
+            F.raise_error(
+                F.lit(
+                    "bloom_probe: sketch frame has multiple rows — merge "
+                    "per-batch partials with bloom_merge first"
+                )
+            ).cast("array<bigint>"),
+        )
+        .when(
+            (F.col("__n") == 1)
+            & (
+                F.col("__m").isNull()
+                | F.col("__k").isNull()
+                | (F.col("__m") != F.lit(int(m_bits)))
+                | (F.col("__k") != F.lit(int(k_hashes)))
+            ),
+            F.raise_error(
+                F.concat(
+                    F.lit("bloom_probe: sketch built at (m_bits, k_hashes)=("),
+                    F.coalesce(F.col("__m").cast("string"), F.lit("NULL")),
+                    F.lit(", "),
+                    F.coalesce(F.col("__k").cast("string"), F.lit("NULL")),
+                    F.lit(
+                        f") but probed at ({int(m_bits)}, {int(k_hashes)}) — "
+                        "mismatched geometry voids the no-false-negative "
+                        "guarantee"
+                    ),
+                )
+            ).cast("array<bigint>"),
+        )
+        .otherwise(
+            F.coalesce(F.col("bloom"), F.array().cast("array<bigint>"))
+        )
+        .alias("bloom")
+    )
     v = F.col(value_col)
     hit = F.lit(True)
     for r in range(k_hashes):
         hit = hit & F.array_contains(
             F.col("bloom"), _bloom_position(v, r, m_bits)
         )
-    joined = df.crossJoin(F.broadcast(bloom.select("bloom")))
+    joined = df.crossJoin(F.broadcast(sk))
     return joined.withColumn(
         "bloom_hit", F.when(v.isNotNull(), hit).otherwise(F.lit(False))
     ).drop("bloom")

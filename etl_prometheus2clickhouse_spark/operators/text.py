@@ -491,6 +491,14 @@ def tfidf_top_terms(
 
     if k < 1:
         raise ValueError("tfidf_top_terms k must be >= 1")
+    # same reserved-name discipline as the samplers/sketches: an id_col
+    # colliding with an output column would emit duplicate names
+    reserved = {"word", "tf", "df", "tfidf_r", "term_rank", "id"}
+    if id_col in reserved:
+        raise ValueError(
+            f"tfidf_top_terms reserves column name {id_col!r}; rename "
+            "it on the input frame first"
+        )
     tf = (
         df.select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__toks"))
         .select("id", F.explode_outer("__toks").alias("word"))

@@ -558,3 +558,80 @@ def test_bloom_probe_is_broadcast_no_shuffle(spark):
         bloom_probe(
             probe.withColumn("bloom_hit", F.lit(True)), "v", sketch, 256, 2
         )
+
+
+def test_bloom_probe_validates_sketch_geometry(spark):
+    """Probing at a different (m_bits, k_hashes) than the sketch was
+    built with computes wrong positions — the no-false-negative
+    guarantee silently breaks — so the probe must fail loud on the
+    geometry the sketch row carries."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([("m",)], "v string")
+    probe = spark.createDataFrame([("m",)], "v string")
+    sketch = bloom_build(members, "v", m_bits=1024, k_hashes=3)
+    with pytest.raises(Exception, match="mismatched geometry"):
+        bloom_probe(probe, "v", sketch, m_bits=2048, k_hashes=3).collect()
+    with pytest.raises(Exception, match="mismatched geometry"):
+        bloom_probe(probe, "v", sketch, m_bits=1024, k_hashes=4).collect()
+    # agreeing geometry still probes
+    ok = bloom_probe(probe, "v", sketch, m_bits=1024, k_hashes=3).collect()
+    assert ok[0].bloom_hit is True
+
+
+def test_bloom_probe_multirow_sketch_fails_loud(spark):
+    """Unmerged per-batch partials passed as the sketch would silently
+    probe against ONE nondeterministic batch — fail loud instead."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [("m0", 0), ("m1", 1)], "v string, b int"
+    )
+    partials = bloom_build(members, "v", m_bits=256, k_hashes=2, batch_col="b")
+    probe = spark.createDataFrame([("m0",)], "v string")
+    with pytest.raises(Exception, match="multiple rows"):
+        bloom_probe(probe, "v", partials, 256, 2).collect()
+
+
+def test_bloom_probe_empty_sketch_is_all_miss(spark):
+    """A zero-row sketch frame (e.g. per-batch build over an empty
+    benchmark set) means the member set is empty: every probe misses,
+    no rows are dropped or duplicated."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty_members = spark.createDataFrame([], "v string, b int")
+    partials = bloom_build(
+        empty_members, "v", m_bits=256, k_hashes=2, batch_col="b"
+    )
+    assert partials.count() == 0
+    probe = spark.createDataFrame([("a",), ("b",), (None,)], "v string")
+    out = bloom_probe(probe, "v", partials, 256, 2).collect()
+    assert len(out) == 3
+    assert all(r.bloom_hit is False for r in out)
+
+
+def test_bloom_merge_empty_partials_fails_loud(spark):
+    """A global agg over zero partials would emit bloom=[] with NULL
+    geometry — a sketch that can no longer be validated — so the merge
+    raises instead."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    empty_members = spark.createDataFrame([], "v string, b int")
+    partials = bloom_build(
+        empty_members, "v", m_bits=256, k_hashes=2, batch_col="b"
+    )
+    with pytest.raises(Exception, match="no partial sketches"):
+        bloom_merge(partials).collect()
+

@@ -448,3 +448,13 @@ def test_pack_sequences_rejects_bad_token_counts(spark):
     )
     with pytest.raises(Exception, match="invalid token count NULL"):
         pack_sequences(nul, "g", "id", "n", budget=10).collect()
+
+
+def test_tfidf_reserved_id_col(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame([("a b", "x")], "text string, word string")
+    with pytest.raises(ValueError, match="reserves"):
+        tfidf_top_terms(df, id_col="word", text_col="text")
