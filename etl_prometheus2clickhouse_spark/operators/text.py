@@ -569,36 +569,15 @@ def pack_sequences(
 
     Scale shape: one shuffle+sort per stratum (the window). Strata are
     corpus slices (language × source), so per-partition volume is the
-    stratum, not the corpus; for a skewed mega-stratum the bucketed-
-    window recipe from the sessionize operators applies (window on
-    (stratum, id-bucket), boundaries stitched via a slim per-bucket
-    cumsum — see operators/timeseries.py).
+    stratum, not the corpus; for a skewed mega-stratum use
+    :func:`pack_sequences_bucketed` — identical output, window
+    partitioned on (stratum, id-bucket) with a slim stitched cumsum,
+    so no single task ever sorts a whole stratum.
     """
     from pyspark.sql import Window
 
-    if budget < 1:
-        raise ValueError("pack_sequences budget must be >= 1")
-    reserved = {"n_tokens", "start_tok", "seq_id", "seq_offset", "spans_boundary"}
-    clash = sorted({stratum_col, id_col} & reserved)
-    if clash:
-        raise ValueError(
-            f"pack_sequences reserves column name(s) {clash}; rename "
-            "them on the input frame first"
-        )
-    # a negative token count would silently shift every later doc's
-    # start_tok backwards (and Spark's % would emit a negative
-    # seq_offset) — fail loud at the row instead of corrupting the
-    # layout; NULL counts are equally invalid for a prefix sum
-    raw_t = F.col(token_col).cast("bigint")
-    t = F.when(
-        raw_t.isNull() | (raw_t < 0),
-        F.raise_error(
-            F.concat(
-                F.lit("pack_sequences: invalid token count "),
-                F.coalesce(raw_t.cast("string"), F.lit("NULL")),
-            )
-        ).cast("bigint"),
-    ).otherwise(raw_t)
+    _check_pack_args(stratum_col, id_col, budget, "pack_sequences")
+    t = _valid_token_count(token_col, "pack_sequences")
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(id_col)
@@ -611,6 +590,45 @@ def pack_sequences(
         t.alias("n_tokens"),
         start,
     )
+    return _pack_layout(out, stratum_col, id_col, budget)
+
+
+def _check_pack_args(
+    stratum_col: str, id_col: str, budget: int, op: str
+) -> None:
+    if budget < 1:
+        raise ValueError(f"{op} budget must be >= 1")
+    reserved = {"n_tokens", "start_tok", "seq_id", "seq_offset", "spans_boundary"}
+    clash = sorted({stratum_col, id_col} & reserved)
+    if clash:
+        raise ValueError(
+            f"{op} reserves column name(s) {clash}; rename "
+            "them on the input frame first"
+        )
+
+
+def _valid_token_count(token_col: str, op: str) -> Column:
+    """Fail-loud token count: a negative count would silently shift
+    every later doc's start_tok backwards (and Spark's % would emit a
+    negative seq_offset); NULL is equally invalid for a prefix sum."""
+    raw_t = F.col(token_col).cast("bigint")
+    return F.when(
+        raw_t.isNull() | (raw_t < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: invalid token count "),
+                F.coalesce(raw_t.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(raw_t)
+
+
+def _pack_layout(
+    out: DataFrame, stratum_col: str, id_col: str, budget: int
+) -> DataFrame:
+    """Shared final projection: locate each document in the packed
+    layout from its ``start_tok`` (both the per-stratum and the
+    bucketed face end here, so they agree by construction)."""
     end_tok = F.col("start_tok") + F.col("n_tokens") - 1
     return out.select(
         stratum_col,
@@ -628,3 +646,110 @@ def pack_sequences(
         .otherwise(F.lit(False))
         .alias("spans_boundary"),
     )
+
+
+def pack_sequences_bucketed(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    bucket: "Column | str",
+) -> DataFrame:
+    """Skew-proof :func:`pack_sequences`: identical output, but the
+    prefix-sum window partitions on ``(stratum, bucket)`` instead of
+    the bare stratum, so one enormous stratum (English web is a large
+    fraction of a real pretraining corpus) no longer lands in a single
+    sort task. The bucket-window-stitch recipe from
+    ``operators/timeseries.py`` (``counter_rate_bucketed`` /
+    ``sessionize_bucketed``):
+
+    1. window WITHIN each (stratum, bucket) for the local prefix sum —
+       full rows shuffle once on the composite key, task size is the
+       bucket, not the stratum;
+    2. a slim per-bucket frame (one row per (stratum, bucket): its
+       token total) flows through its own tiny cumsum window ordered
+       by bucket — O(strata × buckets) rows;
+    3. the per-bucket token offset joins back on (stratum, bucket) and
+       ``start_tok = bucket_offset + local_start``.
+
+    ``bucket`` must be an expression MONOTONE NON-DECREASING in
+    ``id_col`` within each stratum (the concat order is (stratum, id),
+    so buckets must be contiguous id ranges — e.g.
+    ``F.floor(F.col("doc_id") / 4096)`` for dense numeric ids, or a
+    fixed-length prefix of a lexicographically ordered string id).
+    A hash bucket would interleave ids across buckets and silently
+    scramble the layout, so monotonicity is VERIFIED inside the plan:
+    the slim frame orders buckets and raises at the first bucket whose
+    min id does not exceed the previous bucket's max id. Duplicate ids
+    across buckets are rejected by the same check (the layout is only
+    deterministic for unique ids).
+    """
+    from pyspark.sql import Window
+
+    _check_pack_args(stratum_col, id_col, budget, "pack_sequences_bucketed")
+    bk = F.col(bucket) if isinstance(bucket, str) else bucket
+    t = _valid_token_count(token_col, "pack_sequences_bucketed")
+    rows = df.select(
+        stratum_col,
+        id_col,
+        t.alias("n_tokens"),
+        bk.alias("__bk"),
+    )
+
+    w_local = (
+        Window.partitionBy(stratum_col, "__bk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rows.withColumn(
+        "__local", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    )
+
+    # slim stitch frame: one row per (stratum, bucket) — its token
+    # total and id range; the global offset of a bucket is the running
+    # token total of all earlier buckets, and the id ranges double as
+    # the monotonicity proof
+    per_bucket = rows.groupBy(stratum_col, "__bk").agg(
+        F.sum("n_tokens").alias("__tok"),
+        F.min(id_col).alias("__min_id"),
+        F.max(id_col).alias("__max_id"),
+    )
+    wb = Window.partitionBy(stratum_col).orderBy("__bk")
+    prev_max = F.lag("__max_id").over(wb)
+    run = Window.partitionBy(stratum_col).orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offset = F.sum("__tok").over(run) - F.col("__tok")
+    stitch = per_bucket.select(
+        stratum_col,
+        "__bk",
+        F.when(
+            prev_max.isNotNull() & (prev_max >= F.col("__min_id")),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_sequences_bucketed: bucket expression is not "
+                        "monotone in the id column (bucket "
+                    ),
+                    F.col("__bk").cast("string"),
+                    F.lit(" starts at id "),
+                    F.col("__min_id").cast("string"),
+                    F.lit(" but an earlier bucket reaches id "),
+                    prev_max.cast("string"),
+                    F.lit(") — use contiguous id ranges, not a hash"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(offset)
+        .alias("__off"),
+    )
+
+    joined = local.join(stitch, [stratum_col, "__bk"])
+    out = joined.select(
+        stratum_col,
+        id_col,
+        "n_tokens",
+        (F.col("__off") + F.col("__local")).alias("start_tok"),
+    )
+    return _pack_layout(out, stratum_col, id_col, budget)

@@ -928,6 +928,34 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "lang", "doc_id", "n_tok", budget=2048)
 
 
+def q_seq_packing_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of ``seq_packing`` (operators/text.py:
+    pack_sequences_bucketed): the prefix-sum window partitions on
+    (lang, doc_id-range bucket) and the per-bucket token offsets are
+    stitched through a slim cumsum — identical deterministic layout
+    (same oracle), but no single task ever sorts a whole stratum; at
+    100 TB the dominant stratum (English web) would otherwise be one
+    sort task over most of the corpus. Bucket = floor(doc_id / 64):
+    contiguous id ranges, monotone by construction (verified in-plan)."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences_bucketed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(_doc_words(F.col("text"))).alias("n_tok"),
+    )
+    return pack_sequences_bucketed(
+        docs,
+        "lang",
+        "doc_id",
+        "n_tok",
+        budget=2048,
+        bucket=F.floor(F.col("doc_id") / 64),
+    )
+
+
 ORACLE_SEQ_PACKING = """
 WITH t AS (
   SELECT lang, doc_id,
@@ -3025,6 +3053,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_merge": q_quantile_merge,
     "doc_keywords": q_doc_keywords,
     "seq_packing": q_seq_packing,
+    # round-8: the skew-proof bucketed face — layout is deterministic,
+    # so it must match the SAME oracle exactly
+    "seq_packing_bucketed": q_seq_packing_bucketed,
     "decode_audio_wav": q_decode_audio_wav,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
@@ -3119,6 +3150,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quantile_merge": ORACLE_QUANTILE_MERGE,
     "doc_keywords": ORACLE_DOC_KEYWORDS,
     "seq_packing": ORACLE_SEQ_PACKING,
+    "seq_packing_bucketed": ORACLE_SEQ_PACKING,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,

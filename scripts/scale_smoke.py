@@ -221,6 +221,61 @@ def main() -> None:
     assert stats["capped_shingle_keys"] >= 3, "boilerplate keys not capped"
     assert kept_fanout <= B * CAP, "df cap failed to bound the fan-out"
 
+    # round-8: pack_sequences on a planted mega-stratum — a real
+    # pretraining corpus is dominated by one stratum (English web), so
+    # the per-stratum prefix-sum window degenerates to ONE sort task
+    # over most of the corpus. The bucketed face must (a) produce the
+    # identical layout and (b) bound every window task by the bucket
+    # width instead of the stratum size.
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+        pack_sequences_bucketed,
+    )
+
+    N = 300_000 * k
+    BUCKET_W = 50_000
+    mega = spark.range(N).select(
+        # ~97% of rows land in the mega stratum
+        F.when(F.col("id") % 32 == 0, F.lit("rare"))
+        .otherwise(F.lit("en"))
+        .alias("lang"),
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000))).alias("n_tok"),
+    ).persist()
+    mega.count()
+    t0 = time.perf_counter()
+    plain_n = pack_sequences(mega, "lang", "doc_id", "n_tok", 2048).count()
+    t_plain = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    bucketed = pack_sequences_bucketed(
+        mega, "lang", "doc_id", "n_tok", 2048,
+        bucket=F.floor(F.col("doc_id") / BUCKET_W),
+    )
+    bucketed_n = bucketed.count()
+    t_bucketed = round(time.perf_counter() - t0, 1)
+    # structural skew bound: no window task sees more than a bucket
+    max_task = (
+        mega.groupBy("lang", F.floor(F.col("doc_id") / BUCKET_W))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+        .m
+    )
+    diff = (
+        pack_sequences(mega, "lang", "doc_id", "n_tok", 2048)
+        .exceptAll(bucketed)
+        .count()
+    )
+    mega.unpersist()
+    print(
+        f"pack_sequences mega-stratum (N={N}, 97% one stratum): "
+        f"plain {plain_n} rows in {t_plain}s (1 task sorts ~{int(N*0.97)}); "
+        f"bucketed {bucketed_n} rows in {t_bucketed}s "
+        f"(max window task {max_task} rows)"
+    )
+    assert diff == 0, "bucketed layout diverged from per-stratum layout"
+    assert max_task <= BUCKET_W, "bucket bound violated"
+
 
 if __name__ == "__main__":
     main()

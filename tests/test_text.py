@@ -458,3 +458,52 @@ def test_tfidf_reserved_id_col(spark):
     df = spark.createDataFrame([("a b", "x")], "text string, word string")
     with pytest.raises(ValueError, match="reserves"):
         tfidf_top_terms(df, id_col="word", text_col="text")
+
+
+def test_pack_sequences_bucketed_equals_plain(spark):
+    """The bucketed face must reproduce the exact layout of the
+    per-stratum window — the concat order is deterministic, so the
+    stitched prefix sums have to agree token for token."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences,
+        pack_sequences_bucketed,
+    )
+
+    random.seed(11)
+    rows = [
+        (random.choice(["en", "de"]), i, random.randint(0, 500))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, n_tok long"
+    ).repartition(8)
+    a = pack_sequences(df, "lang", "doc_id", "n_tok", budget=1024)
+    b = pack_sequences_bucketed(
+        df, "lang", "doc_id", "n_tok", budget=1024,
+        bucket=F.floor(F.col("doc_id") / 100),
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_bucketed_rejects_non_monotone_bucket(spark):
+    """A hash bucket interleaves ids across buckets and would silently
+    scramble the packed layout — the in-plan id-range check raises."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        pack_sequences_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [("en", i, 5) for i in range(100)], "lang string, doc_id long, n_tok long"
+    )
+    with pytest.raises(Exception, match="not monotone"):
+        pack_sequences_bucketed(
+            df, "lang", "doc_id", "n_tok", budget=64,
+            bucket=F.pmod(F.xxhash64("doc_id"), F.lit(4)),
+        ).collect()
