@@ -552,68 +552,118 @@ def cms_heavy_hitters(
     collision admits) reach the final exact (group, item) count. The
     vocabulary-sized shuffle of the exact operator never happens.
     """
-    if not 0.0 < phi < 1.0:
+    _check_cms_args(df, group_cols, item_col, phi, depth, width,
+                    "cms_heavy_hitters")
+    occ = df.where(F.col(item_col).isNotNull()).select(
+        *group_cols, item_col
+    )
+    cms = _cms_counters(occ, group_cols, item_col, depth, width)
+    return _cms_probe(occ, cms, group_cols, item_col, phi, depth, width)
+
+
+def _check_cms_args(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    phi: float | None,
+    depth: int,
+    width: int,
+    op: str,
+    batch_col: str | None = None,
+) -> None:
+    if phi is not None and not 0.0 < phi < 1.0:
         raise ValueError("phi must be in (0, 1)")
     if depth < 1 or width < 2:
         raise ValueError("need depth >= 1 and width >= 2")
+    keys = [*group_cols, item_col]
+    if batch_col is not None:
+        keys.append(batch_col)
     _check_reserved(
-        [*group_cols, item_col],
-        ("r", "bucket", "cnt", "__est", "__total",
+        keys,
+        ("r", "bucket", "cnt", "depth", "width", "__est", "__total",
          *(f"__b{r}" for r in range(depth)),
          *(f"__c{r}" for r in range(depth))),
-        "cms_heavy_hitters",
+        op,
     )
     itype = df.schema[item_col].dataType.simpleString()
     if itype not in _HASHABLE_TYPES:
         raise ValueError(
-            f"cms_heavy_hitters item column {item_col!r} has type "
+            f"{op} item column {item_col!r} has type "
             f"{itype}; uniform_hash32 is engine-stable only for "
             "integer/string types — cast explicitly first"
         )
-    # only the keys are needed anywhere downstream — project eagerly so
-    # unrelated input columns can neither collide with the probe's
-    # internal names nor ride through the joins
-    occ = df.where(F.col(item_col).isNotNull()).select(
-        *group_cols, item_col
-    )
 
-    def _bucket(r: int):
-        # per-row hash family: row index salted into the md5 input
-        return uniform_hash32(
-            F.concat(F.lit(f"{r}:"), F.col(item_col).cast("string"))
-        ) % width
 
-    # CMS build: one corpus scan, depth× explode, then a map-side-
-    # combining count on (group, r, bucket) — at most
-    # groups × depth × width distinct keys regardless of vocabulary
+def _cms_bucket(item_col: str, r: int, width: int):
+    """Per-row hash family: row index salted into the md5 input —
+    the same salted family as the Bloom positions."""
+    return uniform_hash32(
+        F.concat(F.lit(f"{r}:"), F.col(item_col).cast("string"))
+    ) % width
+
+
+def _cms_counters(
+    occ: DataFrame,
+    keys: list[str],
+    item_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """CMS counter build: one corpus scan, depth× explode, then a
+    map-side-combining count on (keys, r, bucket) — at most
+    |keys-domain| × depth × width distinct counters regardless of
+    vocabulary. ``keys`` is the group columns, optionally plus an
+    ingestion-batch column (the partial-sketch face)."""
     rb = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(r).alias("r"), _bucket(r).alias("bucket")
+                    F.lit(r).alias("r"),
+                    _cms_bucket(item_col, r, width).alias("bucket"),
                 )
                 for r in range(depth)
             ]
         )
     ).alias("rb")
-    # persisted: the probe consumes the counter table depth times (one
-    # branch per broadcast join) and would otherwise re-scan the corpus
-    # per branch; both frames are sketch-sized. Registered with the
-    # dedup cached_scope lifecycle so catalog/bench runs free them.
+    return (
+        occ.select(*keys, rb)
+        .select(*keys, "rb.r", "rb.bucket")
+        .groupBy(*keys, "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_probe(
+    occ: DataFrame,
+    cms: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    phi: float,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Shared probe: each occurrence computes its depth buckets and
+    takes the min counter via depth BROADCAST joins (inner — an item's
+    own occurrences guarantee its buckets exist); the φ threshold
+    joins as a broadcast one-row-per-group frame. All map-side — the
+    vocabulary-sized shuffle of the exact operator never happens.
+
+    ``cms`` must be the (group…, r, bucket, cnt) counter table of the
+    SAME corpus ``occ`` scans (one-shot build or merged partials —
+    identical by linearity)."""
+    # persisted: the probe consumes the counter table depth+1 times
+    # (one branch per broadcast join, plus totals) and would otherwise
+    # recompute it per branch; the frame is sketch-sized. Registered
+    # with the dedup cached_scope lifecycle so catalog/bench runs
+    # free it.
     from etl_prometheus2clickhouse_spark.operators.dedup import (
         _register_cached,
     )
 
-    cms = (
-        occ.select(*group_cols, rb)
-        .select(*group_cols, "rb.r", "rb.bucket")
-        .groupBy(*group_cols, "r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
+    cms = cms.persist()
     # group totals fall out of the sketch itself — row 0's counters
     # partition the group's occurrences, so their sum IS the total;
-    # one aggregation over sketch-sized state instead of a third
+    # one aggregation over sketch-sized state instead of a second
     # corpus scan (measured: the extra scan was ~25% of entry wall)
     totals = (
         cms.where(F.col("r") == 0)
@@ -622,10 +672,6 @@ def cms_heavy_hitters(
     )
     _register_cached(cms)
 
-    # probe: each occurrence computes its depth buckets and takes the
-    # min counter via depth broadcast joins (inner — an item's own
-    # occurrences guarantee its buckets exist); the φ threshold joins
-    # as a broadcast one-row-per-group frame. All map-side.
     probed = occ
     for r in range(depth):
         cms_r = cms.where(F.col("r") == r).select(
@@ -633,9 +679,9 @@ def cms_heavy_hitters(
             F.col("bucket").alias(f"__b{r}"),
             F.col("cnt").alias(f"__c{r}"),
         )
-        probed = probed.withColumn(f"__b{r}", _bucket(r)).join(
-            F.broadcast(cms_r), [*group_cols, f"__b{r}"]
-        )
+        probed = probed.withColumn(
+            f"__b{r}", _cms_bucket(item_col, r, width)
+        ).join(F.broadcast(cms_r), [*group_cols, f"__b{r}"])
     est = F.least(*[F.col(f"__c{r}") for r in range(depth)])
     surv = (
         probed.join(F.broadcast(totals), list(group_cols))
@@ -651,6 +697,150 @@ def cms_heavy_hitters(
     )
     out._cached_deps = [cms]  # type: ignore[attr-defined]
     return out
+
+
+def cms_partial_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    batch_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Serialized CMS partial per (group, batch): the
+    ``(group…, batch, r, bucket, cnt)`` counter table with the sketch
+    geometry (``depth``, ``width``) riding on every row — the
+    frequency member of the engine's mergeable-sketch family (KMV =
+    cardinality, histogram = quantiles, Bloom = membership). Each
+    ingestion window counts its own slice into depth × width counters;
+    corpus-level heavy hitters then come from :func:`cms_merge` +
+    :func:`cms_heavy_hitters_from_sketch` over O(batches × depth ×
+    width) counter rows instead of a re-scan of every batch. The merge
+    is EXACT by linearity (counters are sums), so the merged sketch is
+    bit-identical to the one-shot build over the unioned batches.
+
+    Scale shape per batch: identical to the one-shot build — one
+    map-side-combining count keyed on (group, batch, r, bucket),
+    cardinality independent of the vocabulary."""
+    _check_cms_args(df, group_cols, item_col, None, depth, width,
+                    "cms_partial_sketches", batch_col=batch_col)
+    occ = df.where(F.col(item_col).isNotNull()).select(
+        *group_cols, batch_col, item_col
+    )
+    return (
+        _cms_counters(occ, [*group_cols, batch_col], item_col, depth, width)
+        .withColumn("depth", F.lit(int(depth)))
+        .withColumn("width", F.lit(int(width)))
+    )
+
+
+def cms_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge per-batch CMS partials into the per-group counter table —
+    EXACT by linearity: a counter is a count, so summing per-batch
+    counters yields precisely the one-shot counter over the unioned
+    batches (no approximation is introduced by merging; the estimate
+    error stays the one-shot CMS bound). Geometry rows must agree on
+    (depth, width) — counters at different geometries are
+    incomparable, so disagreement (or a missing geometry) fails loud
+    at the first merged row, the same contract as
+    :func:`bloom_merge` / :func:`kmv_merge`.
+
+    Cost: one map-side-combining sum keyed on (group, r, bucket) over
+    O(batches × depth × width) sketch rows — independent of the corpus
+    the partials summarize."""
+    _check_reserved(group_cols, ("r", "bucket", "cnt"), "cms_merge")
+    params = partials.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count("depth").alias("__nd"),
+        F.count("width").alias("__nw"),
+        F.min("depth").alias("depth"),
+        F.max("depth").alias("__d2"),
+        F.min("width").alias("width"),
+        F.max("width").alias("__w2"),
+    )
+    bad = (
+        (F.col("__nd") != F.col("__n"))
+        | (F.col("__nw") != F.col("__n"))
+        | (F.col("depth") != F.col("__d2"))
+        | (F.col("width") != F.col("__w2"))
+    )
+    checked = params.select(
+        F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    "cms_merge: partials disagree on (or are missing) "
+                    "(depth, width)"
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.col("depth"))
+        .alias("depth"),
+        "width",
+    )
+    merged = partials.groupBy(*group_cols, "r", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    # the validated geometry rides on every merged row (broadcast
+    # single-row frame) so downstream probes can re-validate
+    return merged.crossJoin(F.broadcast(checked))
+
+
+def cms_heavy_hitters_from_sketch(
+    df: DataFrame,
+    sketch: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    phi: float,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters probed against a PRE-BUILT (merged) CMS counter
+    table instead of a fresh one-shot build — the consumption face of
+    :func:`cms_partial_sketches` / :func:`cms_merge`. ``df`` is the
+    occurrence frame the sketch summarizes (the probe still needs one
+    corpus scan to enumerate candidate items; what the sketch saves is
+    the counting state and the re-aggregation of every earlier batch).
+    Because the merge is exact, output is identical to
+    :func:`cms_heavy_hitters` on the same corpus.
+
+    The sketch's carried geometry must equal (``depth``, ``width``) —
+    buckets computed at a different geometry probe the wrong counters,
+    so a mismatch (or an empty / mixed-geometry sketch frame) fails
+    loud. The check is a bounded driver-side read of ONE aggregate row
+    over the sketch-sized frame — deliberately not an in-plan
+    raise_error, because an empty sketch empties the probe's broadcast
+    joins and AQE's empty-relation propagation would eliminate the
+    raising subtree before it ever evaluated (verified in test)."""
+    _check_cms_args(df, group_cols, item_col, phi, depth, width,
+                    "cms_heavy_hitters_from_sketch")
+    occ = df.where(F.col(item_col).isNotNull()).select(
+        *group_cols, item_col
+    )
+    g = sketch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("depth").alias("d"),
+        F.max("depth").alias("d2"),
+        F.min("width").alias("w"),
+        F.max("width").alias("w2"),
+    ).first()
+    if (
+        g["n"] == 0
+        or g["d"] is None
+        or g["w"] is None
+        or g["d"] != g["d2"]
+        or g["w"] != g["w2"]
+        or g["d"] != int(depth)
+        or g["w"] != int(width)
+    ):
+        raise ValueError(
+            "cms_heavy_hitters_from_sketch: sketch geometry "
+            f"(depth, width)=({g['d']}, {g['w']}) does not match probe "
+            f"({int(depth)}, {int(width)}), or the sketch is "
+            f"empty/mixed (rows={g['n']})"
+        )
+    cms = sketch.select(*group_cols, "r", "bucket", "cnt")
+    return _cms_probe(occ, cms, group_cols, item_col, phi, depth, width)
 
 
 def quantile_threshold_filter(

@@ -803,6 +803,38 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_merge_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-partial face of heavy_hitters_cms (operators/
+    sketch.py: cms_partial_sketches / cms_merge /
+    cms_heavy_hitters_from_sketch): each of three synthetic ingestion
+    batches (doc_id mod 3 — standing in for per-window micro-batches)
+    sketches its slice into a depth×width counter table; the merge
+    sums counters — EXACT by linearity — so probing the merged sketch
+    must reproduce the one-shot heavy hitters bit for bit. The oracle
+    is therefore the one-shot SQL, the same pattern kmv_merge and
+    quantile_merge established."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "lang",
+        (F.col("doc_id") % 3).alias("batch"),
+        F.explode_outer(_doc_words(F.col("text"))).alias("word"),
+    ).where(F.col("word").isNotNull())
+    partials = cms_partial_sketches(
+        occ, ["lang"], "word", "batch", depth=3, width=1024
+    )
+    sketch = cms_merge(partials, ["lang"])
+    return cms_heavy_hitters_from_sketch(
+        occ.drop("batch"), sketch, ["lang"], "word",
+        phi=0.01, depth=3, width=1024,
+    )
+
+
 ORACLE_HEAVY_HITTERS_CMS = """
 WITH words AS (
   SELECT lang,
@@ -3056,6 +3088,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8: the skew-proof bucketed face — layout is deterministic,
     # so it must match the SAME oracle exactly
     "seq_packing_bucketed": q_seq_packing_bucketed,
+    # round-8: CMS partials+merge — merge is exact by linearity, so
+    # the one-shot heavy-hitters SQL is the oracle
+    "cms_merge_hh": q_cms_merge_hh,
     "decode_audio_wav": q_decode_audio_wav,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
@@ -3151,6 +3186,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "doc_keywords": ORACLE_DOC_KEYWORDS,
     "seq_packing": ORACLE_SEQ_PACKING,
     "seq_packing_bucketed": ORACLE_SEQ_PACKING,
+    "cms_merge_hh": ORACLE_HEAVY_HITTERS_CMS,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,

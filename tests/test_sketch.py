@@ -635,3 +635,92 @@ def test_bloom_merge_empty_partials_fails_loud(spark):
     with pytest.raises(Exception, match="no partial sketches"):
         bloom_merge(partials).collect()
 
+
+def test_cms_merge_equals_one_shot(spark):
+    """Counters are counts, so summing per-batch partials must yield
+    the EXACT one-shot counter table — and therefore identical heavy
+    hitters on the same corpus."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+    )
+
+    rows = []
+    for i in range(400):
+        rows.append(("g1", i % 4, "hot"))         # heavy in g1
+        rows.append(("g1", i % 4, f"rare{i}"))
+        rows.append(("g2", i % 4, "warm" if i % 2 else f"x{i}"))
+    df = spark.createDataFrame(rows, "g string, b int, item string")
+
+    one_shot = cms_heavy_hitters(df, ["g"], "item", phi=0.2, depth=3, width=64)
+    partials = cms_partial_sketches(df, ["g"], "item", "b", depth=3, width=64)
+    merged = cms_merge(partials, ["g"])
+    from_sketch = cms_heavy_hitters_from_sketch(
+        df.drop("b"), merged, ["g"], "item", phi=0.2, depth=3, width=64
+    )
+    a = {tuple(r) for r in one_shot.collect()}
+    b = {tuple(r) for r in from_sketch.collect()}
+    assert a == b and len(a) > 0
+
+    # the merged counter table is bit-identical to the one-shot build
+    occ = df.where(F.col("item").isNotNull()).select("g", "item")
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        _cms_counters,
+    )
+    one_cnt = {tuple(r) for r in _cms_counters(occ, ["g"], "item", 3, 64).collect()}
+    mrg_cnt = {
+        tuple(r)
+        for r in merged.select("g", "r", "bucket", "cnt").collect()
+    }
+    assert one_cnt == mrg_cnt
+
+
+def test_cms_merge_rejects_mixed_geometry(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_merge,
+        cms_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 0, "a"), ("g", 1, "b")], "g string, b int, item string"
+    )
+    p1 = cms_partial_sketches(df, ["g"], "item", "b", depth=3, width=64)
+    p2 = cms_partial_sketches(df, ["g"], "item", "b", depth=3, width=128)
+    with pytest.raises(Exception, match="disagree"):
+        cms_merge(p1.unionByName(p2), ["g"]).select("depth").collect()
+
+
+def test_cms_from_sketch_validates_geometry(spark):
+    """Probing at a different (depth, width) than the sketch was built
+    with reads the wrong counters — fail loud, same contract as
+    bloom_probe."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i % 2, "hot") for i in range(20)],
+        "g string, b int, item string",
+    )
+    sketch = cms_merge(
+        cms_partial_sketches(df, ["g"], "item", "b", depth=3, width=64),
+        ["g"],
+    )
+    with pytest.raises(Exception, match="does not match probe"):
+        cms_heavy_hitters_from_sketch(
+            df.drop("b"), sketch, ["g"], "item", phi=0.2, depth=3, width=128
+        ).collect()
+    with pytest.raises(Exception, match="does not match probe"):
+        cms_heavy_hitters_from_sketch(
+            df.drop("b"), sketch, ["g"], "item", phi=0.2, depth=2, width=64
+        ).collect()
+    # empty sketch frame also fails loud
+    empty = sketch.where(F.lit(False))
+    with pytest.raises(Exception, match="empty"):
+        cms_heavy_hitters_from_sketch(
+            df.drop("b"), empty, ["g"], "item", phi=0.2, depth=3, width=64
+        ).collect()
