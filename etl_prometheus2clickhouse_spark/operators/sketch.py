@@ -31,18 +31,45 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(2**32)
 
 
-def uniform_hash32(col) -> "F.Column":
-    """Deterministic uniform hash into [0, 2^32): the first 8 hex
-    digits of md5 of the value's canonical string form. Public,
-    engine-independent (DuckDB: ``('0x' || substr(md5(CAST(v AS
-    VARCHAR)), 1, 8))::UBIGINT``) — **for integer and string columns
-    only**. Doubles and timestamps render to strings differently per
-    engine (scientific notation, fractional-second formatting), so the
-    md5 inputs would silently diverge cross-engine; callers with such
-    types must cast to bigint/string with explicit, engine-agreed
-    semantics first (:func:`kmv_distinct` enforces this)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
+HASH_FAMILIES = ("md5", "xxhash64")
+
+
+def uniform_hash32(col, family: str = "md5") -> "F.Column":
+    """Deterministic uniform hash into [0, 2^32), **for integer and
+    string columns only** (doubles and timestamps render to strings
+    differently per engine, silently diverging the hash inputs;
+    callers with such types must cast with explicit, engine-agreed
+    semantics first — :func:`kmv_distinct` enforces this).
+
+    Two families:
+
+    - ``"md5"`` (default): the first 8 hex digits of md5 of the
+      value's canonical string form. Public and engine-independent
+      (DuckDB: ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::
+      UBIGINT``) — the family every oracle-verified catalog entry
+      uses, because the sketch result is then a pure function of the
+      input set reproducible on any engine.
+    - ``"xxhash64"``: ``pmod(xxhash64(string), 2^32)`` — one JVM
+      codegen intrinsic instead of a cryptographic digest + hex
+      parse, roughly an order of magnitude cheaper per row; the
+      production family for cluster runs where no cross-engine oracle
+      is being computed. NOT cross-engine reproducible, and sketch
+      ESTIMATES DIFFER between families (each family samples a
+      different hash order) — both are equally valid estimates of the
+      same underlying quantity, but artifacts built with different
+      families must never be merged or probed together, which the
+      sketch operators enforce via carried ``hash_family`` metadata.
+    """
+    if family == "md5":
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+    if family == "xxhash64":
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(2**32)).cast(
+            "bigint"
+        )
+    raise ValueError(
+        f"unknown hash family {family!r}; expected one of {HASH_FAMILIES}"
     )
 
 
@@ -78,14 +105,15 @@ def _validate_kmv_args(df: DataFrame, value_col: str, k: int) -> None:
 
 
 def _distinct_hashes(
-    df: DataFrame, group_cols: list[str], value_col: str
+    df: DataFrame, group_cols: list[str], value_col: str,
+    family: str = "md5",
 ) -> DataFrame:
     """(group..., h): distinct per-group hashes of non-NULL values.
 
     NULL values are excluded, matching SQL COUNT(DISTINCT) — and a
     NULL hash would also rank engine-dependently (Spark ASC puts nulls
     first, DuckDB last), a silent cross-engine divergence."""
-    h = uniform_hash32(F.col(value_col))
+    h = uniform_hash32(F.col(value_col), family)
     return (
         df.where(F.col(value_col).isNotNull())
         .select(*group_cols, h.alias("h"))
@@ -122,6 +150,7 @@ def kmv_distinct(
     group_cols: list[str],
     value_col: str,
     k: int = 64,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate (one-shot).
 
@@ -133,7 +162,7 @@ def kmv_distinct(
     """
     _validate_kmv_args(df, value_col, k)
     _check_reserved(group_cols, ("h", "rn"), "kmv_distinct")
-    distinct_h = _distinct_hashes(df, group_cols, value_col)
+    distinct_h = _distinct_hashes(df, group_cols, value_col, hash_family)
     return _kmv_estimate(_bottom_k(distinct_h, group_cols, k), group_cols, k)
 
 
@@ -143,6 +172,7 @@ def kmv_partial_sketches(
     value_col: str,
     batch_col: str,
     k: int = 64,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Serialized KMV partial per (group, batch): the bottom-k distinct
     hashes as a sorted ``array<long>`` — the mergeable artifact that
@@ -159,8 +189,11 @@ def kmv_partial_sketches(
     """
     _validate_kmv_args(df, value_col, k)
     keys = [*group_cols, batch_col]
-    _check_reserved(keys, ("h", "rn", "sketch", "k"), "kmv_partial_sketches")
-    distinct_h = _distinct_hashes(df, keys, value_col)
+    _check_reserved(
+        keys, ("h", "rn", "sketch", "k", "hash_family"),
+        "kmv_partial_sketches",
+    )
+    distinct_h = _distinct_hashes(df, keys, value_col, hash_family)
     return (
         _bottom_k(distinct_h, keys, k)
         .groupBy(*keys)
@@ -171,6 +204,9 @@ def kmv_partial_sketches(
         # column so the mismatch fails loud instead of silently
         # underestimating
         .withColumn("k", F.lit(int(k)))
+        # the family rides too: bottom-k sets from different hash
+        # orders are incomparable, so kmv_merge validates it
+        .withColumn("hash_family", F.lit(str(hash_family)))
     )
 
 
@@ -208,6 +244,34 @@ def kmv_merge(
                     F.lit("kmv_merge: partial sketch built with k="),
                     F.col("k").cast("string"),
                     F.lit(f" cannot be merged at k={int(k)}"),
+                )
+            ).cast(partials.schema[sketch_col].dataType),
+        ).otherwise(sk)
+    if "hash_family" in partials.columns:
+        # bottom-k sets sampled under different hash orders are
+        # incomparable — merging them yields a nonsense estimate, so a
+        # mixed-family (or family-less) union fails loud. Same slim
+        # agg + broadcast-cross pattern as bloom_merge/cms_merge.
+        fam = partials.agg(
+            F.count(F.lit(1)).alias("__np"),
+            F.count("hash_family").alias("__nf"),
+            F.min("hash_family").alias("__f1"),
+            F.max("hash_family").alias("__f2"),
+        )
+        partials = partials.crossJoin(F.broadcast(fam))
+        sk = F.when(
+            (F.col("__nf") != F.col("__np"))
+            | (F.col("__f1") != F.col("__f2")),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "kmv_merge: partials mix (or are missing) hash "
+                        "families ("
+                    ),
+                    F.coalesce(F.col("__f1"), F.lit("NULL")),
+                    F.lit(" vs "),
+                    F.coalesce(F.col("__f2"), F.lit("NULL")),
+                    F.lit(")"),
                 )
             ).cast(partials.schema[sketch_col].dataType),
         ).otherwise(sk)
@@ -311,11 +375,11 @@ def histogram_merge_quantile(
     )
 
 
-def _bloom_position(col, r: int, m_bits: int):
-    """Position of hash r for a value: same salted-md5 family as the
+def _bloom_position(col, r: int, m_bits: int, family: str = "md5"):
+    """Position of hash r for a value: same salted hash family as the
     CMS rows (``"{r}:" + value``), mod the bit-space."""
     return (
-        uniform_hash32(F.concat(F.lit(f"{r}:"), col.cast("string")))
+        uniform_hash32(F.concat(F.lit(f"{r}:"), col.cast("string")), family)
         % m_bits
     )
 
@@ -326,6 +390,7 @@ def bloom_build(
     m_bits: int = 16384,
     k_hashes: int = 4,
     batch_col: str | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Deterministic Bloom-membership sketch: the distinct set of bit
     positions lit by the values' ``k_hashes`` salted md5 hashes,
@@ -348,10 +413,18 @@ def bloom_build(
         raise ValueError("need m_bits >= 2 and k_hashes >= 1")
     _validate_kmv_args(df, value_col, k=2)  # same hashable-type contract
     keys = [batch_col] if batch_col is not None else []
-    _check_reserved(keys, ("p", "bloom", "m_bits", "k_hashes"), "bloom_build")
+    _check_reserved(
+        keys, ("p", "bloom", "m_bits", "k_hashes", "hash_family"),
+        "bloom_build",
+    )
     v = F.col(value_col)
     pos = F.explode(
-        F.array(*[_bloom_position(v, r, m_bits) for r in range(k_hashes)])
+        F.array(
+            *[
+                _bloom_position(v, r, m_bits, hash_family)
+                for r in range(k_hashes)
+            ]
+        )
     ).alias("p")
     positions = (
         df.where(v.isNotNull()).select(*keys, pos).distinct()
@@ -361,6 +434,7 @@ def bloom_build(
         .agg(F.sort_array(F.collect_list("p")).alias("bloom"))
         .withColumn("m_bits", F.lit(int(m_bits)))
         .withColumn("k_hashes", F.lit(int(k_hashes)))
+        .withColumn("hash_family", F.lit(str(hash_family)))
     )
 
 
@@ -387,13 +461,16 @@ def bloom_merge(partials: DataFrame) -> DataFrame:
     params = partials.agg(
         F.count(F.lit(1)).alias("__n_partials"),
         # count() skips NULLs — a NULL geometry hides from min/max, so
-        # require every partial row to carry both parameters
+        # require every partial row to carry all three parameters
         F.count("m_bits").alias("__nm"),
         F.count("k_hashes").alias("__nk"),
+        F.count("hash_family").alias("__nf"),
         F.min("m_bits").alias("m_bits"),
         F.max("m_bits").alias("__m2"),
         F.min("k_hashes").alias("k_hashes"),
         F.max("k_hashes").alias("__k2"),
+        F.min("hash_family").alias("hash_family"),
+        F.max("hash_family").alias("__f2"),
     )
     out = (
         merged.agg(
@@ -414,12 +491,14 @@ def bloom_merge(partials: DataFrame) -> DataFrame:
             .when(
                 (F.col("__nm") != F.col("__n_partials"))
                 | (F.col("__nk") != F.col("__n_partials"))
+                | (F.col("__nf") != F.col("__n_partials"))
                 | (F.col("m_bits") != F.col("__m2"))
-                | (F.col("k_hashes") != F.col("__k2")),
+                | (F.col("k_hashes") != F.col("__k2"))
+                | (F.col("hash_family") != F.col("__f2")),
                 F.raise_error(
                     F.lit(
                         "bloom_merge: partials disagree on (or are missing) "
-                        "(m_bits, k_hashes)"
+                        "(m_bits, k_hashes, hash_family)"
                     )
                 ).cast("array<bigint>"),
             )
@@ -427,6 +506,7 @@ def bloom_merge(partials: DataFrame) -> DataFrame:
             .alias("bloom"),
             "m_bits",
             "k_hashes",
+            "hash_family",
         )
     )
     return out
@@ -438,6 +518,7 @@ def bloom_probe(
     bloom: DataFrame,
     m_bits: int = 16384,
     k_hashes: int = 4,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Probe every row's value against a (broadcast) Bloom sketch row:
     adds ``bloom_hit`` — TRUE iff all ``k_hashes`` positions are lit.
@@ -468,6 +549,7 @@ def bloom_probe(
         F.first("bloom").alias("bloom"),
         F.min("m_bits").alias("__m"),
         F.min("k_hashes").alias("__k"),
+        F.min("hash_family").alias("__f"),
     ).select(
         F.when(
             F.col("__n") > 1,
@@ -483,19 +565,26 @@ def bloom_probe(
             & (
                 F.col("__m").isNull()
                 | F.col("__k").isNull()
+                | F.col("__f").isNull()
                 | (F.col("__m") != F.lit(int(m_bits)))
                 | (F.col("__k") != F.lit(int(k_hashes)))
+                | (F.col("__f") != F.lit(str(hash_family)))
             ),
             F.raise_error(
                 F.concat(
-                    F.lit("bloom_probe: sketch built at (m_bits, k_hashes)=("),
+                    F.lit(
+                        "bloom_probe: sketch built at "
+                        "(m_bits, k_hashes, hash_family)=("
+                    ),
                     F.coalesce(F.col("__m").cast("string"), F.lit("NULL")),
                     F.lit(", "),
                     F.coalesce(F.col("__k").cast("string"), F.lit("NULL")),
+                    F.lit(", "),
+                    F.coalesce(F.col("__f"), F.lit("NULL")),
                     F.lit(
-                        f") but probed at ({int(m_bits)}, {int(k_hashes)}) — "
-                        "mismatched geometry voids the no-false-negative "
-                        "guarantee"
+                        f") but probed at ({int(m_bits)}, {int(k_hashes)}, "
+                        f"{hash_family}) — mismatched geometry voids the "
+                        "no-false-negative guarantee"
                     ),
                 )
             ).cast("array<bigint>"),
@@ -509,7 +598,7 @@ def bloom_probe(
     hit = F.lit(True)
     for r in range(k_hashes):
         hit = hit & F.array_contains(
-            F.col("bloom"), _bloom_position(v, r, m_bits)
+            F.col("bloom"), _bloom_position(v, r, m_bits, hash_family)
         )
     joined = df.crossJoin(F.broadcast(sk))
     return joined.withColumn(
@@ -524,6 +613,7 @@ def cms_heavy_hitters(
     phi: float,
     depth: int = 3,
     width: int = 1024,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Approximate heavy hitters over an UNBOUNDED item domain via a
     count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) —
@@ -557,8 +647,10 @@ def cms_heavy_hitters(
     occ = df.where(F.col(item_col).isNotNull()).select(
         *group_cols, item_col
     )
-    cms = _cms_counters(occ, group_cols, item_col, depth, width)
-    return _cms_probe(occ, cms, group_cols, item_col, phi, depth, width)
+    cms = _cms_counters(occ, group_cols, item_col, depth, width, hash_family)
+    return _cms_probe(
+        occ, cms, group_cols, item_col, phi, depth, width, hash_family
+    )
 
 
 def _check_cms_args(
@@ -580,7 +672,8 @@ def _check_cms_args(
         keys.append(batch_col)
     _check_reserved(
         keys,
-        ("r", "bucket", "cnt", "depth", "width", "__est", "__total",
+        ("r", "bucket", "cnt", "depth", "width", "hash_family",
+         "__est", "__total",
          *(f"__b{r}" for r in range(depth)),
          *(f"__c{r}" for r in range(depth))),
         op,
@@ -594,11 +687,11 @@ def _check_cms_args(
         )
 
 
-def _cms_bucket(item_col: str, r: int, width: int):
-    """Per-row hash family: row index salted into the md5 input —
-    the same salted family as the Bloom positions."""
+def _cms_bucket(item_col: str, r: int, width: int, family: str = "md5"):
+    """Per-row hash: row index salted into the hash input — the same
+    salted construction as the Bloom positions, in either family."""
     return uniform_hash32(
-        F.concat(F.lit(f"{r}:"), F.col(item_col).cast("string"))
+        F.concat(F.lit(f"{r}:"), F.col(item_col).cast("string")), family
     ) % width
 
 
@@ -608,6 +701,7 @@ def _cms_counters(
     item_col: str,
     depth: int,
     width: int,
+    family: str = "md5",
 ) -> DataFrame:
     """CMS counter build: one corpus scan, depth× explode, then a
     map-side-combining count on (keys, r, bucket) — at most
@@ -619,7 +713,7 @@ def _cms_counters(
             *[
                 F.struct(
                     F.lit(r).alias("r"),
-                    _cms_bucket(item_col, r, width).alias("bucket"),
+                    _cms_bucket(item_col, r, width, family).alias("bucket"),
                 )
                 for r in range(depth)
             ]
@@ -641,6 +735,7 @@ def _cms_probe(
     phi: float,
     depth: int,
     width: int,
+    family: str = "md5",
 ) -> DataFrame:
     """Shared probe: each occurrence computes its depth buckets and
     takes the min counter via depth BROADCAST joins (inner — an item's
@@ -680,7 +775,7 @@ def _cms_probe(
             F.col("cnt").alias(f"__c{r}"),
         )
         probed = probed.withColumn(
-            f"__b{r}", _cms_bucket(item_col, r, width)
+            f"__b{r}", _cms_bucket(item_col, r, width, family)
         ).join(F.broadcast(cms_r), [*group_cols, f"__b{r}"])
     est = F.least(*[F.col(f"__c{r}") for r in range(depth)])
     surv = (
@@ -706,6 +801,7 @@ def cms_partial_sketches(
     batch_col: str,
     depth: int = 3,
     width: int = 1024,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Serialized CMS partial per (group, batch): the
     ``(group…, batch, r, bucket, cnt)`` counter table with the sketch
@@ -728,9 +824,13 @@ def cms_partial_sketches(
         *group_cols, batch_col, item_col
     )
     return (
-        _cms_counters(occ, [*group_cols, batch_col], item_col, depth, width)
+        _cms_counters(
+            occ, [*group_cols, batch_col], item_col, depth, width,
+            hash_family,
+        )
         .withColumn("depth", F.lit(int(depth)))
         .withColumn("width", F.lit(int(width)))
+        .withColumn("hash_family", F.lit(str(hash_family)))
     )
 
 
@@ -753,16 +853,21 @@ def cms_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("__n"),
         F.count("depth").alias("__nd"),
         F.count("width").alias("__nw"),
+        F.count("hash_family").alias("__nf"),
         F.min("depth").alias("depth"),
         F.max("depth").alias("__d2"),
         F.min("width").alias("width"),
         F.max("width").alias("__w2"),
+        F.min("hash_family").alias("hash_family"),
+        F.max("hash_family").alias("__f2"),
     )
     bad = (
         (F.col("__nd") != F.col("__n"))
         | (F.col("__nw") != F.col("__n"))
+        | (F.col("__nf") != F.col("__n"))
         | (F.col("depth") != F.col("__d2"))
         | (F.col("width") != F.col("__w2"))
+        | (F.col("hash_family") != F.col("__f2"))
     )
     checked = params.select(
         F.when(
@@ -770,13 +875,14 @@ def cms_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
             F.raise_error(
                 F.lit(
                     "cms_merge: partials disagree on (or are missing) "
-                    "(depth, width)"
+                    "(depth, width, hash_family)"
                 )
             ).cast("int"),
         )
         .otherwise(F.col("depth"))
         .alias("depth"),
         "width",
+        "hash_family",
     )
     merged = partials.groupBy(*group_cols, "r", "bucket").agg(
         F.sum("cnt").alias("cnt")
@@ -794,6 +900,7 @@ def cms_heavy_hitters_from_sketch(
     phi: float,
     depth: int = 3,
     width: int = 1024,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Heavy hitters probed against a PRE-BUILT (merged) CMS counter
     table instead of a fresh one-shot build — the consumption face of
@@ -823,24 +930,31 @@ def cms_heavy_hitters_from_sketch(
         F.max("depth").alias("d2"),
         F.min("width").alias("w"),
         F.max("width").alias("w2"),
+        F.min("hash_family").alias("f"),
+        F.max("hash_family").alias("f2"),
     ).first()
     if (
         g["n"] == 0
         or g["d"] is None
         or g["w"] is None
+        or g["f"] is None
         or g["d"] != g["d2"]
         or g["w"] != g["w2"]
+        or g["f"] != g["f2"]
         or g["d"] != int(depth)
         or g["w"] != int(width)
+        or g["f"] != str(hash_family)
     ):
         raise ValueError(
             "cms_heavy_hitters_from_sketch: sketch geometry "
-            f"(depth, width)=({g['d']}, {g['w']}) does not match probe "
-            f"({int(depth)}, {int(width)}), or the sketch is "
-            f"empty/mixed (rows={g['n']})"
+            f"(depth, width, hash_family)=({g['d']}, {g['w']}, {g['f']}) "
+            f"does not match probe ({int(depth)}, {int(width)}, "
+            f"{hash_family}), or the sketch is empty/mixed (rows={g['n']})"
         )
     cms = sketch.select(*group_cols, "r", "bucket", "cnt")
-    return _cms_probe(occ, cms, group_cols, item_col, phi, depth, width)
+    return _cms_probe(
+        occ, cms, group_cols, item_col, phi, depth, width, hash_family
+    )
 
 
 def quantile_threshold_filter(

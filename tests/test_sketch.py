@@ -724,3 +724,103 @@ def test_cms_from_sketch_validates_geometry(spark):
         cms_heavy_hitters_from_sketch(
             df.drop("b"), empty, ["g"], "item", phi=0.2, depth=3, width=64
         ).collect()
+
+def test_hash_family_xxhash64_across_sketches(spark):
+    """The production xxhash64 family must (a) produce sane estimates,
+    (b) keep merge == one-shot for every mergeable sketch, and
+    (c) keep the Bloom no-false-negative guarantee — estimates DIFFER
+    from md5 (different hash order) but the structural guarantees are
+    family-independent."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+        cms_heavy_hitters,
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+        kmv_distinct,
+        kmv_merge,
+        kmv_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, i % 4) for i in range(2000)], "g string, v int, b int"
+    )
+    # KMV: one-shot ~= truth, merge == one-shot
+    one = kmv_distinct(df, ["g"], "v", k=64, hash_family="xxhash64").first()
+    assert abs(one.est_distinct - 2000) / 2000 < 0.35
+    merged = kmv_merge(
+        kmv_partial_sketches(df, ["g"], "v", "b", k=64, hash_family="xxhash64"),
+        ["g"], k=64,
+    ).first()
+    assert merged.kth_hash == one.kth_hash
+    assert merged.est_distinct == one.est_distinct
+
+    # mixing families in a KMV merge fails loud
+    mixed = kmv_partial_sketches(
+        df.where(F.col("b") < 2), ["g"], "v", "b", k=64, hash_family="md5"
+    ).unionByName(
+        kmv_partial_sketches(
+            df.where(F.col("b") >= 2), ["g"], "v", "b", k=64,
+            hash_family="xxhash64",
+        )
+    )
+    with pytest.raises(Exception, match="mix"):
+        kmv_merge(mixed, ["g"], k=64).collect()
+
+    # Bloom: no false negatives under xxhash64; family mismatch raises
+    members = spark.createDataFrame(
+        [(f"m{i}", i % 3) for i in range(30)], "v string, b int"
+    )
+    sk = bloom_merge(
+        bloom_build(
+            members, "v", m_bits=4096, k_hashes=4, batch_col="b",
+            hash_family="xxhash64",
+        )
+    )
+    probe = spark.createDataFrame([(f"m{i}",) for i in range(30)], "v string")
+    hits = bloom_probe(
+        probe, "v", sk, 4096, 4, hash_family="xxhash64"
+    ).collect()
+    assert all(r.bloom_hit for r in hits)
+    with pytest.raises(Exception, match="mismatched geometry"):
+        bloom_probe(probe, "v", sk, 4096, 4, hash_family="md5").collect()
+
+    # CMS: from-sketch == one-shot under xxhash64; mismatch raises
+    occ = spark.createDataFrame(
+        [("g", i % 4, "hot" if i % 2 else f"rare{i}") for i in range(400)],
+        "g string, b int, item string",
+    )
+    hh_one = cms_heavy_hitters(
+        occ, ["g"], "item", phi=0.2, depth=3, width=64,
+        hash_family="xxhash64",
+    )
+    cms_sk = cms_merge(
+        cms_partial_sketches(
+            occ, ["g"], "item", "b", depth=3, width=64,
+            hash_family="xxhash64",
+        ),
+        ["g"],
+    )
+    hh_merged = cms_heavy_hitters_from_sketch(
+        occ.drop("b"), cms_sk, ["g"], "item", phi=0.2, depth=3, width=64,
+        hash_family="xxhash64",
+    )
+    assert {tuple(r) for r in hh_one.collect()} == {
+        tuple(r) for r in hh_merged.collect()
+    }
+    with pytest.raises(ValueError, match="does not match probe"):
+        cms_heavy_hitters_from_sketch(
+            occ.drop("b"), cms_sk, ["g"], "item", phi=0.2, depth=3,
+            width=64, hash_family="md5",
+        )
+
+
+def test_uniform_hash32_rejects_unknown_family(spark):
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        uniform_hash32,
+    )
+
+    with pytest.raises(ValueError, match="unknown hash family"):
+        uniform_hash32(F.lit("x"), family="sha1")
