@@ -100,6 +100,7 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_dedup_keys,
     q_stream_hourly,
     q_stream_join,
+    q_stream_kmv,
     q_stream_rate,
 )
 
@@ -3091,6 +3092,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8: CMS partials+merge — merge is exact by linearity, so
     # the one-shot heavy-hitters SQL is the oracle
     "cms_merge_hh": q_cms_merge_hh,
+    # round-8: KMV partials built by REAL foreachBatch micro-batches,
+    # merged — same one-shot oracle as events_distinct_kmv
+    "stream_kmv": q_stream_kmv,
     "decode_audio_wav": q_decode_audio_wav,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
@@ -3187,6 +3191,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "seq_packing": ORACLE_SEQ_PACKING,
     "seq_packing_bucketed": ORACLE_SEQ_PACKING,
     "cms_merge_hh": ORACLE_HEAVY_HITTERS_CMS,
+    "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,

@@ -287,3 +287,47 @@ JOIN events p
  AND s.event_type = 'signup' AND p.event_type = 'purchase'
  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
 """
+
+
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketching across REAL micro-batches
+    (streaming/sketch_stream.py): the events table is re-written as
+    four parquet files into a scratch dir, streamed back one file per
+    micro-batch (``maxFilesPerTrigger=1`` + AvailableNow — four
+    genuine foreachBatch invocations), each batch builds one KMV
+    partial per event type, and kmv_merge combines the accumulated
+    partials. Merge-exactness makes the batch boundaries irrelevant,
+    so the oracle is the ONE-SHOT kmv SQL over the whole table — the
+    same oracle as events_distinct_kmv/kmv_merge, now proven through
+    the streaming lifecycle the partials exist for."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.sketch import kmv_merge
+    from etl_prometheus2clickhouse_spark.streaming.sketch_stream import (
+        stream_kmv_partials,
+    )
+
+    ts.ensure_parquet_nanos_conf(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_kmv_")
+    try:
+        batch.repartition(4).write.mode("overwrite").parquet(scratch)
+        src = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(scratch)
+        )
+        partials = stream_kmv_partials(src, ["event_type"], "user_id", k=64)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return kmv_merge(partials, ["event_type"], k=64).select(
+        "event_type",
+        "n_k",
+        "kth_hash",
+        "est_distinct",
+    )
