@@ -201,3 +201,217 @@ def test_q1_lease_and_state_round_trip(spark, etl_table):
         123,
         4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Full run_once loop — the ordered pipeline (lease → fetch → insert →
+# state) against the live stack. The reference's whole contract is this
+# ordering (etl_job.py:65-186; failure matrix tests/test_etl_job.py:
+# 611-665): data write strictly precedes state write, so a failed state
+# save leaves data landed and progress unmoved.
+# ---------------------------------------------------------------------------
+
+PROMETHEUS_URL = os.environ.get("PROMETHEUS_URL")
+
+
+def _prometheus_reachable() -> bool:
+    if not PROMETHEUS_URL:
+        return False
+    try:
+        req = urllib.request.Request(
+            f"{PROMETHEUS_URL.rstrip('/')}/api/v1/query?"
+            + urllib.parse.urlencode({"query": "1"})
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:  # nosec B310
+            return resp.status == 200
+    except (urllib.error.URLError, OSError, ValueError):
+        return False
+
+
+def _fetch_for_test(spark):
+    """Live Prometheus when reachable, else a synthetic in-memory
+    series frame in the exact FetchFn shape — the full CH-side
+    pipeline (lease, TSV insert, versioned state) is live either way;
+    only the Extract source degrades to synthetic."""
+    if _prometheus_reachable():
+        from etl_prometheus2clickhouse_spark.sources.prometheus import (
+            make_fetch_fn,
+        )
+
+        return make_fetch_fn(url=PROMETHEUS_URL, partitions=1)
+
+    def fetch(spark_, ws, we, step):
+        rows = [
+            (
+                {"__name__": "up", "instance": "i-1", "job": "live-test"},
+                [[f"{float(t):.3f}", "1"] for t in range(ws, we, step)],
+            ),
+            (
+                {"__name__": "errs", "instance": "i-1"},
+                [
+                    [f"{float(ws):.3f}", "oops"],
+                    [f"{float(ws + step):.3f}", "NaN"],
+                ],
+            ),
+        ]
+        return spark_.createDataFrame(
+            rows, "metric map<string,string>, values array<array<string>>"
+        )
+
+    return fetch
+
+
+def _count(table: str) -> int:
+    return int(_execute(f"SELECT count() FROM {table}").strip())
+
+
+def test_full_run_once_ordered_pipeline(spark, metrics_table, etl_table):
+    """run_once end-to-end against live ClickHouse: lease acquired and
+    released, rows landed via the distributed TSV sink, progress
+    advanced in the versioned state table — the ordered pipeline the
+    reference runs (etl_job.py:65-186), through the same EtlBatchJob
+    that main._run_batch wires."""
+    from etl_prometheus2clickhouse_spark.sinks.clickhouse_sink import (
+        ClickHouseHttpSink,
+    )
+    from etl_prometheus2clickhouse_spark.sources.state_store import (
+        ClickHouseStateStore,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.job import (
+        EtlBatchJob,
+        bootstrap_progress,
+    )
+
+    store = ClickHouseStateStore(CLICKHOUSE_URL, etl_table)
+    now = int(time.time())
+    bootstrap_progress(store, progress=now - 600, now=now - 601)
+
+    job = EtlBatchJob(
+        spark,
+        state=store,
+        fetch=_fetch_for_test(spark),
+        sink=ClickHouseHttpSink(CLICKHOUSE_URL, metrics_table, distributed=True),
+        window_size_seconds=300,
+        query_step_seconds=15,
+        now_fn=lambda: int(time.time()),
+    )
+    result = job.run_once()
+
+    assert result.window_start == now - 600
+    assert result.window_end == now - 300
+    # data landed (synthetic fetch: 20 'up' samples + 1 NaN row; the
+    # 'oops' sample is skipped-not-dropped; live Prometheus: whatever
+    # the server returned)
+    assert _count(metrics_table) == result.rows_count
+    if not _prometheus_reachable():
+        assert result.rows_count == 21
+        assert result.skipped_count == 1
+        assert result.series_count == 2
+    # progress advanced, lease closed
+    st = store.get_state()
+    assert st is not None and st.timestamp_progress == result.new_progress
+    assert result.new_progress == result.window_end
+    assert store.has_running_job() is False
+    # a second run starts cleanly from the new watermark (sleep past
+    # the second boundary: timestamp_start is the state-row KEY, and a
+    # same-second rerun would collide with the just-closed row under
+    # ReplacingMergeTree versioning)
+    time.sleep(1.1)
+    result2 = job.run_once()
+    assert result2.window_start == result.new_progress
+
+
+def test_failed_state_save_preserves_progress(spark, metrics_table, etl_table):
+    """The reference's failure-ordering invariant (etl_job.py:74-79;
+    tests/test_etl_job.py:611-665): a state-save failure AFTER the
+    data write leaves the rows landed, the progress watermark unmoved,
+    and the lease open (blocking the next run) — at-least-once with
+    storage-side dedup, never lost data, never phantom progress."""
+    from etl_prometheus2clickhouse_spark.sinks.clickhouse_sink import (
+        ClickHouseHttpSink,
+    )
+    from etl_prometheus2clickhouse_spark.sources.state_store import (
+        ClickHouseStateStore,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.job import (
+        EtlBatchJob,
+        bootstrap_progress,
+    )
+
+    class FailingSaveStore(ClickHouseStateStore):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.fail_saves = False
+
+        def save_state(self, row):
+            if self.fail_saves:
+                raise ConnectionError("injected state-save failure")
+            return super().save_state(row)
+
+    store = FailingSaveStore(CLICKHOUSE_URL, etl_table)
+    now = int(time.time())
+    bootstrap_progress(store, progress=now - 600, now=now - 601)
+    store.fail_saves = True
+
+    job = EtlBatchJob(
+        spark,
+        state=store,
+        fetch=_fetch_for_test(spark),
+        sink=ClickHouseHttpSink(CLICKHOUSE_URL, metrics_table, distributed=True),
+        window_size_seconds=300,
+        query_step_seconds=15,
+    )
+    with pytest.raises(ConnectionError, match="injected"):
+        job.run_once()
+
+    # data landed...
+    assert _count(metrics_table) > 0
+    # ...but progress did not move...
+    st = store.get_state()
+    assert st is not None and st.timestamp_progress == now - 600
+    # ...and the lease is still open, so the next run is blocked
+    assert store.has_running_job() is True
+    with pytest.raises(RuntimeError, match="cannot start"):
+        job.run_once()
+
+
+def test_main_run_batch_against_live_stack(metrics_table, etl_table):
+    """The outermost wiring: main._run_batch builds session, state
+    store, sink and fetch fn from Config and drives the same ordered
+    pipeline. Needs BOTH live services (real Prometheus fetch), so it
+    carries its own skip on top of the module's ClickHouse gate."""
+    if not _prometheus_reachable():
+        pytest.skip("PROMETHEUS_URL unset or unreachable")
+
+    from etl_prometheus2clickhouse_spark.config import (
+        ClickHouseConfig,
+        Config,
+        EtlConfig,
+        PrometheusConfig,
+    )
+    from etl_prometheus2clickhouse_spark.main import _run_batch
+    from etl_prometheus2clickhouse_spark.sources.state_store import (
+        ClickHouseStateStore,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.job import (
+        bootstrap_progress,
+    )
+
+    store = ClickHouseStateStore(CLICKHOUSE_URL, etl_table)
+    now = int(time.time())
+    bootstrap_progress(store, progress=now - 600, now=now - 601)
+
+    config = Config(
+        prometheus=PrometheusConfig(url=PROMETHEUS_URL),
+        clickhouse=ClickHouseConfig(
+            url=CLICKHOUSE_URL,
+            table_metrics=metrics_table,
+            table_etl=etl_table,
+        ),
+        etl=EtlConfig(batch_window_size_seconds=300),
+    )
+    _run_batch(config)
+
+    st = store.get_state()
+    assert st is not None and st.timestamp_progress == now - 300
+    assert store.has_running_job() is False
