@@ -3025,9 +3025,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multi-resolution rollups, sketches, ranks
     "events_multires": q_events_multires,
     "events_quantiles_sketch": q_events_quantiles_sketch,
-    "events_distinct_kmv": q_events_distinct_kmv,
-    "kmv_merge": q_kmv_merge,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
+    # round-8 window swap (demote-to-fund, the r6/r7 pattern):
+    # stream_kmv SHARES the one-shot KMV SQL oracle and drives the
+    # identical kmv_partial_sketches + kmv_merge operators through
+    # real foreachBatch micro-batches — its green subsumes both the
+    # one-shot events_distinct_kmv and the synthetic-batch kmv_merge
+    # (demoted to CROSS_CHECKED). cms_merge_hh likewise shares
+    # ORACLE_HEAVY_HITTERS_CMS and exercises a strict superset of
+    # cms_heavy_hitters (partial build + exact merge + shared probe),
+    # so the one-shot face is demoted. The third slot funds
+    # seq_packing_bucketed — the r7 weak item, fixed.
+    "stream_kmv": q_stream_kmv,
+    "cms_merge_hh": q_cms_merge_hh,
+    "seq_packing_bucketed": q_seq_packing_bucketed,
     # text analysis
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -3086,15 +3096,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_merge": q_quantile_merge,
     "doc_keywords": q_doc_keywords,
     "seq_packing": q_seq_packing,
-    # round-8: the skew-proof bucketed face — layout is deterministic,
-    # so it must match the SAME oracle exactly
-    "seq_packing_bucketed": q_seq_packing_bucketed,
-    # round-8: CMS partials+merge — merge is exact by linearity, so
-    # the one-shot heavy-hitters SQL is the oracle
-    "cms_merge_hh": q_cms_merge_hh,
-    # round-8: KMV partials built by REAL foreachBatch micro-batches,
-    # merged — same one-shot oracle as events_distinct_kmv
-    "stream_kmv": q_stream_kmv,
+    # demoted round 8 to fund stream_kmv / cms_merge_hh /
+    # seq_packing_bucketed (rationale at the QUERIES swap comment)
+    "events_distinct_kmv": q_events_distinct_kmv,
+    "kmv_merge": q_kmv_merge,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     "decode_audio_wav": q_decode_audio_wav,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
@@ -3172,10 +3178,10 @@ ORACLES: dict[str, str] = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_multires": ORACLE_EVENTS_MULTIRES,
-    "events_distinct_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     # merge is exact by construction → the one-shot SQL IS the oracle
-    "kmv_merge": ORACLE_EVENTS_DISTINCT_KMV,
-    "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
+    "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    "cms_merge_hh": ORACLE_HEAVY_HITTERS_CMS,
+    "seq_packing_bucketed": ORACLE_SEQ_PACKING,
     "stream_hourly": ORACLE_STREAM_HOURLY,
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,
@@ -3189,9 +3195,9 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quantile_merge": ORACLE_QUANTILE_MERGE,
     "doc_keywords": ORACLE_DOC_KEYWORDS,
     "seq_packing": ORACLE_SEQ_PACKING,
-    "seq_packing_bucketed": ORACLE_SEQ_PACKING,
-    "cms_merge_hh": ORACLE_HEAVY_HITTERS_CMS,
-    "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    "events_distinct_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    "kmv_merge": ORACLE_EVENTS_DISTINCT_KMV,
+    "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,
