@@ -317,11 +317,15 @@ def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
 
     - ``"real"``: common-subset PNGs (8-bit gray/RGB/RGBA,
       non-interlaced) decode via the built-in stdlib decoder
-      (:func:`_decode_png_stdlib`) — no optional dependency, executes
-      and is pytest-pinned even in this codec-less container.
-      Everything else (JPEG, exotic PNG flavors) goes through Pillow,
-      whose absence raises a clear ImportError. Malformed PNGs raise
-      ValueError as themselves.
+      (:func:`_decode_png_stdlib`), and baseline/extended-sequential
+      Huffman JPEGs (8-bit gray + YCbCr up to 2x2 sampling, restart
+      intervals) via the built-in T.81 decoder
+      (:mod:`~etl_prometheus2clickhouse_spark.operators.jpegcodec`) —
+      no optional dependency, both execute and are pytest-pinned even
+      in this codec-less container. Everything else (progressive
+      JPEG, exotic PNG flavors, other formats) goes through Pillow,
+      whose absence raises a clear ImportError. Malformed streams
+      raise ValueError as themselves.
     - ``"strict"``: always raises — for pipelines that must fail loud
       rather than produce fake pixels.
     - ``"fake"`` (default): deterministic content-hash-seeded payload;
@@ -338,14 +342,25 @@ def _decode_one(content: bytes, mode: str) -> tuple[int, int, int, bytes]:
                 return _decode_png_stdlib(content)
             except _UnsupportedPng:
                 pass  # Pillow handles the exotic flavors below
+        elif content[:3] == b"\xff\xd8\xff":
+            from etl_prometheus2clickhouse_spark.operators.jpegcodec import (
+                UnsupportedJpeg,
+                decode_jpeg_baseline,
+            )
+
+            try:
+                return decode_jpeg_baseline(content)
+            except UnsupportedJpeg:
+                pass  # progressive/12-bit/arithmetic → Pillow below
         try:
             from PIL import Image
         except ImportError as e:  # pragma: no cover - env-dependent
             raise ImportError(
                 "decode_images(mode='real') requires pillow for this "
-                "content (non-PNG, or a PNG flavor outside the built-in "
-                "8-bit gray/RGB/RGBA subset); install it on the cluster "
-                "or use mode='fake' for plumbing tests"
+                "content (not a baseline JPEG or common-subset PNG — "
+                "the built-in stdlib decoders cover 8-bit gray/RGB/RGBA "
+                "non-interlaced PNG and baseline Huffman JPEG); install "
+                "it on the cluster or use mode='fake' for plumbing tests"
             ) from e
         import io
 

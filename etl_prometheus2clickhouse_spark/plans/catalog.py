@@ -1950,6 +1950,76 @@ FROM part
 """
 
 
+def q_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real distributed JPEG decode under an exact oracle — the JPEG
+    twin of :func:`q_decode_audio_wav`.
+
+    Every part row becomes a valid 16x16 grayscale baseline JPEG of
+    four DC-only blocks (``operators/jpegcodec.encode_jpeg_dc``; block
+    i's flat pixel value is ``(p_partkey + 97*i) % 256``, and a third
+    of the rows carry DRI restart markers so the decoder's restart
+    path runs distributed too). ``decode_images(mode="real")`` then
+    decodes them with the built-in T.81 decoder inside ``mapInPandas``
+    — actual Huffman decode, dequantize, IDCT — and the oracle
+    restates the complete 256-byte pixel buffer as hex, byte for byte
+    (DC-only blocks reconstruct to exact flat values with Q00=8, so
+    float IDCT rounding is unambiguous)."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.jpegcodec import (
+        encode_jpeg_dc,
+    )
+
+    def _synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                dc = np.array(
+                    [
+                        [rid % 256 - 128, (rid + 97) % 256 - 128],
+                        [(rid + 194) % 256 - 128, (rid + 291) % 256 - 128],
+                    ]
+                )
+                ids.append(rid)
+                blobs.append(encode_jpeg_dc([dc], restart_interval=rid % 3))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    blobs = p.mapInPandas(_synth, "id bigint, content binary")
+    dec = decode_images(blobs, "content", "id", mode="real")
+    return dec.select(
+        "id",
+        "media_type",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("px_hex"),
+    )
+
+
+ORACLE_DECODE_JPEG = """
+WITH v AS (
+    SELECT p_partkey AS id,
+           lpad(hex(p_partkey % 256), 2, '0') AS h0,
+           lpad(hex((p_partkey + 97) % 256), 2, '0') AS h1,
+           lpad(hex((p_partkey + 194) % 256), 2, '0') AS h2,
+           lpad(hex((p_partkey + 291) % 256), 2, '0') AS h3
+    FROM part
+)
+SELECT id,
+       'image/jpeg' AS media_type,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       repeat(repeat(h0, 8) || repeat(h1, 8), 8)
+       || repeat(repeat(h2, 8) || repeat(h3, 8), 8) AS px_hex
+FROM v
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four sniff paths (PNG IHDR, JPEG SOF, MP4 ftyp, opaque-binary
     fall-through) union-aligned on one NULL-padded schema — the single
@@ -3102,6 +3172,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_merge": q_kmv_merge,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "decode_audio_wav": q_decode_audio_wav,
+    # round-8: real distributed JPEG decode (built-in T.81 decoder)
+    "decode_jpeg": q_decode_jpeg,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
@@ -3199,6 +3271,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "kmv_merge": ORACLE_EVENTS_DISTINCT_KMV,
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
+    "decode_jpeg": ORACLE_DECODE_JPEG,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,

@@ -264,20 +264,41 @@ def test_decode_png_rejects_malformed_and_falls_back_unsupported():
 
 
 def test_decode_images_real_without_pillow_raises(spark):
-    """Where pillow is absent, mode='real' on NON-PNG content must
-    fail loud with the install hint, not fall back to fake pixels."""
+    """Where pillow is absent, mode='real' on content outside the
+    built-in decoders' subset (not a common-subset PNG, not a baseline
+    JPEG) must fail loud with the install hint, not fall back to fake
+    pixels. A *malformed* baseline JPEG, by contrast, fails as itself
+    (ValueError from the built-in decoder, no pillow mention)."""
     try:
         import PIL  # noqa: F401
 
         pytest.skip("pillow installed - the ImportError path is dead here")
     except ImportError:
         pass
-    jpeg = spark.createDataFrame(
-        [(5, b"\xff\xd8\xff\xe0" + b"\x00" * 20)], "id bigint, content binary"
+    gif = spark.createDataFrame(
+        [(5, b"GIF89a" + b"\x00" * 20)], "id bigint, content binary"
     )
-    out = decode_images(jpeg, "content", "id", mode="real")
     with pytest.raises(Exception, match="pillow"):
-        out.collect()
+        decode_images(gif, "content", "id", mode="real").collect()
+    # progressive JPEG: well-formed marker, outside the subset → pillow
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.jpegcodec import (
+        encode_jpeg_dc,
+    )
+
+    prog = encode_jpeg_dc([np.array([[5]])]).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+    pj = spark.createDataFrame([(6, prog)], "id bigint, content binary")
+    with pytest.raises(Exception, match="pillow"):
+        decode_images(pj, "content", "id", mode="real").collect()
+    # malformed JPEG: fails as itself, not as a missing codec
+    bad = spark.createDataFrame(
+        [(7, b"\xff\xd8\xff\xe0" + b"\x00" * 20)], "id bigint, content binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_images(bad, "content", "id", mode="real").collect()
 
 
 def test_sample_frames_fanout(media_df):
