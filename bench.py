@@ -57,11 +57,13 @@ BENCH_QUERIES = [
     "doc_keywords",
     "doc_chunks",
     "seq_packing",
+    "seq_packing_bucketed",
     "decontaminate",
     "bloom_decontaminate",
     "events_distinct_kmv",
     "kmv_merge",
     "heavy_hitters_cms",
+    "cms_merge_hh",
     "quantile_merge",
     "length_quantile_filter",
     "content_dedup",
@@ -78,10 +80,12 @@ BENCH_QUERIES = [
     "cosine_topk_arrow",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
+    "cosine_topk_pq",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
     "decode_audio_wav",
+    "decode_jpeg",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
     "events_quantiles_sketch",
@@ -90,6 +94,7 @@ BENCH_QUERIES = [
     "stream_dedup_keys",
     "stream_rate",
     "stream_join",
+    "stream_kmv",
 ]
 
 

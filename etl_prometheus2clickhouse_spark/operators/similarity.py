@@ -12,6 +12,10 @@ Two tiers, same contract:
   only bucket-colliding (query, doc) pairs get exact scoring. This is
   the 100 TB path: candidate generation is an equi-join on bucket id,
   and the planes are a driver-seeded constant broadcast with the plan.
+- :func:`cosine_topk_ivf` / :func:`cosine_topk_pq` — the other two
+  classic ANN scale shapes: probe-limited inverted-file search, and
+  product-quantization ADC over a compressed code table (m lookups per
+  corpus vector, no float vectors in the scan).
 - :func:`embedding_near_dup_pairs` — corpus self near-dup via the same
   hyperplane bucketing.
 - :func:`embedding_near_dup_block_gemm` — EXACT all-pairs near-dup as
@@ -443,6 +447,210 @@ def cosine_topk_ivf(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _train_pq_codebooks(
+    X: np.ndarray, m: int, k_codes: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace L2 k-means codebooks over a sample matrix,
+    driver-side numpy — deterministic for the same reasons as
+    :func:`_train_centroids` (seeded init, fixed iterations, one
+    reduction order). Returns (m, k_codes, dim/m)."""
+    n, dim = X.shape
+    ds = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k_codes, ds))
+    for j in range(m):
+        sub = X[:, j * ds : (j + 1) * ds]
+        C = sub[rng.permutation(n)[:k_codes]].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_codes):
+                members = sub[assign == c]
+                if len(members) == 0:
+                    C[c] = sub[int(rng.integers(0, n))]
+                else:
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    n_candidates: int = 50,
+    train_sample: int = 4096,
+    seed: int = 42,
+    codebooks: str = "kmeans",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k via product quantization (PQ) with asymmetric
+    distance computation (ADC) — the compressed-domain ANN scale shape
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011) next to LSH and IVF.
+
+    Unit-normalized vectors are split into ``m`` subspaces; each
+    subvector is quantized to its nearest (L2) of ``k_codes`` codebook
+    centroids, so a vector compresses to ``m`` small ints — at 100 TB
+    the corpus scan reads the code table (m bytes/vector at
+    k_codes<=256), NOT the float vectors. Each query precomputes a
+    lookup table of subspace-centroid inner products; the approximate
+    cosine of any corpus vector is ``m`` table lookups summed (no
+    per-vector float math). The scan emits per-partition top-
+    ``n_candidates`` per query (bounded output: partitions x queries x
+    C — no full scored set ever materializes), the global candidate
+    cut re-applies the same (approx desc, id asc) order, and exact
+    rescoring + the final top-k run on candidates only. Recall rises
+    with ``n_candidates``/``k_codes``; ``n_candidates >= |corpus|``
+    degenerates to exact-rescored-everything.
+
+    ``codebooks="kmeans"`` (default) trains per-subspace k-means on a
+    bounded deterministic sample; ``"first"`` slices the codebooks out
+    of the sample's ``k_codes`` lowest-id unit vectors — the
+    SQL-expressible variant, letting the catalog oracle replicate the
+    ENTIRE pipeline (normalize → encode → LUT → ADC scan → candidate
+    cut → rescore → rank) independently in DuckDB, the same
+    algorithmic-parity check :func:`cosine_topk_ivf` established.
+    Output schema matches :func:`cosine_topk_bruteforce`.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
+    ds = dim // m
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    k_codes = min(k_codes, len(X))
+    if codebooks == "first":
+        B = np.stack(
+            [X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)]
+        )  # m × k_codes × ds
+    else:
+        B = _train_pq_codebooks(X, m, k_codes, seed=seed)
+    # ||c||² per (subspace, code): the x-independent half of the L2
+    # encode objective (argmin ||x_j − c||² = argmin ||c||² − 2·x_j·c)
+    cnorm2 = (B**2).sum(axis=2)  # m × k_codes
+
+    # -- queries: driver-side LUTs (bounded, loud on overflow) --------
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pq: query side exceeds max_queries={max_queries}; "
+            "ADC ships one m x k_codes LUT per query in the task closure"
+        )
+    q_rows = [r for r in q_rows if r.qvec is not None]
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, approx_sim double"
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", cosine_sim double, rank int"
+        ).drop("approx_sim")
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qvec for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = np.inf
+    q_unit = q_mat / qn[:, None]
+    # LUT[q, j, c] = q̂_j · c_{j,c}: every ADC score is m lookups here
+    lut = np.stack(
+        [q_unit[:, j * ds : (j + 1) * ds] @ B[j].T for j in range(m)], axis=1
+    )  # q × m × k_codes
+    n_q = len(q_ids)
+    C_cut = n_candidates
+
+    def _scan(batches):
+        """Per-partition ADC scan: encode each corpus batch (m small
+        GEMMs), score against every query LUT (m vectorized lookups,
+        accumulated in fixed subspace order so float summation matches
+        the SQL oracle), keep a running per-query top-C, emit once."""
+        best_sim = [np.empty(0)] * n_q
+        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        for pdf in batches:
+            pdf = pdf[pdf["vec"].notna()]
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            approx = np.zeros((n_q, len(ids)))
+            for j in range(m):
+                sub = Xb[:, j * ds : (j + 1) * ds]
+                # argmin over codes of ||c||² − 2 x·c; np.argmin takes
+                # the FIRST minimum → lowest code id on ties, matching
+                # the oracle's (distance, code) ordering
+                codes = np.argmin(
+                    cnorm2[j][None, :] - 2.0 * (sub @ B[j].T), axis=1
+                )
+                approx += lut[:, j, :][:, codes]
+            for qi in range(n_q):
+                mask = ids != q_ids[qi]
+                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
+                cand = np.concatenate([best_ids[qi], ids[mask]])
+                # (approx desc, id asc): last key primary in lexsort
+                order = np.lexsort((cand, -sims))[:C_cut]
+                best_sim[qi] = sims[order]
+                best_ids[qi] = cand[order]
+        rows = {
+            "query_id": np.concatenate(
+                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
+            ),
+            "neighbor_id": np.concatenate(best_ids),
+            "approx_sim": np.concatenate(best_sim),
+        }
+        yield pd.DataFrame(rows)
+
+    partial = vecs.mapInPandas(_scan, out_schema)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        partial.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= C_cut)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, q_unit)],
+        "query_id bigint, qvec array<double>",
+    )
+    # candidates are bounded at queries x n_candidates rows by
+    # construction — broadcast them so the corpus side never shuffles
+    # for the rescore join
+    scored = (
+        vecs.select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def _banded_ids(

@@ -60,6 +60,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pq,
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
 )
@@ -1786,6 +1787,110 @@ FROM (
 """
 
 
+def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization + ADC
+    (operators/similarity.py ``cosine_topk_pq``): unit vectors split
+    into 4 subspaces of 16 dims, each subvector quantized to its
+    nearest of 16 codebook entries, approximate scores as 4 LUT
+    lookups per corpus vector, per-partition top-50 candidate cut,
+    exact rescoring on candidates. Uses the SQL-expressible
+    ``codebooks="first"`` variant so the oracle replicates the ENTIRE
+    pipeline (normalize → encode → LUT → ADC → candidate cut →
+    rescore → rank) independently in DuckDB — the same
+    algorithmic-parity check as ``cosine_topk_ivf``, not a recall
+    claim (per-subspace k-means is the quality default; recall is
+    pinned in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_pq(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        k=5,
+        m=4,
+        k_codes=16,
+        n_candidates=50,
+        codebooks="first",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+# L2² between subspace j slices of vector x and centroid c (16 dims,
+# 1-based list indexing; j is 0-based)
+_PQ_D2 = (
+    "list_sum(list_transform(range(1, 17), i -> "
+    "({x}.v[{j}.j*16+i] - {c}.v[{j}.j*16+i]) * "
+    "({x}.v[{j}.j*16+i] - {c}.v[{j}.j*16+i])))"
+)
+# inner product of subspace j slices
+_PQ_IP = (
+    "list_sum(list_transform(range(1, 17), i -> "
+    "{x}.v[{j}.j*16+i] * {c}.v[{j}.j*16+i]))"
+)
+
+ORACLE_COSINE_TOPK_PQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(
+           v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))
+         ) AS v
+  FROM e
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM n ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT j FROM range(0, 4) t(j)),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT a.vec_id, s.j, c.code,
+           row_number() OVER (
+             PARTITION BY a.vec_id, s.j
+             ORDER BY {_PQ_D2.format(x='a', c='c', j='s')}, c.code
+           ) AS rn
+    FROM n a CROSS JOIN subs s CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+approx AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         sum({_PQ_IP.format(x='q', c='c', j='cd')}) AS asim
+  FROM n q
+  CROSS JOIN codes cd
+  JOIN cents c ON c.code = cd.code
+  WHERE q.vec_id < 10 AND cd.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY asim DESC, neighbor_id
+           ) AS rn
+    FROM approx
+  ) WHERE rn <= 50
+)
+SELECT query_id, neighbor_id, CAST(rank_k AS INT) AS rank_k,
+       round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_cos2('q', 'x')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY cd.query_id
+           ORDER BY {_cos2('q', 'x')} DESC, cd.neighbor_id
+         ) AS rank_k
+  FROM cand cd
+  JOIN e q ON q.vec_id = cd.query_id
+  JOIN e x ON x.vec_id = cd.neighbor_id
+) WHERE rank_k <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -3129,7 +3234,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivf": q_cosine_topk_ivf,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
-    "decode_pixels": q_decode_pixels,
+    # round-8 swap: the REAL distributed JPEG decode (built-in T.81
+    # Huffman+IDCT under a byte-exact oracle) takes the window slot of
+    # decode_pixels, whose fake-payload Arrow plumbing it strictly
+    # supersedes; decode_pixels stays cross-checked
+    "decode_jpeg": q_decode_jpeg,
     # relational analytics
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3172,8 +3281,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_merge": q_kmv_merge,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "decode_audio_wav": q_decode_audio_wav,
-    # round-8: real distributed JPEG decode (built-in T.81 decoder)
-    "decode_jpeg": q_decode_jpeg,
+    # demoted round 8: superseded in the window by decode_jpeg (real
+    # decode); the fake-payload plumbing face stays oracle-verified here
+    "decode_pixels": q_decode_pixels,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
@@ -3193,6 +3303,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters_twostar": q_dup_clusters_twostar,
     "fingerprint_dedup": q_fingerprint_dedup,
     "cosine_topk_arrow": q_cosine_topk_arrow,
+    # round-8: product-quantization ADC top-k (algorithmic-parity oracle)
+    "cosine_topk_pq": q_cosine_topk_pq,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -3234,7 +3346,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
-    "decode_pixels": ORACLE_DECODE_PIXELS,
+    "decode_jpeg": ORACLE_DECODE_JPEG,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
     "q5_region_revenue": ORACLE_Q5,
@@ -3271,7 +3383,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "kmv_merge": ORACLE_EVENTS_DISTINCT_KMV,
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
-    "decode_jpeg": ORACLE_DECODE_JPEG,
+    "decode_pixels": ORACLE_DECODE_PIXELS,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
@@ -3285,6 +3397,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "dup_clusters_twostar": _oracle_dup_clusters(),
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
+    "cosine_topk_pq": ORACLE_COSINE_TOPK_PQ,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

@@ -134,6 +134,39 @@ def main() -> None:
             embs, dim=64, id_col="vec_id", threshold=0.9, n=n_vecs
         ),
     )
+    # round-8: PQ+ADC top-k on the multiplied corpus. The scan is
+    # structurally linear (m LUT lookups per corpus vector over the
+    # compressed code table; per-partition top-C cut bounds emitted
+    # rows to partitions × queries × C, never corpus × queries) — the
+    # smoke records the wall time and checks retrieval quality against
+    # the exact Arrow scorer on the same multiplied corpus.
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_arrow,
+        cosine_topk_pq,
+    )
+
+    q10 = embs.where(F.col("vec_id") < 10)
+    pq_kwargs = dict(
+        dim=64, id_col="vec_id", k=10, m=8, k_codes=32, n_candidates=100
+    )
+    run(
+        "cosine_topk_pq(k=10, m=8, C=100)",
+        lambda: cosine_topk_pq(embs, q10, **pq_kwargs),
+    )
+    with cached_scope():
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_arrow(
+                embs, q10, id_col="vec_id", k=10
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_pq(embs, q10, **pq_kwargs).collect()
+        }
+    pq_recall = len(got & exact) / len(exact)
+    print(f"  pq recall@10 vs exact: {pq_recall:.3f}")
+    assert pq_recall >= 0.8, f"PQ recall collapsed at scale: {pq_recall}"
     # round-6 additions: the inverted-index exact-Jaccard join and the
     # decontamination shingle join — both must stay O(shingle
     # collisions), not O(block²)/O(corpus × benchmark). Measured at

@@ -202,6 +202,29 @@ def test_ivf_corpus_streams_once_queries_broadcast(spark):
     assert len(exchanges) == 1, exchanges
 
 
+def test_pq_adc_scan_once_candidates_broadcast(spark):
+    # the PQ scale contract: one Arrow scan computes codes + ADC scores
+    # with a per-partition candidate cut (output bounded at partitions
+    # × queries × C), the rescore join BROADCASTS the (bounded)
+    # candidate set so the corpus never shuffles, and both rank cuts
+    # are group-limited — no global sort anywhere
+    p = _plan(spark, "cosine_topk_pq")
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_decode_jpeg_is_shuffle_free_arrow(spark):
+    # synth + decode are two Arrow mapInPandas stages over the part
+    # scan — embarrassingly parallel, zero exchanges, no row-at-a-time
+    # Python
+    p = _plan(spark, "decode_jpeg")
+    assert p.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
 def test_pii_scrub_is_shuffle_free_jvm(spark):
     # regex counting + redaction is per-row column math: scan + project
     p = _plan(spark, "pii_scrub")

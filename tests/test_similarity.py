@@ -14,6 +14,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pq,
     embedding_near_dup_block_gemm,
     embedding_near_dup_auto,
     embedding_near_dup_bruteforce,
@@ -328,3 +329,99 @@ def test_ivf_centroid_training_is_deterministic():
     a = _train_centroids(X, 16)
     b = _train_centroids(X, 16)
     assert (a == b).all()  # bit-identical, not just close
+
+
+# ---------------------------------------------------------------------------
+# PQ (cosine_topk_pq)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_is_exactly_rescored_subset(emb, vectors):
+    """Approximation lives only in WHICH candidates survive the ADC
+    cut — every returned score is the exact cosine."""
+    got = cosine_topk_pq(
+        emb, emb.where(F.col("vec_id").isin([0, 5])), dim=DIM,
+        id_col="vec_id", k=4, m=4, k_codes=8, n_candidates=10,
+    ).collect()
+    assert got, "no candidates survived"
+    for r in got:
+        assert (
+            abs(
+                r.cosine_sim
+                - _np_cosine(vectors[r.query_id], vectors[r.neighbor_id])
+            )
+            < 1e-9
+        )
+
+
+def test_pq_full_candidate_cut_equals_bruteforce(emb):
+    """n_candidates >= |corpus| keeps everything through the ADC cut,
+    so exact rescoring must reproduce brute force bit-for-bit —
+    regardless of codebook quality."""
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_pq(
+            emb, emb.where(F.col("vec_id") < 3), dim=DIM,
+            id_col="vec_id", k=4, m=4, k_codes=8, n_candidates=N,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") < 3), id_col="vec_id", k=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_finds_planted_near_dup(emb):
+    """vec 1 is a tiny perturbation of vec 0: its subvectors quantize
+    to the same codes, so its ADC score ties the maximum and it must
+    survive even a tight candidate cut and rank first on rescoring."""
+    got = cosine_topk_pq(
+        emb, emb.where(F.col("vec_id") == 0), dim=DIM,
+        id_col="vec_id", k=1, m=4, k_codes=8, n_candidates=5,
+    ).collect()
+    assert len(got) == 1 and got[0].neighbor_id == 1
+
+
+def test_pq_recall_at_modest_candidates(emb):
+    """Quality pin for the kmeans default: top-5 recall vs brute force
+    with a 20-of-59 candidate cut. Not a tautology (the cut is real);
+    the floor is what the seeded corpus actually achieves, minus
+    slack."""
+    qf = F.col("vec_id") < 10
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_pq(
+            emb, emb.where(qf), dim=DIM, id_col="vec_id",
+            k=5, m=4, k_codes=8, n_candidates=20,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(
+            emb, emb.where(qf), id_col="vec_id", k=5
+        ).collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"PQ recall degraded: {recall:.2f}"
+
+
+def test_pq_codebook_training_is_deterministic():
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        _train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((200, 16))
+    a = _train_pq_codebooks(X, m=4, k_codes=8)
+    b = _train_pq_codebooks(X, m=4, k_codes=8)
+    assert (a == b).all()
+
+
+def test_pq_validates_parameters(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        cosine_topk_pq(emb, emb, dim=DIM, m=5)
+    with pytest.raises(ValueError, match="n_candidates"):
+        cosine_topk_pq(emb, emb, dim=DIM, m=4, k=10, n_candidates=5)
