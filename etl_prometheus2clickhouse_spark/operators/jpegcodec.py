@@ -323,6 +323,19 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
         cs, tdta = sos[1 + 2 * i], sos[2 + 2 * i]
         scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
 
+    if ns == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU, in raster order over the component's own
+        # ceil(w/8) x ceil(h/8) block grid, regardless of the sampling
+        # factors the frame header declares (those only have meaning
+        # relative to other components). Forcing effective 1x1 sampling
+        # reproduces exactly that grid; decoding such a stream through
+        # the interleaved-MCU path below would silently scramble block
+        # placement whenever the declared factors exceed 1x1 and the
+        # dimensions are MCU-multiples (round-9 advice, jpegcodec:330).
+        cid0, _, _, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:

@@ -142,6 +142,10 @@ def cosine_topk_arrow(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
         )
+        # null-vector rows can never score; filter BEFORE the limit so
+        # they don't count toward max_queries (a query side with few
+        # usable vectors but many null rows must not overflow)
+        .where(F.col("qvec").isNotNull())
         .limit(max_queries + 1)
         .collect()
     )
@@ -151,7 +155,6 @@ def cosine_topk_arrow(
             f"{max_queries}; broadcast-GEMM requires a small query set "
             "(raise max_queries only with matching driver/executor memory)"
         )
-    q_rows = [r for r in q_rows if r.qvec is not None]
     if not q_rows:
         schema = "query_id bigint, neighbor_id bigint, cosine_sim double, rank int"
         return corpus.sparkSession.createDataFrame([], schema)
@@ -476,6 +479,227 @@ def _train_pq_codebooks(
     return books
 
 
+class PQModel(NamedTuple):
+    """A trained product quantizer: the driver-side artifact shared by
+    :func:`pq_encode` (build time) and :func:`cosine_topk_pq_codes`
+    (query time). ``codebooks`` is (m, k_codes, dim/m); ``cnorm2`` is
+    the precomputed ``||c||²`` per (subspace, code) — the x-independent
+    half of the L2 encode objective."""
+
+    dim: int
+    m: int
+    k_codes: int
+    codebooks: np.ndarray  # m × k_codes × ds
+    cnorm2: np.ndarray  # m × k_codes
+
+    @property
+    def ds(self) -> int:
+        return self.dim // self.m
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+    seed: int = 42,
+    codebooks: str = "kmeans",
+) -> PQModel:
+    """Train a product quantizer on a bounded deterministic sample of
+    the corpus (the ``train_sample`` lowest ids — the offline-training
+    shape; see :func:`_train_centroids` for why training is driver-side
+    numpy, not distributed). ``codebooks="first"`` slices codebooks out
+    of the sample's ``k_codes`` lowest-id unit vectors — the
+    SQL-expressible variant the catalog oracles replicate."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    ds = dim // m
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    k_codes = min(k_codes, len(X))
+    if codebooks == "first":
+        B = np.stack(
+            [X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)]
+        )  # m × k_codes × ds
+    else:
+        B = _train_pq_codebooks(X, m, k_codes, seed=seed)
+    return PQModel(dim, m, k_codes, B, (B**2).sum(axis=2))
+
+
+def _pq_assign(Xb: np.ndarray, model: PQModel) -> np.ndarray:
+    """Encode a (n × dim) unit-vector matrix to (n × m) code ids.
+
+    argmin over codes of ``||c||² − 2 x·c`` (the x-independent L2
+    objective), ROUNDED to 6 digits before the argmin so near-tied
+    codes resolve identically here and in the SQL oracles regardless
+    of each side's float summation order (round-9 advice,
+    catalog:1860); np.argmin takes the FIRST minimum → lowest code id
+    on (rounded) ties, matching the oracle's (distance, code) order."""
+    m, ds = model.m, model.ds
+    codes = np.empty((Xb.shape[0], m), dtype=np.int32)
+    for j in range(m):
+        sub = Xb[:, j * ds : (j + 1) * ds]
+        obj = np.round(
+            model.cnorm2[j][None, :] - 2.0 * (sub @ model.codebooks[j].T), 6
+        )
+        codes[:, j] = np.argmin(obj, axis=1)
+    return codes
+
+
+def _pq_adc_scores(
+    codes: np.ndarray, lut: np.ndarray, n_q: int
+) -> np.ndarray:
+    """ADC: approx score of every (query, row) as m LUT lookups summed
+    in fixed subspace order, rounded to 6 digits so candidate-cut ties
+    resolve identically across implementations (same rationale as
+    :func:`_pq_assign`)."""
+    m = codes.shape[1]
+    approx = np.zeros((n_q, codes.shape[0]))
+    for j in range(m):
+        approx += lut[:, j, :][:, codes[:, j]]
+    return np.round(approx, 6)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the PQ code table: one ``(id, codes array<smallint>)``
+    row per corpus vector — the artifact that realizes PQ's 100 TB
+    economics. Encoding is a BUILD-time corpus pass (m small GEMMs per
+    Arrow batch); persisted once (``.write.parquet``), every subsequent
+    query scans m small ints per vector via
+    :func:`cosine_topk_pq_codes` instead of re-reading (and
+    re-encoding) the float vectors — at dim=1024 float64 that is a
+    ~1000× scan-volume reduction (m=8, one byte-range code each; the
+    array<smallint> schema keeps the oracle face simple — a production
+    table would pack codes into a single binary column).
+
+    Encoding normalizes exactly like the query path (:func:`_unit`),
+    so codes from this table reproduce :func:`cosine_topk_pq`'s
+    inline-encoded scores bit-for-bit (pinned by the
+    ``cosine_topk_pq_codes`` catalog entry sharing the inline entry's
+    oracle)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["vec"].notna()]
+            if len(pdf) == 0:
+                continue
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            codes = _pq_assign(Xb, model).astype(np.int16)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return vecs.mapInPandas(_encode, "id bigint, codes array<smallint>")
+
+
+def _collect_query_luts(
+    queries: DataFrame,
+    model: PQModel,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+    op: str,
+):
+    """Driver-side query LUTs (bounded, loud on overflow): returns
+    (q_ids int64[], q_unit q×dim, lut q×m×k_codes) or None when the
+    query side is empty. Null-vector rows are filtered BEFORE the
+    limit so they never count toward max_queries."""
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+        )
+        .where(F.col("qvec").isNotNull())
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"{op}: query side exceeds max_queries={max_queries}; "
+            "ADC ships one m x k_codes LUT per query in the task closure"
+        )
+    if not q_rows:
+        return None
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qvec for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = np.inf
+    q_unit = q_mat / qn[:, None]
+    m, ds = model.m, model.ds
+    # LUT[q, j, c] = q̂_j · c_{j,c}: every ADC score is m lookups here
+    lut = np.stack(
+        [
+            q_unit[:, j * ds : (j + 1) * ds] @ model.codebooks[j].T
+            for j in range(m)
+        ],
+        axis=1,
+    )  # q × m × k_codes
+    return q_ids, q_unit, lut
+
+
+def _pq_rescore_topk(
+    corpus_vecs: DataFrame,
+    cand: DataFrame,
+    q_ids: np.ndarray,
+    q_unit: np.ndarray,
+    k: int,
+) -> DataFrame:
+    """Exact rescore + final top-k shared by every ADC variant:
+    candidates are bounded (queries × n_candidates rows) by
+    construction, so both joins broadcast and the corpus side never
+    shuffles."""
+    qdf = corpus_vecs.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, q_unit)],
+        "query_id bigint, qvec array<double>",
+    )
+    scored = (
+        corpus_vecs.select(
+            F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def _candidate_cut(partial: DataFrame, n_candidates: int) -> DataFrame:
+    """Global candidate cut over per-partition ADC top-C partials:
+    re-applies the same (approx desc, id asc) order globally."""
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def cosine_topk_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -498,18 +722,26 @@ def cosine_topk_pq(
 
     Unit-normalized vectors are split into ``m`` subspaces; each
     subvector is quantized to its nearest (L2) of ``k_codes`` codebook
-    centroids, so a vector compresses to ``m`` small ints — at 100 TB
-    the corpus scan reads the code table (m bytes/vector at
-    k_codes<=256), NOT the float vectors. Each query precomputes a
-    lookup table of subspace-centroid inner products; the approximate
-    cosine of any corpus vector is ``m`` table lookups summed (no
-    per-vector float math). The scan emits per-partition top-
-    ``n_candidates`` per query (bounded output: partitions x queries x
-    C — no full scored set ever materializes), the global candidate
-    cut re-applies the same (approx desc, id asc) order, and exact
-    rescoring + the final top-k run on candidates only. Recall rises
-    with ``n_candidates``/``k_codes``; ``n_candidates >= |corpus|``
-    degenerates to exact-rescored-everything.
+    centroids, so a vector compresses to ``m`` small ints. Each query
+    precomputes a lookup table of subspace-centroid inner products;
+    the approximate cosine of any corpus vector is ``m`` table lookups
+    summed (no per-vector float math). The scan emits per-partition
+    top-``n_candidates`` per query (bounded output: partitions x
+    queries x C — no full scored set ever materializes), the global
+    candidate cut re-applies the same (approx desc, id asc) order, and
+    exact rescoring + the final top-k run on candidates only. Recall
+    rises with ``n_candidates``/``k_codes``; ``n_candidates >=
+    |corpus|`` degenerates to exact-rescored-everything.
+
+    This variant ENCODES INSIDE THE SCAN — it reads the float vectors
+    and quantizes each batch on the fly, so it is the
+    no-prior-artifacts face (one-off queries, or a corpus that has no
+    persisted code table yet). The compressed-domain economics PQ is
+    *for* — scanning m bytes/vector instead of the float vectors on
+    every repeated query — live in the :func:`pq_encode` →
+    :func:`cosine_topk_pq_codes` pair: build the code table once,
+    persist it, and query-time scans never touch the vector column
+    except for the bounded candidate rescore.
 
     ``codebooks="kmeans"`` (default) trains per-subspace k-means on a
     bounded deterministic sample; ``"first"`` slices the codebooks out
@@ -520,66 +752,39 @@ def cosine_topk_pq(
     algorithmic-parity check :func:`cosine_topk_ivf` established.
     Output schema matches :func:`cosine_topk_bruteforce`.
     """
-    if dim % m != 0:
-        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
-    ds = dim // m
-
+    model = pq_train(
+        corpus,
+        dim,
+        m,
+        k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_sample=train_sample,
+        seed=seed,
+        codebooks=codebooks,
+    )
     vecs = corpus.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
-    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
-    X = np.asarray([r.vec for r in sample], dtype=np.float64)
-    k_codes = min(k_codes, len(X))
-    if codebooks == "first":
-        B = np.stack(
-            [X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)]
-        )  # m × k_codes × ds
-    else:
-        B = _train_pq_codebooks(X, m, k_codes, seed=seed)
-    # ||c||² per (subspace, code): the x-independent half of the L2
-    # encode objective (argmin ||x_j − c||² = argmin ||c||² − 2·x_j·c)
-    cnorm2 = (B**2).sum(axis=2)  # m × k_codes
-
-    # -- queries: driver-side LUTs (bounded, loud on overflow) --------
-    q_rows = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
-        )
-        .limit(max_queries + 1)
-        .collect()
+    q = _collect_query_luts(
+        queries, model, id_col, vec_col, max_queries, "cosine_topk_pq"
     )
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"cosine_topk_pq: query side exceeds max_queries={max_queries}; "
-            "ADC ships one m x k_codes LUT per query in the task closure"
-        )
-    q_rows = [r for r in q_rows if r.qvec is not None]
-    out_schema = (
-        "query_id bigint, neighbor_id bigint, approx_sim double"
-    )
-    if not q_rows:
+    if q is None:
         return corpus.sparkSession.createDataFrame(
-            [], out_schema + ", cosine_sim double, rank int"
-        ).drop("approx_sim")
-    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.qvec for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(q_mat, axis=1)
-    qn[qn == 0] = np.inf
-    q_unit = q_mat / qn[:, None]
-    # LUT[q, j, c] = q̂_j · c_{j,c}: every ADC score is m lookups here
-    lut = np.stack(
-        [q_unit[:, j * ds : (j + 1) * ds] @ B[j].T for j in range(m)], axis=1
-    )  # q × m × k_codes
+            [], "query_id bigint, neighbor_id bigint, "
+            "cosine_sim double, rank int"
+        )
+    q_ids, q_unit, lut = q
     n_q = len(q_ids)
     C_cut = n_candidates
 
     def _scan(batches):
         """Per-partition ADC scan: encode each corpus batch (m small
-        GEMMs), score against every query LUT (m vectorized lookups,
-        accumulated in fixed subspace order so float summation matches
-        the SQL oracle), keep a running per-query top-C, emit once."""
+        GEMMs, :func:`_pq_assign`), score against every query LUT
+        (:func:`_pq_adc_scores`), keep a running per-query top-C,
+        emit once."""
         best_sim = [np.empty(0)] * n_q
         best_ids = [np.empty(0, dtype=np.int64)] * n_q
         for pdf in batches:
@@ -590,16 +795,7 @@ def cosine_topk_pq(
             Xb = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
-            approx = np.zeros((n_q, len(ids)))
-            for j in range(m):
-                sub = Xb[:, j * ds : (j + 1) * ds]
-                # argmin over codes of ||c||² − 2 x·c; np.argmin takes
-                # the FIRST minimum → lowest code id on ties, matching
-                # the oracle's (distance, code) ordering
-                codes = np.argmin(
-                    cnorm2[j][None, :] - 2.0 * (sub @ B[j].T), axis=1
-                )
-                approx += lut[:, j, :][:, codes]
+            approx = _pq_adc_scores(_pq_assign(Xb, model), lut, n_q)
             for qi in range(n_q):
                 mask = ids != q_ids[qi]
                 sims = np.concatenate([best_sim[qi], approx[qi][mask]])
@@ -617,40 +813,225 @@ def cosine_topk_pq(
         }
         yield pd.DataFrame(rows)
 
-    partial = vecs.mapInPandas(_scan, out_schema)
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    partial = vecs.mapInPandas(
+        _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
     )
-    cand = (
-        partial.withColumn("crank", F.row_number().over(wc))
-        .where(F.col("crank") <= C_cut)
-        .select("query_id", "neighbor_id")
+    cand = _candidate_cut(partial, C_cut)
+    return _pq_rescore_topk(vecs, cand, q_ids, q_unit, k)
+
+
+def cosine_topk_pq_codes(
+    code_table: DataFrame,
+    model: PQModel,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_candidates: int = 50,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k via ADC over a PERSISTED PQ code table — the
+    query-time face of the :func:`pq_encode` build step, and the shape
+    that realizes PQ's actual economics (Jégou TPAMI'11 §III): the
+    candidate-generating scan reads ``code_table`` — ``(id, codes)``,
+    m small ints per vector — and NEVER the float vector column, so a
+    repeated query against a 100 TB float corpus scans only the ~0.1%
+    -sized code table. The float vectors are touched exactly once per
+    query set, by the exact rescore join, which is bounded at queries
+    × n_candidates rows and broadcast (predicate pushdown on
+    neighbor_id makes it an id-probe, not a scan, on an indexed/
+    bucketed corpus table).
+
+    ``code_table`` is typically ``spark.read.parquet(...)`` over what
+    :func:`pq_encode` wrote; ``model`` must be the SAME quantizer that
+    encoded it (codebook mismatch produces garbage scores — persist
+    the model next to the table). Scores, candidate cuts, tie-breaks,
+    and output schema are identical to :func:`cosine_topk_pq` with the
+    same model: the ``cosine_topk_pq_codes`` catalog entry pins that
+    equality against the inline entry's own DuckDB oracle
+    (plans/catalog.py: ORACLE_COSINE_TOPK_PQ)."""
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
+    q = _collect_query_luts(
+        queries, model, id_col, vec_col, max_queries, "cosine_topk_pq_codes"
     )
-    qdf = corpus.sparkSession.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, q_unit)],
-        "query_id bigint, qvec array<double>",
-    )
-    # candidates are bounded at queries x n_candidates rows by
-    # construction — broadcast them so the corpus side never shuffles
-    # for the rescore join
-    scored = (
-        vecs.select(
-            F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec")
+    if q is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+            "cosine_sim double, rank int"
         )
-        .join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            _dot(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    q_ids, q_unit, lut = q
+    n_q = len(q_ids)
+    C_cut = n_candidates
+
+    def _scan(batches):
+        best_sim = [np.empty(0)] * n_q
+        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        for pdf in batches:
+            pdf = pdf[pdf["codes"].notna()]
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.vstack(
+                [np.asarray(c, dtype=np.int32) for c in pdf["codes"]]
+            )
+            approx = _pq_adc_scores(codes, lut, n_q)
+            for qi in range(n_q):
+                mask = ids != q_ids[qi]
+                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
+                cand = np.concatenate([best_ids[qi], ids[mask]])
+                order = np.lexsort((cand, -sims))[:C_cut]
+                best_sim[qi] = sims[order]
+                best_ids[qi] = cand[order]
+        rows = {
+            "query_id": np.concatenate(
+                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
+            ),
+            "neighbor_id": np.concatenate(best_ids),
+            "approx_sim": np.concatenate(best_sim),
+        }
+        yield pd.DataFrame(rows)
+
+    # the candidate scan touches ONLY the code table columns — select
+    # them explicitly so column pruning reaches the parquet scan even
+    # if the caller's table carries extras
+    partial = code_table.select("id", "codes").mapInPandas(
+        _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
+    )
+    cand = _candidate_cut(partial, C_cut)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    return _pq_rescore_topk(vecs, cand, q_ids, q_unit, k)
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    n_candidates: int = 50,
+    train_sample: int = 4096,
+    seed: int = 42,
+    quantizers: str = "kmeans",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k via IVF + PQ composed (IVFADC — Jégou
+    TPAMI'11 §IV, the standard production ANN shape at 100 TB): a
+    coarse quantizer partitions the corpus into ``n_cells`` Voronoi
+    cells, every vector is PQ-encoded to ``m`` small ints, and a query
+    ADC-scans ONLY the code rows of its ``n_probe`` nearest cells —
+    both prunings compose, so the scanned volume is
+    ``(n_probe/n_cells) × m bytes/vector`` of the corpus.
+
+    The build pass emits ``(id, cell, codes)`` in one corpus scan (one
+    cell-assignment GEMM + m encode GEMMs per Arrow batch); at 100 TB
+    that table is written *partitioned by cell* so a probe prunes file
+    listings before any I/O (same note as :func:`cosine_topk_ivf`).
+    Query time: probe cells + LUTs are driver-side constants in the
+    task closure; the scan masks each batch to probed cells per query,
+    ADC-scores the survivors, and keeps a bounded per-partition top-
+    ``n_candidates``; global cut + exact rescore as in
+    :func:`cosine_topk_pq`.
+
+    This composition quantizes the RAW unit vectors, not the
+    per-cell residuals — residual encoding (Jégou §IV-A) sharpens
+    per-cell resolution at the cost of per-probe LUT recomputation
+    (n_probe × m × k_codes tables per query instead of one) and is the
+    natural next refinement; recall here is already governed by
+    ``n_probe`` × ``n_candidates`` × ``k_codes``, all pinned in
+    tests/test_similarity.py. ``quantizers="first"`` makes BOTH
+    quantizers SQL-expressible (coarse cells = the sample's first
+    ``n_cells`` unit vectors, codebooks = first ``k_codes``), so the
+    catalog oracle replicates assign → probe → encode → ADC →
+    candidate cut → rescore → rank end-to-end in DuckDB. Output schema
+    matches :func:`cosine_topk_bruteforce`."""
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    n_cells = min(n_cells, len(X))
+    k_codes = min(k_codes, len(X))
+    ds = dim // m
+    if quantizers == "first":
+        C = X[:n_cells].T  # dim × cells, already unit
+        B = np.stack([X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)])
+    else:
+        C = _train_centroids(X, n_cells, seed=seed).T
+        B = _train_pq_codebooks(X, m, k_codes, seed=seed)
+    model = PQModel(dim, m, k_codes, B, (B**2).sum(axis=2))
+
+    q = _collect_query_luts(
+        queries, model, id_col, vec_col, max_queries, "cosine_topk_ivfpq"
+    )
+    if q is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+            "cosine_sim double, rank int"
         )
+    q_ids, q_unit, lut = q
+    n_q = len(q_ids)
+    C_cut = n_candidates
+    # probe sets: stable argsort keeps the (sim desc, cell asc)
+    # tie-break of cosine_topk_ivf's probe kernel
+    probe_sets = np.argsort(-(q_unit @ C), axis=1, kind="stable")[:, :n_probe]
+    probe_masks = np.zeros((n_q, n_cells), dtype=bool)
+    for qi in range(n_q):
+        probe_masks[qi, probe_sets[qi]] = True
+
+    def _scan(batches):
+        """Build + probe in one pass (encode-in-scan face): assign the
+        batch to cells (one GEMM — argmax takes the FIRST max, lowest
+        cell on ties), PQ-encode it, then per query ADC-score only the
+        rows whose cell is probed."""
+        best_sim = [np.empty(0)] * n_q
+        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        for pdf in batches:
+            pdf = pdf[pdf["vec"].notna()]
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            cells = (Xb @ C).argmax(axis=1)
+            codes = _pq_assign(Xb, model)
+            approx = _pq_adc_scores(codes, lut, n_q)
+            for qi in range(n_q):
+                mask = probe_masks[qi][cells] & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
+                cand = np.concatenate([best_ids[qi], ids[mask]])
+                order = np.lexsort((cand, -sims))[:C_cut]
+                best_sim[qi] = sims[order]
+                best_ids[qi] = cand[order]
+        rows = {
+            "query_id": np.concatenate(
+                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
+            ),
+            "neighbor_id": np.concatenate(best_ids),
+            "approx_sim": np.concatenate(best_sim),
+        }
+        yield pd.DataFrame(rows)
+
+    partial = vecs.mapInPandas(
+        _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    cand = _candidate_cut(partial, C_cut)
+    return _pq_rescore_topk(vecs, cand, q_ids, q_unit, k)
 
 
 def _banded_ids(

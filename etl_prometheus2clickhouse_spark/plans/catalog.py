@@ -59,10 +59,14 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_arrow,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
     cosine_topk_pq,
+    cosine_topk_pq_codes,
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
+    pq_encode,
+    pq_train,
 )
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     kmv_distinct,
@@ -1820,12 +1824,17 @@ def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# L2² between subspace j slices of vector x and centroid c (16 dims,
-# 1-based list indexing; j is 0-based)
-_PQ_D2 = (
+# PQ encode objective for subspace j (16 dims, 1-based list indexing;
+# j is 0-based): ||c_j||² − 2·x_j·c_j — the same x-independent L2 form
+# the implementation uses (similarity._pq_assign), ROUNDED to 6 digits
+# on both sides so near-tied codes resolve identically regardless of
+# float summation order (round-9 advice, tie-fragility)
+_PQ_OBJ = (
+    "round("
     "list_sum(list_transform(range(1, 17), i -> "
-    "({x}.v[{j}.j*16+i] - {c}.v[{j}.j*16+i]) * "
-    "({x}.v[{j}.j*16+i] - {c}.v[{j}.j*16+i])))"
+    "{c}.v[{j}.j*16+i] * {c}.v[{j}.j*16+i]))"
+    " - 2 * list_sum(list_transform(range(1, 17), i -> "
+    "{x}.v[{j}.j*16+i] * {c}.v[{j}.j*16+i])), 6)"
 )
 # inner product of subspace j slices
 _PQ_IP = (
@@ -1852,18 +1861,182 @@ codes AS (
     SELECT a.vec_id, s.j, c.code,
            row_number() OVER (
              PARTITION BY a.vec_id, s.j
-             ORDER BY {_PQ_D2.format(x='a', c='c', j='s')}, c.code
+             ORDER BY {_PQ_OBJ.format(x='a', c='c', j='s')}, c.code
            ) AS rn
     FROM n a CROSS JOIN subs s CROSS JOIN cents c
   ) WHERE rn = 1
 ),
 approx AS (
   SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
-         sum({_PQ_IP.format(x='q', c='c', j='cd')}) AS asim
+         round(sum({_PQ_IP.format(x='q', c='c', j='cd')}), 6) AS asim
   FROM n q
   CROSS JOIN codes cd
   JOIN cents c ON c.code = cd.code
   WHERE q.vec_id < 10 AND cd.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY asim DESC, neighbor_id
+           ) AS rn
+    FROM approx
+  ) WHERE rn <= 50
+)
+SELECT query_id, neighbor_id, CAST(rank_k AS INT) AS rank_k,
+       round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_cos2('q', 'x')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY cd.query_id
+           ORDER BY {_cos2('q', 'x')} DESC, cd.neighbor_id
+         ) AS rank_k
+  FROM cand cd
+  JOIN e q ON q.vec_id = cd.query_id
+  JOIN e x ON x.vec_id = cd.neighbor_id
+) WHERE rank_k <= 5
+"""
+
+
+def q_cosine_topk_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over a PERSISTED PQ code table — the query-time face
+    of the pq_encode build step (operators/similarity.py
+    ``pq_encode`` + ``cosine_topk_pq_codes``), which is where PQ's
+    100 TB economics live: the code table is materialized to parquet
+    ONCE (here: a fixed scratch path, overwritten per run — the real
+    build-once / query-many shape, not an in-memory shortcut), and the
+    candidate-generating scan reads ``(id, codes)`` — m smallints per
+    vector — never the float vector column (scripts/scale_smoke.py
+    asserts that on the scan's ReadSchema). Same quantizer, scores,
+    and tie-breaks as the inline ``cosine_topk_pq`` entry, so it faces
+    the SAME full-pipeline DuckDB oracle — green means
+    encode-then-persist-then-scan is value-identical to
+    encode-in-scan."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pq_train(
+        emb, dim=64, m=4, k_codes=16, id_col="vec_id", codebooks="first"
+    )
+    # fixed per-sf scratch path, overwritten each run: bounded disk,
+    # and the read below is a genuine parquet scan of the artifact
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pq_codes_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    pq_encode(emb, model, id_col="vec_id").write.mode("overwrite").parquet(
+        path
+    )
+    out = cosine_topk_pq_codes(
+        spark.read.parquet(path),
+        model,
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        k=5,
+        n_candidates=50,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+def q_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — IVF and PQ composed (operators/similarity.py
+    ``cosine_topk_ivfpq``; Jégou TPAMI'11 §IV): coarse quantizer
+    routes each query to its 8 nearest of 32 cells, and the ADC scan
+    scores only code rows resident in probed cells — probe pruning ×
+    code compression, the standard production ANN shape. Uses
+    ``quantizers="first"`` so BOTH quantizers are SQL-expressible and
+    the oracle replicates assign → probe → encode → ADC → candidate
+    cut → rescore → rank end-to-end in DuckDB (the union of the
+    cosine_topk_ivf and cosine_topk_pq parity oracles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivfpq(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        k=5,
+        n_cells=32,
+        n_probe=8,
+        m=4,
+        k_codes=16,
+        n_candidates=50,
+        quantizers="first",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_COSINE_TOPK_IVFPQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(
+           v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))
+         ) AS v
+  FROM e
+),
+ccents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM e ORDER BY vec_id LIMIT 32
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN ccents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN ccents c
+    WHERE a.vec_id < 10
+  ) WHERE rn <= 8
+),
+pcents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM n ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT j FROM range(0, 4) t(j)),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT a.vec_id, s.j, c.code,
+           row_number() OVER (
+             PARTITION BY a.vec_id, s.j
+             ORDER BY {_PQ_OBJ.format(x='a', c='c', j='s')}, c.code
+           ) AS rn
+    FROM n a CROSS JOIN subs s CROSS JOIN pcents c
+  ) WHERE rn = 1
+),
+approx AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         round(sum({_PQ_IP.format(x='q', c='c', j='cd')}), 6) AS asim
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN pcents c ON c.code = cd.code
+  JOIN n q ON q.vec_id = p.query_id
+  WHERE cd.vec_id <> p.query_id
   GROUP BY 1, 2
 ),
 cand AS (
@@ -3305,6 +3478,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_arrow": q_cosine_topk_arrow,
     # round-8: product-quantization ADC top-k (algorithmic-parity oracle)
     "cosine_topk_pq": q_cosine_topk_pq,
+    # round-9: the persisted-code-table face of PQ (build once, scan
+    # codes only) and the IVF×PQ composition (IVFADC) — both share the
+    # full-pipeline DuckDB parity pattern
+    "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
+    "cosine_topk_ivfpq": q_cosine_topk_ivfpq,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -3398,6 +3576,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
     "cosine_topk_pq": ORACLE_COSINE_TOPK_PQ,
+    "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
+    "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

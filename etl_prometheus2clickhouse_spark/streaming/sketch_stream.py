@@ -1,5 +1,6 @@
 """Streaming sketch partials — the mergeable-sketch family wired into
-the micro-batch lifecycle (round-7 verdict "Next round" #7).
+the micro-batch lifecycle (round-7 verdict "Next round" #7; durable +
+replay-safe per round-9 "Next round" #2/#3).
 
 The partial sketches (operators/sketch.py) exist so corpus statistics
 can accumulate ACROSS ingestion windows: each window sketches its own
@@ -7,37 +8,55 @@ slice down to O(groups × k) state, and the corpus answer is a merge
 over partials instead of a re-scan of every window — the same
 windowed-incremental lifecycle the engine's Prometheus ETL runs
 (plans/lifecycle.py). This module demonstrates that wiring with real
-Structured Streaming micro-batches:
+Structured Streaming micro-batches, in two durability shapes:
 
-- :func:`stream_kmv_partials` / :func:`stream_bloom_partials` run a
-  bounded stream to completion (``Trigger.AvailableNow``) with a
-  ``foreachBatch`` body that builds ONE partial sketch per micro-batch
-  (micro-batch id = the sketch's ``batch_col``) and appends it to a
-  driver-side accumulator. The accumulator holds SKETCH rows, not
-  data — O(batches × groups × k) longs, the artifact whose whole
-  point is being small enough to collect/ship — so this is a bounded,
-  deliberate driver collect, same contract as the similarity module's
-  guarded collects.
-- The caller merges with the ordinary batch ``kmv_merge`` /
-  ``bloom_merge``; because the merges are exact, the streamed-and-
-  merged result must equal the one-shot sketch over the full stream —
-  which is exactly what the ``stream_kmv`` catalog entry pins against
-  the one-shot SQL oracle.
+- :func:`stream_kmv_partials` / :func:`stream_bloom_partials` /
+  :func:`stream_cms_partials` run a bounded stream to completion
+  (``Trigger.AvailableNow``) with a ``foreachBatch`` body that builds
+  ONE partial sketch per micro-batch (micro-batch id = the sketch's
+  ``batch_col``) and stores it in a driver-side accumulator. The
+  accumulator holds SKETCH rows, not data — O(batches × groups × k)
+  longs, the artifact whose whole point is being small enough to
+  collect/ship — so this is a bounded, deliberate driver collect,
+  same contract as the similarity module's guarded collects.
+- :func:`stream_kmv_partials_durable` (+ the generic
+  :func:`run_partial_stream_durable`) is the 100 TB shape: every
+  micro-batch APPENDS its partial to a parquet directory — one
+  ``micro_batch=N`` partition per batch — under a checkpoint, and the
+  merge runs on demand over the directory (:func:`read_partials`).
+  Stop/restart resumes from the checkpoint and processes only unseen
+  input; a replayed batch OVERWRITES its own partition. Restart-
+  correctness is pinned by tests/test_streaming_sketch.py (kill the
+  stream mid-corpus, restart, merged result equals the one-shot
+  sketch).
 
-At 100 TB the accumulator becomes a parquet append (one tiny file per
-window) or an upsert into the state store, and the merge runs on
-demand; the foreachBatch body and the merge plan are identical.
+Replay contract (both shapes): Structured Streaming's ``foreachBatch``
+is at-least-once per batch id — a batch can RE-RUN after a failure, so
+a body that blindly appends would duplicate that batch's partial.
+KMV and Bloom merges would survive that (explode+distinct / position-
+set union are idempotent), but CMS merge is a counter SUM and would
+silently double-count. Both bodies here are therefore keyed on
+``batch_id``: the in-memory accumulator REPLACES the batch's entry,
+and the durable writer overwrites the batch's own partition — replay-
+safe for every family by construction, not by per-family accident.
+
+The caller merges with the ordinary batch ``kmv_merge`` /
+``bloom_merge`` / ``cms_merge``; because the merges are exact, the
+streamed-and-merged result must equal the one-shot sketch over the
+full stream — which is exactly what the ``stream_kmv`` catalog entry
+pins against the one-shot SQL oracle.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     bloom_build,
+    cms_partial_sketches,
     kmv_partial_sketches,
 )
 
@@ -53,20 +72,117 @@ def _run_partial_stream(
     ``per_batch`` (a sketch-partial builder) to every micro-batch and
     accumulating the resulting SKETCH rows driver-side. Returns the
     accumulated partials as a batch DataFrame with ``template``'s
-    schema (``template`` supplies the schema when zero batches fire)."""
+    schema (``template`` supplies the schema when zero batches fire).
+
+    The accumulator is a dict keyed on ``batch_id``: ``foreachBatch``
+    may re-run a batch after a transient failure (at-least-once per
+    batch id), and a retry must REPLACE the earlier partial, not
+    append a duplicate — CMS's counter-sum merge would silently
+    double-count an appended duplicate (KMV/Bloom merges are
+    idempotent and merely tolerate it). Keying makes the helper
+    replay-safe for all three families."""
     spark = src.sparkSession
-    acc: list = []
-
-    def body(batch_df: DataFrame, batch_id: int) -> None:
-        acc.extend(per_batch(batch_df, int(batch_id)).collect())
-
+    acc: dict[int, list] = {}
     q = (
-        src.writeStream.foreachBatch(body)
+        src.writeStream.foreachBatch(_keyed_collect_body(per_batch, acc))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(acc, template.schema)
+    rows = [r for b in sorted(acc) for r in acc[b]]
+    return spark.createDataFrame(rows, template.schema)
+
+
+def _keyed_collect_body(
+    per_batch: Callable[[DataFrame, int], DataFrame],
+    acc: dict[int, list],
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body of :func:`_run_partial_stream`, factored
+    out so the replay contract is directly testable: invoking it twice
+    with the same ``batch_id`` must leave exactly ONE partial for that
+    batch (tests/test_streaming_sketch.py simulates the retry)."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        acc[int(batch_id)] = per_batch(batch_df, int(batch_id)).collect()
+
+    return body
+
+
+def run_partial_stream_durable(
+    src: DataFrame,
+    per_batch: Callable[[DataFrame, int], DataFrame],
+    partials_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The durable face of :func:`_run_partial_stream` — the shape a
+    100 TB deployment actually runs: every micro-batch writes its
+    partial sketch to ``partials_dir/micro_batch=<id>/`` (one tiny
+    parquet partition per ingestion window; the batch id returns as a
+    partition column on read) under ``checkpoint_dir``, so
+
+    - the stream is RESTARTABLE: stop it mid-corpus, start it again
+      with the same checkpoint, and only unseen input is processed —
+      partials already written stay put;
+    - a REPLAYED batch (foreachBatch at-least-once) overwrites its own
+      partition — idempotent for every sketch family, including CMS's
+      non-idempotent counter-sum merge;
+    - the merge is decoupled: any later job reads the directory
+      (:func:`read_partials`) and merges with the ordinary batch
+      ``*_merge`` — no driver accumulation, no stream left running.
+
+    Runs to completion of currently-available input (AvailableNow) and
+    returns when the stream stops."""
+
+    q = (
+        src.writeStream.foreachBatch(_durable_body(per_batch, partials_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _durable_body(
+    per_batch: Callable[[DataFrame, int], DataFrame],
+    partials_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body of :func:`run_partial_stream_durable`,
+    factored out so the replay contract is directly testable: a second
+    invocation with the same ``batch_id`` overwrites that batch's own
+    partition — never appends a duplicate."""
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        partial = per_batch(batch_df, int(batch_id))
+        # drop the batch column: the partition directory IS the batch
+        # id, and partition discovery restores it as a column on read
+        partial.drop(_MICRO_BATCH_COL).write.mode("overwrite").parquet(
+            f"{partials_dir}/{_MICRO_BATCH_COL}={int(batch_id)}"
+        )
+
+    return body
+
+
+def read_partials(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Read a durable partials directory back as one batch DataFrame
+    (``micro_batch`` restored as a partition column), ready for the
+    family's ``*_merge``."""
+    return spark.read.parquet(partials_dir)
+
+
+def _kmv_per_batch(
+    group_cols: list[str], value_col: str, k: int, hash_family: str
+) -> Callable[[DataFrame, int], DataFrame]:
+    def per_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return kmv_partial_sketches(
+            batch_df.withColumn(_MICRO_BATCH_COL, F.lit(batch_id)),
+            group_cols,
+            value_col,
+            _MICRO_BATCH_COL,
+            k,
+            hash_family,
+        )
+
+    return per_batch
 
 
 def stream_kmv_partials(
@@ -93,18 +209,30 @@ def stream_kmv_partials(
         k,
         hash_family,
     )
+    return _run_partial_stream(
+        src, _kmv_per_batch(group_cols, value_col, k, hash_family), template
+    )
 
-    def per_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
-        return kmv_partial_sketches(
-            batch_df.withColumn(_MICRO_BATCH_COL, F.lit(batch_id)),
-            group_cols,
-            value_col,
-            _MICRO_BATCH_COL,
-            k,
-            hash_family,
-        )
 
-    return _run_partial_stream(src, per_batch, template)
+def stream_kmv_partials_durable(
+    src: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    hash_family: str = "md5",
+) -> None:
+    """Durable KMV partial accumulation: one parquet partition per
+    micro-batch under a checkpoint (see
+    :func:`run_partial_stream_durable` for the restart/replay
+    contract). Merge later with ``kmv_merge(read_partials(...))``."""
+    run_partial_stream_durable(
+        src,
+        _kmv_per_batch(group_cols, value_col, k, hash_family),
+        partials_dir,
+        checkpoint_dir,
+    )
 
 
 def stream_bloom_partials(
@@ -139,6 +267,49 @@ def stream_bloom_partials(
             k_hashes,
             batch_col=_MICRO_BATCH_COL,
             hash_family=hash_family,
+        )
+
+    return _run_partial_stream(src, per_batch, template)
+
+
+def stream_cms_partials(
+    src: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """One CMS counter-table partial per micro-batch of ``src``:
+    returns the accumulated partials frame ``(group…, micro_batch, r,
+    bucket, cnt, depth, width, hash_family)`` ready for
+    :func:`~etl_prometheus2clickhouse_spark.operators.sketch.cms_merge`.
+    CMS merge is a counter SUM (exact by linearity but NOT
+    idempotent) — this family is only safe on the batch-id-keyed
+    accumulator, which is exactly what :func:`_run_partial_stream`
+    provides (a replayed batch replaces its partial instead of
+    double-counting)."""
+    template = cms_partial_sketches(
+        src.sparkSession.createDataFrame([], src.schema).withColumn(
+            _MICRO_BATCH_COL, F.lit(0)
+        ),
+        group_cols,
+        item_col,
+        _MICRO_BATCH_COL,
+        depth,
+        width,
+        hash_family,
+    )
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return cms_partial_sketches(
+            batch_df.withColumn(_MICRO_BATCH_COL, F.lit(batch_id)),
+            group_cols,
+            item_col,
+            _MICRO_BATCH_COL,
+            depth,
+            width,
+            hash_family,
         )
 
     return _run_partial_stream(src, per_batch, template)

@@ -253,3 +253,24 @@ def test_decode_images_real_routes_jpeg(spark):
     assert bytes(got[1]["pixels"]) == _flat_expected(dc0).tobytes()
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (8, 16, 1)
     assert bytes(got[2]["pixels"]) == _flat_expected(dc1).tobytes()
+
+
+def test_single_component_scan_ignores_declared_sampling():
+    """T.81 A.2.2: a 1-component scan is NON-interleaved — raster
+    order over ceil(w/8) x ceil(h/8) blocks regardless of the frame's
+    declared sampling factors. A grayscale stream whose SOF declares
+    2x2 must decode identically to the same stream declaring 1x1
+    (round-9 advice: the interleaved-MCU path silently scrambled
+    block placement on MCU-multiple dimensions)."""
+    rng = np.random.default_rng(11)
+    dc = rng.integers(-100, 100, size=(4, 4))  # 32x32, 16 distinct blocks
+    data = encode_jpeg_dc([dc])
+    w0, h0, c0, px0 = decode_jpeg_baseline(data)
+
+    sof = data.index(b"\xff\xc0")
+    hv_off = sof + 11  # marker(2) + len(2) + prec(1) + h(2) + w(2) + nf(1) + cid(1)
+    assert data[hv_off] == 0x11
+    patched = data[:hv_off] + b"\x22" + data[hv_off + 1 :]
+    w1, h1, c1, px1 = decode_jpeg_baseline(patched)
+    assert (w1, h1, c1) == (w0, h0, c0) == (32, 32, 1)
+    assert px1 == px0

@@ -425,3 +425,142 @@ def test_pq_validates_parameters(emb):
         cosine_topk_pq(emb, emb, dim=DIM, m=5)
     with pytest.raises(ValueError, match="n_candidates"):
         cosine_topk_pq(emb, emb, dim=DIM, m=4, k=10, n_candidates=5)
+
+
+# ---------------------------------------------------------------------------
+# persisted PQ code table (pq_train / pq_encode / cosine_topk_pq_codes)
+# ---------------------------------------------------------------------------
+
+
+def _rows_set(df):
+    return {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine_sim, 9))
+        for r in df.collect()
+    }
+
+
+def test_pq_codes_parquet_roundtrip_equals_inline(emb, spark, tmp_path):
+    """The whole point of pq_encode: build the code table ONCE, persist
+    it, and the codes-scan query path must be value-identical to the
+    encode-in-scan path with the same quantizer — through a REAL
+    parquet write/read, not an in-memory shortcut."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_pq_codes,
+        pq_encode,
+        pq_train,
+    )
+
+    qf = F.col("vec_id") < 8
+    model = pq_train(emb, dim=DIM, m=4, k_codes=8, id_col="vec_id")
+    path = str(tmp_path / "codes.parquet")
+    pq_encode(emb, model, id_col="vec_id").write.parquet(path)
+    codes = spark.read.parquet(path)
+    got = cosine_topk_pq_codes(
+        codes, model, emb, emb.where(qf), id_col="vec_id",
+        k=5, n_candidates=20,
+    )
+    want = cosine_topk_pq(
+        emb, emb.where(qf), dim=DIM, id_col="vec_id",
+        k=5, m=4, k_codes=8, n_candidates=20,
+    )
+    assert _rows_set(got) == _rows_set(want)
+
+
+def test_pq_encode_schema_and_code_range(emb, spark):
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    model = pq_train(emb, dim=DIM, m=4, k_codes=8, id_col="vec_id")
+    codes = pq_encode(emb, model, id_col="vec_id")
+    assert dict(codes.dtypes) == {"id": "bigint", "codes": "array<smallint>"}
+    rows = codes.collect()
+    assert len(rows) == N
+    for r in rows:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 8 for c in r.codes)
+
+
+def test_pq_null_query_rows_do_not_count_toward_max_queries(emb, spark):
+    """Round-9 advice: null-embedding query rows used to trip the
+    max_queries overflow check even when few usable vectors exist."""
+    nulls = spark.createDataFrame(
+        [(1000 + i, None) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") < 3).unionByName(nulls)
+    got = cosine_topk_pq(
+        emb, q, dim=DIM, id_col="vec_id",
+        k=5, m=4, k_codes=8, n_candidates=20, max_queries=5,
+    )
+    want = cosine_topk_pq(
+        emb, emb.where(F.col("vec_id") < 3), dim=DIM, id_col="vec_id",
+        k=5, m=4, k_codes=8, n_candidates=20,
+    )
+    assert _rows_set(got) == _rows_set(want)
+    got_a = cosine_topk_arrow(
+        emb, q, id_col="vec_id", k=5, max_queries=5
+    )
+    want_a = cosine_topk_arrow(
+        emb, emb.where(F.col("vec_id") < 3), id_col="vec_id", k=5
+    )
+    assert _rows_set(got_a) == _rows_set(want_a)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (cosine_topk_ivfpq)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_is_exactly_rescored_subset(emb, vectors):
+    """Every (query, neighbor) IVFADC returns carries the EXACT cosine
+    (rescored), and is a subset of the all-pairs universe."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    got = cosine_topk_ivfpq(
+        emb, emb.where(F.col("vec_id") < 6), dim=DIM, id_col="vec_id",
+        k=5, n_cells=8, n_probe=3, m=4, k_codes=8, n_candidates=20,
+    ).collect()
+    assert got
+    for r in got:
+        assert r.cosine_sim == pytest.approx(
+            _np_cosine(vectors[r.query_id], vectors[r.neighbor_id]),
+            abs=1e-9,
+        )
+        assert r.neighbor_id != r.query_id
+
+
+def test_ivfpq_full_probe_full_candidates_equals_bruteforce(emb):
+    """n_probe == n_cells and n_candidates >= |corpus| degenerate the
+    composition to exact-rescored-everything — must equal brute force
+    exactly (ranks, ties, everything)."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    qf = F.col("vec_id") < 5
+    got = cosine_topk_ivfpq(
+        emb, emb.where(qf), dim=DIM, id_col="vec_id",
+        k=4, n_cells=4, n_probe=4, m=4, k_codes=8, n_candidates=N,
+    )
+    want = cosine_topk_bruteforce(emb, emb.where(qf), id_col="vec_id", k=4)
+    assert _rows_set(got) == _rows_set(want)
+
+
+def test_ivfpq_finds_planted_near_dup(emb):
+    """vec 1 is a planted near-dup of vec 0 — the composed pruning
+    (probed cells × ADC candidates) must still surface it at rank 1."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    got = cosine_topk_ivfpq(
+        emb, emb.where(F.col("vec_id") == 0), dim=DIM, id_col="vec_id",
+        k=3, n_cells=8, n_probe=4, m=4, k_codes=8, n_candidates=20,
+    ).collect()
+    top = next(r for r in got if r.rank == 1)
+    assert top.neighbor_id == 1
+    assert top.cosine_sim > 0.99
