@@ -411,6 +411,12 @@ _ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = bytes(range(12))
 _ENC_AC_BITS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_VALS = bytes([0x00])  # EOB
+# Extended AC table for streams that carry one real AC coefficient
+# (EOB + run-0 sizes 1..10, all 4-bit codes — Kraft 11/16): selected
+# only when ac01_planes is given, so DC-only streams stay byte-
+# identical to earlier encoder output.
+_ENC_AC_EXT_BITS = [0, 0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_EXT_VALS = bytes([0x00] + list(range(0x01, 0x0B)))
 
 
 def _enc_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
@@ -446,9 +452,10 @@ def encode_jpeg_dc(
     dc_planes: list[np.ndarray],
     q00: int = 8,
     restart_interval: int = 0,
+    ac01_planes: list[np.ndarray] | None = None,
 ) -> bytes:
     """Emit a valid baseline JPEG whose every 8x8 block carries only a
-    quantized DC coefficient.
+    quantized DC coefficient (plus, optionally, ONE AC coefficient).
 
     ``dc_planes`` is 1 (grayscale) or 3 (YCbCr, 4:4:4) int arrays of
     shape (blocks_y, blocks_x), entries in [-128, 127]; the image is
@@ -458,6 +465,21 @@ def encode_jpeg_dc(
     an SQL oracle can restate the full pixel buffer. Optional
     ``restart_interval`` (in MCUs) emits DRI + cycling RSTn markers to
     exercise the decoder's restart path.
+
+    ``ac01_planes`` (same shapes as ``dc_planes``, entries in
+    [-1023, 1023] excluding magnitudes needing >10 bits) additionally
+    writes each block's quantized S(0,1) coefficient — the first
+    zig-zag AC slot — driving the decoder's Huffman AC run/size path.
+    The IDCT of a {DC, S(0,1)} block is closed-form: with the default
+    quantizer (Q(0,1) = 16) pixel (y, x) is
+
+        dc + 128 + ac * 16 * cos((2x+1)·π/16) / (4·√2)
+
+    — constant down each column, an 8-value row ramp — so the decoded
+    buffer is still exactly statable in SQL (plans/catalog.py:
+    q_decode_jpeg_ac). Omitted (None), the emitted bytes are identical
+    to the DC-only encoder of earlier rounds (the EOB-only AC table is
+    kept for that case).
     """
     if len(dc_planes) not in (1, 3):
         raise ValueError("encode_jpeg_dc takes 1 or 3 planes")
@@ -470,6 +492,14 @@ def encode_jpeg_dc(
     for p in dc_planes:
         if int(p.max()) > 127 or int(p.min()) < -128:
             raise ValueError("DC values must lie in [-128, 127]")
+    if ac01_planes is not None:
+        if len(ac01_planes) != len(dc_planes):
+            raise ValueError("ac01_planes must match dc_planes count")
+        if {p.shape for p in ac01_planes} != shapes:
+            raise ValueError("ac01_planes must share dc_planes' grid")
+        for p in ac01_planes:
+            if int(np.abs(p).max()) > 1023:
+                raise ValueError("AC(0,1) values must lie in [-1023, 1023]")
     w, h = bx * 8, by * 8
     ncomp = len(dc_planes)
 
@@ -484,9 +514,11 @@ def encode_jpeg_dc(
         sof += bytes([cid, 0x11, 0])  # 1x1 sampling, DQT 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT: DC class 0 id 0, AC class 1 id 0
+    ac_bits = _ENC_AC_EXT_BITS if ac01_planes is not None else _ENC_AC_BITS
+    ac_vals = _ENC_AC_EXT_VALS if ac01_planes is not None else _ENC_AC_VALS
     dht = (
         bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
-        + bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS
+        + bytes([0x10]) + bytes(ac_bits) + ac_vals
     )
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     if restart_interval:
@@ -499,7 +531,7 @@ def encode_jpeg_dc(
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    ac_codes = _enc_codes(ac_bits, ac_vals)
     eob_len, eob_code = ac_codes[0x00]
 
     wtr = _BitWriter()
@@ -524,6 +556,16 @@ def encode_jpeg_dc(
                 if s:
                     bits = diff if diff >= 0 else diff + (1 << s) - 1
                     wtr.write(bits, s)
+                if ac01_planes is not None:
+                    ac = int(ac01_planes[ci][y, x])
+                    if ac:
+                        # run/size symbol (run 0) + value bits for the
+                        # k=1 zig-zag slot — S(0,1) (T.81 F.1.2.2)
+                        sa = abs(ac).bit_length()
+                        alen, acode = ac_codes[sa]  # symbol 0x0s
+                        wtr.write(acode, alen)
+                        abits = ac if ac >= 0 else ac + (1 << sa) - 1
+                        wtr.write(abits, sa)
                 wtr.write(eob_code, eob_len)
             mcu += 1
     wtr.flush()

@@ -2298,6 +2298,89 @@ FROM v
 """
 
 
+def q_decode_jpeg_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real distributed JPEG decode with a live Huffman AC path under
+    an exact oracle — the AC face ``decode_jpeg``'s DC-only blocks
+    don't reach (round-9 verdict #7).
+
+    Every part row becomes an 8x8 grayscale baseline JPEG whose block
+    carries a DC coefficient AND one AC coefficient S(0,1)
+    (``encode_jpeg_dc(..., ac01_planes=...)``; ac ranges over
+    [-3, 3] including 0, so the run/size decode, EXTEND sign
+    reconstruction, and the no-AC branch all execute distributed).
+    The IDCT of a {DC, S(0,1)} block is closed-form — pixel (y, x) =
+    dc + 128 + ac·16·cos((2x+1)π/16)/(4√2), an 8-value row ramp
+    repeated down the 8 rows — so the oracle restates the full
+    64-byte buffer from the same ramp constants (every value sits
+    ≥ 0.04 from a rounding boundary at these (ac, Q) choices, so
+    float64 noise ~1e-13 cannot flip a byte)."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.jpegcodec import (
+        encode_jpeg_dc,
+    )
+
+    def _synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                dc = np.array([[rid % 200 - 100]])
+                ac = np.array([[rid % 7 - 3]])
+                ids.append(rid)
+                blobs.append(encode_jpeg_dc([dc], ac01_planes=[ac]))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    blobs = p.mapInPandas(_synth, "id bigint, content binary")
+    dec = decode_images(blobs, "content", "id", mode="real")
+    return dec.select(
+        "id",
+        "media_type",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("px_hex"),
+    )
+
+
+# cos((2x+1)·π/16)/(4·√2) for x = 0..3 (x = 4..7 are the negations):
+# the S(0,1) IDCT column ramp, stated to full float64 precision so the
+# oracle's arithmetic matches the decoder's within ~1e-13 — far inside
+# the >= 0.04 rounding margin the (dc, ac, Q) choices guarantee
+import math as _math  # noqa: E402
+
+_JPEG_AC_RAMP = [
+    repr(_math.cos((2 * x + 1) * _math.pi / 16) / (4 * _math.sqrt(2.0)))
+    for x in range(4)
+]
+
+_JPEG_AC_PX = " || ".join(
+    f"lpad(hex(CAST(round(dcv + 128 + acv * 16 * ({sign}{_JPEG_AC_RAMP[i]}))"
+    " AS INT)), 2, '0')"
+    for sign, i in [("", 0), ("", 1), ("", 2), ("", 3),
+                    ("-", 3), ("-", 2), ("-", 1), ("-", 0)]
+)
+
+ORACLE_DECODE_JPEG_AC = f"""
+WITH v AS (
+    SELECT p_partkey AS id,
+           CAST(p_partkey % 200 - 100 AS DOUBLE) AS dcv,
+           CAST(p_partkey % 7 - 3 AS DOUBLE) AS acv
+    FROM part
+)
+SELECT id,
+       'image/jpeg' AS media_type,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       repeat({_JPEG_AC_PX}, 8) AS px_hex
+FROM v
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four sniff paths (PNG IHDR, JPEG SOF, MP4 ftyp, opaque-binary
     fall-through) union-aligned on one NULL-padded schema — the single
@@ -3457,6 +3540,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # demoted round 8: superseded in the window by decode_jpeg (real
     # decode); the fake-payload plumbing face stays oracle-verified here
     "decode_pixels": q_decode_pixels,
+    # round-9: the Huffman AC decode face (run/size symbols + EXTEND
+    # sign reconstruction), byte-exact via the closed-form S(0,1) ramp
+    "decode_jpeg_ac": q_decode_jpeg_ac,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
@@ -3562,6 +3648,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "decode_pixels": ORACLE_DECODE_PIXELS,
+    "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,

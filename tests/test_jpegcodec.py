@@ -274,3 +274,52 @@ def test_single_component_scan_ignores_declared_sampling():
     w1, h1, c1, px1 = decode_jpeg_baseline(patched)
     assert (w1, h1, c1) == (w0, h0, c0) == (32, 32, 1)
     assert px1 == px0
+
+
+def test_ac_coefficient_closed_form_and_compat():
+    """ac01_planes drives the Huffman AC run/size path; the decoded
+    {DC, S(0,1)} block must equal the closed-form IDCT ramp
+    dc + 128 + ac·16·cos((2x+1)π/16)/(4√2) byte-for-byte (the basis
+    of the decode_jpeg_ac oracle), and omitting ac01_planes must emit
+    byte-identical streams to the DC-only encoder."""
+    import math
+
+    ramp = [
+        math.cos((2 * x + 1) * math.pi / 16) / (4 * math.sqrt(2.0))
+        for x in range(8)
+    ]
+    rng = np.random.default_rng(5)
+    dcp = rng.integers(-100, 100, (3, 4))
+    acp = rng.integers(-3, 4, (3, 4))
+    # extremes too: size-10 magnitudes and sign reconstruction
+    acp[0, 0], acp[0, 1] = 1000, -1000
+    data = encode_jpeg_dc([dcp], restart_interval=2, ac01_planes=[acp])
+    w, h, c, px = decode_jpeg_baseline(data)
+    assert (w, h, c) == (32, 24, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(24, 32)
+    for by in range(3):
+        for bx in range(4):
+            want = np.clip(
+                np.round(
+                    np.array(
+                        [
+                            [
+                                dcp[by, bx] + 128 + acp[by, bx] * 16 * r
+                                for r in ramp
+                            ]
+                        ]
+                        * 8
+                    )
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            assert (got[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
+
+    assert encode_jpeg_dc([dcp]) == encode_jpeg_dc([dcp], ac01_planes=None)
+    with pytest.raises(ValueError, match="1023"):
+        encode_jpeg_dc(
+            [np.array([[10]])], ac01_planes=[np.array([[1024]])]
+        )
+    with pytest.raises(ValueError, match="grid"):
+        encode_jpeg_dc([dcp], ac01_planes=[np.array([[1]])])
