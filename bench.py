@@ -81,11 +81,17 @@ BENCH_QUERIES = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_pq",
+    # round-9: persisted-code-table PQ (build+scan each run — the
+    # repeated-query economics are recorded in scripts/scale_smoke.py)
+    # and the IVFADC composition
+    "cosine_topk_pq_codes",
+    "cosine_topk_ivfpq",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
     "decode_audio_wav",
     "decode_jpeg",
+    "decode_jpeg_ac",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
     "events_quantiles_sketch",
@@ -95,6 +101,7 @@ BENCH_QUERIES = [
     "stream_rate",
     "stream_join",
     "stream_kmv",
+    "stream_kmv_durable",
 ]
 
 

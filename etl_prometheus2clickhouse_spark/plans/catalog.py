@@ -106,6 +106,7 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_hourly,
     q_stream_join,
     q_stream_kmv,
+    q_stream_kmv_durable,
     q_stream_rate,
 )
 
@@ -2303,16 +2304,20 @@ def q_decode_jpeg_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact oracle — the AC face ``decode_jpeg``'s DC-only blocks
     don't reach (round-9 verdict #7).
 
-    Every part row becomes an 8x8 grayscale baseline JPEG whose block
-    carries a DC coefficient AND one AC coefficient S(0,1)
-    (``encode_jpeg_dc(..., ac01_planes=...)``; ac ranges over
+    Every part row becomes a 16x16 grayscale baseline JPEG of four
+    blocks, each carrying a DC coefficient AND one AC coefficient
+    S(0,1) (``encode_jpeg_dc(..., ac01_planes=...)``; ac ranges over
     [-3, 3] including 0, so the run/size decode, EXTEND sign
-    reconstruction, and the no-AC branch all execute distributed).
-    The IDCT of a {DC, S(0,1)} block is closed-form — pixel (y, x) =
-    dc + 128 + ac·16·cos((2x+1)π/16)/(4√2), an 8-value row ramp
-    repeated down the 8 rows — so the oracle restates the full
-    64-byte buffer from the same ramp constants (every value sits
-    ≥ 0.04 from a rounding boundary at these (ac, Q) choices, so
+    reconstruction, and the no-AC branch all execute distributed; a
+    third of the rows also carry DRI restart markers, and the four
+    distinct blocks pin MCU raster placement). This STRICTLY
+    supersedes the DC-only ``decode_jpeg`` face — everything that
+    entry exercised (multi-block, DC prediction, restarts) plus the
+    Huffman AC path. The IDCT of a {DC, S(0,1)} block is closed-form —
+    pixel (y, x) = dc + 128 + ac·16·cos((2x+1)π/16)/(4√2), an 8-value
+    row ramp repeated down the block's 8 rows — so the oracle restates
+    the full 256-byte buffer from the same ramp constants (every value
+    sits ≥ 0.04 from a rounding boundary at these (ac, Q) choices, so
     float64 noise ~1e-13 cannot flip a byte)."""
     import numpy as np
 
@@ -2327,10 +2332,24 @@ def q_decode_jpeg_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, blobs = [], []
             for rid in pdf["id"]:
                 rid = int(rid)
-                dc = np.array([[rid % 200 - 100]])
-                ac = np.array([[rid % 7 - 3]])
+                dc = np.array(
+                    [
+                        [rid % 200 - 100, (rid + 53) % 200 - 100],
+                        [(rid + 106) % 200 - 100, (rid + 159) % 200 - 100],
+                    ]
+                )
+                ac = np.array(
+                    [
+                        [rid % 7 - 3, (rid + 1) % 7 - 3],
+                        [(rid + 2) % 7 - 3, (rid + 3) % 7 - 3],
+                    ]
+                )
                 ids.append(rid)
-                blobs.append(encode_jpeg_dc([dc], ac01_planes=[ac]))
+                blobs.append(
+                    encode_jpeg_dc(
+                        [dc], restart_interval=rid % 3, ac01_planes=[ac]
+                    )
+                )
             yield pd.DataFrame({"id": ids, "content": blobs})
 
     p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
@@ -2357,26 +2376,38 @@ _JPEG_AC_RAMP = [
     for x in range(4)
 ]
 
-_JPEG_AC_PX = " || ".join(
-    f"lpad(hex(CAST(round(dcv + 128 + acv * 16 * ({sign}{_JPEG_AC_RAMP[i]}))"
-    " AS INT)), 2, '0')"
-    for sign, i in [("", 0), ("", 1), ("", 2), ("", 3),
-                    ("-", 3), ("-", 2), ("-", 1), ("-", 0)]
-)
+def _jpeg_ac_row(i: int) -> str:
+    """The 8-pixel row (16 hex chars) of block ``i``'s S(0,1) ramp:
+    lpad(hex(round(dc_i + 128 + ac_i·16·r_x))) for x = 0..7, with
+    r_{7−x} = −r_x."""
+    return " || ".join(
+        f"lpad(hex(CAST(round(dc{i} + 128 + ac{i} * 16 * "
+        f"({sign}{_JPEG_AC_RAMP[j]})) AS INT)), 2, '0')"
+        for sign, j in [("", 0), ("", 1), ("", 2), ("", 3),
+                        ("-", 3), ("-", 2), ("-", 1), ("-", 0)]
+    )
+
 
 ORACLE_DECODE_JPEG_AC = f"""
 WITH v AS (
     SELECT p_partkey AS id,
-           CAST(p_partkey % 200 - 100 AS DOUBLE) AS dcv,
-           CAST(p_partkey % 7 - 3 AS DOUBLE) AS acv
+           CAST(p_partkey % 200 - 100 AS DOUBLE) AS dc0,
+           CAST((p_partkey + 53) % 200 - 100 AS DOUBLE) AS dc1,
+           CAST((p_partkey + 106) % 200 - 100 AS DOUBLE) AS dc2,
+           CAST((p_partkey + 159) % 200 - 100 AS DOUBLE) AS dc3,
+           CAST(p_partkey % 7 - 3 AS DOUBLE) AS ac0,
+           CAST((p_partkey + 1) % 7 - 3 AS DOUBLE) AS ac1,
+           CAST((p_partkey + 2) % 7 - 3 AS DOUBLE) AS ac2,
+           CAST((p_partkey + 3) % 7 - 3 AS DOUBLE) AS ac3
     FROM part
 )
 SELECT id,
        'image/jpeg' AS media_type,
-       CAST(8 AS BIGINT) AS width,
-       CAST(8 AS BIGINT) AS height,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
        CAST(1 AS INTEGER) AS channels,
-       repeat({_JPEG_AC_PX}, 8) AS px_hex
+       repeat({_jpeg_ac_row(0)} || {_jpeg_ac_row(1)}, 8)
+       || repeat({_jpeg_ac_row(2)} || {_jpeg_ac_row(3)}, 8) AS px_hex
 FROM v
 """
 
@@ -3466,7 +3497,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cms_heavy_hitters (partial build + exact merge + shared probe),
     # so the one-shot face is demoted. The third slot funds
     # seq_packing_bucketed — the r7 weak item, fixed.
-    "stream_kmv": q_stream_kmv,
+    # round-9 window swap (demote-to-fund, the r6-r8 pattern):
+    # stream_kmv_durable SHARES stream_kmv's one-shot oracle and runs
+    # the SAME four foreachBatch micro-batches through the strictly
+    # stronger lifecycle — checkpointed parquet partials read back
+    # from disk before merging — so the in-memory face demotes.
+    "stream_kmv_durable": q_stream_kmv_durable,
     "cms_merge_hh": q_cms_merge_hh,
     "seq_packing_bucketed": q_seq_packing_bucketed,
     # text analysis
@@ -3484,17 +3520,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
-    # embeddings
+    # embeddings — round-9 swap: the persisted-code-table PQ face and
+    # the IVFADC composition take the window; cosine_topk_ivfpq runs a
+    # strict superset of cosine_topk_ivf's probe machinery (coarse
+    # assign + probe + the PQ encode/ADC on top), so the standalone
+    # IVF face demotes to cross-checked
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    "cosine_topk_ivf": q_cosine_topk_ivf,
+    "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
+    "cosine_topk_ivfpq": q_cosine_topk_ivfpq,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
-    # round-8 swap: the REAL distributed JPEG decode (built-in T.81
-    # Huffman+IDCT under a byte-exact oracle) takes the window slot of
-    # decode_pixels, whose fake-payload Arrow plumbing it strictly
-    # supersedes; decode_pixels stays cross-checked
-    "decode_jpeg": q_decode_jpeg,
+    # round-9 swap: decode_jpeg_ac strictly supersedes decode_jpeg —
+    # same 16x16 four-block grid, DC prediction and DRI restarts, PLUS
+    # the Huffman AC run/size path — so the DC-only face demotes
+    "decode_jpeg_ac": q_decode_jpeg_ac,
     # relational analytics
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3503,7 +3543,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rate": q_events_rate,
     "user_sessions": q_user_sessions,
     "events_pivot": q_events_pivot,
-    "events_unpivot": q_events_unpivot,
     "events_moving_avg": q_events_moving_avg,
     "events_cube": q_events_cube,
     "orders_anti_join": q_orders_anti_join,
@@ -3540,9 +3579,6 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # demoted round 8: superseded in the window by decode_jpeg (real
     # decode); the fake-payload plumbing face stays oracle-verified here
     "decode_pixels": q_decode_pixels,
-    # round-9: the Huffman AC decode face (run/size symbols + EXTEND
-    # sign reconstruction), byte-exact via the closed-form S(0,1) ramp
-    "decode_jpeg_ac": q_decode_jpeg_ac,
     "bloom_decontaminate": q_bloom_decontaminate,
     # demoted round 6 to fund new distinct operators: each is dominated
     # by a remaining primary (token_count ⊂ text_stats; rollup by
@@ -3564,11 +3600,18 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_arrow": q_cosine_topk_arrow,
     # round-8: product-quantization ADC top-k (algorithmic-parity oracle)
     "cosine_topk_pq": q_cosine_topk_pq,
-    # round-9: the persisted-code-table face of PQ (build once, scan
-    # codes only) and the IVF×PQ composition (IVFADC) — both share the
-    # full-pipeline DuckDB parity pattern
-    "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
-    "cosine_topk_ivfpq": q_cosine_topk_ivfpq,
+    # demoted round 9 to fund the window's cosine_topk_pq_codes /
+    # cosine_topk_ivfpq / decode_jpeg_ac / stream_kmv_durable swaps:
+    # cosine_topk_ivf's probe machinery runs as a strict subset of the
+    # in-window IVFADC entry; decode_jpeg's DC-only blocks are a strict
+    # subset of decode_jpeg_ac's DC+AC blocks (same grid, same DRI
+    # path); stream_kmv shares its oracle with the durable face that
+    # replaced it; events_unpivot is the mechanical inverse twin of
+    # the in-window events_pivot
+    "cosine_topk_ivf": q_cosine_topk_ivf,
+    "decode_jpeg": q_decode_jpeg,
+    "stream_kmv": q_stream_kmv,
+    "events_unpivot": q_events_unpivot,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -3607,10 +3650,11 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": _oracle_jaccard_unblocked(0.5),
     "dup_clusters": _oracle_dup_clusters(),
     "cosine_topk": ORACLE_COSINE_TOPK,
-    "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
+    "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
+    "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
-    "decode_jpeg": ORACLE_DECODE_JPEG,
+    "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
     "q5_region_revenue": ORACLE_Q5,
@@ -3618,7 +3662,6 @@ ORACLES: dict[str, str] = {
     "events_rate": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
     "events_pivot": ORACLE_EVENTS_PIVOT,
-    "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
     "events_cube": ORACLE_EVENTS_CUBE,
     "orders_anti_join": ORACLE_ORDERS_ANTI_JOIN,
@@ -3627,7 +3670,7 @@ ORACLES: dict[str, str] = {
     "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_multires": ORACLE_EVENTS_MULTIRES,
     # merge is exact by construction → the one-shot SQL IS the oracle
-    "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
     "cms_merge_hh": ORACLE_HEAVY_HITTERS_CMS,
     "seq_packing_bucketed": ORACLE_SEQ_PACKING,
     "stream_hourly": ORACLE_STREAM_HOURLY,
@@ -3648,7 +3691,6 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
     "decode_audio_wav": ORACLE_DECODE_AUDIO_WAV,
     "decode_pixels": ORACLE_DECODE_PIXELS,
-    "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "token_count": ORACLE_TOKEN_COUNT,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
@@ -3663,8 +3705,10 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "fingerprint_dedup": ORACLE_FINGERPRINT_DEDUP,
     "cosine_topk_arrow": ORACLE_COSINE_TOPK,
     "cosine_topk_pq": ORACLE_COSINE_TOPK_PQ,
-    "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
-    "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
+    "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
+    "decode_jpeg": ORACLE_DECODE_JPEG,
+    "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

@@ -331,3 +331,61 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_hash",
         "est_distinct",
     )
+
+
+def q_stream_kmv_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DURABLE face of ``stream_kmv`` (round-9 verdict #3): the
+    same four real micro-batches, but each batch's KMV partial is
+    written to a ``micro_batch=N`` parquet partition under a streaming
+    CHECKPOINT (streaming/sketch_stream.py:
+    ``stream_kmv_partials_durable``) instead of a driver accumulator —
+    the shape a 100 TB deployment runs, where partial accumulation
+    must survive job restarts (stop/restart resume and replay-
+    overwrite are pinned in tests/test_streaming_sketch.py). The merge
+    then runs over the artifact READ BACK FROM DISK. Exact-by-
+    construction merging makes the oracle the ONE-SHOT kmv SQL, same
+    as stream_kmv — green proves durable-write → restart-safe
+    accumulate → read → merge reproduces the one-shot sketch bit for
+    bit. (The partial rows are collected off the scratch artifact
+    before cleanup — O(batches × groups × k) sketch rows, the same
+    bounded-artifact contract as the in-memory face.)"""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.sketch import kmv_merge
+    from etl_prometheus2clickhouse_spark.streaming.sketch_stream import (
+        read_partials,
+        stream_kmv_partials_durable,
+    )
+
+    ts.ensure_parquet_nanos_conf(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_kmv_durable_")
+    try:
+        in_dir = f"{scratch}/in"
+        batch.repartition(4).write.mode("overwrite").parquet(in_dir)
+        src = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        stream_kmv_partials_durable(
+            src,
+            ["event_type"],
+            "user_id",
+            f"{scratch}/partials",
+            f"{scratch}/ckpt",
+            k=64,
+        )
+        on_disk = read_partials(spark, f"{scratch}/partials")
+        partials = spark.createDataFrame(on_disk.collect(), on_disk.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return kmv_merge(partials, ["event_type"], k=64).select(
+        "event_type",
+        "n_k",
+        "kth_hash",
+        "est_distinct",
+    )

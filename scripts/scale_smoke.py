@@ -309,6 +309,119 @@ def main() -> None:
     assert diff == 0, "bucketed layout diverged from per-stratum layout"
     assert max_task <= BUCKET_W, "bucket bound violated"
 
+    # round-9: the persisted PQ code table. Build once (pq_encode →
+    # parquet), then the query-time candidate scan must read ONLY
+    # (id, codes) from the code table — asserted on the plan's
+    # ReadSchema, which is the whole 100 TB economics: m smallints per
+    # vector instead of the float vector column — and must return
+    # exactly what the inline encode-in-scan path returns with the
+    # same quantizer.
+    import contextlib
+    import io
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_pq_codes,
+        pq_encode,
+        pq_train,
+    )
+
+    model = pq_train(embs, dim=64, m=8, k_codes=32, id_col="vec_id")
+    codes_dir = tempfile.mkdtemp(prefix="smoke_pq_codes_")
+    try:
+        t0 = time.perf_counter()
+        pq_encode(embs, model, id_col="vec_id").write.mode(
+            "overwrite"
+        ).parquet(codes_dir)
+        t_build = round(time.perf_counter() - t0, 1)
+        codes_tbl = spark.read.parquet(codes_dir)
+        pqc = lambda: cosine_topk_pq_codes(  # noqa: E731
+            codes_tbl, model, embs, q10, id_col="vec_id",
+            k=10, n_candidates=100,
+        )
+        run(f"cosine_topk_pq_codes (table built once in {t_build}s)", pqc)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pqc().explain("formatted")
+        plan_txt = buf.getvalue()
+        assert codes_dir in plan_txt, "codes scan missing from plan"
+        assert (
+            "struct<id:bigint,codes:array<smallint>>" in plan_txt
+        ), "candidate scan reads more than (id, codes) from the code table"
+        with cached_scope():
+            from_codes = {
+                (r.query_id, r.neighbor_id, r.rank) for r in pqc().collect()
+            }
+            inline = {
+                (r.query_id, r.neighbor_id, r.rank)
+                for r in cosine_topk_pq(embs, q10, **pq_kwargs).collect()
+            }
+        assert from_codes == inline, "codes-scan path diverged from inline"
+        print(f"  codes-scan parity with inline PQ: {len(from_codes)} rows equal")
+    finally:
+        shutil.rmtree(codes_dir, ignore_errors=True)
+
+    # round-9: CMS partials at a K×-multiplied vocabulary — the sketch
+    # state must stay GEOMETRY-bounded (batches × groups × depth ×
+    # width) while the corpus and its vocabulary grow K×; that
+    # vocabulary-independence is the entire point of the counter
+    # table. One partial per synthetic ingestion batch (= copy id),
+    # exact-by-linearity merge, broadcast probe.
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    ev_copies = [
+        ev.select(
+            "event_type",
+            F.concat(F.col("user_id").cast("string"), F.lit(f"#{i}")).alias(
+                "item"
+            ),
+            F.lit(i).alias("batch"),
+        )
+        for i in range(k)
+    ]
+    occ_big = ev_copies[0]
+    for c in ev_copies[1:]:
+        occ_big = occ_big.unionByName(c)
+    occ_big = occ_big.persist()
+    n_occ = occ_big.count()
+    n_groups = occ_big.select("event_type").distinct().count()
+    DEPTH, WIDTH = 3, 1024
+    with cached_scope():
+        t0 = time.perf_counter()
+        partials = cms_partial_sketches(
+            occ_big, ["event_type"], "item", "batch", DEPTH, WIDTH
+        ).persist()
+        n_partial_rows = partials.count()
+        sketch = cms_merge(partials, ["event_type"]).persist()
+        n_merged_rows = sketch.count()
+        hh = cms_heavy_hitters_from_sketch(
+            occ_big.drop("batch"), sketch, ["event_type"], "item",
+            phi=0.001, depth=DEPTH, width=WIDTH,
+        ).count()
+        dt = round(time.perf_counter() - t0, 1)
+        partials.unpersist()
+        sketch.unpersist()
+    occ_big.unpersist()
+    print(
+        f"cms partials @K={k}: {n_occ} occurrences ({k}x vocabulary) → "
+        f"{n_partial_rows} partial rows, {n_merged_rows} merged rows, "
+        f"{hh} heavy hitters in {dt}s"
+    )
+    assert n_partial_rows <= k * n_groups * DEPTH * WIDTH, (
+        "partial state exceeded batches × groups × geometry"
+    )
+    assert n_merged_rows <= n_groups * DEPTH * WIDTH, (
+        "merged sketch exceeded groups × geometry"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -225,6 +225,14 @@ def test_decode_jpeg_is_shuffle_free_arrow(spark):
     assert "Exchange" not in p
 
 
+def test_decode_jpeg_ac_is_shuffle_free_arrow(spark):
+    # the AC face keeps the same two-Arrow-stage shape
+    p = _plan(spark, "decode_jpeg_ac")
+    assert p.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
 def test_pii_scrub_is_shuffle_free_jvm(spark):
     # regex counting + redaction is per-row column math: scan + project
     p = _plan(spark, "pii_scrub")

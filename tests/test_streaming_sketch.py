@@ -296,3 +296,61 @@ def test_durable_body_overwrites_replayed_batch_partition(spark, tmp_path):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in one_shot.collect()
     }
+
+
+def test_durable_cms_partials_merge_exact(spark, tmp_path):
+    """The durable path composed with the NON-idempotent family: CMS
+    partials written one partition per batch, merged from disk, equal
+    the one-shot counter table — and a simulated replay through the
+    durable body leaves the merge unchanged (partition overwrite)."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_merge,
+        cms_partial_sketches,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.sketch_stream import (
+        _MICRO_BATCH_COL,
+        _durable_body,
+        read_partials,
+        run_partial_stream_durable,
+    )
+
+    scratch = str(tmp_path / "in")
+    pdir = str(tmp_path / "partials")
+    rows = [("g1" if i % 2 else "g2", f"u{i % 37}") for i in range(800)]
+    full = spark.createDataFrame(rows, "grp string, v string")
+    full.repartition(2).write.mode("overwrite").parquet(scratch)
+    src = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(scratch)
+    )
+
+    def per_batch(batch_df, batch_id):
+        return cms_partial_sketches(
+            batch_df.withColumn(_MICRO_BATCH_COL, F.lit(batch_id)),
+            ["grp"], "v", _MICRO_BATCH_COL, 3, 32,
+        )
+
+    run_partial_stream_durable(src, per_batch, pdir, str(tmp_path / "ckpt"))
+    merged = {
+        tuple(r)
+        for r in cms_merge(read_partials(spark, pdir), ["grp"]).collect()
+    }
+    one_shot = {
+        tuple(r) for r in _cms_one_shot(full, ["grp"], "v", 3, 32).collect()
+    }
+    assert merged == one_shot
+
+    # replay batch 0 through the durable body: the partition is
+    # OVERWRITTEN, never appended — the structural invariant that
+    # keeps the counter-sum merge from double-counting. (The replayed
+    # content need not match the original file split; the invariant
+    # under test is one-partition-per-batch-id.)
+    _durable_body(per_batch, pdir)(
+        spark.createDataFrame(rows[:400], full.schema), 0
+    )
+    n_parts = {
+        r.micro_batch
+        for r in read_partials(spark, pdir).select("micro_batch").collect()
+    }
+    assert n_parts == {0, 1}
