@@ -922,6 +922,7 @@ def cosine_topk_ivfpq(
     seed: int = 42,
     quantizers: str = "kmeans",
     max_queries: int = 10_000,
+    residuals: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF + PQ composed (IVFADC — Jégou
     TPAMI'11 §IV, the standard production ANN shape at 100 TB): a
@@ -941,18 +942,25 @@ def cosine_topk_ivfpq(
     ``n_candidates``; global cut + exact rescore as in
     :func:`cosine_topk_pq`.
 
-    This composition quantizes the RAW unit vectors, not the
-    per-cell residuals — residual encoding (Jégou §IV-A) sharpens
-    per-cell resolution at the cost of per-probe LUT recomputation
-    (n_probe × m × k_codes tables per query instead of one) and is the
-    natural next refinement; recall here is already governed by
-    ``n_probe`` × ``n_candidates`` × ``k_codes``, all pinned in
-    tests/test_similarity.py. ``quantizers="first"`` makes BOTH
-    quantizers SQL-expressible (coarse cells = the sample's first
-    ``n_cells`` unit vectors, codebooks = first ``k_codes``), so the
-    catalog oracle replicates assign → probe → encode → ADC →
-    candidate cut → rescore → rank end-to-end in DuckDB. Output schema
-    matches :func:`cosine_topk_bruteforce`."""
+    ``residuals=False`` quantizes the RAW unit vectors;
+    ``residuals=True`` is the proper IVFADC refinement (Jégou §IV-A):
+    each vector is encoded as its residual ``x̂ − c(cell)`` against a
+    SHARED residual codebook, and the ADC score becomes
+    ``q̂·c(cell) + Σ_j LUT[j, code_j]`` — the coarse term is exact per
+    cell and the codebook only has to cover the (much tighter)
+    residual distribution, which is where the recall gain comes from.
+    Cost shape is unchanged: one extra subtraction per corpus row at
+    build time and one precomputed ``q̂·C`` row per query (already
+    needed for probing) at query time. Recall/parameter trade-offs
+    for both modes are pinned in tests/test_similarity.py.
+
+    ``quantizers="first"`` makes BOTH quantizers SQL-expressible
+    (coarse cells = the sample's first ``n_cells`` unit vectors,
+    codebooks = first ``k_codes`` sample vectors — or their residuals
+    when ``residuals=True``), so the catalog oracle replicates
+    assign → probe → encode → ADC → candidate cut → rescore → rank
+    end-to-end in DuckDB. Output schema matches
+    :func:`cosine_topk_bruteforce`."""
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
     if dim % m != 0:
@@ -967,10 +975,18 @@ def cosine_topk_ivfpq(
     ds = dim // m
     if quantizers == "first":
         C = X[:n_cells].T  # dim × cells, already unit
-        B = np.stack([X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)])
     else:
         C = _train_centroids(X, n_cells, seed=seed).T
-        B = _train_pq_codebooks(X, m, k_codes, seed=seed)
+    # encode target: raw unit vectors, or residuals against each
+    # sample vector's own assigned cell (shared codebook across cells
+    # — the classic IVFADC memory/LUT trade, Jégou §IV-A)
+    enc_X = X - C.T[(X @ C).argmax(axis=1)] if residuals else X
+    if quantizers == "first":
+        B = np.stack(
+            [enc_X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)]
+        )
+    else:
+        B = _train_pq_codebooks(enc_X, m, k_codes, seed=seed)
     model = PQModel(dim, m, k_codes, B, (B**2).sum(axis=2))
 
     q = _collect_query_luts(
@@ -985,8 +1001,10 @@ def cosine_topk_ivfpq(
     n_q = len(q_ids)
     C_cut = n_candidates
     # probe sets: stable argsort keeps the (sim desc, cell asc)
-    # tie-break of cosine_topk_ivf's probe kernel
-    probe_sets = np.argsort(-(q_unit @ C), axis=1, kind="stable")[:, :n_probe]
+    # tie-break of cosine_topk_ivf's probe kernel; the same q̂·C rows
+    # supply the exact coarse term of the residual ADC score
+    q_cell_sims = q_unit @ C  # n_q × cells
+    probe_sets = np.argsort(-q_cell_sims, axis=1, kind="stable")[:, :n_probe]
     probe_masks = np.zeros((n_q, n_cells), dtype=bool)
     for qi in range(n_q):
         probe_masks[qi, probe_sets[qi]] = True
@@ -994,7 +1012,8 @@ def cosine_topk_ivfpq(
     def _scan(batches):
         """Build + probe in one pass (encode-in-scan face): assign the
         batch to cells (one GEMM — argmax takes the FIRST max, lowest
-        cell on ties), PQ-encode it, then per query ADC-score only the
+        cell on ties), PQ-encode it (residuals against the assigned
+        centroid when enabled), then per query ADC-score only the
         rows whose cell is probed."""
         best_sim = [np.empty(0)] * n_q
         best_ids = [np.empty(0, dtype=np.int64)] * n_q
@@ -1007,8 +1026,12 @@ def cosine_topk_ivfpq(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
             cells = (Xb @ C).argmax(axis=1)
-            codes = _pq_assign(Xb, model)
+            codes = _pq_assign(Xb - C.T[cells] if residuals else Xb, model)
             approx = _pq_adc_scores(codes, lut, n_q)
+            if residuals:
+                # q̂·x̂ ≈ q̂·c(cell) + q̂·r̂: add the exact coarse term,
+                # re-rounded so ties keep resolving like the oracle
+                approx = np.round(approx + q_cell_sims[:, cells], 6)
             for qi in range(n_q):
                 mask = probe_masks[qi][cells] & (ids != q_ids[qi])
                 if not mask.any():

@@ -2065,6 +2065,144 @@ FROM (
 """
 
 
+def q_cosine_topk_ivfpq_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (operators/similarity.py
+    ``cosine_topk_ivfpq(residuals=True)``; Jégou TPAMI'11 §IV-A, the
+    refinement production IVFADC actually ships): every vector is
+    PQ-encoded as its residual against its assigned coarse centroid
+    (one shared residual codebook), and the ADC score is the exact
+    coarse term ``q̂·c(cell)`` plus the residual LUT sum. Same
+    ``quantizers="first"`` trick — coarse cells from the sample's
+    first 32 unit vectors, residual codebooks from the first 16
+    vectors' residuals — so the DuckDB oracle replicates the COMPLETE
+    pipeline: assign → probe → residual → encode → coarse+ADC →
+    candidate cut → rescore → rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivfpq(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        dim=64,
+        id_col="vec_id",
+        k=5,
+        n_cells=32,
+        n_probe=8,
+        m=4,
+        k_codes=16,
+        n_candidates=50,
+        quantizers="first",
+        residuals=True,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(
+           v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))
+         ) AS v
+  FROM e
+),
+ccents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM e ORDER BY vec_id LIMIT 32
+),
+ccn AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM n ORDER BY vec_id LIMIT 32
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN ccents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN ccents c
+    WHERE a.vec_id < 10
+  ) WHERE rn <= 8
+),
+resid AS (
+  SELECT a.vec_id, s.cell,
+         list_transform(range(1, 65), i -> a.v[i] - c.v[i]) AS v
+  FROM n a
+  JOIN assign s ON s.vec_id = a.vec_id
+  JOIN ccn c ON c.cell = s.cell
+),
+rcents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM resid ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT j FROM range(0, 4) t(j)),
+codes AS (
+  SELECT vec_id, cell, j, code FROM (
+    SELECT a.vec_id, a.cell, s.j, c.code,
+           row_number() OVER (
+             PARTITION BY a.vec_id, s.j
+             ORDER BY {_PQ_OBJ.format(x='a', c='c', j='s')}, c.code
+           ) AS rn
+    FROM resid a CROSS JOIN subs s CROSS JOIN rcents c
+  ) WHERE rn = 1
+),
+approx AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, 65),
+                                   i -> q.v[i] * cc.v[i]))
+           + round(sum({_PQ_IP.format(x='q', c='c', j='cd')}), 6),
+         6) AS asim
+  FROM probes p
+  JOIN codes cd ON cd.cell = p.cell
+  JOIN ccn cc ON cc.cell = cd.cell
+  JOIN rcents c ON c.code = cd.code
+  JOIN n q ON q.vec_id = p.query_id
+  WHERE cd.vec_id <> p.query_id
+  GROUP BY p.query_id, cd.vec_id,
+           list_sum(list_transform(range(1, 65), i -> q.v[i] * cc.v[i]))
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY asim DESC, neighbor_id
+           ) AS rn
+    FROM approx
+  ) WHERE rn <= 50
+)
+SELECT query_id, neighbor_id, CAST(rank_k AS INT) AS rank_k,
+       round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_cos2('q', 'x')} AS cos_sim,
+         row_number() OVER (
+           PARTITION BY cd.query_id
+           ORDER BY {_cos2('q', 'x')} DESC, cd.neighbor_id
+         ) AS rank_k
+  FROM cand cd
+  JOIN e q ON q.vec_id = cd.query_id
+  JOIN e x ON x.vec_id = cd.neighbor_id
+) WHERE rank_k <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -3612,6 +3750,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_jpeg": q_decode_jpeg,
     "stream_kmv": q_stream_kmv,
     "events_unpivot": q_events_unpivot,
+    # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
+    # under its own full-pipeline oracle
+    "cosine_topk_ivfpq_residual": q_cosine_topk_ivfpq_residual,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -3709,6 +3850,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "decode_jpeg": ORACLE_DECODE_JPEG,
     "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
+    "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

@@ -564,3 +564,76 @@ def test_ivfpq_finds_planted_near_dup(emb):
     top = next(r for r in got if r.rank == 1)
     assert top.neighbor_id == 1
     assert top.cosine_sim > 0.99
+
+
+def test_ivfpq_residual_mode_is_exactly_rescored_subset(emb, vectors):
+    """residuals=True (Jégou §IV-A): same output contract — every
+    returned pair carries the exact rescored cosine."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    got = cosine_topk_ivfpq(
+        emb, emb.where(F.col("vec_id") < 6), dim=DIM, id_col="vec_id",
+        k=5, n_cells=8, n_probe=3, m=4, k_codes=8, n_candidates=20,
+        residuals=True,
+    ).collect()
+    assert got
+    for r in got:
+        assert r.cosine_sim == pytest.approx(
+            _np_cosine(vectors[r.query_id], vectors[r.neighbor_id]),
+            abs=1e-9,
+        )
+
+
+def test_ivfpq_residual_full_probe_full_candidates_equals_bruteforce(emb):
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    qf = F.col("vec_id") < 5
+    got = cosine_topk_ivfpq(
+        emb, emb.where(qf), dim=DIM, id_col="vec_id",
+        k=4, n_cells=4, n_probe=4, m=4, k_codes=8, n_candidates=N,
+        residuals=True,
+    )
+    want = cosine_topk_bruteforce(emb, emb.where(qf), id_col="vec_id", k=4)
+    assert _rows_set(got) == _rows_set(want)
+
+
+def test_ivfpq_residual_recall_and_planted_near_dup(emb):
+    """Quality pin for the residual refinement: top-5 recall vs brute
+    force at modest parameters, and the planted near-dup surfaces at
+    rank 1."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    qf = F.col("vec_id") < 10
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivfpq(
+            emb, emb.where(qf), dim=DIM, id_col="vec_id",
+            k=5, n_cells=8, n_probe=4, m=4, k_codes=8, n_candidates=20,
+            residuals=True,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(
+            emb, emb.where(qf), id_col="vec_id", k=5
+        ).collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"residual IVFADC recall degraded: {recall:.2f}"
+
+    top = next(
+        r
+        for r in cosine_topk_ivfpq(
+            emb, emb.where(F.col("vec_id") == 0), dim=DIM, id_col="vec_id",
+            k=3, n_cells=8, n_probe=4, m=4, k_codes=8, n_candidates=20,
+            residuals=True,
+        ).collect()
+        if r.rank == 1
+    )
+    assert top.neighbor_id == 1 and top.cosine_sim > 0.99
