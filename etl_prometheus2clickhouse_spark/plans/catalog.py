@@ -105,6 +105,7 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_dedup_keys,
     q_stream_hourly,
     q_stream_join,
+    q_stream_cms_hh,
     q_stream_kmv,
     q_stream_kmv_durable,
     q_stream_rate,
@@ -3751,8 +3752,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kmv": q_stream_kmv,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
-    # under its own full-pipeline oracle
+    # under its own full-pipeline oracle, and CMS through real
+    # micro-batches (the count-min twin of stream_kmv — safe only on
+    # the batch-id-keyed replay-proof accumulator)
     "cosine_topk_ivfpq_residual": q_cosine_topk_ivfpq_residual,
+    "stream_cms_hh": q_stream_cms_hh,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -3851,6 +3855,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
+    "stream_cms_hh": ORACLE_HEAVY_HITTERS_CMS,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

@@ -389,3 +389,61 @@ def q_stream_kmv_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_hash",
         "est_distinct",
     )
+
+
+def q_stream_cms_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS through REAL micro-batches — the count-min twin of
+    ``stream_kmv``, runnable at all only because the partial
+    accumulator is batch-id-keyed (streaming/sketch_stream.py): CMS
+    merge is a counter SUM, so a replayed foreachBatch would silently
+    double-count under a blind appender. The documents table is
+    re-written as four parquet files, streamed back one file per
+    micro-batch, each batch explodes its slice to (lang, word) and
+    sketches it into a depth×width counter partial; cms_merge sums the
+    partials (exact by linearity) and the merged sketch is probed for
+    per-lang heavy hitters. The oracle is the ONE-SHOT heavy-hitters
+    SQL — green proves streamed-and-merged counters are bit-identical
+    to the one-shot build regardless of batch boundaries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        _words as _doc_words,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.sketch_stream import (
+        stream_cms_partials,
+    )
+
+    ts.ensure_parquet_nanos_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "text"
+    )
+    occ = docs.select(
+        "lang", F.explode_outer(_doc_words(F.col("text"))).alias("word")
+    ).where(F.col("word").isNotNull())
+    scratch = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(scratch)
+        src_docs = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(scratch)
+        )
+        src_occ = src_docs.select(
+            "lang", F.explode_outer(_doc_words(F.col("text"))).alias("word")
+        ).where(F.col("word").isNotNull())
+        partials = stream_cms_partials(
+            src_occ, ["lang"], "word", depth=3, width=1024
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    sketch = cms_merge(partials, ["lang"])
+    return cms_heavy_hitters_from_sketch(
+        occ, sketch, ["lang"], "word", phi=0.01, depth=3, width=1024
+    )
