@@ -1057,6 +1057,205 @@ def cosine_topk_ivfpq(
     return _pq_rescore_topk(vecs, cand, q_ids, q_unit, k)
 
 
+class IVFPQModel(NamedTuple):
+    """A trained IVFADC index model: the coarse quantizer (dim ×
+    n_cells unit centroids), the PQ model (raw-vector or residual
+    codebooks), and which of the two encodings the codebooks were
+    trained for. Shared by :func:`ivfpq_encode` (build time) and
+    :func:`cosine_topk_ivfpq_codes` (query time) — persist it next to
+    the code table; mixing models and tables produces garbage scores."""
+
+    coarse: np.ndarray  # dim × n_cells
+    pq: PQModel
+    residuals: bool
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 64,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 4096,
+    seed: int = 42,
+    quantizers: str = "kmeans",
+    residuals: bool = False,
+) -> IVFPQModel:
+    """Train the IVFADC pair (coarse quantizer + PQ codebooks) on a
+    bounded deterministic sample — the factored-out build-time half of
+    :func:`cosine_topk_ivfpq`, for callers that persist the code table
+    with :func:`ivfpq_encode` instead of encoding in-scan."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    n_cells = min(n_cells, len(X))
+    k_codes = min(k_codes, len(X))
+    ds = dim // m
+    if quantizers == "first":
+        C = X[:n_cells].T
+    else:
+        C = _train_centroids(X, n_cells, seed=seed).T
+    enc_X = X - C.T[(X @ C).argmax(axis=1)] if residuals else X
+    if quantizers == "first":
+        B = np.stack(
+            [enc_X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)]
+        )
+    else:
+        B = _train_pq_codebooks(enc_X, m, k_codes, seed=seed)
+    return IVFPQModel(
+        C, PQModel(dim, m, k_codes, B, (B**2).sum(axis=2)), residuals
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    model: IVFPQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVFADC index table: one ``(id, cell, codes)``
+    row per corpus vector. Persist it PARTITIONED BY CELL —
+    ``.write.partitionBy("cell").parquet(path)`` — and a query's probe
+    set becomes a PARTITION FILTER: Spark prunes non-probed cell
+    directories at file-listing time, so the scan touches
+    ``(n_probe/n_cells) × m smallints`` per corpus vector of I/O —
+    both prunings (probe × code compression) realized as storage
+    layout, which is exactly the "at 100 TB the table is written
+    partitioned by cell" note on :func:`cosine_topk_ivfpq`, made
+    literal (scripts/scale_smoke.py asserts PartitionFilters +
+    ReadSchema on the real plan)."""
+    C = model.coarse
+    pq = model.pq
+    residuals = model.residuals
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["vec"].notna()]
+            if len(pdf) == 0:
+                continue
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            cells = (Xb @ C).argmax(axis=1)
+            codes = _pq_assign(
+                Xb - C.T[cells] if residuals else Xb, pq
+            ).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return vecs.mapInPandas(
+        _encode, "id bigint, cell int, codes array<smallint>"
+    )
+
+
+def cosine_topk_ivfpq_codes(
+    code_table: DataFrame,
+    model: IVFPQModel,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    n_candidates: int = 50,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVFADC over a PERSISTED cell-partitioned code table — the
+    query-time face of :func:`ivfpq_encode`. The probe-set union
+    across all queries is pushed as a ``cell IN (...)`` filter BEFORE
+    the scan, so on a ``partitionBy("cell")`` table Spark prunes
+    non-probed directories at listing time and the candidate scan
+    reads only probed cells' ``(id, cell, codes)`` rows — never the
+    float vectors (those are touched only by the bounded broadcast
+    rescore). Scores, cuts, and tie-breaks are identical to
+    :func:`cosine_topk_ivfpq` with the same model."""
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
+    C = model.coarse
+    pq = model.pq
+    residuals = model.residuals
+    n_cells = C.shape[1]
+    q = _collect_query_luts(
+        queries, pq, id_col, vec_col, max_queries, "cosine_topk_ivfpq_codes"
+    )
+    if q is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+            "cosine_sim double, rank int"
+        )
+    q_ids, q_unit, lut = q
+    n_q = len(q_ids)
+    C_cut = n_candidates
+    q_cell_sims = q_unit @ C
+    probe_sets = np.argsort(-q_cell_sims, axis=1, kind="stable")[:, :n_probe]
+    probe_masks = np.zeros((n_q, n_cells), dtype=bool)
+    for qi in range(n_q):
+        probe_masks[qi, probe_sets[qi]] = True
+    all_probed = sorted({int(c) for row in probe_sets for c in row})
+
+    def _scan(batches):
+        best_sim = [np.empty(0)] * n_q
+        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        for pdf in batches:
+            pdf = pdf[pdf["codes"].notna()]
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.vstack(
+                [np.asarray(c, dtype=np.int32) for c in pdf["codes"]]
+            )
+            approx = _pq_adc_scores(codes, lut, n_q)
+            if residuals:
+                approx = np.round(approx + q_cell_sims[:, cells], 6)
+            for qi in range(n_q):
+                mask = probe_masks[qi][cells] & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
+                cand = np.concatenate([best_ids[qi], ids[mask]])
+                order = np.lexsort((cand, -sims))[:C_cut]
+                best_sim[qi] = sims[order]
+                best_ids[qi] = cand[order]
+        rows = {
+            "query_id": np.concatenate(
+                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
+            ),
+            "neighbor_id": np.concatenate(best_ids),
+            "approx_sim": np.concatenate(best_sim),
+        }
+        yield pd.DataFrame(rows)
+
+    # the probe-union filter is what partition pruning pushes to the
+    # file listing on a partitionBy("cell") table
+    partial = (
+        code_table.select("id", "cell", "codes")
+        .where(F.col("cell").isin(all_probed))
+        .mapInPandas(
+            _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
+        )
+    )
+    cand = _candidate_cut(partial, C_cut)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    return _pq_rescore_topk(vecs, cand, q_ids, q_unit, k)
+
+
 def _banded_ids(
     df: DataFrame,
     id_col: str,

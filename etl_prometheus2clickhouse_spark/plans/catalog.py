@@ -60,11 +60,14 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_ivfpq,
+    cosine_topk_ivfpq_codes,
     cosine_topk_lsh,
     cosine_topk_pq,
     cosine_topk_pq_codes,
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
+    ivfpq_encode,
+    ivfpq_train,
     pq_encode,
     pq_train,
 )
@@ -2066,6 +2069,53 @@ FROM (
 """
 
 
+def q_cosine_topk_ivfpq_codes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFADC over a PERSISTED cell-partitioned code table
+    (operators/similarity.py ``ivfpq_train``/``ivfpq_encode``/
+    ``cosine_topk_ivfpq_codes``): the index is built once and written
+    ``partitionBy("cell")`` (a fixed per-sf scratch path, overwritten
+    per run), and the query's probe-set union is pushed as a
+    PARTITION FILTER so non-probed cell directories are pruned at
+    file-listing time — probe pruning realized as storage layout, the
+    literal 100 TB shape (scale_smoke asserts PartitionFilters +
+    codes-only ReadSchema on the plan). Same quantizers, scores, and
+    tie-breaks as the inline ``cosine_topk_ivfpq`` entry, so it faces
+    the SAME end-to-end DuckDB oracle."""
+    import os
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = ivfpq_train(
+        emb, dim=64, n_cells=32, m=4, k_codes=16, id_col="vec_id",
+        quantizers="first",
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivfpq_codes_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ivfpq_encode(emb, model, id_col="vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    out = cosine_topk_ivfpq_codes(
+        spark.read.parquet(path),
+        model,
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        k=5,
+        n_probe=8,
+        n_candidates=50,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
 def q_cosine_topk_ivfpq_residual(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3756,6 +3806,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # micro-batches (the count-min twin of stream_kmv — safe only on
     # the batch-id-keyed replay-proof accumulator)
     "cosine_topk_ivfpq_residual": q_cosine_topk_ivfpq_residual,
+    "cosine_topk_ivfpq_codes": q_cosine_topk_ivfpq_codes,
     "stream_cms_hh": q_stream_cms_hh,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
@@ -3855,6 +3906,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
+    "cosine_topk_ivfpq_codes": ORACLE_COSINE_TOPK_IVFPQ,
     "stream_cms_hh": ORACLE_HEAVY_HITTERS_CMS,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,

@@ -362,6 +362,69 @@ def main() -> None:
     finally:
         shutil.rmtree(codes_dir, ignore_errors=True)
 
+    # round-9: the cell-partitioned IVFADC table — probe pruning as
+    # storage layout. The probe-set union must surface as a partition
+    # filter (directories pruned at listing time) and the scan's
+    # ReadSchema must carry only (id, codes) — `cell` is partition
+    # metadata, never read from data files.
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_ivfpq_codes,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    ivf_model = ivfpq_train(
+        embs, dim=64, n_cells=64, m=8, k_codes=32, id_col="vec_id"
+    )
+    ivf_dir = tempfile.mkdtemp(prefix="smoke_ivfpq_codes_") + "/tbl"
+    try:
+        t0 = time.perf_counter()
+        ivfpq_encode(embs, ivf_model, id_col="vec_id").write.partitionBy(
+            "cell"
+        ).parquet(ivf_dir)
+        t_build = round(time.perf_counter() - t0, 1)
+        ivf_tbl = spark.read.parquet(ivf_dir)
+        ivfq = lambda: cosine_topk_ivfpq_codes(  # noqa: E731
+            ivf_tbl, ivf_model, embs, q10, id_col="vec_id",
+            k=10, n_probe=8, n_candidates=100,
+        )
+        run(f"cosine_topk_ivfpq_codes (cell-partitioned, built {t_build}s)",
+            ivfq)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ivfq().explain("formatted")
+        plan_txt = buf.getvalue()
+        pf_line = next(
+            (ln for ln in plan_txt.splitlines()
+             if "PartitionFilters: [cell" in ln), None
+        )
+        assert pf_line is not None, "probe set not pushed as partition filter"
+        n_pruned = len(pf_line.split("IN (")[1].split(")")[0].split(","))
+        assert n_pruned <= 64, pf_line
+        assert "struct<id:bigint,codes:array<smallint>>" in plan_txt
+        print(
+            f"  probe union pruned to {n_pruned}/64 cell directories; "
+            "scan reads (id, codes) only"
+        )
+        with cached_scope():
+            inline_ivf = {
+                (r.query_id, r.neighbor_id, r.rank)
+                for r in cosine_topk_ivfpq(
+                    embs, q10, dim=64, id_col="vec_id", k=10,
+                    n_cells=64, n_probe=8, m=8, k_codes=32,
+                    n_candidates=100,
+                ).collect()
+            }
+            from_ivf_codes = {
+                (r.query_id, r.neighbor_id, r.rank)
+                for r in ivfq().collect()
+            }
+        assert from_ivf_codes == inline_ivf, "ivfpq codes path diverged"
+        print(f"  ivfpq codes-scan parity: {len(from_ivf_codes)} rows equal")
+    finally:
+        shutil.rmtree(ivf_dir.rsplit("/", 1)[0], ignore_errors=True)
+
     # round-9: CMS partials at a K×-multiplied vocabulary — the sketch
     # state must stay GEOMETRY-bounded (batches × groups × depth ×
     # width) while the corpus and its vocabulary grow K×; that

@@ -637,3 +637,67 @@ def test_ivfpq_residual_recall_and_planted_near_dup(emb):
         if r.rank == 1
     )
     assert top.neighbor_id == 1 and top.cosine_sim > 0.99
+
+
+def test_ivfpq_codes_partitioned_roundtrip_equals_inline(emb, spark, tmp_path):
+    """The persisted IVFADC table: encode once, write PARTITIONED BY
+    CELL, and the codes-scan query must (a) be value-identical to the
+    inline encode-in-scan path with the same model, in both residual
+    modes, and (b) push the probe-set union down as a partition
+    filter — the scan's ReadSchema carries only (id, codes) because
+    `cell` is partition metadata, which is the literal 100 TB pruning
+    story."""
+    import contextlib
+    import io
+
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_ivfpq_codes,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    qf = F.col("vec_id") < 6
+    for residuals in (False, True):
+        model = ivfpq_train(
+            emb, dim=DIM, n_cells=8, m=4, k_codes=8, id_col="vec_id",
+            residuals=residuals,
+        )
+        path = str(tmp_path / f"ivfpq_{residuals}")
+        ivfpq_encode(emb, model, id_col="vec_id").write.partitionBy(
+            "cell"
+        ).parquet(path)
+        table = spark.read.parquet(path)
+        got = cosine_topk_ivfpq_codes(
+            table, model, emb, emb.where(qf), id_col="vec_id",
+            k=5, n_probe=3, n_candidates=20,
+        )
+        want = cosine_topk_ivfpq(
+            emb, emb.where(qf), dim=DIM, id_col="vec_id",
+            k=5, n_cells=8, n_probe=3, m=4, k_codes=8, n_candidates=20,
+            residuals=residuals,
+        )
+        assert _rows_set(got) == _rows_set(want), f"residuals={residuals}"
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [cell" in plan
+        assert "struct<id:bigint,codes:array<smallint>>" in plan
+
+        # one query at n_probe=2 must prune to exactly its two probed
+        # cell directories — the filter carries 2 cells, not all 8
+        one = cosine_topk_ivfpq_codes(
+            table, model, emb, emb.where(F.col("vec_id") == 0),
+            id_col="vec_id", k=3, n_probe=2, n_candidates=10,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            one.explain("formatted")
+        pf = next(
+            ln for ln in buf.getvalue().splitlines()
+            if "PartitionFilters: [cell" in ln
+        )
+        in_list = pf.split("IN (")[1].split(")")[0]
+        assert len(in_list.split(",")) == 2, pf
