@@ -566,11 +566,25 @@ def _pq_adc_scores(
     return np.round(approx, 6)
 
 
+def _codes_matrix(values, m: int, packed: bool) -> np.ndarray:
+    """Decode a pandas Series of code rows to an (n × m) int32 matrix
+    — ``packed`` rows are m-byte binary strings (one uint8 per code),
+    unpacked rows are smallint arrays."""
+    if packed:
+        return (
+            np.frombuffer(b"".join(values), dtype=np.uint8)
+            .reshape(-1, m)
+            .astype(np.int32)
+        )
+    return np.vstack([np.asarray(c, dtype=np.int32) for c in values])
+
+
 def pq_encode(
     corpus: DataFrame,
     model: PQModel,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """Materialize the PQ code table: one ``(id, codes array<smallint>)``
     row per corpus vector — the artifact that realizes PQ's 100 TB
@@ -587,7 +601,19 @@ def pq_encode(
     so codes from this table reproduce :func:`cosine_topk_pq`'s
     inline-encoded scores bit-for-bit (pinned by the
     ``cosine_topk_pq_codes`` catalog entry sharing the inline entry's
-    oracle)."""
+    oracle).
+
+    ``packed=True`` stores each row's codes as ONE m-byte binary
+    value (one uint8 per code; requires ``k_codes <= 256``) instead
+    of an ``array<smallint>`` — the denser production layout (a
+    parquet list carries repetition-level overhead per element; the
+    binary column is exactly m bytes + definition level).
+    :func:`cosine_topk_pq_codes` accepts either representation,
+    dispatching on the column type."""
+    if packed and model.k_codes > 256:
+        raise ValueError(
+            f"packed codes need k_codes <= 256 (got {model.k_codes})"
+        )
     vecs = corpus.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
@@ -600,12 +626,19 @@ def pq_encode(
             Xb = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
-            codes = _pq_assign(Xb, model).astype(np.int16)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "codes": list(codes)}
-            )
+            codes = _pq_assign(Xb, model)
+            if packed:
+                rows = [row.tobytes() for row in codes.astype(np.uint8)]
+            else:
+                rows = list(codes.astype(np.int16))
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": rows})
 
-    return vecs.mapInPandas(_encode, "id bigint, codes array<smallint>")
+    schema = (
+        "id bigint, codes binary"
+        if packed
+        else "id bigint, codes array<smallint>"
+    )
+    return vecs.mapInPandas(_encode, schema)
 
 
 def _collect_query_luts(
@@ -864,6 +897,10 @@ def cosine_topk_pq_codes(
     q_ids, q_unit, lut = q
     n_q = len(q_ids)
     C_cut = n_candidates
+    m = model.m
+    packed = isinstance(
+        code_table.schema["codes"].dataType, T.BinaryType
+    )
 
     def _scan(batches):
         best_sim = [np.empty(0)] * n_q
@@ -873,9 +910,7 @@ def cosine_topk_pq_codes(
             if len(pdf) == 0:
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            codes = np.vstack(
-                [np.asarray(c, dtype=np.int32) for c in pdf["codes"]]
-            )
+            codes = _codes_matrix(pdf["codes"], m, packed)
             approx = _pq_adc_scores(codes, lut, n_q)
             for qi in range(n_q):
                 mask = ids != q_ids[qi]
@@ -1118,6 +1153,7 @@ def ivfpq_encode(
     model: IVFPQModel,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """Materialize the IVFADC index table: one ``(id, cell, codes)``
     row per corpus vector. Persist it PARTITIONED BY CELL —
@@ -1129,7 +1165,12 @@ def ivfpq_encode(
     layout, which is exactly the "at 100 TB the table is written
     partitioned by cell" note on :func:`cosine_topk_ivfpq`, made
     literal (scripts/scale_smoke.py asserts PartitionFilters +
-    ReadSchema on the real plan)."""
+    ReadSchema on the real plan). ``packed=True`` stores codes as one
+    m-byte binary per row (see :func:`pq_encode`)."""
+    if packed and model.pq.k_codes > 256:
+        raise ValueError(
+            f"packed codes need k_codes <= 256 (got {model.pq.k_codes})"
+        )
     C = model.coarse
     pq = model.pq
     residuals = model.residuals
@@ -1146,20 +1187,25 @@ def ivfpq_encode(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
             cells = (Xb @ C).argmax(axis=1)
-            codes = _pq_assign(
-                Xb - C.T[cells] if residuals else Xb, pq
-            ).astype(np.int16)
+            codes = _pq_assign(Xb - C.T[cells] if residuals else Xb, pq)
+            if packed:
+                rows = [row.tobytes() for row in codes.astype(np.uint8)]
+            else:
+                rows = list(codes.astype(np.int16))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
                     "cell": cells.astype(np.int32),
-                    "codes": list(codes),
+                    "codes": rows,
                 }
             )
 
-    return vecs.mapInPandas(
-        _encode, "id bigint, cell int, codes array<smallint>"
+    schema = (
+        "id bigint, cell int, codes binary"
+        if packed
+        else "id bigint, cell int, codes array<smallint>"
     )
+    return vecs.mapInPandas(_encode, schema)
 
 
 def cosine_topk_ivfpq_codes(
@@ -1206,6 +1252,8 @@ def cosine_topk_ivfpq_codes(
     for qi in range(n_q):
         probe_masks[qi, probe_sets[qi]] = True
     all_probed = sorted({int(c) for row in probe_sets for c in row})
+    m = pq.m
+    packed = isinstance(code_table.schema["codes"].dataType, T.BinaryType)
 
     def _scan(batches):
         best_sim = [np.empty(0)] * n_q
@@ -1216,9 +1264,7 @@ def cosine_topk_ivfpq_codes(
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             cells = pdf["cell"].to_numpy(dtype=np.int64)
-            codes = np.vstack(
-                [np.asarray(c, dtype=np.int32) for c in pdf["codes"]]
-            )
+            codes = _codes_matrix(pdf["codes"], m, packed)
             approx = _pq_adc_scores(codes, lut, n_q)
             if residuals:
                 approx = np.round(approx + q_cell_sims[:, cells], 6)

@@ -701,3 +701,64 @@ def test_ivfpq_codes_partitioned_roundtrip_equals_inline(emb, spark, tmp_path):
         )
         in_list = pf.split("IN (")[1].split(")")[0]
         assert len(in_list.split(",")) == 2, pf
+
+
+def test_packed_codes_parity_and_validation(emb, spark, tmp_path):
+    """packed=True stores each row's codes as one m-byte binary — both
+    query paths must dispatch on the column type and return exactly
+    what the array<smallint> representation returns."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq_codes,
+        cosine_topk_pq_codes,
+        ivfpq_encode,
+        ivfpq_train,
+        pq_encode,
+        pq_train,
+    )
+
+    qf = F.col("vec_id") < 6
+    model = pq_train(emb, dim=DIM, m=4, k_codes=8, id_col="vec_id")
+    p1 = str(tmp_path / "arr")
+    p2 = str(tmp_path / "bin")
+    pq_encode(emb, model, id_col="vec_id").write.parquet(p1)
+    pq_encode(emb, model, id_col="vec_id", packed=True).write.parquet(p2)
+    t_bin = spark.read.parquet(p2)
+    assert dict(t_bin.dtypes)["codes"] == "binary"
+    a = cosine_topk_pq_codes(
+        spark.read.parquet(p1), model, emb, emb.where(qf),
+        id_col="vec_id", k=5, n_candidates=20,
+    )
+    b = cosine_topk_pq_codes(
+        t_bin, model, emb, emb.where(qf),
+        id_col="vec_id", k=5, n_candidates=20,
+    )
+    assert _rows_set(a) == _rows_set(b)
+
+    ivf = ivfpq_train(
+        emb, dim=DIM, n_cells=8, m=4, k_codes=8, id_col="vec_id",
+        residuals=True,
+    )
+    p3 = str(tmp_path / "ivf_bin")
+    ivfpq_encode(emb, ivf, id_col="vec_id", packed=True).write.partitionBy(
+        "cell"
+    ).parquet(p3)
+    c = cosine_topk_ivfpq_codes(
+        spark.read.parquet(p3), ivf, emb, emb.where(qf),
+        id_col="vec_id", k=5, n_probe=3, n_candidates=20,
+    )
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    d = cosine_topk_ivfpq(
+        emb, emb.where(qf), dim=DIM, id_col="vec_id",
+        k=5, n_cells=8, n_probe=3, m=4, k_codes=8, n_candidates=20,
+        residuals=True,
+    )
+    assert _rows_set(c) == _rows_set(d)
+
+    big = pq_train(emb, dim=DIM, m=4, k_codes=8, id_col="vec_id")._replace(
+        k_codes=300
+    )
+    with pytest.raises(ValueError, match="256"):
+        pq_encode(emb, big, id_col="vec_id", packed=True)
