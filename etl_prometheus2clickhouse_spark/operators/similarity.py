@@ -998,32 +998,24 @@ def cosine_topk_ivfpq(
     :func:`cosine_topk_bruteforce`."""
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
-    if dim % m != 0:
-        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    ivf_model = ivfpq_train(
+        corpus,
+        dim,
+        n_cells=n_cells,
+        m=m,
+        k_codes=k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_sample=train_sample,
+        seed=seed,
+        quantizers=quantizers,
+        residuals=residuals,
+    )
+    C, model = ivf_model.coarse, ivf_model.pq
+    n_cells = C.shape[1]
     vecs = corpus.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
-    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
-    X = np.asarray([r.vec for r in sample], dtype=np.float64)
-    n_cells = min(n_cells, len(X))
-    k_codes = min(k_codes, len(X))
-    ds = dim // m
-    if quantizers == "first":
-        C = X[:n_cells].T  # dim × cells, already unit
-    else:
-        C = _train_centroids(X, n_cells, seed=seed).T
-    # encode target: raw unit vectors, or residuals against each
-    # sample vector's own assigned cell (shared codebook across cells
-    # — the classic IVFADC memory/LUT trade, Jégou §IV-A)
-    enc_X = X - C.T[(X @ C).argmax(axis=1)] if residuals else X
-    if quantizers == "first":
-        B = np.stack(
-            [enc_X[:k_codes, j * ds : (j + 1) * ds] for j in range(m)]
-        )
-    else:
-        B = _train_pq_codebooks(enc_X, m, k_codes, seed=seed)
-    model = PQModel(dim, m, k_codes, B, (B**2).sum(axis=2))
-
     q = _collect_query_luts(
         queries, model, id_col, vec_col, max_queries, "cosine_topk_ivfpq"
     )
