@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     # and the IVFADC composition
     "cosine_topk_pq_codes",
     "cosine_topk_ivfpq",
+    "cosine_topk_ivfpq_residual",
+    "cosine_topk_ivfpq_codes",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     "decode_pixels",
@@ -102,6 +104,7 @@ BENCH_QUERIES = [
     "stream_join",
     "stream_kmv",
     "stream_kmv_durable",
+    "stream_cms_hh",
 ]
 
 

@@ -400,7 +400,13 @@ def main() -> None:
              if "PartitionFilters: [cell" in ln), None
         )
         assert pf_line is not None, "probe set not pushed as partition filter"
-        n_pruned = len(pf_line.split("IN (")[1].split(")")[0].split(","))
+        # Spark renders small probe sets as `cell IN (a,b,...)` and
+        # larger ones as the optimized `cell INSET a,b,...`
+        if "IN (" in pf_line:
+            vals = pf_line.split("IN (")[1].split(")")[0]
+        else:
+            vals = pf_line.split("INSET ")[1].split("]")[0]
+        n_pruned = len(vals.split(","))
         assert n_pruned <= 64, pf_line
         assert "struct<id:bigint,codes:array<smallint>>" in plan_txt
         print(
