@@ -566,6 +566,74 @@ def _pq_adc_scores(
     return np.round(approx, 6)
 
 
+def pq_model_to_json(model: PQModel) -> str:
+    """Serialize a :class:`PQModel` to JSON — the artifact to persist
+    NEXT TO the code table :func:`pq_encode` wrote (codes without
+    their codebooks are meaningless; a loaded model reproduces
+    encode/ADC bit-for-bit because float64 round-trips exactly
+    through repr-precision JSON)."""
+    import json
+
+    return json.dumps(
+        {
+            "kind": "pq",
+            "dim": model.dim,
+            "m": model.m,
+            "k_codes": model.k_codes,
+            "codebooks": model.codebooks.tolist(),
+        }
+    )
+
+
+def pq_model_from_json(s: str) -> PQModel:
+    import json
+
+    d = json.loads(s)
+    if d.get("kind") != "pq":
+        raise ValueError(f"not a PQ model payload (kind={d.get('kind')!r})")
+    B = np.asarray(d["codebooks"], dtype=np.float64)
+    return PQModel(d["dim"], d["m"], d["k_codes"], B, (B**2).sum(axis=2))
+
+
+def ivfpq_model_to_json(model: IVFPQModel) -> str:
+    """Serialize an :class:`IVFPQModel` (coarse centroids + PQ
+    codebooks + residual flag) — persist next to the cell-partitioned
+    table :func:`ivfpq_encode` wrote."""
+    import json
+
+    return json.dumps(
+        {
+            "kind": "ivfpq",
+            "coarse": model.coarse.tolist(),
+            "residuals": model.residuals,
+            "pq": {
+                "dim": model.pq.dim,
+                "m": model.pq.m,
+                "k_codes": model.pq.k_codes,
+                "codebooks": model.pq.codebooks.tolist(),
+            },
+        }
+    )
+
+
+def ivfpq_model_from_json(s: str) -> IVFPQModel:
+    import json
+
+    d = json.loads(s)
+    if d.get("kind") != "ivfpq":
+        raise ValueError(
+            f"not an IVFPQ model payload (kind={d.get('kind')!r})"
+        )
+    B = np.asarray(d["pq"]["codebooks"], dtype=np.float64)
+    pq = PQModel(
+        d["pq"]["dim"], d["pq"]["m"], d["pq"]["k_codes"], B,
+        (B**2).sum(axis=2),
+    )
+    return IVFPQModel(
+        np.asarray(d["coarse"], dtype=np.float64), pq, bool(d["residuals"])
+    )
+
+
 def _codes_matrix(values, m: int, packed: bool) -> np.ndarray:
     """Decode a pandas Series of code rows to an (n × m) int32 matrix
     — ``packed`` rows are m-byte binary strings (one uint8 per code),

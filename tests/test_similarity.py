@@ -762,3 +762,64 @@ def test_packed_codes_parity_and_validation(emb, spark, tmp_path):
     )
     with pytest.raises(ValueError, match="256"):
         pq_encode(emb, big, id_col="vec_id", packed=True)
+
+
+def test_model_json_roundtrip_reproduces_queries(emb, spark, tmp_path):
+    """The persisted-model story: serialize PQ/IVFPQ models to JSON
+    (the artifact that lives next to the code table), load them back,
+    and the loaded models must reproduce encode + query results
+    bit-for-bit."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq_codes,
+        cosine_topk_pq_codes,
+        ivfpq_encode,
+        ivfpq_model_from_json,
+        ivfpq_model_to_json,
+        ivfpq_train,
+        pq_encode,
+        pq_model_from_json,
+        pq_model_to_json,
+        pq_train,
+    )
+
+    qf = F.col("vec_id") < 5
+    model = pq_train(emb, dim=DIM, m=4, k_codes=8, id_col="vec_id")
+    loaded = pq_model_from_json(pq_model_to_json(model))
+    assert (loaded.codebooks == model.codebooks).all()
+    path = str(tmp_path / "codes")
+    pq_encode(emb, model, id_col="vec_id").write.parquet(path)
+    t = spark.read.parquet(path)
+    a = cosine_topk_pq_codes(
+        t, model, emb, emb.where(qf), id_col="vec_id", k=4, n_candidates=15
+    )
+    b = cosine_topk_pq_codes(
+        t, loaded, emb, emb.where(qf), id_col="vec_id", k=4, n_candidates=15
+    )
+    assert _rows_set(a) == _rows_set(b)
+
+    ivf = ivfpq_train(
+        emb, dim=DIM, n_cells=8, m=4, k_codes=8, id_col="vec_id",
+        residuals=True,
+    )
+    ivf_loaded = ivfpq_model_from_json(ivfpq_model_to_json(ivf))
+    assert (ivf_loaded.coarse == ivf.coarse).all()
+    assert ivf_loaded.residuals is True
+    p2 = str(tmp_path / "ivf")
+    ivfpq_encode(emb, ivf, id_col="vec_id").write.partitionBy(
+        "cell"
+    ).parquet(p2)
+    t2 = spark.read.parquet(p2)
+    c = cosine_topk_ivfpq_codes(
+        t2, ivf, emb, emb.where(qf), id_col="vec_id",
+        k=4, n_probe=3, n_candidates=15,
+    )
+    d = cosine_topk_ivfpq_codes(
+        t2, ivf_loaded, emb, emb.where(qf), id_col="vec_id",
+        k=4, n_probe=3, n_candidates=15,
+    )
+    assert _rows_set(c) == _rows_set(d)
+
+    with pytest.raises(ValueError, match="kind"):
+        pq_model_from_json(ivfpq_model_to_json(ivf))
+    with pytest.raises(ValueError, match="kind"):
+        ivfpq_model_from_json(pq_model_to_json(model))
