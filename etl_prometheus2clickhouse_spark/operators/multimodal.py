@@ -531,3 +531,144 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample_batches, FRAME_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Decoded-frame transforms: resize + feature extraction (engine
+# extension — the multimodal layer's post-decode stages; compose as
+# decode_images → resize_nearest → image_features, each Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers (the output of
+    :func:`decode_images`): output pixel (y, x) samples source pixel
+    (floor(y·src_h/out_h), floor(x·src_w/out_w)) — pure integer index
+    arithmetic, so the resized buffer is EXACTLY statable in SQL (the
+    ``resize_nn`` catalog oracle restates it byte for byte), unlike
+    area/bilinear kernels whose float blends are only
+    approximately reproducible. One vectorized numpy gather per Arrow
+    batch; rows whose buffer is NULL or malformed (length ≠ w·h·c)
+    pass through with NULL pixels rather than poisoning the batch.
+
+    At 100 TB: embarrassingly parallel (no shuffle), output volume
+    shrinks by (out_w·out_h)/(src_w·src_h) — run it right after
+    decode so every downstream stage moves the small buffer.
+    Bilinear/area kernels are the documented production alternative
+    (same plumbing, float weights); nearest is the oracle-exact
+    default."""
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def _resize(
+        px: pd.Series, w: pd.Series, h: pd.Series, c: pd.Series
+    ) -> pd.Series:
+        out = []
+        for buf, sw, sh, sc in zip(px, w, h, c):
+            if buf is None or sw is None or sw <= 0 or sh <= 0:
+                out.append(None)
+                continue
+            sw, sh, sc = int(sw), int(sh), int(sc)
+            a = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if len(a) != sw * sh * sc:
+                out.append(None)
+                continue
+            a = a.reshape(sh, sw, sc)
+            ys = (np.arange(out_h) * sh) // out_h
+            xs = (np.arange(out_w) * sw) // out_w
+            out.append(a[ys][:, xs].tobytes())
+        return pd.Series(out)
+
+    return (
+        df.withColumn(
+            pixels_col,
+            _resize(
+                F.col(pixels_col),
+                F.col(width_col),
+                F.col(height_col),
+                F.col(channels_col),
+            ),
+        )
+        .withColumn(width_col, F.lit(out_w).cast("long"))
+        .withColumn(height_col, F.lit(out_h).cast("long"))
+    )
+
+
+IMAGE_FEATURES_FIELDS = (
+    "px_mean double, px_std double, px_min int, px_max int, "
+    "edge_mean double"
+)
+
+
+def image_features(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+    out_col: str = "features",
+) -> DataFrame:
+    """Per-image scalar features over a decoded pixel buffer: mean,
+    population std, min, max, and mean absolute horizontal gradient
+    (``edge_mean`` — a cheap sharpness/flatness signal: 0 for flat
+    fields, large for dithered noise; the standard first-pass quality
+    filter for image corpora, analogous to the text layer's
+    quality_score). All five are exact integer/float64 reductions, so
+    the ``image_features`` catalog oracle restates them in closed form
+    for the synthesized block images (flat 8x8 blocks → the gradient
+    is nonzero only at block seams). NULL/malformed buffers yield a
+    NULL struct. One vectorized numpy pass per Arrow batch, no
+    shuffle."""
+    import numpy as np
+
+    @F.pandas_udf(f"struct<{IMAGE_FEATURES_FIELDS}>")
+    def _feats(
+        px: pd.Series, w: pd.Series, h: pd.Series, c: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for buf, sw, sh, sc in zip(px, w, h, c):
+            if buf is None or sw is None or sw <= 0 or sh <= 0:
+                rows.append((None, None, None, None, None))
+                continue
+            sw, sh, sc = int(sw), int(sh), int(sc)
+            a = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if len(a) != sw * sh * sc:
+                rows.append((None, None, None, None, None))
+                continue
+            f = a.astype(np.float64)
+            img = f.reshape(sh, sw, sc)
+            grad = (
+                float(np.abs(np.diff(img, axis=1)).mean())
+                if sw > 1
+                else 0.0
+            )
+            rows.append(
+                (
+                    round(float(f.mean()), 6),
+                    round(float(f.std()), 6),
+                    int(a.min()),
+                    int(a.max()),
+                    round(grad, 6),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["px_mean", "px_std", "px_min", "px_max", "edge_mean"]
+        )
+
+    return df.withColumn(
+        out_col,
+        _feats(
+            F.col(pixels_col),
+            F.col(width_col),
+            F.col(height_col),
+            F.col(channels_col),
+        ),
+    )

@@ -53,6 +53,8 @@ from etl_prometheus2clickhouse_spark.operators.multimodal import (
     decode_audio,
     decode_images,
     extract_media_metadata,
+    image_features,
+    resize_nearest,
     sample_frames,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
@@ -2601,6 +2603,124 @@ FROM v
 """
 
 
+def _synth_dc_jpeg_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode_jpeg synthesis, shared: every part row → a 16x16
+    grayscale DC-only baseline JPEG of four flat blocks (block i's
+    value = (p_partkey + 97·i) % 256), a third with restart markers."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.jpegcodec import (
+        encode_jpeg_dc,
+    )
+
+    def _synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                dc = np.array(
+                    [
+                        [rid % 256 - 128, (rid + 97) % 256 - 128],
+                        [(rid + 194) % 256 - 128, (rid + 291) % 256 - 128],
+                    ]
+                )
+                ids.append(rid)
+                blobs.append(encode_jpeg_dc([dc], restart_interval=rid % 3))
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    return p.mapInPandas(_synth, "id bigint, content binary")
+
+
+def q_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → nearest-neighbor resize, byte-exact
+    (operators/multimodal.py ``resize_nearest``): the 16x16 four-flat-
+    block JPEGs decode distributed and shrink to 8x8; NN sampling at a
+    2:1 ratio picks source pixels (2y, 2x), so each flat block
+    collapses to a flat 4x4 quadrant and the oracle restates the full
+    64-byte output buffer in SQL. The pipeline is the composition the
+    multimodal layer is built for — decode → resize, two Arrow stages,
+    no shuffle."""
+    dec = decode_images(
+        _synth_dc_jpeg_blobs(spark, sf_dir), "content", "id", mode="real"
+    )
+    out = resize_nearest(dec, out_w=8, out_h=8)
+    return out.select(
+        "id",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("px_hex"),
+    )
+
+
+ORACLE_RESIZE_NN = """
+WITH v AS (
+    SELECT p_partkey AS id,
+           lpad(hex(p_partkey % 256), 2, '0') AS h0,
+           lpad(hex((p_partkey + 97) % 256), 2, '0') AS h1,
+           lpad(hex((p_partkey + 194) % 256), 2, '0') AS h2,
+           lpad(hex((p_partkey + 291) % 256), 2, '0') AS h3
+    FROM part
+)
+SELECT id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       repeat(repeat(h0, 4) || repeat(h1, 4), 4)
+       || repeat(repeat(h2, 4) || repeat(h3, 4), 4) AS px_hex
+FROM v
+"""
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → per-image feature extraction
+    (operators/multimodal.py ``image_features``): mean / population
+    std / min / max / mean |horizontal gradient| over the decoded
+    buffer. On the four-flat-block synthesis every feature has a
+    closed form — mean = Σv_i/4 (64 pixels each), std over four
+    equally-weighted values, and the gradient is nonzero only at the
+    vertical block seam (8 rows × |v1−v0| on top, 8 × |v3−v2| below,
+    over 16·15 adjacent pairs) — which the oracle states literally.
+    The edge_mean = 0 ⇔ flat-image property this pins is the actual
+    corpus-filter use case (drop blank/padding images)."""
+    dec = decode_images(
+        _synth_dc_jpeg_blobs(spark, sf_dir), "content", "id", mode="real"
+    )
+    out = image_features(dec)
+    return out.select(
+        "id",
+        F.col("features.px_mean").alias("px_mean"),
+        F.col("features.px_std").alias("px_std"),
+        F.col("features.px_min").alias("px_min"),
+        F.col("features.px_max").alias("px_max"),
+        F.col("features.edge_mean").alias("edge_mean"),
+    )
+
+
+ORACLE_IMAGE_FEATURES = """
+WITH v AS (
+    SELECT p_partkey AS id,
+           CAST(p_partkey % 256 AS DOUBLE) AS v0,
+           CAST((p_partkey + 97) % 256 AS DOUBLE) AS v1,
+           CAST((p_partkey + 194) % 256 AS DOUBLE) AS v2,
+           CAST((p_partkey + 291) % 256 AS DOUBLE) AS v3
+    FROM part
+),
+m AS (SELECT *, (v0 + v1 + v2 + v3) / 4 AS mu FROM v)
+SELECT id,
+       round(mu, 6) AS px_mean,
+       round(sqrt(((v0-mu)*(v0-mu) + (v1-mu)*(v1-mu)
+                 + (v2-mu)*(v2-mu) + (v3-mu)*(v3-mu)) / 4), 6) AS px_std,
+       CAST(least(v0, v1, v2, v3) AS INT) AS px_min,
+       CAST(greatest(v0, v1, v2, v3) AS INT) AS px_max,
+       round((8 * abs(v1 - v0) + 8 * abs(v3 - v2)) / 240.0, 6) AS edge_mean
+FROM m
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four sniff paths (PNG IHDR, JPEG SOF, MP4 ftyp, opaque-binary
     fall-through) union-aligned on one NULL-padded schema — the single
@@ -3808,6 +3928,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivfpq_residual": q_cosine_topk_ivfpq_residual,
     "cosine_topk_ivfpq_codes": q_cosine_topk_ivfpq_codes,
     "stream_cms_hh": q_stream_cms_hh,
+    # round-9: post-decode multimodal stages (decode → resize →
+    # features), both byte-/value-exact via closed-form oracles
+    "resize_nn": q_resize_nn,
+    "image_features": q_image_features,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -3908,6 +4032,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
     "cosine_topk_ivfpq_codes": ORACLE_COSINE_TOPK_IVFPQ,
     "stream_cms_hh": ORACLE_HEAVY_HITTERS_CMS,
+    "resize_nn": ORACLE_RESIZE_NN,
+    "image_features": ORACLE_IMAGE_FEATURES,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

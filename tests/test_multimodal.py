@@ -361,3 +361,61 @@ def test_decode_audio_rejects_non_wav(spark):
     )
     with pytest.raises(Exception, match="not a decodable PCM WAV"):
         decode_audio(df, "content", "id").collect()
+
+
+def test_resize_nearest_matches_numpy_reference(spark):
+    """NN resize vs a direct numpy gather, including a non-integer
+    ratio and 3 channels; null and malformed buffers pass through as
+    NULL pixels."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    rows = [
+        (1, img.tobytes(), 7, 10, 3),
+        (2, None, 7, 10, 3),
+        (3, b"\x00\x01", 7, 10, 3),  # malformed: wrong length
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, pixels binary, width long, height long, channels int"
+    )
+    out = {r.id: r for r in resize_nearest(df, out_w=4, out_h=5).collect()}
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(4) * 7) // 4
+    want = img[ys][:, xs].tobytes()
+    assert bytes(out[1].pixels) == want
+    assert out[1].width == 4 and out[1].height == 5
+    assert out[2].pixels is None
+    assert out[3].pixels is None
+
+
+def test_image_features_known_values_and_nulls(spark):
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        image_features,
+    )
+
+    flat = np.full((4, 4), 7, dtype=np.uint8)
+    ramp = np.tile(np.arange(4, dtype=np.uint8) * 10, (4, 1))
+    rows = [
+        (1, flat.tobytes(), 4, 4, 1),
+        (2, ramp.tobytes(), 4, 4, 1),
+        (3, None, 4, 4, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, pixels binary, width long, height long, channels int"
+    )
+    out = {
+        r.id: r.features for r in image_features(df).collect()
+    }
+    assert out[1].px_mean == 7.0 and out[1].px_std == 0.0
+    assert out[1].edge_mean == 0.0  # flat image → zero gradient
+    assert out[2].px_mean == 15.0
+    assert out[2].px_min == 0 and out[2].px_max == 30
+    assert out[2].edge_mean == 10.0  # constant 10 step everywhere
+    assert out[3].px_mean is None
