@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "decode_audio_wav",
     "decode_jpeg",
     "decode_jpeg_ac",
+    "resize_nn",
+    "image_features",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
     "events_quantiles_sketch",
