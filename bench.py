@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "decode_jpeg_ac",
     "resize_nn",
     "image_features",
+    "audio_features",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
     "events_quantiles_sketch",

@@ -672,3 +672,74 @@ def image_features(
             F.col(channels_col),
         ),
     )
+
+
+AUDIO_FEATURES_FIELDS = (
+    "n_samples bigint, rms double, peak int, zero_crossings bigint, "
+    "dc_offset double"
+)
+
+
+def audio_features(
+    df: DataFrame,
+    pcm_col: str = "pcm",
+    width_col: str = "sample_width",
+    channels_col: str = "channels",
+    out_col: str = "features",
+) -> DataFrame:
+    """Per-clip scalar features over decoded PCM (the output of
+    :func:`decode_audio`) — the audio twin of :func:`image_features`,
+    the first-pass filters a speech/audio corpus runs (drop silent or
+    clipped clips, flag DC-biased captures): sample count, RMS
+    amplitude, absolute peak, strict zero-crossing count, and mean
+    (DC offset), all over the CENTERED signal in raw sample units
+    (8-bit unsigned PCM centers at −128; 16-bit LE is already
+    signed). Multi-channel PCM is analyzed over the interleaved
+    stream (document-level stats, not per-channel). Exact integer /
+    float64 reductions — the ``audio_features`` catalog oracle
+    restates them value-for-value over the md5-derived synthesis.
+    NULL/odd-length/unsupported-width buffers yield a NULL struct.
+    One vectorized numpy pass per Arrow batch, no shuffle."""
+    import numpy as np
+
+    @F.pandas_udf(f"struct<{AUDIO_FEATURES_FIELDS}>")
+    def _feats(
+        pcm: pd.Series, width: pd.Series, ch: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for buf, sw, _c in zip(pcm, width, ch):
+            if buf is None or sw not in (1, 2):
+                rows.append((None, None, None, None, None))
+                continue
+            b = bytes(buf)
+            if len(b) == 0 or len(b) % sw:
+                rows.append((None, None, None, None, None))
+                continue
+            if sw == 1:
+                x = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                x -= 128.0
+            else:
+                x = np.frombuffer(b, dtype="<i2").astype(np.float64)
+            sign = np.sign(x)
+            nz = sign[sign != 0]
+            zc = int((nz[1:] * nz[:-1] < 0).sum()) if len(nz) > 1 else 0
+            rows.append(
+                (
+                    len(x),
+                    round(float(np.sqrt((x * x).mean())), 6),
+                    int(np.abs(x).max()),
+                    zc,
+                    round(float(x.mean()), 6),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_samples", "rms", "peak", "zero_crossings", "dc_offset",
+            ],
+        )
+
+    return df.withColumn(
+        out_col,
+        _feats(F.col(pcm_col), F.col(width_col), F.col(channels_col)),
+    )

@@ -52,6 +52,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
 from etl_prometheus2clickhouse_spark.operators.multimodal import (
     decode_audio,
     decode_images,
+    audio_features,
     extract_media_metadata,
     image_features,
     resize_nearest,
@@ -2420,6 +2421,62 @@ FROM part
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode → per-clip audio features
+    (operators/multimodal.py ``audio_features``): sample count, RMS,
+    absolute peak, strict zero-crossings (zeros skipped — the DSP
+    convention), and DC offset over the centered 8-bit PCM — the
+    silent/clipped/DC-biased clip filters a speech corpus runs first.
+    The PCM payload is the md5 of the row id (the decode_audio_wav
+    synthesis), so the oracle recomputes every feature from the same
+    16 bytes in SQL, value-for-value (sums over /16 are exact binary
+    fractions; sqrt is correctly rounded on both sides)."""
+    p = _t(spark, sf_dir, "part")
+    wav = F.unhex(
+        F.concat(
+            F.lit(_WAV_HDR_HEX), F.md5(F.col("p_partkey").cast("string"))
+        )
+    )
+    df = p.select(F.col("p_partkey").alias("id"), wav.alias("content"))
+    out = audio_features(decode_audio(df, "content", "id"))
+    return out.select(
+        "id",
+        F.col("features.n_samples").alias("n_samples"),
+        F.col("features.rms").alias("rms"),
+        F.col("features.peak").alias("peak"),
+        F.col("features.zero_crossings").alias("zero_crossings"),
+        F.col("features.dc_offset").alias("dc_offset"),
+    )
+
+
+ORACLE_AUDIO_FEATURES = """
+WITH v AS (
+    SELECT p_partkey AS id, md5(CAST(p_partkey AS VARCHAR)) AS h FROM part
+),
+s AS (
+    SELECT id,
+           list_transform(
+             range(0, 16),
+             i -> CAST(('0x' || substr(h, 2*i + 1, 2)) AS INT) - 128
+           ) AS x
+    FROM v
+),
+f AS (SELECT id, x, list_filter(x, u -> u <> 0) AS nz FROM s)
+SELECT id,
+       CAST(16 AS BIGINT) AS n_samples,
+       round(sqrt(list_sum(list_transform(x, u -> CAST(u * u AS DOUBLE)))
+                  / 16), 6) AS rms,
+       CAST(list_max(list_transform(x, u -> abs(u))) AS INT) AS peak,
+       CAST(COALESCE(list_sum(list_transform(
+              range(1, len(nz)),
+              i -> CASE WHEN nz[i] * nz[i + 1] < 0 THEN 1 ELSE 0 END)), 0)
+            AS BIGINT) AS zero_crossings,
+       round(list_sum(list_transform(x, u -> CAST(u AS DOUBLE))) / 16, 6)
+         AS dc_offset
+FROM f
+"""
+
+
 def q_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real distributed JPEG decode under an exact oracle — the JPEG
     twin of :func:`q_decode_audio_wav`.
@@ -3932,6 +3989,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # features), both byte-/value-exact via closed-form oracles
     "resize_nn": q_resize_nn,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -4034,6 +4092,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_cms_hh": ORACLE_HEAVY_HITTERS_CMS,
     "resize_nn": ORACLE_RESIZE_NN,
     "image_features": ORACLE_IMAGE_FEATURES,
+    "audio_features": ORACLE_AUDIO_FEATURES,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

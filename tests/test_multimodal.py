@@ -419,3 +419,46 @@ def test_image_features_known_values_and_nulls(spark):
     assert out[2].px_min == 0 and out[2].px_max == 30
     assert out[2].edge_mean == 10.0  # constant 10 step everywhere
     assert out[3].px_mean is None
+
+
+def test_audio_features_known_values_and_edges(spark):
+    """Hand-computed features for 8-bit and 16-bit PCM, including the
+    zero-skip crossing convention, plus NULL/odd-length/unsupported-
+    width pass-through."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    # 8-bit unsigned: centered = [−128, 127, 0, −1, 1] → nz = [−,+,−,+]
+    # → 3 crossings (the zero is skipped); rms = sqrt((128²+127²+0+1+1)/5)
+    pcm8 = bytes([0, 255, 128, 127, 129])
+    # 16-bit LE signed: [1000, −1000] → 1 crossing, rms 1000, peak 1000
+    pcm16 = np.array([1000, -1000], dtype="<i2").tobytes()
+    rows = [
+        (1, pcm8, 1, 1),
+        (2, pcm16, 2, 1),
+        (3, None, 1, 1),
+        (4, b"\x00\x01\x02", 2, 1),  # odd length for width 2
+        (5, pcm8, 4, 1),  # unsupported width
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, pcm binary, sample_width int, channels int"
+    )
+    out = {r.id: r.features for r in audio_features(df).collect()}
+    import math
+
+    assert out[1].n_samples == 5
+    assert out[1].rms == round(
+        math.sqrt((128**2 + 127**2 + 0 + 1 + 1) / 5), 6
+    )
+    assert out[1].peak == 128
+    assert out[1].zero_crossings == 3
+    assert out[1].dc_offset == round((-128 + 127 + 0 - 1 + 1) / 5, 6)
+    assert out[2].n_samples == 2
+    assert out[2].rms == 1000.0
+    assert out[2].peak == 1000 and out[2].zero_crossings == 1
+    assert out[3].rms is None
+    assert out[4].rms is None
+    assert out[5].rms is None
