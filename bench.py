@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "minhash_lsh",
     "dup_clusters",
+    "corpus_dedup",
     "simhash_pairs",
     "cosine_topk",
     # the 100 TB scale paths: Arrow GEMM scorer, banded-LSH ANN +

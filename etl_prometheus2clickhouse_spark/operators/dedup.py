@@ -962,3 +962,45 @@ def simhash_verified_pairs(
         jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
     ).where(F.col("jaccard_sim") >= threshold)
     return _with_cached_deps(out, [sh])
+
+
+def resolve_near_duplicates(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """The dedup DECISION step — the missing last stage between
+    near-dup pair generation (ANY of this module's generators:
+    MinHash/SimHash/n-gram Jaccard, or the embedding near-dup) and a
+    training corpus: resolve the pair set to connected components
+    (:func:`dup_components`, or the two-star contraction with
+    ``algorithm="twostar"``) and annotate EVERY corpus row with its
+    ``component_id`` (its own id when untouched by any pair) and
+    ``is_canonical`` (true iff the row is its cluster's minimum-id
+    representative — exactly one per cluster, all singletons kept).
+    Filtering ``is_canonical`` yields the deduplicated corpus;
+    keeping the annotation instead of silently dropping rows is
+    deliberate — real pipelines audit what was removed and why.
+
+    Scale shape: the component frame is slim (one (node, component)
+    row per clustered doc — typically a small fraction of the
+    corpus), but NOT assumed broadcastable: the merge is an equi-join
+    on the id, which co-partitions with a corpus already bucketed by
+    id at 100 TB. No other shuffle beyond the component resolution
+    itself."""
+    comp = (
+        dup_components_twostar(pairs)
+        if algorithm == "twostar"
+        else dup_components(pairs)
+    ).withColumnRenamed("node", id_col)
+    out = corpus.join(comp, id_col, "left")
+    return (
+        out.withColumn(
+            "component_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("component")
+        .withColumn(
+            "is_canonical", F.col(id_col) == F.col("component_id")
+        )
+    )

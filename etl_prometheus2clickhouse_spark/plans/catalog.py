@@ -1553,6 +1553,53 @@ FROM walk GROUP BY node
 """
 
 
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup pipeline in one entry
+    (operators/dedup.py ``resolve_near_duplicates``): MinHash+LSH pair
+    generation → connected-component resolution → keep-one-per-
+    cluster annotation over the WHOLE corpus — every document labeled
+    with its component and whether it is the cluster's canonical
+    (min-id) survivor; singletons keep themselves. This is the
+    composition a corpus actually runs; the oracle recomputes it
+    independently (exact-Jaccard pairs → recursive-CTE closure →
+    left join back to documents)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        resolve_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    out = resolve_near_duplicates(
+        docs.select("doc_id", "lang"), pairs, id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "component_id", "is_canonical")
+
+
+def _oracle_corpus_dedup() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_oracle_jaccard_unblocked(0.5)}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS (SELECT node, min(reach) AS c FROM walk GROUP BY node)
+SELECT d.doc_id, d.lang,
+       COALESCE(cm.c, d.doc_id) AS component_id,
+       d.doc_id = COALESCE(cm.c, d.doc_id) AS is_canonical
+FROM documents d
+LEFT JOIN comp cm ON cm.node = d.doc_id
+"""
+
+
 def q_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster resolution via the alternating large-star/small-star
     contraction (operators/dedup.py ``dup_components_twostar``,
@@ -3990,6 +4037,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resize_nn": q_resize_nn,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
+    # round-9: the composed keep-one-per-cluster dedup decision
+    "corpus_dedup": q_corpus_dedup,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -4093,6 +4142,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "resize_nn": ORACLE_RESIZE_NN,
     "image_features": ORACLE_IMAGE_FEATURES,
     "audio_features": ORACLE_AUDIO_FEATURES,
+    "corpus_dedup": _oracle_corpus_dedup(),
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

@@ -461,3 +461,35 @@ def test_ngram_jaccard_max_df_validation(spark):
     )
     with pytest.raises(ValueError, match="max_df must be >= 2"):
         ngram_jaccard_pairs(df, "doc_id", block_col="lang", max_df=1)
+
+
+def test_resolve_near_duplicates_annotation(spark):
+    """Keep-one-per-cluster: clustered rows keep exactly the min-id
+    representative, singletons keep themselves, and the annotation
+    covers EVERY corpus row (auditable dedup, not silent drops)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        resolve_near_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a bigint, id_b bigint"
+    )
+    for algo in ("propagation", "twostar"):
+        got = {
+            r.doc_id: (r.component_id, r.is_canonical)
+            for r in resolve_near_duplicates(
+                corpus, pairs, id_col="doc_id", algorithm=algo
+            ).collect()
+        }
+        assert got == {
+            0: (0, True),
+            1: (1, True),
+            3: (1, False),
+            5: (1, False),
+            2: (2, True),
+            6: (2, False),
+            4: (4, True),
+        }, algo
