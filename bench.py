@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "fingerprint_dedup",
     "stratified_sample",
     "weighted_sample",
+    "corpus_mix",
     "ngram_jaccard",
     "minhash_lsh",
     "dup_clusters",

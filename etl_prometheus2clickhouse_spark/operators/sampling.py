@@ -147,3 +147,58 @@ def weighted_sample(
         .drop("__pri")
     )
     return ranked
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, str, float]],
+    id_col: str,
+    salt: int = 12345,
+) -> DataFrame:
+    """Deterministic corpus mixing — the pretraining data-mixture
+    step: each source corpus contributes a deterministic Bernoulli
+    sample at its own rate ("25% of web text, all of the curated
+    set"), the survivors are unioned with a ``source`` tag, and every
+    row carries a ``mix_key`` — a second independent hash of its id —
+    so writing the mixture ordered by ``mix_key`` (e.g.
+    ``repartitionByRange(n, "mix_key")`` at shard-write time) yields a
+    reproducible global interleave of the sources instead of
+    source-contiguous shards. No shuffle happens HERE: membership and
+    keys are pure per-row hash expressions (the same
+    :func:`sample_bucket` arithmetic, per-source salted with
+    ``salt + i`` so identical ids in different sources draw
+    independent coins); the one range shuffle is the caller's explicit
+    write-time choice.
+
+    ``sources`` is ``[(df, name, rate), ...]``; frames must share the
+    selected schema (align columns first — loud union error
+    otherwise). Membership, like all sampling here, is stable across
+    runs, partitionings, and engines, and every decision is auditable
+    from the emitted ``u_bucket`` (the ``corpus_mix`` catalog oracle
+    recomputes the whole mixture in SQL)."""
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    parts = []
+    for i, (df, name, rate) in enumerate(sources):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"source {name!r}: rate {rate} not in [0, 1]")
+        for reserved in ("source", "u_bucket", "mix_key"):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"mix_corpora reserves column name {reserved!r}; "
+                    "rename it on the input frame first"
+                )
+        bucket = (
+            sample_bucket(id_col, salt=salt + i).cast("long")
+        ).alias("u_bucket")
+        mix_key = (
+            sample_bucket(id_col, salt=salt + i + 7919).cast("long")
+        ).alias("mix_key")
+        parts.append(
+            df.select("*", bucket, mix_key)
+            .where(F.col("u_bucket") < F.lit(float(rate) * _MODULUS))
+            .withColumn("source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -719,6 +719,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "u_bucket")
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-source data mixture (operators/sampling.py
+    ``mix_corpora``): English documents at rate 0.25 mixed with the
+    non-English remainder kept whole, every row tagged with its source
+    and carrying the audit bucket + the interleave ``mix_key``. Pure
+    per-row hash expressions — no shuffle — and the oracle recomputes
+    membership AND both keys with the same exact HUGEINT arithmetic,
+    row for row."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_corpora,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mix_corpora(
+        [
+            (d.where(F.col("lang") == "en"), "web_en", 0.25),
+            (d.where(F.col("lang") != "en"), "curated", 1.0),
+        ],
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "source", "u_bucket", "mix_key")
+
+
+ORACLE_CORPUS_MIX = """
+WITH en AS (
+  SELECT doc_id, lang, 'web_en' AS source,
+         CAST((doc_id::HUGEINT * 2654435761 + 12345) % 4294967296
+              AS BIGINT) AS u_bucket,
+         CAST((doc_id::HUGEINT * 2654435761 + 20264) % 4294967296
+              AS BIGINT) AS mix_key
+  FROM documents WHERE lang = 'en'
+),
+rest AS (
+  SELECT doc_id, lang, 'curated' AS source,
+         CAST((doc_id::HUGEINT * 2654435761 + 12346) % 4294967296
+              AS BIGINT) AS u_bucket,
+         CAST((doc_id::HUGEINT * 2654435761 + 20265) % 4294967296
+              AS BIGINT) AS mix_key
+  FROM documents WHERE lang <> 'en'
+)
+SELECT * FROM en WHERE u_bucket < 0.25 * 4294967296.0
+UNION ALL
+SELECT * FROM rest WHERE u_bucket < 1.0 * 4294967296.0
+"""
+
+
 ORACLE_STRATIFIED_SAMPLE = """
 SELECT d.doc_id, d.lang,
        CAST((d.doc_id::HUGEINT * 2654435761 + 12345) % 4294967296
@@ -4037,8 +4083,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resize_nn": q_resize_nn,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
-    # round-9: the composed keep-one-per-cluster dedup decision
+    # round-9: the composed keep-one-per-cluster dedup decision and
+    # the deterministic multi-source data mixture
     "corpus_dedup": q_corpus_dedup,
+    "corpus_mix": q_corpus_mix,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -4143,6 +4191,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "image_features": ORACLE_IMAGE_FEATURES,
     "audio_features": ORACLE_AUDIO_FEATURES,
     "corpus_dedup": _oracle_corpus_dedup(),
+    "corpus_mix": ORACLE_CORPUS_MIX,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

@@ -195,3 +195,54 @@ def test_weighted_sample_rejects_reserved_columns(spark):
         )
         with pytest.raises(ValueError, match=reserved):
             weighted_sample(df, "g", "id", "w", k=1)
+
+
+def test_mix_corpora_membership_and_interleave(spark):
+    """Mixture membership is per-source-salted (the same id draws
+    independent coins in different sources), rates are honored in
+    expectation, mix_key is independent of u_bucket, and validation
+    is loud."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        _MODULUS,
+        _MULT,
+        mix_corpora,
+        sample_bucket,
+    )
+
+    a = spark.range(2000).select(F.col("id").alias("doc_id"))
+    b = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = mix_corpora(
+        [(a, "a", 0.3), (b, "b", 1.0)], id_col="doc_id"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, {})[r.doc_id] = r
+    assert len(by_src["b"]) == 2000  # rate 1.0 keeps everything
+    frac = len(by_src["a"]) / 2000
+    assert 0.25 < frac < 0.35  # hash-uniform at rate 0.3
+    # per-source salts: source a row i uses salt 12345, b uses 12346
+    for i, r in list(by_src["a"].items())[:50]:
+        assert r.u_bucket == (i * _MULT + 12345) % _MODULUS
+        assert r.mix_key == (i * _MULT + 12345 + 7919) % _MODULUS
+    some_b = next(iter(by_src["b"].values()))
+    assert some_b.u_bucket == (some_b.doc_id * _MULT + 12346) % _MODULUS
+    # determinism: same call, same membership
+    again = {
+        (r.source, r.doc_id)
+        for r in mix_corpora(
+            [(a, "a", 0.3), (b, "b", 1.0)], id_col="doc_id"
+        ).collect()
+    }
+    assert again == {(r.source, r.doc_id) for r in out}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        mix_corpora([(a, "a", 1.5)], id_col="doc_id")
+    with _pytest.raises(ValueError, match="reserves"):
+        mix_corpora(
+            [(a.withColumn("source", F.lit("x")), "a", 0.5)],
+            id_col="doc_id",
+        )
+    with _pytest.raises(ValueError, match="at least one"):
+        mix_corpora([], id_col="doc_id")
