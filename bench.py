@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_rate",
     "events_rate_bucketed",
+    "events_gaps",
     "user_sessions",
     "user_sessions_bucketed",
     "events_session_window",

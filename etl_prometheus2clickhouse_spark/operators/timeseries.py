@@ -261,3 +261,38 @@ def session_stats(
         (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
     ]
     return s.groupBy(*keys, "session_id").agg(*aggs)
+
+
+def detect_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    min_gap_seconds: float = 3600.0,
+) -> DataFrame:
+    """Per-series gap detection — the monitoring question the
+    reference's data model invites ("where did this scrape target go
+    silent?"): emit one row per pair of consecutive events of the same
+    key whose spacing exceeds ``min_gap_seconds``, with the gap's
+    bounds and width. The missing-data report a metrics pipeline runs
+    against its own output, and the scrape-coverage audit for a
+    training-data ingest.
+
+    Plan shape: identical to :func:`counter_rate` — one
+    ``Window.partitionBy(keys).orderBy(ts)`` (single Exchange + Sort,
+    no Python); the lag rides the same sort. Skewed keys take the
+    same bucket-window-stitch recipe as :func:`counter_rate_bucketed`.
+    Epoch math, so results are session-timezone-independent."""
+    if min_gap_seconds <= 0:
+        raise ValueError("min_gap_seconds must be > 0")
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    ep = epoch_seconds(df, ts_col)
+    prev_ep = F.lag(ep).over(w)
+    return (
+        df.select(
+            *keys,
+            F.lag(F.col(ts_col)).over(w).alias("gap_start_ts"),
+            F.col(ts_col).alias("gap_end_ts"),
+            (ep - prev_ep).alias("gap_sec"),
+        )
+        .where(F.col("gap_sec") > F.lit(float(min_gap_seconds)))
+    )

@@ -3783,6 +3783,51 @@ def q_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counter_rate(ev, ["event_type", "user_id"], ts_col="ts", value_col="value")
 
 
+def q_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series gap detection (operators/timeseries.py
+    ``detect_gaps``): consecutive same-series events more than 24 h
+    apart — the "where did this series go silent" monitoring report
+    over the same (event_type, user_id) series key as events_rate
+    (whose docstring establishes (series, ts) uniqueness, so lag() is
+    deterministic). Same single Exchange + Sort plan; epoch doubles
+    are engine-exact on identical inputs, so no rounding."""
+    from etl_prometheus2clickhouse_spark.functions.ts import epoch_seconds
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = detect_gaps(
+        ev, ["event_type", "user_id"], ts_col="ts",
+        min_gap_seconds=24 * 3600.0,
+    )
+    return out.select(
+        "event_type",
+        "user_id",
+        epoch_seconds(out, "gap_start_ts").alias("gap_start_sec"),
+        epoch_seconds(out, "gap_end_ts").alias("gap_end_sec"),
+        "gap_sec",
+    )
+
+
+ORACLE_EVENTS_GAPS = """
+WITH s AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) / 1000000.0 AS ts_sec,
+         lag(epoch_us(ts) / 1000000.0) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts
+         ) AS pt
+  FROM events
+)
+SELECT event_type, user_id,
+       pt AS gap_start_sec,
+       ts_sec AS gap_end_sec,
+       ts_sec - pt AS gap_sec
+FROM s
+WHERE ts_sec - pt > 86400.0
+"""
+
+
 ORACLE_EVENTS_RATE = """
 WITH s AS (
   SELECT event_type, user_id,
@@ -4087,6 +4132,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the deterministic multi-source data mixture
     "corpus_dedup": q_corpus_dedup,
     "corpus_mix": q_corpus_mix,
+    # round-9: per-series silence/gap report (the monitoring face of
+    # the same keyed-window plan family as events_rate)
+    "events_gaps": q_events_gaps,
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
@@ -4192,6 +4240,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "audio_features": ORACLE_AUDIO_FEATURES,
     "corpus_dedup": _oracle_corpus_dedup(),
     "corpus_mix": ORACLE_CORPUS_MIX,
+    "events_gaps": ORACLE_EVENTS_GAPS,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
     "events_rate_bucketed": ORACLE_EVENTS_RATE,
     "user_sessions_bucketed": ORACLE_USER_SESSIONS,

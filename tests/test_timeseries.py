@@ -225,3 +225,35 @@ def test_quantile_sketch_rank_guarantee_face(spark, sf_dir):
     assert all(r.within_bound for r in rows), [
         (r.event_type, r.quantile) for r in rows if not r.within_bound
     ]
+
+
+def test_detect_gaps_bounds_and_threshold(spark):
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 00:30:00"),
+        ("a", "2024-01-01 03:00:00"),  # 150-min gap
+        ("a", "2024-01-01 03:10:00"),
+        ("b", "2024-01-01 00:00:00"),
+        ("b", "2024-01-02 00:00:00"),  # 24h gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r.k, r.gap_sec)
+        for r in detect_gaps(df, ["k"], "ts", min_gap_seconds=3600).collect()
+    }
+    assert got == {("a", 9000.0), ("b", 86400.0)}
+    g = detect_gaps(df, ["k"], "ts", min_gap_seconds=3600).where(
+        F.col("k") == "a"
+    ).first()
+    assert str(g.gap_start_ts).startswith("2024-01-01 00:30")
+    assert str(g.gap_end_ts).startswith("2024-01-01 03:00")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_gap_seconds"):
+        detect_gaps(df, ["k"], "ts", min_gap_seconds=0)
