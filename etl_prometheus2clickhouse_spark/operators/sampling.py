@@ -202,3 +202,62 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_col: str = "mix_key",
+) -> DataFrame:
+    """Materialize a corpus (typically a :func:`mix_corpora` output)
+    into ``n_shards`` internally-sorted parquet shards keyed on
+    ``order_col`` — the final write step of a training-data pipeline.
+
+    Shard assignment is ``floor(key / ceil(2^32 / n_shards))`` — an
+    equal-width cut of the hash key space, NOT Spark's
+    ``repartitionByRange`` (whose boundaries come from reservoir
+    sampling with a per-run seed, so two writes of the same frame
+    would shard differently — the opposite of this module's
+    determinism contract). Because ``mix_key`` is hash-uniform, equal
+    key widths give balanced shards; each shard is a contiguous key
+    interval, so sources interleave uniformly WITHIN a shard instead
+    of arriving source-contiguous, and the row→shard mapping is a
+    pure function of the row — reproducible across runs, cluster
+    sizes, and engines, auditable with one line of SQL. The write is
+    ``partitionBy`` on the shard id (one directory per shard); the
+    single shuffle is the per-shard clustering for the sorted write.
+
+    Returns a slim audit manifest read back from the written table:
+    one row per shard with its row count and observed key range."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if "__shard" in df.columns:
+        raise ValueError(
+            "write_training_shards reserves column name '__shard'"
+        )
+    width = -(-_MODULUS // n_shards)  # ceil: shard ids in [0, n_shards)
+    (
+        df.withColumn(
+            "__shard", (F.col(order_col) / F.lit(width)).cast("int")
+        )
+        .repartition(n_shards, F.col("__shard"))
+        # the partitionBy writer requires task rows sorted by the
+        # partition column and would insert its own (unstable) sort —
+        # leading with __shard satisfies that requirement so the
+        # secondary order_col sort survives into the files
+        .sortWithinPartitions("__shard", order_col)
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    return (
+        back.groupBy(F.col("__shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(order_col).alias("key_min"),
+            F.max(order_col).alias("key_max"),
+        )
+        .orderBy("shard")
+    )

@@ -246,3 +246,56 @@ def test_mix_corpora_membership_and_interleave(spark):
         )
     with _pytest.raises(ValueError, match="at least one"):
         mix_corpora([], id_col="doc_id")
+
+
+def test_write_training_shards_ranges_and_determinism(spark, tmp_path):
+    """Shard assignment is an equal-width cut of the hash key space:
+    non-overlapping contiguous ranges aligned to the cut, internally
+    sorted files, exact reproducibility across writes (which
+    repartitionByRange's sampled boundaries cannot give)."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        _MODULUS,
+        mix_corpora,
+        write_training_shards,
+    )
+
+    a = spark.range(3000).select(F.col("id").alias("doc_id"))
+    mixed = mix_corpora([(a, "a", 1.0)], id_col="doc_id")
+    n = 4
+    width = -(-_MODULUS // n)
+    p1 = str(tmp_path / "s1")
+    manifest = write_training_shards(mixed, p1, n_shards=n).collect()
+    assert [r.shard for r in manifest] == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in manifest) == 3000
+    for r in manifest:
+        # every observed key inside the shard's deterministic interval
+        assert r.shard * width <= r.key_min <= r.key_max < (r.shard + 1) * width
+    # hash-uniform keys → balanced shards (loose bound)
+    assert max(r.n_rows for r in manifest) < 2 * min(
+        r.n_rows for r in manifest
+    )
+    # rows inside each shard directory are sorted by the key
+    from pyspark.sql.window import Window as W
+
+    back = spark.read.parquet(p1)
+    unsorted = (
+        back.withColumn("f", F.input_file_name())
+        .withColumn(
+            "prev",
+            F.lag("mix_key").over(
+                W.partitionBy("f").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .where(F.col("prev") > F.col("mix_key"))
+        .count()
+    )
+    assert unsorted == 0
+    # determinism: same frame → byte-identical manifest
+    p2 = str(tmp_path / "s2")
+    manifest2 = write_training_shards(mixed, p2, n_shards=n).collect()
+    assert [tuple(r) for r in manifest] == [tuple(r) for r in manifest2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(mixed, str(tmp_path / "x"), n_shards=0)
