@@ -634,6 +634,99 @@ def ivfpq_model_from_json(s: str) -> IVFPQModel:
     )
 
 
+_KEY_MIN = np.int64(np.iinfo(np.int64).min)
+_KEY_SCALE = np.int64(1) << 32
+
+
+class _RunningTopC:
+    """Running per-query top-C accumulator for the ADC scans.
+
+    The naive formulation loops over queries per Arrow batch
+    (concatenate + lexsort each) — fine at 10 queries, the partition
+    bottleneck at 10k (batch retrieval: dedup-against-index workloads
+    put the WHOLE corpus shard on the query side). This accumulator is
+    fully vectorized: because ADC scores are pre-rounded to 6 digits
+    (:func:`_pq_adc_scores`) and bounded (unit-vector dots, |score| ≤
+    m+1), each (score, id) collapses into ONE int64 composite key
+    ``round(score·10⁶)·2³² − id`` whose total order is exactly
+    (score desc, id asc) — so one ``argpartition`` per batch over the
+    (n_q × (C+batch)) key matrix maintains the running top-C with the
+    SAME boundary-tie semantics the SQL oracles state. Measured vs
+    the per-query lexsort loop (20 batches × 10k rows, C=100): 3.3×
+    at n_q=100, 1.4× at n_q=2000 — at large n_q both formulations are
+    dominated by the O(n_q × batch) element-wise work, so the
+    vectorized form is equal-or-faster everywhere and removes the
+    interpreter from the per-batch path (BENCH_NOTES round 9). The
+    per-partition output is a SET (the global candidate cut re-ranks),
+    so unordered argpartition selection is sufficient — but the set at
+    the C boundary is tie-exact by the key construction.
+
+    The composite key requires ids in [0, 2³²) and |score| < 1000
+    (else int64 would overflow); violations fail LOUD with the remedy
+    (map exotic id spaces to dense ids upstream) rather than silently
+    degrading — the house fail-as-yourself contract."""
+
+    def __init__(self, q_ids: np.ndarray, C: int):
+        n_q = len(q_ids)
+        self.q_ids = q_ids
+        self.C = C
+        self.keys = np.full((n_q, C), _KEY_MIN, dtype=np.int64)
+
+    def update(
+        self, approx: np.ndarray, ids: np.ndarray, mask: np.ndarray
+    ) -> None:
+        """Fold one batch in: ``approx`` (n_q × n) pre-rounded scores,
+        ``ids`` (n,) candidate ids, ``mask`` (n_q × n) eligibility
+        (probe membership / self-exclusion); masked cells never enter
+        the top-C."""
+        if len(ids) == 0:
+            return
+        if not (
+            ids.min() >= 0
+            and ids.max() < (1 << 32)
+            and np.abs(approx).max() < 1000.0
+        ):
+            raise ValueError(
+                "ADC top-C: candidate ids must lie in [0, 2^32) and "
+                "|score| < 1000 (map exotic id spaces to dense ids "
+                "upstream, e.g. zipWithIndex)"
+            )
+        a_int = np.rint(approx * 1e6).astype(np.int64)
+        k = a_int * _KEY_SCALE - ids[None, :]
+        k = np.where(mask, k, _KEY_MIN)
+        comb = np.concatenate([self.keys, k], axis=1)
+        if comb.shape[1] > self.C:
+            # partition WITHOUT negating: -INT64_MIN overflows back to
+            # INT64_MIN and would rank every sentinel as a top key
+            cut = comb.shape[1] - self.C
+            part = np.argpartition(comb, cut, axis=1)[:, cut:]
+            self.keys = np.take_along_axis(comb, part, axis=1)
+        else:
+            self.keys = comb
+
+    def _row(self, qi: int) -> tuple[np.ndarray, np.ndarray]:
+        k = self.keys[qi]
+        k = k[k != _KEY_MIN]
+        a = -((-k) // _KEY_SCALE)  # ceil(k / 2^32)
+        return (a / 1e6), (a * _KEY_SCALE - k)
+
+    def emit(self) -> "pd.DataFrame":
+        """All per-query survivors as one partial frame."""
+        qcol, icol, scol = [], [], []
+        for qi, q in enumerate(self.q_ids):
+            sims, ids = self._row(qi)
+            qcol.append(np.full(len(ids), q, dtype=np.int64))
+            icol.append(ids)
+            scol.append(sims)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qcol) if qcol else [],
+                "neighbor_id": np.concatenate(icol) if icol else [],
+                "approx_sim": np.concatenate(scol) if scol else [],
+            }
+        )
+
+
 def _codes_matrix(values, m: int, packed: bool) -> np.ndarray:
     """Decode a pandas Series of code rows to an (n × m) int32 matrix
     — ``packed`` rows are m-byte binary strings (one uint8 per code),
@@ -884,10 +977,10 @@ def cosine_topk_pq(
     def _scan(batches):
         """Per-partition ADC scan: encode each corpus batch (m small
         GEMMs, :func:`_pq_assign`), score against every query LUT
-        (:func:`_pq_adc_scores`), keep a running per-query top-C,
-        emit once."""
-        best_sim = [np.empty(0)] * n_q
-        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        (:func:`_pq_adc_scores`), keep a running per-query top-C
+        (:class:`_RunningTopC` — one vectorized argpartition per
+        batch, exact boundary ties), emit once."""
+        acc = _RunningTopC(q_ids, C_cut)
         for pdf in batches:
             pdf = pdf[pdf["vec"].notna()]
             if len(pdf) == 0:
@@ -897,22 +990,8 @@ def cosine_topk_pq(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
             approx = _pq_adc_scores(_pq_assign(Xb, model), lut, n_q)
-            for qi in range(n_q):
-                mask = ids != q_ids[qi]
-                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
-                cand = np.concatenate([best_ids[qi], ids[mask]])
-                # (approx desc, id asc): last key primary in lexsort
-                order = np.lexsort((cand, -sims))[:C_cut]
-                best_sim[qi] = sims[order]
-                best_ids[qi] = cand[order]
-        rows = {
-            "query_id": np.concatenate(
-                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
-            ),
-            "neighbor_id": np.concatenate(best_ids),
-            "approx_sim": np.concatenate(best_sim),
-        }
-        yield pd.DataFrame(rows)
+            acc.update(approx, ids, ids[None, :] != q_ids[:, None])
+        yield acc.emit()
 
     partial = vecs.mapInPandas(
         _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
@@ -971,8 +1050,7 @@ def cosine_topk_pq_codes(
     )
 
     def _scan(batches):
-        best_sim = [np.empty(0)] * n_q
-        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        acc = _RunningTopC(q_ids, C_cut)
         for pdf in batches:
             pdf = pdf[pdf["codes"].notna()]
             if len(pdf) == 0:
@@ -980,21 +1058,8 @@ def cosine_topk_pq_codes(
             ids = pdf["id"].to_numpy(dtype=np.int64)
             codes = _codes_matrix(pdf["codes"], m, packed)
             approx = _pq_adc_scores(codes, lut, n_q)
-            for qi in range(n_q):
-                mask = ids != q_ids[qi]
-                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
-                cand = np.concatenate([best_ids[qi], ids[mask]])
-                order = np.lexsort((cand, -sims))[:C_cut]
-                best_sim[qi] = sims[order]
-                best_ids[qi] = cand[order]
-        rows = {
-            "query_id": np.concatenate(
-                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
-            ),
-            "neighbor_id": np.concatenate(best_ids),
-            "approx_sim": np.concatenate(best_sim),
-        }
-        yield pd.DataFrame(rows)
+            acc.update(approx, ids, ids[None, :] != q_ids[:, None])
+        yield acc.emit()
 
     # the candidate scan touches ONLY the code table columns — select
     # them explicitly so column pruning reaches the parquet scan even
@@ -1110,8 +1175,7 @@ def cosine_topk_ivfpq(
         cell on ties), PQ-encode it (residuals against the assigned
         centroid when enabled), then per query ADC-score only the
         rows whose cell is probed."""
-        best_sim = [np.empty(0)] * n_q
-        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        acc = _RunningTopC(q_ids, C_cut)
         for pdf in batches:
             pdf = pdf[pdf["vec"].notna()]
             if len(pdf) == 0:
@@ -1127,23 +1191,9 @@ def cosine_topk_ivfpq(
                 # q̂·x̂ ≈ q̂·c(cell) + q̂·r̂: add the exact coarse term,
                 # re-rounded so ties keep resolving like the oracle
                 approx = np.round(approx + q_cell_sims[:, cells], 6)
-            for qi in range(n_q):
-                mask = probe_masks[qi][cells] & (ids != q_ids[qi])
-                if not mask.any():
-                    continue
-                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
-                cand = np.concatenate([best_ids[qi], ids[mask]])
-                order = np.lexsort((cand, -sims))[:C_cut]
-                best_sim[qi] = sims[order]
-                best_ids[qi] = cand[order]
-        rows = {
-            "query_id": np.concatenate(
-                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
-            ),
-            "neighbor_id": np.concatenate(best_ids),
-            "approx_sim": np.concatenate(best_sim),
-        }
-        yield pd.DataFrame(rows)
+            mask = probe_masks[:, cells] & (ids[None, :] != q_ids[:, None])
+            acc.update(approx, ids, mask)
+        yield acc.emit()
 
     partial = vecs.mapInPandas(
         _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
@@ -1316,8 +1366,7 @@ def cosine_topk_ivfpq_codes(
     packed = isinstance(code_table.schema["codes"].dataType, T.BinaryType)
 
     def _scan(batches):
-        best_sim = [np.empty(0)] * n_q
-        best_ids = [np.empty(0, dtype=np.int64)] * n_q
+        acc = _RunningTopC(q_ids, C_cut)
         for pdf in batches:
             pdf = pdf[pdf["codes"].notna()]
             if len(pdf) == 0:
@@ -1328,23 +1377,9 @@ def cosine_topk_ivfpq_codes(
             approx = _pq_adc_scores(codes, lut, n_q)
             if residuals:
                 approx = np.round(approx + q_cell_sims[:, cells], 6)
-            for qi in range(n_q):
-                mask = probe_masks[qi][cells] & (ids != q_ids[qi])
-                if not mask.any():
-                    continue
-                sims = np.concatenate([best_sim[qi], approx[qi][mask]])
-                cand = np.concatenate([best_ids[qi], ids[mask]])
-                order = np.lexsort((cand, -sims))[:C_cut]
-                best_sim[qi] = sims[order]
-                best_ids[qi] = cand[order]
-        rows = {
-            "query_id": np.concatenate(
-                [np.full(len(best_ids[qi]), q_ids[qi]) for qi in range(n_q)]
-            ),
-            "neighbor_id": np.concatenate(best_ids),
-            "approx_sim": np.concatenate(best_sim),
-        }
-        yield pd.DataFrame(rows)
+            mask = probe_masks[:, cells] & (ids[None, :] != q_ids[:, None])
+            acc.update(approx, ids, mask)
+        yield acc.emit()
 
     # the probe-union filter is what partition pruning pushes to the
     # file listing on a partitionBy("cell") table

@@ -823,3 +823,52 @@ def test_model_json_roundtrip_reproduces_queries(emb, spark, tmp_path):
         pq_model_from_json(ivfpq_model_to_json(ivf))
     with pytest.raises(ValueError, match="kind"):
         ivfpq_model_from_json(pq_model_to_json(model))
+
+
+def test_running_topc_boundary_ties_and_contract():
+    """The composite-key accumulator: boundary ties keep the LOWEST
+    ids (the oracle's (score desc, id asc) order), masked cells never
+    enter, multi-batch merging is exact, and out-of-domain ids fail
+    loud with the remedy."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        _RunningTopC,
+    )
+
+    acc = _RunningTopC(np.array([7], dtype=np.int64), 3)
+    # batch 1: four candidates all tied at 0.5 → keep ids 1,2,3
+    acc.update(
+        np.round(np.full((1, 4), 0.5), 6),
+        np.array([4, 3, 2, 1], dtype=np.int64),
+        np.ones((1, 4), dtype=bool),
+    )
+    # batch 2: id 0 ties at 0.5 (displaces id 3), id 9 scores higher
+    acc.update(
+        np.round(np.array([[0.5, 0.9]]), 6),
+        np.array([0, 9], dtype=np.int64),
+        np.ones((1, 2), dtype=bool),
+    )
+    got = sorted(
+        (r.approx_sim, r.neighbor_id)
+        for r in acc.emit().itertuples()
+    )
+    assert got == [(0.5, 0), (0.5, 1), (0.9, 9)]
+
+    # masked cells are invisible
+    acc2 = _RunningTopC(np.array([1], dtype=np.int64), 2)
+    acc2.update(
+        np.round(np.array([[0.9, 0.1]]), 6),
+        np.array([5, 6], dtype=np.int64),
+        np.array([[False, True]]),
+    )
+    assert [r.neighbor_id for r in acc2.emit().itertuples()] == [6]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2\\^32"):
+        acc2.update(
+            np.array([[0.5]]),
+            np.array([1 << 33], dtype=np.int64),
+            np.ones((1, 1), dtype=bool),
+        )
