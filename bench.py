@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "seq_packing_bucketed",
     "decontaminate",
     "bloom_decontaminate",
+    # round-9 late: exact substring dedup (Lee et al. ACL'22) and
+    # bigram-LM perplexity scoring (CCNet)
+    "exact_substring_spans",
+    "exact_substring_dedup",
+    "lm_perplexity",
     "events_distinct_kmv",
     "kmv_merge",
     "heavy_hitters_cms",
@@ -93,6 +98,8 @@ BENCH_QUERIES = [
     "cosine_topk_ivfpq_codes",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
+    # round-9 late: SemDeDup cluster-then-prune
+    "semantic_dedup",
     "decode_pixels",
     "decode_audio_wav",
     "decode_jpeg",

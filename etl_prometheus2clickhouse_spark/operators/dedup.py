@@ -31,7 +31,7 @@ from contextlib import contextmanager
 from typing import Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1003,4 +1003,184 @@ def resolve_near_duplicates(
         .withColumn(
             "is_canonical", F.col(id_col) == F.col("component_id")
         )
+    )
+
+
+def _ws_tokens(c: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the text-module
+    convention (operators/text.py:_words), NOT this module's ``\\W+``
+    shingle split: exact-substring dedup reconstructs cleaned text
+    from surviving token positions, so tokenization must be invertible
+    up to whitespace normalization (``\\W+`` destroys punctuation)."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def _positional_shingle_hashes(toks: Column, n: int) -> Column:
+    """Rolling 64-bit hash of every n-token window, IN POSITION ORDER
+    (one array slot per window start; no dedup) — the positional
+    sibling of :func:`shingle_hashes`, same shifted-``zip_with``
+    construction so the tokenizer output is consumed once per row, not
+    once per window. Empty array when fewer than ``n`` tokens. A
+    chain collision merges two distinct windows (probability ~2⁻⁶⁴ per
+    pair) — see :func:`exact_substring_spans` for what that means."""
+    size = F.size(toks)
+    k = size - (n - 1)
+    cur = F.transform(toks, lambda t: F.xxhash64(t))
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(1)))
+        cur = F.zip_with(cur, shifted, lambda h, t: F.xxhash64(h, t))
+    return F.when(k >= 1, F.slice(cur, 1, F.greatest(k, F.lit(1)))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Exact substring duplication: every maximal token span covered
+    by ``min_len``-token windows that occur MORE THAN ONCE in the
+    corpus (across documents or repeated within one — both are
+    duplication), as one row per merged span:
+    ``(id, span_start, span_end, span_len)`` with token positions
+    0-based and ``span_end`` exclusive.
+
+    This is the span-finding half of exact substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — suffix-array ExactSubstr at 50-token
+    granularity). The reference algorithm builds a corpus-wide suffix
+    array; a monolithic suffix array is exactly what a 1000-executor
+    cluster cannot share, so the Spark-first re-expression is the
+    fixed-width rolling-window equivalent: any duplicated substring of
+    ≥ ``min_len`` tokens contains a duplicated ``min_len``-token
+    window, so the union of duplicated windows covers the same maximal
+    spans the suffix array finds (boundaries differ by < min_len at
+    span edges — the published trade-off of windowed vs suffix
+    methods).
+
+    Scale shape, stage by stage:
+
+    1. window hashes per doc — JVM-only rolling hash, no Python, no
+       shuffle; ``posexplode`` emits slim ``(id, pos, hash)`` rows
+       (24 bytes, never the window text).
+    2. duplicated-hash set — ONE hash-keyed groupBy with map-side
+       combine on a uniform 64-bit key (no skew by construction);
+       ``count ≥ 2`` keeps only duplicated windows.
+    3. hits — equi-join positions × duplicated hashes on the hash
+       (co-partitioned with stage 2's output; at 100 TB this is the
+       canonical shuffle-join and the hash set is NOT assumed
+       broadcastable — boilerplate-heavy corpora make it large).
+    4. span merge — gaps-and-islands per document (running
+       ``max(pos+L)`` window, island = cumsum of gap starts), a
+       per-doc-partitioned window over ONLY the duplicated positions
+       (a small fraction of the corpus), never the full token stream.
+
+    Window-hash collisions (~2⁻⁶⁴/pair) would mark a non-duplicated
+    span — at the catalog's data scale the expected count is < 10⁻¹⁰
+    and the DuckDB oracle (which groups by the window STRING) would
+    catch one as a hash mismatch; corpora where that risk matters
+    re-verify flagged spans with one extra join on the span text."""
+    base = df.select(
+        F.col(id_col).alias("id"), _ws_tokens(F.col(text_col)).alias("toks")
+    )
+    pos = base.select(
+        "id",
+        F.posexplode(_positional_shingle_hashes(F.col("toks"), min_len)).alias(
+            "pos", "h"
+        ),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("h")
+    )
+    hits = pos.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "island",
+        F.sum(
+            (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + min_len).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Document-level exact substring deduplication: cut every
+    duplicated span (:func:`exact_substring_spans`) out of every
+    document, Lee et al.'s ExactSubstr removal policy (drop the
+    duplicated bytes, keep the unique remainder — their measured-best
+    variant vs dropping whole documents). Emits one row per input
+    document: ``(id, n_tokens, dup_tokens, dup_frac, clean_text)``
+    with ``clean_text`` the surviving tokens space-joined (documents
+    with no duplicated span pass through with ``dup_tokens = 0``;
+    fully-duplicated documents emit an empty string — the caller
+    filters, the operator doesn't silently drop).
+
+    The span join back to the corpus is a slim equi-join on the id
+    (spans exist only for documents with duplication); the cut itself
+    is a JVM ``filter`` lambda over token positions — O(tokens ×
+    spans-per-doc) per document, spans-per-doc bounded by
+    tokens/min_len. Whitespace inside the document is normalized to
+    single spaces by reconstruction; that is the documented contract
+    (token-level dedup), not a loss bug."""
+    spans = exact_substring_spans(df, id_col, text_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col), _ws_tokens(F.col(text_col)).alias("toks")
+    )
+    joined = base.join(per_doc, id_col, "left").select(
+        id_col,
+        "toks",
+        F.coalesce(
+            "spans",
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ).alias("spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+    n_tokens = F.size("toks").cast("long")
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        "dup_tokens",
+        F.when(
+            n_tokens > 0,
+            F.round(F.col("dup_tokens") / n_tokens, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

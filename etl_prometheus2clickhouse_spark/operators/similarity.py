@@ -1733,3 +1733,102 @@ def embedding_near_dup_auto(
         seed=seed,
         rescore=rescore,
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    threshold: float = 0.95,
+    train_sample: int = 4096,
+    seed: int = 42,
+    centroids: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup — semantic deduplication by cluster-then-prune (Abbas
+    et al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): k-means the embedding
+    space into ``n_cells`` clusters, compare pairs ONLY within a
+    cluster, and drop every vector whose cosine to a LOWER-ID
+    cluster-mate reaches ``threshold``. Replaces the paper's
+    keep-one-per-ε-ball with the deterministic keep-lowest-id rule
+    (the paper itself notes the in-ball choice barely matters —
+    §3.1 "we find random works as well"); like the paper, a
+    cross-cluster near-duplicate pair is an accepted miss — that
+    locality is exactly what makes the method sub-quadratic. For
+    transitive keep-one-per-component resolution over the surviving
+    pair graph, feed the pairs into
+    operators/dedup.py:resolve_near_duplicates.
+
+    Output: one row per corpus vector —
+    ``(id, cell, dup_of nullable, kept)`` where ``dup_of`` is the
+    LOWEST qualifying lower id (exact integer — the emitted columns
+    carry no floats, so there is no rounding surface in the result)
+    and ``kept = dup_of IS NULL``. The threshold comparison itself
+    happens on the 6-digit-rounded cosine so a sim sitting within
+    float-noise of ``threshold`` resolves identically here and in the
+    SQL oracle (the cos_sim convention, catalog:1860 advice).
+
+    Scale shape: one corpus pass assigns cells (per-Arrow-batch GEMM
+    against the broadcast centroid matrix — the IVF assignment
+    kernel); the candidate stage is a cell-keyed self-join, Σ|cell|²
+    pairwise work with |cell| ≈ n/n_cells — the paper runs 50k
+    clusters over 5B embeddings for exactly this bound, so ``n_cells``
+    must scale with the corpus (the 100 TB knob, same contract as the
+    LSH band width). The pair output is pre-filtered to qualifying
+    pairs before the per-id min aggregate, so nothing quadratic
+    survives the stage; the final annotate is a slim left join on the
+    id. Centroid training is driver-side on a bounded deterministic
+    sample (see :func:`_train_centroids`); ``centroids="first"`` is
+    the SQL-expressible quantizer for the full-pipeline parity oracle
+    (the IVF/PQ oracle convention)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    n_cells = min(n_cells, len(X))
+    if centroids == "first":
+        C = X[:n_cells].T
+    else:
+        C = _train_centroids(X, n_cells, seed=seed).T
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell1(vs: pd.Series) -> pd.Series:
+        mask = vs.notna().to_numpy()
+        res = np.zeros(len(vs), dtype=np.int32)
+        if mask.any():
+            sims = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in vs[mask]]
+            ) @ C
+            res[mask] = sims.argmax(axis=1)
+        return pd.Series(res)
+
+    cells = vecs.select(
+        "id", "vec", _cell1(F.col("vec")).alias("cell")
+    )
+    a = cells.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = cells.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    qualifying = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(_dot(F.col("vec_a"), F.col("vec_b")), 6) >= threshold
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        cells.join(qualifying, cells.id == qualifying.id_b, "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )

@@ -45,6 +45,8 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     dup_components_twostar,
     distinct_by_fingerprint,
     exact_dedup,
+    exact_substring_dedup,
+    exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_verified_pairs,
@@ -69,6 +71,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_pq_codes,
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
+    semantic_dedup,
     ivfpq_encode,
     ivfpq_train,
     pq_encode,
@@ -83,6 +86,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
 from etl_prometheus2clickhouse_spark.operators.text import (
     _words as _doc_words,
     chunk_documents,
+    lm_perplexity,
     ngram_contamination,
     repetition_stats,
     top_k_words,
@@ -3955,6 +3959,223 @@ LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# round-9 late additions: exact substring dedup (Lee et al. ACL'22),
+# bigram-LM perplexity scoring (CCNet, Wenzek et al. LREC'20), and
+# SemDeDup (Abbas et al. 2023) — the three canonical training-data
+# curation stages the layer was still missing
+# ---------------------------------------------------------------------------
+
+_ESS_L = 5  # min duplicated-window length in tokens: Lee et al. use 50
+# on web-crawl documents; these synthetic docs average 54 tokens total,
+# so 5 is the same ~1/10-of-document granularity (71/500 docs carry a
+# duplicated 5-gram at sf0.01 — sparse but non-trivial)
+
+_ESS_SPANS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)-{_ESS_L}+2),
+                               i -> array_to_string(toks[i:i+{_ESS_L}-1], ' ')))
+           AS sh,
+         unnest(range(0, len(toks)-{_ESS_L}+1)) AS pos
+  FROM toks WHERE len(toks) >= {_ESS_L}
+),
+dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (sh)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               max(pos + {_ESS_L}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos)+{_ESS_L} AS span_end,
+         max(pos)+{_ESS_L}-min(pos) AS span_len
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-finding half of exact substring dedup
+    (operators/dedup.py:exact_substring_spans): every maximal token
+    span covered by duplicated 5-token windows, merged
+    gaps-and-islands per document. The Spark side shuffles only
+    (id, pos, 64-bit rolling hash) triples; the oracle groups by the
+    window STRING — value equality is also the no-collision witness
+    for the hash-keyed plan (a chain collision would surface here as
+    a hash mismatch)."""
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_ESS_L
+    )
+
+
+ORACLE_EXACT_SUBSTRING_SPANS = (
+    _ESS_SPANS_CTE
+    + """
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_len AS BIGINT) AS span_len
+FROM spans
+"""
+)
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication, document level
+    (operators/dedup.py:exact_substring_dedup — Lee et al. ACL 2022
+    ExactSubstr removal): duplicated spans cut from every document,
+    emitting (n_tokens, dup_tokens, dup_frac, clean_text) per doc.
+    The full-pipeline oracle reconstructs clean_text independently
+    (anti-join of token positions against covered positions,
+    order-preserving string_agg)."""
+    return exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_len=_ESS_L
+    )
+
+
+ORACLE_EXACT_SUBSTRING_DEDUP = (
+    _ESS_SPANS_CTE
+    + """,
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(span_start, span_end)) AS i FROM spans
+),
+posx AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS i
+  FROM toks
+),
+keptx AS (
+  SELECT p.doc_id, p.tok, p.i
+  FROM posx p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.i = c.i
+  WHERE c.i IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM keptx GROUP BY doc_id
+),
+dupagg AS (SELECT doc_id, sum(span_len) AS dup_tokens FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN round(coalesce(d.dup_tokens, 0) / len(t.toks), 6)
+            ELSE 0.0 END AS dup_frac,
+       coalesce(c.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN dupagg d USING (doc_id) LEFT JOIN clean c USING (doc_id)
+"""
+)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/text.py:
+    lm_perplexity): add-0.5 bigram model trained on the doc_id % 97
+    == 0 reference slice (the decontaminate convention for the
+    trusted/held-out split), scoring every other document's
+    cross-entropy and perplexity. The oracle replicates train + score
+    end-to-end: counts, vocabulary, smoothing, and the ln/exp
+    arithmetic (rounded to 6 per the aggregated-double discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        "text",
+        "doc_id",
+        alpha=0.5,
+    )
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+ref AS (SELECT toks FROM toks WHERE doc_id % 97 = 0),
+refbig AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+  FROM ref WHERE len(toks) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c_big FROM refbig GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c_big) AS c_ctx FROM bc GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v_size
+      FROM (SELECT unnest(toks) AS t FROM ref)),
+corp AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks WHERE doc_id % 97 <> 0 AND len(toks) >= 2
+),
+scored AS (
+  SELECT doc_id,
+         -ln((coalesce(c_big, 0) + 0.5) / (coalesce(c_ctx, 0) + 0.5 * v.v_size))
+           AS nll
+  FROM corp LEFT JOIN bc USING (w1, w2) LEFT JOIN cc USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 6) AS cross_entropy,
+       round(exp(avg(nll)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup): 16-cell
+    cluster-then-prune over the embeddings table with the
+    SQL-expressible ``centroids="first"`` quantizer, threshold 0.3 —
+    this synthetic corpus's pairwise-cosine ceiling is 0.51 (the same
+    regime that sized embedding_near_dup at 0.4), so 0.3 selects ~3%
+    of within-cell pairs and drops 168/500 vectors: the machinery
+    under real selection pressure. The oracle replicates the FULL
+    pipeline (assign → within-cell pairs → rounded-threshold cut →
+    min-lower-id resolve) in DuckDB; the emitted columns are
+    float-free (ids + booleans), so there is no rounding surface in
+    the result itself."""
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        n_cells=16,
+        threshold=0.3,
+        centroids="first",
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM e ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos2('a', 'c')} DESC, c.cell
+           ) AS rn
+    FROM e a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+n AS (SELECT e.vec_id, a.cell, e.v FROM e JOIN assign a USING (vec_id)),
+q AS (
+  SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_cos2('a', 'b')}, 6) >= 0.3
+  GROUP BY b.vec_id
+)
+SELECT n.vec_id, CAST(n.cell AS INT) AS cell,
+       CAST(q.dup_of AS BIGINT) AS dup_of,
+       q.dup_of IS NULL AS kept
+FROM n LEFT JOIN q ON n.vec_id = q.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4009,18 +4230,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kmv_durable": q_stream_kmv_durable,
     "cms_merge_hh": q_cms_merge_hh,
     "seq_packing_bucketed": q_seq_packing_bucketed,
-    # text analysis
+    # text analysis — round-9 late swap (demote-to-fund): lm_perplexity
+    # is the model-based quality face (CCNet) superseding the heuristic
+    # quality_score in the window (whose pure-JVM ratio-expression
+    # family stays exercised by text_stats + repetition_stats, and
+    # which stays oracle-verified cross-checked)
     "text_stats": q_text_stats,
     "language_id": q_language_id,
-    "quality_score": q_quality_score,
+    "lm_perplexity": q_lm_perplexity,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "length_quantile_filter": q_length_quantile_filter,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
-    # near-dup
-    "ngram_jaccard": q_ngram_jaccard,
+    # near-dup — round-9 late swap: exact_substring_dedup (Lee et al.
+    # ACL'22, span-cut removal) takes ngram_jaccard's slot; the
+    # blocked exact-Jaccard join shape stays in-window INSIDE
+    # minhash_lsh's verify stage (same jaccard_distinct kernel over
+    # candidate pairs) and ngram_jaccard stays oracle-verified
+    # cross-checked
+    "exact_substring_dedup": q_exact_substring_dedup,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
@@ -4028,8 +4258,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the IVFADC composition take the window; cosine_topk_ivfpq runs a
     # strict superset of cosine_topk_ivf's probe machinery (coarse
     # assign + probe + the PQ encode/ADC on top), so the standalone
-    # IVF face demotes to cross-checked
-    "cosine_topk": q_cosine_topk,
+    # IVF face demotes to cross-checked. Late swap: semantic_dedup
+    # (SemDeDup) takes the exact cosine_topk slot — the brute-force
+    # top-k's exact-rescore arithmetic stays in-window inside the PQ /
+    # IVFADC rescore stages (same _dot kernel), and cosine_topk stays
+    # oracle-verified cross-checked beside its arrow/lsh twins
+    "semantic_dedup": q_semantic_dedup,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
     "cosine_topk_ivfpq": q_cosine_topk_ivfpq,
@@ -4143,6 +4377,14 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
     "multimodal_text_meta": q_multimodal_text_meta,
+    # demoted in the round-9 late swap (rationale at the QUERIES
+    # comments): each stays fully oracle-verified here
+    "quality_score": q_quality_score,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    # round-9 late: the span-level face of the in-window
+    # exact_substring_dedup (same dup-window pipeline, pre-cut output)
+    "exact_substring_spans": q_exact_substring_spans,
 }
 
 ORACLES: dict[str, str] = {
@@ -4157,14 +4399,14 @@ ORACLES: dict[str, str] = {
     "content_dedup": ORACLE_CONTENT_DEDUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": _oracle_language_id(),
-    "quality_score": _oracle_quality_score(),
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,
     "length_quantile_filter": ORACLE_LENGTH_QUANTILE_FILTER,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
-    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "exact_substring_dedup": ORACLE_EXACT_SUBSTRING_DEDUP,
     # LSH variants are oracled against EXACT similarity SQL: candidates
     # are exact-rescored (sound by construction) and the banding is
     # tuned for full recall on this corpus (verified at sf0.001+sf0.01),
@@ -4172,7 +4414,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": _oracle_jaccard_unblocked(0.5),
     "simhash_pairs": _oracle_jaccard_unblocked(0.5),
     "dup_clusters": _oracle_dup_clusters(),
-    "cosine_topk": ORACLE_COSINE_TOPK,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
@@ -4249,6 +4491,10 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "multimodal_jpeg_meta": ORACLE_MULTIMODAL_JPEG,
     "multimodal_mp4_meta": ORACLE_MULTIMODAL_MP4,
     "multimodal_text_meta": ORACLE_MULTIMODAL_TEXT,
+    "quality_score": _oracle_quality_score(),
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
 }
 
 # Everything, for bench.py and local verification.

@@ -493,3 +493,80 @@ def test_resolve_near_duplicates_annotation(spark):
             6: (2, False),
             4: (4, True),
         }, algo
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. ACL'22 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (  # noqa: E402
+    exact_substring_dedup,
+    exact_substring_spans,
+)
+
+
+@pytest.fixture()
+def substr_corpus(spark):
+    # doc 1/2 share the 4-token run "the quick brown fox"; doc 3 repeats
+    # "a b c" twice WITHIN itself; doc 4 is clean; doc 5 too short
+    rows = [
+        (1, "start one the quick brown fox ends here now"),
+        (2, "other intro the quick brown fox closing words differ"),
+        (3, "a b c x y z a b c q r s"),
+        (4, "entirely unique content with no repeated window at all"),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_substring_spans_cross_doc(spark, substr_corpus):
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in exact_substring_spans(
+            substr_corpus, "doc_id", "text", min_len=3
+        ).collect()
+    }
+    # doc 1 tokens: start one the quick brown fox ends here now
+    #   windows "the quick brown" (pos 2) and "quick brown fox" (pos 3)
+    #   duplicate doc 2's pos 2/3 → merged island [2, 6)
+    assert (1, 2, 6, 4) in spans
+    assert (2, 2, 6, 4) in spans
+    # doc 3: "a b c" at pos 0 and pos 6 — two islands, not merged
+    assert (3, 0, 3, 3) in spans and (3, 6, 9, 3) in spans
+    assert not any(s[0] in (4, 5) for s in spans)
+
+
+def test_exact_substring_spans_overlap_merges_to_one_island(spark):
+    # "w w w w w" : every 2-token window "w w" duplicates; one span
+    df = spark.createDataFrame([(1, "w w w w w")], "doc_id bigint, text string")
+    spans = exact_substring_spans(df, "doc_id", "text", min_len=2).collect()
+    assert [(r.span_start, r.span_end, r.span_len) for r in spans] == [(0, 5, 5)]
+
+
+def test_exact_substring_dedup_cuts_and_reconstructs(spark, substr_corpus):
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            substr_corpus, "doc_id", "text", min_len=3
+        ).collect()
+    }
+    assert len(out) == 5  # every doc survives as a row
+    assert out[1].clean_text == "start one ends here now"
+    assert out[1].dup_tokens == 4 and out[1].n_tokens == 9
+    assert out[1].dup_frac == round(4 / 9, 6)
+    # doc 3 loses both islands
+    assert out[3].clean_text == "x y z q r s"
+    # untouched docs pass through whitespace-normalized, dup_tokens 0
+    assert out[4].dup_tokens == 0
+    assert out[4].clean_text == "entirely unique content with no repeated window at all"
+    assert out[5].dup_tokens == 0 and out[5].clean_text == "tiny doc"
+
+
+def test_exact_substring_dedup_fully_duplicated_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(1, "same exact words"), (2, "same exact words")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(df, min_len=3).collect()}
+    assert out[1].clean_text == "" and out[2].clean_text == ""
+    assert out[1].dup_frac == 1.0

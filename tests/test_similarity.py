@@ -872,3 +872,81 @@ def test_running_topc_boundary_ties_and_contract():
             np.array([1 << 33], dtype=np.int64),
             np.ones((1, 1), dtype=bool),
         )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-prune semantic dedup)
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.similarity import semantic_dedup
+
+
+def _semdedup_corpus(spark):
+    # ids 1 and 2 are the two axis directions — under
+    # ``centroids="first"`` with n_cells=2 they ARE the centroids, so
+    # the cells are the two directions; 3/4 are near-identical to
+    # axis-0 (cos ≈ 1 to id 1), 11 is a noisy axis-1 (cos ≈ 0.89 to
+    # id 2 — below a 0.95 threshold)
+    import numpy as _np
+
+    d = 8
+    rows = []
+    for vid, base, noise in [
+        (1, 0, 0.0), (2, 1, 0.0), (3, 0, 0.01), (4, 0, 0.02),
+        (11, 1, 0.5),
+    ]:
+        v = _np.zeros(d)
+        v[base] = 1.0
+        v[(base + 2) % d] = noise
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_drops_higher_ids_keeps_lowest(spark):
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _semdedup_corpus(spark), dim=8, n_cells=2, threshold=0.95,
+            centroids="first",
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].kept and out[1].dup_of is None
+    assert not out[3].kept and out[3].dup_of == 1
+    assert not out[4].kept and out[4].dup_of == 1  # lowest qualifying id, not 3
+    # sub-threshold within-cell pair survives on both sides
+    assert out[2].kept and out[11].kept
+
+
+def test_semantic_dedup_cross_cell_miss_is_documented_semantics(spark):
+    # force 5 cells = every vector its own seed region; the 1/2 near-dup
+    # pair still lands in ONE cell because assignment is by nearest
+    # centroid, but a pair split across cells would NOT be compared —
+    # replicate by making each point its own centroid (first-5): every
+    # vector assigns to its own cell, so nothing is dropped
+    out = semantic_dedup(
+        _semdedup_corpus(spark), dim=8, n_cells=5, threshold=0.95,
+        centroids="first",
+    ).collect()
+    assert all(r.kept for r in out)
+
+
+def test_semantic_dedup_threshold_boundary_rounds_before_compare(spark):
+    # two vectors whose cosine rounds to exactly the threshold: the
+    # 6-digit-rounded value must qualify (>=), pinning the rounding
+    # convention shared with the SQL oracle
+    import numpy as _np
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    # true cosine ≈ 0.9999988 < threshold 0.999999, but the 6-digit
+    # round lands ON the threshold → must qualify (float32 storage
+    # perturbs by ~1e-8, well inside the 5e-7 rounding band)
+    theta = _np.arccos(0.9999988)
+    b = [float(_np.cos(theta)), float(_np.sin(theta)), 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id bigint, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, dim=4, n_cells=1, threshold=0.999999, centroids="first"
+    ).collect()}
+    assert not out[2].kept and out[2].dup_of == 1

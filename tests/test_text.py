@@ -507,3 +507,69 @@ def test_pack_sequences_bucketed_rejects_non_monotone_bucket(spark):
             df, "lang", "doc_id", "n_tok", budget=64,
             bucket=F.pmod(F.xxhash64("doc_id"), F.lit(4)),
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality scoring)
+# ---------------------------------------------------------------------------
+
+import math
+
+from etl_prometheus2clickhouse_spark.operators.text import lm_perplexity
+
+
+def test_lm_perplexity_hand_computed_smoothing(spark):
+    # reference: one doc "a b a b" → bigrams (a,b)x2, (b,a)x1;
+    # contexts c(a·)=2, c(b·)=1; vocab V=2
+    ref = spark.createDataFrame([(0, "a b a b")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "b b"), (3, "c a")], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in lm_perplexity(corpus, ref, alpha=0.5).collect()
+    }
+    # doc 1: P(b|a) = (2+0.5)/(2+0.5*2) = 2.5/3
+    assert out[1].cross_entropy == round(-math.log(2.5 / 3), 6)
+    assert out[1].perplexity == round(math.exp(-math.log(2.5 / 3)), 6)
+    # doc 2: (b,b) unseen in seen context b: (0+0.5)/(1+1) = 0.25
+    assert out[2].cross_entropy == round(-math.log(0.25), 6)
+    # doc 3: unseen context c → uniform 1/V = (0.5)/(0.5*2) = 0.5
+    assert out[3].cross_entropy == round(-math.log(0.5), 6)
+    assert all(r.n_bigrams == 1 for r in out.values())
+
+
+def test_lm_perplexity_short_docs_absent_and_avg(spark):
+    ref = spark.createDataFrame([(0, "x y x y")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "x y x")], "doc_id bigint, text string"
+    )
+    out = lm_perplexity(corpus, ref, alpha=0.5).collect()
+    # docs 1 and 2 have no bigrams → absent, not scored-as-zero
+    assert {r.doc_id for r in out} == {3}
+    row = out[0]
+    assert row.n_bigrams == 2
+    # bigrams (x,y): (2+.5)/(2+1)=2.5/3 ; (y,x): (1+.5)/(1+1)=0.75
+    expected = -(math.log(2.5 / 3) + math.log(0.75)) / 2
+    assert row.cross_entropy == round(expected, 6)
+    assert row.perplexity == round(math.exp(expected), 6)
+
+
+def test_lm_perplexity_ranks_fluent_above_shuffled(spark, sf_dir):
+    # the signal test: text made of reference-frequent bigrams scores
+    # lower perplexity than the same tokens in a rare order
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    probe = spark.createDataFrame(
+        [(900001, "the the the the the the")], "doc_id bigint, text string"
+    )
+    # compare a self-repeating token (rare bigram) against in-corpus text
+    sample_text = docs.where(F.col("doc_id") % 7 != 0).first().text
+    probe2 = spark.createDataFrame(
+        [(900002, sample_text)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r.perplexity
+        for r in lm_perplexity(probe.union(probe2), ref).collect()
+    }
+    assert out[900002] < out[900001]
