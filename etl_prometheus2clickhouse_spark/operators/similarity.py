@@ -41,6 +41,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    _register_cached,
+    _with_cached_deps,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1805,9 +1810,17 @@ def semantic_dedup(
             res[mask] = sims.argmax(axis=1)
         return pd.Series(res)
 
+    # the (id, vec, cell) frame feeds BOTH pair-join sides AND the
+    # final annotate — unpersisted, Catalyst plans three parquet scans
+    # and runs the assignment GEMM UDF five times (double-planned
+    # under each join side's implicit not-null filter; verified on
+    # the formatted plan). Persist once, register with the dedup
+    # module's cached-scope protocol so callers free it after
+    # materialization (the minhash_lsh_pairs contract).
     cells = vecs.select(
         "id", "vec", _cell1(F.col("vec")).alias("cell")
-    )
+    ).persist()
+    _register_cached(cells)
     a = cells.select(
         F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
     )
@@ -1823,7 +1836,7 @@ def semantic_dedup(
         .groupBy("id_b")
         .agg(F.min("id_a").alias("dup_of"))
     )
-    return (
+    out = (
         cells.join(qualifying, cells.id == qualifying.id_b, "left")
         .select(
             F.col("id").alias(id_col),
@@ -1832,3 +1845,4 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("kept"),
         )
     )
+    return _with_cached_deps(out, [cells])

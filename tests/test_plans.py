@@ -274,3 +274,66 @@ def test_top_words_group_limited(spark):
     assert "WindowGroupLimit" in p
     assert "partial_count" in p or "partial_" in p
     assert "EvalPython" not in p
+
+
+def test_exact_substring_is_jvm_only_equi_join(spark):
+    # rolling-hash windows, dup-set join, island windows, span cut:
+    # all JVM (no Python workers anywhere), the dup-hash candidate
+    # join an equi-join (never a nested loop), and the dup set built
+    # by an aggregate with map-side partial combine on the hash key
+    for name in ("exact_substring_spans", "exact_substring_dedup"):
+        p = _plan(spark, name)
+        assert "EvalPython" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "partial_count" in p, name
+
+
+def test_exact_substring_island_windows_share_one_sort(spark):
+    # the two window functions (running max(pos+L), island cumsum) are
+    # both partitioned by doc and ordered by pos — they must share ONE
+    # exchange+sort, not re-shuffle between
+    p = _plan(spark, "exact_substring_spans", "formatted")
+    import re
+
+    win_sorts = re.findall(r"^\(\d+\) Sort", p, flags=re.M)
+    assert len(win_sorts) <= 1, p
+
+
+def test_lm_perplexity_broadcasts_lm_never_corpus(spark):
+    # the LM tables (bigram counts, context counts, the 1-row vocab)
+    # are reference-sized → every join to the corpus bigram stream is
+    # a broadcast; the only non-broadcast exchanges are the LM-count
+    # aggregates' own and the final slim per-doc aggregate — the
+    # corpus token stream itself never shuffles on a word key
+    p = _plan(spark, "lm_perplexity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "EvalPython" not in p
+    # per-doc aggregate partially combines map-side
+    assert "partial_count" in p and "partial_avg" in p
+
+
+def test_semantic_dedup_assignment_udf_runs_once(spark):
+    # the (id, vec, cell) frame feeds both pair-join sides and the
+    # final annotate: persisted, the assignment GEMM appears as ONE
+    # ArrowEvalPython over InMemoryTableScans — unpersisted it planned
+    # five (double-planned under each join side's not-null filter)
+    df = QUERIES["semantic_dedup"](spark, SF)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    try:
+        assert "BatchEvalPython" not in p
+        # every ArrowEvalPython mention is the cached frame's BUILD
+        # plan reprinted inside an InMemoryTableScan (one per
+        # consumer) — none in the live path, so the GEMM executes
+        # exactly once to populate the cache
+        assert p.count("InMemoryTableScan") == 3
+        assert p.count("ArrowEvalPython") == p.count("InMemoryTableScan")
+    finally:
+        from etl_prometheus2clickhouse_spark.operators.dedup import (
+            release_cached,
+        )
+
+        release_cached(df)
