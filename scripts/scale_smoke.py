@@ -24,17 +24,20 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_prometheus2clickhouse_spark.operators.dedup import (  # noqa: E402
     cached_scope,
     exact_dedup,
+    exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_verified_pairs,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (  # noqa: E402
+    lm_perplexity,
     ngram_contamination,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
     plan_near_dup,
+    semantic_dedup,
 )
 from etl_prometheus2clickhouse_spark.session import get_spark  # noqa: E402
 
@@ -490,6 +493,69 @@ def main() -> None:
     assert n_merged_rows <= n_groups * DEPTH * WIDTH, (
         "merged sketch exceeded groups × geometry"
     )
+
+    # ---- exact substring dedup at K× (round-9 late) ------------------
+    # The K-multiplied corpus is the ADVERSARY for this operator: every
+    # 5-token window of every original doc is now duplicated K times
+    # (only the per-copy suffix tail is unique), i.e. ~100% of
+    # positions hit the dup set. The structural claims: hit positions
+    # merge to ONE island per document (span rows == docs, not
+    # positions — the gaps-and-islands stage compacts before output),
+    # and the job completes in corpus-linear time even at full
+    # duplication.
+    t0 = time.perf_counter()
+    span_rows = exact_substring_spans(docs, "doc_id", "text", min_len=5).count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"exact_substring_spans @K={k}: {span_rows} spans over {n_docs} "
+          f"fully-duplicated docs in {dt}s")
+    assert span_rows == n_docs, (
+        "full-duplication corpus must merge to exactly one span per doc"
+    )
+
+    # ---- LM perplexity at K× (round-9 late) --------------------------
+    # Reference = the original copy (ids < 1M), corpus = the other K-1
+    # copies. The broadcast discipline must hold at this volume: the
+    # plan may not contain a corpus-shuffling join on a word key.
+    ref = docs.where(F.col("doc_id") < 1_000_000)
+    corp = docs.where(F.col("doc_id") >= 1_000_000)
+    pp = lm_perplexity(corp, ref)
+    plan = pp._sc._jvm.PythonSQLUtils.explainString(
+        pp._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "LM join shuffled the corpus token stream"
+    )
+    t0 = time.perf_counter()
+    pp_rows = pp.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"lm_perplexity @K={k}: {pp_rows} scored docs "
+          f"(corpus {(k - 1) * n_docs // k}) in {dt}s, broadcast-only joins")
+    assert pp_rows == (k - 1) * n_docs // k, (
+        "every corpus doc (all ≥ 2 tokens here) must be scored"
+    )
+
+    # ---- SemDeDup at K× (round-9 late) -------------------------------
+    # Embedding copies are EXACT duplicates (ids shifted, vectors
+    # identical) → identical cell assignment, within-cell cosine 1.0:
+    # at a near-1 threshold the operator must collapse every K-clique
+    # to its lowest id — kept == originals, and every survivor is from
+    # the i=0 copy. This exercises the worst-case Σ|cell|² pair volume
+    # (K² per original per cell) while the qualifying-pair prefilter
+    # keeps the aggregate input bounded.
+    with cached_scope():
+        t0 = time.perf_counter()
+        sd = semantic_dedup(
+            embs, dim=64, n_cells=64, threshold=0.999999,
+            centroids="kmeans",
+        ).persist()
+        kept = sd.where(F.col("kept")).count()
+        stray = sd.where(F.col("kept") & (F.col("vec_id") >= 1_000_000)).count()
+        dt = round(time.perf_counter() - t0, 1)
+        sd.unpersist()
+    print(f"semantic_dedup @K={k}: {kept} kept of {n_vecs} "
+          f"({k}x exact-dup cliques) in {dt}s")
+    assert kept == n_vecs // k, "each K-clique must keep exactly one"
+    assert stray == 0, "survivor must be the lowest id (the i=0 copy)"
 
 
 if __name__ == "__main__":
