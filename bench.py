@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "exact_substring_spans",
     "exact_substring_dedup",
     "lm_perplexity",
+    "nb_classify",
+    "bm25_search",
     "events_distinct_kmv",
     "kmv_merge",
     "heavy_hitters_cms",

@@ -23,7 +23,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
@@ -844,3 +844,210 @@ def lm_perplexity(
         F.round(F.avg("nll"), 6).alias("cross_entropy"),
         F.round(F.exp(F.avg("nll")), 6).alias("perplexity"),
     )
+
+
+def nb_classify(
+    corpus: DataFrame,
+    reference: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classification — the supervised
+    classifier stage of a curation pipeline (CCNet's alternative to
+    LM filtering is exactly this shape: a linear bag-of-words model
+    trained to separate a trusted reference from crawl text; fastText
+    supervised is the modern spelling). Naive Bayes is the member of
+    that family whose TRAINING is also closed-form counting, so the
+    entire train → score → argmax pipeline stays SQL-expressible and
+    oracle-checkable — no gradient descent anywhere.
+
+    Model: ``log P(c|d) ∝ log prior(c) + Σ_w log P(w|c)`` with
+    add-α (Laplace) smoothing ``P(w|c) = (count(w,c) + α) /
+    (count(·,c) + α·V)``, ``V`` = reference vocabulary. Tokens outside
+    the reference vocabulary contribute the per-class unseen term
+    (they still discriminate — class token totals differ). Emits one
+    row per corpus document: ``(id, label, predicted, nb_margin)``
+    where ``predicted`` is the argmax class (score rounded to 6
+    before ranking, ties → lexicographically smallest class — the
+    cos_sim convention, so near-ties resolve identically in the SQL
+    oracle) and ``nb_margin`` the rounded best-vs-runner-up log-odds
+    (the abstain/confidence knob real pipelines threshold on).
+
+    Scale shape: the model is REFERENCE-sized — the (class × word)
+    log-prob table is bounded by reference vocabulary × classes and
+    **broadcasts**; the corpus-side cost is one token explode joined
+    against it (the n_classes-way row multiplication happens on the
+    slim (doc, word) stream, n_classes is small by definition) into a
+    doc×class hash aggregate with map-side combine, then one keyed
+    window for the argmax. Nothing corpus-sized shuffles on a word
+    key; training is two map-side-combining counts over the
+    reference."""
+    ref = reference.select(
+        F.col(label_col).alias("cls"), _words(F.col(text_col)).alias("toks")
+    )
+    ref_words = ref.select("cls", F.explode("toks").alias("w"))
+    wc = ref_words.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("c_wc"))
+    ct = wc.groupBy("cls").agg(F.sum("c_wc").alias("c_c"))
+    vocab_df = ref_words.select("w").distinct()
+    v_size = vocab_df.agg(F.count(F.lit(1)).cast("double").alias("v_size"))
+    priors = ref.groupBy("cls").agg(F.count(F.lit(1)).alias("n_c"))
+    priors = priors.crossJoin(
+        F.broadcast(priors.agg(F.sum("n_c").alias("n_total")))
+    ).select("cls", F.log(F.col("n_c") / F.col("n_total")).alias("log_prior"))
+    # dense (word × class) table over the reference vocabulary: absent
+    # (w, c) pairs get the smoothed-zero numerator — broadcastable by
+    # the reference-sized-model contract
+    dense = (
+        vocab_df.crossJoin(ct.select("cls"))
+        .join(wc, ["cls", "w"], "left")
+        .join(ct, "cls")
+        .crossJoin(v_size)
+        .select(
+            "cls",
+            "w",
+            F.log(
+                (F.coalesce(F.col("c_wc"), F.lit(0)) + alpha)
+                / (F.col("c_c") + alpha * F.col("v_size"))
+            ).alias("logp"),
+        )
+    )
+    # per-class unseen-token term (corpus tokens outside the reference
+    # vocabulary entirely)
+    unseen = ct.crossJoin(v_size).select(
+        "cls",
+        F.log(alpha / (F.col("c_c") + alpha * F.col("v_size"))).alias(
+            "logp_unseen"
+        ),
+    )
+    toks = corpus.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    )
+    # seen tokens: n_classes rows per token via the broadcast dense
+    # table; unseen tokens: counted once per doc, expanded per class
+    seen_scores = toks.join(F.broadcast(dense), "w").groupBy(
+        id_col, "cls"
+    ).agg(F.sum("logp").alias("s_seen"))
+    oov_counts = toks.join(
+        F.broadcast(vocab_df), "w", "left_anti"
+    ).groupBy(id_col).agg(F.count(F.lit(1)).alias("n_oov"))
+    doc_ids = corpus.select(id_col, F.col(label_col).alias("label"))
+    scores = (
+        doc_ids.crossJoin(F.broadcast(unseen.select("cls")))
+        .join(seen_scores, [id_col, "cls"], "left")
+        # corpus-sized per-doc frame: a regular id-keyed join (NEVER
+        # broadcast — it scales with the corpus)
+        .join(oov_counts, id_col, "left")
+        .join(F.broadcast(unseen), "cls")
+        .join(F.broadcast(priors), "cls")
+        .select(
+            id_col,
+            "label",
+            "cls",
+            F.round(
+                F.coalesce(F.col("s_seen"), F.lit(0.0))
+                + F.coalesce(F.col("n_oov"), F.lit(0)) * F.col("logp_unseen")
+                + F.col("log_prior"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    ranked = scores.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "runner_up", F.lead("score", 1).over(w_rank)
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        id_col,
+        "label",
+        F.col("cls").alias("predicted"),
+        F.round(
+            F.col("score") - F.coalesce(F.col("runner_up"), F.col("score")), 6
+        ).alias("nb_margin"),
+    )
+
+
+def bm25_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k document retrieval (Robertson-Spärck Jones / Okapi
+    BM25 — the lexical-search baseline every RAG/retrieval pipeline
+    ships next to its embedding index): score =
+    ``Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1-b+b·|d|/avgdl))``
+    with the standard smoothed idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
+    ``queries`` carries ``(query_id, terms array<string>)``; terms are
+    matched against the corpus tokenization (lowercased whitespace
+    words) and deduplicated per query (standard bag-of-terms query).
+    Emits ``(query_id, doc_id, bm25 rounded to 6, rank)`` — top-k per
+    query, ties broken by ascending doc id (the cos_sim ranking
+    convention).
+
+    Scale shape — the INVERTED-INDEX join, not a scan per query: one
+    corpus pass builds the postings stream ``(term, doc, tf, |d|)``
+    (term-keyed groupBy with map-side combine), df/idf is a
+    term-keyed aggregate over postings (bounded by vocabulary), the
+    candidate stage is an equi-join of postings against the BROADCAST
+    query-term list (queries are small by definition — the
+    ``cosine_topk`` contract), and per-(query, doc) partial scores
+    hash-aggregate with map-side combine before one keyed top-k
+    window (WindowGroupLimit: map tasks emit ≤ k rows per query).
+    Corpus statistics N and avgdl ride along as a broadcast 1-row
+    frame — no driver-side scalar collect."""
+    toks = corpus.select(
+        F.col(id_col), _words(F.col(text_col)).alias("toks")
+    ).select(id_col, F.size("toks").alias("dl"), F.explode("toks").alias("t"))
+    postings = toks.groupBy("t", id_col, "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = corpus.select(
+        F.size(_words(F.col(text_col))).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = postings.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.array_distinct(F.col(terms_col))).alias("t")
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "t")
+        .join(df_t, "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int")
+    ).where(F.col("rank") <= k)

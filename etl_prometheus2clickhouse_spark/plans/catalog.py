@@ -85,8 +85,10 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
     _words as _doc_words,
+    bm25_search,
     chunk_documents,
     lm_perplexity,
+    nb_classify,
     ngram_contamination,
     repetition_stats,
     top_k_words,
@@ -4175,6 +4177,148 @@ FROM n LEFT JOIN q ON n.vec_id = q.id_b
 """
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes classification (operators/text.py:
+    nb_classify): language labels trained on the doc_id % 97 == 0
+    reference slice, every other document classified. An
+    ALGORITHMIC-PARITY entry (the ANN-oracle convention): the
+    synthetic corpus draws all languages from one shared vocabulary,
+    so accuracy sits at the class prior (~0.17) by construction — the
+    oracle instead replicates the ENTIRE train → smooth → score →
+    argmax-with-margin pipeline in DuckDB; real lexical
+    discrimination (accuracy 1.0 on a planted-vocabulary corpus) is
+    pinned in tests/test_text.py."""
+    d = _t(spark, sf_dir, "documents")
+    return nb_classify(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        label_col="lang",
+    )
+
+
+ORACLE_NB_CLASSIFY = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+ref AS (SELECT lang AS cls, toks FROM toks WHERE doc_id % 97 = 0),
+rw AS (SELECT cls, unnest(toks) AS w FROM ref),
+wc AS (SELECT cls, w, count(*) AS c_wc FROM rw GROUP BY 1, 2),
+ct AS (SELECT cls, sum(c_wc) AS c_c FROM wc GROUP BY 1),
+vocab AS (SELECT DISTINCT w FROM rw),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM vocab),
+priors AS (
+  SELECT cls, ln(count(*) / (SELECT count(*) FROM ref)) AS log_prior
+  FROM ref GROUP BY cls
+),
+dense AS (
+  SELECT c.cls, vo.w,
+         ln((coalesce(wc.c_wc, 0) + 1.0) / (c.c_c + v.v_size)) AS logp
+  FROM vocab vo CROSS JOIN ct c
+  LEFT JOIN wc ON wc.cls = c.cls AND wc.w = vo.w
+  CROSS JOIN v
+),
+unseen AS (
+  SELECT cls, ln(1.0 / (c_c + v.v_size)) AS logp_unseen FROM ct CROSS JOIN v
+),
+corp AS (SELECT doc_id, lang AS label, toks FROM toks WHERE doc_id % 97 <> 0),
+ctoks AS (SELECT doc_id, unnest(toks) AS w FROM corp),
+seen AS (
+  SELECT t.doc_id, d.cls, sum(d.logp) AS s_seen
+  FROM ctoks t JOIN dense d ON t.w = d.w GROUP BY 1, 2
+),
+oov AS (
+  SELECT t.doc_id, count(*) AS n_oov
+  FROM ctoks t LEFT JOIN vocab vo ON t.w = vo.w
+  WHERE vo.w IS NULL GROUP BY 1
+),
+scores AS (
+  SELECT c.doc_id, c.label, u.cls,
+         round(coalesce(s.s_seen, 0) + coalesce(o.n_oov, 0) * u.logp_unseen
+               + p.log_prior, 6) AS score
+  FROM corp c CROSS JOIN unseen u
+  LEFT JOIN seen s ON s.doc_id = c.doc_id AND s.cls = u.cls
+  LEFT JOIN oov o ON o.doc_id = c.doc_id
+  JOIN priors p ON p.cls = u.cls
+),
+ranked AS (
+  SELECT doc_id, label, cls, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls) AS rn,
+         lead(score) OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cls) AS runner_up
+  FROM scores
+)
+SELECT doc_id, label, cls AS predicted,
+       round(score - coalesce(runner_up, score), 6) AS nb_margin
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/text.py:bm25_search): the 5
+    lowest-id benchmark docs' first-4-token bags as queries over the
+    whole corpus, via the inverted-index join (postings × broadcast
+    query terms — never a scan per query). Algorithmic parity, not a
+    relevance claim: the synthetic Zipf vocabulary makes leading
+    tokens common words, so the full idf/tf-saturation/length-norm
+    arithmetic is exercised under heavy term overlap while the oracle
+    replicates postings → df/idf → score → top-k end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    queries = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_doc_words(F.col("text")), 1, 4).alias("terms"),
+        )
+        .orderBy("query_id")
+        .limit(5)
+    )
+    return bm25_search(d, queries, k=10)
+
+
+ORACLE_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+q5 AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:4])) AS t
+  FROM toks WHERE doc_id % 97 = 0 AND doc_id IN (
+    SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+    ORDER BY doc_id LIMIT 5)
+),
+postings AS (
+  SELECT t, doc_id, dl, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM toks
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM toks
+),
+dft AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT q5.query_id, p.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM postings p JOIN q5 ON p.t = q5.t JOIN dft d ON p.t = d.t
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4385,6 +4529,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
     "exact_substring_spans": q_exact_substring_spans,
+    # round-9 late: supervised classification (multinomial NB — the
+    # closed-form member of the CCNet/fastText classifier family) and
+    # BM25 inverted-index retrieval, both full-pipeline oracles
+    "nb_classify": q_nb_classify,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -4495,6 +4644,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
+    "nb_classify": ORACLE_NB_CLASSIFY,
+    "bm25_search": ORACLE_BM25_SEARCH,
 }
 
 # Everything, for bench.py and local verification.

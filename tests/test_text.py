@@ -573,3 +573,151 @@ def test_lm_perplexity_ranks_fluent_above_shuffled(spark, sf_dir):
         for r in lm_perplexity(probe.union(probe2), ref).collect()
     }
     assert out[900002] < out[900001]
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes classification
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.text import nb_classify
+
+
+def test_nb_classify_hand_computed_two_class(spark):
+    # reference: class a = "x x y" (c_c=3), class b = "z z" (c_c=2);
+    # vocab V = {x, y, z} = 3; priors ln(1/2) each (cancel)
+    ref = spark.createDataFrame(
+        [(0, "a", "x x y"), (1, "b", "z z")],
+        "doc_id bigint, lang string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "a", "x"), (11, "b", "z"), (12, "a", "q")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r.doc_id: r for r in nb_classify(corpus, ref).collect()}
+    import math
+
+    # doc 10 "x": P(x|a)=(2+1)/(3+3)=1/2 vs P(x|b)=(0+1)/(2+3)=1/5
+    assert out[10].predicted == "a"
+    assert out[10].nb_margin == round(
+        math.log(0.5) - math.log(0.2), 6
+    )
+    # doc 11 "z": P(z|a)=1/6 vs P(z|b)=3/5
+    assert out[11].predicted == "b"
+    # doc 12 "q" is fully OOV: unseen term only — ln(1/6) vs ln(1/5),
+    # class b (smaller token total) wins
+    assert out[12].predicted == "b"
+    assert out[12].nb_margin == round(
+        math.log(1 / 5) - math.log(1 / 6), 6
+    )
+    assert out[10].label == "a" and out[12].label == "a"
+
+
+def test_nb_classify_planted_vocabulary_is_separable(spark):
+    # distinct vocabularies per class → accuracy 1.0: the classifier
+    # discriminates when signal exists (the catalog corpus has none —
+    # documented there as an algorithmic-parity entry)
+    import random
+
+    rng = random.Random(7)
+    vocab = {
+        "aa": [f"alpha{i}" for i in range(30)],
+        "bb": [f"beta{i}" for i in range(30)],
+        "cc": [f"gamma{i}" for i in range(30)],
+    }
+    rows = []
+    did = 0
+    for cls, words in vocab.items():
+        for _ in range(20):
+            rows.append(
+                (did, cls, " ".join(rng.choice(words) for _ in range(25)))
+            )
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    ref = df.where(F.col("doc_id") % 2 == 0)
+    corpus = df.where(F.col("doc_id") % 2 == 1)
+    out = nb_classify(corpus, ref).collect()
+    assert len(out) == 30
+    assert all(r.predicted == r.label for r in out)
+    assert all(r.nb_margin > 0 for r in out)
+
+
+def test_nb_classify_tie_breaks_lexicographically(spark):
+    # symmetric reference → identical rounded scores for both classes
+    # on a symmetric probe: the smaller class name must win, matching
+    # the SQL oracle's ORDER BY score DESC, cls
+    ref = spark.createDataFrame(
+        [(0, "b", "x"), (1, "a", "x")],
+        "doc_id bigint, lang string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "a", "x x")], "doc_id bigint, lang string, text string"
+    )
+    row = nb_classify(corpus, ref).collect()[0]
+    assert row.predicted == "a"
+    assert row.nb_margin == 0.0
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.text import bm25_search
+
+
+def test_bm25_hand_computed_single_term(spark):
+    # corpus: d1 = "w w a" (tf=2, dl=3), d2 = "w b" (tf=1, dl=2),
+    # d3 = "c c c" (no hit). N=3, avgdl=8/3, df(w)=2.
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "w w a"), (2, "w b"), (3, "c c c")],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame([(100, ["w"])], "query_id bigint, terms array<string>")
+    out = {r.doc_id: r for r in bm25_search(docs, qs, k=10).collect()}
+    assert set(out) == {1, 2}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 8 / 3
+
+    def score(tf, dl):
+        return round(
+            idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6
+        )
+
+    assert out[1].bm25 == score(2, 3)
+    assert out[2].bm25 == score(1, 2)
+    assert out[1].rank == 1 and out[2].rank == 2
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # "rare" appears in 1 of 4 docs, "common" in all 4: a single rare
+    # hit must outrank a single common hit at equal tf and dl
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common pad1"),
+            (2, "common pad2 pad3"),
+            (3, "common pad4 pad5"),
+            (4, "common pad6 pad7"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = spark.createDataFrame(
+        [(9, ["rare", "common"])], "query_id bigint, terms array<string>"
+    )
+    out = bm25_search(docs, qs, k=4).collect()
+    assert out[0].doc_id == 1 and out[0].rank == 1  # rare+common hit wins
+
+
+def test_bm25_top_k_and_duplicate_query_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, "t filler" + " pad" * i) for i in range(1, 8)],
+        "doc_id bigint, text string",
+    )
+    # duplicate terms in the bag must not double-count (array_distinct)
+    qs = spark.createDataFrame(
+        [(5, ["t", "t"])], "query_id bigint, terms array<string>"
+    )
+    out = bm25_search(docs, qs, k=3).collect()
+    assert len(out) == 3
+    # shorter docs (smaller dl) score higher at equal tf
+    assert [r.doc_id for r in out] == [1, 2, 3]
