@@ -30,8 +30,11 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (  # noqa: E402
     simhash_verified_pairs,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (  # noqa: E402
+    bm25_search,
     lm_perplexity,
+    nb_classify,
     ngram_contamination,
+    _words as _smoke_words,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (  # noqa: E402
     embedding_near_dup_auto,
@@ -556,6 +559,62 @@ def main() -> None:
           f"({k}x exact-dup cliques) in {dt}s")
     assert kept == n_vecs // k, "each K-clique must keep exactly one"
     assert stray == 0, "survivor must be the lowest id (the i=0 copy)"
+
+    # ---- NB classification + BM25 retrieval at K× (round-9 late) ----
+    # Same broadcast-discipline claim as lm_perplexity: the model /
+    # query side is bounded (reference vocabulary × classes; query
+    # terms), so neither plan may shuffle the corpus token stream
+    # through a SortMergeJoin on a word key. Labels for NB come from
+    # the docs' lang column; the reference is the original copy.
+    d0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labeled = d0.select("doc_id", "lang", "text")
+    corpus_lbl = labeled
+    for i in range(1, k):
+        corpus_lbl = corpus_lbl.unionByName(
+            d0.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+            )
+        )
+    nb = nb_classify(
+        corpus_lbl.where(F.col("doc_id") >= 1_000_000),
+        labeled,
+    )
+    plan = nb._sc._jvm.PythonSQLUtils.explainString(
+        nb._jdf.queryExecution(), "simple"
+    )
+    # the ONLY sort-merge joins allowed are the corpus-sized id-keyed
+    # ones (doc x class score assembly, per-doc oov counts) — never a
+    # word-keyed join of the token stream; the dense model table and
+    # the class frames must broadcast
+    assert "BroadcastHashJoin" in plan
+    t0 = time.perf_counter()
+    nb_rows = nb.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"nb_classify @K={k}: {nb_rows} classified docs in {dt}s")
+    assert nb_rows == (k - 1) * n_docs // k
+
+    queries = (
+        docs.where(F.col("doc_id") < 1_000_000)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_smoke_words(F.col("text")), 1, 4).alias("terms"),
+        )
+        .orderBy("query_id")
+        .limit(50)
+    )
+    bm = bm25_search(docs, queries, k=10)
+    plan = bm._sc._jvm.PythonSQLUtils.explainString(
+        bm._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    t0 = time.perf_counter()
+    bm_rows = bm.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"bm25_search @K={k}: {bm_rows} result rows "
+          f"(50 queries x top-10) in {dt}s")
+    assert bm_rows == 50 * 10, "every query must fill its top-10 here"
 
 
 if __name__ == "__main__":
