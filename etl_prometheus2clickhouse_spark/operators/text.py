@@ -755,12 +755,32 @@ def pack_sequences_bucketed(
     return _pack_layout(out, stratum_col, id_col, budget)
 
 
+def _guard_model_rows(df: DataFrame, cap: int, operator: str, what: str) -> None:
+    """Reference-sized-model contract made LOUD (the ``max_queries``
+    discipline of ``similarity.cosine_topk_arrow``): every frame these
+    operators broadcast is bounded by the reference/query side, so a
+    caller that passes a corpus-sized "reference" would silently OOM
+    driver and executors at broadcast time. Count-bound the frame first
+    — ``limit(cap+1).count()`` stops scanning at the cap, so the guard
+    costs one bounded pass over a (by contract small) frame — and fail
+    with an actionable message instead of an executor OOM."""
+    n = df.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{operator}: {what} exceeds the broadcast cap ({cap} rows) — "
+            "the model/reference side must be reference-sized (it is "
+            "broadcast to every task). Shrink the reference or raise the "
+            "cap only with matching driver/executor memory."
+        )
+
+
 def lm_perplexity(
     corpus: DataFrame,
     reference: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.5,
+    max_model_rows: int = 1_000_000,
 ) -> DataFrame:
     """Per-document bigram language-model perplexity against a
     reference corpus — the CCNet-style quality signal (Wenzek et al.,
@@ -815,6 +835,11 @@ def lm_perplexity(
     vocab = ref_toks.select(F.explode("toks").alias("t")).agg(
         F.count_distinct("t").cast("double").alias("v_size")
     )
+    # loud size guard on the largest broadcast frame (big_counts bounds
+    # ctx_counts: one context row per distinct w1)
+    _guard_model_rows(
+        big_counts, max_model_rows, "lm_perplexity", "reference bigram table"
+    )
     corp = (
         corpus.select(
             F.col(id_col), _words(F.col(text_col)).alias("toks")
@@ -853,6 +878,7 @@ def nb_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    max_model_rows: int = 1_000_000,
 ) -> DataFrame:
     """Multinomial Naive Bayes text classification — the supervised
     classifier stage of a curation pipeline (CCNet's alternative to
@@ -898,7 +924,7 @@ def nb_classify(
     ).select("cls", F.log(F.col("n_c") / F.col("n_total")).alias("log_prior"))
     # dense (word × class) table over the reference vocabulary: absent
     # (w, c) pairs get the smoothed-zero numerator — broadcastable by
-    # the reference-sized-model contract
+    # the reference-sized-model contract, made loud below
     dense = (
         vocab_df.crossJoin(ct.select("cls"))
         .join(wc, ["cls", "w"], "left")
@@ -912,6 +938,12 @@ def nb_classify(
                 / (F.col("c_c") + alpha * F.col("v_size"))
             ).alias("logp"),
         )
+    )
+    # loud size guard on the broadcast model: the dense table is
+    # V × n_classes rows (the largest frame shipped to every task);
+    # limit(cap+1) stops the guard scan at the cap
+    _guard_model_rows(
+        dense, max_model_rows, "nb_classify", "dense (class × word) model"
     )
     # per-class unseen-token term (corpus tokens outside the reference
     # vocabulary entirely)
@@ -979,6 +1011,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_query_terms: int = 1_000_000,
 ) -> DataFrame:
     """BM25 top-k document retrieval (Robertson-Spärck Jones / Okapi
     BM25 — the lexical-search baseline every RAG/retrieval pipeline
@@ -1020,6 +1053,11 @@ def bm25_search(
     )
     qterms = queries.select(
         F.col(query_id_col), F.explode(F.array_distinct(F.col(terms_col))).alias("t")
+    )
+    # loud size guard on the broadcast query-term list (queries are
+    # small by definition — the cosine_topk contract)
+    _guard_model_rows(
+        qterms, max_query_terms, "bm25_search", "exploded query-term list"
     )
     scored = (
         postings.join(F.broadcast(qterms), "t")

@@ -721,3 +721,44 @@ def test_bm25_top_k_and_duplicate_query_terms(spark):
     assert len(out) == 3
     # shorter docs (smaller dl) score higher at equal tf
     assert [r.doc_id for r in out] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# broadcast-model size guards: the reference-sized-model contract fails
+# LOUD (actionable ValueError) instead of OOMing at broadcast time
+# ---------------------------------------------------------------------------
+
+
+def test_lm_perplexity_model_size_guard_overflow(spark):
+    ref = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id bigint, text string"
+    )  # 5 distinct bigrams
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="lm_perplexity.*broadcast cap"):
+        lm_perplexity(corpus, ref, max_model_rows=4).collect()
+    # at-cap passes (guard is > cap, not >= cap)
+    assert lm_perplexity(corpus, ref, max_model_rows=5).count() == 1
+
+
+def test_nb_classify_model_size_guard_overflow(spark):
+    # dense model = V × n_classes = 3 × 2 = 6 rows
+    ref = spark.createDataFrame(
+        [(0, "a", "x y"), (1, "b", "z")],
+        "doc_id bigint, lang string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "a", "x")], "doc_id bigint, lang string, text string"
+    )
+    with pytest.raises(ValueError, match="nb_classify.*broadcast cap"):
+        nb_classify(corpus, ref, max_model_rows=5).collect()
+    assert nb_classify(corpus, ref, max_model_rows=6).count() == 1
+
+
+def test_bm25_query_terms_guard_overflow(spark):
+    docs = spark.createDataFrame([(1, "t u v")], "doc_id bigint, text string")
+    qs = spark.createDataFrame(
+        [(9, ["t", "u", "v"])], "query_id bigint, terms array<string>"
+    )
+    with pytest.raises(ValueError, match="bm25_search.*broadcast cap"):
+        bm25_search(docs, qs, max_query_terms=2).collect()
+    assert bm25_search(docs, qs, max_query_terms=3).count() == 1
