@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_quantiles",
     # LLM layer
+    "html_extract",
     "text_stats",
     "quality_score",
     "repetition_stats",

@@ -100,6 +100,10 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     with_token_count,
 )
 from etl_prometheus2clickhouse_spark.functions import ts
+from etl_prometheus2clickhouse_spark.operators.html import (
+    BLOCK_TAGS as _HTML_BLOCK_TAGS,
+    html_extract,
+)
 from etl_prometheus2clickhouse_spark.operators.sampling import (
     stratified_sample,
     weighted_sample,
@@ -4126,6 +4130,95 @@ FROM scored GROUP BY doc_id
 """
 
 
+# HTML page synthesis shared by q_html_extract and its oracle: wrap
+# each document's text in a page with planted boilerplate — nav and
+# footer link bars (link-dense, short), script/style/comment chrome
+# (invisible), and the text split into <p> blocks at sentence
+# boundaries. Both engines build the page with the same replace(), so
+# the extraction arithmetic is compared on identical inputs.
+_HTML_PRE = (
+    '<html><head><title>Doc</title>'
+    '<script>var a = "<p>not content</p>";</script>'
+    '<style>.main { color: red; }</style></head><body>'
+    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></div>'
+    '<!-- chrome boundary <p>hidden</p> -->'
+    '<div class="main"><p>'
+)
+_HTML_POST = (
+    '</p></div><div class="footer"><a href="/terms">Terms</a> '
+    '<a href="/privacy">Privacy</a> (c)</div></body></html>'
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removing HTML→text extraction (operators/html.py:
+    html_extract — the jusText-style crawl front door): every document
+    is wrapped into a synthetic page with planted nav/footer link bars
+    and script/style/comment chrome, then the extractor must drop the
+    chrome and recover exactly the content paragraphs. The oracle
+    replicates the full strip → segment → link-density arithmetic in
+    DuckDB string functions on the identically-synthesized pages; the
+    keep rule is integer-exact (3·link_chars ≤ text_chars), so the
+    emitted text compares byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_HTML_PRE),
+        F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+        F.lit(_HTML_POST),
+    )
+    return html_extract(
+        d.select("doc_id", page.alias("html")), "html", "doc_id"
+    )
+
+
+_ORACLE_CLEAN_BLOCK = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace({X}, '(?s)<[^>]*>', ' ', 'g'),"
+    "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39)),"
+    "'&nbsp;',' '),'&amp;','&'),"
+    "'\\s+', ' ', 'g'))"
+)
+
+ORACLE_HTML_EXTRACT = (
+    "WITH pages AS (SELECT doc_id, '" + _HTML_PRE
+    + "' || replace(text, '. ', '.</p><p>') || '" + _HTML_POST
+    + "' AS html FROM documents),\n"
+    "stripped AS (SELECT doc_id, regexp_replace(regexp_replace("
+    "regexp_replace(html,"
+    " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g') AS s FROM pages),\n"
+    "blk AS (SELECT doc_id, string_split(regexp_replace(s,"
+    " '(?i)</?(" + _HTML_BLOCK_TAGS + ")\\b[^>]*>', chr(1), 'g'),"
+    " chr(1)) AS blocks FROM stripped),\n"
+    "exploded AS (SELECT doc_id, unnest(blocks) AS block,"
+    " unnest(generate_series(1, len(blocks))) AS pos FROM blk),\n"
+    "per_block AS (SELECT doc_id, pos, "
+    + _ORACLE_CLEAN_BLOCK.format(X="block") + " AS text,"
+    " coalesce(list_sum(list_transform("
+    "regexp_extract_all(block, '(?is)<a\\b[^>]*>(.*?)</a>', 1),"
+    " a -> length(" + _ORACLE_CLEAN_BLOCK.format(X="a") + "))), 0)"
+    " AS link_chars FROM exploded),\n"
+    "flags AS (SELECT doc_id, pos, text, length(text) > 0 AS is_block,"
+    " len(string_split(text, ' ')) AS n_words, link_chars"
+    " FROM per_block),\n"
+    "kept AS (SELECT *, is_block AND n_words >= 5"
+    " AND 3*link_chars <= length(text) AS keep FROM flags)\n"
+    "SELECT doc_id,"
+    " CAST(coalesce(sum(CASE WHEN is_block THEN 1 END), 0) AS BIGINT)"
+    " AS n_blocks,"
+    " CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)"
+    " AS n_kept,"
+    " CAST(length(coalesce(string_agg(text, chr(10) ORDER BY pos)"
+    " FILTER (WHERE keep), '')) AS BIGINT) AS n_chars,"
+    " coalesce(string_agg(text, chr(10) ORDER BY pos)"
+    " FILTER (WHERE keep), '') AS text"
+    " FROM kept GROUP BY doc_id"
+)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py:semantic_dedup): 16-cell
     cluster-then-prune over the embeddings table with the
@@ -4382,6 +4475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "lm_perplexity": q_lm_perplexity,
+    "html_extract": q_html_extract,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
@@ -4549,6 +4643,7 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": _oracle_language_id(),
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "html_extract": ORACLE_HTML_EXTRACT,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,
