@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "exact_substring_spans",
     "exact_substring_dedup",
     "lm_perplexity",
+    "lm_perplexity3",
     "nb_classify",
     "bm25_search",
     "events_distinct_kmv",

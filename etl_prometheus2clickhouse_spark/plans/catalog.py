@@ -88,6 +88,7 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     bm25_search,
     chunk_documents,
     lm_perplexity,
+    lm_perplexity3,
     nb_classify,
     ngram_contamination,
     repetition_stats,
@@ -4130,6 +4131,77 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_lm_perplexity3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Jelinek-Mercer LM perplexity (operators/text.py:
+    lm_perplexity3) — the CCNet-parity n-gram order with classical
+    interpolation smoothing, trained on the doc_id % 97 == 0 trusted
+    slice and scoring every other document. The oracle replicates
+    train + score end-to-end: trigram/bigram/unigram count tables,
+    context sums, the λ-weighted interpolation in the identical
+    left-to-right arithmetic order, and the ln/exp rounding."""
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity3(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        "text",
+        "doc_id",
+        lambdas=(0.5, 0.3, 0.15, 0.05),
+    )
+
+
+ORACLE_LM_PERPLEXITY3 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+ref AS (SELECT toks FROM toks WHERE doc_id % 97 = 0),
+reftri AS (
+  SELECT unnest(toks[1:len(toks)-2]) AS w1,
+         unnest(toks[2:len(toks)-1]) AS w2,
+         unnest(toks[3:len(toks)]) AS w3
+  FROM ref WHERE len(toks) >= 3
+),
+tc AS (SELECT w1, w2, w3, count(*) AS c_tri FROM reftri GROUP BY 1, 2, 3),
+c3 AS (SELECT w1, w2, sum(c_tri) AS c_ctx3 FROM tc GROUP BY 1, 2),
+refbig AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS w2, unnest(toks[2:len(toks)]) AS w3
+  FROM ref WHERE len(toks) >= 2
+),
+bc AS (SELECT w2, w3, count(*) AS c_big FROM refbig GROUP BY 1, 2),
+c2 AS (SELECT w2, sum(c_big) AS c_ctx2 FROM bc GROUP BY 1),
+uc AS (SELECT w3, count(*) AS c_uni
+       FROM (SELECT unnest(toks) AS w3 FROM ref) GROUP BY 1),
+tot AS (SELECT CAST(sum(c_uni) AS DOUBLE) AS n_tokens,
+               CAST(count(*) AS DOUBLE) AS v_size FROM uc),
+corp AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+         unnest(toks[2:len(toks)-1]) AS w2,
+         unnest(toks[3:len(toks)]) AS w3
+  FROM toks WHERE doc_id % 97 <> 0 AND len(toks) >= 3
+),
+scored AS (
+  SELECT doc_id,
+         -ln(0.5 * (coalesce(c_tri, 0) / coalesce(c_ctx3, 1))
+             + 0.3 * (coalesce(c_big, 0) / coalesce(c_ctx2, 1))
+             + 0.15 * (coalesce(c_uni, 0) / tot.n_tokens)
+             + 0.05 / tot.v_size) AS nll
+  FROM corp
+  LEFT JOIN tc USING (w1, w2, w3)
+  LEFT JOIN c3 USING (w1, w2)
+  LEFT JOIN bc USING (w2, w3)
+  LEFT JOIN c2 USING (w2)
+  LEFT JOIN uc USING (w3)
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(nll), 6) AS cross_entropy,
+       round(exp(avg(nll)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 # HTML page synthesis shared by q_html_extract and its oracle: wrap
 # each document's text in a page with planted boilerplate — nav and
 # footer link bars (link-dense, short), script/style/comment chrome
@@ -4476,6 +4548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "lm_perplexity": q_lm_perplexity,
     "html_extract": q_html_extract,
+    "lm_perplexity3": q_lm_perplexity3,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
@@ -4644,6 +4717,7 @@ ORACLES: dict[str, str] = {
     "language_id": _oracle_language_id(),
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "html_extract": ORACLE_HTML_EXTRACT,
+    "lm_perplexity3": ORACLE_LM_PERPLEXITY3,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,

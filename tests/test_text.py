@@ -762,3 +762,78 @@ def test_bm25_query_terms_guard_overflow(spark):
     with pytest.raises(ValueError, match="bm25_search.*broadcast cap"):
         bm25_search(docs, qs, max_query_terms=2).collect()
     assert bm25_search(docs, qs, max_query_terms=3).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# trigram Jelinek-Mercer LM perplexity
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.text import lm_perplexity3
+
+
+def test_lm_perplexity3_hand_computed_interpolation(spark):
+    # reference "a b c a b c": trigrams (a,b,c)x2, (b,c,a), (c,a,b);
+    # bigrams (a,b)x2, (b,c)x2, (c,a); unigrams a:2 b:2 c:2, N=6, V=3
+    ref = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z")], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in lm_perplexity3(
+            corpus, ref, lambdas=(0.5, 0.3, 0.15, 0.05)
+        ).collect()
+    }
+    import math
+
+    # doc 1, trigram (a,b,c): ML3 = 2/2, ML2(c|b) = 2/2, ML1(c) = 2/6
+    p1 = 0.5 * 1.0 + 0.3 * 1.0 + 0.15 * (2 / 6) + 0.05 / 3
+    assert out[1].n_trigrams == 1
+    assert out[1].cross_entropy == round(-math.log(p1), 6)
+    assert out[1].perplexity == round(math.exp(-math.log(p1)), 6)
+    # doc 2 fully OOV: only the uniform floor survives
+    p2 = 0.05 / 3
+    assert out[2].cross_entropy == round(-math.log(p2), 6)
+
+
+def test_lm_perplexity3_short_docs_absent(spark):
+    ref = spark.createDataFrame([(0, "x y z x y z")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x y"), (2, ""), (3, "x y z x")], "doc_id bigint, text string"
+    )
+    out = lm_perplexity3(corpus, ref).collect()
+    assert {r.doc_id for r in out} == {3}
+    assert out[0].n_trigrams == 2
+
+
+def test_lm_perplexity3_ranks_fluent_above_shuffled(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    probe = spark.createDataFrame(
+        [(900001, "the the the the the the")], "doc_id bigint, text string"
+    )
+    sample_text = docs.where(F.col("doc_id") % 7 != 0).first().text
+    probe2 = spark.createDataFrame(
+        [(900002, sample_text)], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r.perplexity
+        for r in lm_perplexity3(probe.union(probe2), ref).collect()
+    }
+    assert out[900002] < out[900001]
+
+
+def test_lm_perplexity3_model_size_guard_and_lambda_check(spark):
+    ref = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id bigint, text string"
+    )  # 4 distinct trigrams
+    corpus = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="lm_perplexity3.*broadcast cap"):
+        lm_perplexity3(corpus, ref, max_model_rows=3).collect()
+    assert lm_perplexity3(corpus, ref, max_model_rows=4).count() == 1
+    with pytest.raises(ValueError, match="lambdas must sum to 1"):
+        lm_perplexity3(corpus, ref, lambdas=(0.5, 0.3, 0.15, 0.15))
