@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "lm_perplexity",
     "lm_perplexity3",
+    "bpe_tokenize",
     "nb_classify",
     "bm25_search",
     "events_distinct_kmv",

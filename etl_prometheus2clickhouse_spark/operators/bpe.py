@@ -1,0 +1,218 @@
+"""Byte-pair-encoding tokenizer: distributed training + JVM-only apply.
+
+Real BPE (Sennrich, Haddow & Birch, ACL 2016, "Neural Machine
+Translation of Rare Words with Subword Units") replaces the engine's
+"BPE-ish" regex token count with a LEARNED vocabulary: training
+iteratively merges the most frequent adjacent symbol pair; encoding
+applies the learned merges in rank order.
+
+Spark-first re-expression:
+
+- **Training** (:func:`bpe_train`): the working state is the
+  vocabulary-sized ``(word, count)`` table — BPE statistics are
+  identical on the word-frequency table and the raw corpus, so one
+  map-side-combining word count reduces 100 TB of text to a
+  vocabulary-bounded frame up front. Each merge round is ONE
+  aggregate: explode adjacent symbol pairs weighted by word count
+  (uniform keys, partial combine), take the argmax on the driver
+  (count desc, then pair lexicographic — deterministic), apply the
+  merge with a single literal ``replace``. ``localCheckpoint`` per
+  round cuts the growing lineage, the ``dup_clusters`` iteration
+  pattern.
+
+- **Symbolization is a flat string, not an array**: a word's symbol
+  sequence is encoded as ``··a··b··<eow>··`` — every symbol wrapped in
+  single separators, every boundary therefore carrying TWO.  Merging
+  pair (a,b) is then the literal replace ``·a··b·`` → ``·ab·``, which
+  consumes one separator from each side and leaves one — so an
+  immediately following occurrence still has its boundary, and
+  left-to-right non-overlapping ``replace`` semantics (identical in
+  the JVM and DuckDB) implement exactly the greedy merge pass.
+  Word boundaries in a whole-document encoding carry FOUR separators,
+  which the two-separator pattern can never match across — merges
+  cannot cross words by construction.
+
+- **Apply** (:func:`bpe_apply`): merges are applied in learned order
+  (the original subword-nmt contract: later merges only create longer
+  symbols, so earlier-rank pairs can never newly form — one ordered
+  pass is exact). The whole document becomes one canonical string and
+  the merge table becomes a chain of ``n_merges`` literal JVM
+  ``replace`` calls — **zero Python, zero shuffle, no join**: the
+  tokenizer is a per-row expression, embarrassingly parallel at any
+  scale.
+
+The separator (``\\x01``) and end-of-word mark (``\\x02``) are control
+characters that cannot appear in whitespace-tokenized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x01"
+EOW = "\x02"
+
+
+def _canonical_word(w: Column) -> Column:
+    """word → ``·c··h··a··r··<eow>··`` (single separators around every
+    initial character symbol; EOW appended as its own symbol)."""
+    return F.concat(
+        F.lit(SEP),
+        F.regexp_replace(
+            F.concat(w, F.lit(EOW)), "(.)", SEP + "$1" + SEP
+        ),
+        F.lit(SEP),
+    )
+
+
+def _merge_pattern(a: str, b: str) -> tuple[str, str]:
+    """Literal search/replace strings for merging pair (a, b)."""
+    return f"{SEP}{a}{SEP}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}"
+
+
+def _symbols(canon: Column) -> Column:
+    """canonical string → symbol array. Word boundaries carry four
+    separators and split into an empty element — dropped here."""
+    return F.filter(
+        F.split(F.btrim(canon, F.lit(SEP)), SEP + SEP),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def bpe_train(
+    reference: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    max_vocab_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a reference corpus; returns
+    the ordered merge list ``[(a, b), ...]``. Stops early when the best
+    remaining pair occurs only once (merging singletons adds no
+    compression). The word-frequency table is count-bounded loudly
+    (the reference-sized-model contract) because each round collects
+    one argmax row from an aggregate over it."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        _guard_model_rows,
+        _words,
+    )
+
+    words = (
+        reference.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _guard_model_rows(
+        words, max_vocab_words, "bpe_train", "reference word-frequency table"
+    )
+    vocab = words.select(
+        _canonical_word(F.col("w")).alias("canon"), "cnt"
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        syms = _symbols(F.col("canon"))
+        sz = F.size(syms)
+        pairs = F.when(
+            sz >= 2,
+            F.zip_with(
+                F.slice(syms, 1, sz - 1),
+                F.slice(syms, 2, sz - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            vocab.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].n < 2:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        search, repl = _merge_pattern(a, b)
+        vocab = vocab.select(
+            F.replace(F.col("canon"), F.lit(search), F.lit(repl)).alias(
+                "canon"
+            ),
+            "cnt",
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow_display: str = "</w>",
+) -> DataFrame:
+    """Tokenize every document with a learned merge list. Emits
+    ``(id, n_tokens, tokens)`` where ``tokens`` is the space-joined
+    BPE token stream (EOW rendered as ``eow_display``). Pure per-row
+    JVM expressions — the merge chain is ``len(merges)`` literal
+    replaces on one canonical string per document."""
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    doc_canon = F.array_join(
+        F.transform(_words(F.col(text_col)), _canonical_word), ""
+    )
+    for a, b in merges:
+        search, repl = _merge_pattern(a, b)
+        doc_canon = F.replace(doc_canon, F.lit(search), F.lit(repl))
+    toks = F.when(
+        F.length(doc_canon) > 0, _symbols(doc_canon)
+    ).otherwise(F.array().cast("array<string>"))
+    return corpus.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.replace(
+            F.array_join(toks, " "), F.lit(EOW), F.lit(eow_display)
+        ).alias("tokens"),
+    )
+
+
+def bpe_reference_merges(
+    texts: list[str], n_merges: int
+) -> list[tuple[str, str]]:
+    """Independent driver-side reference implementation (plain Python,
+    no Spark) of the SAME training contract — used by tests and oracle
+    construction to pin the distributed path against a second
+    derivation. Tie-break identical: count desc, then (a, b)
+    lexicographic ascending."""
+    from collections import Counter
+
+    word_counts: Counter[tuple[str, ...]] = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            word_counts[tuple(w) + (EOW,)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter[tuple[str, str]] = Counter()
+        for syms, cnt in word_counts.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        new_counts: Counter[tuple[str, ...]] = Counter()
+        for syms, cnt in word_counts.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_counts[tuple(out)] += cnt
+        word_counts = new_counts
+    return merges

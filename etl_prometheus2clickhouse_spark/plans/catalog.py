@@ -101,6 +101,10 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     with_token_count,
 )
 from etl_prometheus2clickhouse_spark.functions import ts
+from etl_prometheus2clickhouse_spark.operators.bpe import (
+    bpe_apply,
+    bpe_train,
+)
 from etl_prometheus2clickhouse_spark.operators.html import (
     BLOCK_TAGS as _HTML_BLOCK_TAGS,
     html_extract,
@@ -4131,6 +4135,92 @@ FROM scored GROUP BY doc_id
 """
 
 
+# BPE training corpus: planted constants, rich enough for 16 merges
+# with deterministic order (strict frequency/tie ordering under the
+# count-desc-then-lexicographic rule). The ENGINE trains on this corpus
+# distributed (operators/bpe.py:bpe_train — one pair-count aggregate
+# per round); the ORACLE applies the merge list derived by the
+# INDEPENDENT plain-Python implementation (bpe_reference_merges, no
+# Spark anywhere in it) — so a training drift in the distributed path
+# changes the tokenization and fails the value hash.
+_BPE_TRAIN_TEXTS = [
+    "low low low low low",
+    "lower lower lower",
+    "newest newest newest newest newest newest",
+    "widest widest widest",
+    "the the the the the the the the",
+    "then then then",
+    "this this this this",
+    "lowest lowest",
+]
+_BPE_N_MERGES = 16
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE tokenization (operators/bpe.py): train 16 merges on
+    the planted reference corpus with the distributed per-round
+    pair-count aggregate, then tokenize every document with the
+    JVM-only replace-chain apply. The oracle replicates the apply
+    chain in DuckDB using the merge list from the independent Python
+    derivation — engine training must reproduce it exactly for the
+    token streams to hash-match."""
+    ref = spark.createDataFrame(
+        [(t,) for t in _BPE_TRAIN_TEXTS], "text string"
+    )
+    merges = bpe_train(ref, n_merges=_BPE_N_MERGES)
+    return bpe_apply(_t(spark, sf_dir, "documents"), merges)
+
+
+def _bpe_sql_lit(s: str) -> str:
+    """SQL literal for a string containing the \\x01/\\x02 control
+    marks: quoted runs joined with chr() calls."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if ch in ("\x01", "\x02"):
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _build_bpe_oracle() -> str:
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        EOW,
+        SEP,
+        bpe_reference_merges,
+    )
+
+    merges = bpe_reference_merges(_BPE_TRAIN_TEXTS, _BPE_N_MERGES)
+    canon = (
+        "array_to_string(list_transform("
+        "list_filter(string_split_regex(lower(text), '\\s+'),"
+        " t -> t <> ''),"
+        " w -> chr(1) || regexp_replace(w || chr(2), '(.)',"
+        " chr(1) || '\\1' || chr(1), 'g') || chr(1)), '')"
+    )
+    for a, b in merges:
+        search = _bpe_sql_lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}")
+        repl = _bpe_sql_lit(f"{SEP}{a}{b}{SEP}")
+        canon = f"replace({canon}, {search}, {repl})"
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        " list_filter(string_split(trim(" + canon + ", chr(1)),"
+        " chr(1) || chr(1)), s -> s <> '') AS ts FROM documents)\n"
+        "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,"
+        " replace(array_to_string(ts, ' '), chr(2), '</w>') AS tokens"
+        " FROM toks"
+    )
+
+
+ORACLE_BPE_TOKENIZE = _build_bpe_oracle()
+
+
 def q_lm_perplexity3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram Jelinek-Mercer LM perplexity (operators/text.py:
     lm_perplexity3) — the CCNet-parity n-gram order with classical
@@ -4549,6 +4639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "html_extract": q_html_extract,
     "lm_perplexity3": q_lm_perplexity3,
+    "bpe_tokenize": q_bpe_tokenize,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
@@ -4718,6 +4809,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity3": ORACLE_LM_PERPLEXITY3,
+    "bpe_tokenize": ORACLE_BPE_TOKENIZE,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,

