@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "audio_features",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
+    "demux_mp4",
     "events_quantiles_sketch",
     # streaming faces (real AvailableNow runs, memory sink)
     "stream_hourly",
@@ -149,8 +150,8 @@ BENCH_EXCLUDED: dict[str, str] = {
     "language_id": "expression subset of quality_score (benched): same "
     "scan, same stopword-ratio expressions, no extra shuffle",
     "token_count": "expression subset of text_stats (benched)",
-    "sample_frames": "synthetic payload slicing (VERDICT r9 missing #3) "
-    "— benching it would measure fake work; demux_mp4 is the real face",
+    "sample_frames": "2-sample subset of demux_mp4 (benched): same "
+    "per-row stbl walk, strictly less output",
     # sub-second state/metadata scans: measured wall time is dominated
     # by fixed per-query driver overhead (~0.1 s), not by any plan —
     # benching them adds noise rows, not information

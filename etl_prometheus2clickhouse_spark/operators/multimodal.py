@@ -26,8 +26,12 @@ no codecs, so tests for it auto-skip); ``mode="strict"`` raises at the
 decode site for fail-loud pipelines; ``mode="fake"`` (default)
 produces a deterministic content-hash-seeded payload so tests can
 assert the batch shape, partitioning, and determinism end-to-end
-hermetically. Frame sampling (`_sample_one`) remains a deterministic
-stub — swap in ffmpeg on a real cluster and nothing else changes.
+hermetically. Frame sampling is REAL container work:
+:func:`demux_mp4` walks the ISO-BMFF sample table
+(moov/trak/mdia/minf/stbl — stts/stsc/stsz/stco/co64, public spec
+ISO/IEC 14496-12) to per-sample (offset, size, timestamp) rows, and
+:func:`sample_frames` slices evenly-strided real sample payloads from
+it — only the codec (frame pixels) would need ffmpeg on a cluster.
 """
 
 from __future__ import annotations
@@ -492,17 +496,201 @@ def decode_audio(
     return with_type.mapInPandas(_decode_batches, DECODED_AUDIO_DDL)
 
 
-def _sample_one(
-    content: bytes, num_frames: int, frame_bytes: int
-) -> list[tuple[int, int, bytes]]:
-    """STUB frame-sample site (ffmpeg on a real cluster). Deterministic:
-    frame *i* is seeded by ``sha256(content || str(i))`` — ASCII index
-    suffix so the seed is also expressible in the SQL oracle;
-    timestamps step 1000 ms."""
-    return [
-        (i, i * 1000, _fake_payload(content + str(i).encode(), frame_bytes))
-        for i in range(num_frames)
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) sample-table demux — a REAL container walk
+# (ISO/IEC 14496-12 public spec): moov → trak → mdia → (mdhd
+# timescale) → minf → stbl → stts/stsc/stsz/stco|co64, resolved to
+# per-sample (offset, size, timestamp) rows with the payload sliced
+# from the actual file bytes. No codec needed — demux is pure byte
+# arithmetic, so it runs hermetically and is byte-exact oracle-able
+# against a closed-form encoder (the encode_jpeg_dc pattern).
+# ---------------------------------------------------------------------------
+
+MP4_SAMPLE_DDL = (
+    "id bigint, sample_idx int, ts_ms bigint, byte_offset bigint, "
+    "size int, payload binary"
+)
+
+
+def _u32(b: bytes, p: int) -> int:
+    return int.from_bytes(b[p : p + 4], "big")
+
+
+def _u64(b: bytes, p: int) -> int:
+    return int.from_bytes(b[p : p + 8], "big")
+
+
+def _iter_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end): 32-bit size, size==1 → 64-bit largesize, size==0 →
+    box extends to the end of the enclosing scope."""
+    pos = start
+    while pos + 8 <= end:
+        size = _u32(b, pos)
+        btype = b[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = _u64(b, pos + 8)
+            payload = pos + 16
+        elif size == 0:
+            size = end - pos
+            payload = pos + 8
+        else:
+            payload = pos + 8
+        if size < payload - pos or pos + size > end:
+            raise ValueError(f"box {btype!r} overruns enclosing scope")
+        yield btype, payload, pos + size
+        pos += size
+
+
+def _find_box(b: bytes, start: int, end: int, name: bytes):
+    for btype, ps, pe in _iter_boxes(b, start, end):
+        if btype == name:
+            return ps, pe
+    return None
+
+
+def _walk(b: bytes, path: list[bytes], start: int, end: int):
+    for name in path:
+        found = _find_box(b, start, end, name)
+        if found is None:
+            raise ValueError(f"missing box {name!r} in MP4 structure")
+        start, end = found
+    return start, end
+
+
+def _demux_mp4_bytes(b: bytes) -> list[tuple[int, int, int, int, bytes]]:
+    """Parse one ISO-BMFF file → [(sample_idx, ts_ms, byte_offset,
+    size, payload)] for the FIRST track. Fail-loud ValueError on
+    structural problems (missing boxes, offsets past EOF, stsz/stsc
+    disagreement) — the decode-site contract of ``mode="strict"``."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no leading ftyp box)")
+    mdia_s, mdia_e = _walk(b, [b"moov", b"trak", b"mdia"], 0, len(b))
+    mdhd = _find_box(b, mdia_s, mdia_e, b"mdhd")
+    if mdhd is None:
+        raise ValueError("missing box b'mdhd' in MP4 structure")
+    version = b[mdhd[0]]
+    timescale = _u32(b, mdhd[0] + (20 if version == 1 else 12))
+    if timescale == 0:
+        raise ValueError("mdhd timescale is zero")
+    stbl_s, stbl_e = _walk(b, [b"minf", b"stbl"], mdia_s, mdia_e)
+
+    def full_box(name: bytes) -> int:
+        found = _find_box(b, stbl_s, stbl_e, name)
+        if found is None:
+            if name == b"stco":  # 64-bit variant allowed
+                return -1
+            raise ValueError(f"missing box {name!r} in stbl")
+        return found[0]
+
+    # stsz: fixed sample_size or per-sample table
+    p = full_box(b"stsz")
+    fixed_size, n_samples = _u32(b, p + 4), _u32(b, p + 8)
+    sizes = (
+        [fixed_size] * n_samples
+        if fixed_size
+        else [_u32(b, p + 12 + 4 * i) for i in range(n_samples)]
+    )
+    # stco / co64: chunk base offsets
+    p = full_box(b"stco")
+    if p >= 0:
+        n_chunks = _u32(b, p + 4)
+        chunk_offsets = [_u32(b, p + 8 + 4 * i) for i in range(n_chunks)]
+    else:
+        found = _find_box(b, stbl_s, stbl_e, b"co64")
+        if found is None:
+            raise ValueError("missing box b'stco'/b'co64' in stbl")
+        p = found[0]
+        n_chunks = _u32(b, p + 4)
+        chunk_offsets = [_u64(b, p + 8 + 8 * i) for i in range(n_chunks)]
+    # stsc: runs of (first_chunk, samples_per_chunk); expand per chunk
+    p = full_box(b"stsc")
+    n_runs = _u32(b, p + 4)
+    runs = [
+        (_u32(b, p + 8 + 12 * i), _u32(b, p + 12 + 12 * i))
+        for i in range(n_runs)
     ]
+    per_chunk: list[int] = []
+    for ci in range(1, n_chunks + 1):
+        spc = 0
+        for first, count in runs:
+            if first <= ci:
+                spc = count
+        per_chunk.append(spc)
+    if sum(per_chunk) != n_samples:
+        raise ValueError(
+            f"stsc maps {sum(per_chunk)} samples over {n_chunks} chunks "
+            f"but stsz declares {n_samples}"
+        )
+    # stts: runs of (sample_count, delta) → cumulative start times
+    p = full_box(b"stts")
+    n_tt = _u32(b, p + 4)
+    deltas: list[int] = []
+    for i in range(n_tt):
+        cnt, delta = _u32(b, p + 8 + 8 * i), _u32(b, p + 12 + 8 * i)
+        deltas.extend([delta] * cnt)
+    if len(deltas) != n_samples:
+        raise ValueError(
+            f"stts covers {len(deltas)} samples, stsz declares {n_samples}"
+        )
+    # resolve per-sample offsets chunk by chunk
+    out: list[tuple[int, int, int, int, bytes]] = []
+    si = 0
+    cum_t = 0
+    for ci, spc in enumerate(per_chunk):
+        off = chunk_offsets[ci]
+        for _ in range(spc):
+            size = sizes[si]
+            if off + size > len(b):
+                raise ValueError(
+                    f"sample {si} at offset {off} (+{size}) runs past EOF"
+                )
+            out.append(
+                (si, cum_t * 1000 // timescale, off, size, b[off : off + size])
+            )
+            cum_t += deltas[si]
+            off += size
+            si += 1
+    return out
+
+
+def demux_mp4(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """MP4 binary column → per-sample rows ``(id, sample_idx, ts_ms,
+    byte_offset, size, payload)`` via the real stbl walk (module
+    section comment). Arrow-batched ``mapInPandas`` with row fan-out —
+    per-file Python byte arithmetic, embarrassingly parallel, the
+    decode-stage class of the PNG/JPEG/WAV decoders."""
+
+    def _demux_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "id": [],
+                "sample_idx": [],
+                "ts_ms": [],
+                "byte_offset": [],
+                "size": [],
+                "payload": [],
+            }
+            for rid, content in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(content) if content is not None else b""
+                for idx, ts, off, size, payload in _demux_mp4_bytes(b):
+                    out["id"].append(rid)
+                    out["sample_idx"].append(idx)
+                    out["ts_ms"].append(ts)
+                    out["byte_offset"].append(off)
+                    out["size"].append(size)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_demux_batches, MP4_SAMPLE_DDL)
 
 
 def sample_frames(
@@ -510,11 +698,13 @@ def sample_frames(
     binary_col: str = "content",
     id_col: str = "id",
     num_frames: int = 4,
-    frame_bytes: int = 64,
 ) -> DataFrame:
-    """Video → N sampled frames per row (row fan-out inside
-    ``mapInPandas`` — the output batch is bigger than the input batch,
-    which is exactly how a frame sampler behaves)."""
+    """Video → up to N sampled frames per row, sliced from the REAL
+    sample table: the container is demuxed with the stbl walk and
+    ``num_frames`` evenly-strided samples are emitted with their real
+    timestamps and bytes (the ffmpeg-shaped fan-out, minus only the
+    codec: frames are coded sample payloads, not decoded pixels).
+    Files with fewer samples than ``num_frames`` yield all samples."""
 
     def _sample_batches(
         batches: Iterator[pd.DataFrame],
@@ -523,11 +713,14 @@ def sample_frames(
             out = {"id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for rid, content in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(content) if content is not None else b""
-                for idx, ts, frame in _sample_one(b, num_frames, frame_bytes):
+                samples = _demux_mp4_bytes(b)
+                stride = max(1, len(samples) // num_frames)
+                picked = samples[::stride][:num_frames]
+                for j, (idx, ts, _off, _size, payload) in enumerate(picked):
                     out["id"].append(rid)
-                    out["frame_idx"].append(idx)
+                    out["frame_idx"].append(j)
                     out["frame_ts_ms"].append(ts)
-                    out["frame"].append(frame)
+                    out["frame"].append(payload)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample_batches, FRAME_DDL)

@@ -54,6 +54,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
 from etl_prometheus2clickhouse_spark.operators.multimodal import (
     decode_audio,
     decode_images,
+    demux_mp4,
     audio_features,
     extract_media_metadata,
     image_features,
@@ -2984,13 +2985,119 @@ FROM documents
 """
 
 
-def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out: 2 deterministic frames per document."""
-    d = _t(spark, sf_dir, "documents")
-    df = d.select(
-        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("content")
+# ---------------------------------------------------------------------------
+# closed-form ISO-BMFF encoder (the encode_jpeg_dc pattern): every part
+# row becomes a structurally VALID MP4 — ftyp, mdat with N=2+pmod(k,3)
+# samples (sample i is byte value pmod(7k+i,256) repeated 16+pmod(k+i,9)
+# times), and a real moov/trak/mdia/(mdhd ts=600)/minf/stbl whose
+# stts(Δ=250)/stsc/stsz/stco tables describe exactly those samples in
+# one chunk at offset 24. Pure JVM hex expressions; the demux operator
+# must then recover each sample's (offset, size, timestamp, bytes),
+# and the oracle computes the same rows arithmetically.
+# ---------------------------------------------------------------------------
+
+
+def _mp4h32(c) -> F.Column:
+    return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+
+def _mp4_file_hex(k: F.Column) -> F.Column:
+    bx = lambda s: s.encode().hex()  # noqa: E731 — box-type hex literal
+    n = (F.lit(2) + F.pmod(k, F.lit(3))).cast("int")
+    idxs = F.sequence(F.lit(0), n - 1)
+    size_i = lambda i: F.lit(16) + F.pmod(k + i, F.lit(9))  # noqa: E731
+    byte_i = lambda i: F.lpad(  # noqa: E731
+        F.hex(F.pmod(k * 7 + i, F.lit(256))), 2, "0"
     )
-    out = sample_frames(df, "content", "id", num_frames=2, frame_bytes=64)
+    total = F.aggregate(idxs, F.lit(0).cast("bigint"), lambda a, i: a + size_i(i))
+    payload_hex = F.aggregate(
+        idxs,
+        F.lit(""),
+        lambda acc, i: F.concat(acc, F.repeat(byte_i(i), size_i(i).cast("int"))),
+    )
+    sizes_hex = F.aggregate(
+        idxs, F.lit(""), lambda acc, i: F.concat(acc, _mp4h32(size_i(i)))
+    )
+    four_n = (n * 4).cast("bigint")
+    return F.concat(
+        # ftyp: brand isom, minor 0
+        F.lit("00000010" + bx("ftyp") + bx("isom") + "00000000"),
+        # mdat
+        _mp4h32(F.lit(8) + total), F.lit(bx("mdat")), payload_hex,
+        # moov > trak > mdia
+        _mp4h32(F.lit(164) + four_n), F.lit(bx("moov")),
+        _mp4h32(F.lit(156) + four_n), F.lit(bx("trak")),
+        _mp4h32(F.lit(148) + four_n), F.lit(bx("mdia")),
+        # mdhd v0: timescale 600, duration 250n, language/pre_defined
+        F.lit("00000020" + bx("mdhd") + "00000000" * 3 + "00000258"),
+        _mp4h32(n * 250), F.lit("55c40000"),
+        # minf > stbl
+        _mp4h32(F.lit(108) + four_n), F.lit(bx("minf")),
+        _mp4h32(F.lit(100) + four_n), F.lit(bx("stbl")),
+        # stts: one run (n samples, delta 250)
+        F.lit("00000018" + bx("stts") + "00000000" + "00000001"),
+        _mp4h32(n), F.lit("000000fa"),
+        # stsc: one run (chunk 1, n samples, desc 1)
+        F.lit("0000001c" + bx("stsc") + "00000000" + "00000001" + "00000001"),
+        _mp4h32(n), F.lit("00000001"),
+        # stsz: per-sample table
+        _mp4h32(F.lit(20) + four_n),
+        F.lit(bx("stsz") + "00000000" + "00000000"),
+        _mp4h32(n), sizes_hex,
+        # stco: one chunk at offset 24
+        F.lit("00000014" + bx("stco") + "00000000" + "00000001" + "00000018"),
+    )
+
+
+def q_demux_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 sample-table demux (operators/multimodal.py:demux_mp4)
+    over closed-form-encoded containers: the parser walks
+    moov/trak/mdia/mdhd/minf/stbl, cross-checks stsz/stsc/stts, and
+    slices each sample's bytes from mdat; the oracle derives the same
+    (offset, size, timestamp, payload) rows from the encoder
+    arithmetic — byte-exact, including the ts floor division
+    (idx·250·1000 // 600)."""
+    p = _t(spark, sf_dir, "part")
+    df = p.select(
+        F.col("p_partkey").alias("id"),
+        F.unhex(_mp4_file_hex(F.col("p_partkey"))).alias("content"),
+    )
+    out = demux_mp4(df, "content", "id")
+    return out.select(
+        "id", "sample_idx", "ts_ms", "byte_offset", "size",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+ORACLE_DEMUX_MP4 = """
+WITH base AS (SELECT p_partkey AS id, 2 + p_partkey % 3 AS n FROM part),
+s AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS idx FROM base),
+sized AS (SELECT id, n, idx, 16 + (id + idx) % 9 AS sz FROM s),
+o AS (SELECT id, idx, sz,
+        24 + coalesce(sum(sz) OVER (PARTITION BY id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM sized)
+SELECT id, CAST(idx AS INTEGER) AS sample_idx,
+       CAST((idx * 250 * 1000) // 600 AS BIGINT) AS ts_ms,
+       CAST(off AS BIGINT) AS byte_offset,
+       CAST(sz AS INTEGER) AS size,
+       lower(repeat(lpad(hex((id * 7 + idx) % 256), 2, '0'), sz))
+         AS payload_hex
+FROM o
+"""
+
+
+def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL containers: 2 evenly-strided samples
+    per synthesized MP4, sliced from the actual mdat bytes with their
+    actual stts timestamps (stride = n//2, so files pick samples
+    {0, n//2})."""
+    p = _t(spark, sf_dir, "part")
+    df = p.select(
+        F.col("p_partkey").alias("id"),
+        F.unhex(_mp4_file_hex(F.col("p_partkey"))).alias("content"),
+    )
+    out = sample_frames(df, "content", "id", num_frames=2)
     return out.select(
         "id",
         "frame_idx",
@@ -3000,10 +3107,16 @@ def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SAMPLE_FRAMES = """
-SELECT doc_id AS id, f.frame_idx, CAST(f.frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
-       sha256(text || CAST(f.frame_idx AS VARCHAR))
-         || sha256(text || CAST(f.frame_idx AS VARCHAR)) AS frame_hex
-FROM documents, (SELECT UNNEST([0, 1]) AS frame_idx) f
+WITH base AS (SELECT p_partkey AS id, 2 + p_partkey % 3 AS n FROM part),
+picked AS (
+  SELECT id, n, f.j, f.j * (n // 2) AS orig
+  FROM base, (SELECT unnest([0, 1]) AS j) f
+)
+SELECT id, CAST(j AS INTEGER) AS frame_idx,
+       CAST((orig * 250 * 1000) // 600 AS BIGINT) AS frame_ts_ms,
+       lower(repeat(lpad(hex((id * 7 + orig) % 256), 2, '0'),
+                    16 + (id + orig) % 9)) AS frame_hex
+FROM picked
 """
 
 
@@ -4640,6 +4753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "lm_perplexity3": q_lm_perplexity3,
     "bpe_tokenize": q_bpe_tokenize,
+    "demux_mp4": q_demux_mp4,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
@@ -4810,6 +4924,7 @@ ORACLES: dict[str, str] = {
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity3": ORACLE_LM_PERPLEXITY3,
     "bpe_tokenize": ORACLE_BPE_TOKENIZE,
+    "demux_mp4": ORACLE_DEMUX_MP4,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,

@@ -301,21 +301,25 @@ def test_decode_images_real_without_pillow_raises(spark):
         decode_images(bad, "content", "id", mode="real").collect()
 
 
-def test_sample_frames_fanout(media_df):
-    out = sample_frames(media_df.where(F.col("id") == 4), "content", "id", num_frames=3, frame_bytes=32)
+def test_sample_frames_fanout(spark):
+    """Frame sampling is REAL demux now (tests/test_mp4_demux.py has
+    the full matrix): fan-out over a valid container, fail-loud on a
+    header-only ftyp stub."""
+    from tests.mp4_fixtures import build_mp4
+
+    mp4 = build_mp4(
+        [[bytes([i]) * 8 for i in range(3)]], deltas=[600, 600, 600]
+    )
+    df = spark.createDataFrame([(4, mp4)], "id bigint, content binary")
+    out = sample_frames(df, "content", "id", num_frames=3)
     rows = sorted(out.collect(), key=lambda r: r.frame_idx)
     assert [r.frame_idx for r in rows] == [0, 1, 2]
     assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000]
-    assert all(len(bytes(r.frame)) == 32 for r in rows)
-    # frames differ from each other but are deterministic per (content, idx)
-    assert bytes(rows[0].frame) != bytes(rows[1].frame)
-    again = sorted(
-        sample_frames(
-            media_df.where(F.col("id") == 4), "content", "id", num_frames=3, frame_bytes=32
-        ).collect(),
-        key=lambda r: r.frame_idx,
-    )
-    assert [bytes(r.frame) for r in rows] == [bytes(r.frame) for r in again]
+    assert [bytes(r.frame) for r in rows] == [bytes([i]) * 8 for i in range(3)]
+    # a bare ftyp header is NOT a demuxable container — loud, not fake
+    stub = spark.createDataFrame([(5, _mp4())], "id bigint, content binary")
+    with pytest.raises(Exception, match="missing box"):
+        sample_frames(stub, "content", "id", num_frames=2).collect()
 
 
 def _encode_wav(rate: int, channels: int, width: int, frames: bytes) -> bytes:
