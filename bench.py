@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "events_quantiles",
     # LLM layer
     "html_extract",
+    "gopher_filter",
+    "url_caps",
     "text_stats",
     "quality_score",
     "repetition_stats",

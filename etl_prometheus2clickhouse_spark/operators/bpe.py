@@ -110,6 +110,12 @@ def bpe_train(
     ).localCheckpoint()
 
     merges: list[tuple[str, str]] = []
+    # lineage-cut cadence: each round appends ONE literal replace to
+    # the plan — trivial depth — so re-materializing every round would
+    # just double the job count (localCheckpoint is eager). Cut every
+    # 4 rounds: at most 4 chained replaces re-run per aggregate, and
+    # the lineage can never grow unboundedly.
+    since_cut = 0
     for _ in range(n_merges):
         syms = _symbols(F.col("canon"))
         sz = F.size(syms)
@@ -121,17 +127,29 @@ def bpe_train(
                 lambda a, b: F.struct(a.alias("a"), b.alias("b")),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # argmax in ONE aggregate pass: min_by over the composite
+        # ordering struct (-n, a, b) — struct comparison is
+        # lexicographic, so this is exactly (count desc, pair asc)
+        # without the range-partition sampling job an orderBy+limit
+        # would add per round
         best = (
             vocab.select(F.explode(pairs).alias("p"), "cnt")
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .agg(
+                F.min_by(
+                    F.struct("n", "a", "b"),
+                    F.struct(
+                        (-F.col("n")).alias("nn"), F.col("a"), F.col("b")
+                    ),
+                ).alias("best")
+            )
             .collect()
         )
-        if not best or best[0].n < 2:
+        top = best[0].best
+        if top is None or top.n < 2:
             break
-        a, b = best[0].a, best[0].b
+        a, b = top.a, top.b
         merges.append((a, b))
         search, repl = _merge_pattern(a, b)
         vocab = vocab.select(
@@ -139,7 +157,11 @@ def bpe_train(
                 "canon"
             ),
             "cnt",
-        ).localCheckpoint()
+        )
+        since_cut += 1
+        if since_cut >= 4:
+            vocab = vocab.localCheckpoint()
+            since_cut = 0
     return merges
 
 

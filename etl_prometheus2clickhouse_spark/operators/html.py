@@ -153,3 +153,77 @@ def html_extract(
         F.length("text").cast("long").alias("n_chars"),
         "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# URL features + per-domain caps: the other half of the crawl front
+# door (RefinedWeb/C4 both filter and quota BY URL before touching
+# text — spammy domains contribute unbounded near-identical pages, so
+# real pipelines cap documents per registered domain).
+# ---------------------------------------------------------------------------
+
+# two-label public suffixes treated as one (heuristic subset of the
+# public-suffix list — enough for the quota semantics; swap in the
+# full PSL as a broadcast table for production crawls)
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "co.kr",
+    "com.br", "com.cn", "co.in", "co.za",
+)
+
+
+def with_url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``scheme``, ``host``, ``path``, ``tld``, and
+    ``registered_domain`` parsed with JVM regexps (RE2-compatible so
+    the oracle replicates them exactly). ``registered_domain`` is the
+    last two host labels — three when the last two are a known
+    two-label public suffix (co.uk-style)."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+    )
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    domain = (
+        F.when(n <= 1, host)
+        .when(
+            last2.isin(*TWO_LABEL_SUFFIXES) & (n >= 3),
+            F.concat_ws(".", F.element_at(labels, -3), last2),
+        )
+        .otherwise(last2)
+    )
+    tld = F.when(n >= 2, F.element_at(labels, -1)).otherwise(F.lit(""))
+    return (
+        df.withColumn("scheme", scheme)
+        .withColumn("host", host)
+        .withColumn("path", path)
+        .withColumn("tld", tld)
+        .withColumn("registered_domain", domain)
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "registered_domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain — the
+    anti-spam quota. Deterministic: rank by ascending id within the
+    domain (swap in a quality column for quality-ranked quotas — same
+    plan). WindowGroupLimit shape: map tasks emit ≤ cap rows per
+    domain before the single shuffle, so a million-page spam domain
+    costs cap rows of shuffle, not a million."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("domain_rank") <= cap)
+    )

@@ -1220,3 +1220,111 @@ def bm25_search(
     return scored.withColumn(
         "rank", F.row_number().over(w_rank).cast("int")
     ).where(F.col("rank") <= k)
+
+
+# Gopher quality-filter rule set (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A)
+# — the published document-level filter real pipelines apply before
+# anything model-based. Every threshold below is the paper's.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher document-quality filter as ONE shuffle-free select.
+
+    Rules (Rae et al. 2021 App. A, thresholds verbatim), each emitted
+    as its own boolean column so the verdict is auditable:
+
+    - ``ok_word_count``     — 50 ≤ words ≤ 100 000
+    - ``ok_mean_word_len``  — mean word length in [3, 10]
+    - ``ok_symbol_ratio``   — (# + "...") symbol-to-word ratio ≤ 0.1
+    - ``ok_bullet_lines``   — ≤ 90% of lines start with a bullet
+    - ``ok_ellipsis_lines`` — ≤ 30% of lines end with an ellipsis
+    - ``ok_alpha_words``    — ≥ 80% of words contain a letter
+    - ``ok_stopwords``      — ≥ 2 distinct Gopher stop words present
+    - ``ok_dup_lines``      — ≤ 30% duplicate (repeated) lines
+    - ``keep``              — AND of all rules
+    - ``fail_reasons``      — comma-joined failed rule names, fixed
+      order (empty when kept)
+
+    Every ratio threshold is evaluated with CROSS-MULTIPLIED INTEGER
+    arithmetic (e.g. mean word length in [3,10] becomes
+    ``3·n_words ≤ Σlen ≤ 10·n_words``) — no float rounding surface, so
+    the DuckDB oracle is exact by construction. Zero shuffle, zero
+    Python: per-document array/regexp expressions only, embarrassingly
+    parallel at 100 TB."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = _words(c)
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.coalesce(
+        F.regexp_count(c, F.lit(r"#|\.\.\.")), F.lit(0)
+    )
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+
+    rules = [
+        ("word_count", (n_words >= 50) & (n_words <= 100_000)),
+        (
+            "mean_word_len",
+            (n_words > 0)
+            & (3 * n_words <= sum_len)
+            & (sum_len <= 10 * n_words),
+        ),
+        ("symbol_ratio", 10 * n_symbols <= n_words),
+        (
+            "bullet_lines",
+            (n_lines == 0) | (10 * n_bullet <= 9 * n_lines),
+        ),
+        (
+            "ellipsis_lines",
+            (n_lines == 0) | (10 * n_ellipsis <= 3 * n_lines),
+        ),
+        ("alpha_words", 5 * n_alpha >= 4 * n_words),
+        ("stopwords", n_stop >= 2),
+        ("dup_lines", 10 * n_dup_lines <= 3 * n_lines),
+    ]
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[ok.alias(f"ok_{name}") for name, ok in rules],
+    )
+    keep = F.lit(True)
+    for name, _ in rules:
+        keep = keep & F.col(f"ok_{name}")
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~F.col(f"ok_{name}"), F.lit(name))
+                    for name, _ in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return out.select(
+        "*", keep.alias("keep"), reasons.alias("fail_reasons")
+    )

@@ -91,6 +91,7 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     lm_perplexity,
     lm_perplexity3,
     nb_classify,
+    gopher_filter,
     ngram_contamination,
     repetition_stats,
     top_k_words,
@@ -108,7 +109,9 @@ from etl_prometheus2clickhouse_spark.operators.bpe import (
 )
 from etl_prometheus2clickhouse_spark.operators.html import (
     BLOCK_TAGS as _HTML_BLOCK_TAGS,
+    cap_per_domain,
     html_extract,
+    with_url_features,
 )
 from etl_prometheus2clickhouse_spark.operators.sampling import (
     stratified_sample,
@@ -4248,6 +4251,140 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_url_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL front door (operators/html.py): parse scheme/host/tld/
+    registered-domain (incl. co.uk-style two-label suffixes) with JVM
+    regexps, then apply the per-domain anti-spam quota (cap 5, ranked
+    by ascending doc id — WindowGroupLimit shape). URLs are
+    synthesized deterministically from doc_id over 3 host forms × 17
+    domain slots, so the cap actually bites; the oracle derives every
+    parsed field ARITHMETICALLY from the same synthesis (an
+    independent derivation, not a regex replication) plus the same
+    ranked quota."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.pmod(F.col("doc_id"), F.lit(17)).cast("string")
+    i = F.col("doc_id").cast("string")
+    form = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(
+            form == 0,
+            F.concat(F.lit("https://www.news"), k, F.lit(".com/p/"), i),
+        )
+        .when(
+            form == 1,
+            F.concat(F.lit("http://sub.shop"), k, F.lit(".co.uk/p/"), i),
+        )
+        .otherwise(F.concat(F.lit("https://data"), k, F.lit(".org/p/"), i))
+    )
+    feat = with_url_features(d.select("doc_id", url.alias("url")), "url")
+    capped = cap_per_domain(feat, cap=5, id_col="doc_id")
+    return capped.select(
+        "doc_id", "scheme", "host", "tld", "registered_domain",
+        "domain_rank",
+    )
+
+
+ORACLE_URL_CAPS = """
+WITH f AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'https'
+         WHEN 1 THEN 'http' ELSE 'https' END AS scheme,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'www.news' || (doc_id % 17) || '.com'
+      WHEN 1 THEN 'sub.shop' || (doc_id % 17) || '.co.uk'
+      ELSE 'data' || (doc_id % 17) || '.org' END AS host,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'com'
+         WHEN 1 THEN 'uk' ELSE 'org' END AS tld,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'news' || (doc_id % 17) || '.com'
+      WHEN 1 THEN 'shop' || (doc_id % 17) || '.co.uk'
+      ELSE 'data' || (doc_id % 17) || '.org' END AS registered_domain
+  FROM documents
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY registered_domain ORDER BY doc_id) AS INTEGER)
+    AS domain_rank
+  FROM f
+)
+SELECT doc_id, scheme, host, tld, registered_domain, domain_rank
+FROM r WHERE domain_rank <= 5
+"""
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality filter (operators/text.py:
+    gopher_filter — Rae et al. 2021 App. A thresholds verbatim) over
+    the documents table: eight auditable rule booleans, the AND
+    verdict, and the comma-joined fail reasons. Every ratio is
+    cross-multiplied integer arithmetic, so the DuckDB oracle is exact
+    with no float surface."""
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_RULES_SQL = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(t), '\\s+'), w -> w <> '')
+      AS words,
+    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines,
+    len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_symbols
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+      AS sum_len,
+    n_symbols,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+      AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+      AS n_ellipsis,
+    len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+    len(list_intersect(list_distinct(words),
+        ['the','be','to','of','and','that','have','with'])) AS n_stop,
+    len(lines) - len(list_distinct(lines)) AS n_dup_lines
+  FROM feat
+),
+r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+    (n_words > 0 AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+      AS ok_mean_word_len,
+    (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+    (n_lines = 0 OR 10 * n_bullet <= 9 * n_lines) AS ok_bullet_lines,
+    (n_lines = 0 OR 10 * n_ellipsis <= 3 * n_lines) AS ok_ellipsis_lines,
+    (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+    (n_stop >= 2) AS ok_stopwords,
+    (10 * n_dup_lines <= 3 * n_lines) AS ok_dup_lines
+  FROM m
+)
+SELECT *,
+  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+   AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
+   AND ok_stopwords AND ok_dup_lines) AS keep,
+  array_to_string(list_filter([
+    CASE WHEN NOT ok_word_count THEN 'word_count' END,
+    CASE WHEN NOT ok_mean_word_len THEN 'mean_word_len' END,
+    CASE WHEN NOT ok_symbol_ratio THEN 'symbol_ratio' END,
+    CASE WHEN NOT ok_bullet_lines THEN 'bullet_lines' END,
+    CASE WHEN NOT ok_ellipsis_lines THEN 'ellipsis_lines' END,
+    CASE WHEN NOT ok_alpha_words THEN 'alpha_words' END,
+    CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
+    CASE WHEN NOT ok_dup_lines THEN 'dup_lines' END
+  ], x -> x IS NOT NULL), ',') AS fail_reasons
+FROM r
+"""
+
+ORACLE_GOPHER_FILTER = _GOPHER_RULES_SQL
+
+
 # BPE training corpus: planted constants, rich enough for 16 merges
 # with deterministic order (strict frequency/tie ordering under the
 # count-desc-then-lexicographic rule). The ENGINE trains on this corpus
@@ -4754,6 +4891,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity3": q_lm_perplexity3,
     "bpe_tokenize": q_bpe_tokenize,
     "demux_mp4": q_demux_mp4,
+    "gopher_filter": q_gopher_filter,
+    "url_caps": q_url_caps,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
@@ -4793,16 +4932,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
-    "events_props": q_events_props,
     "events_rate": q_events_rate,
     "user_sessions": q_user_sessions,
-    "events_pivot": q_events_pivot,
-    "events_moving_avg": q_events_moving_avg,
-    "events_cube": q_events_cube,
-    "orders_anti_join": q_orders_anti_join,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
-    "events_quantiles": q_events_quantiles,
 }
 
 # Alternate formulations of operators verified above - each is a
@@ -4811,6 +4944,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # against its oracle at sf0.001 (tests/test_cross_checked.py) and
 # scripts/check_correctness.py covers them at sf0.01.
 CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-10 window swap: six dominated relational twins demoted
+    # to fund the new distinct operators (html_extract,
+    # lm_perplexity3, bpe_tokenize, demux_mp4, gopher_filter,
+    # url_caps) — shapes covered in-window by user_sessions /
+    # events_rate / events_multires / q3 / the GK sketch face
+    "events_props": q_events_props,
+    "events_pivot": q_events_pivot,
+    "events_moving_avg": q_events_moving_avg,
+    "events_cube": q_events_cube,
+    "orders_anti_join": q_orders_anti_join,
+    "events_quantiles": q_events_quantiles,
     # demoted round 7 to fund kmv_merge + heavy_hitters_cms inside the
     # ~50-entry driver window: events_hourly shares its ORACLE (and
     # result) with the stream_hourly primary — the batch face of the
@@ -4925,6 +5069,8 @@ ORACLES: dict[str, str] = {
     "lm_perplexity3": ORACLE_LM_PERPLEXITY3,
     "bpe_tokenize": ORACLE_BPE_TOKENIZE,
     "demux_mp4": ORACLE_DEMUX_MP4,
+    "gopher_filter": ORACLE_GOPHER_FILTER,
+    "url_caps": ORACLE_URL_CAPS,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,
@@ -4948,16 +5094,10 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
     "q5_region_revenue": ORACLE_Q5,
-    "events_props": ORACLE_EVENTS_PROPS,
     "events_rate": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
-    "events_pivot": ORACLE_EVENTS_PIVOT,
-    "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
-    "events_cube": ORACLE_EVENTS_CUBE,
-    "orders_anti_join": ORACLE_ORDERS_ANTI_JOIN,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
-    "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_multires": ORACLE_EVENTS_MULTIRES,
     # merge is exact by construction → the one-shot SQL IS the oracle
     "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
@@ -4971,6 +5111,12 @@ ORACLES: dict[str, str] = {
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {
+    "events_props": ORACLE_EVENTS_PROPS,
+    "events_pivot": ORACLE_EVENTS_PIVOT,
+    "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
+    "events_cube": ORACLE_EVENTS_CUBE,
+    "orders_anti_join": ORACLE_ORDERS_ANTI_JOIN,
+    "events_quantiles": ORACLE_EVENTS_QUANTILES,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK,
     "quantile_merge": ORACLE_QUANTILE_MERGE,

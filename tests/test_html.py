@@ -104,3 +104,67 @@ def test_plan_is_expression_only(spark):
     shuffles = re.findall(r"^\(\d+\) Exchange$", p, flags=re.M)
     assert len(shuffles) == 1  # only the final per-doc aggregate
     assert "partial_" in p  # map-side combine before it
+
+
+# ---------------------------------------------------------------------------
+# URL features + per-domain caps
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.html import (
+    cap_per_domain,
+    with_url_features,
+)
+
+
+def test_url_parsing_known_answers(spark):
+    rows = [
+        (1, "https://www.news3.com/a/1?x=2"),
+        (2, "http://sub.shop.co.uk/p"),
+        (3, "https://data.org"),
+        (4, None),
+        (5, "HTTPS://WWW.News3.COM/c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r.doc_id: r for r in with_url_features(df).collect()}
+    assert (got[1].scheme, got[1].host, got[1].path, got[1].tld) == (
+        "https", "www.news3.com", "/a/1", "com",
+    )
+    assert got[1].registered_domain == "news3.com"
+    # two-label public suffix keeps three labels
+    assert got[2].registered_domain == "shop.co.uk"
+    # bare registrable host: domain == host, path empty
+    assert got[3].registered_domain == "data.org" and got[3].path == ""
+    assert got[4].host == "" and got[4].registered_domain == ""
+    # case-insensitive scheme + host
+    assert (got[5].scheme, got[5].host) == ("https", "www.news3.com")
+
+
+def test_cap_per_domain_quota_and_determinism(spark):
+    rows = [(i, f"https://spam.com/{i}") for i in range(10)] + [
+        (100, "https://ok.org/a")
+    ]
+    df = with_url_features(
+        spark.createDataFrame(rows, "doc_id bigint, url string")
+    )
+    kept = cap_per_domain(df, cap=3).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.registered_domain, []).append(r.doc_id)
+    # lowest ids survive the quota, rank is deterministic
+    assert sorted(by_dom["spam.com"]) == [0, 1, 2]
+    assert by_dom["ok.org"] == [100]
+
+
+def test_cap_per_domain_plan_is_windowgrouplimit(spark):
+    """The 100 TB property: map tasks emit ≤ cap rows per domain
+    BEFORE the shuffle (WindowGroupLimit), so a spam domain costs cap
+    rows of shuffle, not its page count."""
+    df = with_url_features(
+        spark.createDataFrame(
+            [(1, "https://a.com/x")], "doc_id bigint, url string"
+        )
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        cap_per_domain(df, cap=5)._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in p

@@ -837,3 +837,61 @@ def test_lm_perplexity3_model_size_guard_and_lambda_check(spark):
     assert lm_perplexity3(corpus, ref, max_model_rows=4).count() == 1
     with pytest.raises(ValueError, match="lambdas must sum to 1"):
         lm_perplexity3(corpus, ref, lambdas=(0.5, 0.3, 0.15, 0.15))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filter (Rae et al. 2021 App. A)
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.text import gopher_filter
+
+
+def test_gopher_rules_known_answers(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it ran "
+        "away with great speed " * 4
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = "the of and " + "# " * 40 + "word " * 60
+    rows = [(1, good), (2, "too short"), (3, bullets), (4, symbols), (5, None)]
+    out = {
+        r.doc_id: r
+        for r in gopher_filter(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert out[1].keep and out[1].fail_reasons == ""
+    assert not out[2].ok_word_count
+    assert "word_count" in out[2].fail_reasons
+    # 20/20 bullet lines > 90%
+    assert not out[3].ok_bullet_lines
+    # 40 symbols vs ~103 words → ratio > 0.1
+    assert not out[4].ok_symbol_ratio
+    # null text: empty doc fails loudly but structurally
+    assert not out[5].keep and out[5].n_words == 0
+
+
+def test_gopher_integer_boundaries_exact(spark):
+    # symbol ratio exactly 0.1: 1 symbol per 10 words → kept;
+    # one more symbol → dropped (cross-multiplied, no float fuzz)
+    base = ("the be to of and that have with w1 w2 " * 5).strip()  # 50 words
+    at = base + " #" * 5  # 55 words+symbols: recompute precisely below
+    df = spark.createDataFrame(
+        [(1, base + " # # # # #"), (2, base + " # # # # # #")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    # 55 words incl. 5 '#' tokens, 5 symbols: 10*5 <= 55 → ok
+    assert out[1].ok_symbol_ratio
+    # 56 words, 6 symbols: 60 > 56 → fail
+    assert not out[2].ok_symbol_ratio
+
+
+def test_gopher_dup_lines_rule(spark):
+    text_dup = ("the be to of and that have with unique words here\n" * 10)
+    df = spark.createDataFrame(
+        [(1, text_dup)], "doc_id bigint, text string"
+    )
+    r = gopher_filter(df).collect()[0]
+    # 10 lines, 9 duplicates → 90% > 30%
+    assert not r.ok_dup_lines and "dup_lines" in r.fail_reasons
