@@ -85,13 +85,25 @@ def bpe_train(
     n_merges: int = 16,
     text_col: str = "text",
     max_vocab_words: int = 1_000_000,
+    driver_vocab_threshold: int = 65_536,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a reference corpus; returns
     the ordered merge list ``[(a, b), ...]``. Stops early when the best
     remaining pair occurs only once (merging singletons adds no
     compression). The word-frequency table is count-bounded loudly
     (the reference-sized-model contract) because each round collects
-    one argmax row from an aggregate over it."""
+    one argmax row from an aggregate over it.
+
+    Two routes, same result (pinned equal by pytest on two corpora):
+    a word-frequency table at or under ``driver_vocab_threshold`` rows
+    is collected once and the merge loop runs driver-side on the
+    canonical strings — BPE rounds are inherently sequential, and for
+    a reference-sized vocabulary 16 rounds of cluster round-trips are
+    pure scheduling latency (the bounded-train-collect precedent of
+    the IVF k-means trainer). Above the threshold the loop stays fully
+    distributed: one map-side-combining pair-count aggregate per round
+    over the (never-collected) vocabulary table. Pass
+    ``driver_vocab_threshold=0`` to force the distributed route."""
     from etl_prometheus2clickhouse_spark.operators.text import (
         _guard_model_rows,
         _words,
@@ -105,6 +117,12 @@ def bpe_train(
     _guard_model_rows(
         words, max_vocab_words, "bpe_train", "reference word-frequency table"
     )
+    if driver_vocab_threshold > 0:
+        head = words.limit(driver_vocab_threshold + 1).collect()
+        if len(head) <= driver_vocab_threshold:
+            return _train_driver_side(
+                {r.w: r.cnt for r in head}, n_merges
+            )
     vocab = words.select(
         _canonical_word(F.col("w")).alias("canon"), "cnt"
     ).localCheckpoint()
@@ -162,6 +180,45 @@ def bpe_train(
         if since_cut >= 4:
             vocab = vocab.localCheckpoint()
             since_cut = 0
+    return merges
+
+
+def _train_driver_side(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over the SAME canonical-string
+    representation the distributed path uses (``str.replace`` on
+    ``·a··b·`` patterns — mechanically distinct from
+    :func:`bpe_reference_merges`'s tuple scan, so the three
+    implementations cross-check each other). Word counts fit the
+    driver by the ``driver_vocab_threshold`` contract."""
+    from collections import Counter
+
+    vocab: list[list] = [
+        [
+            SEP + SEP + (SEP + SEP).join(list(w) + [EOW]) + SEP + SEP,
+            cnt,
+        ]
+        for w, cnt in word_counts.items()
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter[tuple[str, str]] = Counter()
+        for canon, cnt in vocab:
+            syms = [s for s in canon.strip(SEP).split(SEP + SEP) if s]
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += cnt
+        if not pair_counts:
+            break
+        (a, b), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        merges.append((a, b))
+        search, repl = _merge_pattern(a, b)
+        for entry in vocab:
+            entry[0] = entry[0].replace(search, repl)
     return merges
 
 

@@ -26,13 +26,27 @@ def _df(spark, texts):
     )
 
 
-def test_distributed_training_matches_independent_reference(spark):
-    """The per-round pair-count aggregate must reproduce the
-    plain-Python reference implementation merge-for-merge (same
-    counts, same count-desc/lexicographic tie-break)."""
-    got = bpe_train(_df(spark, SENNRICH), n_merges=10)
-    assert got == bpe_reference_merges(SENNRICH, 10)
-    assert len(got) == 10
+def test_all_three_training_routes_agree(spark):
+    """The DISTRIBUTED per-round pair-count aggregate, the driver-side
+    canonical-string loop (auto route under the vocab threshold), and
+    the independent tuple-scan reference implementation must agree
+    merge-for-merge (same counts, same count-desc/lexicographic
+    tie-break)."""
+    expected = bpe_reference_merges(SENNRICH, 10)
+    distributed = bpe_train(
+        _df(spark, SENNRICH), n_merges=10, driver_vocab_threshold=0
+    )
+    driver_side = bpe_train(_df(spark, SENNRICH), n_merges=10)
+    assert distributed == expected
+    assert driver_side == expected
+    assert len(expected) == 10
+
+
+def test_routes_agree_on_real_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    distributed = bpe_train(docs, n_merges=8, driver_vocab_threshold=0)
+    driver_side = bpe_train(docs, n_merges=8)
+    assert distributed == driver_side and len(distributed) == 8
 
 
 def test_greedy_left_to_right_merge(spark):
