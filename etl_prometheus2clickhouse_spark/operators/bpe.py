@@ -295,3 +295,26 @@ def bpe_reference_merges(
             new_counts[tuple(out)] += cnt
         word_counts = new_counts
     return merges
+
+
+def bpe_model_to_json(merges: list[tuple[str, str]]) -> str:
+    """Serialize a learned merge list to JSON — the artifact persisted
+    next to a tokenized corpus (the PQ/IVFPQ model-persistence
+    pattern: tokens without their merge table are not reproducible; a
+    loaded model re-tokenizes bit-for-bit). The EOW control mark is
+    escaped by JSON itself; ``kind`` guards against feeding the wrong
+    artifact back."""
+    import json
+
+    return json.dumps(
+        {"kind": "bpe", "version": 1, "merges": [list(m) for m in merges]}
+    )
+
+
+def bpe_model_from_json(s: str) -> list[tuple[str, str]]:
+    import json
+
+    d = json.loads(s)
+    if d.get("kind") != "bpe":
+        raise ValueError(f"not a BPE model payload (kind={d.get('kind')!r})")
+    return [(a, b) for a, b in d["merges"]]

@@ -616,6 +616,115 @@ def main() -> None:
           f"(50 queries x top-10) in {dt}s")
     assert bm_rows == 50 * 10, "every query must fill its top-10 here"
 
+    # ---- round-10 front door: HTML extraction at K× ----------------
+    # The claim: expression-only, shuffle-free until the final doc-
+    # keyed aggregate — so the plan must carry exactly ONE Exchange
+    # and no Python eval node, at ANY corpus size.
+    from etl_prometheus2clickhouse_spark.operators.html import (
+        cap_per_domain,
+        html_extract,
+        with_url_features,
+    )
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><div class="nav"><a href="/">Home</a>'
+                  "</div><div><p>"),
+            F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+            F.lit("</p></div></body></html>"),
+        ).alias("html"),
+    )
+    hx = html_extract(pages)
+    plan = hx._sc._jvm.PythonSQLUtils.explainString(
+        hx._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(_re.findall(r"^\(\d+\) Exchange$", plan, flags=_re.M)) == 1
+    t0 = time.perf_counter()
+    hx_rows = hx.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"html_extract @K={k}: {hx_rows} pages extracted in {dt}s")
+    assert hx_rows == n_docs
+
+    # ---- round-10: per-domain caps at K× ----------------------------
+    # The anti-spam quota must be a WindowGroupLimit: map tasks emit
+    # ≤ cap rows per domain BEFORE the shuffle, so the K-times-bigger
+    # spam domain costs the same shuffle rows as at K=1.
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    capped = cap_per_domain(with_url_features(urls), cap=5, id_col="doc_id")
+    plan = capped._sc._jvm.PythonSQLUtils.explainString(
+        capped._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+    t0 = time.perf_counter()
+    cap_rows = capped.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"cap_per_domain @K={k}: {cap_rows} kept from {k}x corpus in {dt}s")
+    assert cap_rows == 7 * 5, "exactly cap rows per domain regardless of K"
+
+    # ---- round-10: BPE distributed training + apply at K× -----------
+    # Force the distributed route (driver_vocab_threshold=0) on the
+    # multiplied corpus: each round is one map-side-combining pair
+    # aggregate over the vocabulary table; the apply plan must stay
+    # shuffle-free and Python-free.
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    t0 = time.perf_counter()
+    merges = bpe_train(docs, n_merges=8, driver_vocab_threshold=0)
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"bpe_train(distributed) @K={k}: {len(merges)} merges in {dt}s")
+    assert len(merges) == 8
+    applied = bpe_apply(docs, merges)
+    plan = applied._sc._jvm.PythonSQLUtils.explainString(
+        applied._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+    t0 = time.perf_counter()
+    ap_rows = applied.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"bpe_apply @K={k}: {ap_rows} docs tokenized in {dt}s")
+    assert ap_rows == n_docs
+
+    # ---- round-10: MP4 demux fan-out at K× --------------------------
+    # Per-file Python byte arithmetic behind mapInPandas: output rows
+    # = Σ per-file sample counts exactly (no dropped or duplicated
+    # samples under fan-out), linear in files.
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        demux_mp4,
+    )
+    from etl_prometheus2clickhouse_spark.plans.catalog import _mp4_file_hex
+
+    n_files = 20_000 * max(1, k // 2)
+    vids = (
+        spark.range(n_files)
+        .select(
+            F.col("id"),
+            F.unhex(_mp4_file_hex(F.col("id"))).alias("content"),
+        )
+    )
+    dm = demux_mp4(vids, "content", "id")
+    t0 = time.perf_counter()
+    dm_rows = dm.count()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"demux_mp4 @{n_files} files: {dm_rows} samples in {dt}s")
+    # N = 2 + id%3 samples per file → exact expected total
+    expected = sum(2 + i % 3 for i in range(n_files))
+    assert dm_rows == expected
+
 
 if __name__ == "__main__":
     main()

@@ -132,3 +132,22 @@ def test_apply_plan_is_expression_only(spark):
     )
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "Exchange" not in p
+
+
+def test_model_json_round_trip_retokenizes_identically(spark):
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_model_from_json,
+        bpe_model_to_json,
+    )
+
+    merges = bpe_train(_df(spark, SENNRICH), n_merges=10)
+    loaded = bpe_model_from_json(bpe_model_to_json(merges))
+    assert loaded == merges  # incl. the EOW control mark in symbols
+    df = _df(spark, ["lowest newest low"])
+    a = bpe_apply(df, merges).collect()
+    b = bpe_apply(df, loaded).collect()
+    assert [(r.doc_id, r.n_tokens, r.tokens) for r in a] == [
+        (r.doc_id, r.n_tokens, r.tokens) for r in b
+    ]
+    with pytest.raises(ValueError, match="not a BPE model"):
+        bpe_model_from_json('{"kind": "pq"}')
