@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "length_quantile_filter",
     "content_dedup",
     "fingerprint_dedup",
+    # round-10 late: CCNet corpus-level paragraph election
+    "paragraph_dedup",
     "stratified_sample",
     "weighted_sample",
     "corpus_mix",

@@ -1184,3 +1184,83 @@ def exact_substring_dedup(
         .alias("dup_frac"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet stage)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level paragraph deduplication — the CCNet pre-LM stage
+    (Wenzek et al., LREC'20 §3: paragraphs are deduplicated across
+    the whole crawl before language-ID and perplexity filtering).
+
+    Every document is split on ``sep``; across the WHOLE corpus each
+    distinct (trimmed, non-empty) paragraph survives exactly once, in
+    its first occurrence ordered by ``(id, position)``; later
+    occurrences are dropped and each document is reassembled from its
+    surviving paragraphs in original order. Emits one row per input
+    document ``(id, n_paras, n_kept, text)``; a document whose every
+    paragraph was seen earlier comes back with ``n_kept = 0`` and
+    empty text (CCNet drops those downstream — keeping the row lets
+    the caller decide).
+
+    100 TB shape: paragraph TEXT shuffles exactly once. The winner
+    election runs on a slim ``(id, pos, xxhash64(para))`` projection —
+    24-byte rows, uniformly keyed by construction — as a
+    ``min(struct(id, pos))`` hash-aggregate per hash (map-side partial
+    collapses same-partition duplicates before the exchange), then
+    collapses to one ``(id, kept_positions[])`` row per surviving
+    document. Only that slim frame joins back to the original
+    documents on ``id``, and reassembly is a pure expression over the
+    re-split array (``filter`` with the position lambda), so there is
+    no exploded-text re-aggregation shuffle at all. Collision note: a
+    64-bit collision would wrongly drop a distinct paragraph; the
+    catalog oracle groups by the paragraph STRING itself, so value
+    equality doubles as the no-collision witness (same pattern as
+    exact_substring_dedup)."""
+    # NB: lambda, not bare F.trim — Spark 4's trim() grew an optional
+    # second parameter, and transform() would feed it the element
+    # INDEX as the trim-character set
+    arr = F.transform(
+        F.split(F.col(text_col), F.lit(sep)), lambda p: F.trim(p)
+    )
+    slim = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(arr).alias("__pos", "__para"),
+        )
+        .filter(F.length("__para") > 0)
+        .select("__id", "__pos", F.xxhash64("__para").alias("__h"))
+    )
+    winners = slim.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__win")
+    )
+    kept_pos = (
+        winners.select(
+            F.col("__win.__id").alias("__id"),
+            F.col("__win.__pos").alias("__pos"),
+        )
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("__pos")).alias("__kept_pos"))
+    )
+    out = df.join(
+        kept_pos, df[id_col] == kept_pos["__id"], "left"
+    ).drop("__id")
+    pos_set = F.coalesce("__kept_pos", F.array().cast("array<int>"))
+    kept_paras = F.filter(
+        arr, lambda p, i: F.array_contains(pos_set, i)
+    )
+    return out.select(
+        id_col,
+        F.size(F.filter(arr, lambda p: F.length(p) > 0))
+        .cast("long")
+        .alias("n_paras"),
+        F.size(pos_set).cast("long").alias("n_kept"),
+        F.array_join(kept_paras, sep).alias("text"),
+    )

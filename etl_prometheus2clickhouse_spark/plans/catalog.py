@@ -49,6 +49,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     exact_substring_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_verified_pairs,
 )
 from etl_prometheus2clickhouse_spark.operators.multimodal import (
@@ -4824,6 +4825,59 @@ WHERE rank <= 10
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (operators/dedup.py:
+    paragraph_dedup — the CCNet pre-LM stage, Wenzek et al. LREC'20
+    §3): each document's word stream is chunked into 5-word
+    paragraphs, then every distinct paragraph survives exactly once
+    across the WHOLE corpus (first occurrence by (doc_id, pos)) and
+    documents are reassembled from their survivors. On this corpus
+    ~6% of paragraphs are cross-document duplicates, so the election
+    runs under real selection pressure. The oracle replicates chunk →
+    rank-by-first-occurrence → reassemble in DuckDB, grouping by the
+    paragraph STRING itself — value equality therefore doubles as the
+    witness that the operator's xxhash64 keying is collision-free
+    here (the exact_substring_dedup pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+    return paragraph_dedup(
+        d.select("doc_id", paras.alias("text")), "doc_id", "text", "\n"
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws,
+        unnest(generate_series(0, CAST(ceil(len(ws)/5.0) AS BIGINT) - 1))
+          AS pos
+        FROM w),
+chunks AS (SELECT doc_id, pos,
+           array_to_string(list_slice(ws, pos*5 + 1, pos*5 + 5), ' ')
+             AS para
+           FROM idx),
+ranked AS (SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+             AS rn
+           FROM chunks),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM chunks GROUP BY doc_id),
+kept AS (SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS text
+         FROM ranked WHERE rn = 1 GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.text, '') AS text
+FROM tot t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4897,7 +4951,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "length_quantile_filter": q_length_quantile_filter,
-    "stratified_sample": q_stratified_sample,
+    # round-10 late swap (demote-to-fund): paragraph_dedup — the CCNet
+    # corpus-level paragraph election — takes stratified_sample's
+    # slot; the pure-hash membership shape stays in-window inside
+    # decontaminate (hash-set filter) and corpus_mix's salted
+    # Bernoulli keeps the sampling family oracle-verified
+    # cross-checked, with weighted_sample remaining the in-window
+    # sampling primary
+    "paragraph_dedup": q_paragraph_dedup,
     "weighted_sample": q_weighted_sample,
     # near-dup — round-9 late swap: exact_substring_dedup (Lee et al.
     # ACL'22, span-cut removal) takes ngram_jaccard's slot; the
@@ -5050,6 +5111,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # BM25 inverted-index retrieval, both full-pipeline oracles
     "nb_classify": q_nb_classify,
     "bm25_search": q_bm25_search,
+    # demoted in the round-10 late swap (rationale at the QUERIES
+    # comment): stays fully oracle-verified here
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -5075,7 +5139,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "decontaminate": ORACLE_DECONTAMINATE,
     "length_quantile_filter": ORACLE_LENGTH_QUANTILE_FILTER,
-    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "exact_substring_dedup": ORACLE_EXACT_SUBSTRING_DEDUP,
     # LSH variants are oracled against EXACT similarity SQL: candidates
@@ -5168,6 +5232,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "nb_classify": ORACLE_NB_CLASSIFY,
     "bm25_search": ORACLE_BM25_SEARCH,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
 
 # Everything, for bench.py and local verification.

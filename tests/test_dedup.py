@@ -570,3 +570,65 @@ def test_exact_substring_dedup_fully_duplicated_doc_empties(spark):
     out = {r.doc_id: r for r in exact_substring_dedup(df, min_len=3).collect()}
     assert out[1].clean_text == "" and out[2].clean_text == ""
     assert out[1].dup_frac == 1.0
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet stage)
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (  # noqa: E402
+    paragraph_dedup,
+)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared para\nalpha two"),
+            (2, "shared para\nbeta one"),
+            (3, "beta one\nshared para\ngamma"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # doc 1 saw everything first: keeps all three paragraphs verbatim
+    assert out[1].n_paras == 3 and out[1].n_kept == 3
+    assert out[1].text == "alpha one\nshared para\nalpha two"
+    # doc 2's "shared para" was taken by doc 1; "beta one" is doc 2's
+    assert out[2].n_kept == 1 and out[2].text == "beta one"
+    # doc 3 loses both earlier paragraphs, keeps only "gamma"
+    assert out[3].n_paras == 3 and out[3].n_kept == 1
+    assert out[3].text == "gamma"
+
+
+def test_paragraph_dedup_all_duplicate_doc_goes_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only para"), (2, "only para")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].n_kept == 1 and out[1].text == "only para"
+    assert out[2].n_kept == 0 and out[2].text == ""
+    assert out[2].n_paras == 1
+
+
+def test_paragraph_dedup_trims_and_drops_empty_paragraphs(spark):
+    # blank lines and whitespace-only paragraphs vanish; surviving
+    # paragraphs compare trimmed, so "  x  " duplicates "x"
+    df = spark.createDataFrame(
+        [(1, "x\n\n  \ny"), (2, "  x  \nz")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].n_paras == 2 and out[1].text == "x\ny"
+    assert out[2].n_paras == 2 and out[2].n_kept == 1
+    assert out[2].text == "z"
+
+
+def test_paragraph_dedup_within_doc_repeat_collapses(spark):
+    df = spark.createDataFrame(
+        [(7, "rep\nrep\nrep\nuniq")], "doc_id bigint, text string"
+    )
+    row = paragraph_dedup(df).collect()[0]
+    assert row.n_paras == 4 and row.n_kept == 2
+    assert row.text == "rep\nuniq"
