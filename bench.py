@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "cosine_topk_ivfpq_codes",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
+    # round-10 late: composed recall@k evaluation (exact + IVFADC)
+    "ann_recall",
     # round-9 late: SemDeDup cluster-then-prune
     "semantic_dedup",
     "decode_pixels",

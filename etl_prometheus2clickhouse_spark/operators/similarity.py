@@ -1846,3 +1846,57 @@ def semantic_dedup(
         )
     )
     return _with_cached_deps(out, [cells])
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation
+# ---------------------------------------------------------------------------
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate neighbor list against the
+    exact ground truth — the acceptance metric every production ANN
+    deployment tracks (recall@k is THE reported quality axis in Jégou
+    et al. TPAMI'11 and the ann-benchmarks methodology).
+
+    ``exact`` is the ground-truth top-k result (one row per (query,
+    neighbor)); ``approx`` is the candidate system's list under the
+    same column names. Emits one row per query:
+    ``(query_id, k, n_hit, recall_at_k)`` where ``k`` is that query's
+    ground-truth list size, ``n_hit`` the overlap, and ``recall_at_k``
+    their 6-dp-rounded ratio. Queries the approximate system missed
+    entirely still appear (n_hit = 0) because the join is left from
+    the ground truth.
+
+    100 TB shape: both sides reduce to slim (query, neighbor) pairs
+    before the equi-join (any extra columns pruned), the join key is
+    the composite (query, neighbor) — uniform, no skew — and the
+    per-query rollup is a map-side-combining hash aggregate on the
+    already-co-partitioned join output, so the whole evaluation is one
+    slim shuffle per side."""
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    a = approx.select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = e.join(a, ["__q", "__n"], "left")
+    return (
+        joined.groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("k"), 6).alias("recall_at_k"),
+        )
+    )

@@ -63,6 +63,7 @@ from etl_prometheus2clickhouse_spark.operators.multimodal import (
     sample_frames,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
+    ann_recall,
     cosine_topk_arrow,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -4878,6 +4879,46 @@ FROM tot t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVFADC path against exact brute force
+    (operators/similarity.py:ann_recall) — the acceptance metric every
+    ANN deployment tracks. Runs the SAME two configurations as the
+    cosine_topk and cosine_topk_ivfpq catalog entries and scores the
+    overlap per query. The oracle composes those two entries' oracles
+    verbatim as subqueries and replicates the left-join/count
+    arithmetic, so this face is only green when the exact list, the
+    IVFADC list, AND the recall arithmetic all agree end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, id_col="vec_id", k=5)
+    approx = cosine_topk_ivfpq(
+        emb,
+        queries,
+        dim=64,
+        id_col="vec_id",
+        k=5,
+        n_cells=32,
+        n_probe=8,
+        m=4,
+        k_codes=16,
+        n_candidates=50,
+        quantizers="first",
+    )
+    return ann_recall(exact, approx)
+
+
+ORACLE_ANN_RECALL = f"""
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(a.neighbor_id) * 1.0 / count(*), 6) AS recall_at_k
+FROM ({ORACLE_COSINE_TOPK}) e
+LEFT JOIN ({ORACLE_COSINE_TOPK_IVFPQ}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5114,6 +5155,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # demoted in the round-10 late swap (rationale at the QUERIES
     # comment): stays fully oracle-verified here
     "stratified_sample": q_stratified_sample,
+    # round-10 late: recall@k of IVFADC vs exact brute force — the
+    # composed-oracle evaluation face (its green requires the exact
+    # list, the IVFADC list, and the recall arithmetic to all agree)
+    "ann_recall": q_ann_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -5233,6 +5278,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "nb_classify": ORACLE_NB_CLASSIFY,
     "bm25_search": ORACLE_BM25_SEARCH,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "ann_recall": ORACLE_ANN_RECALL,
 }
 
 # Everything, for bench.py and local verification.

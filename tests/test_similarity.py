@@ -950,3 +950,43 @@ def test_semantic_dedup_threshold_boundary_rounds_before_compare(spark):
         df, dim=4, n_cells=1, threshold=0.999999, centroids="first"
     ).collect()}
     assert not out[2].kept and out[2].dup_of == 1
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
+)
+
+
+def test_ann_recall_counts_overlap_per_query(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 hit (13 is a false positive); q2: full hit;
+        # q3: approx returned nothing at all
+        [(1, 10), (1, 12), (1, 13), (2, 20), (2, 21)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    out = {r.query_id: r for r in ann_recall(exact, approx).collect()}
+    assert len(out) == 3
+    assert out[1].k == 3 and out[1].n_hit == 2
+    assert abs(out[1].recall_at_k - round(2 / 3, 6)) < 1e-9
+    assert out[2].recall_at_k == 1.0
+    # a query the ANN missed entirely still appears, at recall 0
+    assert out[3].k == 1 and out[3].n_hit == 0 and out[3].recall_at_k == 0.0
+
+
+def test_ann_recall_ignores_extra_columns(spark):
+    exact = spark.createDataFrame(
+        [(1, 10, 5, 0.9)], "query_id bigint, neighbor_id bigint, rank int, cosine_sim double"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 0.8)], "query_id bigint, neighbor_id bigint, asim double"
+    )
+    row = ann_recall(exact, approx).collect()[0]
+    assert row.n_hit == 1 and row.recall_at_k == 1.0
