@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "weighted_sample",
     "corpus_mix",
+    # round-10 late: Z-order layout pruning witness
+    "zorder_stats",
     "ngram_jaccard",
     "minhash_lsh",
     "dup_clusters",

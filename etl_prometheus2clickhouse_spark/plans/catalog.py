@@ -80,6 +80,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     pq_encode,
     pq_train,
 )
+from etl_prometheus2clickhouse_spark.operators.layout import zorder_stats
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     kmv_distinct,
     kmv_merge,
@@ -4919,6 +4920,52 @@ GROUP BY e.query_id
 """
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout pruning witness (operators/layout.py:
+    zorder_stats — Morton 1966; the layout Delta/Iceberg expose as
+    OPTIMIZE ZORDER BY): events rows are keyed by interleaving 8
+    bucket bits of user_id with 8 of the event epoch-second, then
+    grouped into 16 deterministic z-prefix buckets, each reporting
+    row count and per-dimension (min, max). Bounded per-bucket ranges
+    on BOTH dims at once are what make file-level min/max skipping
+    effective after a z-ordered write. All arithmetic is exact
+    integer bucketing (integer ``div``, never float + floor), so the
+    oracle replicates it bit-for-bit in DuckDB."""
+    e = _t(spark, sf_dir, "events")
+    src = e.select(
+        "user_id",
+        F.floor(ts.ntz_micros("ts") / 1_000_000).cast("long").alias("ts_s"),
+    )
+    return zorder_stats(src, ["user_id", "ts_s"], bits=8, prefix_bits=4)
+
+
+ORACLE_ZORDER_STATS = """
+WITH src AS (SELECT user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+             FROM events),
+b AS (SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+             min(ts_s) AS lo_t, max(ts_s) AS hi_t FROM src),
+k AS (SELECT user_id, ts_s,
+        least(greatest(((user_id - lo_u) * 256) // (hi_u - lo_u + 1),
+                       0), 255) AS bu,
+        least(greatest(((ts_s - lo_t) * 256) // (hi_t - lo_t + 1),
+                       0), 255) AS bt
+      FROM src, b),
+z AS (SELECT user_id, ts_s,
+        CAST(list_sum(list_transform(range(8), i ->
+          (((bu >> i) & 1) << (2*i)) + (((bt >> i) & 1) << (2*i + 1))
+        )) AS BIGINT) AS zkey
+      FROM k)
+SELECT CAST(zkey >> 12 AS BIGINT) AS part_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(user_id) AS BIGINT) AS min_user_id,
+       CAST(max(user_id) AS BIGINT) AS max_user_id,
+       CAST(min(ts_s) AS BIGINT) AS min_ts_s,
+       CAST(max(ts_s) AS BIGINT) AS max_ts_s
+FROM z GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5159,6 +5206,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # composed-oracle evaluation face (its green requires the exact
     # list, the IVFADC list, and the recall arithmetic to all agree)
     "ann_recall": q_ann_recall,
+    # round-10 late: Z-order layout pruning witness (deterministic
+    # z-prefix buckets, exact-integer Morton arithmetic)
+    "zorder_stats": q_zorder_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -5279,6 +5329,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "bm25_search": ORACLE_BM25_SEARCH,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ann_recall": ORACLE_ANN_RECALL,
+    "zorder_stats": ORACLE_ZORDER_STATS,
 }
 
 # Everything, for bench.py and local verification.

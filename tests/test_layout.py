@@ -1,0 +1,88 @@
+"""Z-order (Morton) layout: key construction and pruning stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_prometheus2clickhouse_spark.operators.layout import (
+    zorder_key,
+    zorder_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    return spark.createDataFrame(rows, "x bigint, y bigint")
+
+
+def test_zorder_key_interleaves_bits(spark, grid):
+    out = {
+        (r.x, r.y): r.zkey
+        for r in zorder_key(
+            grid, ["x", "y"], bits=2, bounds={"x": (0, 3), "y": (0, 3)}
+        ).collect()
+    }
+    # dim j contributes bit i at key position i*d + j:
+    # zkey = x0 + 2*y0 + 4*x1 + 8*y1
+    def morton(x, y):
+        return (
+            (x & 1)
+            | ((y & 1) << 1)
+            | (((x >> 1) & 1) << 2)
+            | (((y >> 1) & 1) << 3)
+        )
+
+    assert out == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+    # the classic property: z-order visits the 4x4 grid quadrant by
+    # quadrant — keys 0-3 are the low-low quadrant, 12-15 high-high
+    assert sorted(out[(x, y)] for x in range(2) for y in range(2)) == [0, 1, 2, 3]
+    assert sorted(out[(x, y)] for x in (2, 3) for y in (2, 3)) == [12, 13, 14, 15]
+
+
+def test_zorder_stats_buckets_are_quadrants(spark, grid):
+    stats = {
+        r.part_id: r
+        for r in zorder_stats(
+            grid,
+            ["x", "y"],
+            bits=2,
+            prefix_bits=2,
+            bounds={"x": (0, 3), "y": (0, 3)},
+        ).collect()
+    }
+    assert set(stats) == {0, 1, 2, 3}
+    # every bucket holds exactly one quadrant: both dims' ranges are
+    # halved — the per-file min/max bound that makes skipping work
+    for part, r in stats.items():
+        assert r.n_rows == 4
+        assert r.max_x - r.min_x == 1
+        assert r.max_y - r.min_y == 1
+    assert (stats[0].min_x, stats[0].min_y) == (0, 0)
+    assert (stats[3].min_x, stats[3].min_y) == (2, 2)
+
+
+def test_zorder_key_computes_bounds_when_omitted(spark, grid):
+    with_bounds = zorder_key(
+        grid, ["x", "y"], bits=2, bounds={"x": (0, 3), "y": (0, 3)}
+    )
+    computed = zorder_key(grid, ["x", "y"], bits=2)
+    assert sorted(r.zkey for r in with_bounds.collect()) == sorted(
+        r.zkey for r in computed.collect()
+    )
+
+
+def test_zorder_key_clamps_outside_supplied_bounds(spark):
+    df = spark.createDataFrame([(-5,), (99,)], "x bigint")
+    keys = sorted(
+        r.zkey
+        for r in zorder_key(df, ["x"], bits=2, bounds={"x": (0, 3)}).collect()
+    )
+    assert keys == [0, 3]
+
+
+def test_zorder_key_rejects_oversized_keys(spark, grid):
+    with pytest.raises(ValueError, match="62"):
+        zorder_key(grid, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="prefix_bits"):
+        zorder_stats(grid, ["x", "y"], bits=2, prefix_bits=5)
