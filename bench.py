@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "corpus_mix",
     # round-10 late: Z-order layout pruning witness
     "zorder_stats",
+    # round-10 late: composed paragraph-dedup → Gopher-filter pipeline
+    "crawl_pipeline",
     "ngram_jaccard",
     "minhash_lsh",
     "dup_clusters",

@@ -4321,8 +4321,22 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table: eight auditable rule booleans, the AND
     verdict, and the comma-joined fail reasons. Every ratio is
     cross-multiplied integer arithmetic, so the DuckDB oracle is exact
-    with no float surface."""
-    return gopher_filter(_t(spark, sf_dir, "documents"))
+    with no float surface. The synthetic vocabulary carries only ONE
+    Gopher stop word ('the'), which would fail ok_stopwords on EVERY
+    document — a vacuous all-reject green — so every third document
+    gets a deterministic stop-word suffix planted (id-salted so it
+    stays unique text), giving the filter real keeps, single-rule
+    fails, and multi-rule fails to discriminate."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the of and that have with u"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return gopher_filter(d.select("doc_id", planted.alias("text")))
 
 
 _GOPHER_RULES_SQL = """
@@ -4372,7 +4386,7 @@ SELECT *,
   (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
    AND ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words
    AND ok_stopwords AND ok_dup_lines) AS keep,
-  array_to_string(list_filter([
+  coalesce(array_to_string(list_filter([
     CASE WHEN NOT ok_word_count THEN 'word_count' END,
     CASE WHEN NOT ok_mean_word_len THEN 'mean_word_len' END,
     CASE WHEN NOT ok_symbol_ratio THEN 'symbol_ratio' END,
@@ -4381,11 +4395,20 @@ SELECT *,
     CASE WHEN NOT ok_alpha_words THEN 'alpha_words' END,
     CASE WHEN NOT ok_stopwords THEN 'stopwords' END,
     CASE WHEN NOT ok_dup_lines THEN 'dup_lines' END
-  ], x -> x IS NOT NULL), ',') AS fail_reasons
+  ], x -> x IS NOT NULL), ','), '') AS fail_reasons
 FROM r
 """
 
-ORACLE_GOPHER_FILTER = _GOPHER_RULES_SQL
+# id-salted stop-word planting — see q_gopher_filter's docstring
+_GOPHER_PLANT_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text ||"
+    " ' the of and that have with u' || CAST(doc_id AS VARCHAR)"
+    " ELSE text END AS text FROM documents)"
+)
+
+ORACLE_GOPHER_FILTER = _GOPHER_RULES_SQL.replace(
+    "FROM documents", "FROM " + _GOPHER_PLANT_SQL
+)
 
 
 # BPE training corpus: planted constants, rich enough for 16 merges
@@ -4966,6 +4989,76 @@ FROM z GROUP BY 1
 """
 
 
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-curation pipeline face: corpus-level paragraph
+    dedup (CCNet, Wenzek et al. LREC'20) feeding the Gopher quality
+    filter (Rae et al. 2021) — the first two stages every crawl-scale
+    curation run chains, composed from the SAME operators as the
+    paragraph_dedup and gopher_filter entries. Documents that lose
+    every paragraph to an earlier occurrence skip the filter and are
+    rejected with the dedicated 'empty_after_dedup' reason; the rest
+    are judged on their POST-dedup text, so both stages' arithmetic
+    must agree with the oracle for the face to hash-match. The oracle
+    embeds ORACLE_PARAGRAPH_DEDUP verbatim and rebinds the Gopher
+    rules SQL onto its output."""
+    d = _t(spark, sf_dir, "documents")
+    # same id-salted stop-word planting as q_gopher_filter (without it
+    # the filter stage rejects everything — a vacuous composition);
+    # planted BEFORE chunking so dedup competes over the suffix too
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the of and that have with u"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    words = F.split(planted, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+    dd = paragraph_dedup(
+        d.select("doc_id", paras.alias("text")), "doc_id", "text", "\n"
+    )
+    g = gopher_filter(
+        dd.where(F.col("n_kept") > 0).select("doc_id", "text")
+    )
+    out = dd.join(
+        g.select("doc_id", "n_words", "keep", "fail_reasons"),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("keep", F.lit(False)).alias("keep"),
+        F.coalesce("fail_reasons", F.lit("empty_after_dedup")).alias(
+            "fail_reasons"
+        ),
+    )
+
+
+ORACLE_CRAWL_PIPELINE = f"""
+WITH deduped AS ({ORACLE_PARAGRAPH_DEDUP.replace(
+    "FROM documents", "FROM " + _GOPHER_PLANT_SQL)}),
+g AS ({_GOPHER_RULES_SQL.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM deduped WHERE n_kept > 0)")})
+SELECT d.doc_id, d.n_paras, d.n_kept,
+       CAST(coalesce(g.n_words, 0) AS BIGINT) AS n_words,
+       coalesce(g.keep, FALSE) AS keep,
+       coalesce(g.fail_reasons, 'empty_after_dedup') AS fail_reasons
+FROM deduped d LEFT JOIN g USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5209,6 +5302,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: Z-order layout pruning witness (deterministic
     # z-prefix buckets, exact-integer Morton arithmetic)
     "zorder_stats": q_zorder_stats,
+    # round-10 late: composed CCNet paragraph-dedup → Gopher filter
+    # face (both stages' arithmetic must agree end-to-end)
+    "crawl_pipeline": q_crawl_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -5330,6 +5426,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ann_recall": ORACLE_ANN_RECALL,
     "zorder_stats": ORACLE_ZORDER_STATS,
+    "crawl_pipeline": ORACLE_CRAWL_PIPELINE,
 }
 
 # Everything, for bench.py and local verification.
