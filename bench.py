@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "resize_nn",
     "image_features",
     "audio_features",
+    # round-10 late: codec-free per-video features (demux + rollup)
+    "video_features",
     # round-6 faces: consolidated multimodal sniff, GK rank-guarantee
     "multimodal_meta",
     "demux_mp4",

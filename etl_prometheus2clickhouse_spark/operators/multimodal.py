@@ -936,3 +936,38 @@ def audio_features(
         out_col,
         _feats(F.col(pcm_col), F.col(width_col), F.col(channels_col)),
     )
+
+
+def video_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-video scalar features over the REAL sample table — the
+    video member of the decode→features trio (:func:`image_features`,
+    :func:`audio_features`): containers are demuxed with the stbl walk
+    (:func:`demux_mp4`) and each video reduces to its structural
+    profile — sample count, coded byte volume, last sample timestamp,
+    size envelope, and the number of DISTINCT coded payloads (a crude
+    content-diversity signal: a slideshow of identical frames scores
+    1). Codec-free by design: these are the features you can trust
+    without decoding, which is what large-scale video triage runs
+    first.
+
+    100 TB shape: the demux fan-out is embarrassingly parallel
+    (Arrow-batched, per-file byte arithmetic), and the rollup is one
+    map-side-combining hash aggregate keyed by the id the fan-out
+    already carries — payloads never shuffle wider than their video's
+    partial aggregate (count-distinct's partial dedup collapses
+    repeated payloads before the exchange)."""
+    s = demux_mp4(df, binary_col, id_col)
+    return s.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_samples"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.max("ts_ms").cast("long").alias("last_ts_ms"),
+        F.min("size").cast("int").alias("min_size"),
+        F.max("size").cast("int").alias("max_size"),
+        F.countDistinct("payload").cast("long").alias(
+            "n_distinct_payloads"
+        ),
+    )

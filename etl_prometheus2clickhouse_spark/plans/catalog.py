@@ -56,6 +56,7 @@ from etl_prometheus2clickhouse_spark.operators.multimodal import (
     decode_audio,
     decode_images,
     demux_mp4,
+    video_features,
     audio_features,
     extract_media_metadata,
     image_features,
@@ -3093,6 +3094,42 @@ FROM o
 """
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free per-video features (operators/multimodal.py:
+    video_features) over the same closed-form-encoded containers as
+    demux_mp4: sample count, coded byte volume, last timestamp, size
+    envelope, and distinct-payload count. The oracle derives every
+    feature from the encoder arithmetic — payload identity reduces to
+    the (byte value, size) pair because each synthesized sample is a
+    single-byte run."""
+    p = _t(spark, sf_dir, "part")
+    df = p.select(
+        F.col("p_partkey").alias("id"),
+        F.unhex(_mp4_file_hex(F.col("p_partkey"))).alias("content"),
+    )
+    return video_features(df, "content", "id")
+
+
+ORACLE_VIDEO_FEATURES = """
+WITH base AS (SELECT p_partkey AS id, 2 + p_partkey % 3 AS n FROM part),
+s AS (SELECT id, n, unnest(generate_series(0, n - 1)) AS idx FROM base),
+sized AS (SELECT id, n, idx,
+                 16 + (id + idx) % 9 AS sz,
+                 (id * 7 + idx) % 256 AS v
+          FROM s)
+SELECT id,
+       CAST(any_value(n) AS INTEGER) AS n_samples,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(((any_value(n) - 1) * 250 * 1000) // 600 AS BIGINT)
+         AS last_ts_ms,
+       CAST(min(sz) AS INTEGER) AS min_size,
+       CAST(max(sz) AS INTEGER) AS max_size,
+       CAST(count(DISTINCT v * 100 + sz) AS BIGINT)
+         AS n_distinct_payloads
+FROM sized GROUP BY id
+"""
+
+
 def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over REAL containers: 2 evenly-strided samples
     per synthesized MP4, sliced from the actual mdat bytes with their
@@ -5305,6 +5342,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: composed CCNet paragraph-dedup → Gopher filter
     # face (both stages' arithmetic must agree end-to-end)
     "crawl_pipeline": q_crawl_pipeline,
+    # round-10 late: codec-free per-video features over the real
+    # sample table (completes the decode→features trio)
+    "video_features": q_video_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -5427,6 +5467,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "ann_recall": ORACLE_ANN_RECALL,
     "zorder_stats": ORACLE_ZORDER_STATS,
     "crawl_pipeline": ORACLE_CRAWL_PIPELINE,
+    "video_features": ORACLE_VIDEO_FEATURES,
 }
 
 # Everything, for bench.py and local verification.
