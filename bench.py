@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "nb_classify",
     "bm25_search",
     "events_distinct_kmv",
+    # round-10 late: HyperLogLog one-shot + partial/merge lifecycle
+    "events_distinct_hll",
+    "hll_merge",
     "kmv_merge",
     "heavy_hitters_cms",
     "cms_merge_hh",

@@ -1013,3 +1013,191 @@ def quantile_threshold_filter(
         .where(v >= F.col("__thr_b") * bucket_width)
         .drop("__thr_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# alpha_m bias-correction constants (Flajolet et al. 2007, §4): the
+# small-m table values, then the closed form.
+def _hll_alpha(m: int) -> float:
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+
+
+def _hll_register_rows(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    p: int, hash_family: str,
+) -> DataFrame:
+    """(group, register, rho) per input row. Register = top p bits of
+    the 32-bit hash; rho = 1 + leading zeros of the remaining
+    (32-p)-bit window. Bit length via base-2 string conversion —
+    ``conv`` (Spark) and ``bin`` (DuckDB) both render minimal binary
+    strings, so the arithmetic is engine-exact with no float log2."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} outside [4, 16]")
+    wbits = 32 - p
+    h = uniform_hash32(F.col(value_col), hash_family)
+    reg = F.shiftright(h, wbits).cast("int")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    bit_len = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - bit_len)
+        .cast("int")
+    )
+    return df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+
+
+def _hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int
+) -> DataFrame:
+    """Per-group estimate from (group, reg, mrho) register rows.
+
+    The harmonic sum Σ 2^-M_j is kept as the EXACT integer
+    Σ 2^(33-M_j) (every term dyadic, M_j ≤ 33), empty registers
+    contributing 2^33 each; the estimate is then one injected-literal
+    double division + round — deterministic across engines because
+    every operand is either an exact integer or the same parsed
+    decimal constant. The low-cardinality linear-counting branch
+    (E ≤ 2.5m, V > 0; Flajolet §4) uses ln(), whose last-ulp behavior
+    libms do not guarantee identical — callers wanting a cross-engine
+    byte-exact result should size p so no group lands there (the
+    ``corrected`` column makes the regime auditable)."""
+    m = 1 << p
+    c_harm = _hll_alpha(m) * m * m * float(1 << 33)
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n_filled"),
+        # shiftleft's DSL binding takes only a literal bit count; the
+        # SQL form accepts the per-row column
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 33 - mrho)")
+        ).alias("__harm_part"),
+    )
+    v_empty = (F.lit(m) - F.col("__n_filled")).cast("long")
+    harm = (
+        F.col("__harm_part") + v_empty * F.lit(1 << 33)
+    ).cast("long")
+    raw = F.lit(c_harm) / F.col("harmonic_scaled")
+    corrected = (raw <= F.lit(2.5 * m)) & (F.col("v_empty") > 0)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty"))
+    return (
+        per.select(
+            *group_cols,
+            F.lit(m).alias("m"),
+            v_empty.alias("v_empty"),
+            harm.alias("harmonic_scaled"),
+        )
+        .withColumn("corrected", corrected)
+        .withColumn(
+            "est_distinct",
+            F.round(F.when(corrected, linear).otherwise(raw), 4),
+        )
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007) — the fixed-size counterpart of :func:`kmv_distinct`.
+
+    Where KMV keeps k hash VALUES (distinct-agg + bottom-k: two
+    shuffle-side sorts), HLL keeps only ``m = 2**p`` 5-bit register
+    maxima: the whole pass is ONE map-side-combining max-aggregate
+    over (group, register) — no distinct, no window, no sort — and
+    per-group state is m integers regardless of cardinality. That is
+    the 100 TB trade: σ ≈ 1.04/√m relative error for a sketch whose
+    size never grows and whose merge is an element-wise max.
+
+    Emits exact integer state (``m``, ``v_empty``,
+    ``harmonic_scaled``) alongside the rounded ``est_distinct`` and
+    the ``corrected`` flag (see :func:`_hll_estimate` on the linear-
+    counting branch and cross-engine determinism)."""
+    _check_reserved(group_cols, ("reg", "rho", "mrho"), "hll_distinct")
+    rows = _hll_register_rows(df, group_cols, value_col, p, hash_family)
+    regs = rows.groupBy(*group_cols, "reg").agg(
+        F.max("rho").alias("mrho")
+    )
+    return _hll_estimate(regs, group_cols, p)
+
+
+def hll_partial_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    batch_col: str,
+    p: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Dense per-(group, batch) HLL register vector — the mergeable
+    artifact (cf. :func:`kmv_partial_sketches`): ``sketch[j]`` is
+    register j's max rho (0 = never hit), always exactly ``2**p``
+    entries. ``p`` and ``hash_family`` ride with the artifact and
+    :func:`hll_merge` fails loud on mismatch — register vectors from
+    different geometries or hash orders are incomparable."""
+    keys = [*group_cols, batch_col]
+    _check_reserved(
+        keys, ("reg", "rho", "mrho", "sketch", "p", "hash_family"),
+        "hll_partial_sketches",
+    )
+    m = 1 << p
+    rows = _hll_register_rows(df, keys, value_col, p, hash_family)
+    regs = rows.groupBy(*keys, "reg").agg(F.max("rho").alias("mrho"))
+    return (
+        regs.groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("reg", "mrho"))
+            ).alias("__regmap")
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.coalesce(
+                    F.element_at("__regmap", j), F.lit(0)
+                ).cast("int"),
+            ).alias("sketch"),
+            F.lit(int(p)).alias("p"),
+            F.lit(str(hash_family)).alias("hash_family"),
+        )
+    )
+
+
+def hll_merge(
+    partials: DataFrame,
+    group_cols: list[str],
+    p: int = 4,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge per-batch HLL partials into the per-group estimate —
+    EXACT by construction (max of per-batch register maxima == the
+    register maxima of the union), so the merged result equals
+    :func:`hll_distinct` on the union of the batches; the catalog
+    pins this by checking the merge face against the one-shot SQL
+    oracle. Cost: element-wise max over O(batches) fixed-size
+    vectors per group — independent of corpus size."""
+    # bounded collect: one row per distinct (p, family) pair carried
+    # by the artifacts — 1 in any well-formed input
+    meta = partials.select("p", "hash_family").distinct().collect()
+    if len(meta) != 1 or meta[0]["p"] != p:
+        raise ValueError(
+            f"hll_merge(p={p}): partials carry mixed or mismatched "
+            f"geometry/family {sorted((r['p'], r['hash_family']) for r in meta)}"
+        )
+    exploded = partials.select(
+        *group_cols, F.posexplode(sketch_col).alias("reg", "rho")
+    )
+    regs = (
+        exploded.where(F.col("rho") > 0)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    return _hll_estimate(regs, group_cols, p)

@@ -83,6 +83,9 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
 )
 from etl_prometheus2clickhouse_spark.operators.layout import zorder_stats
 from etl_prometheus2clickhouse_spark.operators.sketch import (
+    hll_distinct,
+    hll_merge,
+    hll_partial_sketches,
     kmv_distinct,
     kmv_merge,
     kmv_partial_sketches,
@@ -5096,6 +5099,76 @@ FROM deduped d LEFT JOIN g USING (doc_id)
 """
 
 
+_HLL_C16 = 0.673 * 16 * 16 * float(1 << 33)  # alpha_16 · m² · 2³³
+
+
+def q_events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct property-payload cardinality via HyperLogLog
+    (operators/sketch.py:hll_distinct — Flajolet et al. 2007): m=16
+    five-bit register maxima per group, ONE map-side-combining
+    max-aggregate, no distinct scan and no sort (the KMV twin's two
+    shuffle-side sorts disappear). The md5 hash family makes every
+    register value a pure function of the input set, the harmonic sum
+    is carried as an exact dyadic integer, and the estimate is a
+    single injected-constant double division — so the oracle
+    reproduces the sketch bit-for-bit, estimate included. ``props``
+    cardinality (83-100/group) keeps every group on the harmonic
+    branch at every SF (the ln()-based linear-counting branch is the
+    one piece libms don't guarantee byte-identical; the ``corrected``
+    column pins that no group used it)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    return hll_distinct(ev, ["event_type"], "props", p=4)
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL lifecycle face: per-(type, batch) dense register
+    vectors (hll_partial_sketches) merged back with hll_merge —
+    checked against the ONE-SHOT SQL oracle, which pins the exact-
+    merge property (max of per-batch register maxima equals the
+    union's register maxima), the same design as the kmv_merge
+    entry."""
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    batched = ev.withColumn(
+        "batch", F.pmod(F.col("event_id"), F.lit(4)).cast("int")
+    )
+    partials = hll_partial_sketches(
+        batched, ["event_type"], "props", "batch", p=4
+    )
+    return hll_merge(partials, ["event_type"], p=4)
+
+
+ORACLE_EVENTS_DISTINCT_HLL = f"""
+WITH h AS (SELECT event_type,
+        CAST(('0x' || substr(md5(CAST(props AS VARCHAR)), 1, 8))
+             AS UBIGINT) AS hv
+      FROM events WHERE props IS NOT NULL),
+r AS (SELECT event_type, CAST(hv >> 28 AS INTEGER) AS reg,
+             CAST(hv & 268435455 AS BIGINT) AS w FROM h),
+rr AS (SELECT event_type, reg,
+        CASE WHEN w = 0 THEN 29 ELSE 29 - length(bin(w)) END AS rho
+      FROM r),
+regs AS (SELECT event_type, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+g AS (SELECT event_type, count(*) AS n_filled,
+        sum(CAST(1 AS BIGINT) << (33 - mrho)) AS harm_part
+      FROM regs GROUP BY 1),
+f AS (SELECT event_type,
+        CAST(16 AS INTEGER) AS m,
+        CAST(16 - n_filled AS BIGINT) AS v_empty,
+        CAST(harm_part + (16 - n_filled) * 8589934592 AS BIGINT)
+          AS harmonic_scaled
+      FROM g)
+SELECT event_type, m, v_empty, harmonic_scaled,
+       ({_HLL_C16!r} / harmonic_scaled <= 40.0 AND v_empty > 0)
+         AS corrected,
+       round(CASE WHEN {_HLL_C16!r} / harmonic_scaled <= 40.0
+                       AND v_empty > 0
+             THEN 16.0 * ln(16.0 / v_empty)
+             ELSE {_HLL_C16!r} / harmonic_scaled END, 4)
+         AS est_distinct
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5345,6 +5418,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: codec-free per-video features over the real
     # sample table (completes the decode→features trio)
     "video_features": q_video_features,
+    # round-10 late: HyperLogLog — the fixed-size register-max twin of
+    # the KMV family; the merge face shares the one-shot oracle (the
+    # exact-merge property, same design as kmv_merge)
+    "events_distinct_hll": q_events_distinct_hll,
+    "hll_merge": q_hll_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -5468,6 +5546,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "zorder_stats": ORACLE_ZORDER_STATS,
     "crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "video_features": ORACLE_VIDEO_FEATURES,
+    "events_distinct_hll": ORACLE_EVENTS_DISTINCT_HLL,
+    "hll_merge": ORACLE_EVENTS_DISTINCT_HLL,
 }
 
 # Everything, for bench.py and local verification.

@@ -824,3 +824,78 @@ def test_uniform_hash32_rejects_unknown_family(spark):
 
     with pytest.raises(ValueError, match="unknown hash family"):
         uniform_hash32(F.lit("x"), family="sha1")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.sketch import (  # noqa: E402
+    hll_distinct,
+    hll_merge,
+    hll_partial_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def hll_rows(spark):
+    # two groups: g=a has 300 distinct values (x3 duplicates each),
+    # g=b has 80 distinct — both above the m=16 linear-counting knee
+    rows = [("a", i % 300) for i in range(900)] + [
+        ("b", 1000 + i % 80) for i in range(240)
+    ]
+    return spark.createDataFrame(rows, "g string, v bigint")
+
+
+def test_hll_distinct_estimates_within_sigma(spark, hll_rows):
+    out = {r.g: r for r in hll_distinct(hll_rows, ["g"], "v", p=6).collect()}
+    # sigma = 1.04/sqrt(64) ~ 13%; allow 4 sigma
+    assert abs(out["a"].est_distinct - 300) < 0.52 * 300
+    assert abs(out["b"].est_distinct - 80) < 0.52 * 80
+    assert out["a"].m == 64
+    # duplicates must not move the estimate (register max is idempotent)
+    once = {
+        r.g: r
+        for r in hll_distinct(
+            hll_rows.dropDuplicates(["g", "v"]), ["g"], "v", p=6
+        ).collect()
+    }
+    assert once["a"].est_distinct == out["a"].est_distinct
+    assert once["b"].harmonic_scaled == out["b"].harmonic_scaled
+
+
+def test_hll_merge_equals_one_shot(spark, hll_rows):
+    batched = hll_rows.withColumn(
+        "batch", (F.col("v") % 4).cast("int")
+    )
+    partials = hll_partial_sketches(
+        batched, ["g"], "v", "batch", p=6
+    )
+    assert partials.count() == 8  # 2 groups x 4 batches
+    first = partials.first()
+    assert len(first["sketch"]) == 64 and first["p"] == 6
+    merged = {r.g: r for r in hll_merge(partials, ["g"], p=6).collect()}
+    oneshot = {r.g: r for r in hll_distinct(hll_rows, ["g"], "v", p=6).collect()}
+    for g in ("a", "b"):
+        assert merged[g].harmonic_scaled == oneshot[g].harmonic_scaled
+        assert merged[g].est_distinct == oneshot[g].est_distinct
+        assert merged[g].v_empty == oneshot[g].v_empty
+
+
+def test_hll_merge_rejects_mixed_geometry(spark, hll_rows):
+    batched = hll_rows.withColumn("batch", F.lit(0))
+    p4 = hll_partial_sketches(batched, ["g"], "v", "batch", p=4)
+    p5 = hll_partial_sketches(batched, ["g"], "v", "batch", p=5)
+    with pytest.raises(ValueError, match="geometry"):
+        hll_merge(p4.unionByName(p5), ["g"], p=4)
+    with pytest.raises(ValueError, match="geometry"):
+        hll_merge(p5, ["g"], p=4)
+
+
+def test_hll_linear_counting_branch_flags(spark):
+    tiny = spark.createDataFrame(
+        [("t", i) for i in range(5)], "g string, v bigint"
+    )
+    row = hll_distinct(tiny, ["g"], "v", p=6).collect()[0]
+    assert row.corrected  # 5 distincts on m=64 is deep in LC regime
+    assert abs(row.est_distinct - 5) < 3
