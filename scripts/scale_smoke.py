@@ -725,6 +725,120 @@ def main() -> None:
     expected = sum(2 + i % 3 for i in range(n_files))
     assert dm_rows == expected
 
+    # ---- round-10 late: corpus paragraph dedup at K× ----------------
+    # The multiplied corpus repeats every document body K times (only
+    # the copytag tail chunk differs per copy), so the paragraph
+    # election must collapse the duplicated bodies: kept paragraphs
+    # may grow by at most ~one modified tail chunk per document copy,
+    # NOT by K× the base kept count. Plan must stay pure-JVM.
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    def _chunked(src):
+        words = F.split(F.col("text"), " ")
+        n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+        paras = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * 5 + 1, 5), " "
+                ),
+            ),
+            chr(10),
+        )
+        return src.select("doc_id", paras.alias("text"))
+
+    pd_out = paragraph_dedup(_chunked(docs), "doc_id", "text", chr(10))
+    plan = pd_out._sc._jvm.PythonSQLUtils.explainString(
+        pd_out._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept_1 = (
+        paragraph_dedup(_chunked(base), "doc_id", "text", chr(10))
+        .agg(F.sum("n_kept"))
+        .first()[0]
+    )
+    t0 = time.perf_counter()
+    agg = pd_out.agg(F.sum("n_kept"), F.sum("n_paras")).first()
+    kept_k, total_k = agg[0], agg[1]
+    dt = round(time.perf_counter() - t0, 1)
+    print(
+        f"paragraph_dedup @K={k}: kept {kept_k}/{total_k} paragraphs "
+        f"(base corpus kept {kept_1}) in {dt}s"
+    )
+    assert kept_k >= kept_1, "dedup lost base-corpus paragraphs"
+    assert kept_k <= kept_1 + 2 * n_docs, (
+        f"K-duplicated bodies leaked past the election: {kept_k} kept "
+        f"vs bound {kept_1 + 2 * n_docs}"
+    )
+
+    # ---- round-10 late: HLL state bound + exact merge at K× ---------
+    # Partial-sketch state is groups × batches × m registers EXACTLY,
+    # corpus-size-independent; and because the value column is the
+    # per-copy-stable original id, the merged K× estimate must equal
+    # the base corpus one-shot BIT-FOR-BIT (register maxima are
+    # idempotent under duplication).
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        hll_distinct,
+        hll_merge,
+        hll_partial_sketches,
+    )
+
+    keyed = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(1_000_000)).alias("orig_id"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("grp"),
+        (F.col("doc_id") / F.lit(1_000_000)).cast("int").alias("batch"),
+    )
+    t0 = time.perf_counter()
+    parts = hll_partial_sketches(keyed, ["grp"], "orig_id", "batch", p=6)
+    n_parts = parts.count()
+    merged = {
+        r.grp: r for r in hll_merge(parts, ["grp"], p=6).collect()
+    }
+    dt = round(time.perf_counter() - t0, 1)
+    base_keyed = keyed.where(F.col("batch") == 0)
+    oneshot = {
+        r.grp: r
+        for r in hll_distinct(base_keyed, ["grp"], "orig_id", p=6).collect()
+    }
+    print(
+        f"hll @K={k}: {n_parts} partial sketches "
+        f"(= groups x batches), merged in {dt}s"
+    )
+    assert n_parts == 5 * k, "HLL state must be groups x batches exactly"
+    for g in merged:
+        assert merged[g].harmonic_scaled == oneshot[g].harmonic_scaled
+        assert merged[g].est_distinct == oneshot[g].est_distinct
+
+    # ---- round-10 late: z-order bucket ranges on a 2M-row grid ------
+    # 16 z-prefix buckets over two uniform 0..4095 dims: every bucket
+    # must cover at most a quarter of EACH dim's range (top-2 bits of
+    # both dims fixed inside a bucket) and hold ~1/16 of the rows —
+    # the bounded per-file min/max rectangles that make skipping work.
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        zorder_stats,
+    )
+
+    grid = spark.range(2_000_000).select(
+        (F.col("id") % 4096).alias("x"),
+        F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("y"),
+    )
+    t0 = time.perf_counter()
+    zrows = zorder_stats(
+        grid, ["x", "y"], bits=8, prefix_bits=4,
+        bounds={"x": (0, 4095), "y": (0, 4095)},
+    ).collect()
+    dt = round(time.perf_counter() - t0, 1)
+    print(f"zorder_stats @2M rows: {len(zrows)} buckets in {dt}s")
+    assert len(zrows) == 16
+    for r in zrows:
+        assert r.max_x - r.min_x < 1024, f"x range leaked: {r}"
+        assert r.max_y - r.min_y < 1024, f"y range leaked: {r}"
+        assert 0.5 * 2_000_000 / 16 < r.n_rows < 2.0 * 2_000_000 / 16
+
 
 if __name__ == "__main__":
     main()
