@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "stream_rate",
     "stream_join",
     "stream_kmv",
+    # round-10 late: HLL through real micro-batches
+    "stream_hll",
     "stream_kmv_durable",
     "stream_cms_hh",
 ]

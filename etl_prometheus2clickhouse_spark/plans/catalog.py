@@ -138,6 +138,7 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_hourly,
     q_stream_join,
     q_stream_cms_hh,
+    q_stream_hll,
     q_stream_kmv,
     q_stream_kmv_durable,
     q_stream_rate,
@@ -5420,9 +5421,12 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_features": q_video_features,
     # round-10 late: HyperLogLog — the fixed-size register-max twin of
     # the KMV family; the merge face shares the one-shot oracle (the
-    # exact-merge property, same design as kmv_merge)
+    # exact-merge property, same design as kmv_merge), and the
+    # streaming face drives the same partials through four real
+    # foreachBatch micro-batches (stream_kmv design)
     "events_distinct_hll": q_events_distinct_hll,
     "hll_merge": q_hll_merge,
+    "stream_hll": q_stream_hll,
 }
 
 ORACLES: dict[str, str] = {
@@ -5548,6 +5552,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "video_features": ORACLE_VIDEO_FEATURES,
     "events_distinct_hll": ORACLE_EVENTS_DISTINCT_HLL,
     "hll_merge": ORACLE_EVENTS_DISTINCT_HLL,
+    "stream_hll": ORACLE_EVENTS_DISTINCT_HLL,
 }
 
 # Everything, for bench.py and local verification.

@@ -447,3 +447,47 @@ def q_stream_cms_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters_from_sketch(
         occ, sketch, ["lang"], "word", phi=0.01, depth=3, width=1024
     )
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HyperLogLog across REAL micro-batches
+    (streaming/sketch_stream.py:stream_hll_partials): the events table
+    is re-written as four parquet files into a scratch dir, streamed
+    back one file per micro-batch (maxFilesPerTrigger=1 + AvailableNow
+    — four genuine foreachBatch invocations), each batch builds one
+    dense register-vector partial per event type, and hll_merge
+    combines them element-wise. Max-of-maxima exactness makes the
+    batch boundaries irrelevant, so the oracle is the ONE-SHOT HLL
+    SQL over the whole table — the same oracle as
+    events_distinct_hll/hll_merge, now proven through the streaming
+    lifecycle; HLL's idempotent max merge makes this the one sketch
+    family that would survive even an APPENDED duplicate partial (the
+    keyed accumulator still replaces, as for every family)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.sketch import hll_merge
+    from etl_prometheus2clickhouse_spark.streaming.sketch_stream import (
+        stream_hll_partials,
+    )
+
+    ts.ensure_parquet_nanos_conf(spark)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("props").isNotNull())
+        .select("event_type", "props")
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        batch.repartition(4).write.mode("overwrite").parquet(scratch)
+        src = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(scratch)
+        )
+        partials = stream_hll_partials(src, ["event_type"], "props", p=4)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return hll_merge(partials, ["event_type"], p=4)

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     bloom_build,
     cms_partial_sketches,
+    hll_partial_sketches,
     kmv_partial_sketches,
 )
 
@@ -313,3 +314,52 @@ def stream_cms_partials(
         )
 
     return _run_partial_stream(src, per_batch, template)
+
+
+def _hll_per_batch(
+    group_cols: list[str], value_col: str, p: int, hash_family: str
+) -> Callable[[DataFrame, int], DataFrame]:
+    def per_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return hll_partial_sketches(
+            batch_df.withColumn(_MICRO_BATCH_COL, F.lit(batch_id)),
+            group_cols,
+            value_col,
+            _MICRO_BATCH_COL,
+            p,
+            hash_family,
+        )
+
+    return per_batch
+
+
+def stream_hll_partials(
+    src: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """One HLL register-vector partial per micro-batch of ``src``:
+    returns the accumulated partials frame ``(group…, micro_batch,
+    sketch, p, hash_family)`` ready for
+    :func:`~etl_prometheus2clickhouse_spark.operators.sketch.hll_merge`.
+    Doubly replay-proof: the keyed accumulator REPLACES a retried
+    batch's partial (the contract every family gets), and HLL's
+    element-wise-max merge is additionally IDEMPOTENT — even an
+    appended duplicate partial could not move the estimate, unlike
+    CMS's counter sum. Merge-exactness (max of per-batch maxima ==
+    union maxima) makes batch boundaries irrelevant: the merged
+    estimate equals the one-shot sketch over everything streamed."""
+    template = hll_partial_sketches(
+        src.sparkSession.createDataFrame([], src.schema).withColumn(
+            _MICRO_BATCH_COL, F.lit(0)
+        ),
+        group_cols,
+        value_col,
+        _MICRO_BATCH_COL,
+        p,
+        hash_family,
+    )
+    return _run_partial_stream(
+        src, _hll_per_batch(group_cols, value_col, p, hash_family), template
+    )
