@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "events_distinct_hll",
     "hll_merge",
     "kmv_merge",
+    # round-10 late: pairwise overlap estimation from KMV sketches
+    "kmv_jaccard",
     "heavy_hitters_cms",
     "cms_merge_hh",
     "quantile_merge",

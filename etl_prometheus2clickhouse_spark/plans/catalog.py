@@ -87,6 +87,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
     hll_merge,
     hll_partial_sketches,
     kmv_distinct,
+    kmv_jaccard,
     kmv_merge,
     kmv_partial_sketches,
     quantile_threshold_filter,
@@ -5170,6 +5171,58 @@ FROM f
 """
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-set overlap between event types from KMV
+    sketches (operators/sketch.py:kmv_jaccard — Beyer et al.
+    SIGMOD'07 §5): 10 type pairs, each scored for Jaccard, estimated
+    union and estimated intersection from k=64 bottom-k sketches. At
+    sf0.001 every union fits inside k (the sketch IS the set — exact
+    regime); from sf0.01 up the unions exceed k and the estimator
+    path runs — both regimes covered by the same entry across the
+    driver's scales. Deterministic under the md5 family, so the
+    oracle reproduces every estimate bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    return kmv_jaccard(ev, "event_type", "user_id", k=64)
+
+
+ORACLE_KMV_JACCARD = """
+WITH h AS (SELECT DISTINCT event_type AS g,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+bk AS (SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM h) WHERE rn <= 64),
+gs AS (SELECT DISTINCT g FROM bk),
+p AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+mrg AS (SELECT p.g_a, p.g_b, bk.h
+        FROM p JOIN bk ON bk.g = p.g_a OR bk.g = p.g_b
+        GROUP BY 1, 2, 3),
+mk AS (SELECT g_a, g_b, h, rn FROM (
+        SELECT g_a, g_b, h,
+               row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+        FROM mrg) WHERE rn <= 64),
+j AS (SELECT mk.g_a, mk.g_b,
+        max(mk.rn) AS n_k, max(mk.h) AS kth,
+        count(*) FILTER (WHERE ina.h IS NOT NULL
+                           AND inb.h IS NOT NULL) AS n_overlap
+      FROM mk
+      LEFT JOIN bk ina ON ina.g = mk.g_a AND ina.h = mk.h
+      LEFT JOIN bk inb ON inb.g = mk.g_b AND inb.h = mk.h
+      GROUP BY 1, 2),
+e AS (SELECT g_a, g_b, n_k, n_overlap,
+        round(CAST(n_overlap AS DOUBLE) / n_k, 6) AS jaccard_est,
+        round(CASE WHEN n_k < 64 THEN CAST(n_k AS DOUBLE)
+              ELSE 270582939648.0 / kth END, 4) AS est_union
+      FROM j)
+SELECT g_a, g_b, CAST(n_k AS BIGINT) AS n_k,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       jaccard_est, est_union,
+       round(jaccard_est * est_union, 4) AS est_intersect
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5427,6 +5480,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_distinct_hll": q_events_distinct_hll,
     "hll_merge": q_hll_merge,
     "stream_hll": q_stream_hll,
+    # round-10 late: pairwise set-overlap estimation from the KMV
+    # sketches (Beyer et al. SIGMOD'07) — exact regime at sf0.001,
+    # estimator regime from sf0.01 up, deterministic in both
+    "kmv_jaccard": q_kmv_jaccard,
 }
 
 ORACLES: dict[str, str] = {
@@ -5553,6 +5610,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_distinct_hll": ORACLE_EVENTS_DISTINCT_HLL,
     "hll_merge": ORACLE_EVENTS_DISTINCT_HLL,
     "stream_hll": ORACLE_EVENTS_DISTINCT_HLL,
+    "kmv_jaccard": ORACLE_KMV_JACCARD,
 }
 
 # Everything, for bench.py and local verification.

@@ -899,3 +899,49 @@ def test_hll_linear_counting_branch_flags(spark):
     row = hll_distinct(tiny, ["g"], "v", p=6).collect()[0]
     assert row.corrected  # 5 distincts on m=64 is deep in LC regime
     assert abs(row.est_distinct - 5) < 3
+
+
+# ---------------------------------------------------------------------------
+# KMV pairwise overlap
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.sketch import (  # noqa: E402
+    kmv_jaccard,
+)
+
+
+def test_kmv_jaccard_exact_regime(spark):
+    # A = {0..9}, B = {5..14}, C = {100..104}; k=64 > every union size,
+    # so the sketches ARE the sets and every estimate is exact
+    rows = (
+        [("A", i) for i in range(10)]
+        + [("B", i) for i in range(5, 15)]
+        + [("C", i) for i in range(100, 105)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {(r.g_a, r.g_b): r for r in kmv_jaccard(df, "g", "v").collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.n_k == 15 and ab.n_overlap == 5
+    assert ab.jaccard_est == round(5 / 15, 6)
+    assert ab.est_union == 15.0
+    assert ab.est_intersect == round(round(5 / 15, 6) * 15.0, 4)
+    ac = out[("A", "C")]
+    assert ac.n_overlap == 0 and ac.jaccard_est == 0.0
+    assert ac.est_union == 15.0 and ac.est_intersect == 0.0
+
+
+def test_kmv_jaccard_estimator_regime_sane_and_deterministic(spark):
+    # unions far above k=16: the estimator kicks in; identical inputs
+    # must produce identical estimates (pure function of the set)
+    rows = [("A", i) for i in range(300)] + [("B", i) for i in range(150, 450)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    r1 = kmv_jaccard(df, "g", "v", k=16).collect()[0]
+    r2 = kmv_jaccard(
+        df.repartition(7), "g", "v", k=16
+    ).collect()[0]
+    assert r1 == r2  # partitioning-independent
+    assert r1.n_k == 16
+    # true union 450, true jaccard 150/450=0.333; 4-sigma-ish slack at k=16
+    assert 100 < r1.est_union < 1300
+    assert 0.0 <= r1.jaccard_est <= 0.9
