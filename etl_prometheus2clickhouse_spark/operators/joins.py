@@ -180,3 +180,88 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *matched,
     )
+
+
+# ---------------------------------------------------------------------------
+# skew tooling: measure, then mitigate
+# ---------------------------------------------------------------------------
+
+def key_skew_stats(
+    df: DataFrame, key_cols: Sequence[str], top: int = 20
+) -> DataFrame:
+    """Per-key concentration report — the diagnostic you run BEFORE
+    deciding a join needs salting: the ``top`` heaviest keys with
+    their row counts and corpus share, rank 1 = heaviest (count desc,
+    then key for determinism). A share_pct worth of rows landing on
+    one shuffle partition is exactly the wall-clock a plain
+    shuffle-key join loses to its slowest task.
+
+    One map-side-combining count aggregate; the top-N cut is a global
+    WindowGroupLimit over key-count rows (already reduced to one row
+    per key), so nothing heavier than the distinct key set ever
+    sorts."""
+    counted = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.orderBy(
+        F.col("n_rows").desc(), *[F.col(c) for c in key_cols]
+    )
+    total = counted.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the classic salting rewrite for skewed keys:
+    the left side's rows are spread across ``n_salts`` sub-keys by a
+    deterministic hash of ``salt_col`` (any left column that varies
+    within a key — a row id, a timestamp), the right side is
+    replicated once per salt, and the join runs on
+    ``(key…, salt)`` — a single hot key's probe work lands on
+    ``n_salts`` tasks instead of one. Result set is EXACTLY the plain
+    join's (the salt matches by construction: every left row meets
+    its key's full right payload exactly once), which is what the
+    catalog oracle checks — the plain-join SQL.
+
+    Trade: right-side shuffle volume × n_salts in exchange for an
+    n_salts-way split of the hottest reduce task. Use after
+    :func:`key_skew_stats` shows a dominant key; AQE's skew-join
+    handles sort-merge spills adaptively, but salting also covers
+    the hash-agg-above-join and stateful-streaming shapes AQE can't
+    re-plan. Deterministic (xxhash64 salt), so results are stable
+    across runs and engines. ``how`` supports the payload-preserving
+    variants (inner / left); asymmetric anti/semi shapes don't need
+    salting (their right side reduces to the key set — dedup it
+    instead)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}"
+        )
+    keys = list(on)
+    salt_l = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast(
+        "int"
+    )
+    lhs = left.withColumn("__salt", salt_l)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = lhs.join(rhs, [*keys, "__salt"], how)
+    return out.drop("__salt")

@@ -81,6 +81,10 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     pq_encode,
     pq_train,
 )
+from etl_prometheus2clickhouse_spark.operators.joins import (
+    key_skew_stats,
+    salted_join,
+)
 from etl_prometheus2clickhouse_spark.operators.layout import zorder_stats
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     hll_distinct,
@@ -5223,6 +5227,54 @@ FROM e
 """
 
 
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-concentration diagnostic (operators/joins.py:
+    key_skew_stats): the heaviest join/shuffle keys with row counts
+    and corpus share — the report you read before deciding a key
+    needs salting. One map-side-combining count; top-N over one row
+    per key."""
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_stats(ev, ["event_type"], top=5)
+
+
+ORACLE_KEY_SKEW_STATS = """
+WITH c AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total FROM c),
+r AS (SELECT event_type, n_rows,
+        row_number() OVER (ORDER BY n_rows DESC, event_type) AS rank
+      FROM c)
+SELECT r.event_type, CAST(r.n_rows AS BIGINT) AS n_rows,
+       CAST(r.rank AS INTEGER) AS rank,
+       round(CAST(r.n_rows AS DOUBLE) / t.total, 6) AS share
+FROM r, t WHERE r.rank <= 5
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join (operators/joins.py:salted_join):
+    every events row joins its type's dimension row through an
+    8-salt sub-key split, so a hot key's probe work lands on 8 tasks
+    instead of one. The oracle is the PLAIN join SQL — the salting
+    rewrite must be result-invisible, which is its whole contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("type_rows")
+    )
+    return salted_join(
+        ev, dim, ["event_type"], salt_col="event_id", n_salts=8
+    ).select("event_id", "event_type", "user_id", "type_rows")
+
+
+ORACLE_SALTED_JOIN = """
+SELECT e.event_id, e.event_type, e.user_id, t.type_rows
+FROM events e
+JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS type_rows
+      FROM events GROUP BY 1) t USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5484,6 +5536,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sketches (Beyer et al. SIGMOD'07) — exact regime at sf0.001,
     # estimator regime from sf0.01 up, deterministic in both
     "kmv_jaccard": q_kmv_jaccard,
+    # round-10 late: skew tooling — the concentration diagnostic and
+    # the result-invisible salting rewrite (oracle = the PLAIN join)
+    "key_skew_stats": q_key_skew_stats,
+    "salted_join": q_salted_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5611,6 +5667,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "hll_merge": ORACLE_EVENTS_DISTINCT_HLL,
     "stream_hll": ORACLE_EVENTS_DISTINCT_HLL,
     "kmv_jaccard": ORACLE_KMV_JACCARD,
+    "key_skew_stats": ORACLE_KEY_SKEW_STATS,
+    "salted_join": ORACLE_SALTED_JOIN,
 }
 
 # Everything, for bench.py and local verification.

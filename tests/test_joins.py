@@ -106,3 +106,73 @@ def test_asof_join_rejects_unknown_direction(spark):
     df = spark.createDataFrame([("a", _ts(1), 1)], "k string, ts timestamp, eid int")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, ["k"], direction="nearest")
+
+
+# ---------------------------------------------------------------------------
+# skew tooling
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from etl_prometheus2clickhouse_spark.operators.joins import (  # noqa: E402
+    key_skew_stats,
+    salted_join,
+)
+
+
+def test_key_skew_stats_ranks_heaviest_first(spark):
+    rows = [("hot", i) for i in range(70)] + [
+        ("warm", i) for i in range(20)
+    ] + [("cold", 0)] + [("cool", i) for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    out = key_skew_stats(df, ["k"], top=3).collect()
+    assert [r.k for r in out] == ["hot", "warm", "cool"]
+    assert out[0].n_rows == 70 and out[0].rank == 1
+    assert out[0].share == 0.7
+    assert out[2].share == 0.09
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "rare", i * 2) for i in range(200)],
+        "row_id bigint, k string, payload bigint",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("rare", 2), ("absent", 3)],
+        "k string, rv bigint",
+    )
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, ["k"], salt_col="row_id", n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join keeps unmatched left rows exactly once too
+    left2 = left.union(
+        spark.createDataFrame([(999, "nomatch", 0)], left.schema)
+    )
+    pl = left2.join(right, "k", "left")
+    sl = salted_join(left2, right, ["k"], salt_col="row_id", n_salts=8, how="left")
+    assert sorted(map(tuple, sl.collect())) == sorted(map(tuple, pl.collect()))
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    left = spark.createDataFrame(
+        [(i, "hot") for i in range(500)], "row_id bigint, k string"
+    )
+    from pyspark.sql import functions as F
+    n = (
+        left.withColumn(
+            "s", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8))
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(n) == 8  # every salt bucket receives work
+    assert max(r["count"] for r in n) < 500 * 0.3
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    df = spark.createDataFrame([(1, "a")], "row_id bigint, k string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, ["k"], salt_col="row_id", how="anti")
