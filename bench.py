@@ -80,9 +80,10 @@ BENCH_QUERIES = [
     "kmv_merge",
     # round-10 late: pairwise overlap estimation from KMV sketches
     "kmv_jaccard",
-    # round-10 late: skew diagnostic + salting rewrite
+    # round-10 late: skew diagnostic + salting rewrite + bloom join cut
     "key_skew_stats",
     "salted_join",
+    "bloom_join",
     "heavy_hitters_cms",
     "cms_merge_hh",
     "quantile_merge",

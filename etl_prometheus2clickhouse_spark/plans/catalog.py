@@ -82,6 +82,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     pq_train,
 )
 from etl_prometheus2clickhouse_spark.operators.joins import (
+    bloom_filtered_join,
     key_skew_stats,
     salted_join,
 )
@@ -5275,6 +5276,33 @@ JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS type_rows
 """
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/joins.py:
+    bloom_filtered_join): orders joined to nation-1 customers (~4% of
+    the customer table) through a membership pre-filter of the
+    selective right side's keys — the big side's shuffle shrinks to
+    matches plus the deterministic false-positive trickle before the
+    real join runs. Oracle = the PLAIN join SQL: the reduction must
+    be result-invisible (no false negatives; the join removes the
+    false positives)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 1)
+        .select(F.col("c_custkey").alias("custkey"), "c_name")
+    )
+    return bloom_filtered_join(o, c, "custkey", m_bits=1 << 15)
+
+
+ORACLE_BLOOM_JOIN = """
+SELECT c.c_custkey AS custkey, o.o_orderkey, c.c_name
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5540,6 +5568,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the result-invisible salting rewrite (oracle = the PLAIN join)
     "key_skew_stats": q_key_skew_stats,
     "salted_join": q_salted_join,
+    # round-10 late: Bloom semi-join reduction (also oracle = plain
+    # join — the shuffle cut must be result-invisible)
+    "bloom_join": q_bloom_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5669,6 +5700,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "kmv_jaccard": ORACLE_KMV_JACCARD,
     "key_skew_stats": ORACLE_KEY_SKEW_STATS,
     "salted_join": ORACLE_SALTED_JOIN,
+    "bloom_join": ORACLE_BLOOM_JOIN,
 }
 
 # Everything, for bench.py and local verification.

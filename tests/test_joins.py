@@ -176,3 +176,34 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.createDataFrame([(1, "a")], "row_id bigint, k string")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, ["k"], salt_col="row_id", how="anti")
+
+
+def test_bloom_filtered_join_matches_plain_join(spark):
+    from etl_prometheus2clickhouse_spark.operators.joins import (
+        bloom_filtered_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], "row_id bigint, key bigint"
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 100, 7)], "key bigint, name string"
+    )
+    plain = left.join(right, "key", "inner")
+    filtered = bloom_filtered_join(left, right, "key", m_bits=4096)
+    assert sorted(map(tuple, filtered.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # selectivity: the bloom pre-filter must actually cut the left side
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    sk = bloom_build(right.select("key"), "key", 4096, 4)
+    kept = (
+        bloom_probe(left, "key", sk, 4096, 4)
+        .where("bloom_hit")
+        .count()
+    )
+    assert kept < 2000 * 0.5  # 15/100 keys match; fp rate tiny at 4096 bits
