@@ -337,3 +337,76 @@ def test_semantic_dedup_assignment_udf_runs_once(spark):
         )
 
         release_cached(df)
+
+
+# ---------------------------------------------------------------------------
+# round-10 late operators
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_is_jvm_only(spark):
+    """The CCNet paragraph election must never leave the JVM: winner
+    election, keep-position rollup, and filter-with-index reassembly
+    are all expressions and hash aggregates."""
+    p = _plan(spark, "paragraph_dedup", "formatted")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the winner election partial-aggregates before its exchange
+    assert "partial_min" in p or "partial_merge" in p or "min(" in p
+
+
+def test_zorder_key_with_bounds_is_narrow(spark):
+    """Caller-supplied bounds make the Morton key a pure expression:
+    zero exchanges, zero Python, zero actions."""
+    from etl_prometheus2clickhouse_spark.operators.layout import zorder_key
+
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    keyed = zorder_key(
+        df, ["event_id", "user_id"],
+        bits=8,
+        bounds={"event_id": (0, 100000), "user_id": (0, 4096)},
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        keyed._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    assert "Python" not in p
+    assert "codegen id" in p  # whole-stage codegen covers the project
+
+
+def test_hll_distinct_partial_aggregates(spark):
+    """HLL's whole point: register maxima partial-combine map-side —
+    no distinct pre-pass, no sort, no window anywhere in the plan."""
+    p = _plan(spark, "events_distinct_hll", "formatted")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "partial_max" in p
+    assert "Window" not in p
+    assert "Sort" not in p.replace("SortAggregate", "")
+
+
+def test_bloom_join_probes_without_shuffling_left(spark):
+    """The Bloom pre-filter must reach the orders scan as a broadcast
+    single-row probe: the only exchanges in the plan belong to the
+    sketch build and the final join, never to a pre-join shuffle of
+    the unfiltered big side."""
+    p = _plan(spark, "bloom_join", "formatted")
+    assert "BroadcastNestedLoopJoin" in p  # the single-row probe
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The salting rewrite must actually change the partitioning key:
+    the join exchange hashes (event_type, __salt), not event_type
+    alone."""
+    p = _plan(spark, "salted_join", "formatted")
+    assert "__salt" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_kmv_jaccard_pair_stage_is_array_arithmetic(spark):
+    """The corpus-sized work is the bottom-k pass; the pairwise stage
+    must be array expressions over sketch rows (no explode of the
+    sketches back into row space)."""
+    p = _plan(spark, "kmv_jaccard", "formatted")
+    assert "Generate" not in p  # no explode anywhere
+    assert "array_intersect" in p and "array_union" in p
