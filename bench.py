@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "lm_perplexity",
     "lm_perplexity3",
+    # round-10 late: CCNet tercile split over the LM scores
+    "perplexity_buckets",
     "bpe_tokenize",
     "nb_classify",
     "bm25_search",

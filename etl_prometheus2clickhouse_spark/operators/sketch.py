@@ -23,6 +23,8 @@ a k-row-per-group final aggregate. Bounded memory at any cardinality.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1274,4 +1276,77 @@ def kmv_jaccard(
         jac.alias("jaccard_est"),
         est_union.alias("est_union"),
         F.round(jac * est_union, 4).alias("est_intersect"),
+    )
+
+
+def quantile_bucket_labels(
+    df: DataFrame,
+    value_col: str,
+    phis: Sequence[float],
+    labels: Sequence[str],
+    bucket_width: int = 1,
+    scale: int = 1,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Label every row with its corpus-level quantile band — the
+    multi-threshold generalization of
+    :func:`quantile_threshold_filter`, and the CCNet head/middle/tail
+    split when ``phis=(1/3, 2/3)`` (Wenzek et al. LREC'20 §4.4: the
+    corpus is cut into perplexity terciles and the tail dropped or
+    down-weighted).
+
+    Same no-global-sort construction: one map-side-combining
+    histogram over ``floor(value·scale / bucket_width)`` bins, the
+    cumulative scan and ALL threshold picks as one window/aggregate
+    over histogram state, thresholds joined back as a broadcast
+    single-row frame. Band semantics are integer-exact on bins: a row
+    is in band i iff its bin is below the smallest bin whose
+    cumulative count reaches ``ceil(phi_i · total)`` (ties at a
+    threshold bin go to the higher band — the same over-inclusive
+    edge rule as the filter, off by at most one bucket width).
+    ``scale`` lifts fractional values (perplexities, ratios) onto the
+    integer bin grid."""
+    if len(labels) != len(phis) + 1:
+        raise ValueError(
+            f"need len(labels) == len(phis)+1, got {len(labels)} labels "
+            f"for {len(phis)} thresholds"
+        )
+    if sorted(phis) != list(phis) or not all(0 < p < 1 for p in phis):
+        raise ValueError("phis must be strictly increasing within (0, 1)")
+    if bucket_width < 1 or scale < 1:
+        raise ValueError("bucket_width and scale must be >= 1")
+    v = F.col(value_col)
+    df = df.where(v.isNotNull())
+    b = F.floor(v * scale / bucket_width).cast("long")
+    binned = df.withColumn("__b", b)
+    hist = binned.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "__b",
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__total"),
+    )
+    thr = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.lit(float(p)) * F.col("__total")),
+                    F.col("__b"),
+                )
+            ).alias(f"__thr{i}")
+            for i, p in enumerate(phis)
+        ]
+    )
+    label = F.lit(labels[-1])
+    for i in range(len(phis) - 1, -1, -1):
+        label = F.when(
+            F.col("__b") < F.col(f"__thr{i}"), F.lit(labels[i])
+        ).otherwise(label)
+    return (
+        binned.crossJoin(F.broadcast(thr))
+        .withColumn(out_col, label)
+        .drop("__b", *[f"__thr{i}" for i in range(len(phis))])
     )

@@ -93,6 +93,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
     hll_partial_sketches,
     kmv_distinct,
     kmv_jaccard,
+    quantile_bucket_labels,
     kmv_merge,
     kmv_partial_sketches,
     quantile_threshold_filter,
@@ -5303,6 +5304,53 @@ JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = 1
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. LREC'20 §4.4):
+    every document's bigram-LM perplexity (the same train+score as
+    the lm_perplexity entry) banded into corpus-level terciles via
+    the histogram threshold machinery (operators/sketch.py:
+    quantile_bucket_labels) — no global sort, thresholds as one
+    broadcast row. scale=1000 lifts the 6-dp perplexities onto the
+    integer bin grid. The oracle embeds the full LM oracle as a
+    subquery and replicates the histogram/threshold arithmetic, so
+    the split is only green when training, scoring, AND banding all
+    agree."""
+    d = _t(spark, sf_dir, "documents")
+    ppl = lm_perplexity(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        "text",
+        "doc_id",
+        alpha=0.5,
+    ).select("doc_id", "perplexity")
+    return quantile_bucket_labels(
+        ppl,
+        "perplexity",
+        (1 / 3, 2 / 3),
+        ("head", "middle", "tail"),
+        scale=1000,
+    )
+
+
+ORACLE_PERPLEXITY_BUCKETS = f"""
+WITH lm AS ({ORACLE_LM_PERPLEXITY}),
+hb AS (SELECT doc_id, perplexity,
+              CAST(floor(perplexity * 1000) AS BIGINT) AS b FROM lm),
+hist AS (SELECT b, count(*) AS cnt FROM hb GROUP BY 1),
+cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum,
+               sum(cnt) OVER () AS total FROM hist),
+thr AS (SELECT
+  min(CASE WHEN cum >= ceil({1 / 3!r} * total) THEN b END) AS t1,
+  min(CASE WHEN cum >= ceil({2 / 3!r} * total) THEN b END) AS t2
+  FROM cum)
+SELECT h.doc_id, h.perplexity,
+       CASE WHEN h.b < t.t1 THEN 'head'
+            WHEN h.b < t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM hb h, thr t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5571,6 +5619,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: Bloom semi-join reduction (also oracle = plain
     # join — the shuffle cut must be result-invisible)
     "bloom_join": q_bloom_join,
+    # round-10 late: the CCNet head/middle/tail perplexity split
+    # (LM oracle embedded — train, score, and band must all agree)
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -5701,6 +5752,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "key_skew_stats": ORACLE_KEY_SKEW_STATS,
     "salted_join": ORACLE_SALTED_JOIN,
     "bloom_join": ORACLE_BLOOM_JOIN,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
 }
 
 # Everything, for bench.py and local verification.

@@ -945,3 +945,49 @@ def test_kmv_jaccard_estimator_regime_sane_and_deterministic(spark):
     # true union 450, true jaccard 150/450=0.333; 4-sigma-ish slack at k=16
     assert 100 < r1.est_union < 1300
     assert 0.0 <= r1.jaccard_est <= 0.9
+
+
+# ---------------------------------------------------------------------------
+# quantile band labels
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.sketch import (  # noqa: E402
+    quantile_bucket_labels,
+)
+
+
+def test_quantile_bucket_labels_terciles(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id bigint, v double"
+    )
+    out = {
+        r.id: r.bucket
+        for r in quantile_bucket_labels(
+            df, "v", (1 / 3, 2 / 3), ("head", "middle", "tail")
+        ).collect()
+    }
+    # ceil(10) → threshold bins 9 and 19; bins below go to the lower band
+    assert [out[i] for i in (0, 8)] == ["head", "head"]
+    assert [out[i] for i in (9, 18)] == ["middle", "middle"]
+    assert [out[i] for i in (19, 29)] == ["tail", "tail"]
+    assert sum(1 for b in out.values() if b == "head") == 9
+
+
+def test_quantile_bucket_labels_validates(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    with pytest.raises(ValueError, match="labels"):
+        quantile_bucket_labels(df, "v", (0.5,), ("a", "b", "c"))
+    with pytest.raises(ValueError, match="increasing"):
+        quantile_bucket_labels(df, "v", (0.7, 0.3), ("a", "b", "c"))
+
+
+def test_quantile_bucket_labels_scale_lifts_fractions(spark):
+    # values in [0,1): scale=1000 resolves them onto the bin grid
+    df = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "id bigint, v double"
+    )
+    out = quantile_bucket_labels(
+        df, "v", (0.5,), ("low", "high"), scale=1000
+    ).collect()
+    lows = [r.id for r in out if r.bucket == "low"]
+    assert len(lows) == 49 and max(lows) == 48
