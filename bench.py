@@ -70,8 +70,10 @@ BENCH_QUERIES = [
     "exact_substring_dedup",
     "lm_perplexity",
     "lm_perplexity3",
-    # round-10 late: CCNet tercile split over the LM scores
+    # round-10 late: CCNet tercile split over the LM scores + the
+    # four-stage curation funnel composition
     "perplexity_buckets",
+    "curation_funnel",
     "bpe_tokenize",
     "nb_classify",
     "bm25_search",

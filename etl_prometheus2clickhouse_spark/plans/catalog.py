@@ -4898,6 +4898,22 @@ WHERE rank <= 10
 """
 
 
+def _chunk5(src: F.Column) -> F.Column:
+    """Re-render a space-separated word stream as newline-joined
+    5-word paragraphs — the synthetic paragraph structure the
+    paragraph-dedup family runs on (mirrored in SQL by the
+    generate_series/list_slice CTEs of ORACLE_PARAGRAPH_DEDUP)."""
+    words = F.split(src, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+        ),
+        "\n",
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level paragraph dedup (operators/dedup.py:
     paragraph_dedup — the CCNet pre-LM stage, Wenzek et al. LREC'20
@@ -4912,17 +4928,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     witness that the operator's xxhash64 keying is collision-free
     here (the exact_substring_dedup pattern)."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
-    paras = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
-        ),
-        "\n",
-    )
     return paragraph_dedup(
-        d.select("doc_id", paras.alias("text")), "doc_id", "text", "\n"
+        d.select("doc_id", _chunk5(F.col("text")).alias("text")),
+        "doc_id",
+        "text",
+        "\n",
     )
 
 
@@ -5061,17 +5071,11 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ),
     ).otherwise(F.col("text"))
-    words = F.split(planted, " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
-    paras = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
-        ),
-        "\n",
-    )
     dd = paragraph_dedup(
-        d.select("doc_id", paras.alias("text")), "doc_id", "text", "\n"
+        d.select("doc_id", _chunk5(planted).alias("text")),
+        "doc_id",
+        "text",
+        "\n",
     )
     g = gopher_filter(
         dd.where(F.col("n_kept") > 0).select("doc_id", "text")
@@ -5351,6 +5355,132 @@ FROM hb h, thr t
 """
 
 
+def _plant_stopwords_col() -> F.Column:
+    """The id-salted stop-word planting shared by the Gopher faces
+    (see q_gopher_filter's docstring); SQL twin: _GOPHER_PLANT_SQL."""
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the of and that have with u"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet-lineage curation FUNNEL, composed end-to-end
+    from the same operators as their standalone entries: corpus-level
+    paragraph dedup → Gopher quality filter (on post-dedup text) →
+    bigram-LM perplexity against the trusted reference slice →
+    head/middle/tail tercile cut. Every document gets exactly one
+    disposition: 'reference' (the doc_id%97 trusted slice, excluded
+    from the pipeline and used to train the LM), 'dedup_empty' (lost
+    every paragraph to an earlier occurrence), 'quality' (failed a
+    Gopher rule on its deduped text), 'unscored' (survived but too
+    short for a bigram score), 'perplexity_tail' (worst tercile), or
+    'kept'. The oracle composes the paragraph-dedup, Gopher-rules,
+    LM train+score, and tercile SQLs into one statement — a value
+    mismatch in ANY stage (or in how the stages hand text to each
+    other) fails the face."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", _plant_stopwords_col().alias("text"))
+    ref = base.where(F.col("doc_id") % 97 == 0)
+    corpus = base.where(F.col("doc_id") % 97 != 0)
+    dd = paragraph_dedup(
+        corpus.select("doc_id", _chunk5(F.col("text")).alias("text")),
+        "doc_id",
+        "text",
+        "\n",
+    )
+    g = gopher_filter(
+        dd.where(F.col("n_kept") > 0).select("doc_id", "text")
+    )
+    surv = dd.join(
+        g.select("doc_id", "keep"), "doc_id", "left"
+    ).where(F.coalesce("keep", F.lit(False)))
+    ppl = lm_perplexity(
+        surv.select("doc_id", "text"),
+        ref,
+        "text",
+        "doc_id",
+        alpha=0.5,
+    ).select("doc_id", "perplexity")
+    buckets = quantile_bucket_labels(
+        ppl,
+        "perplexity",
+        (1 / 3, 2 / 3),
+        ("head", "middle", "tail"),
+        scale=1000,
+    )
+    funnel = (
+        corpus.select("doc_id")
+        .join(dd.select("doc_id", "n_kept"), "doc_id", "left")
+        .join(g.select("doc_id", "keep"), "doc_id", "left")
+        .join(buckets.select("doc_id", "bucket"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_kept") == 0, F.lit("dedup_empty"))
+            .when(~F.coalesce("keep", F.lit(False)), F.lit("quality"))
+            .when(F.col("bucket").isNull(), F.lit("unscored"))
+            .when(F.col("bucket") == "tail", F.lit("perplexity_tail"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+    return funnel.unionByName(
+        ref.select("doc_id", F.lit("reference").alias("disposition"))
+    )
+
+
+_FUNNEL_CORPUS_SQL = (
+    "(SELECT doc_id, text FROM " + _GOPHER_PLANT_SQL
+    + " WHERE doc_id % 97 <> 0)"
+)
+
+ORACLE_CURATION_FUNNEL = f"""
+WITH deduped AS ({ORACLE_PARAGRAPH_DEDUP.replace(
+    "FROM documents", "FROM " + _FUNNEL_CORPUS_SQL)}),
+g AS ({_GOPHER_RULES_SQL.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM deduped WHERE n_kept > 0)")}),
+lm_src AS (
+  SELECT doc_id, text FROM {_GOPHER_PLANT_SQL} p
+  WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT d.doc_id, d.text FROM deduped d
+  JOIN g ON g.doc_id = d.doc_id AND g.keep
+),
+lm AS ({ORACLE_LM_PERPLEXITY.replace("FROM documents", "FROM lm_src")}),
+hb AS (SELECT doc_id,
+              CAST(floor(perplexity * 1000) AS BIGINT) AS b FROM lm),
+hist AS (SELECT b, count(*) AS cnt FROM hb GROUP BY 1),
+cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum,
+               sum(cnt) OVER () AS total FROM hist),
+thr AS (SELECT
+  min(CASE WHEN cum >= ceil({1 / 3!r} * total) THEN b END) AS t1,
+  min(CASE WHEN cum >= ceil({2 / 3!r} * total) THEN b END) AS t2
+  FROM cum),
+bkt AS (SELECT h.doc_id,
+          CASE WHEN h.b < t.t1 THEN 'head'
+               WHEN h.b < t.t2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM hb h, thr t)
+SELECT d.doc_id,
+       CASE WHEN d.n_kept = 0 THEN 'dedup_empty'
+            WHEN NOT coalesce(g.keep, FALSE) THEN 'quality'
+            WHEN bkt.bucket IS NULL THEN 'unscored'
+            WHEN bkt.bucket = 'tail' THEN 'perplexity_tail'
+            ELSE 'kept' END AS disposition
+FROM deduped d
+LEFT JOIN g USING (doc_id)
+LEFT JOIN bkt USING (doc_id)
+UNION ALL
+SELECT doc_id, 'reference' AS disposition
+FROM documents WHERE doc_id % 97 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5622,6 +5752,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: the CCNet head/middle/tail perplexity split
     # (LM oracle embedded — train, score, and band must all agree)
     "perplexity_buckets": q_perplexity_buckets,
+    # round-10 late: the full curation funnel — dedup → Gopher → LM
+    # tercile, one disposition per document, four stage-SQLs composed
+    "curation_funnel": q_curation_funnel,
 }
 
 ORACLES: dict[str, str] = {
@@ -5753,6 +5886,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "salted_join": ORACLE_SALTED_JOIN,
     "bloom_join": ORACLE_BLOOM_JOIN,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+    "curation_funnel": ORACLE_CURATION_FUNNEL,
 }
 
 # Everything, for bench.py and local verification.
