@@ -125,7 +125,9 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     # round-10 late: composed recall@k evaluation (exact + IVFADC)
+    # and PQ reconstruction-distortion evaluation
     "ann_recall",
+    "pq_distortion",
     # round-9 late: SemDeDup cluster-then-prune
     "semantic_dedup",
     "decode_pixels",

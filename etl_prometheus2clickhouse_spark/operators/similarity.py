@@ -1900,3 +1900,64 @@ def ann_recall(
             F.round(F.col("n_hit") / F.col("k"), 6).alias("recall_at_k"),
         )
     )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    model: "PQModel",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector, per-subspace PQ reconstruction error — the
+    distortion axis of ANN evaluation (Jégou et al. TPAMI'11 §II
+    report quantization MSE alongside recall; recall says whether the
+    index finds the right neighbors, distortion says how much signal
+    the compression itself destroyed, and a codebook can look fine on
+    one while failing the other).
+
+    Emits ``(id, subspace, code, sq_err)``: the chosen code per
+    subspace (same rounded-objective argmin as the encode path — ties
+    resolve to the lowest code, identical to the SQL oracles) and
+    ``sq_err = ||x_j − c_code||²`` as the rounded objective plus the
+    subvector's own norm, rounded to 6 dp so the value is
+    reproducible cross-engine. Per-vector rows rather than a
+    pre-aggregated mean: the caller rolls up however they like, and
+    the oracle comparison stays exact instead of
+    summation-order-dependent.
+
+    100 TB shape: identical to :func:`pq_encode` — m small GEMMs per
+    Arrow batch, embarrassingly parallel, no shuffle."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    m, ds = model.m, model.ds
+
+    def _dist(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["vec"].notna()]
+            if len(pdf) == 0:
+                continue
+            Xb = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            ids = pdf["id"].to_numpy()
+            out = {"id": [], "subspace": [], "code": [], "sq_err": []}
+            for j in range(m):
+                sub = Xb[:, j * ds : (j + 1) * ds]
+                obj = np.round(
+                    model.cnorm2[j][None, :]
+                    - 2.0 * (sub @ model.codebooks[j].T),
+                    6,
+                )
+                cj = np.argmin(obj, axis=1)
+                objmin = obj[np.arange(len(sub)), cj]
+                xnorm = (sub * sub).sum(axis=1)
+                out["id"].extend(ids)
+                out["subspace"].extend([j] * len(sub))
+                out["code"].extend(cj.astype(int))
+                out["sq_err"].extend(np.round(objmin + xnorm, 6))
+            yield pd.DataFrame(out)
+
+    return vecs.mapInPandas(
+        _dist, "id bigint, subspace int, code int, sq_err double"
+    )

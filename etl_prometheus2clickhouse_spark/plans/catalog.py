@@ -78,6 +78,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     semantic_dedup,
     ivfpq_encode,
     ivfpq_train,
+    pq_distortion,
     pq_encode,
     pq_train,
 )
@@ -5355,6 +5356,53 @@ FROM hb h, thr t
 """
 
 
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction error per (vector, subspace) —
+    operators/similarity.py:pq_distortion, the distortion axis of ANN
+    evaluation beside ann_recall. Same 64-dim/m=4/k=16 'first'
+    configuration as the PQ entries, so the oracle replicates
+    normalize → encode (rounded-objective argmin, lowest-code ties) →
+    reconstruction-error arithmetic from the shared CTE fragments."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pq_train(
+        emb, dim=64, m=4, k_codes=16, codebooks="first"
+    )
+    return pq_distortion(emb, model)
+
+
+ORACLE_PQ_DISTORTION = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(
+           v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))
+         ) AS v
+  FROM e
+),
+pcents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM n ORDER BY vec_id LIMIT 16
+),
+subs AS (SELECT j FROM range(0, 4) t(j)),
+codes AS (
+  SELECT vec_id, j, code, obj FROM (
+    SELECT a.vec_id, s.j, c.code,
+           {_PQ_OBJ.format(x='a', c='c', j='s')} AS obj,
+           row_number() OVER (
+             PARTITION BY a.vec_id, s.j
+             ORDER BY {_PQ_OBJ.format(x='a', c='c', j='s')}, c.code
+           ) AS rn
+    FROM n a CROSS JOIN subs s CROSS JOIN pcents c
+  ) WHERE rn = 1
+)
+SELECT cd.vec_id AS id, CAST(cd.j AS INTEGER) AS subspace,
+       CAST(cd.code AS INTEGER) AS code,
+       round(cd.obj + list_sum(list_transform(range(1, 17), i ->
+             a.v[cd.j*16+i] * a.v[cd.j*16+i])), 6) AS sq_err
+FROM codes cd JOIN n a ON a.vec_id = cd.vec_id
+"""
+
+
 def _plant_stopwords_col() -> F.Column:
     """The id-salted stop-word planting shared by the Gopher faces
     (see q_gopher_filter's docstring); SQL twin: _GOPHER_PLANT_SQL."""
@@ -5755,6 +5803,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: the full curation funnel — dedup → Gopher → LM
     # tercile, one disposition per document, four stage-SQLs composed
     "curation_funnel": q_curation_funnel,
+    # round-10 late: PQ reconstruction error — the distortion axis of
+    # ANN evaluation beside ann_recall
+    "pq_distortion": q_pq_distortion,
 }
 
 ORACLES: dict[str, str] = {
@@ -5887,6 +5938,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "bloom_join": ORACLE_BLOOM_JOIN,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
+    "pq_distortion": ORACLE_PQ_DISTORTION,
 }
 
 # Everything, for bench.py and local verification.
