@@ -86,3 +86,70 @@ def test_zorder_key_rejects_oversized_keys(spark, grid):
         zorder_key(grid, ["x", "y"], bits=32)
     with pytest.raises(ValueError, match="prefix_bits"):
         zorder_stats(grid, ["x", "y"], bits=2, prefix_bits=5)
+
+
+def test_write_zordered_tightens_file_envelopes(spark, tmp_path):
+    """The written files' FOOTER statistics must show bounded per-file
+    rectangles on both dims — measured from parquet metadata, not the
+    plan. Baseline: the same data written unsorted has files covering
+    (nearly) the full range of both dims."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        write_zordered,
+    )
+
+    grid = spark.range(100_000).select(
+        (F.col("id") % 256).alias("x"),
+        F.pmod(F.col("id") * 2654435761, F.lit(256)).alias("y"),
+    )
+
+    def envelopes(path):
+        out = []
+        for f in sorted(path.glob("part-*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name in lo and st is not None:
+                        lo[name] = (
+                            st.min if lo[name] is None
+                            else min(lo[name], st.min)
+                        )
+                        hi[name] = (
+                            st.max if hi[name] is None
+                            else max(hi[name], st.max)
+                        )
+            out.append((hi["x"] - lo["x"], hi["y"] - lo["y"]))
+        return out
+
+    zpath = tmp_path / "zordered"
+    write_zordered(
+        grid, str(zpath), ["x", "y"], n_files=16, bits=8,
+        bounds={"x": (0, 255), "y": (0, 255)},
+    )
+    plain = tmp_path / "plain"
+    grid.repartition(16).write.parquet(str(plain))
+
+    z_env = envelopes(zpath)
+    p_env = envelopes(plain)
+    assert len(z_env) == 16
+    # unsorted files each cover ~the whole 0..255 range on both dims
+    assert all(ex > 250 and ey > 250 for ex, ey in p_env)
+    # z-ordered files must be materially tighter on BOTH dims at
+    # once. Files that straddle a Morton quadrant boundary can
+    # legitimately span most of one dim (the curve's discontinuity),
+    # so the guarantee is aggregate, not per-file: the mean covered
+    # AREA collapses (here ≥ 6x; ideal 16 files = 16x), and at most
+    # a quarter of the files are boundary-straddlers
+    z_area = sum(ex * ey for ex, ey in z_env) / len(z_env)
+    p_area = sum(ex * ey for ex, ey in p_env) / len(p_env)
+    assert z_area * 6 <= p_area, (z_area, p_area, z_env)
+    wide = [e for e in z_env if e[0] > 160 or e[1] > 160]
+    assert len(wide) <= len(z_env) // 4, z_env
