@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "pii_scrub",
     "top_words",
     "doc_keywords",
+    # round-10 late: feature-hashed document vectors
+    "doc_vectors",
     "doc_chunks",
     "seq_packing",
     "seq_packing_bucketed",

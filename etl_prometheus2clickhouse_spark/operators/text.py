@@ -1328,3 +1328,77 @@ def gopher_filter(
     return out.select(
         "*", keep.alias("keep"), reasons.alias("fail_reasons")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed document vectors
+# ---------------------------------------------------------------------------
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-dimension document vectors via the hashing trick
+    (Weinberger et al., ICML'09 "Feature Hashing for Large Scale
+    Multitask Learning"): every token hashes to one of ``dim``
+    buckets with a ±1 sign from an independent hash bit, and the
+    document's vector is the signed count per bucket — text-to-vector
+    with NO trained model, no vocabulary table, and no dimensionality
+    tied to vocabulary size. The output feeds the engine's similarity
+    layer directly (``cosine_topk_*`` over the ``vec`` column), giving
+    an embedding-free near-dup/retrieval path with sign-cancellation
+    keeping the inner product an unbiased kernel estimate.
+
+    EXACT arithmetic end-to-end: buckets/signs from md5 slices (the
+    oracle family) and integer signed counts — the vector is a pure
+    function of the token multiset, reproducible bit-for-bit in SQL.
+
+    100 TB shape: one slim (id, bucket, ±1) explode, a map-side-
+    combining sum per (id, bucket) — at most ``dim`` rows per doc
+    survive the partial aggregate — and a per-doc densify into the
+    fixed-length array. No vocabulary-sized state anywhere, which is
+    the trick's point."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_words(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__t"
+        ),
+        F.size(_words(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__n"
+        ),
+    )
+    h1 = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("__t"), 9, 8), 16, 10).cast("bigint")
+    hashed = toks.select(
+        "__id",
+        "__n",
+        F.pmod(h1, F.lit(dim)).cast("int").alias("__b"),
+        F.when(F.pmod(h2, F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("__s"),
+    )
+    per_bucket = hashed.groupBy("__id", "__n", "__b").agg(
+        F.sum("__s").alias("__v")
+    )
+    return (
+        per_bucket.groupBy("__id", "__n")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__v"))
+            ).alias("__m")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i), F.lit(0)
+                ).cast("long"),
+            ).alias("vec"),
+        )
+    )

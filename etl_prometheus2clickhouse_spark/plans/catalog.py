@@ -100,6 +100,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
     quantile_threshold_filter,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
+    hashed_doc_vectors,
     _words as _doc_words,
     bm25_search,
     chunk_documents,
@@ -5403,6 +5404,51 @@ FROM codes cd JOIN n a ON a.vec_id = cd.vec_id
 """
 
 
+def q_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors (operators/text.py:
+    hashed_doc_vectors — Weinberger et al. ICML'09): 32-dim signed
+    token-count vectors from md5 bucket/sign hashes, no trained
+    model, no vocabulary state. Exact integer arithmetic end-to-end,
+    so the oracle rebuilds every vector element bit-for-bit (densify
+    via a range join, list built in bucket order)."""
+    d = _t(spark, sf_dir, "documents")
+    return hashed_doc_vectors(d, dim=32)
+
+
+ORACLE_DOC_VECTORS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, len(ts) AS n_tokens, unnest(ts) AS t FROM toks
+),
+h AS (
+  SELECT doc_id, n_tokens,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 32 AS b,
+         CASE WHEN CAST(('0x' || substr(md5(t), 9, 8)) AS UBIGINT)
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM flat
+),
+agg AS (
+  SELECT doc_id, n_tokens, b, sum(s) AS v FROM h GROUP BY 1, 2, 3
+),
+docs AS (SELECT DISTINCT doc_id, n_tokens FROM h),
+dense AS (
+  SELECT d.doc_id, d.n_tokens, r.i, coalesce(a.v, 0) AS v
+  FROM docs d
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) r
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = r.i
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       list(CAST(v AS BIGINT) ORDER BY i) AS vec
+FROM dense GROUP BY doc_id, n_tokens
+"""
+
+
 def _plant_stopwords_col() -> F.Column:
     """The id-salted stop-word planting shared by the Gopher faces
     (see q_gopher_filter's docstring); SQL twin: _GOPHER_PLANT_SQL."""
@@ -5806,6 +5852,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: PQ reconstruction error — the distortion axis of
     # ANN evaluation beside ann_recall
     "pq_distortion": q_pq_distortion,
+    # round-10 late: feature-hashed document vectors (hashing trick —
+    # model-free text-to-vector, exact integer arithmetic)
+    "doc_vectors": q_doc_vectors,
 }
 
 ORACLES: dict[str, str] = {
@@ -5939,6 +5988,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "pq_distortion": ORACLE_PQ_DISTORTION,
+    "doc_vectors": ORACLE_DOC_VECTORS,
 }
 
 # Everything, for bench.py and local verification.

@@ -895,3 +895,41 @@ def test_gopher_dup_lines_rule(spark):
     r = gopher_filter(df).collect()[0]
     # 10 lines, 9 duplicates → 90% > 30%
     assert not r.ok_dup_lines and "dup_lines" in r.fail_reasons
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed document vectors
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.text import (  # noqa: E402
+    hashed_doc_vectors,
+)
+
+
+def test_hashed_doc_vectors_exact_signed_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta"), (3, "alpha beta alpha")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in hashed_doc_vectors(df, dim=8).collect()}
+    assert out[1].n_tokens == 3 and len(out[1].vec) == 8
+    # vector is a pure function of the token multiset
+    assert out[1].vec == out[3].vec
+    # L1 mass bounded by token count (signs may cancel, never add mass)
+    assert sum(abs(v) for v in out[1].vec) <= 3
+    assert sum(abs(v) for v in out[2].vec) == 1
+    # doc 1 = doc 2 + 2x(alpha's signed bucket): removing beta's
+    # contribution leaves exactly alpha's doubled signature
+    diff = [a - b for a, b in zip(out[1].vec, out[2].vec)]
+    assert sorted(map(abs, diff)) == [0] * 7 + [2]
+
+
+def test_hashed_doc_vectors_partitioning_independent(spark):
+    rows = [(i, f"tok{i % 17} tok{i % 5} common") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r.doc_id: r.vec for r in hashed_doc_vectors(df, dim=16).collect()}
+    b = {
+        r.doc_id: r.vec
+        for r in hashed_doc_vectors(df.repartition(13), dim=16).collect()
+    }
+    assert a == b
