@@ -59,8 +59,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "top_words",
     "doc_keywords",
-    # round-10 late: feature-hashed document vectors
+    # round-10 late: feature-hashed document vectors + retrieval over them
     "doc_vectors",
+    "doc_vectors_topk",
     "doc_chunks",
     "seq_packing",
     "seq_packing_bucketed",

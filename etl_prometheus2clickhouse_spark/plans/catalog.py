@@ -5449,6 +5449,66 @@ FROM dense GROUP BY doc_id, n_tokens
 """
 
 
+_COS32 = """
+list_sum(list_transform(range(1, 33), i -> a.v[i] * b.v[i])) /
+  (sqrt(list_sum(list_transform(range(1, 33), i -> a.v[i] * a.v[i]))) *
+   sqrt(list_sum(list_transform(range(1, 33), i -> b.v[i] * b.v[i]))))
+"""
+
+
+def q_doc_vectors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-FREE retrieval, composed end-to-end: feature-hashed
+    document vectors (q_doc_vectors' exact configuration) fed
+    straight into the exact cosine top-k operator — text to neighbors
+    with no trained model anywhere in the path. Zero-norm documents
+    (every signed count cancelled) are filtered identically on both
+    sides; the oracle embeds the doc-vector SQL and ranks with the
+    32-dim cosine fragment, so hashing, densify, AND ranking must all
+    agree."""
+    d = _t(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(d, dim=32).where(
+        F.exists("vec", lambda x: x != 0)
+    )
+    frame = vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("vec", lambda v: v.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    out = cosine_topk_bruteforce(
+        frame, frame.where(F.col("vec_id") < 10), id_col="vec_id", k=5
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+ORACLE_DOC_VECTORS_TOPK = f"""
+WITH dv AS ({ORACLE_DOC_VECTORS}),
+e AS (SELECT doc_id AS vec_id,
+             list_transform(vec, x -> CAST(x AS DOUBLE)) AS v
+      FROM dv
+      WHERE list_sum(list_transform(vec, x -> x * x)) > 0),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_COS32} AS sim
+  FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank_k,
+         round(sim, 6) AS cos_sim
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank_k, cos_sim
+FROM ranked WHERE rank_k <= 5
+"""
+
+
 def _plant_stopwords_col() -> F.Column:
     """The id-salted stop-word planting shared by the Gopher faces
     (see q_gopher_filter's docstring); SQL twin: _GOPHER_PLANT_SQL."""
@@ -5853,8 +5913,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ANN evaluation beside ann_recall
     "pq_distortion": q_pq_distortion,
     # round-10 late: feature-hashed document vectors (hashing trick —
-    # model-free text-to-vector, exact integer arithmetic)
+    # model-free text-to-vector, exact integer arithmetic) and the
+    # embedding-free retrieval composition over them
     "doc_vectors": q_doc_vectors,
+    "doc_vectors_topk": q_doc_vectors_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5989,6 +6051,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "curation_funnel": ORACLE_CURATION_FUNNEL,
     "pq_distortion": ORACLE_PQ_DISTORTION,
     "doc_vectors": ORACLE_DOC_VECTORS,
+    "doc_vectors_topk": ORACLE_DOC_VECTORS_TOPK,
 }
 
 # Everything, for bench.py and local verification.
