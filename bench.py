@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "gopher_filter",
     "url_caps",
     "text_stats",
+    # round-10 late: Cavnar-Trenkle rank-profile language ID
+    "ngram_lang_id",
     "quality_score",
     "repetition_stats",
     "pii_scrub",

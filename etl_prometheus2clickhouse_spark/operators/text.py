@@ -1402,3 +1402,116 @@ def hashed_doc_vectors(
             ).alias("vec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle n-gram language identification
+# ---------------------------------------------------------------------------
+
+def ngram_lang_id(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    profile_size: int = 50,
+    max_langs: int = 512,
+) -> DataFrame:
+    """Character-n-gram language identification by rank-profile
+    distance (Cavnar & Trenkle 1994, "N-Gram-Based Text
+    Categorization" — the classic pre-neural lang-ID that textcat and
+    early CLD shipped): each language's profile is its
+    ``profile_size`` most frequent character bigrams ranked by
+    (count desc, gram); a document is scored against every language
+    by the out-of-place measure — Σ over the document's own top
+    bigrams of |doc_rank − lang_rank|, with grams absent from a
+    language's profile paying the maximum ``profile_size`` penalty —
+    and labeled with the argmin language (ties to the
+    lexicographically first). INTEGER arithmetic end-to-end (counts
+    and ranks only — no smoothing, no floats), so the whole
+    train+score pipeline is bit-reproducible in SQL.
+
+    Documents shorter than one bigram are dropped (they have no
+    profile; the caller sees them missing rather than labeled by
+    noise).
+
+    100 TB shape: training reduces the reference to
+    languages × profile_size rank rows (two map-side-combining counts
+    + WindowGroupLimit top-R) and BROADCASTS them — guarded by
+    ``max_langs`` (the lm_perplexity size-guard discipline); the
+    corpus side is one slim (doc, gram, rank) profile (top-R per doc,
+    WindowGroupLimit again) crossed with the tiny language list and
+    aggregated per (doc, language). The corpus text itself is read
+    once and never shuffled."""
+
+    def _bigrams(c):
+        t = F.lower(c)
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(0))),
+                lambda i: t.substr(i, F.lit(2)),
+            ),
+            lambda g: F.length(g) == 2,
+        )
+
+    n_langs = reference.select(lang_col).distinct().count()
+    if n_langs > max_langs:
+        raise ValueError(
+            f"ngram_lang_id: {n_langs} languages exceeds max_langs="
+            f"{max_langs}; the rank profiles broadcast, so pass a "
+            "reference with a bounded language set (or raise the cap "
+            "deliberately)"
+        )
+    ref_grams = reference.select(
+        F.col(lang_col).alias("__lang"),
+        F.explode(_bigrams(F.col(text_col))).alias("__g"),
+    )
+    w_lang = Window.partitionBy("__lang").orderBy(
+        F.col("__cnt").desc(), F.col("__g")
+    )
+    lang_prof = (
+        ref_grams.groupBy("__lang", "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__lrank", F.row_number().over(w_lang))
+        .where(F.col("__lrank") <= profile_size)
+        .select("__lang", "__g", "__lrank")
+    )
+    langs = lang_prof.select("__lang").distinct()
+
+    doc_grams = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_bigrams(F.col(text_col))).alias("__g"),
+    )
+    w_doc = Window.partitionBy("__id").orderBy(
+        F.col("__cnt").desc(), F.col("__g")
+    )
+    doc_prof = (
+        doc_grams.groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__drank", F.row_number().over(w_doc))
+        .where(F.col("__drank") <= profile_size)
+        .select("__id", "__g", "__drank")
+    )
+    paired = doc_prof.crossJoin(F.broadcast(langs)).join(
+        F.broadcast(lang_prof), ["__lang", "__g"], "left"
+    )
+    dist = paired.groupBy("__id", "__lang").agg(
+        F.sum(
+            F.coalesce(
+                F.abs(F.col("__drank") - F.col("__lrank")),
+                F.lit(profile_size),
+            )
+        ).alias("__dist")
+    )
+    w_best = Window.partitionBy("__id").orderBy(
+        F.col("__dist").asc(), F.col("__lang").asc()
+    )
+    return (
+        dist.withColumn("__rn", F.row_number().over(w_best))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__lang").alias("pred_lang"),
+            F.col("__dist").cast("long").alias("oop_distance"),
+        )
+    )

@@ -101,6 +101,7 @@ from etl_prometheus2clickhouse_spark.operators.sketch import (
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
     hashed_doc_vectors,
+    ngram_lang_id,
     _words as _doc_words,
     bm25_search,
     chunk_documents,
@@ -5509,6 +5510,112 @@ FROM ranked WHERE rank_k <= 5
 """
 
 
+_LANG_MARKERS = {
+    "de": " der die das und nicht",
+    "fr": " le la les une est",
+    "en": " the and of to was",
+    "es": " el los las una para",
+    "zh": " zhong wen han zi ma",
+}
+
+# repeated 10x so the marker bigrams actually dominate the top-50
+# rank profiles instead of drowning in the shared synthetic
+# vocabulary (single markers measured 34% accuracy; repeated, the
+# split is sharp)
+_LANG_MARKER_SQL = (
+    "repeat(CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_MARKERS.items()
+    )
+    + " ELSE '' END, 10)"
+)
+
+
+def q_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle n-gram language ID (operators/text.py:
+    ngram_lang_id — rank-profile out-of-place distance, integer
+    arithmetic only): the synthetic corpus shares one vocabulary
+    across its lang labels, so a deterministic per-language marker
+    phrase is planted in BOTH engines (the gopher_filter planting
+    pattern) to give the classifier a real signal; the doc_id % 7
+    slice trains the profiles, the rest is classified, and lang_true
+    rides along so the prediction accuracy is auditable in the
+    result itself. The oracle replicates bigram extraction, both
+    rank-profile builds, the out-of-place scoring, and the argmin —
+    all exact."""
+    d = _t(spark, sf_dir, "documents")
+    marker = F.lit("")
+    for k, v in _LANG_MARKERS.items():
+        marker = F.when(F.col("lang") == k, F.lit(v)).otherwise(marker)
+    base = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.repeat(marker, 10)).alias("text"),
+        "lang",
+    )
+    ref = base.where(F.col("doc_id") % 7 == 0)
+    corpus = base.where(F.col("doc_id") % 7 != 0)
+    out = ngram_lang_id(corpus, ref, profile_size=50)
+    return out.join(
+        corpus.select("doc_id", F.col("lang").alias("lang_true")),
+        "doc_id",
+    )
+
+
+ORACLE_NGRAM_LANG_ID = f"""
+WITH planted AS (
+  SELECT doc_id, lower(text || {_LANG_MARKER_SQL}) AS t, lang
+  FROM documents
+),
+refg AS (
+  SELECT lang, substr(t, i, 2) AS g FROM (
+    SELECT lang, t,
+           unnest(generate_series(1, length(t) - 1)) AS i
+    FROM planted WHERE doc_id % 7 = 0 AND length(t) >= 2)
+),
+lp AS (
+  SELECT lang, g, rn FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, g) AS rn
+    FROM (SELECT lang, g, count(*) AS cnt FROM refg GROUP BY 1, 2))
+  WHERE rn <= 50
+),
+docg AS (
+  SELECT doc_id, substr(t, i, 2) AS g FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, length(t) - 1)) AS i
+    FROM planted WHERE doc_id % 7 <> 0 AND length(t) >= 2)
+),
+dp AS (
+  SELECT doc_id, g, rn FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g) AS rn
+    FROM (SELECT doc_id, g, count(*) AS cnt FROM docg GROUP BY 1, 2))
+  WHERE rn <= 50
+),
+langs AS (SELECT DISTINCT lang FROM lp),
+pairs AS (
+  SELECT dp.doc_id, l.lang, dp.rn AS drank, lp.rn AS lrank
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+),
+dist AS (
+  SELECT doc_id, lang,
+         sum(coalesce(abs(drank - lrank), 50)) AS d
+  FROM pairs GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang, d,
+         row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) AS rn
+  FROM dist
+)
+SELECT b.doc_id, b.lang AS pred_lang, CAST(b.d AS BIGINT) AS oop_distance,
+       p.lang AS lang_true
+FROM best b JOIN planted p USING (doc_id) WHERE b.rn = 1
+"""
+
+
 def _plant_stopwords_col() -> F.Column:
     """The id-salted stop-word planting shared by the Gopher faces
     (see q_gopher_filter's docstring); SQL twin: _GOPHER_PLANT_SQL."""
@@ -5917,6 +6024,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embedding-free retrieval composition over them
     "doc_vectors": q_doc_vectors,
     "doc_vectors_topk": q_doc_vectors_topk,
+    # round-10 late: Cavnar-Trenkle rank-profile language ID (planted
+    # per-language markers; prediction accuracy auditable in-result)
+    "ngram_lang_id": q_ngram_lang_id,
 }
 
 ORACLES: dict[str, str] = {
@@ -6052,6 +6162,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "pq_distortion": ORACLE_PQ_DISTORTION,
     "doc_vectors": ORACLE_DOC_VECTORS,
     "doc_vectors_topk": ORACLE_DOC_VECTORS_TOPK,
+    "ngram_lang_id": ORACLE_NGRAM_LANG_ID,
 }
 
 # Everything, for bench.py and local verification.

@@ -933,3 +933,52 @@ def test_hashed_doc_vectors_partitioning_independent(spark):
         for r in hashed_doc_vectors(df.repartition(13), dim=16).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle n-gram language ID
+# ---------------------------------------------------------------------------
+
+from etl_prometheus2clickhouse_spark.operators.text import (  # noqa: E402
+    ngram_lang_id,
+)
+
+
+def test_ngram_lang_id_separates_planted_languages(spark):
+    ref = spark.createDataFrame(
+        [
+            (1, "der die das und ist nicht", "de"),
+            (2, "die der und das ein sein", "de"),
+            (3, "le la les une des est", "fr"),
+            (4, "la le des les un c'est", "fr"),
+            (5, "the and of to in is", "en"),
+            (6, "of the to and a was", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "das und der die nicht hier"),
+            (11, "les une la le est alors"),
+            (12, "the of and to it was"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lang_id(docs, ref).collect()}
+    assert out[10].pred_lang == "de"
+    assert out[11].pred_lang == "fr"
+    assert out[12].pred_lang == "en"
+    assert all(r.oop_distance >= 0 for r in out.values())
+
+
+def test_ngram_lang_id_drops_sub_bigram_docs_and_caps_langs(spark):
+    ref = spark.createDataFrame(
+        [(1, "aa bb", "x")], "doc_id bigint, text string, lang string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "aab")], "doc_id bigint, text string"
+    )
+    out = ngram_lang_id(docs, ref).collect()
+    assert [r.doc_id for r in out] == [2]  # doc 1 has no bigram
+    with pytest.raises(ValueError, match="max_langs"):
+        ngram_lang_id(docs, ref, max_langs=0)
