@@ -10,7 +10,7 @@ The actual catalog lives in
 per DISTINCT operator from SURVEY.md §2 plus the LLM-pipeline layer
 (dedup, similarity, text analysis + quality filtering, HTML/URL front
 door, BPE tokenization, sampling, time-series, temporal joins,
-multimodal incl. real MP4 demux, streaming-fed). EVERY entry has an
+behavior analytics, multimodal incl. real MP4 demux, streaming-fed). EVERY entry has an
 oracle — zero rows-only entries: the GK sketch faces a hash oracle via
 its rank-guarantee columns, and the MinHash/SimHash/LSH variants
 (whose xxhash64 / seeded-numpy internals DuckDB can't express) are
@@ -20,7 +20,7 @@ are tuned for verified recall 1.0 on this corpus (see each query's
 docstring; semantics additionally pinned by tests/test_dedup.py,
 tests/test_similarity.py). Redundant formulations (bucketed/direction
 twins, per-kind multimodal faces, and the round-10 demoted relational
-twins) are in the catalog's ``CROSS_CHECKED_QUERIES`` — 75 entries,
+twins) are in the catalog's ``CROSS_CHECKED_QUERIES`` — 81 entries,
 oracle-verified by tests/test_cross_checked.py and
 scripts/check_correctness.py, kept out of the driver window so every
 distinct operator gets a row.

@@ -49,6 +49,14 @@ BENCH_QUERIES = [
     "events_multires",
     "events_rollup",
     "events_quantiles",
+    # round-10 behavior-analytics tier (ClickHouse windowFunnel /
+    # retention / cohort semantics, staged slim aggregates)
+    "window_funnel",
+    "retention_flags",
+    "cohort_retention",
+    # round-10: recursive EWMA fold + decimal-exact OLS drift
+    "events_ewma",
+    "events_trend",
     # LLM layer
     "html_extract",
     "gopher_filter",
@@ -210,6 +218,9 @@ BENCH_EXCLUDED: dict[str, str] = {
     "supplier_topk's twin plan at smaller cardinality",
     "supplier_topk": "WindowGroupLimit top-k over the 2nd-smallest "
     "table; sub-second, shape covered by events_quantiles ranks",
+    "sequence_match": "window_funnel (benched) with the time-window "
+    "predicate dropped and one fewer stage — strictly less work on "
+    "the same staged-min-join plan",
 }
 
 

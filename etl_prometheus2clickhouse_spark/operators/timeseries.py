@@ -28,7 +28,10 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_prometheus2clickhouse_spark.functions.ts import epoch_seconds
+from etl_prometheus2clickhouse_spark.functions.ts import (
+    epoch_micros,
+    epoch_seconds,
+)
 
 
 def counter_rate(
@@ -261,6 +264,121 @@ def session_stats(
         (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
     ]
     return s.groupBy(*keys, "session_id").agg(*aggs)
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exponentially weighted moving average per series — the final
+    smoothed level ``s₁ = x₁; sᵢ = α·xᵢ + (1−α)·sᵢ₋₁`` (the classic
+    recursive smoother a metrics pipeline runs for alerting baselines).
+
+    The recursion is inherently sequential in event order, which SQL
+    windows cannot express directly; instead of a Python loop, each
+    series' values are collected into ONE ordered array and folded
+    JVM-side with ``F.aggregate`` — a single map-side-combining
+    ``collect_list`` shuffle, then an O(n) fold inside whole-stage
+    codegen, no Python anywhere. Contract (documented, like the
+    broadcast-model text operators): a single series must fit in one
+    executor's memory — series here are bounded per key; an unbounded
+    series wants the streaming face (stateful carry) instead.
+
+    Order ties: elements sort by (ts, value), so duplicate timestamps
+    fold in a deterministic order both engines agree on. The fold
+    expression ``α·x + (1−α)·s`` is evaluated with the same IEEE
+    doubles in the same sequence as the DuckDB oracle's
+    ``list_reduce``, so results match bit-for-bit before the final
+    defensive rounding.
+
+    Output: ``keys`` + ``n_samples`` + ``last_sec`` + ``ewma``.
+    """
+    ts_us = epoch_micros(df, ts_col)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_us.alias("__t"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    g = df.groupBy(*keys).agg(arr.alias("__arr"))
+    vals = F.transform(F.col("__arr"), lambda s: s["__v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return g.select(
+        *keys,
+        F.size(F.col("__arr")).cast("long").alias("n_samples"),
+        F.floor(F.element_at(F.col("__arr"), -1)["__t"] / 1_000_000)
+        .cast("long")
+        .alias("last_sec"),
+        F.round(folded, round_digits).alias("ewma"),
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series least-squares trend (slope per day + intercept) via
+    closed-form sums — the "is this metric drifting" question.
+
+    Exactness across engines: the five sufficient statistics (n, Σx,
+    Σy, Σxy, Σx²) are summed in DECIMAL, which is associative, so
+    shuffle order cannot perturb them; x is centered on the series'
+    min timestamp first (slim min-agg + co-partitioned join back), so
+    at a 3-year span and 10¹² rows Σx² ≤ ~10³⁷ still fits
+    decimal(38). Only after aggregation do the (now identical) sums
+    cast to double for the slope/intercept arithmetic — identical
+    inputs, identical expression, identical IEEE results.
+
+    Output: ``keys`` + ``n_samples`` + ``slope_per_day`` +
+    ``intercept`` (intercept at the series' first timestamp; NULL
+    slope when the series has no time variance).
+    """
+    ts_us = epoch_micros(df, ts_col)
+    base = df.select(
+        *keys, ts_us.alias("__x"), F.col(value_col).alias("__y")
+    )
+    mins = base.groupBy(*keys).agg(F.min("__x").alias("__x0"))
+    j = base.join(mins, list(keys))
+    xd = (F.col("__x") - F.col("__x0")).cast("decimal(16,0)")
+    yd = F.col("__y").cast("decimal(12,6)")
+    agg = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom  # per microsecond
+    return agg.select(
+        *keys,
+        F.col("__n").alias("n_samples"),
+        F.round(
+            F.when(denom != 0.0, slope * F.lit(86_400_000_000.0)),
+            round_digits,
+        ).alias("slope_per_day"),
+        F.round(
+            F.when(denom != 0.0, (sy - slope * sx) / n), round_digits
+        ).alias("intercept"),
+    )
 
 
 def detect_gaps(

@@ -120,6 +120,11 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     with_token_count,
 )
 from etl_prometheus2clickhouse_spark.functions import ts
+from etl_prometheus2clickhouse_spark.operators.behavior import (
+    cohort_retention,
+    retention,
+    window_funnel,
+)
 from etl_prometheus2clickhouse_spark.operators.bpe import (
     bpe_apply,
     bpe_train,
@@ -133,6 +138,10 @@ from etl_prometheus2clickhouse_spark.operators.html import (
 from etl_prometheus2clickhouse_spark.operators.sampling import (
     stratified_sample,
     weighted_sample,
+)
+from etl_prometheus2clickhouse_spark.operators.timeseries import (
+    ewma,
+    linear_trend,
 )
 from etl_prometheus2clickhouse_spark.operators.transform import parse_response
 from etl_prometheus2clickhouse_spark.plans.state_queries import (
@@ -5743,6 +5752,250 @@ FROM documents WHERE doc_id % 97 = 0
 
 
 # ---------------------------------------------------------------------------
+# round-10 behavior-analytics tier (operators/behavior.py): the
+# ClickHouse analytics-function surface (windowFunnel / retention /
+# cohort queries / sequenceMatch) the reference's downstream users run
+# in the warehouse, re-expressed as staged Spark aggregates
+# ---------------------------------------------------------------------------
+
+_FUNNEL_W_SEC = 3 * 86400  # 3-day conversion window
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel``-style staged funnel
+    (operators/behavior.py:window_funnel, earliest-chain semantics):
+    per user, how far down signup → view → click → purchase they got
+    with the whole chain inside a 3-day window anchored at the first
+    signup. Every stage is a pushed-down filter + slim per-key min-agg
+    + key equi-join; no full-table window, no per-event state."""
+    ev = _events(spark, sf_dir)
+    steps = [F.col("event_type") == s for s in _FUNNEL_STEPS]
+    return window_funnel(
+        ev, ["user_id"], steps, window_seconds=_FUNNEL_W_SEC
+    )
+
+
+_FUNNEL_W_US = _FUNNEL_W_SEC * 1_000_000
+
+ORACLE_WINDOW_FUNNEL = f"""
+WITH dk AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS a1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, s1.a1, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view'
+    AND epoch_us(e.ts) > s1.a1 AND epoch_us(e.ts) <= s1.a1 + {_FUNNEL_W_US}
+  GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id, s2.a1, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > s2.t2 AND epoch_us(e.ts) <= s2.a1 + {_FUNNEL_W_US}
+  GROUP BY 1, 2),
+s4 AS (
+  SELECT e.user_id, s3.a1, min(epoch_us(e.ts)) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > s3.t3 AND epoch_us(e.ts) <= s3.a1 + {_FUNNEL_W_US}
+  GROUP BY 1, 2)
+SELECT dk.user_id,
+       CAST((s1.user_id IS NOT NULL) AS INT)
+       + CAST((s2.user_id IS NOT NULL) AS INT)
+       + CAST((s3.user_id IS NOT NULL) AS INT)
+       + CAST((s4.user_id IS NOT NULL) AS INT) AS level,
+       CAST(floor(s1.a1 / 1000000) AS BIGINT) AS anchor_sec
+FROM dk
+LEFT JOIN s1 ON dk.user_id = s1.user_id
+LEFT JOIN s2 ON dk.user_id = s2.user_id
+LEFT JOIN s3 ON dk.user_id = s3.user_id
+LEFT JOIN s4 ON dk.user_id = s4.user_id
+"""
+
+
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` — ordered
+    subsequence existence with NO time bound: the degenerate
+    ``window_seconds=None`` face of the same staged-min-join operator
+    (earliest-chain reduction is exact here: with no window, a later
+    anchor can never reach further than the earliest one)."""
+    ev = _events(spark, sf_dir)
+    steps = [
+        F.col("event_type") == s for s in ("signup", "click", "purchase")
+    ]
+    out = window_funnel(ev, ["user_id"], steps, window_seconds=None)
+    return out.select(
+        "user_id",
+        (F.col("level") == len(steps)).cast("int").alias("matched"),
+    )
+
+
+ORACLE_SEQUENCE_MATCH = """
+WITH dk AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+  GROUP BY 1)
+SELECT dk.user_id,
+       CAST((s3.user_id IS NOT NULL) AS INT) AS matched
+FROM dk LEFT JOIN s3 ON dk.user_id = s3.user_id
+"""
+
+
+def q_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(c1, c2, c3)``
+    (operators/behavior.py:retention): r1 = signed up in week 1;
+    r2/r3 = that AND purchased in week 2 / week 3. One map-side-
+    combining conditional-max aggregation over the fact table."""
+    ev = _events(spark, sf_dir)
+
+    def between(lo: str, hi: str):
+        return (F.col("ts") >= F.lit(lo).cast("timestamp_ntz")) & (
+            F.col("ts") < F.lit(hi).cast("timestamp_ntz")
+        )
+
+    conds = [
+        (F.col("event_type") == "signup")
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp_ntz")),
+        (F.col("event_type") == "purchase")
+        & between("2024-01-08", "2024-01-15"),
+        (F.col("event_type") == "purchase")
+        & between("2024-01-15", "2024-01-22"),
+    ]
+    return retention(ev, ["user_id"], conds)
+
+
+ORACLE_RETENTION_FLAGS = """
+SELECT user_id,
+       max(CASE WHEN event_type = 'signup' AND ts < TIMESTAMP '2024-01-08'
+           THEN 1 ELSE 0 END) AS r1,
+       max(CASE WHEN event_type = 'signup' AND ts < TIMESTAMP '2024-01-08'
+           THEN 1 ELSE 0 END)
+       * max(CASE WHEN event_type = 'purchase'
+             AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+             THEN 1 ELSE 0 END) AS r2,
+       max(CASE WHEN event_type = 'signup' AND ts < TIMESTAMP '2024-01-08'
+           THEN 1 ELSE 0 END)
+       * max(CASE WHEN event_type = 'purchase'
+             AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+             THEN 1 ELSE 0 END) AS r3
+FROM events GROUP BY 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort matrix (operators/behavior.py:cohort_retention): weekly
+    cohort of each user's first event × weeks-since-first → distinct
+    active users. Exact integer epoch-day arithmetic, so there is no
+    week-start / timezone convention for the engines to disagree on."""
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, ["user_id"], period_days=7)
+
+
+ORACLE_COHORT_RETENTION = """
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
+t AS (
+  SELECT DISTINCT d.user_id,
+         CAST(floor(f.first_day / 7) AS BIGINT) AS cohort_period,
+         CAST(floor((d.day - f.first_day) / 7) AS BIGINT) AS period_offset
+  FROM d JOIN f ON d.user_id = f.user_id)
+SELECT cohort_period, period_offset, count(*) AS n_active
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive exponential smoothing per (event_type, user_id)
+    series (operators/timeseries.py:ewma): the sequential fold SQL
+    windows can't express, run as ONE ordered-array ``F.aggregate``
+    inside codegen. Bit-for-bit against DuckDB's ``list_reduce`` over
+    the identically ordered list — same doubles, same fold order."""
+    ev = _events(spark, sf_dir)
+    return ewma(
+        ev, ["event_type", "user_id"], ts_col="ts", value_col="value",
+        alpha=0.3,
+    )
+
+
+ORACLE_EVENTS_EWMA = """
+WITH g AS (
+  SELECT event_type, user_id,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS n_samples,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id,
+       n_samples,
+       CAST(floor(last_us / 1000000) AS BIGINT) AS last_sec,
+       round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM g
+"""
+
+
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares drift
+    (operators/timeseries.py:linear_trend): sufficient statistics
+    summed in exact DECIMAL (order-proof), slope/intercept computed in
+    double only after both engines hold identical sums."""
+    ev = _events(spark, sf_dir)
+    return linear_trend(
+        ev, ["event_type", "user_id"], ts_col="ts", value_col="value"
+    )
+
+
+ORACLE_EVENTS_TREND = """
+WITH b AS (
+  SELECT event_type, user_id, epoch_us(ts) AS x, value AS y
+  FROM events),
+m AS (SELECT event_type, user_id, min(x) AS x0 FROM b GROUP BY 1, 2),
+s AS (
+  SELECT b.event_type, b.user_id,
+         count(*) AS n,
+         sum(CAST(b.x - m.x0 AS DECIMAL(19,0))) AS sx,
+         sum(CAST(b.y AS DECIMAL(19,6))) AS sy,
+         sum(CAST(b.x - m.x0 AS DECIMAL(19,0))
+             * CAST(b.y AS DECIMAL(19,6))) AS sxy,
+         sum(CAST(b.x - m.x0 AS DECIMAL(19,0))
+             * CAST(b.x - m.x0 AS DECIMAL(19,0))) AS sxx
+  FROM b JOIN m ON b.event_type = m.event_type AND b.user_id = m.user_id
+  GROUP BY 1, 2)
+SELECT event_type, user_id, n AS n_samples,
+       round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * 86400000000.0 END, 6) AS slope_per_day,
+       round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+         THEN (CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) END, 6) AS intercept
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5804,7 +6057,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # which stays oracle-verified cross-checked)
     "text_stats": q_text_stats,
     "language_id": q_language_id,
-    "lm_perplexity": q_lm_perplexity,
+    # round-10 late swap (demote-to-fund): lm_perplexity3 strictly
+    # supersedes the bigram face — same train+score pipeline, same
+    # broadcast-model shape, PLUS the trigram context join and
+    # Jelinek-Mercer interpolation — so the bigram demotes to
+    # CROSS_CHECKED (its oracle still runs in every pytest and inside
+    # curation_funnel's composed oracle)
     "html_extract": q_html_extract,
     "lm_perplexity3": q_lm_perplexity3,
     "bpe_tokenize": q_bpe_tokenize,
@@ -5832,7 +6090,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cross-checked
     "exact_substring_dedup": q_exact_substring_dedup,
     "minhash_lsh": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
     "dup_clusters": q_dup_clusters,
     # embeddings — round-9 swap: the persisted-code-table PQ face and
     # the IVFADC composition take the window; cosine_topk_ivfpq runs a
@@ -5856,11 +6113,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational analytics
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
-    "q5_region_revenue": q5_region_revenue,
     "events_rate": q_events_rate,
     "user_sessions": q_user_sessions,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    # round-10 behavior-analytics swap (demote-to-fund): the ClickHouse
+    # analytics-function tier takes two slots — window_funnel (staged
+    # min-agg funnel, a genuinely new multi-stage join shape) and
+    # cohort_retention (cohort matrix). Funded by demoting
+    # q5_region_revenue (its multi-join + agg shape is covered
+    # in-window by q3_top_orders and q1_pricing_summary) and the bigram
+    # lm_perplexity (superseded by lm_perplexity3, see the text swap
+    # comment); both stay oracle-verified in CROSS_CHECKED.
+    "window_funnel": q_window_funnel,
+    "cohort_retention": q_cohort_retention,
+    # round-10 swap: events_ewma — the recursive-fold class SQL windows
+    # can't express (ordered-array F.aggregate vs DuckDB list_reduce,
+    # bit-exact) — funded by demoting simhash_pairs: near-dup pair
+    # verification stays in-window via minhash_lsh (same
+    # candidate→exact-rescore contract, same jaccard oracle family)
+    # and SimHash stays oracle-verified cross-checked.
+    "events_ewma": q_events_ewma,
 }
 
 # Alternate formulations of operators verified above - each is a
@@ -6027,6 +6300,20 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: Cavnar-Trenkle rank-profile language ID (planted
     # per-language markers; prediction accuracy auditable in-result)
     "ngram_lang_id": q_ngram_lang_id,
+    # round-10 behavior swap: demoted from the window (rationale at the
+    # QUERIES swap comments)
+    "lm_perplexity": q_lm_perplexity,
+    "q5_region_revenue": q5_region_revenue,
+    # round-10 behavior tier, cross-check faces: per-user retention
+    # flags (one conditional-max agg) and the unbounded-window
+    # sequenceMatch degenerate of window_funnel
+    "retention_flags": q_retention_flags,
+    "sequence_match": q_sequence_match,
+    # round-10 swap: demoted to fund events_ewma (see QUERIES comment)
+    "simhash_pairs": q_simhash_pairs,
+    # round-10: per-series OLS drift — decimal-exact sufficient
+    # statistics, double arithmetic only after both engines agree
+    "events_trend": q_events_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -6041,7 +6328,6 @@ ORACLES: dict[str, str] = {
     "content_dedup": ORACLE_CONTENT_DEDUP,
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": _oracle_language_id(),
-    "lm_perplexity": ORACLE_LM_PERPLEXITY,
     "html_extract": ORACLE_HTML_EXTRACT,
     "lm_perplexity3": ORACLE_LM_PERPLEXITY3,
     "bpe_tokenize": ORACLE_BPE_TOKENIZE,
@@ -6060,7 +6346,6 @@ ORACLES: dict[str, str] = {
     # tuned for full recall on this corpus (verified at sf0.001+sf0.01),
     # so equality holds — see each query's docstring.
     "minhash_lsh": _oracle_jaccard_unblocked(0.5),
-    "simhash_pairs": _oracle_jaccard_unblocked(0.5),
     "dup_clusters": _oracle_dup_clusters(),
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
@@ -6070,11 +6355,13 @@ ORACLES: dict[str, str] = {
     "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
-    "q5_region_revenue": ORACLE_Q5,
     "events_rate": ORACLE_EVENTS_RATE,
     "user_sessions": ORACLE_USER_SESSIONS,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
+    "window_funnel": ORACLE_WINDOW_FUNNEL,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
+    "events_ewma": ORACLE_EVENTS_EWMA,
     "events_multires": ORACLE_EVENTS_MULTIRES,
     # merge is exact by construction → the one-shot SQL IS the oracle
     "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
@@ -6163,6 +6450,12 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "doc_vectors": ORACLE_DOC_VECTORS,
     "doc_vectors_topk": ORACLE_DOC_VECTORS_TOPK,
     "ngram_lang_id": ORACLE_NGRAM_LANG_ID,
+    "lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "q5_region_revenue": ORACLE_Q5,
+    "retention_flags": ORACLE_RETENTION_FLAGS,
+    "sequence_match": ORACLE_SEQUENCE_MATCH,
+    "simhash_pairs": _oracle_jaccard_unblocked(0.5),
+    "events_trend": ORACLE_EVENTS_TREND,
 }
 
 # Everything, for bench.py and local verification.

@@ -257,3 +257,48 @@ def test_detect_gaps_bounds_and_threshold(spark):
 
     with _pytest.raises(ValueError, match="min_gap_seconds"):
         detect_gaps(df, ["k"], "ts", min_gap_seconds=0)
+
+
+def test_ewma_recursion_and_tie_order(spark):
+    from etl_prometheus2clickhouse_spark.operators.timeseries import ewma
+
+    rows = [
+        ("a", "2024-01-01 00:00:02", 1.0),
+        ("a", "2024-01-01 00:00:01", 5.0),
+        ("a", "2024-01-01 00:00:03", 2.0),
+        # duplicate timestamp: (ts, value) order folds 1.0 before 4.0
+        ("b", "2024-01-01 00:00:01", 4.0),
+        ("b", "2024-01-01 00:00:01", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {r.k: r for r in ewma(df, ["k"], alpha=0.3).collect()}
+    # a: s1=5 -> 0.3*1+0.7*5=3.8 -> 0.3*2+0.7*3.8=3.26
+    assert got["a"].ewma == 3.26
+    assert got["a"].n_samples == 3
+    # b: s1=1 (lower value first on the tie) -> 0.3*4+0.7*1=1.9
+    assert got["b"].ewma == 1.9
+
+
+def test_linear_trend_exact_line_and_degenerate(spark):
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        linear_trend,
+    )
+
+    rows = [
+        # perfect line: +2.5 per day
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-02 00:00:00", 12.5),
+        ("a", "2024-01-03 00:00:00", 15.0),
+        # no time variance -> NULL slope
+        ("b", "2024-01-01 00:00:00", 1.0),
+        ("b", "2024-01-01 00:00:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {r.k: r for r in linear_trend(df, ["k"]).collect()}
+    assert got["a"].slope_per_day == 2.5
+    assert got["a"].intercept == 10.0  # value at the series' first ts
+    assert got["b"].slope_per_day is None
