@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "events_quantiles_sketch",
     # streaming faces (real AvailableNow runs, memory sink)
     "stream_hourly",
+    # round-10: native session_window (merging-window state machine)
+    "stream_sessions",
     "stream_dedup_keys",
     "stream_rate",
     "stream_join",

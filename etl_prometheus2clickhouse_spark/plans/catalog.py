@@ -156,11 +156,13 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_dedup_keys,
     q_stream_hourly,
     q_stream_join,
+    ORACLE_STREAM_SESSIONS,
     q_stream_cms_hh,
     q_stream_hll,
     q_stream_kmv,
     q_stream_kmv_durable,
     q_stream_rate,
+    q_stream_sessions,
 )
 
 
@@ -6029,6 +6031,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_keys": q_stream_dedup_keys,
     "stream_rate": q_stream_rate,
     "stream_join": q_stream_join,
+    # round-10 swap: native session_window — the stateful MERGING-
+    # window operator, the one streaming state machine the suite
+    # didn't yet drive — funded by demoting the batch user_sessions
+    # (its lag→flag→cumsum window plan stays in-window via
+    # events_rate's identical Exchange+Sort shape, and both batch
+    # sessionization faces stay oracle-verified cross-checked)
+    "stream_sessions": q_stream_sessions,
     # multi-resolution rollups, sketches, ranks
     "events_multires": q_events_multires,
     "events_quantiles_sketch": q_events_quantiles_sketch,
@@ -6114,7 +6123,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "events_rate": q_events_rate,
-    "user_sessions": q_user_sessions,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     # round-10 behavior-analytics swap (demote-to-fund): the ClickHouse
@@ -6311,6 +6319,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_match": q_sequence_match,
     # round-10 swap: demoted to fund events_ewma (see QUERIES comment)
     "simhash_pairs": q_simhash_pairs,
+    # round-10 swap: demoted to fund stream_sessions (see QUERIES)
+    "user_sessions": q_user_sessions,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6356,7 +6366,6 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
     "events_rate": ORACLE_EVENTS_RATE,
-    "user_sessions": ORACLE_USER_SESSIONS,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "window_funnel": ORACLE_WINDOW_FUNNEL,
@@ -6371,6 +6380,7 @@ ORACLES: dict[str, str] = {
     "stream_dedup_keys": ORACLE_STREAM_DEDUP_KEYS,
     "stream_rate": ORACLE_STREAM_RATE,
     "stream_join": ORACLE_STREAM_JOIN,
+    "stream_sessions": ORACLE_STREAM_SESSIONS,
     "events_quantiles_sketch": ORACLE_EVENTS_QUANTILES_SKETCH,
 }
 
@@ -6456,6 +6466,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "sequence_match": ORACLE_SEQUENCE_MATCH,
     "simhash_pairs": _oracle_jaccard_unblocked(0.5),
     "events_trend": ORACLE_EVENTS_TREND,
+    "user_sessions": ORACLE_USER_SESSIONS,
 }
 
 # Everything, for bench.py and local verification.

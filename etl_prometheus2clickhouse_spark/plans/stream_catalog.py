@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_prometheus2clickhouse_spark.functions import ts
 from etl_prometheus2clickhouse_spark.streaming.windowed import (
+    session_window_stats,
     windowed_event_counts,
 )
 
@@ -109,6 +110,51 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     state machine reproduces batch aggregation exactly."""
     out = windowed_event_counts(_events_stream(spark, sf_dir))
     return _run_to_table(out, "complete")
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization on the events stream
+    (streaming/windowed.py:session_window_stats) — the stateful
+    MERGING-window operator, where a late event can fuse two open
+    sessions and the state store merges their partials. Complete
+    output mode so end-of-stream emits every session (the module
+    docstring's determinism rule); the oracle is the gaps-and-islands
+    SQL with session_window's exact boundary semantics (pinned by
+    tests/test_streaming_windowed.py: an event at EXACTLY gap
+    distance still merges — the same ``> gap`` boundary as the batch
+    sessionize operator)."""
+    ev = _events_stream(spark, sf_dir)
+    out = session_window_stats(
+        ev, ts_col="ts", key_col="user_id", gap="1 hour",
+        watermark_delay="2 hours",
+    )
+    return _run_to_table(out, "complete")
+
+
+ORACLE_STREAM_SESSIONS = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM events
+),
+f AS (
+  SELECT user_id, tus,
+         CASE WHEN pt IS NULL OR tus - pt > 3600000000 THEN 1 ELSE 0 END AS nb
+  FROM s
+),
+sid AS (
+  SELECT user_id, tus,
+         sum(nb) OVER (PARTITION BY user_id ORDER BY tus
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id,
+       CAST(floor(min(tus) / 1000000) AS BIGINT) AS start_sec,
+       CAST(floor((max(tus) + 3600000000) / 1000000) AS BIGINT) AS end_sec,
+       count(*) AS n_events
+FROM sid
+GROUP BY user_id, session_id
+"""
 
 
 ORACLE_STREAM_HOURLY = """

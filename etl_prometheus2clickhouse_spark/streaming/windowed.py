@@ -21,6 +21,47 @@ from pyspark.sql import functions as F
 from etl_prometheus2clickhouse_spark.functions.ts import epoch_micros
 
 
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation on a stream via Spark's native
+    ``session_window`` — the stateful MERGING-window operator (unlike
+    tumbling windows, a late event can fuse two open sessions into
+    one, which the state store handles by merging their partial
+    aggregates). The streaming twin of the batch
+    ``timeseries.sessionize`` lag→flag→cumsum plan; at 100 TB/day the
+    watermark bounds state to (active keys × open sessions), and
+    closed sessions finalize and evict exactly like closed tumbling
+    windows.
+
+    Output (one final row per closed session): key, ``start_sec`` /
+    ``end_sec`` (session bounds, epoch seconds — ``end`` is
+    last-event + gap by session_window's definition), ``n_events``.
+    """
+    agged = (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return agged.select(
+        F.col(key_col),
+        F.floor(epoch_micros(agged, "w.start") / 1_000_000)
+        .cast("long")
+        .alias("start_sec"),
+        F.floor(epoch_micros(agged, "w.end") / 1_000_000)
+        .cast("long")
+        .alias("end_sec"),
+        "n_events",
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
