@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "nb_classify",
     "bm25_search",
+    # round-10: BM25 + dense cosine fused by reciprocal rank
+    "hybrid_search",
     "events_distinct_kmv",
     # round-10 late: HyperLogLog one-shot + partial/merge lifecycle
     "events_distinct_hll",

@@ -1132,6 +1132,70 @@ def nb_classify(
     )
 
 
+def rrf_fuse(
+    lists: "list[DataFrame]",
+    k0: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    merge N ranked retrieval lists into one, ``score(q,d) =
+    Σᵢ 1/(k0 + rankᵢ(q,d))`` with absent entries contributing 0 —
+    the standard way to combine lexical (BM25) and dense (vector)
+    retrieval without score calibration, since only RANKS cross the
+    fusion boundary.
+
+    Determinism: the fused score is a fixed-order CHAIN of per-list
+    terms (an expression, not a floating-point aggregation whose
+    addend order could vary with shuffle), so both engines compute
+    identical doubles; final ties break by document id.
+
+    Scale shape: the inputs are already top-k lists — O(queries × k)
+    rows each — so the full-outer alignment joins and the per-query
+    WindowGroupLimit move result-sized frames only; all heavy lifting
+    stays inside the upstream retrieval operators.
+    """
+    if len(lists) < 2:
+        raise ValueError("rrf_fuse needs at least 2 ranked lists")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    joined = None
+    for i, df in enumerate(lists):
+        part = df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias(f"__r{i}"),
+        )
+        joined = (
+            part
+            if joined is None
+            else joined.join(part, ["query_id", "doc_id"], "full_outer")
+        )
+    score = None
+    for i in range(len(lists)):
+        term = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("__score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("__score", 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def bm25_search(
     corpus: DataFrame,
     queries: DataFrame,

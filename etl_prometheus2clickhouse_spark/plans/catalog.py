@@ -108,6 +108,7 @@ from etl_prometheus2clickhouse_spark.operators.text import (
     lm_perplexity,
     lm_perplexity3,
     nb_classify,
+    rrf_fuse,
     gopher_filter,
     ngram_contamination,
     repetition_stats,
@@ -5753,6 +5754,86 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical, inverted-index join) and
+    feature-hashed-vector cosine (dense, model-free) fused by
+    reciprocal rank (operators/text.py:rrf_fuse — Cormack et al.
+    SIGIR'09, k0=60). Same 5 benchmark queries as q_bm25_search; the
+    dense side runs q_doc_vectors_topk's exact configuration with the
+    query docs' own vectors. The oracle composes the full BM25 SQL,
+    the full hashing-trick SQL, the cosine ranking, and the fusion
+    arithmetic — every stage of both retrieval paths plus the merge
+    must agree for the hash to match."""
+    d = _t(spark, sf_dir, "documents")
+    queries = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_doc_words(F.col("text")), 1, 4).alias("terms"),
+        )
+        .orderBy("query_id")
+        .limit(5)
+    )
+    bm = bm25_search(d, queries, k=10).select("query_id", "doc_id", "rank")
+    vecs = hashed_doc_vectors(d, dim=32).where(
+        F.exists("vec", lambda x: x != 0)
+    )
+    frame = vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("vec", lambda v: v.cast("double")).alias("embedding"),
+    )
+    qframe = frame.join(
+        queries.select(F.col("query_id").alias("vec_id")), "vec_id"
+    )
+    dense = cosine_topk_bruteforce(frame, qframe, id_col="vec_id", k=10)
+    dense_ranks = dense.select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([bm, dense_ranks], k0=60, k=10)
+
+
+ORACLE_HYBRID_SEARCH = f"""
+WITH bm AS ({ORACLE_BM25_SEARCH}),
+dv AS ({ORACLE_DOC_VECTORS}),
+e AS (SELECT doc_id AS vec_id,
+             list_transform(vec, x -> CAST(x AS DOUBLE)) AS v
+      FROM dv
+      WHERE list_sum(list_transform(vec, x -> x * x)) > 0),
+qids AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+         ORDER BY doc_id LIMIT 5),
+dscored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+         {_COS32} AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE b.vec_id IN (SELECT doc_id FROM qids)
+),
+dense AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id) AS rnk
+    FROM dscored)
+  WHERE rnk <= 10
+),
+fused AS (
+  SELECT coalesce(bm.query_id, dn.query_id) AS query_id,
+         coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         (CASE WHEN bm.rank IS NOT NULL
+               THEN 1.0 / (60.0 + bm.rank) ELSE 0.0 END
+          + CASE WHEN dn.rnk IS NOT NULL
+                 THEN 1.0 / (60.0 + dn.rnk) ELSE 0.0 END) AS score
+  FROM bm FULL OUTER JOIN dense dn
+    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id
+)
+SELECT query_id, doc_id, round(score, 6) AS rrf_score,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # round-10 behavior-analytics tier (operators/behavior.py): the
 # ClickHouse analytics-function surface (windowFunnel / retention /
@@ -6321,6 +6402,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     # round-10 swap: demoted to fund stream_sessions (see QUERIES)
     "user_sessions": q_user_sessions,
+    # round-10: hybrid lexical+dense retrieval fused by reciprocal
+    # rank — BM25 and hashed-vector cosine composed end-to-end
+    "hybrid_search": q_hybrid_search,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6467,6 +6551,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "simhash_pairs": _oracle_jaccard_unblocked(0.5),
     "events_trend": ORACLE_EVENTS_TREND,
     "user_sessions": ORACLE_USER_SESSIONS,
+    "hybrid_search": ORACLE_HYBRID_SEARCH,
 }
 
 # Everything, for bench.py and local verification.

@@ -982,3 +982,33 @@ def test_ngram_lang_id_drops_sub_bigram_docs_and_caps_langs(spark):
     assert [r.doc_id for r in out] == [2]  # doc 1 has no bigram
     with pytest.raises(ValueError, match="max_langs"):
         ngram_lang_id(docs, ref, max_langs=0)
+
+
+def test_rrf_fuse_semantics(spark):
+    from etl_prometheus2clickhouse_spark.operators.text import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    l2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {r.doc_id: r for r in rrf_fuse([l1, l2], k0=60, k=10).collect()}
+    # doc 11 appears in both lists -> fused 1/62 + 1/61 tops the list
+    assert out[11].rank == 1
+    assert out[11].rrf_score == round(1 / 62 + 1 / 61, 6)
+    # docs present in only one list still score (absent term = 0)
+    assert out[10].rrf_score == round(1 / 61, 6)
+    assert out[13].rrf_score == round(1 / 62, 6)
+    # deterministic tie-break: 10 (rank1, list1) vs 13 (rank2? no) —
+    # 1/61 > 1/62, so 10 ranks ahead of 13
+    assert out[10].rank < out[13].rank
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([l1], k0=60)
+    with _pytest.raises(ValueError):
+        rrf_fuse([l1, l2], k0=0)
