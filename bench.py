@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "key_skew_stats",
     "salted_join",
     "bloom_join",
+    # round-10: deletion-neighborhood fuzzy join (scan scales with SF)
+    "fuzzy_token_join",
     "heavy_hitters_cms",
     "cms_merge_hh",
     "quantile_merge",

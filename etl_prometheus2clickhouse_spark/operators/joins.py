@@ -313,3 +313,69 @@ def bloom_filtered_join(
         .drop("bloom_hit")
     )
     return survivors.join(right, key_col, "inner")
+
+
+def _deletion_neighborhood(token: Column) -> Column:
+    """The token plus every single-character-deletion variant — the
+    SymSpell blocking key set. Two strings at Levenshtein distance
+    ≤ 1 always share at least one key (equal → the string itself;
+    deletion/insertion → the shorter string; substitution at i →
+    both drop position i), so the equi-join below has EXACT recall
+    and the explicit distance check only removes false positives."""
+    n = F.length(token)
+    dels = F.transform(
+        # guard: sequence(1, 0) would count DOWN — empty strings get
+        # no deletion variants
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat(
+            # 1-based substr; lengths clipping past the end is fine
+            token.substr(F.lit(1), i - 1),
+            token.substr(i + 1, n),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(token), dels))
+
+
+def fuzzy_token_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str = "token",
+    right_col: str = "token",
+) -> DataFrame:
+    """All pairs of (left token, right token) within Levenshtein
+    distance 1 — WITHOUT the quadratic cross join.
+
+    Deletion-neighborhood blocking (the SymSpell scheme, public):
+    each side expands to its ≤ len+1 deletion variants, candidates
+    meet on an equi-join over the variant key, duplicates from
+    multi-key matches collapse, and ``F.levenshtein`` verifies
+    exactly. At 100 TB the variant frames are (token-count × avg-len)
+    slim string pairs feeding a hash join — broadcastable when one
+    side is a reference lexicon — versus the unrunnable |L|×|R|
+    cross product; candidate fan-out is bounded by key collisions
+    among near-identical strings, not corpus size.
+
+    Inputs are deduplicated on the token column first, so the output
+    is one row per distinct pair: (left token, right token,
+    distance 0 or 1).
+    """
+    lt = left.select(F.col(left_col).alias("lt")).where(
+        F.col("lt").isNotNull()
+    ).distinct()
+    rt = right.select(F.col(right_col).alias("rt")).where(
+        F.col("rt").isNotNull()
+    ).distinct()
+    lv = lt.select(
+        "lt", F.explode(_deletion_neighborhood(F.col("lt"))).alias("__k")
+    )
+    rv = rt.select(
+        "rt", F.explode(_deletion_neighborhood(F.col("rt"))).alias("__k")
+    )
+    cand = lv.join(rv, "__k").select("lt", "rt").distinct()
+    return cand.select(
+        F.col("lt").alias("left_token"),
+        F.col("rt").alias("right_token"),
+        F.levenshtein("lt", "rt").cast("int").alias("distance"),
+    ).where(F.col("distance") <= 1)

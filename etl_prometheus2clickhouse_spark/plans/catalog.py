@@ -84,6 +84,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
 )
 from etl_prometheus2clickhouse_spark.operators.joins import (
     bloom_filtered_join,
+    fuzzy_token_join,
     key_skew_stats,
     salted_join,
 )
@@ -5754,6 +5755,52 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+def q_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 token matching WITHOUT a cross join
+    (operators/joins.py:fuzzy_token_join — SymSpell deletion-
+    neighborhood blocking, exact recall by construction): the corpus
+    vocabulary is deterministically corrupted (words of length ≥ 4
+    lose their middle character — the gopher_filter planting pattern,
+    applied identically in both engines) and matched back against the
+    clean vocabulary. The oracle computes the UNBLOCKED all-pairs
+    Levenshtein join — value equality is therefore the witness that
+    the blocking scheme loses no pair."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(_doc_words(F.col("text"))).alias("token")
+    ).distinct()
+    mid = F.floor(F.length("token") / 2).cast("int")
+    corrupted = toks.select(
+        F.when(
+            F.length("token") >= 4,
+            F.concat(
+                F.col("token").substr(F.lit(1), mid),
+                F.col("token").substr(mid + 2, F.length("token")),
+            ),
+        )
+        .otherwise(F.col("token"))
+        .alias("token")
+    )
+    return fuzzy_token_join(corrupted, toks)
+
+
+ORACLE_FUZZY_TOKEN_JOIN = """
+WITH toks AS (
+  SELECT DISTINCT unnest(list_filter(
+    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+  FROM documents),
+corr AS (
+  SELECT DISTINCT CASE WHEN len(t) >= 4
+    THEN substr(t, 1, CAST(floor(len(t) / 2) AS INT))
+         || substr(t, CAST(floor(len(t) / 2) AS INT) + 2, len(t))
+    ELSE t END AS ct
+  FROM toks)
+SELECT c.ct AS left_token, v.t AS right_token,
+       CAST(levenshtein(c.ct, v.t) AS INT) AS distance
+FROM corr c JOIN toks v ON levenshtein(c.ct, v.t) <= 1
+"""
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 (lexical, inverted-index join) and
     feature-hashed-vector cosine (dense, model-free) fused by
@@ -6405,6 +6452,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: hybrid lexical+dense retrieval fused by reciprocal
     # rank — BM25 and hashed-vector cosine composed end-to-end
     "hybrid_search": q_hybrid_search,
+    # round-10: SymSpell deletion-neighborhood fuzzy join, oracled
+    # against the unblocked all-pairs Levenshtein join
+    "fuzzy_token_join": q_fuzzy_token_join,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6552,6 +6602,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_trend": ORACLE_EVENTS_TREND,
     "user_sessions": ORACLE_USER_SESSIONS,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
+    "fuzzy_token_join": ORACLE_FUZZY_TOKEN_JOIN,
 }
 
 # Everything, for bench.py and local verification.

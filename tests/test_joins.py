@@ -207,3 +207,30 @@ def test_bloom_filtered_join_matches_plain_join(spark):
         .count()
     )
     assert kept < 2000 * 0.5  # 15/100 keys match; fp rate tiny at 4096 bits
+
+
+def test_fuzzy_token_join_edit1_classes(spark):
+    """Every edit-distance-1 class must match through the deletion
+    neighborhood: equality, deletion, insertion, substitution — and
+    distance-2 pairs must not."""
+    from etl_prometheus2clickhouse_spark.operators.joins import (
+        fuzzy_token_join,
+    )
+
+    left = spark.createDataFrame(
+        [("spark",), ("sprk",), ("spork",), ("sparkk",), ("xxyyz",)],
+        "token string",
+    )
+    right = spark.createDataFrame([("spark",), ("stork",)], "token string")
+    got = {
+        (r.left_token, r.right_token): r.distance
+        for r in fuzzy_token_join(left, right).collect()
+    }
+    assert got[("spark", "spark")] == 0
+    assert got[("sprk", "spark")] == 1   # insertion into left
+    assert got[("spork", "spark")] == 1  # substitution
+    assert got[("sparkk", "spark")] == 1  # deletion from left
+    assert got[("spork", "stork")] == 1
+    # distance 2: no row
+    assert ("xxyyz", "spark") not in got
+    assert ("sprk", "stork") not in got
