@@ -410,3 +410,67 @@ def test_kmv_jaccard_pair_stage_is_array_arithmetic(spark):
     p = _plan(spark, "kmv_jaccard", "formatted")
     assert "Generate" not in p  # no explode anywhere
     assert "array_intersect" in p and "array_union" in p
+
+
+def test_window_funnel_filters_pushed_and_no_full_window(spark):
+    # each stage's step condition must reach the parquet scan as a
+    # pushed filter, and the operator must never plan a full-table
+    # window (its whole point: staged slim aggregates, not per-event
+    # state) or fall into a nested loop
+    p = _plan(spark, "window_funnel", "formatted")
+    assert "EqualTo(event_type,signup)" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # every stage aggregate combines map-side
+    assert "partial_min" in p
+
+
+def test_retention_is_one_partial_aggregate_pass(spark):
+    import re
+
+    p = _plan(spark, "retention_flags")
+    assert "partial_max" in p
+    assert "EvalPython" not in p
+    shuffles = re.findall(r"^\s*\+?-?\s*Exchange", p, flags=re.M)
+    assert len(shuffles) == 1
+
+
+def test_ewma_single_shuffle_jvm_fold(spark):
+    import re
+
+    # collect_list partials combine map-side; the fold runs as an
+    # expression (no Python, no second exchange)
+    p = _plan(spark, "events_ewma")
+    assert "EvalPython" not in p
+    assert "aggregate(" in p or "partial_collect_list" in p
+    shuffles = re.findall(r"^\s*\+?-?\s*Exchange", p, flags=re.M)
+    assert len(shuffles) == 1
+
+
+def test_linear_trend_decimal_sums_jvm(spark):
+    p = _plan(spark, "events_trend")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the sufficient statistics must aggregate map-side
+    assert "partial_sum" in p
+
+
+def test_fuzzy_join_is_equi_join_not_cross(spark):
+    # the whole point of deletion-neighborhood blocking: candidates
+    # meet on an equi-join over the variant key — never a cartesian /
+    # nested-loop over token pairs
+    p = _plan(spark, "fuzzy_token_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_rrf_fusion_stays_result_sized(spark):
+    # hybrid fusion: the rank lists entering rrf_fuse are top-k
+    # bounded (WindowGroupLimit on both retrieval paths), so the
+    # fusion joins move result-sized frames only
+    p = _plan(spark, "hybrid_search")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
