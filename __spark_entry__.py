@@ -20,7 +20,7 @@ are tuned for verified recall 1.0 on this corpus (see each query's
 docstring; semantics additionally pinned by tests/test_dedup.py,
 tests/test_similarity.py). Redundant formulations (bucketed/direction
 twins, per-kind multimodal faces, and the round-10 demoted relational
-twins) are in the catalog's ``CROSS_CHECKED_QUERIES`` — 81 entries,
+twins) are in the catalog's ``CROSS_CHECKED_QUERIES`` — 84 entries,
 oracle-verified by tests/test_cross_checked.py and
 scripts/check_correctness.py, kept out of the driver window so every
 distinct operator gets a row.

@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "bloom_join",
     # round-10: deletion-neighborhood fuzzy join (scan scales with SF)
     "fuzzy_token_join",
+    # round-10: power iteration over the part->supplier graph
+    "pagerank",
     "heavy_hitters_cms",
     "cms_merge_hh",
     "quantile_merge",

@@ -88,6 +88,7 @@ from etl_prometheus2clickhouse_spark.operators.joins import (
     key_skew_stats,
     salted_join,
 )
+from etl_prometheus2clickhouse_spark.operators.graph import pagerank
 from etl_prometheus2clickhouse_spark.operators.layout import zorder_stats
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     hll_distinct,
@@ -5755,6 +5756,71 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+_PR_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py:pagerank) over the directed
+    part→supplier graph from lineitem (node ids disjoint by parity:
+    part=2k, supplier=2k+1; every supplier is dangling, so the
+    dangling-mass redistribution is exercised on ~5% of total rank
+    every round, not as a dead branch). 5 power-iteration rounds; the
+    oracle is the identical recurrence unrolled into 5 generated CTE
+    rounds with the same per-edge double division, the same
+    DECIMAL(38,18) exact message sums, and the same double update
+    expression — engine-exact before the defensive rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, n_iter=_PR_ITERS)
+
+
+def _oracle_pagerank() -> str:
+    ctes = [
+        """e AS (SELECT DISTINCT l_partkey * 2 AS src,
+                l_suppkey * 2 + 1 AS dst FROM lineitem)""",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1)",
+        """nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        """nd AS (SELECT n.node, d.out_deg FROM nodes n
+           LEFT JOIN deg d ON n.node = d.src)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """r0 AS (SELECT node, out_deg, 1.0 / nn.n AS rank
+           FROM nd CROSS JOIN nn)""",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT e.dst AS node,
+         sum(CAST(r.rank / r.out_deg AS DECIMAL(38,18))) AS csum
+  FROM e JOIN r{i} r ON e.src = r.node
+  WHERE r.out_deg IS NOT NULL GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""d{i + 1} AS (
+  SELECT coalesce(sum(CAST(rank AS DECIMAL(38,18))),
+                  CAST(0 AS DECIMAL(38,18))) AS dsum
+  FROM r{i} WHERE out_deg IS NULL)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT nd.node, nd.out_deg,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * (coalesce(CAST(c.csum AS DOUBLE), 0.0)
+                   + CAST(d.dsum AS DOUBLE) / nn.n) AS rank
+  FROM nd LEFT JOIN c{i + 1} c ON nd.node = c.node
+  CROSS JOIN d{i + 1} d CROSS JOIN nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS node_id, round(rank, 12) AS pagerank FROM r{_PR_ITERS}"""
+    )
+
+
 def q_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 token matching WITHOUT a cross join
     (operators/joins.py:fuzzy_token_join — SymSpell deletion-
@@ -6455,6 +6521,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: SymSpell deletion-neighborhood fuzzy join, oracled
     # against the unblocked all-pairs Levenshtein join
     "fuzzy_token_join": q_fuzzy_token_join,
+    # round-10: PageRank — power iteration as join/agg rounds, the
+    # second iterative-algorithm class beside dup_clusters' contraction
+    "pagerank": q_pagerank,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6603,6 +6672,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "user_sessions": ORACLE_USER_SESSIONS,
     "hybrid_search": ORACLE_HYBRID_SEARCH,
     "fuzzy_token_join": ORACLE_FUZZY_TOKEN_JOIN,
+    "pagerank": _oracle_pagerank(),
 }
 
 # Everything, for bench.py and local verification.

@@ -474,3 +474,28 @@ def test_rrf_fusion_stays_result_sized(spark):
     p = _plan(spark, "hybrid_search")
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_pagerank_rounds_are_joins_plus_partial_aggs(spark):
+    # the Pregel shape: equi-joins + map-side-combining message sums;
+    # never a nested loop over node pairs, never Python. The catalog
+    # entry localCheckpoints each round (so its final plan is just a
+    # scan); materialize=False exposes the composed round plans.
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.graph import pagerank
+
+    li = QUERIES["q1_pricing_summary"].__globals__["_t"](
+        spark, SF, "lineitem"
+    )
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    df = pagerank(edges, n_iter=2, materialize=False)
+    p = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "partial_sum" in p
