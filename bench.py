@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "fuzzy_token_join",
     # round-10: power iteration over the part->supplier graph
     "pagerank",
+    # round-10: seasonal z-score anomaly flags
+    "events_anomalies",
     "heavy_hitters_cms",
     "cms_merge_hh",
     "quantile_merge",

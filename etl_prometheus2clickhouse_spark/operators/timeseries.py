@@ -381,6 +381,79 @@ def linear_trend(
     )
 
 
+def seasonal_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_sigma: float = 2.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seasonal z-score anomaly flagging — the alerting query a
+    metrics warehouse runs: build a per-(series, hour-of-day)
+    baseline (mean, sample std) over the corpus, then emit every
+    sample more than ``n_sigma`` deviations from its own seasonal
+    slot.
+
+    Cross-engine exactness: the baseline moments come from
+    DECIMAL-exact Σy and Σy² (associative, shuffle-order-proof), cast
+    to double only for the mean/variance expressions; hour-of-day is
+    integer µs arithmetic (``(ts_us // 3600e6) % 24``), no timezone
+    or date-function convention involved.
+
+    Plan: one map-side-combining aggregation to the slim
+    (keys × 24)-row baseline, one equi-join back (baseline is dim-
+    sized — broadcastable), a filter. No window, no sort.
+
+    Output: ``keys`` + ``hod``, ``ts_sec``, ``value``, ``zscore``.
+    """
+    if n_sigma <= 0:
+        raise ValueError("n_sigma must be positive")
+    keys = list(keys)
+    ts_us = epoch_micros(df, ts_col)
+    base = df.select(
+        *keys,
+        F.floor(ts_us / 3_600_000_000).cast("long").alias("__h"),
+        ts_us.alias("__ts"),
+        F.col(value_col).cast("double").alias("__y"),
+    ).withColumn("hod", (F.col("__h") % 24).cast("int"))
+    yd = F.col("__y").cast("decimal(19,6)")
+    stats = base.groupBy(*keys, "hod").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(yd).alias("__sy"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sy = F.col("__sy").cast("double")
+    syy = F.col("__syy").cast("double")
+    mean = sy / n
+    var = (n * syy - sy * sy) / (n * (n - F.lit(1.0)))
+    sd = F.sqrt(var)
+    baseline = stats.select(
+        *keys,
+        "hod",
+        mean.alias("__mean"),
+        sd.alias("__sd"),
+        F.col("__n").alias("__cnt"),
+    )
+    z = (F.col("__y") - F.col("__mean")) / F.col("__sd")
+    return (
+        base.join(baseline, [*keys, "hod"])
+        .where(
+            (F.col("__cnt") > 1)
+            & (F.col("__sd") > 0.0)
+            & (F.abs(z) > F.lit(float(n_sigma)))
+        )
+        .select(
+            *keys,
+            "hod",
+            F.floor(F.col("__ts") / 1_000_000).cast("long").alias("ts_sec"),
+            F.col("__y").alias("value"),
+            F.round(z, round_digits).alias("zscore"),
+        )
+    )
+
+
 def detect_gaps(
     df: DataFrame,
     keys: Sequence[str],

@@ -145,6 +145,7 @@ from etl_prometheus2clickhouse_spark.operators.sampling import (
 from etl_prometheus2clickhouse_spark.operators.timeseries import (
     ewma,
     linear_trend,
+    seasonal_anomalies,
 )
 from etl_prometheus2clickhouse_spark.operators.transform import parse_response
 from etl_prometheus2clickhouse_spark.plans.state_queries import (
@@ -5756,6 +5757,50 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal z-score anomaly detection
+    (operators/timeseries.py:seasonal_anomalies): per-(event_type,
+    hour-of-day) baselines from DECIMAL-exact moments, then every
+    sample beyond 2.5σ of its own seasonal slot (the events values
+    are exponential-shaped — mean ≈ σ ≈ 50, max ≈ 400 — so the tail
+    beyond 2.5σ is a real ~2-3% of rows, not a planted fixture)."""
+    ev = _events(spark, sf_dir)
+    return seasonal_anomalies(
+        ev, ["event_type"], ts_col="ts", value_col="value", n_sigma=2.5
+    )
+
+
+ORACLE_EVENTS_ANOMALIES = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+         epoch_us(ts) AS tus,
+         value AS y
+  FROM events),
+hb AS (SELECT event_type, CAST(h % 24 AS INT) AS hod, tus, y FROM b),
+s AS (
+  SELECT event_type, hod,
+         count(*) AS n,
+         sum(CAST(y AS DECIMAL(19,6))) AS sy,
+         sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy
+  FROM hb GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, hod, n,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+  FROM s)
+SELECT hb.event_type, hb.hod,
+       CAST(floor(hb.tus / 1000000) AS BIGINT) AS ts_sec,
+       hb.y AS value,
+       round((hb.y - st.mean) / st.sd, 6) AS zscore
+FROM hb JOIN stats st
+  ON hb.event_type = st.event_type AND hb.hod = st.hod
+WHERE st.n > 1 AND st.sd > 0.0 AND abs((hb.y - st.mean) / st.sd) > 2.5
+"""
+
+
 _PR_ITERS = 5
 
 
@@ -6524,6 +6569,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: PageRank — power iteration as join/agg rounds, the
     # second iterative-algorithm class beside dup_clusters' contraction
     "pagerank": q_pagerank,
+    # round-10: seasonal z-score anomaly flags from exact moments
+    "events_anomalies": q_events_anomalies,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6673,6 +6720,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "hybrid_search": ORACLE_HYBRID_SEARCH,
     "fuzzy_token_join": ORACLE_FUZZY_TOKEN_JOIN,
     "pagerank": _oracle_pagerank(),
+    "events_anomalies": ORACLE_EVENTS_ANOMALIES,
 }
 
 # Everything, for bench.py and local verification.

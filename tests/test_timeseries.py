@@ -302,3 +302,34 @@ def test_linear_trend_exact_line_and_degenerate(spark):
     assert got["a"].slope_per_day == 2.5
     assert got["a"].intercept == 10.0  # value at the series' first ts
     assert got["b"].slope_per_day is None
+
+
+def test_seasonal_anomalies_flags_only_outliers(spark):
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    # hour slot 0 of series a: values 10,10,10,10,100 — only the 100
+    # exceeds 2.5 sigma; a constant slot (zero std) never flags
+    rows = [
+        ("a", "2024-01-01 00:01:00", 10.0),
+        ("a", "2024-01-02 00:02:00", 10.0),
+        ("a", "2024-01-03 00:03:00", 10.0),
+        ("a", "2024-01-04 00:04:00", 10.0),
+        ("a", "2024-01-05 00:05:00", 100.0),
+        ("b", "2024-01-01 05:00:00", 7.0),
+        ("b", "2024-01-02 05:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = seasonal_anomalies(df, ["k"], n_sigma=1.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.k, r.hod, r.value) == ("a", 0, 100.0)
+    assert r.zscore > 1.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seasonal_anomalies(df, ["k"], n_sigma=0)
