@@ -90,8 +90,10 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "nb_classify",
     "bm25_search",
-    # round-10: BM25 + dense cosine fused by reciprocal rank
+    # round-10: BM25 + dense cosine fused by reciprocal rank, and MMR
+    # diversity re-ranking over the embedding-free retrieval stack
     "hybrid_search",
+    "mmr_rerank",
     "events_distinct_kmv",
     # round-10 late: HyperLogLog one-shot + partial/merge lifecycle
     "events_distinct_hll",

@@ -1961,3 +1961,134 @@ def pq_distortion(
     return vecs.mapInPandas(
         _dist, "id bigint, subspace int, code int, sq_err double"
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "relevance",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily select ``k`` of each query's candidates,
+    trading relevance against redundancy —
+
+        pick argmax  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+
+    (first pick = pure argmax relevance). The diversity pass every
+    retrieval stack runs on its top-k before showing or sampling it;
+    for a training-data pipeline, the anti-near-dup selection step.
+
+    The greedy recursion is inherently sequential, so it is unrolled
+    into ``k`` DataFrame rounds (the pagerank pattern) — but ALL
+    frames involved are result-sized: candidates are an upstream
+    top-k (O(queries × k_cand)), the candidate-pair similarity matrix
+    is O(queries × k_cand²), and each round is one equi-join + one
+    max-agg + one per-query top-1 (WindowGroupLimit). The corpus is
+    never touched; ``localCheckpoint`` cuts per-round lineage so the
+    upstream retrieval is not re-executed per round.
+
+    Determinism: relevance and pairwise cosines are per-row double
+    expressions (identical cross-engine); the redundancy penalty is a
+    ``max`` — exact regardless of aggregation order, unlike a sum;
+    the selection score ``λ·rel − (1−λ)·pen`` is one fixed expression;
+    ties break by document id.
+
+    Output: ``query_id``, ``doc_id``, ``mmr_rank`` (selection order,
+    1-based), ``relevance`` (rounded).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vecs = vectors.select(
+        F.col(vec_id_col).alias("__vid"), _as_double(vec_col).alias("__v")
+    )
+    cand = (
+        candidates.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rel_col).cast("double").alias("__rel"),
+        )
+        .join(vecs, F.col("doc_id") == F.col("__vid"))
+        .select("query_id", "doc_id", "__rel", "__v")
+        .localCheckpoint(eager=True)
+    )
+    c1 = cand.select(
+        "query_id", F.col("doc_id").alias("__a"), F.col("__v").alias("__va")
+    )
+    c2 = cand.select(
+        "query_id", F.col("doc_id").alias("__b"), F.col("__v").alias("__vb")
+    )
+    csim = (
+        c1.join(c2, "query_id")
+        .where(F.col("__a") != F.col("__b"))
+        .select(
+            "query_id",
+            "__a",
+            "__b",
+            cosine(F.col("__va"), F.col("__vb")).alias("__sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("__rel").desc(), F.col("doc_id").asc()
+    )
+    selected = (
+        cand.withColumn("__rn", F.row_number().over(w_rel))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id", "doc_id", "__rel", F.lit(1).alias("__step")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, k + 1):
+        pen = (
+            csim.join(
+                selected.select(
+                    "query_id", F.col("doc_id").alias("__b")
+                ),
+                ["query_id", "__b"],
+            )
+            .groupBy("query_id", "__a")
+            .agg(F.max("__sim").alias("__pen"))
+        )
+        rest = cand.join(
+            selected.select("query_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
+        score = F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col(
+            "__pen"
+        )
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.col("doc_id").asc()
+        )
+        top = (
+            rest.join(
+                pen,
+                (rest["query_id"] == pen["query_id"])
+                & (rest["doc_id"] == pen["__a"]),
+            )
+            .select(
+                rest["query_id"], "doc_id", "__rel", pen["__pen"]
+            )
+            .withColumn("__rn", F.row_number().over(w_mmr))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id", "doc_id", "__rel", F.lit(step).alias("__step")
+            )
+        )
+        selected = selected.union(top).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        "doc_id",
+        F.col("__step").cast("int").alias("mmr_rank"),
+        F.round("__rel", 6).alias("relevance"),
+    )

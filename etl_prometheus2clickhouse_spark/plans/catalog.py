@@ -75,6 +75,7 @@ from etl_prometheus2clickhouse_spark.operators.similarity import (
     cosine_topk_pq_codes,
     embedding_near_dup_auto,
     embedding_near_dup_block_gemm,
+    mmr_rerank,
     semantic_dedup,
     ivfpq_encode,
     ivfpq_train,
@@ -5757,6 +5758,100 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.py:mmr_rerank
+    — Carbonell & Goldstein SIGIR'98) over the embedding-free
+    retrieval stack: hashed doc vectors → exact cosine top-10 per
+    query → greedy λ-tradeoff selection of 5. The oracle unrolls the
+    same greedy recursion into generated per-step CTEs (the pagerank
+    pattern): identical candidate ranking, identical pairwise
+    cosines, max-penalty (order-exact), identical selection
+    expression and tie-break — all five selection steps must agree."""
+    d = _t(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(d, dim=32).where(
+        F.exists("vec", lambda x: x != 0)
+    )
+    frame = vecs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("vec", lambda v: v.cast("double")).alias("embedding"),
+    )
+    cand = cosine_topk_bruteforce(
+        frame, frame.where(F.col("vec_id") < 10), id_col="vec_id", k=10
+    )
+    return mmr_rerank(
+        cand.select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("cosine_sim").alias("relevance"),
+        ),
+        frame,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )
+
+
+def _oracle_mmr() -> str:
+    cos_xy = _COS32.replace("a.v[", "x.v[").replace("b.v[", "y.v[")
+    ctes = [
+        f"dv AS ({ORACLE_DOC_VECTORS})",
+        """e AS (SELECT doc_id AS vec_id,
+            list_transform(vec, x -> CAST(x AS DOUBLE)) AS v
+     FROM dv WHERE list_sum(list_transform(vec, x -> x * x)) > 0)""",
+        f"""sc AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+            {_COS32} AS rel
+     FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id)""",
+        """cand AS (SELECT query_id, doc_id, rel FROM
+     (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rel DESC, doc_id) AS rn FROM sc) WHERE rn <= 10)""",
+        """cv AS (SELECT c.query_id, c.doc_id, c.rel, e.v
+     FROM cand c JOIN e ON e.vec_id = c.doc_id)""",
+        f"""cs AS (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+            {cos_xy} AS sim
+     FROM cv x JOIN cv y
+       ON x.query_id = y.query_id AND x.doc_id <> y.doc_id)""",
+        """s1 AS (SELECT query_id, doc_id, rel, 1 AS step FROM
+     (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rel DESC, doc_id) AS rn FROM cand) WHERE rn = 1)""",
+        "a1 AS (SELECT * FROM s1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""p{t} AS (SELECT cs.query_id, cs.a AS doc_id,
+            max(cs.sim) AS pen
+     FROM cs JOIN a{t - 1} s
+       ON cs.query_id = s.query_id AND cs.b = s.doc_id
+     GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""s{t} AS (SELECT query_id, doc_id, rel, {t} AS step FROM
+     (SELECT c.query_id, c.doc_id, c.rel,
+        row_number() OVER (PARTITION BY c.query_id
+          ORDER BY ({_MMR_LAM} * c.rel
+                    - (1.0 - {_MMR_LAM}) * p.pen) DESC,
+                   c.doc_id) AS rn
+      FROM cand c
+      JOIN p{t} p ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+      LEFT JOIN a{t - 1} s
+        ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+      WHERE s.doc_id IS NULL) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"a{t} AS (SELECT * FROM a{t - 1} UNION ALL SELECT * FROM s{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, doc_id, CAST(step AS INT) AS mmr_rank,
+       round(rel, 6) AS relevance
+FROM a{_MMR_K}"""
+    )
+
+
 def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal z-score anomaly detection
     (operators/timeseries.py:seasonal_anomalies): per-(event_type,
@@ -6571,6 +6666,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     # round-10: seasonal z-score anomaly flags from exact moments
     "events_anomalies": q_events_anomalies,
+    # round-10: MMR diversity re-ranking over the embedding-free
+    # retrieval stack (greedy recursion unrolled, result-sized frames)
+    "mmr_rerank": q_mmr_rerank,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6721,6 +6819,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "fuzzy_token_join": ORACLE_FUZZY_TOKEN_JOIN,
     "pagerank": _oracle_pagerank(),
     "events_anomalies": ORACLE_EVENTS_ANOMALIES,
+    "mmr_rerank": _oracle_mmr(),
 }
 
 # Everything, for bench.py and local verification.

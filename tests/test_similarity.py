@@ -990,3 +990,42 @@ def test_ann_recall_ignores_extra_columns(spark):
     )
     row = ann_recall(exact, approx).collect()[0]
     assert row.n_hit == 1 and row.recall_at_k == 1.0
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.01]),   # near-duplicate of doc 1
+            (3, [0.0, 1.0]),    # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(9, 1, 0.90), (9, 2, 0.89), (9, 3, 0.50)],
+        "query_id long, doc_id long, relevance double",
+    )
+    # balanced lambda: pick 1 first, then the orthogonal 3 beats the
+    # slightly-more-relevant near-dup 2
+    sel = {
+        r.mmr_rank: r.doc_id
+        for r in mmr_rerank(cand, vecs, k=2, lam=0.5).collect()
+    }
+    assert sel == {1: 1, 2: 3}
+    # pure-relevance lambda: redundancy is free, 2 wins step 2
+    sel = {
+        r.mmr_rank: r.doc_id
+        for r in mmr_rerank(cand, vecs, k=2, lam=1.0).collect()
+    }
+    assert sel == {1: 1, 2: 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(cand, vecs, k=0)
+    with _pytest.raises(ValueError):
+        mmr_rerank(cand, vecs, lam=1.5)
