@@ -169,7 +169,9 @@ BENCH_QUERIES = [
     # streaming faces (real AvailableNow runs, memory sink)
     "stream_hourly",
     # round-10: native session_window (merging-window state machine)
+    # and the stateful streaming funnel (three-scalar chain state)
     "stream_sessions",
+    "stream_funnel",
     "stream_dedup_keys",
     "stream_rate",
     "stream_join",

@@ -166,6 +166,7 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_hll,
     q_stream_kmv,
     q_stream_kmv_durable,
+    q_stream_funnel,
     q_stream_rate,
     q_stream_sessions,
 )
@@ -6669,6 +6670,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: MMR diversity re-ranking over the embedding-free
     # retrieval stack (greedy recursion unrolled, result-sized frames)
     "mmr_rerank": q_mmr_rerank,
+    # round-10: streaming funnel — the earliest-chain state machine as
+    # a second custom stateful operator; SHARES the batch funnel oracle
+    "stream_funnel": q_stream_funnel,
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
@@ -6820,6 +6824,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "pagerank": _oracle_pagerank(),
     "events_anomalies": ORACLE_EVENTS_ANOMALIES,
     "mmr_rerank": _oracle_mmr(),
+    "stream_funnel": ORACLE_WINDOW_FUNNEL,
 }
 
 # Everything, for bench.py and local verification.

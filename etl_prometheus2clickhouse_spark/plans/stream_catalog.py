@@ -131,6 +131,27 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, "complete")
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of ``window_funnel``
+    (streaming/stateful.py:streaming_window_funnel): the earliest-
+    chain state machine carried across micro-batches in three scalars
+    per user, advanced by at most len(steps) vectorized first-match
+    searches per batch. Same steps/window as the batch entry, so it
+    SHARES ORACLE_WINDOW_FUNNEL — green proves the stateful streaming
+    kernel reproduces the staged-join batch semantics exactly."""
+    from etl_prometheus2clickhouse_spark.streaming.stateful import (
+        streaming_window_funnel,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    out = streaming_window_funnel(
+        ev,
+        steps=["signup", "view", "click", "purchase"],
+        window_seconds=3 * 86400,
+    )
+    return _run_to_table(out, "append")
+
+
 ORACLE_STREAM_SESSIONS = """
 WITH s AS (
   SELECT user_id, epoch_us(ts) AS tus,

@@ -170,3 +170,116 @@ def streaming_counter_rate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, level int, anchor_sec long"
+FUNNEL_STATE_SCHEMA = "anchor_us long, prev_us long, level int"
+
+
+def streaming_window_funnel(
+    events: DataFrame,
+    steps: "list[str]",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    step_col: str = "event_type",
+    window_seconds: int | None = None,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """The streaming face of ``operators.behavior.window_funnel``
+    (earliest-chain semantics) as a second custom stateful operator:
+    per-key state is THREE scalars — the chain's anchor, the last
+    matched step's timestamp, and the level — so state is O(active
+    keys) regardless of stream length, with watermark-driven
+    event-time eviction like the rate operator above.
+
+    Per micro-batch the kernel sorts the key's rows once and advances
+    the chain with at most ``len(steps)`` VECTORIZED first-match
+    searches (one ``argmax`` per still-open level) — never a
+    per-event Python loop. Each batch emits the key's current
+    ``(level, anchor_sec)``; on an in-order stream (or the bounded
+    single-batch harness face) the final emission equals the batch
+    operator exactly, which is what the shared catalog oracle checks.
+    Out-of-order events older than the chain's progress cannot
+    retroactively re-anchor it (the same staleness stance as the
+    rate operator's late handling).
+    """
+    if len(steps) < 2:
+        raise ValueError("streaming_window_funnel needs >= 2 steps")
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.functions.ts import epoch_micros
+
+    n_steps = len(steps)
+    window_us = (
+        None if window_seconds is None else int(window_seconds) * 1_000_000
+    )
+
+    def _funnel_fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        anchor, prev, level = (
+            state.get if state.exists else (None, None, 0)
+        )
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            if len(chunks) == 1:
+                ts = chunks[0]["ts_us"].to_numpy(dtype=np.int64)
+                et = chunks[0]["step_val"].to_numpy()
+            else:
+                ts = np.concatenate(
+                    [c["ts_us"].to_numpy(dtype=np.int64) for c in chunks]
+                )
+                et = np.concatenate(
+                    [c["step_val"].to_numpy() for c in chunks]
+                )
+            order = np.argsort(ts, kind="stable")
+            ts, et = ts[order], et[order]
+            max_ts = int(ts[-1])
+            while level < n_steps:
+                mask = et == steps[level]
+                if level == 0:
+                    pass  # anchor search: any step-1 event
+                else:
+                    mask &= ts > prev
+                    if window_us is not None:
+                        mask &= ts <= anchor + window_us
+                hits = np.flatnonzero(mask)
+                if len(hits) == 0:
+                    break
+                t = int(ts[hits[0]])
+                if level == 0:
+                    anchor = t
+                prev = t
+                level += 1
+            state.update((anchor, prev, level))
+            # evict keys silent for > 7 days of event time
+            state.setTimeoutTimestamp(
+                max_ts // 1000 + 7 * 24 * 3_600_000
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "level": [level],
+                "anchor_sec": [
+                    None if anchor is None else anchor // 1_000_000
+                ],
+            }
+        )
+
+    prepared = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(key_col).alias("user_id"),
+        epoch_micros(events, ts_col).alias("ts_us"),
+        F.col(step_col).alias("step_val"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -134,3 +134,70 @@ def test_duplicate_timestamp_ties_are_deterministic(spark, tmp_path):
         assert len(rows) == 4
     finally:
         q.stop()
+
+
+def test_streaming_funnel_state_carries_across_batches(spark, tmp_path):
+    """The funnel chain must advance across micro-batches through the
+    three-scalar state: signup lands in batch 0, view+click in batch
+    1, purchase in batch 2 but OUTSIDE the window — final level 3.
+    Out-of-order events older than the chain's progress are ignored."""
+    from datetime import datetime, timezone
+
+    from etl_prometheus2clickhouse_spark.streaming.stateful import (
+        streaming_window_funnel,
+    )
+
+    src = str(tmp_path / "fsrc")
+    ckpt = str(tmp_path / "fckpt")
+    t0 = 1_700_000_000
+    schema = "ts timestamp, user_id long, event_type string"
+
+    def _write(rows, n):
+        df = spark.createDataFrame(
+            [
+                (datetime.fromtimestamp(t, tz=timezone.utc), u, e)
+                for t, u, e in rows
+            ],
+            schema,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{n}")
+
+    _write([(t0, 1, "signup"), (t0 + 10, 1, "view")], 0)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    out = streaming_window_funnel(
+        stream,
+        steps=["signup", "view", "click", "purchase"],
+        window_seconds=3600,
+        watermark_delay="10 minutes",
+    )
+    qname = "stream_funnel_sink"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: a click after the view (in window), plus a stale
+        # pre-anchor view that must NOT re-anchor anything
+        _write([(t0 + 100, 1, "click"), (t0 - 50, 1, "view")], 1)
+        q.processAllAvailable()
+        # batch 2: purchase past anchor+window -> chain stays at 3
+        _write([(t0 + 3700, 1, "purchase")], 2)
+        q.processAllAvailable()
+        rows = [
+            (r.level, r.anchor_sec)
+            for r in spark.sql(
+                f"SELECT * FROM {qname} ORDER BY level"
+            ).collect()
+        ]
+        # one emission per batch: level 2 after b0, 3 after b1, 3 after b2
+        assert rows == [(2, t0), (3, t0), (3, t0)]
+    finally:
+        q.stop()
