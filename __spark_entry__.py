@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual catalog lives in
-``etl_prometheus2clickhouse_spark/plans/catalog.py`` — 50 entries, one
+``etl_prometheus2clickhouse_spark/plans/catalog.py`` — one entry
 per DISTINCT operator from SURVEY.md §2 plus the LLM-pipeline layer
 (dedup, similarity, text analysis + quality filtering, HTML/URL front
 door, BPE tokenization, sampling, time-series, temporal joins,
@@ -20,7 +20,7 @@ are tuned for verified recall 1.0 on this corpus (see each query's
 docstring; semantics additionally pinned by tests/test_dedup.py,
 tests/test_similarity.py). Redundant formulations (bucketed/direction
 twins, per-kind multimodal faces, and the round-10 demoted relational
-twins) are in the catalog's ``CROSS_CHECKED_QUERIES`` — 84 entries,
+twins) are in the catalog's ``CROSS_CHECKED_QUERIES`` —
 oracle-verified by tests/test_cross_checked.py and
 scripts/check_correctness.py, kept out of the driver window so every
 distinct operator gets a row.

@@ -50,3 +50,22 @@ def test_entry_module_exports_the_registries():
 
     assert set(e.queries()) == set(QUERIES)
     assert set(e.oracle_sql()) == set(ORACLES)
+
+
+def test_entry_docstring_counts_match_registry():
+    """The driver reads __spark_entry__.py's docstring as the contract
+    surface; round 10 shipped a stale '84 entries' against an
+    88-entry registry. Any literal 'N entries' claim in the docstring
+    must equal a real registry size — or name no number at all."""
+    import re
+
+    import __spark_entry__ as e
+
+    real_sizes = {len(QUERIES), len(CROSS_CHECKED_QUERIES), len(ALL_QUERIES)}
+    for m in re.finditer(r"(\d+)\s+entries", e.__doc__ or ""):
+        n = int(m.group(1))
+        assert n in real_sizes, (
+            f"__spark_entry__ docstring claims '{n} entries' but the "
+            f"registries are {sorted(real_sizes)} — update the docstring "
+            "or drop the number"
+        )
