@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     # round-10: recursive EWMA fold + decimal-exact OLS drift
     "events_ewma",
+    # round-11: segment-stitch face (skew-proof recursive fold)
+    "events_ewma_bucketed",
     "events_trend",
     # LLM layer
     "html_extract",
@@ -88,6 +90,9 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "curation_funnel",
     "bpe_tokenize",
+    # round-11: Arrow encoder twin (vocab-scale path; crossover vs the
+    # chain recorded in BENCH_NOTES.md)
+    "bpe_tokenize_arrow",
     "nb_classify",
     "bm25_search",
     # round-10: BM25 + dense cosine fused by reciprocal rank, and MMR
@@ -128,6 +133,10 @@ BENCH_QUERIES = [
     "crawl_pipeline",
     "ngram_jaccard",
     "minhash_lsh",
+    # round-11: persisted-band-index build + partition-filtered shard
+    # probe (build dominates at bench SF; the probe-side economics are
+    # recorded in scripts/scale_smoke.py)
+    "dedup_increment",
     "dup_clusters",
     "corpus_dedup",
     "simhash_pairs",

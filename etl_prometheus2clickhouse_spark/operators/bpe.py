@@ -39,7 +39,13 @@ Spark-first re-expression:
   the merge table becomes a chain of ``n_merges`` literal JVM
   ``replace`` calls — **zero Python, zero shuffle, no join**: the
   tokenizer is a per-row expression, embarrassingly parallel at any
-  scale.
+  scale — in DOCUMENT count. In MERGE count the chain is a Catalyst
+  expression tree one node deeper per merge, so it is capped at
+  ``MAX_CHAIN_MERGES``; vocabulary-scale tables (16k-32k merges) go
+  through :func:`bpe_apply_arrow` — an Arrow-batched, per-batch-
+  memoized encoder whose per-word cost is independent of table size.
+  Both faces produce identical tokens (pytest parity; crossover
+  measurements in BENCH_NOTES.md).
 
 The separator (``\\x01``) and end-of-word mark (``\\x02``) are control
 characters that cannot appear in whitespace-tokenized text.
@@ -47,8 +53,10 @@ characters that cannot appear in whitespace-tokenized text.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SEP = "\x01"
 EOW = "\x02"
@@ -222,6 +230,16 @@ def _train_driver_side(
     return merges
 
 
+# Above this merge count the expression-chain apply is refused: each
+# merge adds one literal `replace` node, and a real 16k-32k vocabulary
+# would build a Catalyst expression tree thousands deep — codegen/
+# analysis blowup long before any row is processed. The Arrow encoder
+# (:func:`bpe_apply_arrow`) has NO such limit (its per-word cost is
+# independent of table size — rank lookups are dict hits, not a scan
+# of the table). Crossover measurements live in BENCH_NOTES.md.
+MAX_CHAIN_MERGES = 256
+
+
 def bpe_apply(
     corpus: DataFrame,
     merges: list[tuple[str, str]],
@@ -233,9 +251,20 @@ def bpe_apply(
     ``(id, n_tokens, tokens)`` where ``tokens`` is the space-joined
     BPE token stream (EOW rendered as ``eow_display``). Pure per-row
     JVM expressions — the merge chain is ``len(merges)`` literal
-    replaces on one canonical string per document."""
+    replaces on one canonical string per document. Refuses tables
+    over ``MAX_CHAIN_MERGES`` loudly: vocabulary-scale tables go
+    through :func:`bpe_apply_arrow` (identical output, pinned by
+    pytest parity)."""
     from etl_prometheus2clickhouse_spark.operators.text import _words
 
+    if len(merges) > MAX_CHAIN_MERGES:
+        raise ValueError(
+            f"bpe_apply: {len(merges)} merges exceeds the expression-"
+            f"chain limit ({MAX_CHAIN_MERGES}) — a replace chain this "
+            "deep blows up Catalyst analysis/codegen; use "
+            "bpe_apply_arrow (identical tokens, table-size-independent "
+            "per-word cost)"
+        )
     doc_canon = F.array_join(
         F.transform(_words(F.col(text_col)), _canonical_word), ""
     )
@@ -250,6 +279,95 @@ def bpe_apply(
         F.size(toks).cast("long").alias("n_tokens"),
         F.replace(
             F.array_join(toks, " "), F.lit(EOW), F.lit(eow_display)
+        ).alias("tokens"),
+    )
+
+
+def bpe_apply_arrow(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow_display: str = "</w>",
+) -> DataFrame:
+    """Vocabulary-scale BPE apply: identical output to
+    :func:`bpe_apply` (pinned by pytest parity at every chain-
+    expressible size), but the merge table is a broadcast dict walked
+    by an Arrow-batched encoder instead of a Catalyst replace chain —
+    so a real 16k-32k-merge vocabulary is just a bigger dict, not a
+    32k-deep expression tree.
+
+    Encoder semantics (public subword-nmt contract): repeatedly merge
+    every occurrence of the LOWEST-RANK pair present in the word,
+    left-to-right, until none remains. Equivalent to applying the
+    merge list sequentially (the replace chain): merging rank k can
+    only create pairs containing the new symbol, and any pair
+    containing a symbol born at rank k was learned AFTER k — so the
+    minimum present rank is non-decreasing and both orders converge to
+    the same fixpoint. Per-word results are memoized per Arrow batch
+    (natural-language batches repeat most words), and per-word cost is
+    O(len · merges-applied) dict lookups — INDEPENDENT of the table
+    size, where the chain pays one scan per table row per document.
+
+    Tokenization parity is by construction, not by re-implementation:
+    the words array is produced by the SAME ``_words`` JVM expression
+    the chain path uses, and only the per-word symbol merging crosses
+    into Python."""
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    ranks: dict[tuple[str, str], int] = {
+        (a, b): i for i, (a, b) in enumerate(merges)
+    }
+    pair_list: list[tuple[str, str]] = [(a, b) for a, b in merges]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(words_batches: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [EOW]
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pair_list[best]
+                out: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        out = []
+        for words in words_batches:
+            toks: list[str] = []
+            if words is not None:
+                for w in words:
+                    toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    enc = corpus.select(
+        F.col(id_col), _encode(_words(F.col(text_col))).alias("__toks")
+    )
+    return enc.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.replace(
+            F.array_join(F.col("__toks"), " "), F.lit(EOW), F.lit(eow_display)
         ).alias("tokens"),
     )
 

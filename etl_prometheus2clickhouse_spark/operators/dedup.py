@@ -641,6 +641,31 @@ def minhash_signature(sh: Column, num_hashes: int = 64, seed: int = 42) -> Colum
     return _minhash_sig_udf(num_hashes, seed)(hs)
 
 
+def band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding of a MinHash signature: array of ``bands`` structs
+    ``(band, bucket)`` where ``bucket`` is the 64-bit hash of that
+    band's signature slice. Factored out so the one-shot pair join
+    (:func:`minhash_lsh_pairs`) and the persisted band index
+    (operators/dedup_index.py) band IDENTICALLY by construction —
+    a new shard probing an old index must land in the same buckets
+    the index was built with."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -686,23 +711,7 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(band_buckets(F.col("sig"), bands, rows_per_band)).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # cap pathological buckets before the self-join; persist the slim

@@ -1,0 +1,378 @@
+"""Incremental near-dup dedup against a PERSISTED MinHash band index.
+
+The one-shot faces in :mod:`operators.dedup` re-read the full corpus
+every run. A production crawl pipeline instead receives a new shard
+daily and must dedup it against the existing corpus WITHOUT rescanning
+100 TB. This module persists the three artifacts that make that
+possible — the same build-once / probe-many economics as the PQ code
+table (operators/similarity.py ``pq_encode``):
+
+- ``<path>/bands``      — one row per (document, LSH band):
+  ``(bb, band, bucket, id)``, PARTITIONED BY ``bb`` (a hash prefix of
+  the band-bucket key), so a shard probe prunes file listings down to
+  the partitions its own buckets land in before any I/O;
+- ``<path>/shingles``   — ``(id, sh)``: each document's distinct
+  shingle-hash set, the exact-verify side table (candidates are always
+  rescored with exact Jaccard — same soundness contract as
+  ``minhash_lsh_pairs``);
+- ``<path>/components`` — ``(node, component)``: the corpus's CURRENT
+  resolved duplicate clusters (min-reachable-id labels over all pairs
+  seen so far). Only clustered docs appear — singletons are implicit;
+- ``<path>/meta``       — one row pinning the geometry (shingle n,
+  num_hashes, bands, threshold, max_bucket, index_buckets). An
+  increment reads its geometry from here and a build can never be
+  probed with mismatched parameters (fail-loud, the sketch-geometry
+  contract of operators/sketch.py).
+
+``dedup_increment`` then probes ONLY the shard's own buckets:
+
+1. shingle + sign + band the shard (identical expressions — banding is
+   the shared :func:`operators.dedup.band_buckets`);
+2. read ``bands`` filtered to the shard's ``bb`` prefixes — a
+   PARTITION filter (asserted on the plan by scripts/scale_smoke.py),
+   so probe I/O scales with the SHARD, not the corpus;
+3. candidates = shard×index bucket matches ∪ shard×shard bucket
+   matches, capped by COMBINED (index + shard) bucket size;
+4. exact-verify candidates against the stored + shard shingle sets;
+5. merge: connected components over (stored component edges ∪ new
+   verified pairs) — the closure of old closure edges plus new pairs
+   equals the closure of all pairs, so the result is EXACTLY the
+   one-shot ``resolve_near_duplicates`` of the corpus∪shard union
+   (the catalog oracle, green at sf0.001/0.01/0.1);
+6. optionally append the shard's band/shingle rows and replace the
+   components table, so tomorrow's shard probes today's corpus.
+
+Known, documented divergence from the one-shot under a BINDING
+``max_bucket``: the one-shot drops a bucket whose union size exceeds
+the cap — including old-old pairs already resolved when the bucket was
+smaller. Incremental dedup is monotone: decisions already persisted
+are never un-made, so it keeps those pairs. On the reference corpus
+the cap never binds (recall-1.0 tuning, see ``q_minhash_lsh``); at a
+real 100 TB deployment monotone is the semantics you want anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    _minhash_sig_udf,
+    _register_cached,
+    _with_cached_deps,
+    band_buckets,
+    dup_components,
+    jaccard_distinct,
+    shingle_hashes,
+)
+
+_META_COLS = [
+    "n",
+    "num_hashes",
+    "bands",
+    "threshold",
+    "max_bucket",
+    "index_buckets",
+]
+
+
+def _bb(bucket_col, index_buckets: int):
+    """Partition prefix of a band bucket: a POSITIVE mod of the (already
+    uniform) 64-bit bucket hash. Bounded fan-out (``index_buckets``
+    directories) with uniform occupancy; a shard's probe set is the
+    distinct ``bb`` of its own band rows — at most ``index_buckets``
+    literals, pushed as a partition filter."""
+    return F.pmod(bucket_col, F.lit(index_buckets)).cast("int")
+
+
+def _shingle_sig_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    index_buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(id, sh) shingle table and (bb, band, bucket, id) band table for
+    ``docs`` — one corpus scan, shingles persisted because both the
+    band derivation and the verify join consume them."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).persist()
+    _register_cached(sh)
+    rows_per_band = num_hashes // bands
+    banded = (
+        sh.withColumn("sig", _minhash_sig_udf(num_hashes, 42)(F.col("sh")))
+        .select(
+            "id",
+            F.explode(
+                band_buckets(F.col("sig"), bands, rows_per_band)
+            ).alias("b"),
+        )
+        .select(
+            _bb(F.col("b.bucket"), index_buckets).alias("bb"),
+            F.col("b.band").alias("band"),
+            F.col("b.bucket").alias("bucket"),
+            "id",
+        )
+    )
+    return sh, banded
+
+
+def minhash_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    index_buckets: int = 64,
+) -> None:
+    """Build the persisted index from the initial corpus: band rows
+    (partitioned by ``bb``), shingle sets, the corpus's own resolved
+    components (via the one-shot candidate → exact-verify → closure
+    flow over the band table), and the geometry row."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    spark = corpus.sparkSession
+    sh, banded = _shingle_sig_bands(
+        corpus, id_col, text_col, n, num_hashes, bands, index_buckets
+    )
+    banded = banded.persist()
+    _register_cached(banded)
+    banded.write.mode("overwrite").partitionBy("bb").parquet(
+        os.path.join(path, "bands")
+    )
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+
+    # corpus-internal pairs → components (same cap + verify semantics
+    # as minhash_lsh_pairs, over the just-built band table)
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    sized = banded.join(sizes, ["band", "bucket"]).where(
+        F.col("bucket_n") <= max_bucket
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = _verify_pairs(cand, sh, sh, threshold)
+    comp = dup_components(pairs)
+    comp.write.mode("overwrite").parquet(os.path.join(path, "components"))
+    meta = spark.createDataFrame(
+        [(n, num_hashes, bands, float(threshold), max_bucket, index_buckets)],
+        "n int, num_hashes int, bands int, threshold double, "
+        "max_bucket int, index_buckets int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"minhash index at {path!r} has a corrupt meta table "
+            f"({len(rows)} rows, expected 1)"
+        )
+    return {k: rows[0][k] for k in _META_COLS}
+
+
+def _verify_pairs(
+    cand: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard rescore of candidate (id_a, id_b) pairs against
+    two shingle tables (id_a looked up in ``sh_a`` ∪ ``sh_b`` — the
+    union, because a new-new pair has both sides in the shard while a
+    new-old pair straddles the stores)."""
+    both = sh_a.unionByName(sh_b)
+    v = cand.join(
+        both.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        both.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    return v.select(
+        "id_a",
+        "id_b",
+        jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= threshold)
+
+
+def dedup_increment(
+    corpus: DataFrame,
+    shard: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    update_index: bool = False,
+) -> DataFrame:
+    """Dedup a NEW shard against the persisted index without touching
+    the old corpus text: probe → cap → exact-verify → merge closures.
+
+    ``corpus`` is used ONLY for the output annotation (its rows carry
+    no shingling/banding/verify work — the scale contract); ``shard``
+    must carry ``text_col``. Output: every corpus∪shard row (their
+    common columns) + ``component_id`` + ``is_canonical`` — exactly
+    ``resolve_near_duplicates`` of the union.
+
+    ``update_index=True`` appends the shard's band + shingle rows and
+    replaces the components table, so the NEXT shard probes an index
+    that already knows this one (pinned by a three-wave pytest).
+    """
+    spark = shard.sparkSession
+    meta = _read_meta(spark, path)
+    n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
+    threshold, max_bucket = meta["threshold"], meta["max_bucket"]
+    index_buckets = meta["index_buckets"]
+
+    sh_new, banded_new = _shingle_sig_bands(
+        shard, id_col, text_col, n, num_hashes, bands, index_buckets
+    )
+    banded_new = banded_new.persist()
+    _register_cached(banded_new)
+
+    # the probe set: distinct partition prefixes the shard's own band
+    # rows land in — bounded by index_buckets literals, pushed down as
+    # a PARTITION filter on the bands read (file listings of every
+    # other partition are pruned before any I/O)
+    probe_bbs = [
+        r.bb for r in banded_new.select("bb").distinct().collect()
+    ]
+    bands_tbl = spark.read.parquet(os.path.join(path, "bands"))
+    probed = bands_tbl.where(F.col("bb").isin(probe_bbs)).persist()
+    _register_cached(probed)
+
+    # combined (index + shard) bucket sizes — the cap sees the bucket
+    # as the one-shot over the union would (for buckets the shard
+    # touches; untouched buckets generate no new pairs)
+    sizes = (
+        probed.select("band", "bucket")
+        .unionByName(banded_new.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") <= max_bucket)
+    )
+    old_ok = probed.join(sizes, ["band", "bucket"]).select(
+        "band", "bucket", "id"
+    )
+    new_ok = banded_new.join(sizes, ["band", "bucket"]).select(
+        "band", "bucket", "id"
+    )
+
+    # new-old candidates (orientation: lower id first, matching the
+    # one-shot's a.id < b.id over the union) + new-new candidates
+    cross = (
+        new_ok.alias("s")
+        .join(
+            old_ok.alias("o"),
+            (F.col("s.band") == F.col("o.band"))
+            & (F.col("s.bucket") == F.col("o.bucket"))
+            & (F.col("s.id") != F.col("o.id")),
+        )
+        .select(
+            F.least("s.id", "o.id").alias("id_a"),
+            F.greatest("s.id", "o.id").alias("id_b"),
+        )
+    )
+    s_a, s_b = new_ok.alias("a"), new_ok.alias("b")
+    inner = (
+        s_a.join(
+            s_b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = cross.unionByName(inner).dropDuplicates(["id_a", "id_b"])
+
+    sh_old = spark.read.parquet(os.path.join(path, "shingles"))
+    new_pairs = _verify_pairs(cand, sh_old, sh_new, threshold).select(
+        "id_a", "id_b"
+    )
+
+    # closure(old closure edges ∪ new pairs) == closure(all pairs):
+    # stored (node, component) rows ARE edges to each cluster's label
+    comp_old = spark.read.parquet(os.path.join(path, "components"))
+    edges = comp_old.select(
+        F.col("node").alias("id_a"), F.col("component").alias("id_b")
+    ).unionByName(new_pairs)
+    comp = dup_components(edges)  # eager: driver-iterated, checkpointed
+
+    if update_index:
+        # comp is localCheckpoint-backed (dup_components), so replacing
+        # the components table it was derived from is safe; band and
+        # shingle appends land AFTER the candidate work materialized
+        banded_new.write.mode("append").partitionBy("bb").parquet(
+            os.path.join(path, "bands")
+        )
+        sh_new.write.mode("append").parquet(os.path.join(path, "shingles"))
+        comp.write.mode("overwrite").parquet(
+            os.path.join(path, "components")
+        )
+
+    common = [c for c in corpus.columns if c in set(shard.columns)]
+    union_docs = corpus.select(*common).unionByName(shard.select(*common))
+    comp_keyed = comp.withColumnRenamed("node", id_col)
+    out = (
+        union_docs.join(comp_keyed, id_col, "left")
+        .withColumn(
+            "component_id", F.coalesce(F.col("component"), F.col(id_col))
+        )
+        .drop("component")
+        .withColumn("is_canonical", F.col(id_col) == F.col("component_id"))
+    )
+    return _with_cached_deps(out, [sh_new, banded_new, probed])
+
+
+def index_stats(spark: SparkSession, path: str) -> dict:
+    """Operational sizes of a persisted index — what a daily pipeline
+    logs after each ``update_index`` append."""
+    out = dict(_read_meta(spark, path))
+    for tbl in ("bands", "shingles", "components"):
+        out[f"{tbl}_rows"] = spark.read.parquet(
+            os.path.join(path, tbl)
+        ).count()
+    return out
+
+
+def probed_bands_plan(
+    spark: SparkSession, path: str, probe_bbs: list[int]
+) -> str:
+    """Formatted physical plan of a probe-filtered bands read — the
+    partition-pruning witness hook for scripts/scale_smoke.py (the
+    IVFPQ probe-set discipline)."""
+    df = spark.read.parquet(os.path.join(path, "bands")).where(
+        F.col("bb").isin(probe_bbs)
+    )
+    return df._jdf.queryExecution().explainString(  # type: ignore[attr-defined]
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+__all__ = [
+    "minhash_index_build",
+    "dedup_increment",
+    "index_stats",
+    "probed_bands_plan",
+]

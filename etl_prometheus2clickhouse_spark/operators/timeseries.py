@@ -293,7 +293,13 @@ def ewma(
     expression ``α·x + (1−α)·s`` is evaluated with the same IEEE
     doubles in the same sequence as the DuckDB oracle's
     ``list_reduce``, so results match bit-for-bit before the final
-    defensive rounding.
+    defensive rounding — which is EXPLICIT ``floor(x·10^d + 0.5)/10^d``
+    arithmetic, not engine ``round()``: a raw fold result landing
+    exactly on a shortest-decimal-representation ``…5`` boundary
+    (observed once in 7,500 series at sf0.1) rounds UP under Spark's
+    HALF_UP-on-shortest-repr but DOWN under DuckDB's
+    round-the-binary-value; the explicit form computes identically on
+    identical doubles in both engines.
 
     Output: ``keys`` + ``n_samples`` + ``last_sec`` + ``ewma``.
     """
@@ -313,13 +319,120 @@ def ewma(
         F.element_at(vals, 1),
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
+    scale = F.lit(float(10 ** round_digits))
     return g.select(
         *keys,
         F.size(F.col("__arr")).cast("long").alias("n_samples"),
         F.floor(F.element_at(F.col("__arr"), -1)["__t"] / 1_000_000)
         .cast("long")
         .alias("last_sec"),
-        F.round(folded, round_digits).alias("ewma"),
+        (F.floor(folded * scale + 0.5) / scale).alias("ewma"),
+    )
+
+
+def ewma_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    round_digits: int = 6,
+    bucket: str = "day",
+) -> DataFrame:
+    """Skew-proof :func:`ewma`: same output columns, but NO
+    one-array-per-series contract — the recursion is segmented by time
+    bucket and stitched, so the per-task state is bounded by the
+    LARGEST BUCKET of a series, not the series (the
+    ``sessionize_bucketed`` recipe applied to a recursive fold).
+
+    The smoothing step ``s ← α·x + (1−α)·s`` is AFFINE in ``s``, and
+    affine maps compose: a whole segment of values collapses to one
+    pair ``(m, o)`` with ``s_out = m·s_in + o`` — ``m`` by iterated
+    ``(1−α)`` multiplication, ``o`` by the same fold seeded at 0. Each
+    (series, bucket) group folds its ordered values once (map-side-
+    combining agg on the (keys, bucket) grid); the stitch then folds
+    the O(buckets) per-series segment summaries in bucket order —
+    first segment contributes its self-seeded value (``s₁ = x₁``
+    semantics, same as :func:`ewma`), each later segment applies its
+    ``(m, o)``.
+
+    Numerics: the composed result equals the plain fold EXACTLY in
+    real arithmetic and to ~1 ulp in IEEE doubles (multiplication
+    distributed over the segment boundary) — measured: identical
+    rounded values on 8,324/8,325 series across sf0.001-0.1, the one
+    exception a 1-ulp drift straddling the 6-digit rounding boundary.
+    The final rounding is therefore EXPLICIT arithmetic —
+    ``floor(x·10^d + 0.5)/10^d`` — not engine ``round()``: Spark
+    rounds the double's SHORTEST decimal representation HALF_UP while
+    DuckDB rounds the binary value, and a raw result landing exactly
+    on a shortest-repr ``…5`` boundary (bitwise identical in both
+    engines, observed at sf0.1) rounds differently under the two —
+    the explicit form computes identically on identical doubles.
+    Per-segment folds use the identical expression sequence as
+    :func:`ewma`'s kernel.
+
+    Output: ``keys`` + ``n_samples`` + ``last_sec`` + ``ewma``.
+    """
+    ts_us = epoch_micros(df, ts_col)
+    a, om = F.lit(alpha), F.lit(1.0 - alpha)
+    rows = df.select(
+        *keys,
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        ts_us.alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("__t").alias("__t"),
+                                F.col("__v").alias("__v")))
+    )
+    g = rows.groupBy(*keys, "__b").agg(arr.alias("__arr"))
+    vals = F.transform(F.col("__arr"), lambda s: s["__v"])
+    m = F.aggregate(vals, F.lit(1.0), lambda acc, x: om * acc)
+    o = F.aggregate(vals, F.lit(0.0), lambda acc, x: a * x + om * acc)
+    seeded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + om * acc,
+    )
+    seg = g.select(
+        *keys,
+        F.struct(
+            F.col("__b").alias("b"),
+            m.alias("m"),
+            o.alias("o"),
+            seeded.alias("s"),
+        ).alias("__seg"),
+        F.size(F.col("__arr")).cast("long").alias("__n"),
+        F.element_at(F.col("__arr"), -1)["__t"].alias("__last"),
+    )
+    segs = F.array_sort(F.collect_list("__seg"))
+    k = seg.groupBy(*keys).agg(
+        segs.alias("__segs"),
+        F.sum("__n").alias("n_samples"),
+        F.max("__last").alias("__last_us"),
+    )
+    stitched = F.aggregate(
+        F.slice(
+            F.col("__segs"),
+            2,
+            F.greatest(F.size(F.col("__segs")) - 1, F.lit(0)),
+        ),
+        F.element_at(F.col("__segs"), 1),
+        lambda acc, x: F.struct(
+            x["b"].alias("b"),
+            x["m"].alias("m"),
+            x["o"].alias("o"),
+            (x["m"] * acc["s"] + x["o"]).alias("s"),
+        ),
+    )
+    scale = F.lit(float(10 ** round_digits))
+    return k.select(
+        *keys,
+        "n_samples",
+        F.floor(F.col("__last_us") / 1_000_000).cast("long").alias(
+            "last_sec"
+        ),
+        (F.floor(stitched["s"] * scale + 0.5) / scale).alias("ewma"),
     )
 
 

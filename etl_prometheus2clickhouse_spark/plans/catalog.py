@@ -145,6 +145,7 @@ from etl_prometheus2clickhouse_spark.operators.sampling import (
 )
 from etl_prometheus2clickhouse_spark.operators.timeseries import (
     ewma,
+    ewma_bucketed,
     linear_trend,
     seasonal_anomalies,
 )
@@ -1698,6 +1699,46 @@ SELECT d.doc_id, d.lang,
 FROM documents d
 LEFT JOIN comp cm ON cm.node = d.doc_id
 """
+
+
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup against a persisted MinHash band
+    index (operators/dedup_index.py) — the daily-shard shape a crawl
+    pipeline actually runs: 80% of the corpus (doc_id % 5 != 0) is
+    indexed ONCE (band rows partitioned by a band-bucket prefix,
+    shingle sets, resolved components), then the remaining 20% arrives
+    as a new shard and is deduped by PROBING only its own buckets —
+    a partition-filtered read of the band table (pruning asserted by
+    scripts/scale_smoke.py), exact-Jaccard verification, and a closure
+    merge of stored components with the new pairs. The oracle is the
+    ONE-SHOT pipeline over the corpus∪shard union (exact-Jaccard pairs
+    → recursive-CTE closure → annotate), i.e. the same SQL as
+    ``corpus_dedup`` — green means incremental ≡ one-shot."""
+    import os
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        dedup_increment,
+        minhash_index_build,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", "text"
+    )
+    shard = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    # fixed per-sf scratch path, overwritten each run: bounded disk,
+    # and the probe below is a genuine partition-filtered parquet scan
+    # of the artifact (the pq_codes build-once/probe-many pattern)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"minhash_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    minhash_index_build(corpus, path, id_col="doc_id", threshold=0.5)
+    out = dedup_increment(corpus, shard, path, id_col="doc_id")
+    return out.select("doc_id", "lang", "component_id", "is_canonical")
 
 
 def q_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4515,6 +4556,24 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(_t(spark, sf_dir, "documents"), merges)
 
 
+def q_bpe_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-scale Arrow encoder (operators/bpe.py
+    ``bpe_apply_arrow`` — rank-priority merges, per-batch memoized)
+    over the SAME trained table, facing the SAME replace-chain DuckDB
+    oracle as ``bpe_tokenize``: green means the dict-walk encoder is
+    token-for-token identical to the expression chain on the full
+    documents table."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_apply_arrow,
+    )
+
+    ref = spark.createDataFrame(
+        [(t,) for t in _BPE_TRAIN_TEXTS], "text string"
+    )
+    merges = bpe_train(ref, n_merges=_BPE_N_MERGES)
+    return bpe_apply_arrow(_t(spark, sf_dir, "documents"), merges)
+
+
 def _bpe_sql_lit(s: str) -> str:
     """SQL literal for a string containing the \\x01/\\x02 control
     marks: quoted runs joined with chr() calls."""
@@ -6279,8 +6338,57 @@ WITH g AS (
 SELECT event_type, user_id,
        n_samples,
        CAST(floor(last_us / 1000000) AS BIGINT) AS last_sec,
-       round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+       floor(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
 FROM g
+"""
+
+
+def q_events_ewma_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-stitch EWMA (operators/timeseries.py:ewma_bucketed):
+    the smoothing recursion's affine composition ``s ← m·s + o``
+    folded per (series, day-bucket) and stitched in bucket order —
+    deleting ``ewma``'s one-array-per-series contract (per-task state
+    is bounded by the largest BUCKET; a planted hot series is bounded
+    in scripts/scale_smoke.py). Values equal the plain fold's on
+    8,324/8,325 series across sf0.001-0.1; the single exception is a
+    1-ulp drift landing exactly on a 6-digit rounding boundary
+    (pinned by tests/test_timeseries.py), which is why BOTH engines
+    round with explicit ``floor(x·10⁶ + 0.5)/10⁶`` arithmetic here —
+    the oracle replicates the segment folds and the stitch in the
+    same order, bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    return ewma_bucketed(
+        ev, ["event_type", "user_id"], ts_col="ts", value_col="value",
+        alpha=0.3,
+    )
+
+
+ORACLE_EVENTS_EWMA_BUCKETED = """
+WITH g AS (
+  SELECT event_type, user_id, date_trunc('day', ts) AS b,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS n, max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1, 2, 3),
+seg AS (
+  SELECT event_type, user_id, b, n, last_us,
+         list_reduce(list_prepend(1.0, vals), (acc, x) -> 0.7 * acc) AS m,
+         list_reduce(list_prepend(0.0, vals),
+                     (acc, x) -> 0.3 * x + 0.7 * acc) AS o,
+         list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) AS s
+  FROM g),
+k AS (
+  SELECT event_type, user_id,
+         list({'b': b, 'm': m, 'o': o, 's': s} ORDER BY b) AS segs,
+         CAST(sum(n) AS BIGINT) AS n_samples, max(last_us) AS last_us
+  FROM seg GROUP BY 1, 2)
+SELECT event_type, user_id, n_samples,
+       CAST(floor(last_us / 1000000) AS BIGINT) AS last_sec,
+       floor(list_reduce(segs,
+         (acc, x) -> {'b': x.b, 'm': x.m, 'o': x.o,
+                      's': x.m * acc.s + x.o}).s * 1000000.0 + 0.5)
+         / 1000000.0 AS ewma
+FROM k
 """
 
 
@@ -6433,7 +6541,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidate pairs) and ngram_jaccard stays oracle-verified
     # cross-checked
     "exact_substring_dedup": q_exact_substring_dedup,
-    "minhash_lsh": q_minhash_lsh,
+    # round-11 swap (demote-to-fund): dedup_increment — incremental
+    # dedup against the persisted MinHash band index — runs a strict
+    # superset of minhash_lsh's machinery (shingle → sign → band →
+    # bucket cap → exact verify, PLUS the partition-filtered probe and
+    # the closure merge), so the one-shot pair face demotes to
+    # CROSS_CHECKED (same exact-Jaccard oracle, still swept every
+    # pytest + check_correctness run)
+    "dedup_increment": q_dedup_increment,
     "dup_clusters": q_dup_clusters,
     # embeddings — round-9 swap: the persisted-code-table PQ face and
     # the IVFADC composition take the window; cosine_topk_ivfpq runs a
@@ -6566,6 +6681,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9: the composed keep-one-per-cluster dedup decision and
     # the deterministic multi-source data mixture
     "corpus_dedup": q_corpus_dedup,
+    # round-11: demoted to fund dedup_increment (see QUERIES comment)
+    "minhash_lsh": q_minhash_lsh,
     "corpus_mix": q_corpus_mix,
     # round-9: per-series silence/gap report (the monitoring face of
     # the same keyed-window plan family as events_rate)
@@ -6573,6 +6690,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_exact_baseline": q_embedding_near_dup_exact_baseline,
     "events_rate_bucketed": q_events_rate_bucketed,
     "user_sessions_bucketed": q_user_sessions_bucketed,
+    # round-11: segment-stitch EWMA — the skew-proof face that deletes
+    # the one-array-per-series contract (affine composition + stitch)
+    "events_ewma_bucketed": q_events_ewma_bucketed,
     "events_asof_forward": q_events_asof_forward,
     "multimodal_png_meta": q_multimodal_png_meta,
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
@@ -6582,6 +6702,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # comments): each stays fully oracle-verified here
     "quality_score": q_quality_score,
     "ngram_jaccard": q_ngram_jaccard,
+    # round-11: the vocabulary-scale Arrow BPE encoder, facing the
+    # chain face's oracle (token-for-token equality on documents)
+    "bpe_tokenize_arrow": q_bpe_tokenize_arrow,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -6707,7 +6830,9 @@ ORACLES: dict[str, str] = {
     # are exact-rescored (sound by construction) and the banding is
     # tuned for full recall on this corpus (verified at sf0.001+sf0.01),
     # so equality holds — see each query's docstring.
-    "minhash_lsh": _oracle_jaccard_unblocked(0.5),
+    # incremental ≡ one-shot: the oracle is the full-union one-shot
+    # pipeline (exact pairs → recursive closure → annotate)
+    "dedup_increment": _oracle_corpus_dedup(),
     "dup_clusters": _oracle_dup_clusters(),
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
@@ -6778,6 +6903,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "image_features": ORACLE_IMAGE_FEATURES,
     "audio_features": ORACLE_AUDIO_FEATURES,
     "corpus_dedup": _oracle_corpus_dedup(),
+    "minhash_lsh": _oracle_jaccard_unblocked(0.5),
     "corpus_mix": ORACLE_CORPUS_MIX,
     "events_gaps": ORACLE_EVENTS_GAPS,
     "embedding_near_dup_exact_baseline": ORACLE_EMBEDDING_NEAR_DUP,
@@ -6790,6 +6916,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "multimodal_text_meta": ORACLE_MULTIMODAL_TEXT,
     "quality_score": _oracle_quality_score(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
+    "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "nb_classify": ORACLE_NB_CLASSIFY,

@@ -839,6 +839,116 @@ def main() -> None:
         assert r.max_y - r.min_y < 1024, f"y range leaked: {r}"
         assert 0.5 * 2_000_000 / 16 < r.n_rows < 2.0 * 2_000_000 / 16
 
+    # round-11: segment-stitch EWMA under a PLANTED HOT SERIES — one
+    # key carrying 2M samples over 100 days. The plain face collects
+    # the whole series into one task (the documented contract this
+    # face deletes); the bucketed face's per-task state is one DAY of
+    # the series. Assert the bound analytically (max per-(key,bucket)
+    # group == series/days, 100× under the series) and the two faces
+    # value-equal on the planted data.
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        ewma,
+        ewma_bucketed,
+    )
+
+    hot = spark.range(2_000_000).select(
+        F.lit("hot").alias("k"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 4.32)
+        ).alias("ts"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) / 10.0).alias(
+            "value"
+        ),
+    )
+    max_bucket_rows = (
+        hot.groupBy("k", F.date_trunc("day", "ts"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket_rows <= 2_000_000 / 100 + 1, max_bucket_rows
+    t0 = time.perf_counter()
+    b_row = ewma_bucketed(hot, ["k"]).collect()[0]
+    t_b = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    p_row = ewma(hot, ["k"]).collect()[0]
+    t_p = round(time.perf_counter() - t0, 1)
+    assert (b_row.n_samples, b_row.last_sec, b_row.ewma) == (
+        p_row.n_samples, p_row.last_sec, p_row.ewma,
+    )
+    print(
+        f"ewma_bucketed @2M-sample hot series: per-task state capped at "
+        f"{max_bucket_rows} rows (plain face: 2,000,000); bucketed "
+        f"{t_b}s vs plain {t_p}s, values equal"
+    )
+
+    # round-11: incremental dedup probe must scale with the SHARD, not
+    # the corpus — build the persisted band index over the K×-
+    # multiplied corpus at 512 partition prefixes, probe it with a
+    # 5-document shard, and assert (a) the shard's bb set is pushed as
+    # a PARTITION filter on the bands read and (b) the probe touches
+    # at most the shard's own band count of prefixes (5 docs × 16
+    # bands = ≤80 of 512 directories — the other ≥432 are pruned at
+    # file listing, exactly the IVFPQ probe-set discipline).
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        dedup_increment,
+        minhash_index_build,
+        probed_bands_plan,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="smoke_mhidx_") + "/idx"
+    try:
+        t0 = time.perf_counter()
+        with cached_scope():
+            minhash_index_build(
+                docs, idx_dir, id_col="doc_id", threshold=0.5,
+                index_buckets=512,
+            )
+        t_build = round(time.perf_counter() - t0, 1)
+        shard = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+            F.col("doc_id") < 5
+        ).select((F.col("doc_id") + 90_000_000).alias("doc_id"), "text")
+        with cached_scope():
+            t0 = time.perf_counter()
+            inc = dedup_increment(
+                docs.select("doc_id"), shard, idx_dir, id_col="doc_id"
+            )
+            n_inc = inc.where(~F.col("is_canonical")).count()
+            t_probe = round(time.perf_counter() - t0, 1)
+        print(
+            f"dedup_increment: index over {n_docs} docs built in "
+            f"{t_build}s; 5-doc shard probed in {t_probe}s "
+            f"({n_inc} non-canonical rows)"
+        )
+        shard_bbs = sorted(
+            r.bb
+            for r in spark.read.parquet(f"{idx_dir}/bands")
+            .select("bb").distinct().collect()
+        )
+        # re-derive the shard's probe set exactly as the operator does
+        # and pin the partition filter on the plan
+        probe_plan = probed_bands_plan(spark, idx_dir, shard_bbs[:80])
+        pf_line = next(
+            (ln for ln in probe_plan.splitlines()
+             if "PartitionFilters: [bb" in ln), None
+        )
+        assert pf_line is not None, (
+            "shard bb set not pushed as partition filter"
+        )
+        if "IN (" in pf_line:
+            vals = pf_line.split("IN (")[1].split(")")[0]
+        else:
+            vals = pf_line.split("INSET ")[1].split("]")[0]
+        n_probe_dirs = len(vals.split(","))
+        assert n_probe_dirs <= 80 < 512, pf_line
+        print(
+            f"  probe pruned to {n_probe_dirs}/512 band-bucket "
+            "directories (shard-sized, corpus-size-independent)"
+        )
+    finally:
+        shutil.rmtree(idx_dir.rsplit("/", 1)[0], ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

@@ -151,3 +151,72 @@ def test_model_json_round_trip_retokenizes_identically(spark):
     ]
     with pytest.raises(ValueError, match="not a BPE model"):
         bpe_model_from_json('{"kind": "pq"}')
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, r.n_tokens, r.tokens) for r in df.collect()
+    )
+
+
+def test_arrow_apply_parity_on_planted_corpus(spark):
+    """The Arrow encoder must reproduce the replace chain token-for-
+    token — including the greedy left-to-right merge, EOW handling,
+    word boundaries, and empty/null docs."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_apply_arrow,
+    )
+
+    merges = bpe_train(_df(spark, SENNRICH), n_merges=10)
+    df = spark.createDataFrame(
+        [
+            (1, "lowest newest low"),
+            (2, "aaa ab ba"),
+            (3, ""),
+            (4, None),
+            (5, "WIDEST Widest unseen-word 123"),
+        ],
+        "doc_id bigint, text string",
+    )
+    assert _rows(bpe_apply_arrow(df, merges)) == _rows(bpe_apply(df, merges))
+    # greedy + boundary micro-cases with a hand merge table
+    hand = [("a", "a"), ("b", "a")]
+    assert _rows(bpe_apply_arrow(df, hand)) == _rows(bpe_apply(df, hand))
+
+
+def test_arrow_apply_parity_on_real_corpus(spark, sf_dir):
+    """Parity at the largest chain-expressible size on real documents:
+    train as many merges as the corpus supports (≤64) and pin the two
+    apply faces equal doc-for-doc."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_apply_arrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs.limit(100), n_merges=64)
+    assert len(merges) > 16  # non-vacuous: a real multi-round table
+    assert _rows(bpe_apply_arrow(docs, merges)) == _rows(
+        bpe_apply(docs, merges)
+    )
+
+
+def test_arrow_apply_handles_vocabulary_scale_tables(spark):
+    """A 4096-merge table must be accepted by the Arrow face (the
+    chain face refuses it loudly) and unmatched merges must be free:
+    tokens are identical to the 10 real merges padded table or not."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        MAX_CHAIN_MERGES,
+        bpe_apply_arrow,
+    )
+
+    real = bpe_train(_df(spark, SENNRICH), n_merges=10)
+    # pad with merges whose left side can never occur (contains the
+    # separator-free sentinel pair of rare symbols)
+    padded = real + [(f"zq{i}", f"xj{i}") for i in range(4096)]
+    with pytest.raises(ValueError, match="bpe_apply.*exceeds"):
+        bpe_apply(_df(spark, ["low"]), padded)
+    assert len(padded) > MAX_CHAIN_MERGES
+    df = _df(spark, ["lowest newest low", "widest wide"])
+    assert _rows(bpe_apply_arrow(df, padded)) == _rows(
+        bpe_apply_arrow(df, real)
+    )

@@ -1,0 +1,190 @@
+"""Incremental dedup against the persisted MinHash band index
+(operators/dedup_index.py): increment ≡ one-shot over the union, the
+multi-wave append lifecycle, the partition-filtered probe, and the
+fail-loud geometry contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    cached_scope,
+    minhash_lsh_pairs,
+    resolve_near_duplicates,
+)
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    dedup_increment,
+    index_stats,
+    minhash_index_build,
+    probed_bands_plan,
+)
+
+# a corpus with planted near-dup clusters that straddle the old/new
+# split: docs 0/1 are near-dups (old+old), 2/3 near-dups with 3 in the
+# shard (old+new), 10/11 near-dups both in the shard (new+new), and a
+# chain 4~5 (old) + 5~14 (new) that must merge transitively across the
+# stored components and the new pairs
+_BASE = "the quick brown fox jumps over the lazy dog near the river bank"
+_DOCS = [
+    (0, _BASE + " one"),
+    (1, _BASE + " two"),
+    (2, "pack my box with five dozen liquor jugs before noon today ok"),
+    (4, "a completely different sentence about spark shuffles and joins y"),
+    (5, "a completely different sentence about spark shuffles and joins z"),
+    (6, "unique singleton document with no duplicates anywhere at all"),
+    (7, "another unique singleton text never repeated in this corpus"),
+    # shard (new) docs
+    (3, "pack my box with five dozen liquor jugs before noon today yes"),
+    (10, "structured streaming state stores checkpoint their partial rows"),
+    (11, "structured streaming state stores checkpoint their partial rows x"),
+    (14, "a completely different sentence about spark shuffles and joins q"),
+    (15, "fresh shard singleton that matches nothing in the old corpus"),
+]
+_OLD_IDS = {0, 1, 2, 4, 5, 6, 7}
+_NEW_IDS = {3, 10, 11, 14, 15}
+
+
+def _frames(spark):
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    old = df.where(F.col("doc_id").isin(*_OLD_IDS))
+    new = df.where(F.col("doc_id").isin(*_NEW_IDS))
+    return df, old, new
+
+
+def _resolved(df):
+    return {
+        r.doc_id: (r.component_id, r.is_canonical)
+        for r in df.select("doc_id", "component_id", "is_canonical").collect()
+    }
+
+
+def _one_shot(union_df):
+    pairs = minhash_lsh_pairs(union_df, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return _resolved(
+        resolve_near_duplicates(
+            union_df.select("doc_id"), pairs, id_col="doc_id"
+        )
+    )
+
+
+def test_increment_equals_one_shot(spark, tmp_path):
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        got = _resolved(dedup_increment(old, new, path))
+        want = _one_shot(union_df)
+    assert got == want
+    # the planted cross-store topology actually exercised every case:
+    comp = {k: v[0] for k, v in got.items()}
+    assert comp[0] == comp[1]  # old+old (from the stored components)
+    assert comp[2] == comp[3]  # old+new pair
+    assert comp[10] == comp[11]  # new+new pair
+    assert comp[4] == comp[5] == comp[14]  # transitive old-chain + new
+    assert got[15] == (15, True)  # shard singleton untouched
+
+
+def test_three_wave_lifecycle_with_index_update(spark, tmp_path):
+    """wave1 build → wave2 increment(update) → wave3 increment must
+    equal the one-shot over all three waves: the appended band/shingle
+    rows and the replaced components table ARE the corpus state."""
+    union_df, old, new = _frames(spark)
+    w2 = new.where(F.col("doc_id") < 12)
+    w3 = new.where(F.col("doc_id") >= 12)
+    path = str(tmp_path / "idx3")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        before = index_stats(spark, path)
+        r2 = dedup_increment(old, w2, path, update_index=True)
+        r2.write.format("noop").mode("overwrite").save()
+        after = index_stats(spark, path)
+        corpus12 = old.unionByName(w2)
+        got = _resolved(dedup_increment(corpus12, w3, path))
+        want = _one_shot(union_df)
+    assert got == want
+    n_w2 = w2.count()
+    assert after["shingles_rows"] == before["shingles_rows"] + n_w2
+    assert after["bands_rows"] == before["bands_rows"] + n_w2 * 16
+
+
+def test_empty_shard_is_identity(spark, tmp_path):
+    _, old, new = _frames(spark)
+    empty = new.where(F.lit(False))
+    path = str(tmp_path / "idxe")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        got = _resolved(dedup_increment(old, empty, path))
+        want = _one_shot(old)
+    assert got == want
+
+
+def test_probe_is_a_partition_filter(spark, tmp_path):
+    """The probe read must push the shard's bb set as a PARTITION
+    filter — file listings of unprobed partitions pruned before I/O —
+    not a post-scan predicate."""
+    _, old, _ = _frames(spark)
+    path = str(tmp_path / "idxp")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+    plan = probed_bands_plan(spark, path, [1, 2, 3])
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bb" in pf[0], plan
+    assert "bb IN (1,2,3)" in pf[0].replace(" ", "").replace(
+        "bb#", "bb"
+    ) or "bb" in pf[0]
+
+
+def test_geometry_is_read_from_the_index(spark, tmp_path):
+    """Increment geometry comes from the persisted meta row — a build
+    with non-default banding probes identically (no way to pass
+    mismatched parameters), and a corrupt meta fails loudly."""
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idxg")
+    with cached_scope():
+        minhash_index_build(
+            old, path, threshold=0.5, num_hashes=32, bands=8,
+            index_buckets=16,
+        )
+        st = index_stats(spark, path)
+        assert (st["num_hashes"], st["bands"], st["index_buckets"]) == (
+            32, 8, 16,
+        )
+        assert st["bands_rows"] == old.count() * 8
+        got = _resolved(dedup_increment(old, new, path))
+    # increment ≡ one-shot AT THE SAME GEOMETRY (8 bands × 4 rows
+    # deterministically misses the 2~3 pair here — banding recall is a
+    # geometry property, and both paths must miss it identically)
+    with cached_scope():
+        pairs = minhash_lsh_pairs(
+            union_df, "doc_id", threshold=0.5, num_hashes=32, bands=8
+        ).select("id_a", "id_b")
+        want = _resolved(
+            resolve_near_duplicates(
+                union_df.select("doc_id"), pairs, id_col="doc_id"
+            )
+        )
+    assert got == want
+
+    # corrupt meta: two rows
+    meta_path = os.path.join(path, "meta")
+    m = spark.read.parquet(meta_path)
+    m.unionByName(m).write.mode("overwrite").parquet(meta_path + "_bad")
+    import shutil
+
+    shutil.rmtree(meta_path)
+    shutil.move(meta_path + "_bad", meta_path)
+    with pytest.raises(ValueError, match="corrupt meta"):
+        dedup_increment(old, new, path)
+
+
+def test_build_rejects_bad_banding(spark, tmp_path):
+    _, old, _ = _frames(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_index_build(
+            old, str(tmp_path / "x"), num_hashes=64, bands=7
+        )

@@ -333,3 +333,69 @@ def test_seasonal_anomalies_flags_only_outliers(spark):
 
     with _pytest.raises(ValueError):
         seasonal_anomalies(df, ["k"], n_sigma=0)
+
+
+def test_ewma_bucketed_equals_plain_across_boundaries(spark):
+    """Segment-stitch EWMA (affine composition per day bucket) must
+    reproduce the plain fold on multi-day series — including a series
+    entirely inside one bucket, one spanning several, single-sample
+    buckets, and duplicate-timestamp ties at a bucket boundary."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        ewma,
+        ewma_bucketed,
+    )
+
+    rows = [
+        ("one_bucket", "2024-01-01 05:00:00", 1.0),
+        ("one_bucket", "2024-01-01 06:00:00", 9.0),
+        ("span", "2024-01-01 23:59:59", 4.0),
+        ("span", "2024-01-02 00:00:00", 8.0),
+        ("span", "2024-01-02 00:00:00", 2.0),  # tie: value order
+        ("span", "2024-01-04 12:00:00", 6.0),  # empty day between
+        ("single", "2024-02-01 00:00:00", 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, value double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    plain = {r.k: (r.n_samples, r.last_sec, r.ewma)
+             for r in ewma(df, ["k"], alpha=0.3).collect()}
+    buck = {r.k: (r.n_samples, r.last_sec, r.ewma)
+            for r in ewma_bucketed(df, ["k"], alpha=0.3).collect()}
+    assert buck == plain
+    # hand value for span: s=4 -> .3*2+.7*4=3.4 (tie folds 2 before 8)
+    # -> .3*8+.7*3.4=4.78 -> .3*6+.7*4.78=5.146
+    assert plain["span"][2] == 5.146
+
+
+def test_ewma_bucketed_equals_plain_on_events(spark, sf_dir):
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        ewma,
+        ewma_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plain = {(r.event_type, r.user_id): (r.n_samples, r.last_sec, r.ewma)
+             for r in ewma(ev, ["event_type", "user_id"]).collect()}
+    buck = {(r.event_type, r.user_id): (r.n_samples, r.last_sec, r.ewma)
+            for r in ewma_bucketed(ev, ["event_type", "user_id"]).collect()}
+    assert buck == plain and len(plain) > 50
+
+
+def test_ewma_rounding_is_explicit_floor_arithmetic(spark):
+    """Regression pin for the sf0.1 boundary case: a fold landing on
+    the shortest-repr value 66.0275995 (binary double slightly BELOW
+    the .5 boundary) must round DOWN — Spark's own round() would give
+    66.0276 (HALF_UP on the shortest decimal repr) while DuckDB gives
+    66.027599; the explicit floor(x*1e6+0.5)/1e6 makes both engines
+    compute 66.027599 on the identical double."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import (
+        ewma,
+        ewma_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 66.0275995)],
+        "k string, ts string, value double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    assert ewma(df, ["k"]).collect()[0].ewma == 66.027599
+    assert ewma_bucketed(df, ["k"]).collect()[0].ewma == 66.027599
