@@ -261,6 +261,133 @@ def _check_bench_coverage() -> None:
         )
 
 
+# --- self-adjudicating swing probes ---------------------------------------
+# Rounds 8-10 produced 8 false ≥1.5× in-suite alarms (every one probe-
+# cleared as suite contention by hand). The instrument now adjudicates
+# itself: after the two passes, any entry ≥ PROBE_RATIO× its previous
+# committed recording is re-run in a FRESH PROCESS (its own JVM — the
+# exact discipline of the manual probes), and the full two-pass table +
+# probe columns are written to BENCH_LOCAL_r{N}.json (committed), so the
+# per-query record survives the driver's 2 KB tail truncation
+# (BENCH_r07-r10 upstream are all "parsed": null).
+
+PROBE_RATIO = 1.5
+PROBE_RUNS = 3
+PROBE_MAX = 8  # bound the worst-case suite extension (~45 s/probe)
+PROBE_FLOOR_SEC = 0.2  # sub-200ms entries are driver-overhead noise
+
+
+def _repo_root() -> Path:
+    return Path(__file__).resolve().parent
+
+
+def _current_round() -> int:
+    """Next round number = 1 + the newest recorded round artifact."""
+    rounds = [0]
+    for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
+        for f in _repo_root().glob(pat):
+            m = re.search(r"_r(\d+)\.json$", f.name)
+            if m:
+                rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _load_reference() -> tuple[str, dict[str, float]]:
+    """Newest committed per-query warm recording, best source first:
+    a BENCH_LOCAL_r{N}.json written by this instrument (full table),
+    else a driver BENCH_r{N}.json whose JSON line fit (parsed payload),
+    else the warm pairs recoverable from the newest driver tail (the
+    2 KB truncation keeps the END of the line — mostly queries_warm)."""
+    root = _repo_root()
+    local = sorted(
+        root.glob("BENCH_LOCAL_r*.json"),
+        key=lambda f: int(re.search(r"_r(\d+)", f.name).group(1)),
+    )
+    for f in reversed(local):
+        try:
+            d = json.loads(f.read_text())
+            q = d.get("queries_warm") or d.get("queries") or {}
+            if q:
+                return f.name, {k: float(v) for k, v in q.items()}
+        except (json.JSONDecodeError, ValueError, TypeError):
+            continue
+    driver = sorted(
+        root.glob("BENCH_r*.json"),
+        key=lambda f: int(re.search(r"_r(\d+)", f.name).group(1)),
+    )
+    for f in reversed(driver):
+        try:
+            d = json.loads(f.read_text())
+        except json.JSONDecodeError:
+            continue
+        p = d.get("parsed")
+        if p and (p.get("queries_warm") or p.get("queries")):
+            q = p.get("queries_warm") or p["queries"]
+            return f.name, {k: float(v) for k, v in q.items()}
+        tail = d.get("tail") or ""
+        pairs = re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', tail)
+        q = {}
+        for k, v in pairs:  # later occurrence wins → the warm section
+            if k not in ("value", "value_warm", "sf"):
+                q[k] = float(v)
+        if q:
+            return f"{f.name} (tail)", q
+    return "none", {}
+
+
+def _probe_once(name: str, sf_dir: str, cpus: str) -> list[float] | None:
+    """Run one entry PROBE_RUNS times in a fresh subprocess JVM."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--probe", name],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": cpus},
+    )
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith('{"probe"'):
+            return json.loads(line)["runs"]
+    return None
+
+
+def _probe_main(name: str) -> None:
+    """--probe mode: fresh-session timing of ONE entry — warm exactly
+    as the suite does, then PROBE_RUNS scoped runs."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name=f"bench-probe-{name}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    QUERIES["prom_parse"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    if name.startswith("stream"):
+        warm_dir = os.path.join(
+            os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
+        )
+        if not os.path.isdir(warm_dir):
+            warm_dir = sf_dir
+        QUERIES["stream_rate"](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    runs = []
+    for _ in range(PROBE_RUNS):
+        with cached_scope():
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"probe": name, "runs": runs}))
+
+
 def main() -> None:
     _check_bench_coverage()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -320,20 +447,62 @@ def main() -> None:
     times = run_suite()
     times_warm = run_suite()
 
-    print(
-        json.dumps(
-            {
-                "metric": f"headline-suite wall seconds ({len(BENCH_QUERIES)} queries, local)",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "queries_warm": times_warm,
-                "value_warm": round(sum(times_warm.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    # adjudicate swings against the newest committed recording: an
+    # entry slow in BOTH passes AND in its own fresh JVM is a real
+    # regression; slow only in-suite is contention (the 8-for-8
+    # outcome of rounds 8-10's manual probes)
+    ref_label, ref = _load_reference()
+    flagged = [
+        n
+        for n in BENCH_QUERIES
+        if n in ref
+        and ref[n] >= PROBE_FLOOR_SEC
+        and times_warm.get(n, 0.0) >= PROBE_RATIO * ref[n]
+    ]
+    dropped_probes = flagged[PROBE_MAX:]
+    probes: dict[str, dict] = {}
+    for n in flagged[:PROBE_MAX]:
+        runs = _probe_once(n, sf_dir, cpus)
+        probes[n] = {
+            "in_suite": times_warm[n],
+            "reference": ref[n],
+            "probe_runs": runs,
+            # steady state: best post-first-run time (the first probe
+            # run still pays that JVM's first compilation of the
+            # query's own stages)
+            "probe_steady": (
+                round(min(runs[1:] or runs), 3) if runs else None
+            ),
+        }
+    if dropped_probes:
+        probes["__unprobed__"] = {  # no silent caps
+            "note": f"PROBE_MAX={PROBE_MAX} reached",
+            "entries": dropped_probes,
+        }
+
+    payload = {
+        "metric": f"headline-suite wall seconds ({len(BENCH_QUERIES)} queries, local)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "queries_warm": times_warm,
+        "value_warm": round(sum(times_warm.values()), 3),
+        "sf": sf,
+        "probe_reference": ref_label,
+        "probes": probes,
+    }
+    # the committed full record (survives the driver's tail truncation
+    # and becomes the next round's probe reference)
+    local = _repo_root() / f"BENCH_LOCAL_r{_current_round()}.json"
+    local.write_text(json.dumps(payload, indent=1) + "\n")
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
+        _probe_main(sys.argv[2])
+    else:
+        main()

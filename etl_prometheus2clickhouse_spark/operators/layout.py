@@ -157,3 +157,52 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_pruning_stats(
+    path: str, ranges: dict[str, tuple[int, int]]
+) -> dict[str, int]:
+    """Read-side pruning WITNESS for a z-ordered table: given a
+    conjunctive range predicate ``{dim: (lo, hi)}``, count — from the
+    written parquet FOOTERS, the same statistics any engine's
+    row-group filter consults — how many row groups are provably
+    disjoint from the query rectangle (min > hi or max < lo on any
+    dim) and therefore skipped without reading a byte of data pages.
+
+    This is the query-side complement of the write-side envelope test:
+    the layout is only worth its sort if a 2-dim range predicate
+    actually skips, which is file-format arithmetic, not a plan
+    property — so it is measured here from metadata, engine-agnostic.
+    Returns ``{"skipped": k, "total": n, "rows_skipped": r,
+    "rows_total": m}``."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    skipped = total = rows_skipped = rows_total = 0
+    for f in sorted(pathlib.Path(path).glob("part-*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        names = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            total += 1
+            rows_total += g.num_rows
+            prunable = False
+            for dim, (lo, hi) in ranges.items():
+                st = g.column(names[dim]).statistics
+                if st is None:
+                    continue
+                if st.min > hi or st.max < lo:
+                    prunable = True
+                    break
+            if prunable:
+                skipped += 1
+                rows_skipped += g.num_rows
+    return {
+        "skipped": skipped,
+        "total": total,
+        "rows_skipped": rows_skipped,
+        "rows_total": rows_total,
+    }

@@ -839,6 +839,44 @@ def main() -> None:
         assert r.max_y - r.min_y < 1024, f"y range leaked: {r}"
         assert 0.5 * 2_000_000 / 16 < r.n_rows < 2.0 * 2_000_000 / 16
 
+    # round-11: READ-side Z-order witness — complete the loop from the
+    # write-side envelope check: write the 2M grid z-ordered, run a
+    # 1/64 two-dim range rectangle, and assert footer statistics prune
+    # most row groups (the unsorted layout prunes zero) while the
+    # surviving groups still hold every matching row.
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        write_zordered,
+        zorder_pruning_stats,
+    )
+
+    z_dir = tempfile.mkdtemp(prefix="smoke_zorder_")
+    try:
+        write_zordered(
+            grid, f"{z_dir}/z", ["x", "y"], n_files=64, bits=8,
+            bounds={"x": (0, 4095), "y": (0, 4095)},
+        )
+        grid.repartition(64).write.parquet(f"{z_dir}/plain")
+        ranges = {"x": (512, 1023), "y": (2048, 2559)}
+        zst = zorder_pruning_stats(f"{z_dir}/z", ranges)
+        pst = zorder_pruning_stats(f"{z_dir}/plain", ranges)
+        pred = (F.col("x").between(512, 1023)) & (
+            F.col("y").between(2048, 2559)
+        )
+        got_z = spark.read.parquet(f"{z_dir}/z").where(pred).count()
+        got_p = spark.read.parquet(f"{z_dir}/plain").where(pred).count()
+        assert got_z == got_p > 0, (got_z, got_p)
+        assert pst["skipped"] == 0, pst
+        assert zst["skipped"] >= 0.6 * zst["total"], zst
+        print(
+            f"zorder read witness @2M rows: {zst['skipped']}/"
+            f"{zst['total']} row groups skipped on footer stats "
+            f"({zst['rows_skipped']}/{zst['rows_total']} rows never "
+            f"read); unsorted layout skipped {pst['skipped']}; answers "
+            "identical"
+        )
+    finally:
+        shutil.rmtree(z_dir, ignore_errors=True)
+
     # round-11: segment-stitch EWMA under a PLANTED HOT SERIES — one
     # key carrying 2M samples over 100 days. The plain face collects
     # the whole series into one task (the documented contract this

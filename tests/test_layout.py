@@ -153,3 +153,42 @@ def test_write_zordered_tightens_file_envelopes(spark, tmp_path):
     assert z_area * 6 <= p_area, (z_area, p_area, z_env)
     wide = [e for e in z_env if e[0] > 160 or e[1] > 160]
     assert len(wide) <= len(z_env) // 4, z_env
+
+
+def test_zordered_read_prunes_row_groups_and_answers_match(spark, tmp_path):
+    """Query-side witness: a 2-dim range predicate over the z-ordered
+    table must SKIP most row groups on footer statistics alone, while
+    the same predicate over the unsorted layout skips none — and the
+    surviving groups still contain every matching row (Spark's answer
+    over both layouts is identical)."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        write_zordered,
+        zorder_pruning_stats,
+    )
+
+    grid = spark.range(100_000).select(
+        (F.col("id") % 256).alias("x"),
+        F.pmod(F.col("id") * 2654435761, F.lit(256)).alias("y"),
+    )
+    zpath, plain = tmp_path / "zq", tmp_path / "pq"
+    write_zordered(
+        grid, str(zpath), ["x", "y"], n_files=16, bits=8,
+        bounds={"x": (0, 255), "y": (0, 255)},
+    )
+    grid.repartition(16).write.parquet(str(plain))
+
+    ranges = {"x": (32, 63), "y": (96, 127)}  # a 1/64 query rectangle
+    z = zorder_pruning_stats(str(zpath), ranges)
+    p = zorder_pruning_stats(str(plain), ranges)
+    assert z["total"] >= 16 and z["skipped"] >= 0.5 * z["total"], z
+    assert p["skipped"] == 0, p  # unsorted: every group straddles
+
+    pred = (
+        (F.col("x").between(32, 63)) & (F.col("y").between(96, 127))
+    )
+    got_z = spark.read.parquet(str(zpath)).where(pred).count()
+    got_p = spark.read.parquet(str(plain)).where(pred).count()
+    want = grid.where(pred).count()
+    assert got_z == got_p == want > 0
