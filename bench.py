@@ -56,8 +56,10 @@ BENCH_QUERIES = [
     "cohort_retention",
     # round-10: recursive EWMA fold + decimal-exact OLS drift
     "events_ewma",
-    # round-11: segment-stitch face (skew-proof recursive fold)
+    # round-11: segment-stitch face (skew-proof recursive fold) and
+    # the three-scalar stateful streaming face
     "events_ewma_bucketed",
+    "stream_ewma",
     "events_trend",
     # LLM layer
     "html_extract",
@@ -189,6 +191,10 @@ BENCH_QUERIES = [
     "stream_hll",
     "stream_kmv_durable",
     "stream_cms_hh",
+    # round-11: composed durable curation face (incremental dedup
+    # against the persisted index + Gopher + LM through real
+    # checkpointed micro-batches)
+    "stream_curation",
 ]
 
 # Registry entries deliberately NOT benched, each with why. "No silent

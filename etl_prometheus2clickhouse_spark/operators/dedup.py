@@ -258,6 +258,60 @@ def dup_components(
     return out
 
 
+def dup_components_auto(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    driver_edge_threshold: int = 65_536,
+) -> DataFrame:
+    """:func:`dup_components` with a bounded driver fast path — the
+    ``bpe_train`` ``driver_vocab_threshold`` pattern applied to
+    closure: near-dup PAIR sets are tiny relative to the corpus (the
+    generators cap buckets and verify exactly), and below
+    ``driver_edge_threshold`` edges a min-label union-find on the
+    driver beats N iterated join/checkpoint rounds of cluster
+    round-trips by an order of magnitude. Above the threshold the
+    distributed propagation runs unchanged. Same output contract
+    and values as :func:`dup_components` (pinned by pytest on both
+    routes); pass ``driver_edge_threshold=0`` to force distributed."""
+    if driver_edge_threshold > 0:
+        head = pairs.select(
+            F.col(left).alias("a"), F.col(right).alias("b")
+        ).limit(driver_edge_threshold + 1).collect()
+        if len(head) <= driver_edge_threshold:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row.a, row.b
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for n in parent:
+                r = find(n)
+                if r not in comp_min or n < comp_min[r]:
+                    comp_min[r] = n
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                [(n, comp_min[find(n)]) for n in sorted(parent)],
+                schema=pairs.select(
+                    F.col(left).alias("node"),
+                    F.col(right).alias("component"),
+                ).schema,
+            )
+    return dup_components(pairs, left, right)
+
+
 def dup_components_twostar(
     pairs: DataFrame,
     left: str = "id_a",

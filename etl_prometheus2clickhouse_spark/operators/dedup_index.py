@@ -8,13 +8,18 @@ possible — the same build-once / probe-many economics as the PQ code
 table (operators/similarity.py ``pq_encode``):
 
 - ``<path>/bands``      — one row per (document, LSH band):
-  ``(bb, band, bucket, id)``, PARTITIONED BY ``bb`` (a hash prefix of
-  the band-bucket key), so a shard probe prunes file listings down to
-  the partitions its own buckets land in before any I/O;
+  ``(bb, band, bucket, id)``, PARTITIONED BY ``mb`` (the ingestion
+  increment that wrote the rows — ``base`` for the build, the caller's
+  label for each update) and ``bb`` (a hash prefix of the band-bucket
+  key), so a shard probe prunes file listings down to the partitions
+  its own buckets land in before any I/O, and an update OVERWRITES its
+  own ``mb=`` directory — replay-idempotent, which is what lets the
+  streaming curation face (streaming/curation_stream.py) update the
+  index from an at-least-once ``foreachBatch``;
 - ``<path>/shingles``   — ``(id, sh)``: each document's distinct
   shingle-hash set, the exact-verify side table (candidates are always
   rescored with exact Jaccard — same soundness contract as
-  ``minhash_lsh_pairs``);
+  ``minhash_lsh_pairs``); same ``mb=`` increment layout;
 - ``<path>/components`` — ``(node, component)``: the corpus's CURRENT
   resolved duplicate clusters (min-reachable-id labels over all pairs
   seen so far). Only clustered docs appear — singletons are implicit;
@@ -63,7 +68,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     _register_cached,
     _with_cached_deps,
     band_buckets,
-    dup_components,
+    dup_components_auto,
     jaccard_distinct,
     shingle_hashes,
 )
@@ -142,15 +147,28 @@ def minhash_index_build(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     spark = corpus.sparkSession
+    # a BUILD is a semantic overwrite of the whole index: clear any
+    # prior layout first (per-table mode("overwrite") only replaces
+    # the directories it writes — stale increment dirs or a previous
+    # partition layout at the same path would otherwise survive and
+    # conflict at partition discovery)
+    _delete_path(spark, path)
     sh, banded = _shingle_sig_bands(
         corpus, id_col, text_col, n, num_hashes, bands, index_buckets
     )
     banded = banded.persist()
     _register_cached(banded)
-    banded.write.mode("overwrite").partitionBy("bb").parquet(
-        os.path.join(path, "bands")
+    # cluster rows on the partition key before the partitioned write:
+    # without it every write task emits one file per bb directory it
+    # sees (tasks × index_buckets tiny files — measured 2.7× slower
+    # build and a 32× file-count blowup at sf0.1); with it each bb
+    # lands in exactly one task → index_buckets files total
+    banded.repartition(F.col("bb")).write.mode("overwrite").partitionBy(
+        "bb"
+    ).parquet(os.path.join(path, "bands", "mb=base"))
+    sh.write.mode("overwrite").parquet(
+        os.path.join(path, "shingles", "mb=base")
     )
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
 
     # corpus-internal pairs → components (same cap + verify semantics
     # as minhash_lsh_pairs, over the just-built band table)
@@ -172,7 +190,7 @@ def minhash_index_build(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = _verify_pairs(cand, sh, sh, threshold)
-    comp = dup_components(pairs)
+    comp = dup_components_auto(pairs)
     comp.write.mode("overwrite").parquet(os.path.join(path, "components"))
     meta = spark.createDataFrame(
         [(n, num_hashes, bands, float(threshold), max_bucket, index_buckets)],
@@ -182,6 +200,18 @@ def minhash_index_build(
     meta.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    any filesystem the session can write (local, HDFS, object
+    stores), unlike a driver-local shutil."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    )
+    fs.delete(hpath, True)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
@@ -223,6 +253,7 @@ def dedup_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     update_index: bool = False,
+    update_label: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW shard against the persisted index without touching
     the old corpus text: probe → cap → exact-verify → merge closures.
@@ -231,12 +262,27 @@ def dedup_increment(
     no shingling/banding/verify work — the scale contract); ``shard``
     must carry ``text_col``. Output: every corpus∪shard row (their
     common columns) + ``component_id`` + ``is_canonical`` — exactly
-    ``resolve_near_duplicates`` of the union.
+    ``resolve_near_duplicates`` of the union. Pass an EMPTY ``corpus``
+    to annotate only the shard (the streaming per-batch shape).
 
-    ``update_index=True`` appends the shard's band + shingle rows and
-    replaces the components table, so the NEXT shard probes an index
-    that already knows this one (pinned by a three-wave pytest).
-    """
+    ``update_index=True`` writes the shard's band + shingle rows into
+    the increment directories ``mb=<update_label>`` (OVERWRITE — a
+    replayed increment with the same label is idempotent, never a
+    duplicate append) and replaces the components table (recomputed
+    from the full closure, also idempotent), so the NEXT shard probes
+    an index that already knows this one (pinned by a three-wave
+    pytest and a replay pytest)."""
+    if update_index:
+        if not update_label or any(c in update_label for c in "/=%"):
+            raise ValueError(
+                "dedup_increment: update_index=True needs a filesystem-"
+                f"safe update_label, got {update_label!r}"
+            )
+        if update_label == "base":
+            raise ValueError(
+                "dedup_increment: update_label 'base' is reserved for "
+                "the build increment"
+            )
     spark = shard.sparkSession
     meta = _read_meta(spark, path)
     n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
@@ -304,7 +350,9 @@ def dedup_increment(
     )
     cand = cross.unionByName(inner).dropDuplicates(["id_a", "id_b"])
 
-    sh_old = spark.read.parquet(os.path.join(path, "shingles"))
+    sh_old = spark.read.parquet(os.path.join(path, "shingles")).select(
+        "id", "sh"
+    )
     new_pairs = _verify_pairs(cand, sh_old, sh_new, threshold).select(
         "id_a", "id_b"
     )
@@ -315,16 +363,23 @@ def dedup_increment(
     edges = comp_old.select(
         F.col("node").alias("id_a"), F.col("component").alias("id_b")
     ).unionByName(new_pairs)
-    comp = dup_components(edges)  # eager: driver-iterated, checkpointed
+    comp = dup_components_auto(edges)  # eager either route (collect or checkpointed rounds)
 
     if update_index:
         # comp is localCheckpoint-backed (dup_components), so replacing
         # the components table it was derived from is safe; band and
-        # shingle appends land AFTER the candidate work materialized
-        banded_new.write.mode("append").partitionBy("bb").parquet(
-            os.path.join(path, "bands")
+        # shingle rows OVERWRITE this increment's own mb= directory
+        # (never a bare append), and the components overwrite is a
+        # recomputation of the same closure — all three writes are
+        # idempotent under foreachBatch's at-least-once replay
+        banded_new.repartition(F.col("bb")).write.mode(
+            "overwrite"
+        ).partitionBy("bb").parquet(
+            os.path.join(path, "bands", f"mb={update_label}")
         )
-        sh_new.write.mode("append").parquet(os.path.join(path, "shingles"))
+        sh_new.write.mode("overwrite").parquet(
+            os.path.join(path, "shingles", f"mb={update_label}")
+        )
         comp.write.mode("overwrite").parquet(
             os.path.join(path, "components")
         )

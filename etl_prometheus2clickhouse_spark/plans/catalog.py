@@ -163,7 +163,9 @@ from etl_prometheus2clickhouse_spark.plans.stream_catalog import (
     q_stream_hourly,
     q_stream_join,
     ORACLE_STREAM_SESSIONS,
+    ORACLE_STREAM_EWMA,
     q_stream_cms_hh,
+    q_stream_ewma,
     q_stream_hll,
     q_stream_kmv,
     q_stream_kmv_durable,
@@ -5818,6 +5820,133 @@ FROM documents WHERE doc_id % 97 = 0
 """
 
 
+_SC_PPL_THR = 37.0  # fixed CCNet-style cutoff; non-vacuous at all SFs
+_SC_CORPUS_SQL = (
+    "(SELECT doc_id, text FROM " + _GOPHER_PLANT_SQL
+    + " WHERE doc_id % 97 <> 0)"
+)
+
+
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental curation (streaming/curation_stream.py) —
+    the curation funnel as a durable foreachBatch pipeline over the
+    persisted MinHash index: the first id-quartile of the (planted,
+    reference-split) corpus seeds the index, the remaining three
+    quartiles arrive as REAL micro-batches in ascending id order, and
+    each batch is (1) incrementally deduped by probing only its own
+    band buckets — updating the index under its own replay-idempotent
+    ``mb=`` increment, (2) Gopher-filtered, (3) LM-scored under the
+    frozen doc_id%97 reference model against a FIXED threshold — with
+    per-batch dispositions written to the batch's own partition under
+    a streaming checkpoint (kill-and-restart + replay pinned by
+    tests/test_streaming_curation.py). The oracle is the ONE-SHOT
+    recomputation over everything (exact-Jaccard closure → Gopher →
+    LM threshold) restricted to the streamed quartiles: green means
+    incremental streaming curation ≡ the batch funnel. Keep-first
+    equals the oracle's min-id election because batches arrive in
+    ascending id order (divergence class documented and pinned in
+    tests/test_streaming_curation.py + the funnel semantics matrix)."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        minhash_index_build,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        read_dispositions,
+        run_streaming_curation,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _plant_stopwords_col().alias("text")
+    )
+    ref = d.where(F.col("doc_id") % 97 == 0)
+    corpus = d.where(F.col("doc_id") % 97 != 0)
+    b = corpus.agg(F.max("doc_id")).first()[0] + 1
+    seed = corpus.where(F.col("doc_id") < b // 4)
+    scratch = tempfile.mkdtemp(prefix="stream_curation_")
+    try:
+        idx = f"{scratch}/idx"
+        # banding geometry: 64 bands × 1 row — P(miss) = (1-J)^64,
+        # ≈ 5e-20 at the 0.5 threshold. The default 16×4 geometry
+        # misses 4 true pairs on the PLANTED sf0.1 corpus (J 0.53-0.70
+        # on short suffix-diluted docs: P(miss J=0.53) ≈ 0.27/band
+        # set), which is exactly the class of silent recall loss the
+        # exact-Jaccard oracle exists to catch — it did, and the
+        # sweep below is green at all three SFs with this geometry.
+        minhash_index_build(
+            seed, idx, id_col="doc_id", threshold=0.5,
+            num_hashes=64, bands=64,
+        )
+        for i in (1, 2, 3):
+            lo, hi = i * b // 4, ((i + 1) * b // 4 if i < 3 else b)
+            corpus.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(f"{scratch}/in/b{i}")
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{scratch}/in/b*")
+        )
+        run_streaming_curation(
+            src, idx, ref, f"{scratch}/disp", f"{scratch}/ckpt",
+            _SC_PPL_THR,
+        )
+        disp = read_dispositions(spark, f"{scratch}/disp").select(
+            "doc_id", "disposition"
+        )
+        rows = spark.createDataFrame(disp.collect(), disp.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return rows
+
+
+def _oracle_stream_curation() -> str:
+    jac = _oracle_jaccard_unblocked(0.5).replace(
+        "FROM documents", "FROM " + _SC_CORPUS_SQL
+    )
+    gopher = _GOPHER_RULES_SQL.replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, text FROM dd WHERE canon)",
+    )
+    lm = ORACLE_LM_PERPLEXITY.replace("FROM documents", "FROM lm_src")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({jac}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS (SELECT node, min(reach) AS c FROM walk GROUP BY node),
+dd AS (SELECT d.doc_id, d.text,
+              d.doc_id = coalesce(cm.c, d.doc_id) AS canon
+       FROM {_SC_CORPUS_SQL} d LEFT JOIN comp cm ON cm.node = d.doc_id),
+g AS ({gopher}),
+lm_src AS (
+  SELECT doc_id, text FROM {_GOPHER_PLANT_SQL} p WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT dd.doc_id, dd.text FROM dd
+  JOIN g ON g.doc_id = dd.doc_id AND g.keep
+  WHERE dd.canon
+),
+lm AS ({lm}),
+mx AS (SELECT max(doc_id) AS m FROM {_SC_CORPUS_SQL} x)
+SELECT dd.doc_id,
+       CASE WHEN NOT dd.canon THEN 'duplicate'
+            WHEN NOT coalesce(g.keep, FALSE) THEN 'quality'
+            WHEN lm.perplexity > {_SC_PPL_THR} THEN 'perplexity_tail'
+            ELSE 'kept' END AS disposition
+FROM dd LEFT JOIN g USING (doc_id) LEFT JOIN lm USING (doc_id), mx
+WHERE dd.doc_id >= (mx.m + 1) // 4
+"""
+
+
 _MMR_K = 5
 _MMR_LAM = 0.7
 
@@ -6494,12 +6623,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cms_heavy_hitters (partial build + exact merge + shared probe),
     # so the one-shot face is demoted. The third slot funds
     # seq_packing_bucketed — the r7 weak item, fixed.
-    # round-9 window swap (demote-to-fund, the r6-r8 pattern):
-    # stream_kmv_durable SHARES stream_kmv's one-shot oracle and runs
-    # the SAME four foreachBatch micro-batches through the strictly
-    # stronger lifecycle — checkpointed parquet partials read back
-    # from disk before merging — so the in-memory face demotes.
-    "stream_kmv_durable": q_stream_kmv_durable,
+    # round-11 swap (demote-to-fund): stream_curation — the composed
+    # durable-foreachBatch face (incremental dedup against the
+    # persisted band index + Gopher + frozen-reference LM scoring,
+    # checkpointed per-batch dispositions, kill-and-restart + replay
+    # pinned in pytest) — takes stream_kmv_durable's slot: both drive
+    # the same durable micro-batch lifecycle (checkpoint, per-batch
+    # mb= partition overwrite, restart resume), and the curation face
+    # composes three more operator families on top. The sketch-partial
+    # merge lifecycle stays in-window via cms_merge_hh, and
+    # stream_kmv_durable stays oracle-verified cross-checked.
+    "stream_curation": q_stream_curation,
     "cms_merge_hh": q_cms_merge_hh,
     "seq_packing_bucketed": q_seq_packing_bucketed,
     # text analysis — round-9 late swap (demote-to-fund): lm_perplexity
@@ -6665,6 +6799,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "decode_jpeg": q_decode_jpeg,
     "stream_kmv": q_stream_kmv,
+    # round-11: demoted to fund stream_curation (see QUERIES comment)
+    "stream_kmv_durable": q_stream_kmv_durable,
+    # round-11: EWMA level carried across four real time-span
+    # micro-batches through three-scalar state
+    "stream_ewma": q_stream_ewma,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -6849,8 +6988,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "events_ewma": ORACLE_EVENTS_EWMA,
     "events_multires": ORACLE_EVENTS_MULTIRES,
-    # merge is exact by construction → the one-shot SQL IS the oracle
-    "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
+    "stream_curation": _oracle_stream_curation(),
     "cms_merge_hh": ORACLE_HEAVY_HITTERS_CMS,
     "seq_packing_bucketed": ORACLE_SEQ_PACKING,
     "stream_hourly": ORACLE_STREAM_HOURLY,
@@ -6895,6 +7033,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
     "decode_jpeg": ORACLE_DECODE_JPEG,
     "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
+    "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
+    "stream_ewma": ORACLE_STREAM_EWMA,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
     "cosine_topk_ivfpq_codes": ORACLE_COSINE_TOPK_IVFPQ,

@@ -558,3 +558,90 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return hll_merge(partials, ["event_type"], p=4)
+
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming EWMA face (streaming/stateful.py:streaming_ewma)
+    through REAL state-carrying micro-batches: the events file is
+    split into four CONTIGUOUS time spans written in order (a tie
+    timestamp can never straddle a span), each arriving as its own
+    micro-batch, so the per-series level genuinely crosses the state
+    store three times. On an in-order stream the final emission per
+    series equals the batch fold exactly — the oracle is the plain
+    sequential ``list_reduce`` with the same (ts, value) tie order and
+    the same explicit floor rounding; green proves the three-scalar
+    state carry reproduces :func:`operators.timeseries.ewma`."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    ts.ensure_parquet_nanos_conf(spark)
+    batch = ts.to_instant(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select(
+        F.concat_ws(
+            "|", F.col("event_type"), F.col("user_id").cast("string")
+        ).alias("series"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    lo, hi = batch.agg(
+        F.min(ts.epoch_micros(batch, "ts")),
+        F.max(ts.epoch_micros(batch, "ts")),
+    ).first()
+    span = (hi - lo) // 4 + 1
+    scratch = tempfile.mkdtemp(prefix="stream_ewma_")
+    try:
+        for i in range(4):
+            batch.where(
+                ((ts.epoch_micros(batch, "ts") - lo) / span).cast("int")
+                == i
+            ).coalesce(1).write.parquet(f"{scratch}/in/b{i}")
+        src = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{scratch}/in/b*")
+        )
+        # TTL sized to the data: spans cover ~a quarter of the corpus
+        # range each, so a cadence-scale TTL (here 90 event-days) must
+        # outlive the inter-batch gap of the slowest series
+        out = streaming_ewma(
+            src, ts_col="ts", key_col="series", state_ttl_hours=90 * 24
+        )
+        sink = _run_to_table(out, "append")
+        # one emission per (series, batch-with-data); the final state
+        # is the emission with the most samples (monotone per series)
+        final = sink.groupBy("series").agg(
+            F.max_by(
+                F.struct("n_samples", "last_sec", "ewma"),
+                F.col("n_samples"),
+            ).alias("f")
+        )
+        rows = final.select(
+            "series",
+            F.col("f.n_samples").alias("n_samples"),
+            F.col("f.last_sec").alias("last_sec"),
+            F.col("f.ewma").alias("ewma"),
+        )
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_STREAM_EWMA = """
+WITH g AS (
+  SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS series,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), value) AS vals,
+         count(*) AS n_samples, max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1)
+SELECT series, n_samples,
+       CAST(floor(last_us / 1000000) AS BIGINT) AS last_sec,
+       floor(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM g
+"""

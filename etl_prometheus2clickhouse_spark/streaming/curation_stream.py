@@ -1,0 +1,167 @@
+"""Streaming incremental curation: the curation funnel as a durable
+``foreachBatch`` pipeline over the persisted MinHash index.
+
+The one-shot funnel (plans/catalog.py ``curation_funnel``) re-reads the
+whole corpus per run. A crawl pipeline instead receives micro-batches
+and must curate each one against everything already ingested. This
+module chains the round-11 incremental dedup into that lifecycle:
+
+per micro-batch (at-least-once, batch-id-keyed — the
+``sketch_stream.run_partial_stream_durable`` discipline):
+
+1. **incremental near-dup dedup** — ``dedup_increment`` probes the
+   persisted band index with ONLY this batch's buckets and updates the
+   index under the batch's own ``mb=b<id>`` increment directory
+   (OVERWRITE, so a replayed batch is idempotent); a batch doc is a
+   ``duplicate`` iff its duplicate component contains an earlier doc
+   (keep-first semantics — with batches arriving in ascending id
+   order this equals the one-shot min-id election, which is what the
+   equivalence pytest and the catalog oracle check);
+2. **Gopher quality filter** — the survivors pass through the same
+   shuffle-free rule select as the batch operator → ``quality``;
+3. **LM perplexity scoring** — survivors are scored under the bigram
+   model of a FIXED reference corpus (broadcast, count-guarded — the
+   reference is decided before the stream starts, exactly like a real
+   CCNet deployment ships a frozen KenLM) against a FIXED threshold →
+   ``perplexity_tail``. A corpus-level tercile cut is deliberately NOT
+   computed per batch: terciles over a prefix of the stream would
+   re-label earlier batches retroactively — a fixed cutoff is the
+   streaming-sane contract, and the one-shot equivalence oracle uses
+   the same cutoff;
+4. the batch's ``(doc_id, disposition)`` rows land in the batch's own
+   ``mb=<id>`` partition of the dispositions directory, under a
+   streaming CHECKPOINT — stop/restart resumes with only unseen input
+   (kill-and-restart pinned by tests/test_streaming_curation.py).
+
+Divergence contract (same stance as the funnel late-arrival matrix,
+tests/test_streaming_funnel_semantics.py): a LATER batch that
+transitively merges two already-kept documents' clusters cannot
+retroactively re-label them — dispositions are append-only and
+monotone. The one-shot recomputation is the authority; on id-ordered
+batches without cross-batch transitive merges the two are EQUAL, which
+the pytest and catalog oracle pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MB = "mb"
+
+
+def curation_batch_body(
+    index_path: str,
+    reference: DataFrame,
+    dispositions_dir: str,
+    ppl_threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+):
+    """The ``foreachBatch`` body, factored out (the
+    ``sketch_stream._durable_body`` pattern) so replay safety is
+    directly testable: a second invocation with the same ``batch_id``
+    overwrites both the batch's index increment and its dispositions
+    partition — never duplicates."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        cached_scope,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        dedup_increment,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        gopher_filter,
+        lm_perplexity,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, text_col)
+        with cached_scope():
+            empty = spark.createDataFrame([], batch_df.schema)
+            inc = dedup_increment(
+                empty,
+                batch_df,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                update_index=True,
+                update_label=f"b{int(batch_id)}",
+            ).localCheckpoint()  # decisions fixed before index writes land
+            survivors = inc.where(F.col("is_canonical")).select(
+                id_col, text_col
+            )
+            g = gopher_filter(survivors, text_col, id_col).select(
+                id_col, "keep"
+            )
+            kept_quality = (
+                survivors.join(g, id_col).where(F.col("keep"))
+                .select(id_col, text_col)
+            )
+            ppl = lm_perplexity(
+                kept_quality, reference, text_col, id_col, alpha=alpha
+            ).select(id_col, "perplexity")
+            disp = (
+                inc.select(id_col, "is_canonical")
+                .join(g, id_col, "left")
+                .join(ppl, id_col, "left")
+                .select(
+                    F.col(id_col),
+                    F.when(~F.col("is_canonical"), F.lit("duplicate"))
+                    .when(~F.coalesce("keep", F.lit(False)), F.lit("quality"))
+                    .when(
+                        F.col("perplexity") > ppl_threshold,
+                        F.lit("perplexity_tail"),
+                    )
+                    .otherwise(F.lit("kept"))
+                    .alias("disposition"),
+                )
+            )
+            disp.coalesce(1).write.mode("overwrite").parquet(
+                f"{dispositions_dir}/{_MB}={int(batch_id)}"
+            )
+
+    return body
+
+
+def run_streaming_curation(
+    src: DataFrame,
+    index_path: str,
+    reference: DataFrame,
+    dispositions_dir: str,
+    checkpoint_dir: str,
+    ppl_threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> None:
+    """Run ``src`` (a streaming frame of documents) to completion of
+    currently-available input (AvailableNow) through
+    :func:`curation_batch_body` under ``checkpoint_dir``. Restartable:
+    stop mid-stream, call again with the same checkpoint, and only
+    unseen input is processed — already-written dispositions and index
+    increments stay put."""
+    q = (
+        src.writeStream.foreachBatch(
+            curation_batch_body(
+                index_path,
+                reference,
+                dispositions_dir,
+                ppl_threshold,
+                id_col,
+                text_col,
+                alpha,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
+    """All batches' dispositions as one frame (``mb`` restored as the
+    micro-batch partition column)."""
+    return spark.read.parquet(dispositions_dir)

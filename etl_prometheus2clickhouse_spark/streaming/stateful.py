@@ -283,3 +283,121 @@ def streaming_window_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "series string, n_samples long, last_sec long, ewma double, "
+    "n_late long"
+)
+EWMA_STATE_SCHEMA = "s double, n long, last_us long"
+
+
+def streaming_ewma(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "series",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    round_digits: int = 6,
+    watermark_delay: str = "30 minutes",
+    state_ttl_hours: float = 7 * 24,
+) -> DataFrame:
+    """The streaming face of ``operators.timeseries.ewma`` — the
+    stated escape hatch for genuinely unbounded series: per-series
+    state is THREE scalars (current level, sample count, last accepted
+    event-time µs), so a series of any length costs O(1) memory and
+    the fold never re-reads history (the batch faces — ``ewma`` and
+    the skew-proof ``ewma_bucketed`` — own bulk backfill).
+
+    Per batch the key's rows sort by ``(ts, value)`` (the batch
+    operator's tie order) and fold sequentially from the carried
+    level; each batch emits the key's running ``(n_samples, last_sec,
+    ewma)``, so on an in-order stream the FINAL emission equals the
+    batch operator exactly (pinned by pytest, incl. the explicit
+    ``floor(x·10^d + 0.5)/10^d`` rounding). Late rows at or before the
+    last accepted timestamp are DROPPED and counted in ``n_late`` —
+    the recursion is order-defined and history cannot be re-folded;
+    same staleness stance as the rate operator above and the funnel's
+    tested matrix.
+
+    The fold is a per-row loop over ONE micro-batch's samples for one
+    key — bounded by the batch, not the stream; the recursion is
+    inherently sequential (each step needs the previous level), which
+    is exactly why the state face exists instead of a window.
+
+    ``state_ttl_hours`` is the event-time eviction horizon: a series
+    silent for that long (by watermark) drops its level — size it to
+    the data's cadence, not wall time (a 1-hour TTL under 6-day
+    micro-batch spans silently restarts every slow series, which is a
+    WRONG ANSWER, not a memory optimization; found by the stream_ewma
+    oracle)."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.functions.ts import epoch_micros
+
+    scale = float(10 ** round_digits)
+    ttl_ms = int(state_ttl_hours * 3_600_000)
+
+    def _ewma_fn(key, pdfs, state):
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s, n, last_us = state.get if state.exists else (None, 0, None)
+        chunks = [c for c in pdfs if len(c)]
+        n_late = 0
+        if chunks:
+            if len(chunks) == 1:
+                ts = chunks[0]["ts_us"].to_numpy(dtype=np.int64)
+                val = chunks[0]["value"].to_numpy(dtype=np.float64)
+            else:
+                ts = np.concatenate(
+                    [c["ts_us"].to_numpy(dtype=np.int64) for c in chunks]
+                )
+                val = np.concatenate(
+                    [c["value"].to_numpy(dtype=np.float64) for c in chunks]
+                )
+            order = np.lexsort((val, ts))
+            ts, val = ts[order], val[order]
+            if last_us is not None:
+                fresh = ts > last_us
+                n_late = int((~fresh).sum())
+                ts, val = ts[fresh], val[fresh]
+            for x in val:
+                s = x if s is None else alpha * x + (1.0 - alpha) * s
+            n += len(val)
+            if len(ts):
+                last_us = int(ts[-1])
+        if last_us is not None:
+            state.update((float(s), int(n), int(last_us)))
+            state.setTimeoutTimestamp(last_us // 1000 + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "series": [key[0]],
+                "n_samples": [int(n)],
+                "last_sec": [
+                    None if last_us is None else last_us // 1_000_000
+                ],
+                "ewma": [
+                    None
+                    if s is None
+                    else float(np.floor(s * scale + 0.5) / scale)
+                ],
+                "n_late": [n_late],
+            }
+        )
+
+    prepared = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(key_col).alias("series"),
+        epoch_micros(events, ts_col).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

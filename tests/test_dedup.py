@@ -632,3 +632,31 @@ def test_paragraph_dedup_within_doc_repeat_collapses(spark):
     row = paragraph_dedup(df).collect()[0]
     assert row.n_paras == 4 and row.n_kept == 2
     assert row.text == "rep\nuniq"
+
+
+def test_dup_components_auto_routes_agree(spark):
+    """The driver union-find fast path and the distributed propagation
+    must produce identical (node, component) frames — including
+    transitive chains and the min-label choice."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        dup_components,
+        dup_components_auto,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (7, 7), (100, 3)],
+        "id_a bigint, id_b bigint",
+    )
+    via_driver = {
+        (r.node, r.component)
+        for r in dup_components_auto(pairs).collect()
+    }
+    via_cluster = {
+        (r.node, r.component)
+        for r in dup_components_auto(
+            pairs, driver_edge_threshold=0
+        ).collect()
+    }
+    want = {(r.node, r.component) for r in dup_components(pairs).collect()}
+    assert via_driver == via_cluster == want
+    assert {c for _, c in want} == {3, 7, 20}

@@ -100,7 +100,9 @@ def test_three_wave_lifecycle_with_index_update(spark, tmp_path):
     with cached_scope():
         minhash_index_build(old, path, threshold=0.5)
         before = index_stats(spark, path)
-        r2 = dedup_increment(old, w2, path, update_index=True)
+        r2 = dedup_increment(
+            old, w2, path, update_index=True, update_label="w2"
+        )
         r2.write.format("noop").mode("overwrite").save()
         after = index_stats(spark, path)
         corpus12 = old.unionByName(w2)

@@ -1,0 +1,230 @@
+"""Streaming incremental curation (streaming/curation_stream.py):
+per-batch dedup against the persisted MinHash index + Gopher + LM
+scoring, dispositions appended under a checkpoint — kill-and-restart
+resume, at-least-once replay idempotence, and oracle equivalence to the
+one-shot funnel over all batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    cached_scope,
+    minhash_lsh_pairs,
+    resolve_near_duplicates,
+)
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    index_stats,
+    minhash_index_build,
+)
+from etl_prometheus2clickhouse_spark.operators.text import (
+    gopher_filter,
+    lm_perplexity,
+)
+from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+    curation_batch_body,
+    read_dispositions,
+    run_streaming_curation,
+)
+
+# A ~60-word paragraph that PASSES every Gopher rule (word count needs
+# the repetition; it stays under the 30% duplicate-line cap because it
+# is a single line). Variants tweak the tail so near-dup pairs exist
+# within and across batches; "short doc" plants a quality failure.
+_BASE = (
+    "the curious engineers wanted to understand whether streams of "
+    "documents could be curated and deduplicated with care and that "
+    "every batch would have the same treatment with honest rules and "
+    "that nothing would be lost along the way because the pipeline "
+    "keeps records of every decision it makes for later audits and "
+    "reviews of quality over time"
+)
+
+# Two more INDEPENDENT paragraph families (word substitution inside
+# one family keeps 3-gram Jaccard ~0.85, so kept/tail docs need their
+# own vocabulary to escape the dedup stage). _BASE2 is in the LM
+# reference (low perplexity -> kept); _BASE3 is not (high -> tail).
+_BASE2 = (
+    "a gentle rain fell over the valley and the farmers watched with "
+    "quiet patience as the rivers rose and the fields drank deeply of "
+    "the water that would carry the harvest through another season and "
+    "everyone agreed that the weather had been kind this year and that "
+    "the granaries would be full before the first frost arrived in the "
+    "hills"
+)
+_BASE3 = (
+    "zorbic flanges require torsion calibrated spanners and the "
+    "operator must verify that the manifold pressure of the hydraulic "
+    "accumulator remains within tolerance bands while the gantry "
+    "crane slews across the loading bay and that every coupling have "
+    "been torqued with certified wrenches before the shift supervisor "
+    "signs the release documents for the next consignment of parts"
+)
+
+# seed corpus (the index build), then three streamed batches in
+# ascending id order. Duplicate topology: 1~2 (seed-internal),
+# 2~101 (seed x batch0), 103~104 (within batch1, _BASE2 family),
+# 7~205 (seed x batch2). Doc 102 fails Gopher (too short); 103 is
+# canonical + fluent under the reference (kept); 206 is canonical but
+# out-of-distribution (perplexity_tail). No cross-batch TRANSITIVE
+# merges — the documented equivalence precondition.
+_SEED = [
+    (1, _BASE + " alpha"),
+    (2, _BASE + " beta"),
+    (7, _BASE.replace("curious", "careful") + " unique seven"),
+    (8, _BASE.replace("engineers", "operators") + " unique eight"),
+]
+_BATCHES = [
+    [(101, _BASE + " gamma"), (102, "too short to pass gopher rules")],
+    [
+        (103, _BASE2 + " delta one"),
+        (104, _BASE2 + " delta two"),
+    ],
+    [
+        (205, _BASE.replace("curious", "careful") + " unique seven bis"),
+        (206, _BASE3 + " omega"),
+    ],
+]
+_REFERENCE = [
+    (9001, _BASE),
+    (9002, _BASE2),
+]
+
+_SCHEMA = "doc_id long, text string"
+
+
+def _one_shot(spark, ppl_threshold):
+    """The batch recomputation over seed + all streamed docs: min-id
+    dedup election -> Gopher -> fixed-threshold LM scoring."""
+    all_rows = _SEED + [r for b in _BATCHES for r in b]
+    docs = spark.createDataFrame(all_rows, _SCHEMA)
+    ref = spark.createDataFrame(_REFERENCE, _SCHEMA)
+    pairs = minhash_lsh_pairs(docs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    dd = resolve_near_duplicates(docs, pairs, id_col="doc_id")
+    surv = dd.where("is_canonical").select("doc_id", "text")
+    g = gopher_filter(surv, "text", "doc_id").select("doc_id", "keep")
+    kept = surv.join(g, "doc_id").where("keep").select("doc_id", "text")
+    ppl = lm_perplexity(kept, ref, "text", "doc_id", alpha=0.5).select(
+        "doc_id", "perplexity"
+    )
+    out = (
+        dd.select("doc_id", "is_canonical")
+        .join(g, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("is_canonical"), F.lit("duplicate"))
+            .when(~F.coalesce("keep", F.lit(False)), F.lit("quality"))
+            .when(
+                F.col("perplexity") > ppl_threshold,
+                F.lit("perplexity_tail"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+    return {r.doc_id: r.disposition for r in out.collect()}
+
+
+def _median_ppl(spark):
+    """Threshold derived from the one-shot scores (median) so the
+    tail/kept split is non-vacuous by construction."""
+    all_rows = _SEED + [r for b in _BATCHES for r in b]
+    docs = spark.createDataFrame(all_rows, _SCHEMA)
+    ref = spark.createDataFrame(_REFERENCE, _SCHEMA)
+    vals = sorted(
+        r.perplexity
+        for r in lm_perplexity(docs, ref, "text", "doc_id").collect()
+    )
+    return vals[len(vals) // 2]
+
+
+def _setup(spark, tmp_path, name):
+    seed = spark.createDataFrame(_SEED, _SCHEMA)
+    ref = spark.createDataFrame(_REFERENCE, _SCHEMA)
+    idx = str(tmp_path / f"{name}_idx")
+    minhash_index_build(seed, idx, id_col="doc_id", threshold=0.5)
+    return seed, ref, idx
+
+
+def _write_batch(spark, src, rows, n):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b{n}")
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+
+
+def test_stream_equals_one_shot_with_kill_and_restart(spark, tmp_path):
+    """Feed batches 0-1, run to completion; then batch 2 arrives and a
+    RESTARTED stream (same checkpoint) processes ONLY it. The union of
+    all batches' dispositions — plus the seed's own resolution — must
+    equal the one-shot funnel over everything."""
+    with cached_scope():
+        thr = _median_ppl(spark)
+        want = _one_shot(spark, thr)
+    seed, ref, idx = _setup(spark, tmp_path, "kr")
+    src = str(tmp_path / "kr_src")
+    disp_dir = str(tmp_path / "kr_disp")
+    ckpt = str(tmp_path / "kr_ckpt")
+
+    _write_batch(spark, src, _BATCHES[0], 0)
+    _write_batch(spark, src, _BATCHES[1], 1)
+    run_streaming_curation(
+        _stream(spark, src), idx, ref, disp_dir, ckpt, thr
+    )
+    n_after_first = read_dispositions(spark, disp_dir).count()
+    assert n_after_first == sum(len(b) for b in _BATCHES[:2])
+
+    # the stream stopped; a new batch lands; restart from checkpoint
+    _write_batch(spark, src, _BATCHES[2], 2)
+    run_streaming_curation(
+        _stream(spark, src), idx, ref, disp_dir, ckpt, thr
+    )
+    disp = read_dispositions(spark, disp_dir)
+    got = {r.doc_id: r.disposition for r in disp.collect()}
+    # only the new batch was processed on restart
+    assert disp.select("mb").distinct().count() == 3
+    assert len(got) == sum(len(b) for b in _BATCHES)
+
+    # streamed docs must match the one-shot labels exactly
+    streamed_ids = {r[0] for b in _BATCHES for r in b}
+    assert got == {k: v for k, v in want.items() if k in streamed_ids}
+    # the matrix is non-vacuous: every disposition class occurred
+    assert set(got.values()) == {
+        "duplicate", "quality", "perplexity_tail", "kept",
+    }
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: invoking the body twice with the
+    same batch_id must leave ONE dispositions partition with identical
+    rows and ONE index increment (no duplicate band/shingle rows)."""
+    seed, ref, idx = _setup(spark, tmp_path, "rp")
+    disp_dir = str(tmp_path / "rp_disp")
+    with cached_scope():
+        thr = _median_ppl(spark)
+    body = curation_batch_body(idx, ref, disp_dir, thr)
+    batch = spark.createDataFrame(_BATCHES[0], _SCHEMA)
+    body(batch, 0)
+    first = sorted(
+        (r.doc_id, r.disposition)
+        for r in read_dispositions(spark, disp_dir).collect()
+    )
+    stats_first = index_stats(spark, idx)
+    body(batch, 0)  # replay
+    second = sorted(
+        (r.doc_id, r.disposition)
+        for r in read_dispositions(spark, disp_dir).collect()
+    )
+    stats_second = index_stats(spark, idx)
+    assert second == first
+    assert stats_second == stats_first

@@ -201,3 +201,68 @@ def test_streaming_funnel_state_carries_across_batches(spark, tmp_path):
         assert rows == [(2, t0), (3, t0), (3, t0)]
     finally:
         q.stop()
+
+
+def test_streaming_ewma_carries_level_and_matches_batch(spark, tmp_path):
+    """The streaming EWMA's final emission on an in-order multi-batch
+    stream must equal the batch operator (incl. the explicit floor
+    rounding); a late straggler is dropped and counted, never folded."""
+    from etl_prometheus2clickhouse_spark.operators.timeseries import ewma
+    from etl_prometheus2clickhouse_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    src = str(tmp_path / "esrc")
+    ckpt = str(tmp_path / "eckpt")
+    in_order = [
+        ("a", BASE, 5.0),
+        ("a", BASE + 10, 1.0),
+        ("a", BASE + 10, 4.0),  # tie: value order folds 1 then 4
+        ("a", BASE + 20, 2.0),
+        ("b", BASE, 7.5),
+    ]
+    # the BASE+10 tie stays WITHIN batch 0: a tie member arriving in a
+    # LATER batch is ts <= last accepted and drops by the documented
+    # staleness rule (the batch operator would fold it)
+    _write_batch(spark, src, in_order[:3], 0)
+    stream = (
+        spark.readStream.schema("series string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    out = streaming_ewma(stream, watermark_delay="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: the rest in order, plus one late replay of (a, BASE)
+        _write_batch(spark, src, in_order[3:] + [("a", BASE, 99.0)], 1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ewma_sink").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:
+        if final.get(r.series) is None or r.n_samples >= final[r.series].n_samples:
+            final[r.series] = r
+    batch_df = spark.createDataFrame(
+        [
+            (k, __import__("datetime").datetime.fromtimestamp(
+                t, tz=__import__("datetime").timezone.utc), v)
+            for k, t, v in in_order
+        ],
+        "series string, ts timestamp, value double",
+    )
+    want = {r.series: r for r in ewma(batch_df, ["series"]).collect()}
+    for k in ("a", "b"):
+        assert (
+            final[k].n_samples, final[k].last_sec, final[k].ewma
+        ) == (want[k].n_samples, want[k].last_sec, want[k].ewma)
+    # the late replay was dropped and counted on a's batch-1 emission
+    late_total = sum(r.n_late for r in rows if r.series == "a")
+    assert late_total == 1
