@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "cosine_topk_ivfpq",
     "cosine_topk_ivfpq_residual",
     "cosine_topk_ivfpq_codes",
+    # round-11: persisted-model build + shard append + probed search
+    "ann_increment",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     # round-10 late: composed recall@k evaluation (exact + IVFADC)

@@ -2346,6 +2346,63 @@ def q_cosine_topk_ivfpq_residual(
     )
 
 
+def q_ann_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN over the persisted IVFADC index
+    (operators/ann_index.py): 80% of the embeddings (vec_id % 5 != 0)
+    train the quantizers and build the cell-partitioned code table +
+    the JSON-persisted model; the remaining 20% arrive as a shard and
+    are encoded with the STORED model into their own replay-idempotent
+    ``mb=`` increment (no re-training — the production between-
+    re-trains contract); the search then ADC-scans ALL increments with
+    probe-set partition pruning and exact rescore. The oracle is the
+    one-shot IVFADC pipeline over the FULL corpus with quantizers
+    drawn from the base slice — green means build → persist model →
+    append → search ≡ encode-everything-at-once."""
+    import os
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ann_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ann_index_build(
+        base, path, dim=64, n_cells=32, m=4, k_codes=16,
+        quantizers="first",
+    )
+    ann_index_append(shard, path, "w2")
+    out = ann_index_search(
+        emb.where(F.col("vec_id") < 10), path, emb,
+        k=5, n_probe=8, n_candidates=50,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank_k"),
+        F.round("cosine_sim", 6).alias("cos_sim"),
+    )
+
+
+# one-shot IVFADC over everything, quantizers trained on the base
+# slice only (the model ann_index_build persists)
+ORACLE_ANN_INCREMENT = ORACLE_COSINE_TOPK_IVFPQ.replace(
+    "  FROM e ORDER BY vec_id LIMIT 32",
+    "  FROM e WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 32",
+).replace(
+    "  FROM n ORDER BY vec_id LIMIT 16",
+    "  FROM n WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16",
+)
+assert ORACLE_ANN_INCREMENT != ORACLE_COSINE_TOPK_IVFPQ  # both spliced
+
+
 ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (
@@ -6696,7 +6753,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
-    "cosine_topk_ivfpq": q_cosine_topk_ivfpq,
+    # round-11 swap (demote-to-fund): ann_increment — persisted-model
+    # IVFADC with an incremental shard append — runs a strict superset
+    # of cosine_topk_ivfpq's machinery (same train/encode/ADC/rescore,
+    # PLUS model persistence, the mb= increment lifecycle, and the
+    # codes-table probe), so the inline IVFADC face demotes to
+    # CROSS_CHECKED (same oracle family, swept every run)
+    "ann_increment": q_ann_increment,
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     # round-9 swap: decode_jpeg_ac strictly supersedes decode_jpeg —
@@ -6809,6 +6872,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # under its own full-pipeline oracle, and CMS through real
     # micro-batches (the count-min twin of stream_kmv — safe only on
     # the batch-id-keyed replay-proof accumulator)
+    # round-11: demoted to fund ann_increment (see QUERIES comment)
+    "cosine_topk_ivfpq": q_cosine_topk_ivfpq,
     "cosine_topk_ivfpq_residual": q_cosine_topk_ivfpq_residual,
     "cosine_topk_ivfpq_codes": q_cosine_topk_ivfpq_codes,
     "stream_cms_hh": q_stream_cms_hh,
@@ -6975,7 +7040,7 @@ ORACLES: dict[str, str] = {
     "dup_clusters": _oracle_dup_clusters(),
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
-    "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
+    "ann_increment": ORACLE_ANN_INCREMENT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
@@ -7036,6 +7101,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
     "stream_ewma": ORACLE_STREAM_EWMA,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
+    "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
     "cosine_topk_ivfpq_codes": ORACLE_COSINE_TOPK_IVFPQ,
     "stream_cms_hh": ORACLE_HEAVY_HITTERS_CMS,
