@@ -93,8 +93,11 @@ BENCH_QUERIES = [
     "curation_funnel",
     "bpe_tokenize",
     # round-11: Arrow encoder twin (vocab-scale path; crossover vs the
-    # chain recorded in BENCH_NOTES.md)
+    # chain recorded in BENCH_NOTES.md), token-ID encoding, and the
+    # materialized tokenize → pack composition
     "bpe_tokenize_arrow",
+    "bpe_encode_ids",
+    "bpe_pack_ids",
     "nb_classify",
     "bm25_search",
     # round-10: BM25 + dense cosine fused by reciprocal rank, and MMR

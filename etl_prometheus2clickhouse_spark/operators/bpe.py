@@ -283,6 +283,66 @@ def bpe_apply(
     )
 
 
+def _make_word_encoder(merges: list[tuple[str, str]]):
+    """The per-word rank-priority merge kernel shared by the Arrow
+    faces (string tokens and id encoding): repeatedly merge every
+    occurrence of the lowest-rank pair present, left-to-right —
+    equivalent to the sequential replace chain (see
+    :func:`bpe_apply_arrow`). Returns a memoizing ``word → symbols``
+    closure; build one per Arrow batch so the memo lives exactly as
+    long as the batch."""
+    ranks: dict[tuple[str, str], int] = {
+        (a, b): i for i, (a, b) in enumerate(merges)
+    }
+    pair_list: list[tuple[str, str]] = [(a, b) for a, b in merges]
+    cache: dict[str, list[str]] = {}
+
+    def enc_word(w: str) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w) + [EOW]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = pair_list[best]
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = syms
+        return syms
+
+    return enc_word
+
+
+def _arrow_token_udf(merges: list[tuple[str, str]]):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(words_batches: pd.Series) -> pd.Series:
+        enc_word = _make_word_encoder(merges)
+        out = []
+        for words in words_batches:
+            toks: list[str] = []
+            if words is not None:
+                for w in words:
+                    toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return _encode
+
+
 def bpe_apply_arrow(
     corpus: DataFrame,
     merges: list[tuple[str, str]],
@@ -315,50 +375,7 @@ def bpe_apply_arrow(
     into Python."""
     from etl_prometheus2clickhouse_spark.operators.text import _words
 
-    ranks: dict[tuple[str, str], int] = {
-        (a, b): i for i, (a, b) in enumerate(merges)
-    }
-    pair_list: list[tuple[str, str]] = [(a, b) for a, b in merges]
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _encode(words_batches: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
-        def enc_word(w: str) -> list[str]:
-            got = cache.get(w)
-            if got is not None:
-                return got
-            syms = list(w) + [EOW]
-            while len(syms) > 1:
-                best = None
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]))
-                    if r is not None and (best is None or r < best):
-                        best = r
-                if best is None:
-                    break
-                a, b = pair_list[best]
-                out: list[str] = []
-                i, n = 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            cache[w] = syms
-            return syms
-
-        out = []
-        for words in words_batches:
-            toks: list[str] = []
-            if words is not None:
-                for w in words:
-                    toks.extend(enc_word(w))
-            out.append(toks)
-        return pd.Series(out)
+    _encode = _arrow_token_udf(merges)
 
     enc = corpus.select(
         F.col(id_col), _encode(_words(F.col(text_col))).alias("__toks")
@@ -436,3 +453,180 @@ def bpe_model_from_json(s: str) -> list[tuple[str, str]]:
     if d.get("kind") != "bpe":
         raise ValueError(f"not a BPE model payload (kind={d.get('kind')!r})")
     return [(a, b) for a, b in d["merges"]]
+
+
+def bpe_alphabet(
+    reference: DataFrame, text_col: str = "text", max_chars: int = 65_536
+) -> list[str]:
+    """Sorted distinct characters of the reference corpus's lowercased
+    whitespace words — the base symbols of the id table. Bounded
+    loudly (a real text alphabet is hundreds of code points; millions
+    means the input is not text)."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        _guard_model_rows,
+        _words,
+    )
+
+    chars = (
+        reference.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("w"), ""), lambda c: F.length(c) > 0
+                )
+            ).alias("c")
+        )
+        .distinct()
+    )
+    _guard_model_rows(chars, max_chars, "bpe_alphabet", "character set")
+    return sorted(r.c for r in chars.collect())
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: list[str]
+) -> dict[str, int]:
+    """Deterministic token-id table: the sorted base alphabet (EOW
+    included) takes ids 0..A-1, merge PRODUCTS take A+rank in learned
+    order (the subword-nmt vocab layout). The UNK id is ``len(vocab)``
+    by convention — encode maps any symbol containing an out-of-
+    alphabet character there instead of failing (a char-level BPE has
+    no other unseen-symbol source: every in-alphabet word decomposes
+    to base symbols)."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(alphabet) | {EOW}):
+        vocab[ch] = len(vocab)
+    for a, b in merges:
+        sym = a + b
+        if sym not in vocab:
+            vocab[sym] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize to TOKEN IDS — what a training pipeline actually ships
+    (ids feed sequence packing; strings are a debugging view). Same
+    Arrow encoder as :func:`bpe_apply_arrow` (identical token stream),
+    then the broadcast vocab dict maps each symbol; unknown symbols
+    (out-of-alphabet characters) map to ``len(vocab)``, the UNK id.
+    Output: ``(id, n_tokens, ids array<int>)``."""
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    unk = len(vocab)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode_ids(words_batches: pd.Series) -> pd.Series:
+        enc_word = _make_word_encoder(merges)
+        out = []
+        for words in words_batches:
+            ids: list[int] = []
+            if words is not None:
+                for w in words:
+                    ids.extend(
+                        vocab.get(s, unk) for s in enc_word(w)
+                    )
+            out.append(ids)
+        return pd.Series(out)
+
+    enc = corpus.select(
+        F.col(id_col), _encode_ids(_words(F.col(text_col))).alias("__ids")
+    )
+    return enc.select(
+        id_col,
+        F.size("__ids").cast("long").alias("n_tokens"),
+        F.col("__ids").alias("ids"),
+    )
+
+
+def pack_token_ids(
+    encoded: DataFrame,
+    budget: int,
+    strata_col: str,
+    order_col: str,
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Materialize PACKED TRAINING SEQUENCES from per-document token
+    ids: per stratum, documents concatenate in ``order_col`` order and
+    the id stream chunks into ``budget``-length sequences (the final
+    partial sequence of a stratum is emitted short — padding policy
+    belongs to the trainer).
+
+    Scale shape: tokens never explode to rows. A prefix-sum window
+    over slim (stratum, order, n) rows places each document; each
+    document then emits only its FRAGMENTS — (sequence, slice of its
+    own id array) — via one bounded ``sequence()`` explode (a document
+    touches ⌈n/budget⌉+1 sequences), and sequences reassemble with one
+    groupBy collecting fragments in order. Shuffle volume = the id
+    arrays, once.
+
+    Output: ``(strata_col, seq_id, n_ids, ids)``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size(F.col(ids_col)).cast("long")
+    placed = encoded.select(
+        strata_col,
+        F.col(order_col),
+        F.col(ids_col),
+        F.coalesce(F.sum(n).over(w), F.lit(0)).alias("__start"),
+    )
+    n_here = F.size(F.col(ids_col)).cast("long")
+    first_seq = (F.col("__start") / budget).cast("long")
+    last_seq = (
+        (F.col("__start") + F.greatest(n_here, F.lit(1)) - 1) / budget
+    ).cast("long")
+    frags = placed.select(
+        strata_col,
+        F.col(ids_col),
+        "__start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # this fragment covers stream positions [lo, hi) of the document
+    lo = F.greatest(
+        F.col("seq_id") * budget - F.col("__start"), F.lit(0)
+    )
+    hi = F.least(
+        (F.col("seq_id") + 1) * budget - F.col("__start"),
+        F.size(F.col(ids_col)).cast("long"),
+    )
+    sliced = frags.select(
+        strata_col,
+        "seq_id",
+        F.col("__start").alias("__frag_order"),
+        F.slice(F.col(ids_col), lo + 1, F.greatest(hi - lo, F.lit(0))).alias(
+            "__frag"
+        ),
+    ).where(F.size("__frag") > 0)
+    out = (
+        sliced.groupBy(strata_col, "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__frag_order").alias("o"),
+                                F.col("__frag").alias("f"),
+                            )
+                        )
+                    ),
+                    lambda s: s["f"],
+                )
+            ).alias("ids")
+        )
+    )
+    return out.select(
+        strata_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.size("ids").cast("long").alias("n_ids"),
+        "ids",
+    )

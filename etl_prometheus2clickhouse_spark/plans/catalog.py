@@ -4683,6 +4683,120 @@ def _build_bpe_oracle() -> str:
 ORACLE_BPE_TOKENIZE = _build_bpe_oracle()
 
 
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding (operators/bpe.py:bpe_encode_ids) — what a
+    training pipeline actually ships: the trained merge table plus the
+    deterministic vocab (sorted reference alphabet, then merge
+    products by rank; UNK = len(vocab) for out-of-alphabet
+    characters). The oracle derives the vocab INDEPENDENTLY from the
+    plain-Python merges and maps the replace-chain token stream
+    through a literal CASE — training, tokenization, and id assignment
+    all have to agree for the arrays to hash-match."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    ref = spark.createDataFrame(
+        [(t,) for t in _BPE_TRAIN_TEXTS], "text string"
+    )
+    merges = bpe_train(ref, n_merges=_BPE_N_MERGES)
+    vocab = bpe_vocab(merges, bpe_alphabet(ref))
+    return bpe_encode_ids(_t(spark, sf_dir, "documents"), merges, vocab)
+
+
+def _build_bpe_ids_oracle() -> str:
+    """The encode-ids oracle: the replace-chain token list mapped to
+    ids through a CASE built from the INDEPENDENT Python derivation of
+    merges + vocab."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_reference_merges,
+        bpe_vocab,
+    )
+
+    merges = bpe_reference_merges(_BPE_TRAIN_TEXTS, _BPE_N_MERGES)
+    alphabet = sorted(
+        {c for t in _BPE_TRAIN_TEXTS for w in t.lower().split() for c in w}
+    )
+    vocab = bpe_vocab(merges, alphabet)
+    whens = " ".join(
+        f"WHEN {_bpe_sql_lit(tok)} THEN {i}"
+        for tok, i in sorted(vocab.items(), key=lambda kv: kv[1])
+    )
+    case = f"CASE t {whens} ELSE {len(vocab)} END"
+    base = ORACLE_BPE_TOKENIZE.split("\nSELECT")[0]  # the toks CTE
+    return (
+        base
+        + f"""
+SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       list_transform(ts, t -> CAST({case} AS INTEGER)) AS ids
+FROM toks"""
+    )
+
+
+ORACLE_BPE_ENCODE_IDS = _build_bpe_ids_oracle()
+
+_PACK_IDS_BUDGET = 512
+
+
+def q_bpe_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences (operators/bpe.py:
+    pack_token_ids): per-language concatenation of the id-encoded
+    documents in doc_id order, chunked into 512-id sequences — the
+    tokenize → pack last mile, with documents emitting FRAGMENTS
+    (array slices), never token rows. The oracle rebuilds the
+    sequences token-by-token (position = doc prefix-sum + index,
+    sequence = position // budget) — the fragment algebra has to
+    reproduce the token-level ground truth exactly."""
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+        pack_token_ids,
+    )
+
+    ref = spark.createDataFrame(
+        [(t,) for t in _BPE_TRAIN_TEXTS], "text string"
+    )
+    merges = bpe_train(ref, n_merges=_BPE_N_MERGES)
+    vocab = bpe_vocab(merges, bpe_alphabet(ref))
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_ids(d, merges, vocab).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return pack_token_ids(
+        enc, budget=_PACK_IDS_BUDGET, strata_col="lang",
+        order_col="doc_id",
+    )
+
+
+ORACLE_BPE_PACK_IDS = f"""
+WITH enc AS ({ORACLE_BPE_ENCODE_IDS}),
+d2 AS (
+  SELECT d.lang, e.doc_id, e.ids
+  FROM documents d JOIN enc e USING (doc_id)
+),
+pos AS (
+  SELECT lang, doc_id, ids,
+         coalesce(sum(len(ids)) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS doc_start
+  FROM d2
+),
+tok AS (
+  SELECT lang, doc_start + unnest(range(0, len(ids))) AS p,
+         unnest(ids) AS tid
+  FROM pos WHERE len(ids) > 0
+)
+SELECT lang, CAST(p // {_PACK_IDS_BUDGET} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       list(tid ORDER BY p) AS ids
+FROM tok GROUP BY 1, 2
+"""
+
+
 def q_lm_perplexity3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram Jelinek-Mercer LM perplexity (operators/text.py:
     lm_perplexity3) — the CCNet-parity n-gram order with classical
@@ -6907,8 +7021,13 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "ngram_jaccard": q_ngram_jaccard,
     # round-11: the vocabulary-scale Arrow BPE encoder, facing the
-    # chain face's oracle (token-for-token equality on documents)
+    # chain face's oracle (token-for-token equality on documents);
+    # token-ID encoding with the deterministic vocab; and the
+    # materialized tokenize → pack last mile (fragment algebra vs the
+    # oracle's token-level rebuild)
     "bpe_tokenize_arrow": q_bpe_tokenize_arrow,
+    "bpe_encode_ids": q_bpe_encode_ids,
+    "bpe_pack_ids": q_bpe_pack_ids,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -7123,6 +7242,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quality_score": _oracle_quality_score(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
+    "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
+    "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,

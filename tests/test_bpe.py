@@ -220,3 +220,62 @@ def test_arrow_apply_handles_vocabulary_scale_tables(spark):
     assert _rows(bpe_apply_arrow(df, padded)) == _rows(
         bpe_apply_arrow(df, real)
     )
+
+
+def test_encode_ids_vocab_and_unk(spark):
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        EOW,
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    ref = _df(spark, SENNRICH)
+    merges = bpe_train(ref, n_merges=10)
+    alphabet = bpe_alphabet(ref)
+    vocab = bpe_vocab(merges, alphabet)
+    # layout: sorted alphabet (EOW included) first, merge products after
+    assert vocab[EOW] == 0  # \x02 sorts before every letter
+    n_alpha = len(set(alphabet) | {EOW})
+    assert all(
+        vocab[a + b] >= n_alpha for a, b in merges if (a + b) in vocab
+    )
+    df = spark.createDataFrame(
+        [(1, "low"), (2, "zzz9")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: list(r.ids) for r in
+            bpe_encode_ids(df, merges, vocab).collect()}
+    # "low" trains to a single merged token -> one id, a merge product
+    assert len(rows[1]) >= 1 and all(i < len(vocab) for i in rows[1])
+    # '9' and 'z' are out-of-alphabet -> their symbols map to UNK =
+    # len(vocab); the word's standalone EOW symbol keeps its real id
+    assert rows[2][:-1] == [len(vocab)] * (len(rows[2]) - 1)
+    assert rows[2][-1] == vocab[EOW]
+
+
+def test_pack_token_ids_fragments_exactly(spark):
+    from etl_prometheus2clickhouse_spark.operators.bpe import (
+        pack_token_ids,
+    )
+
+    # hand-built ids: budget 4; doc 1 (3 ids) + doc 2 (6 ids) straddle
+    # sequences 0-2; doc 3 empty; stratum b independent
+    enc = spark.createDataFrame(
+        [
+            ("a", 1, [1, 2, 3]),
+            ("a", 2, [4, 5, 6, 7, 8, 9]),
+            ("a", 3, []),
+            ("b", 1, [10]),
+        ],
+        "lang string, doc_id long, ids array<int>",
+    )
+    out = {
+        (r.lang, r.seq_id): (r.n_ids, list(r.ids))
+        for r in pack_token_ids(enc, 4, "lang", "doc_id").collect()
+    }
+    assert out == {
+        ("a", 0): (4, [1, 2, 3, 4]),
+        ("a", 1): (4, [5, 6, 7, 8]),
+        ("a", 2): (1, [9]),
+        ("b", 0): (1, [10]),
+    }
