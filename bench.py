@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     # round-9 late: exact substring dedup (Lee et al. ACL'22) and
     # bigram-LM perplexity scoring (CCNet)
     "exact_substring_spans",
+    # round-11: persisted window-index build + shard span probe
+    "substring_increment",
     "exact_substring_dedup",
     "lm_perplexity",
     "lm_perplexity3",

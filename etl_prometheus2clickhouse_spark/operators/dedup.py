@@ -1161,6 +1161,18 @@ def exact_substring_spans(
         .select("h")
     )
     hits = pos.join(dup, "h").select("id", "pos")
+    return merge_hit_spans(hits, min_len, id_col)
+
+
+def merge_hit_spans(
+    hits: DataFrame, min_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Gaps-and-islands merge of duplicated-window start positions
+    into maximal spans — the final stage of
+    :func:`exact_substring_spans`, factored out so the incremental
+    face (operators/dedup_index.py ``substring_increment``) merges its
+    probe hits through the identical window plan. ``hits`` carries
+    ``(id, pos)``; output one row per merged span."""
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + min_len).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

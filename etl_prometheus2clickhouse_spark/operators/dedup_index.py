@@ -431,3 +431,162 @@ __all__ = [
     "index_stats",
     "probed_bands_plan",
 ]
+
+
+# ---------------------------------------------------------------------------
+# incremental EXACT-SUBSTRING dedup (Lee et al. ACL'22, windowed form)
+# ---------------------------------------------------------------------------
+
+_SUB_META_COLS = ["min_len", "index_buckets"]
+
+
+def substring_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    index_buckets: int = 64,
+) -> None:
+    """Persist the corpus's rolling-window position table —
+    ``(hp, h, id, pos)``, PARTITIONED by the ingestion increment and
+    ``hp`` (a hash prefix of the 64-bit window hash) — the
+    exact-substring sibling of the MinHash band index. A shard probe
+    needs only the ``h`` column of the index (column pruning; the
+    window text never persists), and ``hp`` pruning helps exactly when
+    the shard is small (window hashes are uniform, so a large shard
+    touches every prefix — documented, not hidden)."""
+    spark = corpus.sparkSession
+    _delete_path(spark, path)
+    win = _window_positions(corpus, id_col, text_col, min_len)
+    win.select(
+        F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
+        "h",
+        "id",
+        "pos",
+    ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
+        "hp"
+    ).parquet(os.path.join(path, "windows", "mb=base"))
+    spark.createDataFrame(
+        [(min_len, index_buckets)], "min_len int, index_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+
+
+def _window_positions(
+    docs: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        _positional_shingle_hashes,
+        _ws_tokens,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("id"), _ws_tokens(F.col(text_col)).alias("toks")
+    )
+    return base.select(
+        "id",
+        F.posexplode(
+            _positional_shingle_hashes(F.col("toks"), min_len)
+        ).alias("pos", "h"),
+    )
+
+
+def _read_sub_meta(spark: SparkSession, path: str) -> dict:
+    rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"substring index at {path!r} has a corrupt meta table "
+            f"({len(rows)} rows, expected 1)"
+        )
+    return {k: rows[0][k] for k in _SUB_META_COLS}
+
+
+def substring_increment(
+    shard: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    update_index: bool = False,
+    update_label: str | None = None,
+) -> DataFrame:
+    """Duplicated-span detection for a NEW shard against the persisted
+    window index, without re-hashing the corpus: a shard window is
+    duplicated iff its hash EXISTS in the index or repeats WITHIN the
+    shard — which equals the one-shot union rule exactly
+    (count_union ≥ 2 ⇔ count_corpus ≥ 1 ∨ count_shard ≥ 2), so unlike
+    the near-dup closure there is NO topology caveat: the output is
+    the one-shot ``exact_substring_spans`` of corpus∪shard RESTRICTED
+    to shard documents, verified by the catalog oracle at all SFs.
+
+    ``update_index=True`` lands the shard's window rows in their own
+    overwrite-idempotent ``mb=`` increment. Output schema matches
+    ``exact_substring_spans``."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        merge_hit_spans,
+    )
+
+    if update_index:
+        if not update_label or any(c in update_label for c in "/=%"):
+            raise ValueError(
+                "substring_increment: update_index=True needs a "
+                f"filesystem-safe update_label, got {update_label!r}"
+            )
+        if update_label == "base":
+            raise ValueError(
+                "substring_increment: update_label 'base' is reserved "
+                "for the build increment"
+            )
+    spark = shard.sparkSession
+    meta = _read_sub_meta(spark, path)
+    min_len, index_buckets = meta["min_len"], meta["index_buckets"]
+
+    win = _window_positions(shard, id_col, text_col, min_len).persist()
+    _register_cached(win)
+
+    probe_hps = [
+        r.hp
+        for r in win.select(
+            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp")
+        )
+        .distinct()
+        .collect()
+    ]
+    # the probe reads ONLY the hash column of the probed partitions —
+    # ReadSchema h, PartitionFilters hp (asserted in pytest)
+    idx_h = (
+        spark.read.parquet(os.path.join(path, "windows"))
+        .where(F.col("hp").isin(probe_hps))
+        .select("h")
+        .distinct()
+    )
+    dup_vs_corpus = win.join(idx_h, "h").select("id", "pos")
+    shard_dup_h = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("h")
+    )
+    dup_internal = win.join(shard_dup_h, "h").select("id", "pos")
+    hits = dup_vs_corpus.unionByName(dup_internal).dropDuplicates(
+        ["id", "pos"]
+    )
+    spans = merge_hit_spans(hits, min_len, id_col)
+
+    if update_index:
+        # the spans plan READS the windows directory; pin the result
+        # before this update rewrites its own mb= increment (a replay
+        # would otherwise invalidate the lazy plan's file listing)
+        spans = spans.localCheckpoint()
+        win.select(
+            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias(
+                "hp"
+            ),
+            "h",
+            "id",
+            "pos",
+        ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
+            "hp"
+        ).parquet(os.path.join(path, "windows", f"mb={update_label}"))
+    return _with_cached_deps(spans, [win])

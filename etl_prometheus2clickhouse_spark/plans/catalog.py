@@ -4326,6 +4326,46 @@ FROM spans
 )
 
 
+def q_substring_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring dedup against the persisted window
+    index (operators/dedup_index.py:substring_increment): 80% of the
+    corpus is indexed once (rolling-window (hp, h, id, pos) rows,
+    partitioned by hash prefix), the remaining 20% arrives as a shard
+    and its duplicated spans are found by probing the index's hash
+    column + the shard's own repeats — equal BY ALGEBRA to the
+    one-shot spans of the union restricted to shard docs
+    (count_union ≥ 2 ⇔ in-index ∨ repeats-in-shard; no topology
+    caveat, unlike the near-dup closure). The oracle is exactly that:
+    the one-shot window-STRING spans CTE filtered to the shard."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+    )
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"substr_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    substring_index_build(
+        d.where(F.col("doc_id") % 5 != 0), path, min_len=_ESS_L
+    )
+    return substring_increment(d.where(F.col("doc_id") % 5 == 0), path)
+
+
+ORACLE_SUBSTRING_INCREMENT = (
+    _ESS_SPANS_CTE
+    + """
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_len AS BIGINT) AS span_len
+FROM spans WHERE doc_id % 5 = 0
+"""
+)
+
+
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring deduplication, document level
     (operators/dedup.py:exact_substring_dedup — Lee et al. ACL 2022
@@ -7032,6 +7072,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
     "exact_substring_spans": q_exact_substring_spans,
+    # round-11: incremental spans against the persisted window index
+    "substring_increment": q_substring_increment,
     # round-9 late: supervised classification (multinomial NB — the
     # closed-form member of the CCNet/fastText classifier family) and
     # BM25 inverted-index retrieval, both full-pipeline oracles
@@ -7247,6 +7289,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
+    "substring_increment": ORACLE_SUBSTRING_INCREMENT,
     "nb_classify": ORACLE_NB_CLASSIFY,
     "bm25_search": ORACLE_BM25_SEARCH,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

@@ -190,3 +190,72 @@ def test_build_rejects_bad_banding(spark, tmp_path):
         minhash_index_build(
             old, str(tmp_path / "x"), num_hashes=64, bands=7
         )
+
+
+def test_substring_increment_equals_one_shot(spark, sf_dir):
+    """The shard's spans from the persisted window index must equal
+    the one-shot exact_substring_spans of the UNION restricted to
+    shard docs — the union rule is pure counting algebra, so equality
+    is exact (no banding/topology caveat)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+    )
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="subidx_t_") + "/idx"
+    with cached_scope():
+        substring_index_build(corpus, path, min_len=5)
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in substring_increment(shard, path).collect()
+        }
+        want = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in exact_substring_spans(docs, min_len=5)
+            .where(F.col("doc_id") % 5 == 0)
+            .collect()
+        }
+    assert got == want and len(got) > 0
+
+
+def test_substring_index_update_lifecycle_and_replay(spark, tmp_path):
+    """A second shard probed after update_index=True must see the
+    first shard's windows (cross-shard duplication detected); a
+    replayed update leaves the window count unchanged."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    seed = mk([(1, "a b c d e f g h")])
+    w1 = mk([(10, "p q r s t u v w")])
+    w2 = mk([(20, "p q r s t zz yy xx")])  # 5-window shared with w1
+    path = str(tmp_path / "sidx")
+    with cached_scope():
+        substring_index_build(seed, path, min_len=5, index_buckets=8)
+        s1 = substring_increment(
+            w1, path, update_index=True, update_label="w1"
+        )
+        assert s1.count() == 0  # nothing shared with the seed
+        n1 = spark.read.parquet(f"{path}/windows").count()
+        # replay of the same update: idempotent
+        s1b = substring_increment(
+            w1, path, update_index=True, update_label="w1"
+        )
+        s1b.write.format("noop").mode("overwrite").save()
+        assert spark.read.parquet(f"{path}/windows").count() == n1
+        # w2 shares the 5-token window "p q r s t" with w1 via the index
+        spans = substring_increment(w2, path).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
+        (20, 0, 5)
+    ]
