@@ -215,3 +215,19 @@ __all__ = [
     "ann_index_append",
     "ann_index_search",
 ]
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> dict:
+    """Fold accumulated code-table increments back into ``mb=base``
+    (operators/dedup_index.py:_compact_increment_table — the shared
+    maintenance pass): physical rewrite only, search results unchanged
+    (pytest-pinned). The model table is already a single artifact."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _compact_increment_table,
+    )
+
+    return {
+        "codes_rows": _compact_increment_table(
+            spark, os.path.join(path, "codes"), "cell"
+        )
+    }

@@ -110,3 +110,29 @@ def test_append_label_contract(spark, sf_dir, tmp_path):
         ann_index_append(emb, path, "base")
     with pytest.raises(ValueError, match="filesystem-safe"):
         ann_index_append(emb, path, "a/b")
+
+
+def test_compaction_preserves_search(spark, sf_dir, tmp_path):
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_compact,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idxc")
+    q = emb.where(F.col("vec_id") < 10)
+    with cached_scope():
+        ann_index_build(base, path, dim=64, n_cells=16, m=4, k_codes=8)
+        ann_index_append(shard, path, "w2")
+        want = _topk(ann_index_search(q, path, emb, k=5))
+        counts = ann_index_compact(spark, path)
+        got = _topk(ann_index_search(q, path, emb, k=5))
+    assert got == want
+    assert counts["codes_rows"] == emb.count()
+    mbs = {
+        p.name
+        for p in (tmp_path / "idxc" / "codes").iterdir()
+        if p.name.startswith("mb=")
+    }
+    assert mbs == {"mb=base"}

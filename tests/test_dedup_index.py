@@ -259,3 +259,66 @@ def test_substring_index_update_lifecycle_and_replay(spark, tmp_path):
     assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
         (20, 0, 5)
     ]
+
+
+def test_compaction_preserves_decisions(spark, tmp_path):
+    """Compacting accumulated increments back into one base increment
+    is a PHYSICAL rewrite: a probe after compaction must equal the
+    probe before, the mb directory count collapses to 1, and row
+    counts are preserved."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        index_stats,
+        minhash_index_compact,
+        substring_increment,
+        substring_index_build,
+        substring_index_compact,
+    )
+
+    union_df, old, new = _frames(spark)
+    w2 = new.where(F.col("doc_id") < 12)
+    w3 = new.where(F.col("doc_id") >= 12)
+    path = str(tmp_path / "cidx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dedup_increment(
+            old, w2, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        before = index_stats(spark, path)
+        corpus12 = old.unionByName(w2)
+        want = _resolved(dedup_increment(corpus12, w3, path))
+        counts = minhash_index_compact(spark, path)
+        after = index_stats(spark, path)
+        got = _resolved(dedup_increment(corpus12, w3, path))
+    assert got == want
+    assert counts["bands_rows"] == before["bands_rows"] == after["bands_rows"]
+    assert after["shingles_rows"] == before["shingles_rows"]
+    mbs = {
+        p.name
+        for p in (tmp_path / "cidx" / "bands").iterdir()
+        if p.name.startswith("mb=")
+    }
+    assert mbs == {"mb=base"}
+
+    # substring index: same contract
+    spath = str(tmp_path / "csub")
+    with cached_scope():
+        substring_index_build(old, spath, min_len=5, index_buckets=8)
+        substring_increment(
+            old.limit(2), spath, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        s_want = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_increment(new, spath).collect()
+        }
+        substring_index_compact(spark, spath)
+        s_got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_increment(new, spath).collect()
+        }
+    assert s_got == s_want
+    smbs = {
+        p.name
+        for p in (tmp_path / "csub" / "windows").iterdir()
+        if p.name.startswith("mb=")
+    }
+    assert smbs == {"mb=base"}
