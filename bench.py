@@ -134,8 +134,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "weighted_sample",
     "corpus_mix",
-    # round-10 late: Z-order layout pruning witness
+    # round-10 late: Z-order layout pruning witness; round-11: the
+    # Hilbert-curve sibling
     "zorder_stats",
+    "hilbert_stats",
     # round-10 late: composed paragraph-dedup → Gopher-filter pipeline
     "crawl_pipeline",
     "ngram_jaccard",

@@ -206,3 +206,125 @@ def zorder_pruning_stats(
         "rows_skipped": rows_skipped,
         "rows_total": rows_total,
     }
+
+
+def hilbert_key(
+    df: DataFrame,
+    dims: list[str],
+    bits: int = 8,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    key_col: str = "hkey",
+) -> DataFrame:
+    """Append a 2-D HILBERT curve key (Hilbert 1891; the xy→d bit
+    iteration in its standard integer form) — the locality-tighter
+    sibling of :func:`zorder_key`: the Hilbert curve has no Morton
+    quadrant jumps, so consecutive key ranges cover more compact
+    rectangles and file envelopes tighten further (measured in
+    tests/test_layout.py on the same data/write path).
+
+    Exactly TWO dimensions (the classic curve; Morton generalizes to
+    any d trivially, Hilbert does not — use :func:`zorder_key` for
+    d ≠ 2). Same exact-integer bucketing as the Morton key (engine-
+    reproducible `div` arithmetic, clamped edges), then ``bits``
+    unrolled rotation steps as pure JVM expressions — a Python loop
+    builds the expression chain; no Python executes per row. The
+    DuckDB oracle replicates the identical unrolled arithmetic."""
+    if len(dims) != 2:
+        raise ValueError(
+            f"hilbert_key is the 2-D curve (got {len(dims)} dims); "
+            "zorder_key handles arbitrary dimensionality"
+        )
+    if 2 * bits > 62:
+        raise ValueError(f"bits={bits} needs {2 * bits} key bits (max 62)")
+    need = [c for c in dims if bounds is None or c not in bounds]
+    bounds = dict(bounds or {})
+    if need:
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in need],
+            *[F.max(c).alias(f"hi_{c}") for c in need],
+        ).first()
+        for c in need:
+            bounds[c] = (row[f"lo_{c}"], row[f"hi_{c}"])
+    bx = _bucket(dims[0], int(bounds[dims[0]][0]), int(bounds[dims[0]][1]), bits)
+    by = _bucket(dims[1], int(bounds[dims[1]][0]), int(bounds[dims[1]][1]), bits)
+    out = df.withColumn("__hx", bx.cast("long")).withColumn(
+        "__hy", by.cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        d_step = (
+            F.lit(s) * F.lit(s) * ((F.lit(3) * rx).bitwiseXOR(ry))
+        ).cast("long")
+        # quadrant rotation: when ry == 0 the frame flips (and mirrors
+        # when rx == 1); when ry == 1 coordinates pass through
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("__hy")).otherwise(
+                F.col("__hy")
+            ),
+        ).otherwise(F.col("__hx"))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1) - F.col("__hx")).otherwise(
+                F.col("__hx")
+            ),
+        ).otherwise(F.col("__hy"))
+        out = (
+            out.withColumn("__hd2", F.col("__hd") + d_step)
+            .withColumn("__nx", nx)
+            .withColumn("__ny", ny)
+            .drop("__hd", "__hx", "__hy")
+            .withColumnRenamed("__hd2", "__hd")
+            .withColumnRenamed("__nx", "__hx")
+            .withColumnRenamed("__ny", "__hy")
+        )
+    return (
+        out.withColumn(key_col, F.col("__hd"))
+        .drop("__hd", "__hx", "__hy")
+    )
+
+
+def hilbert_stats(
+    df: DataFrame,
+    dims: list[str],
+    bits: int = 8,
+    prefix_bits: int = 4,
+    bounds: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Per-bucket range report for a Hilbert clustering — the same
+    pruning witness as :func:`zorder_stats`, over the Hilbert key's
+    top bits."""
+    if prefix_bits > 2 * bits:
+        raise ValueError(
+            f"prefix_bits={prefix_bits} exceeds the {2 * bits}-bit key"
+        )
+    keyed = hilbert_key(df, dims, bits=bits, bounds=bounds)
+    part = F.shiftright("hkey", 2 * bits - prefix_bits)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in dims:
+        aggs.append(F.min(c).cast("long").alias(f"min_{c}"))
+        aggs.append(F.max(c).cast("long").alias(f"max_{c}"))
+    return keyed.groupBy(part.cast("long").alias("part_id")).agg(*aggs)
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    dims: list[str],
+    n_files: int,
+    bits: int = 16,
+    bounds: dict[str, tuple[int, int]] | None = None,
+) -> None:
+    """Clustered write on the Hilbert key — same recipe as
+    :func:`write_zordered` (range-partition for balanced file sizes,
+    within-partition sort for tight footer envelopes, key dropped)."""
+    keyed = hilbert_key(df, dims, bits=bits, bounds=bounds)
+    (
+        keyed.repartitionByRange(n_files, "hkey")
+        .sortWithinPartitions("hkey")
+        .drop("hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

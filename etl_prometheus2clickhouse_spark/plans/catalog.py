@@ -5339,6 +5339,84 @@ FROM z GROUP BY 1
 """
 
 
+def q_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout witness (operators/layout.py:hilbert_stats
+    — the locality-tighter sibling of zorder_stats: no Morton quadrant
+    jumps, so prefix buckets cover more compact rectangles; envelope
+    comparison pinned in tests/test_layout.py). Same events grid and
+    bucketing as ``zorder_stats``; the key is the classic xy→d bit
+    iteration unrolled to 8 pure-JVM rotation steps, and the oracle
+    replicates the identical unrolled integer arithmetic step by
+    step."""
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        hilbert_stats,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    src = e.select(
+        "user_id",
+        F.floor(ts.ntz_micros("ts") / 1_000_000).cast("long").alias("ts_s"),
+    )
+    return hilbert_stats(src, ["user_id", "ts_s"], bits=8, prefix_bits=4)
+
+
+def _oracle_hilbert_stats(bits: int = 8, prefix_bits: int = 4) -> str:
+    """The Hilbert rotation steps unrolled into chained CTEs — the
+    same integer arithmetic as the Spark expression chain."""
+    parts = [
+        """
+WITH src AS (SELECT user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+             FROM events),
+b AS (SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+             min(ts_s) AS lo_t, max(ts_s) AS hi_t FROM src),
+h0 AS (SELECT user_id, ts_s,
+        least(greatest(((user_id - lo_u) * 256) // (hi_u - lo_u + 1),
+                       0), 255) AS hx,
+        least(greatest(((ts_s - lo_t) * 256) // (hi_t - lo_t + 1),
+                       0), 255) AS hy,
+        CAST(0 AS BIGINT) AS hd
+      FROM src, b)"""
+    ]
+    prev = "h0"
+    step = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        step += 1
+        a, out = f"h{step}a", f"h{step}"
+        parts.append(
+            f""",
+{a} AS (SELECT user_id, ts_s, hx, hy, hd,
+        CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+        CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+      FROM {prev}),
+{out} AS (SELECT user_id, ts_s,
+        CASE WHEN ry = 0 THEN
+          CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END
+        ELSE hx END AS hx,
+        CASE WHEN ry = 0 THEN
+          CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END
+        ELSE hy END AS hy,
+        hd + {s * s} * xor(3 * rx, ry) AS hd
+      FROM {a})"""
+        )
+        prev = out
+    parts.append(
+        f"""
+SELECT CAST(hd >> {2 * bits - prefix_bits} AS BIGINT) AS part_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(user_id) AS BIGINT) AS min_user_id,
+       CAST(max(user_id) AS BIGINT) AS max_user_id,
+       CAST(min(ts_s) AS BIGINT) AS min_ts_s,
+       CAST(max(ts_s) AS BIGINT) AS max_ts_s
+FROM {prev} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+ORACLE_HILBERT_STATS = _oracle_hilbert_stats()
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-curation pipeline face: corpus-level paragraph
     dedup (CCNet, Wenzek et al. LREC'20) feeding the Gopher quality
@@ -7089,6 +7167,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10 late: Z-order layout pruning witness (deterministic
     # z-prefix buckets, exact-integer Morton arithmetic)
     "zorder_stats": q_zorder_stats,
+    # round-11: the Hilbert-curve sibling (8 unrolled rotation steps,
+    # oracle replicates the identical integer arithmetic)
+    "hilbert_stats": q_hilbert_stats,
     # round-10 late: composed CCNet paragraph-dedup → Gopher filter
     # face (both stages' arithmetic must agree end-to-end)
     "crawl_pipeline": q_crawl_pipeline,
@@ -7295,6 +7376,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ann_recall": ORACLE_ANN_RECALL,
     "zorder_stats": ORACLE_ZORDER_STATS,
+    "hilbert_stats": ORACLE_HILBERT_STATS,
     "crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "video_features": ORACLE_VIDEO_FEATURES,
     "events_distinct_hll": ORACLE_EVENTS_DISTINCT_HLL,

@@ -192,3 +192,95 @@ def test_zordered_read_prunes_row_groups_and_answers_match(spark, tmp_path):
     got_p = spark.read.parquet(str(plain)).where(pred).count()
     want = grid.where(pred).count()
     assert got_z == got_p == want > 0
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    """The unrolled expression chain must equal the classic xy2d bit
+    iteration cell-for-cell, and the resulting curve must be CONTINUOUS
+    (consecutive keys are plane-adjacent — the property Morton lacks)."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        hilbert_key,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.hkey
+        for r in hilbert_key(
+            grid, ["x", "y"], bits=bits,
+            bounds={"x": (0, n - 1), "y": (0, n - 1)},
+        ).collect()
+    }
+    want = {(x, y): xy2d(n, x, y) for x in range(n) for y in range(n)}
+    assert got == want
+    inv = {v: k for k, v in want.items()}
+    assert all(
+        abs(inv[d][0] - inv[d - 1][0]) + abs(inv[d][1] - inv[d - 1][1]) == 1
+        for d in range(1, n * n)
+    )
+
+
+def test_hilbert_write_prunes_at_least_as_well_as_unsorted(spark, tmp_path):
+    """The Hilbert clustered write must produce bounded per-file
+    envelopes (like the Morton write) and a 2-dim range predicate must
+    skip row groups on footer statistics with identical answers."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        write_hilbert,
+        zorder_pruning_stats,
+    )
+
+    grid = spark.range(100_000).select(
+        (F.col("id") % 256).alias("x"),
+        F.pmod(F.col("id") * 2654435761, F.lit(256)).alias("y"),
+    )
+    hpath = tmp_path / "hq"
+    write_hilbert(
+        grid, str(hpath), ["x", "y"], n_files=16, bits=8,
+        bounds={"x": (0, 255), "y": (0, 255)},
+    )
+    ranges = {"x": (32, 63), "y": (96, 127)}
+    st = zorder_pruning_stats(str(hpath), ranges)
+    assert st["total"] >= 16 and st["skipped"] >= 0.5 * st["total"], st
+    pred = (F.col("x").between(32, 63)) & (F.col("y").between(96, 127))
+    assert (
+        spark.read.parquet(str(hpath)).where(pred).count()
+        == grid.where(pred).count()
+        > 0
+    )
+
+
+def test_hilbert_fails_loud_off_2d(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        hilbert_key,
+    )
+
+    grid = spark.range(10).select(
+        F.col("id").alias("x"), F.col("id").alias("y"),
+        F.col("id").alias("z"),
+    )
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_key(grid, ["x", "y", "z"])
+    with pytest.raises(ValueError, match="62"):
+        hilbert_key(grid, ["x", "y"], bits=32)
