@@ -6152,22 +6152,30 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     b = corpus.agg(F.max("doc_id")).first()[0] + 1
-    seed = corpus.where(F.col("doc_id") < b // 4)
+    # seed = first id-half; TWO streamed quarter-batches (state still
+    # crosses the store; the richer multi-batch matrices live in
+    # tests/test_streaming_curation.py — each streamed batch costs
+    # ~20 s of per-batch pipeline jobs at bench SF, so the face stays
+    # at the minimum that is genuinely multi-batch)
+    seed = corpus.where(F.col("doc_id") < b // 2)
     scratch = tempfile.mkdtemp(prefix="stream_curation_")
     try:
         idx = f"{scratch}/idx"
-        # banding geometry: 64 bands × 1 row — P(miss) = (1-J)^64,
-        # ≈ 5e-20 at the 0.5 threshold. The default 16×4 geometry
-        # misses 4 true pairs on the PLANTED sf0.1 corpus (J 0.53-0.70
-        # on short suffix-diluted docs: P(miss J=0.53) ≈ 0.27/band
-        # set), which is exactly the class of silent recall loss the
-        # exact-Jaccard oracle exists to catch — it did, and the
-        # sweep below is green at all three SFs with this geometry.
+        # banding geometry: 32 bands × 2 rows — P(miss) =
+        # (1-J²)^32 ≈ 3e-5 at the 0.53 threshold-edge pairs the
+        # default 16×4 geometry misses on the PLANTED sf0.1 corpus
+        # (P(miss J=0.53) ≈ 0.27/band set — exactly the silent recall
+        # loss the exact-Jaccard oracle caught). r=1 banding would be
+        # recall-perfect but candidate-EXPLOSIVE (single-minhash
+        # buckets make ~every mildly-similar pair a candidate:
+        # measured 16.8 s of exact verifies vs ~2 s here); r=2 keeps
+        # full recall on this corpus (zero misses at all three SFs)
+        # at bounded candidates.
         minhash_index_build(
             seed, idx, id_col="doc_id", threshold=0.5,
-            num_hashes=64, bands=64,
+            num_hashes=64, bands=32,
         )
-        for i in (1, 2, 3):
+        for i in (2, 3):
             lo, hi = i * b // 4, ((i + 1) * b // 4 if i < 3 else b)
             corpus.where(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
@@ -6232,7 +6240,7 @@ SELECT dd.doc_id,
             WHEN lm.perplexity > {_SC_PPL_THR} THEN 'perplexity_tail'
             ELSE 'kept' END AS disposition
 FROM dd LEFT JOIN g USING (doc_id) LEFT JOIN lm USING (doc_id), mx
-WHERE dd.doc_id >= (mx.m + 1) // 4
+WHERE dd.doc_id >= (mx.m + 1) // 2
 """
 
 

@@ -563,10 +563,10 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming EWMA face (streaming/stateful.py:streaming_ewma)
     through REAL state-carrying micro-batches: the events file is
-    split into four CONTIGUOUS time spans written in order (a tie
+    split into CONTIGUOUS time spans written in order (a tie
     timestamp can never straddle a span), each arriving as its own
     micro-batch, so the per-series level genuinely crosses the state
-    store three times. On an in-order stream the final emission per
+    store. On an in-order stream the final emission per
     series equals the batch fold exactly — the oracle is the plain
     sequential ``list_reduce`` with the same (ts, value) tie order and
     the same explicit floor rounding; green proves the three-scalar
@@ -594,10 +594,13 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ts.epoch_micros(batch, "ts")),
         F.max(ts.epoch_micros(batch, "ts")),
     ).first()
-    span = (hi - lo) // 4 + 1
+    # TWO contiguous spans: the state still crosses the store once
+    # per series (the point of the face), at half the per-batch
+    # stateful-operator cost of a 4-way split at bench SF
+    span = (hi - lo) // 2 + 1
     scratch = tempfile.mkdtemp(prefix="stream_ewma_")
     try:
-        for i in range(4):
+        for i in range(2):
             batch.where(
                 ((ts.epoch_micros(batch, "ts") - lo) / span).cast("int")
                 == i
