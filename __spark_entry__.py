@@ -9,8 +9,12 @@ The actual catalog lives in
 ``etl_prometheus2clickhouse_spark/plans/catalog.py`` — one entry
 per DISTINCT operator from SURVEY.md §2 plus the LLM-pipeline layer
 (dedup, similarity, text analysis + quality filtering, HTML/URL front
-door, BPE tokenization, sampling, time-series, temporal joins,
-behavior analytics, multimodal incl. real MP4 demux, streaming-fed). EVERY entry has an
+door, BPE tokenization + token-id packing, sampling, time-series,
+temporal joins, behavior analytics, multimodal incl. real MP4 demux,
+streaming-fed, and the round-11 incremental index layer: persisted
+MinHash band / substring window / IVFADC code indexes with shard
+probes, replay-idempotent appends, compaction, and the streaming
+curation funnel over them). EVERY entry has an
 oracle — zero rows-only entries: the GK sketch faces a hash oracle via
 its rank-guarantee columns, and the MinHash/SimHash/LSH variants
 (whose xxhash64 / seeded-numpy internals DuckDB can't express) are

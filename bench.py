@@ -129,8 +129,10 @@ BENCH_QUERIES = [
     "length_quantile_filter",
     "content_dedup",
     "fingerprint_dedup",
-    # round-10 late: CCNet corpus-level paragraph election
+    # round-10 late: CCNet corpus-level paragraph election; round-11:
+    # its incremental face over the persisted hash index
     "paragraph_dedup",
+    "paragraph_increment",
     "stratified_sample",
     "weighted_sample",
     "corpus_mix",
@@ -163,8 +165,10 @@ BENCH_QUERIES = [
     "cosine_topk_ivfpq",
     "cosine_topk_ivfpq_residual",
     "cosine_topk_ivfpq_codes",
-    # round-11: persisted-model build + shard append + probed search
+    # round-11: persisted-model build + shard append + probed search,
+    # and the same lifecycle through checkpointed micro-batches
     "ann_increment",
+    "stream_ann",
     "embedding_near_dup",
     "embedding_near_dup_exact_baseline",
     # round-10 late: composed recall@k evaluation (exact + IVFADC)

@@ -659,3 +659,141 @@ def substring_index_compact(spark: SparkSession, path: str) -> dict:
             spark, os.path.join(path, "windows"), "hp"
         )
     }
+
+
+# ---------------------------------------------------------------------------
+# incremental PARAGRAPH dedup (CCNet stage)
+# ---------------------------------------------------------------------------
+
+def _para_slim(docs: DataFrame, id_col: str, text_col: str, sep: str):
+    arr = F.transform(
+        F.split(F.col(text_col), F.lit(sep)), lambda p: F.trim(p)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(arr).alias("pos", "para"),
+        )
+        .filter(F.length("para") > 0)
+        .select("id", "pos", F.xxhash64("para").alias("h"))
+    )
+
+
+def paragraph_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    index_buckets: int = 64,
+) -> None:
+    """Persist the corpus's DISTINCT paragraph hashes — (hp, h),
+    partitioned by (increment, hash-prefix) — the CCNet-stage sibling
+    of the window index. Only hashes persist: with id-ordered arrival
+    an indexed paragraph beats every later shard occurrence, so the
+    winner's (id, pos) never needs to leave the corpus."""
+    spark = corpus.sparkSession
+    _delete_path(spark, path)
+    h = _para_slim(corpus, id_col, text_col, sep).select("h").distinct()
+    h.select(
+        F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
+        "h",
+    ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
+        "hp"
+    ).parquet(os.path.join(path, "paras", "mb=base"))
+    spark.createDataFrame(
+        [(sep, index_buckets)], "sep string, index_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+
+
+def paragraph_increment(
+    shard: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    update_index: bool = False,
+    update_label: str | None = None,
+) -> DataFrame:
+    """Paragraph-dedup a NEW shard against the persisted hash index: a
+    shard paragraph survives iff it is NOT in the index AND this is
+    its first (id, pos) occurrence WITHIN the shard — which equals the
+    one-shot ``paragraph_dedup`` of corpus∪shard restricted to shard
+    docs whenever arrival is id-ordered (the election is per-paragraph
+    independent — no closure, no topology caveat). Output schema
+    matches ``paragraph_dedup``; documents are reassembled from their
+    surviving paragraphs."""
+    if update_index:
+        if not update_label or any(c in update_label for c in "/=%"):
+            raise ValueError(
+                "paragraph_increment: update_index=True needs a "
+                f"filesystem-safe update_label, got {update_label!r}"
+            )
+        if update_label == "base":
+            raise ValueError(
+                "paragraph_increment: update_label 'base' is reserved "
+                "for the build increment"
+            )
+    spark = shard.sparkSession
+    rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"paragraph index at {path!r} has a corrupt meta table "
+            f"({len(rows)} rows, expected 1)"
+        )
+    sep, index_buckets = rows[0].sep, rows[0].index_buckets
+
+    slim = _para_slim(shard, id_col, text_col, sep).persist()
+    _register_cached(slim)
+    probe_hps = [
+        r.hp
+        for r in slim.select(
+            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp")
+        )
+        .distinct()
+        .collect()
+    ]
+    idx_h = (
+        spark.read.parquet(os.path.join(path, "paras"))
+        .where(F.col("hp").isin(probe_hps))
+        .select("h")
+    )
+    fresh = slim.join(idx_h, "h", "left_anti")
+    winners = fresh.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("win")
+    )
+    kept_pos = (
+        winners.select(
+            F.col("win.id").alias("id"), F.col("win.pos").alias("pos")
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("kept_pos"))
+    )
+    arr = F.transform(
+        F.split(F.col(text_col), F.lit(sep)), lambda p: F.trim(p)
+    )
+    out = shard.join(
+        kept_pos, shard[id_col] == kept_pos["id"], "left"
+    ).drop("id")
+    pos_set = F.coalesce("kept_pos", F.array().cast("array<int>"))
+    kept_paras = F.filter(arr, lambda p, i: F.array_contains(pos_set, i))
+    result = out.select(
+        id_col,
+        F.size(F.filter(arr, lambda p: F.length(p) > 0))
+        .cast("long")
+        .alias("n_paras"),
+        F.size(pos_set).cast("long").alias("n_kept"),
+        F.array_join(kept_paras, sep).alias("text"),
+    )
+    if update_index:
+        result = result.localCheckpoint()  # pin before the index write
+        slim.select("h").distinct().select(
+            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias(
+                "hp"
+            ),
+            "h",
+        ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
+            "hp"
+        ).parquet(os.path.join(path, "paras", f"mb={update_label}"))
+    return _with_cached_deps(result, [slim])

@@ -2391,6 +2391,56 @@ def q_ann_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingestion (streaming/curation_stream.py:
+    run_streaming_ann_ingest): the base-trained index receives the
+    shard as REAL micro-batches — each encoded with the STORED model
+    into its own replay-idempotent increment under a checkpoint — and
+    the search over the grown table SHARES ann_increment's oracle
+    (search depends only on the final table, so arrival order is
+    irrelevant — no ordering contract, unlike the curation funnel)."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        run_streaming_ann_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    scratch = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        idx = f"{scratch}/idx"
+        ann_index_build(
+            base, idx, dim=64, n_cells=32, m=4, k_codes=16,
+            quantizers="first",
+        )
+        shard.repartition(2).write.parquet(f"{scratch}/in")
+        src = (
+            spark.readStream.schema(shard.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{scratch}/in")
+        )
+        run_streaming_ann_ingest(src, idx, f"{scratch}/ckpt")
+        out = ann_index_search(
+            emb.where(F.col("vec_id") < 10), idx, emb,
+            k=5, n_probe=8, n_candidates=50,
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank_k"),
+            F.round("cosine_sim", 6).alias("cos_sim"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 # one-shot IVFADC over everything, quantizers trained on the base
 # slice only (the model ann_index_build persists)
 ORACLE_ANN_INCREMENT = ORACLE_COSINE_TOPK_IVFPQ.replace(
@@ -5253,6 +5303,49 @@ FROM tot t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_paragraph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL paragraph dedup against the persisted hash index
+    (operators/dedup_index.py:paragraph_increment): the CCNet election
+    is per-paragraph independent, so a shard paragraph survives iff it
+    is absent from the indexed corpus AND first within its shard —
+    exactly the one-shot election restricted to shard docs on
+    id-ordered arrival (no closure, no topology caveat) — so, unlike
+    the min-id-electing near-dup faces, the split here must be an ID
+    PREFIX: corpus = first 80% of ids, shard = the rest (an
+    interleaved %5 split puts shard docs BEFORE corpus docs and the
+    one-shot would elect them — caught by this very oracle on first
+    wiring). Same 5-word chunking as the one-shot face; the oracle is
+    the one-shot string-grouped election filtered to the shard."""
+    import os
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_increment,
+        paragraph_index_build,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _chunk5(F.col("text")).alias("text")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"para_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    b = d.agg(F.max("doc_id")).first()[0] + 1
+    paragraph_index_build(d.where(F.col("doc_id") < 4 * b // 5), path)
+    return paragraph_increment(
+        d.where(F.col("doc_id") >= 4 * b // 5), path
+    )
+
+
+ORACLE_PARAGRAPH_INCREMENT = ORACLE_PARAGRAPH_DEDUP.replace(
+    "FROM tot t LEFT JOIN kept k USING (doc_id)",
+    "FROM tot t LEFT JOIN kept k USING (doc_id) "
+    "WHERE t.doc_id >= 4 * (SELECT max(doc_id) + 1 FROM documents) // 5",
+)
+assert ORACLE_PARAGRAPH_INCREMENT != ORACLE_PARAGRAPH_DEDUP
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVFADC path against exact brute force
     (operators/similarity.py:ann_recall) — the acceptance metric every
@@ -7104,9 +7197,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_kmv": q_stream_kmv,
     # round-11: demoted to fund stream_curation (see QUERIES comment)
     "stream_kmv_durable": q_stream_kmv_durable,
-    # round-11: EWMA level carried across four real time-span
-    # micro-batches through three-scalar state
+    # round-11: EWMA level carried across real time-span micro-batches
+    # through three-scalar state; ANN shard ingestion through
+    # checkpointed micro-batches (shares ann_increment's oracle)
     "stream_ewma": q_stream_ewma,
+    "stream_ann": q_stream_ann,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -7158,8 +7253,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
     "exact_substring_spans": q_exact_substring_spans,
-    # round-11: incremental spans against the persisted window index
+    # round-11: incremental spans against the persisted window index,
+    # and the incremental CCNet paragraph election
     "substring_increment": q_substring_increment,
+    "paragraph_increment": q_paragraph_increment,
     # round-9 late: supervised classification (multinomial NB — the
     # closed-form member of the CCNet/fastText classifier family) and
     # BM25 inverted-index retrieval, both full-pipeline oracles
@@ -7350,6 +7447,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_kmv": ORACLE_EVENTS_DISTINCT_KMV,
     "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
     "stream_ewma": ORACLE_STREAM_EWMA,
+    "stream_ann": ORACLE_ANN_INCREMENT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
@@ -7379,6 +7477,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "substring_increment": ORACLE_SUBSTRING_INCREMENT,
+    "paragraph_increment": ORACLE_PARAGRAPH_INCREMENT,
     "nb_classify": ORACLE_NB_CLASSIFY,
     "bm25_search": ORACLE_BM25_SEARCH,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

@@ -165,3 +165,45 @@ def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
     """All batches' dispositions as one frame (``mb`` restored as the
     micro-batch partition column)."""
     return spark.read.parquet(dispositions_dir)
+
+
+def ann_ingest_body(index_path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """foreachBatch body for streaming ANN ingestion: each micro-batch
+    of embeddings is encoded with the index's STORED model into the
+    batch's own replay-idempotent ``mb=b<id>`` increment
+    (operators/ann_index.py). Unlike the curation funnel there is no
+    ordering contract at all — search depends only on the final table,
+    so any arrival order yields the same index."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_append,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        ann_index_append(
+            batch_df, index_path, f"b{int(batch_id)}",
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return body
+
+
+def run_streaming_ann_ingest(
+    src: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Run an embedding stream to completion (AvailableNow) through
+    :func:`ann_ingest_body` under a checkpoint — restartable, replay-
+    idempotent (the dedup-index increment discipline)."""
+    q = (
+        src.writeStream.foreachBatch(
+            ann_ingest_body(index_path, id_col, vec_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -322,3 +322,101 @@ def test_compaction_preserves_decisions(spark, tmp_path):
         if p.name.startswith("mb=")
     }
     assert smbs == {"mb=base"}
+
+
+def test_substring_probe_reads_hash_column_only(spark, tmp_path):
+    """The index side of the probe must scan ONLY the hash column of
+    the windows table (ReadSchema h — never id/pos of the corpus), and
+    the shard's hash-prefix set must land as a partition filter."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+    )
+
+    _, old, new = _frames(spark)
+    path = str(tmp_path / "pidx")
+    with cached_scope():
+        substring_index_build(old, path, min_len=5, index_buckets=8)
+        spans = substring_increment(new, path)
+        plan = spans._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    win_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "h:bigint" in ln
+    ]
+    assert any(
+        "struct<h:bigint>" in ln for ln in win_scans
+    ), f"index scan reads more than the hash column:\n{plan}"
+    assert any(
+        "PartitionFilters: [" in ln and "hp" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_paragraph_increment_equals_one_shot_prefix_split(spark, sf_dir):
+    """Keep-first election: with an ID-PREFIX split (corpus strictly
+    before shard) the incremental face equals the one-shot restricted
+    to shard docs. (An interleaved split would violate the arrival
+    precondition — a shard doc could be the global first occurrence —
+    which the catalog oracle caught on first wiring.)"""
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_increment,
+        paragraph_index_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n")
+        .alias("text"),
+    )
+    b = docs.agg(F.max("doc_id")).first()[0] + 1
+    corpus = docs.where(F.col("doc_id") < 4 * b // 5)
+    shard = docs.where(F.col("doc_id") >= 4 * b // 5)
+    path = tempfile.mkdtemp(prefix="paraidx_t_") + "/idx"
+    with cached_scope():
+        paragraph_index_build(corpus, path)
+        got = {
+            r.doc_id: (r.n_paras, r.n_kept, r.text)
+            for r in paragraph_increment(shard, path).collect()
+        }
+        want = {
+            r.doc_id: (r.n_paras, r.n_kept, r.text)
+            for r in paragraph_dedup(docs)
+            .where(F.col("doc_id") >= 4 * b // 5)
+            .collect()
+        }
+    assert got == want and len(got) > 0
+    # non-vacuous: at least one shard doc lost a paragraph to the index
+    assert any(k < p for p, k, _ in got.values())
+
+
+def test_paragraph_increment_update_and_cross_shard(spark, tmp_path):
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_increment,
+        paragraph_index_build,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    seed = mk([(1, "alpha beta\ngamma delta")])
+    w1 = mk([(10, "epsilon zeta\nalpha beta")])  # 2nd para in seed
+    w2 = mk([(20, "epsilon zeta\nnew words")])  # 1st para in w1
+    path = str(tmp_path / "paidx")
+    with cached_scope():
+        paragraph_index_build(seed, path, index_buckets=8)
+        r1 = paragraph_increment(
+            w1, path, update_index=True, update_label="w1"
+        ).collect()[0]
+        assert (r1.n_paras, r1.n_kept, r1.text) == (2, 1, "epsilon zeta")
+        r2 = paragraph_increment(w2, path).collect()[0]
+    assert (r2.n_paras, r2.n_kept, r2.text) == (2, 1, "new words")
