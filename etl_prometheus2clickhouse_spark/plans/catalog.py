@@ -6212,9 +6212,9 @@ _SC_CORPUS_SQL = (
 def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental curation (streaming/curation_stream.py) —
     the curation funnel as a durable foreachBatch pipeline over the
-    persisted MinHash index: the first id-quartile of the (planted,
-    reference-split) corpus seeds the index, the remaining three
-    quartiles arrive as REAL micro-batches in ascending id order, and
+    persisted MinHash index: the first id-HALF of the (planted,
+    reference-split) corpus seeds the index, the remaining two id-
+    quarters arrive as REAL micro-batches in ascending id order, and
     each batch is (1) incrementally deduped by probing only its own
     band buckets — updating the index under its own replay-idempotent
     ``mb=`` increment, (2) Gopher-filtered, (3) LM-scored under the
