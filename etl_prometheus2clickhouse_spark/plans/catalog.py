@@ -6375,20 +6375,26 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_mmr() -> str:
     cos_xy = _COS32.replace("a.v[", "x.v[").replace("b.v[", "y.v[")
+    # MATERIALIZED on the heavy upstream CTEs: the 5 unrolled
+    # selection steps reference cand/cs (and transitively dv/e) many
+    # times, and a CTE-INLINING planner re-evaluates the feature-
+    # hashing and pairwise-cosine work once per reference — observed
+    # as a DuckDB out-of-memory at sf0.1 despite a 100 GiB limit;
+    # materialization pins each to one evaluation (values unchanged)
     ctes = [
-        f"dv AS ({ORACLE_DOC_VECTORS})",
-        """e AS (SELECT doc_id AS vec_id,
+        f"dv AS MATERIALIZED ({ORACLE_DOC_VECTORS})",
+        """e AS MATERIALIZED (SELECT doc_id AS vec_id,
             list_transform(vec, x -> CAST(x AS DOUBLE)) AS v
      FROM dv WHERE list_sum(list_transform(vec, x -> x * x)) > 0)""",
-        f"""sc AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+        f"""sc AS MATERIALIZED (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
             {_COS32} AS rel
      FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id)""",
-        """cand AS (SELECT query_id, doc_id, rel FROM
+        """cand AS MATERIALIZED (SELECT query_id, doc_id, rel FROM
      (SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY rel DESC, doc_id) AS rn FROM sc) WHERE rn <= 10)""",
-        """cv AS (SELECT c.query_id, c.doc_id, c.rel, e.v
+        """cv AS MATERIALIZED (SELECT c.query_id, c.doc_id, c.rel, e.v
      FROM cand c JOIN e ON e.vec_id = c.doc_id)""",
-        f"""cs AS (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+        f"""cs AS MATERIALIZED (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
             {cos_xy} AS sim
      FROM cv x JOIN cv y
        ON x.query_id = y.query_id AND x.doc_id <> y.doc_id)""",
