@@ -136,3 +136,37 @@ def test_compaction_preserves_search(spark, sf_dir, tmp_path):
         if p.name.startswith("mb=")
     }
     assert mbs == {"mb=base"}
+
+
+def test_search_probe_prunes_cell_partitions(spark, sf_dir, tmp_path):
+    """The probe-set union must survive the (mb, cell) increment
+    layout as a PARTITION filter on cell — the IVFPQ pruning witness,
+    re-pinned on the incremental index's directory structure."""
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "idxpf")
+    with cached_scope():
+        ann_index_build(
+            emb.where(F.col("vec_id") % 5 != 0), path,
+            dim=64, n_cells=32, m=4, k_codes=16,
+        )
+        ann_index_append(emb.where(F.col("vec_id") % 5 == 0), path, "w2")
+        out = ann_index_search(
+            emb.where(F.col("vec_id") < 10), path, emb, k=5, n_probe=8
+        )
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln
+    ]
+    assert pf, plan
+    # probed cells are a strict subset of the 32 built
+    vals = pf[0].split("INSET ")[1] if "INSET" in pf[0] else (
+        pf[0].split("IN (")[1]
+    )
+    n = len(vals.split(","))
+    assert n < 32, pf[0]
