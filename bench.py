@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "seq_packing",
     "seq_packing_bucketed",
     "decontaminate",
+    # round-11: the persisted-benchmark-index face
+    "decontaminate_increment",
     "bloom_decontaminate",
     # round-9 late: exact substring dedup (Lee et al. ACL'22) and
     # bigram-LM perplexity scoring (CCNet)

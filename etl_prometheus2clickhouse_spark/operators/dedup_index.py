@@ -797,3 +797,112 @@ def paragraph_increment(
             "hp"
         ).parquet(os.path.join(path, "paras", f"mb={update_label}"))
     return _with_cached_deps(result, [slim])
+
+
+# ---------------------------------------------------------------------------
+# persisted BENCHMARK index for train/test decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_index_build(
+    benchmark: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n: int = 3,
+    index_buckets: int = 64,
+) -> None:
+    """Persist the benchmark set's globally-distinct word ``n``-gram
+    shingles — (hp, sh), partitioned by (increment, hash-prefix). The
+    benchmark is FIXED while the training corpus arrives daily, so the
+    decontamination join's small side should be built exactly once;
+    shingles persist as the RAW STRING (the one-shot operator's
+    contract — byte-identical to the oracle; production would store
+    ``xxhash64(sh)`` to shrink the index, same plan shape)."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        _words,
+        shingles_of_tokens,
+    )
+
+    spark = benchmark.sparkSession
+    _delete_path(spark, path)
+    sh = (
+        benchmark.select(_words(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode_outer(
+                shingles_of_tokens(F.col("__toks"), n)
+            ).alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    sh.select(
+        F.pmod(F.xxhash64("sh"), F.lit(index_buckets)).cast("int").alias(
+            "hp"
+        ),
+        "sh",
+    ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
+        "hp"
+    ).parquet(os.path.join(path, "shingles", "mb=base"))
+    spark.createDataFrame(
+        [(n, index_buckets)], "n int, index_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+
+
+def decontaminate_increment(
+    shard: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontaminate a NEW corpus shard against the persisted
+    benchmark index: contamination is pure membership against a fixed
+    set, so the result equals the one-shot ``ngram_contamination`` of
+    the shard against the original benchmark EXACTLY — no ordering or
+    topology caveat of any kind (the simplest of the incremental
+    faces). Output schema matches the one-shot operator."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        _words,
+        shingles_of_tokens,
+    )
+
+    spark = shard.sparkSession
+    rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"benchmark index at {path!r} has a corrupt meta table "
+            f"({len(rows)} rows, expected 1)"
+        )
+    n = rows[0].n
+    bench_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
+        "sh"
+    )
+    corpus_sh = (
+        shard.select(
+            F.col(id_col), _words(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            (F.size("__toks") - (n - 1)).cast("bigint").alias(
+                "n_shingles"
+            ),
+            F.array_distinct(
+                shingles_of_tokens(F.col("__toks"), n)
+            ).alias("__arr"),
+        )
+        .select(
+            id_col, "n_shingles", F.explode_outer("__arr").alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+    )
+    hits = corpus_sh.join(bench_sh, "sh").groupBy(
+        id_col, "n_shingles"
+    ).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return hits.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
+        ).alias("contamination_frac"),
+    )

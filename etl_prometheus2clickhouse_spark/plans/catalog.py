@@ -1364,6 +1364,43 @@ GROUP BY c.doc_id, c.n_shingles
 """
 
 
+def q_decontaminate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against the PERSISTED benchmark index
+    (operators/dedup_index.py): the benchmark's distinct shingles are
+    built once (the fixed small side of a daily pipeline); a corpus
+    shard (doc_id % 5 == 0 of the non-benchmark docs) probes the
+    stored strings. Contamination is pure membership against a fixed
+    set — result ≡ one-shot ngram_contamination of the shard, no
+    ordering caveat. Oracle = the one-shot SQL with the corpus side
+    restricted to the shard."""
+    import os
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        benchmark_index_build,
+        decontaminate_increment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bench_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    benchmark_index_build(d.where(F.col("doc_id") % 97 == 0), path, n=3)
+    shard = d.where(
+        (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0)
+    )
+    return decontaminate_increment(shard, path)
+
+
+ORACLE_DECONTAMINATE_INCREMENT = ORACLE_DECONTAMINATE.replace(
+    "corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)",
+    "corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0 "
+    "AND doc_id % 5 = 0)",
+)
+assert ORACLE_DECONTAMINATE_INCREMENT != ORACLE_DECONTAMINATE
+
+
 def q_events_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct-user cardinality via the deterministic KMV
     bottom-k sketch (operators/sketch.py) — the approximate operator
@@ -7263,6 +7300,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and the incremental CCNet paragraph election
     "substring_increment": q_substring_increment,
     "paragraph_increment": q_paragraph_increment,
+    "decontaminate_increment": q_decontaminate_increment,
     # round-9 late: supervised classification (multinomial NB — the
     # closed-form member of the CCNet/fastText classifier family) and
     # BM25 inverted-index retrieval, both full-pipeline oracles
@@ -7484,6 +7522,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "substring_increment": ORACLE_SUBSTRING_INCREMENT,
     "paragraph_increment": ORACLE_PARAGRAPH_INCREMENT,
+    "decontaminate_increment": ORACLE_DECONTAMINATE_INCREMENT,
     "nb_classify": ORACLE_NB_CLASSIFY,
     "bm25_search": ORACLE_BM25_SEARCH,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

@@ -420,3 +420,36 @@ def test_paragraph_increment_update_and_cross_shard(spark, tmp_path):
         assert (r1.n_paras, r1.n_kept, r1.text) == (2, 1, "epsilon zeta")
         r2 = paragraph_increment(w2, path).collect()[0]
     assert (r2.n_paras, r2.n_kept, r2.text) == (2, 1, "new words")
+
+
+def test_decontaminate_increment_equals_one_shot(spark, sf_dir):
+    """Membership against a fixed benchmark: the persisted-index probe
+    must equal the one-shot ngram_contamination of the shard exactly
+    (no ordering/topology caveat — the benchmark never changes)."""
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        benchmark_index_build,
+        decontaminate_increment,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    shard = d.where((F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0))
+    path = tempfile.mkdtemp(prefix="benchidx_t_") + "/idx"
+    with cached_scope():
+        benchmark_index_build(bench, path, n=3)
+        got = {
+            r.doc_id: (r.n_shingles, r.n_contaminated)
+            for r in decontaminate_increment(shard, path).collect()
+        }
+        want = {
+            r.doc_id: (r.n_shingles, r.n_contaminated)
+            for r in ngram_contamination(
+                shard, bench, "text", "doc_id", n=3
+            ).collect()
+        }
+    assert got == want and len(got) > 0
