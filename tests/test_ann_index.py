@@ -170,3 +170,52 @@ def test_search_probe_prunes_cell_partitions(spark, sf_dir, tmp_path):
     )
     n = len(vals.split(","))
     assert n < 32, pf[0]
+
+
+def test_streaming_ingest_kill_and_restart(spark, sf_dir, tmp_path):
+    """Streaming ANN ingestion under a checkpoint: run over the first
+    shard file, stop, land a second file, restart — only unseen input
+    is processed, and the search over the grown table equals one-shot
+    encoding of everything with the stored model."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        ivfpq_encode,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        run_streaming_ann_ingest,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "sidx")
+    src = str(tmp_path / "sin")
+    ckpt = str(tmp_path / "sckpt")
+    q = emb.where(F.col("vec_id") < 10)
+    with cached_scope():
+        model = ann_index_build(
+            base, path, dim=64, n_cells=16, m=4, k_codes=8
+        )
+        w1 = shard.where(F.col("vec_id") % 2 == 0)
+        w2 = shard.where(F.col("vec_id") % 2 == 1)
+        w1.coalesce(1).write.parquet(f"{src}/b0")
+        stream = lambda: (  # noqa: E731
+            spark.readStream.schema(shard.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        run_streaming_ann_ingest(stream(), path, ckpt)
+        n_after_w1 = spark.read.parquet(f"{path}/codes").count()
+        assert n_after_w1 == base.count() + w1.count()
+        # restart with the same checkpoint: only w2 is processed
+        w2.coalesce(1).write.parquet(f"{src}/b1")
+        run_streaming_ann_ingest(stream(), path, ckpt)
+        assert (
+            spark.read.parquet(f"{path}/codes").count() == emb.count()
+        )
+        got = _topk(ann_index_search(q, path, emb, k=5))
+        want = _topk(
+            cosine_topk_ivfpq_codes(
+                ivfpq_encode(emb, model), model, emb, q, k=5
+            )
+        )
+    assert got == want
