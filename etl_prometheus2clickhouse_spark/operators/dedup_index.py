@@ -230,8 +230,12 @@ def _verify_pairs(
     """Exact-Jaccard rescore of candidate (id_a, id_b) pairs against
     two shingle tables (id_a looked up in ``sh_a`` ∪ ``sh_b`` — the
     union, because a new-new pair has both sides in the shard while a
-    new-old pair straddles the stores)."""
-    both = sh_a.unionByName(sh_b)
+    new-old pair straddles the stores). The two stores must be
+    id-disjoint (callers guarantee it: the build passes ONE table, the
+    increment excludes its own replayed ``mb=`` rows) — a duplicated
+    id would multiply each pair's verify join 2×2 and feed duplicate
+    edges to the closure."""
+    both = sh_a if sh_b is sh_a else sh_a.unionByName(sh_b)
     v = cand.join(
         both.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",
@@ -303,6 +307,12 @@ def dedup_increment(
         r.bb for r in banded_new.select("bb").distinct().collect()
     ]
     bands_tbl = spark.read.parquet(os.path.join(path, "bands"))
+    if update_index:
+        # at-least-once replay: a failed first attempt may already have
+        # written this increment's own mb= rows — probing them would
+        # double-count the shard in the combined bucket-size cap (a
+        # bucket near max_bucket could be dropped ONLY on replay)
+        bands_tbl = bands_tbl.where(F.col("mb") != F.lit(update_label))
     probed = bands_tbl.where(F.col("bb").isin(probe_bbs)).persist()
     _register_cached(probed)
 
@@ -350,9 +360,12 @@ def dedup_increment(
     )
     cand = cross.unionByName(inner).dropDuplicates(["id_a", "id_b"])
 
-    sh_old = spark.read.parquet(os.path.join(path, "shingles")).select(
-        "id", "sh"
-    )
+    sh_old = spark.read.parquet(os.path.join(path, "shingles"))
+    if update_index:
+        # same replay exclusion as the bands probe: keeps the verify
+        # union id-disjoint (the _verify_pairs contract) on replay
+        sh_old = sh_old.where(F.col("mb") != F.lit(update_label))
+    sh_old = sh_old.select("id", "sh")
     new_pairs = _verify_pairs(cand, sh_old, sh_new, threshold).select(
         "id_a", "id_b"
     )
@@ -631,8 +644,21 @@ def _compact_increment_table(
     src = jvm.org.apache.hadoop.fs.Path(tmp)
     dst = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    fs.rename(src, dst)
+    # Hadoop delete/rename report many failures (object-store and
+    # cross-filesystem quirks) by returning false, NOT by throwing —
+    # ignoring them could leave the live table deleted with the
+    # compacted data stranded in the tmp dir
+    if not fs.delete(dst, True) and fs.exists(dst):
+        raise IOError(
+            f"compaction: could not delete {table_path!r}; compacted "
+            f"data is intact at {tmp!r}"
+        )
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compaction: rename {tmp!r} -> {table_path!r} failed; the "
+            f"live table was deleted — recover by renaming {tmp!r} "
+            "into place manually"
+        )
     return n
 
 

@@ -254,9 +254,14 @@ def hilbert_key(
         s = 1 << i
         rx = F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
         ry = F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        d_step = (
-            F.lit(s) * F.lit(s) * ((F.lit(3) * rx).bitwiseXOR(ry))
-        ).cast("long")
+        # s*s can reach 2^60 (bits up to 31): the multiplier MUST be a
+        # LongType literal and the quadrant index cast to long BEFORE
+        # multiplying — int32 arithmetic here overflows at bits >= 16
+        # (ANSI mode: runtime ARITHMETIC_OVERFLOW; non-ANSI: silent
+        # wrong keys).
+        d_step = F.lit(s * s).cast("long") * (
+            (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        )
         # quadrant rotation: when ry == 0 the frame flips (and mirrors
         # when rx == 1); when ry == 1 coordinates pass through
         nx = F.when(

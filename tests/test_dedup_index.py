@@ -453,3 +453,51 @@ def test_decontaminate_increment_equals_one_shot(spark, sf_dir):
             ).collect()
         }
     assert got == want and len(got) > 0
+
+
+def test_verify_pairs_no_self_union_duplication(spark):
+    """The build path passes ONE shingle table; _verify_pairs must not
+    union it with itself (2×2 = 4 verify rows per candidate pair —
+    4× the exact-Jaccard work and duplicate closure edges)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _verify_pairs,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [10, 11, 13])],
+        "id long, sh array<long>",
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = _verify_pairs(cand, sh, sh, threshold=0.4).collect()
+    assert len(out) == 1, out
+
+
+def test_replay_idempotent_when_bucket_cap_binds(spark, tmp_path):
+    """At-least-once replay with update_index=True must exclude the
+    batch's OWN mb= rows (written by the failed first attempt) from the
+    probe — otherwise the combined bucket-size cap double-counts the
+    shard and can drop a bucket only on replay, changing dispositions."""
+    base = "structured streaming state stores checkpoint partial rows"
+    docs = [(i, f"{base} variant{i % 2}") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    old = df.where("doc_id < 2")
+    new = df.where("doc_id >= 2")
+    path = str(tmp_path / "idx_cap")
+    with cached_scope():
+        # max_bucket=4 fits corpus(2)+shard(2) exactly; a replay that
+        # double-counts the shard sees 6 > 4 and drops the bucket
+        minhash_index_build(old, path, threshold=0.5, max_bucket=4)
+        first = _resolved(
+            dedup_increment(
+                old, new, path, update_index=True, update_label="w1"
+            )
+        )
+        replay = _resolved(
+            dedup_increment(
+                old, new, path, update_index=True, update_label="w1"
+            )
+        )
+    assert first == replay
+    # and the cap genuinely binds in this geometry: dispositions found
+    # real duplicate clusters (not everything singleton)
+    assert any(not canon for (_, canon) in first.values())

@@ -284,3 +284,47 @@ def test_hilbert_fails_loud_off_2d(spark):
         hilbert_key(grid, ["x", "y", "z"])
     with pytest.raises(ValueError, match="62"):
         hilbert_key(grid, ["x", "y"], bits=32)
+
+
+def test_hilbert_key_wide_bits_no_overflow(spark):
+    """bits=16 (the write_hilbert default) and bits=31 (the guard's
+    max) exercise s*s up to 2^60: the step arithmetic must run in
+    LongType — int32 math here raises ARITHMETIC_OVERFLOW under ANSI
+    mode and silently corrupts keys without it. Checked cell-for-cell
+    against the classic xy2d walk at sampled corner/edge points."""
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.layout import (
+        hilbert_key,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for bits in (16, 31):
+        n = 1 << bits
+        pts = [
+            (0, 0), (n - 1, 0), (0, n - 1), (n - 1, n - 1),
+            (n // 2, n // 2 - 1), (n // 3, 2 * n // 3), (1, n - 2),
+        ]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r.x, r.y): r.hkey
+            for r in hilbert_key(
+                df, ["x", "y"], bits=bits,
+                bounds={"x": (0, n - 1), "y": (0, n - 1)},
+            ).collect()
+        }
+        want = {(x, y): xy2d(n, x, y) for x, y in pts}
+        assert got == want, f"bits={bits}"
+        assert max(got.values()) >= (1 << 32) - 1, f"bits={bits} keys stayed small"
