@@ -13,11 +13,19 @@ table without touching yesterday's codes. Layout under ``<path>``:
   prunes ``cell=`` directories at file listing (the scale_smoke
   witness); an append OVERWRITES its own ``mb=`` directory, so a
   replayed append is idempotent (the dedup-index discipline);
+- ``vectors/mb=<increment>/vp=<p>/…`` — (id, vec) raw-vector rows,
+  PARTITIONED by the increment and ``vp = pmod(xxhash64(id),
+  vec_buckets)``: the exact-rescore side table. A search derives its
+  candidates' prefixes (bounded — candidates are queries ×
+  n_candidates) and reads ONLY those ``vp=`` partitions, so the final
+  rescore never scans the full raw-vector corpus; also the re-encode
+  source for :func:`ann_index_retrain`;
 - ``model`` — one row carrying the JSON-serialized IVFPQModel
-  (coarse quantizer + PQ codebooks + the residual flag). JSON floats
-  round-trip exactly (shortest-repr), and the derived ``cnorm2`` is
-  recomputed from identical codebooks with identical numpy ops, so a
-  loaded model encodes and scores bit-identically.
+  (coarse quantizer + PQ codebooks + the residual flag) plus
+  ``vec_buckets``. JSON floats round-trip exactly (shortest-repr),
+  and the derived ``cnorm2`` is recomputed from identical codebooks
+  with identical numpy ops, so a loaded model encodes and scores
+  bit-identically.
 
 Equivalence contract (the catalog oracle): searching the grown table
 with the stored model equals the one-shot ``cosine_topk_ivfpq`` over
@@ -35,13 +43,23 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    _register_cached,
+)
 from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _delete_path,
+    _ip,
+    _manifest_add,
+    _read_increment_table,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
+    _IVFPQ_TOPK_SCHEMA,
     IVFPQModel,
     PQModel,
-    cosine_topk_ivfpq_codes,
+    _as_double,
+    _ivfpq_code_candidates,
+    _pq_rescore_topk,
+    _unit,
     ivfpq_encode,
     ivfpq_train,
 )
@@ -95,6 +113,34 @@ def _write_codes(
     ).parquet(os.path.join(path, "codes", f"mb={label}"))
 
 
+def _write_vectors(
+    shard: DataFrame,
+    path: str,
+    label: str,
+    id_col: str,
+    vec_col: str,
+    vec_buckets: int,
+) -> None:
+    """Persist the shard's RAW vectors next to the codes, PARTITIONED
+    by ``vp = pmod(xxhash64(id), vec_buckets)`` — the verify-side
+    sibling of the dedup index's ``ip=`` shingle layout: the final
+    exact rescore reads only the partitions the (bounded) candidate
+    ids hash into, so search cost stays candidate-proportional instead
+    of rescanning the full raw-vector corpus. Also what makes
+    :func:`ann_index_retrain` self-contained (re-encoding needs the
+    raw vectors, not just the codes)."""
+    (
+        shard.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        .withColumn("vp", _ip(F.col("id"), vec_buckets))
+        .repartition(F.col("vp"))
+        .write.mode("overwrite")
+        .partitionBy("vp")
+        .parquet(os.path.join(path, "vectors", f"mb={label}"))
+    )
+
+
 def ann_index_build(
     corpus: DataFrame,
     path: str,
@@ -108,10 +154,11 @@ def ann_index_build(
     seed: int = 42,
     quantizers: str = "kmeans",
     residuals: bool = False,
+    vec_buckets: int = 64,
 ) -> IVFPQModel:
-    """Train on the corpus, persist model + cell-partitioned codes.
-    A build is a semantic overwrite of the whole index (stale
-    increments cleared first)."""
+    """Train on the corpus, persist model + cell-partitioned codes +
+    id-bucketed raw vectors. A build is a semantic overwrite of the
+    whole index (stale increments cleared first)."""
     spark = corpus.sparkSession
     _delete_path(spark, path)
     model = ivfpq_train(
@@ -128,22 +175,44 @@ def ann_index_build(
         residuals=residuals,
     )
     _write_codes(corpus, model, path, "base", id_col, vec_col)
-    spark.createDataFrame(
-        [(ivfpq_model_to_json(model),)], "model_json string"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "model")
-    )
+    _write_vectors(corpus, path, "base", id_col, vec_col, vec_buckets)
+    _write_model(spark, path, model, vec_buckets, "base")
+    _manifest_add(spark, path, ["codes", "vectors", "model"], "base")
     return model
 
 
-def ann_index_model(spark: SparkSession, path: str) -> IVFPQModel:
-    rows = spark.read.parquet(os.path.join(path, "model")).collect()
+def _write_model(
+    spark: SparkSession, path: str, model: IVFPQModel, vec_buckets: int,
+    label: str,
+) -> None:
+    """One model row per ``mb=`` increment dir — manifest-tracked like
+    the code table, so a retrain can swap codes AND model in ONE
+    atomic manifest commit (a reader never pairs new codes with the
+    old quantizers or vice versa)."""
+    spark.createDataFrame(
+        [(ivfpq_model_to_json(model), vec_buckets)],
+        "model_json string, vec_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "model", f"mb={label}")
+    )
+
+
+def _model_row(spark: SparkSession, path: str):
+    rows = (
+        _read_increment_table(spark, path, "model")
+        .select("model_json", "vec_buckets")
+        .collect()
+    )
     if len(rows) != 1:
         raise ValueError(
             f"ANN index at {path!r} has a corrupt model table "
             f"({len(rows)} rows, expected 1)"
         )
-    return ivfpq_model_from_json(rows[0].model_json)
+    return rows[0]
+
+
+def ann_index_model(spark: SparkSession, path: str) -> IVFPQModel:
+    return ivfpq_model_from_json(_model_row(spark, path).model_json)
 
 
 def ann_index_append(
@@ -169,14 +238,19 @@ def ann_index_append(
             "build increment"
         )
     spark = shard.sparkSession
-    model = ann_index_model(spark, path)
+    row = _model_row(spark, path)
+    model = ivfpq_model_from_json(row.model_json)
     _write_codes(shard, model, path, update_label, id_col, vec_col)
+    _write_vectors(
+        shard, path, update_label, id_col, vec_col, int(row.vec_buckets)
+    )
+    _manifest_add(spark, path, ["codes", "vectors"], update_label)
 
 
 def ann_index_search(
     queries: DataFrame,
     path: str,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     k: int = 10,
     n_probe: int = 8,
     n_candidates: int = 50,
@@ -185,26 +259,174 @@ def ann_index_search(
     max_queries: int = 10_000,
 ) -> DataFrame:
     """ADC search over ALL increments of the persisted table with the
-    stored model: probe cells prune ``cell=`` partition directories,
-    candidates are exact-rescored against ``corpus`` (the raw-vector
-    side, needed only for the final top-k rescore)."""
+    stored model: probe cells prune ``cell=`` partition directories;
+    the exact top-k rescore reads the index's own id-bucketed vector
+    table pruned to the CANDIDATES' ``vp=`` partitions (candidates are
+    bounded at queries × n_candidates, so their distinct prefixes are
+    a handful of literals — never a full raw-vector scan). Passing
+    ``corpus`` overrides the rescore source with a caller-supplied
+    raw-vector frame (same values — the vector table is a copy of the
+    ingested vectors)."""
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
     spark = queries.sparkSession
-    model = ann_index_model(spark, path)
-    table = spark.read.parquet(os.path.join(path, "codes")).select(
+    row = _model_row(spark, path)
+    model = ivfpq_model_from_json(row.model_json)
+    table = _read_increment_table(spark, path, "codes").select(
         "id", "cell", "codes"
     )
-    return cosine_topk_ivfpq_codes(
-        table,
-        model,
-        corpus,
-        queries,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        n_probe=n_probe,
-        n_candidates=n_candidates,
-        max_queries=max_queries,
+    res = _ivfpq_code_candidates(
+        table, model, queries, id_col, vec_col,
+        n_probe, n_candidates, max_queries, "ann_index_search",
     )
+    if res is None:
+        return spark.createDataFrame([], _IVFPQ_TOPK_SCHEMA)
+    cand, q_ids, q_unit = res
+    if corpus is not None:
+        vecs = corpus.select(
+            F.col(id_col).alias("id"),
+            _unit(_as_double(vec_col)).alias("vec"),
+        )
+    else:
+        cand = cand.persist()
+        _register_cached(cand)
+        cand_vps = [
+            r.vp
+            for r in cand.select(
+                _ip(F.col("neighbor_id"), int(row.vec_buckets)).alias("vp")
+            )
+            .distinct()
+            .collect()
+        ]
+        vecs = (
+            _read_increment_table(spark, path, "vectors")
+            .where(
+                F.col("vp").isin(cand_vps) if cand_vps else F.lit(False)
+            )
+            .select("id", _unit(_as_double("vec")).alias("vec"))
+        )
+    return _pq_rescore_topk(vecs, cand, q_ids, q_unit, k)
+
+
+def ann_index_retrain(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_probe: int = 8,
+    n_candidates: int = 50,
+    min_recall_gain: float = 0.0,
+    train_sample: int = 4096,
+    seed: int = 43,
+    quantizers: str = "kmeans",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> dict:
+    """The re-train lifecycle event :func:`ann_index_append`'s frozen-
+    model contract defers to: train NEW quantizers on the CURRENT
+    vector distribution (the persisted id-bucketed vector table — the
+    index is self-contained), re-encode every stored vector into a
+    fresh versioned code increment, and SWAP codes + model in one
+    atomic manifest commit — gated, when ``queries`` is given, on an
+    :func:`operators.similarity.ann_recall` comparison of the old and
+    new model on the same query set against the exact brute-force
+    ground truth. A retrain that does not improve mean recall by at
+    least ``min_recall_gain`` is rolled back (new dirs deleted,
+    nothing committed) and reported, not silently kept.
+
+    Geometry (n_cells, m, k_codes, residuals) is inherited from the
+    stored model — retrain refreshes the quantizers for a drifted
+    distribution, it does not change the index shape. Returns a report
+    dict: ``swapped``, ``recall_old``/``recall_new`` (when gated),
+    ``label``, ``n_vectors``. Superseded code/model dirs are
+    reclaimed by :func:`operators.dedup_index.index_vacuum`."""
+    import uuid
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _commit_manifest,
+        _manifest_tables,
+    )
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk_bruteforce,
+    )
+
+    row = _model_row(spark, path)
+    old_model = ivfpq_model_from_json(row.model_json)
+    vec_buckets = int(row.vec_buckets)
+    vecs = _read_increment_table(spark, path, "vectors").select("id", "vec")
+    new_model = ivfpq_train(
+        vecs,
+        old_model.pq.dim,
+        n_cells=old_model.coarse.shape[1],
+        m=old_model.pq.m,
+        k_codes=old_model.pq.k_codes,
+        id_col="id",
+        vec_col="vec",
+        train_sample=train_sample,
+        seed=seed,
+        quantizers=quantizers,
+        residuals=old_model.residuals,
+    )
+    label = f"retrain-{uuid.uuid4().hex[:8]}"
+    codes = ivfpq_encode(vecs, new_model, id_col="id", vec_col="vec")
+    codes.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "codes", f"mb={label}"))
+    _write_model(spark, path, new_model, vec_buckets, label)
+    report: dict = {
+        "label": label,
+        "n_vectors": vecs.count(),
+        "swapped": True,
+    }
+    if queries is not None:
+        corpus = vecs.select(
+            F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+        )
+        exact = cosine_topk_bruteforce(
+            corpus, queries, id_col=id_col, vec_col=vec_col, k=k
+        ).select("query_id", "neighbor_id")
+
+        def _mean_recall(approx: DataFrame) -> float:
+            r = ann_recall(exact, approx).agg(
+                F.avg("recall_at_k").alias("r")
+            ).first()
+            return float(r.r) if r.r is not None else 0.0
+
+        old_approx = ann_index_search(
+            queries, path, k=k, n_probe=n_probe,
+            n_candidates=n_candidates, id_col=id_col, vec_col=vec_col,
+            max_queries=max_queries,
+        )
+        new_codes = spark.read.parquet(
+            os.path.join(path, "codes", f"mb={label}")
+        ).select("id", "cell", "codes")
+        res = _ivfpq_code_candidates(
+            new_codes, new_model, queries, id_col, vec_col,
+            n_probe, n_candidates, max_queries, "ann_index_retrain",
+        )
+        if res is None:
+            raise ValueError("ann_index_retrain: empty query set")
+        cand, q_ids, q_unit = res
+        new_approx = _pq_rescore_topk(
+            vecs.select("id", _unit(_as_double("vec")).alias("vec")),
+            cand, q_ids, q_unit, k,
+        )
+        report["recall_old"] = _mean_recall(old_approx)
+        report["recall_new"] = _mean_recall(new_approx)
+        if report["recall_new"] < report["recall_old"] + min_recall_gain:
+            # roll back: delete the uncommitted dirs, keep everything
+            # as it was — the gate is the point of the lifecycle
+            _delete_path(spark, os.path.join(path, "codes", f"mb={label}"))
+            _delete_path(spark, os.path.join(path, "model", f"mb={label}"))
+            report["swapped"] = False
+            return report
+    tables = _manifest_tables(spark, path, ["codes", "vectors", "model"])
+    tables["codes"] = [f"mb={label}"]
+    tables["model"] = [f"mb={label}"]
+    _commit_manifest(spark, path, tables)
+    return report
 
 
 __all__ = [
@@ -214,6 +436,7 @@ __all__ = [
     "ann_index_model",
     "ann_index_append",
     "ann_index_search",
+    "ann_index_retrain",
 ]
 
 
@@ -227,7 +450,8 @@ def ann_index_compact(spark: SparkSession, path: str) -> dict:
     )
 
     return {
-        "codes_rows": _compact_increment_table(
-            spark, os.path.join(path, "codes"), "cell"
-        )
+        "codes_rows": _compact_increment_table(spark, path, "codes", "cell"),
+        "vectors_rows": _compact_increment_table(
+            spark, path, "vectors", "vp"
+        ),
     }

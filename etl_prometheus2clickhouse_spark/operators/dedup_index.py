@@ -16,13 +16,27 @@ table (operators/similarity.py ``pq_encode``):
   own ``mb=`` directory — replay-idempotent, which is what lets the
   streaming curation face (streaming/curation_stream.py) update the
   index from an at-least-once ``foreachBatch``;
-- ``<path>/shingles``   — ``(id, sh)``: each document's distinct
+- ``<path>/shingles``   — ``(ip, id, sh)``: each document's distinct
   shingle-hash set, the exact-verify side table (candidates are always
   rescored with exact Jaccard — same soundness contract as
-  ``minhash_lsh_pairs``); same ``mb=`` increment layout;
-- ``<path>/components`` — ``(node, component)``: the corpus's CURRENT
-  resolved duplicate clusters (min-reachable-id labels over all pairs
-  seen so far). Only clustered docs appear — singletons are implicit;
+  ``minhash_lsh_pairs``); same ``mb=`` increment layout, PARTITIONED
+  inside each increment by ``ip = pmod(xxhash64(id), index_buckets)``
+  so the verify read prunes to the candidate ids' prefixes — increment
+  cost is shard-proportional on the verify path too, not just the
+  band probe;
+- ``<path>/components`` — ``(nb, node, component)``: the corpus's
+  CURRENT resolved duplicate clusters (min-reachable-id labels over
+  all pairs seen so far). Only clustered docs appear — singletons are
+  implicit. PARTITIONED by ``nb = pmod(xxhash64(node), index_buckets)``
+  — keyed by NODE, not label, because a merge relabels rows but never
+  moves them (nodes don't change), so an increment rewrites exactly
+  the partitions holding touched clusters' members: the endpoint
+  lookup prunes to the (bounded) new-pair endpoints' prefixes, the
+  closure recompute runs over touched clusters' edges ∪ new pairs
+  only, and untouched partitions are neither read for closure nor
+  rewritten. The one non-partition-pruned read is the touched-cluster
+  member extraction (a broadcast semi-join on ``component``, which
+  row-group statistics skip — rows are written sorted by component);
 - ``<path>/meta``       — one row pinning the geometry (shingle n,
   num_hashes, bands, threshold, max_bucket, index_buckets). An
   increment reads its geometry from here and a build can never be
@@ -90,6 +104,27 @@ def _bb(bucket_col, index_buckets: int):
     distinct ``bb`` of its own band rows — at most ``index_buckets``
     literals, pushed as a partition filter."""
     return F.pmod(bucket_col, F.lit(index_buckets)).cast("int")
+
+
+def _ip(id_col, index_buckets: int):
+    """Partition prefix of a document id — the ``bb`` discipline applied
+    to the VERIFY-side stores: shingle rows land in
+    ``ip = pmod(xxhash64(id), index_buckets)`` directories, and a probe
+    derives its candidate ids' prefixes (bounded: candidates are
+    bucket-capped) and pushes them as a partition filter, so the
+    exact-verify read scales with the CANDIDATE SET, not the corpus."""
+    return F.pmod(F.xxhash64(id_col), F.lit(index_buckets)).cast("int")
+
+
+def _write_id_bucketed(df: DataFrame, id_expr, index_buckets: int,
+                       dest: str, cols: list[str]) -> None:
+    """Write ``df`` partitioned by the id-prefix ``ip`` (clustered on
+    the partition key first — the band-table small-files lesson)."""
+    df.select(
+        _ip(id_expr, index_buckets).alias("ip"), *cols
+    ).repartition(F.col("ip")).write.mode("overwrite").partitionBy(
+        "ip"
+    ).parquet(dest)
 
 
 def _shingle_sig_bands(
@@ -166,8 +201,9 @@ def minhash_index_build(
     banded.repartition(F.col("bb")).write.mode("overwrite").partitionBy(
         "bb"
     ).parquet(os.path.join(path, "bands", "mb=base"))
-    sh.write.mode("overwrite").parquet(
-        os.path.join(path, "shingles", "mb=base")
+    _write_id_bucketed(
+        sh, F.col("id"), index_buckets,
+        os.path.join(path, "shingles", "mb=base"), ["id", "sh"],
     )
 
     # corpus-internal pairs → components (same cap + verify semantics
@@ -191,7 +227,7 @@ def minhash_index_build(
     )
     pairs = _verify_pairs(cand, sh, sh, threshold)
     comp = dup_components_auto(pairs)
-    comp.write.mode("overwrite").parquet(os.path.join(path, "components"))
+    _write_components(comp, os.path.join(path, "components"), index_buckets)
     meta = spark.createDataFrame(
         [(n, num_hashes, bands, float(threshold), max_bucket, index_buckets)],
         "n int, num_hashes int, bands int, threshold double, "
@@ -200,6 +236,45 @@ def minhash_index_build(
     meta.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
+    _manifest_add(spark, path, ["bands", "shingles"], "base")
+
+
+def _write_components(
+    comp: DataFrame, comp_dir: str, index_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write (node, component) rows partitioned by the NODE prefix and
+    sorted by component within each file (so the touched-cluster
+    member extraction's ``component IN (...)`` predicate skips row
+    groups on footer statistics)."""
+    (
+        comp.select(
+            _ip(F.col("node"), index_buckets).alias("nb"),
+            "node",
+            "component",
+        )
+        .repartition(F.col("nb"))
+        .sortWithinPartitions("component")
+        .write.mode(mode)
+        .partitionBy("nb")
+        .parquet(comp_dir)
+    )
+
+
+def _read_components(
+    spark: SparkSession, comp_dir: str, id_type: str
+) -> DataFrame:
+    """(nb, node, component) — empty-safe: a corpus with zero duplicate
+    pairs writes a partitioned table with no part files at all, which
+    Spark cannot infer a schema from."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(comp_dir).select("nb", "node", "component")
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], f"nb int, node {id_type}, component {id_type}"
+        )
 
 
 def _delete_path(spark: SparkSession, path: str) -> None:
@@ -306,7 +381,7 @@ def dedup_increment(
     probe_bbs = [
         r.bb for r in banded_new.select("bb").distinct().collect()
     ]
-    bands_tbl = spark.read.parquet(os.path.join(path, "bands"))
+    bands_tbl = _read_increment_table(spark, path, "bands")
     if update_index:
         # at-least-once replay: a failed first attempt may already have
         # written this increment's own mb= rows — probing them would
@@ -358,44 +433,143 @@ def dedup_increment(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    cand = cross.unionByName(inner).dropDuplicates(["id_a", "id_b"])
+    cand = (
+        cross.unionByName(inner)
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    _register_cached(cand)
 
-    sh_old = spark.read.parquet(os.path.join(path, "shingles"))
+    # the exact-verify read is pruned to the CANDIDATES' id-prefix
+    # partitions: candidates are bucket-capped (bounded), so their
+    # distinct prefixes are at most index_buckets literals — pushed as
+    # a partition filter exactly like the bands probe, making increment
+    # cost shard-proportional on the verify path too
+    cand_ips = [
+        r.ip
+        for r in cand.select(_ip(F.col("id_a"), index_buckets).alias("ip"))
+        .unionByName(
+            cand.select(_ip(F.col("id_b"), index_buckets).alias("ip"))
+        )
+        .distinct()
+        .collect()
+    ]
+    sh_old = _read_increment_table(spark, path, "shingles")
     if update_index:
         # same replay exclusion as the bands probe: keeps the verify
         # union id-disjoint (the _verify_pairs contract) on replay
         sh_old = sh_old.where(F.col("mb") != F.lit(update_label))
-    sh_old = sh_old.select("id", "sh")
-    new_pairs = _verify_pairs(cand, sh_old, sh_new, threshold).select(
-        "id_a", "id_b"
+    sh_old = sh_old.where(
+        F.col("ip").isin(cand_ips) if cand_ips else F.lit(False)
+    ).select("id", "sh")
+    new_pairs = (
+        _verify_pairs(cand, sh_old, sh_new, threshold)
+        .select("id_a", "id_b")
+        .persist()
     )
+    _register_cached(new_pairs)
 
-    # closure(old closure edges ∪ new pairs) == closure(all pairs):
-    # stored (node, component) rows ARE edges to each cluster's label
-    comp_old = spark.read.parquet(os.path.join(path, "components"))
-    edges = comp_old.select(
+    # TOUCHED-CLUSTER closure merge — closure(touched clusters' closure
+    # edges ∪ new pairs) == closure(all pairs) restricted to touched ∪
+    # new nodes, because untouched clusters share no node with any new
+    # pair (their labels cannot change). The components table is
+    # partitioned by nb = prefix(node):
+    #   1. endpoint-label lookup prunes to the endpoints' nb prefixes
+    #      (bounded: endpoints come from capped candidate pairs);
+    #   2. member extraction is a broadcast semi-join on component
+    #      (row-group-skipped — files are component-sorted);
+    #   3. the closure recompute sees ONLY that subgraph;
+    #   4. the rewrite touches ONLY the partitions holding recomputed
+    #      rows — untouched partitions are never read or written.
+    comp_dir = os.path.join(path, "components")
+    id_type = shard.schema[id_col].dataType.simpleString()
+    comp_tbl = _read_components(spark, comp_dir, id_type)
+    ends = (
+        new_pairs.select(F.col("id_a").alias("node"))
+        .unionByName(new_pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    _register_cached(ends)
+    end_nbs = [
+        r.nb
+        for r in ends.select(
+            _ip(F.col("node"), index_buckets).alias("nb")
+        ).distinct().collect()
+    ]
+    touched = (
+        comp_tbl.where(
+            F.col("nb").isin(end_nbs) if end_nbs else F.lit(False)
+        )
+        .join(ends, "node")
+        .select("component")
+        .distinct()
+    )
+    members = (
+        comp_tbl.join(F.broadcast(touched), "component")
+        .select("node", "component")
+        .persist()
+    )
+    _register_cached(members)
+    sub_edges = members.select(
         F.col("node").alias("id_a"), F.col("component").alias("id_b")
     ).unionByName(new_pairs)
-    comp = dup_components_auto(edges)  # eager either route (collect or checkpointed rounds)
+    # eager either route (driver union-find or checkpointed rounds);
+    # bounded by the touched subgraph, not the corpus
+    comp_new = dup_components_auto(sub_edges)
 
     if update_index:
-        # comp is localCheckpoint-backed (dup_components), so replacing
-        # the components table it was derived from is safe; band and
-        # shingle rows OVERWRITE this increment's own mb= directory
-        # (never a bare append), and the components overwrite is a
-        # recomputation of the same closure — all three writes are
-        # idempotent under foreachBatch's at-least-once replay
+        # band and shingle rows OVERWRITE this increment's own mb=
+        # directory (never a bare append); the components rewrite
+        # recomputes the same touched labels on replay (the merged
+        # cluster IS the touched set the second time) — all writes
+        # are idempotent under foreachBatch's at-least-once replay
         banded_new.repartition(F.col("bb")).write.mode(
             "overwrite"
         ).partitionBy("bb").parquet(
             os.path.join(path, "bands", f"mb={update_label}")
         )
-        sh_new.write.mode("overwrite").parquet(
-            os.path.join(path, "shingles", f"mb={update_label}")
+        _write_id_bucketed(
+            sh_new, F.col("id"), index_buckets,
+            os.path.join(path, "shingles", f"mb={update_label}"),
+            ["id", "sh"],
         )
-        comp.write.mode("overwrite").parquet(
-            os.path.join(path, "components")
+        # data dirs land first, the manifest commit makes them live —
+        # a crash between the two leaves invisible (replay-overwritten)
+        # directories, never a half-registered increment
+        _manifest_add(spark, path, ["bands", "shingles"], update_label)
+        comp_new_nb = comp_new.withColumn(
+            "nb", _ip(F.col("node"), index_buckets)
         )
+        affected = [
+            r.nb for r in comp_new_nb.select("nb").distinct().collect()
+        ]
+        if affected:
+            # pin BEFORE deleting: the untouched slice of the affected
+            # partitions reads the directories about to be rewritten
+            content = (
+                comp_tbl.where(F.col("nb").isin(affected))
+                .join(F.broadcast(touched), "component", "left_anti")
+                .select("nb", "node", "component")
+                .unionByName(comp_new_nb.select("nb", "node", "component"))
+                .localCheckpoint()
+            )
+            for x in affected:
+                _delete_path(spark, os.path.join(comp_dir, f"nb={x}"))
+            _write_components(
+                content.select("node", "component"), comp_dir,
+                index_buckets, mode="append",
+            )
+        # annotation reads the POST-rewrite table — consistent with
+        # what the next increment will probe
+        comp = _read_components(spark, comp_dir, id_type).select(
+            "node", "component"
+        )
+    else:
+        untouched = comp_tbl.join(
+            F.broadcast(touched), "component", "left_anti"
+        ).select("node", "component")
+        comp = comp_new.unionByName(untouched)
 
     common = [c for c in corpus.columns if c in set(shard.columns)]
     union_docs = corpus.select(*common).unionByName(shard.select(*common))
@@ -415,21 +589,25 @@ def index_stats(spark: SparkSession, path: str) -> dict:
     """Operational sizes of a persisted index — what a daily pipeline
     logs after each ``update_index`` append."""
     out = dict(_read_meta(spark, path))
-    for tbl in ("bands", "shingles", "components"):
-        out[f"{tbl}_rows"] = spark.read.parquet(
-            os.path.join(path, tbl)
+    for tbl in ("bands", "shingles"):
+        out[f"{tbl}_rows"] = _read_increment_table(
+            spark, path, tbl
         ).count()
+    out["components_rows"] = _read_components(
+        spark, os.path.join(path, "components"), "long"
+    ).count()
     return out
 
 
-def probed_bands_plan(
-    spark: SparkSession, path: str, probe_bbs: list[int]
+def probed_partition_plan(
+    spark: SparkSession, table_path: str, partition_col: str,
+    values: list[int],
 ) -> str:
-    """Formatted physical plan of a probe-filtered bands read — the
-    partition-pruning witness hook for scripts/scale_smoke.py (the
-    IVFPQ probe-set discipline)."""
-    df = spark.read.parquet(os.path.join(path, "bands")).where(
-        F.col("bb").isin(probe_bbs)
+    """Formatted physical plan of a partition-filtered table read — the
+    generic partition-pruning witness (bands ``bb``, shingles ``ip``,
+    ANN vectors ``vp``) for pytest and scripts/scale_smoke.py."""
+    df = spark.read.parquet(table_path).where(
+        F.col(partition_col).isin(values)
     )
     return df._jdf.queryExecution().explainString(  # type: ignore[attr-defined]
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -438,11 +616,56 @@ def probed_bands_plan(
     )
 
 
+def probed_bands_plan(
+    spark: SparkSession, path: str, probe_bbs: list[int]
+) -> str:
+    """Formatted physical plan of a probe-filtered bands read — the
+    partition-pruning witness hook for scripts/scale_smoke.py (the
+    IVFPQ probe-set discipline)."""
+    return probed_partition_plan(
+        spark, os.path.join(path, "bands"), "bb", probe_bbs
+    )
+
+
+def probe_economics(
+    spark: SparkSession, table_path: str, partition_col: str,
+    values: list[int],
+) -> dict:
+    """Timing-independent probe-cost witness: file and byte counts of
+    the probed ``<partition_col>=<v>`` directories vs the whole table,
+    from a filesystem listing (the z-order witness's skipped/total
+    shape, at directory granularity). A partition-pruned probe's I/O
+    upper bound IS ``files_probed``/``bytes_probed`` — assertable
+    without racing the scheduler."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(conf)
+    probed = {f"{partition_col}={v}" for v in values}
+    out = {"files_probed": 0, "files_total": 0,
+           "bytes_probed": 0, "bytes_total": 0}
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = st.getPath().getName()
+        if not st.isFile() or name.startswith("_") or name.startswith("."):
+            continue
+        out["files_total"] += 1
+        out["bytes_total"] += st.getLen()
+        if any(f"/{d}/" in p for d in probed):
+            out["files_probed"] += 1
+            out["bytes_probed"] += st.getLen()
+    return out
+
+
 __all__ = [
     "minhash_index_build",
     "dedup_increment",
     "index_stats",
     "probed_bands_plan",
+    "probed_partition_plan",
+    "probe_economics",
 ]
 
 
@@ -485,6 +708,7 @@ def substring_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
+    _manifest_add(spark, path, ["windows"], "base")
 
 
 def _window_positions(
@@ -569,7 +793,7 @@ def substring_increment(
     # the probe reads ONLY the hash column of the probed partitions —
     # ReadSchema h, PartitionFilters hp (asserted in pytest)
     idx_h = (
-        spark.read.parquet(os.path.join(path, "windows"))
+        _read_increment_table(spark, path, "windows")
         .where(F.col("hp").isin(probe_hps))
         .select("h")
         .distinct()
@@ -602,7 +826,208 @@ def substring_increment(
         ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
             "hp"
         ).parquet(os.path.join(path, "windows", f"mb={update_label}"))
+        _manifest_add(spark, path, ["windows"], update_label)
     return _with_cached_deps(spans, [win])
+
+
+# ---------------------------------------------------------------------------
+# manifest: atomic commits for the increment tables
+# ---------------------------------------------------------------------------
+#
+# The layout-discovery problem: live increments were found by LISTING
+# ``mb=`` directories, so compaction's delete-then-rename swap had a
+# window where a concurrent reader saw a missing table. The fix is the
+# standard log-structured commit (the Delta/Iceberg transaction-log
+# idea in its minimal form, built only on Hadoop FileSystem semantics):
+# ``<index>/_manifest/v<NNNNNNNN>.json`` files, each a COMPLETE record
+# of every table's live increment dirs. Committing = write a tmp file,
+# rename it to the NEXT version — rename-to-a-fresh-name is atomic on
+# any correct FS, so readers (who take the highest version) see either
+# the old state or the new one, never a partial. Compaction writes the
+# folded data into a NEW ``mb=`` dir and commits a manifest pointing at
+# it; superseded dirs stay on disk until ``index_vacuum`` (the
+# documented read grace). Single writer assumed (the daily-pipeline
+# contract); a lost race on the version rename fails loudly.
+# Indexes built before the manifest (or by hand) fall back to directory
+# listing — the manifest appears at the first build/increment/compact.
+
+_MANIFEST_DIR = "_manifest"
+_MANIFEST_KEEP = 20  # committed versions retained for in-flight readers
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    )
+    return jvm, fs, hpath
+
+
+def _read_manifest(spark: SparkSession, index_path: str) -> dict | None:
+    """Highest committed manifest, or None when the index predates the
+    manifest (fall back to directory listing)."""
+    import json
+
+    mdir = os.path.join(index_path, _MANIFEST_DIR)
+    jvm, fs, hdir = _hadoop_fs(spark, mdir)
+    if not fs.exists(hdir):
+        return None
+    best, best_v = None, -1
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v > best_v:
+                best, best_v = st.getPath(), v
+    if best is None:
+        return None
+    stream = fs.open(best)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    out = json.loads(data.decode("utf-8"))
+    out["version"] = best_v
+    return out
+
+
+def _commit_manifest(
+    spark: SparkSession, index_path: str, tables: dict[str, list[str]]
+) -> int:
+    """Commit a new manifest version atomically; returns the version.
+    Fails loudly if another writer took the version first (rename to an
+    existing name returns false — first writer wins)."""
+    import json
+    import uuid
+
+    mdir = os.path.join(index_path, _MANIFEST_DIR)
+    jvm, fs, hdir = _hadoop_fs(spark, mdir)
+    fs.mkdirs(hdir)
+    cur = _read_manifest(spark, index_path)
+    next_v = (cur["version"] + 1) if cur else 1
+    payload = json.dumps(
+        {"tables": {k: sorted(v) for k, v in tables.items()}},
+        sort_keys=True,
+    ).encode("utf-8")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(mdir, f"v{next_v:08d}.json")
+    )
+    if not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"manifest commit lost the race for version {next_v} at "
+            f"{index_path!r} — single-writer contract violated"
+        )
+    # prune ancient versions (bounded metadata; readers only ever take
+    # the max, the retained tail is grace for in-flight resolvers)
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v <= next_v - _MANIFEST_KEEP:
+                fs.delete(st.getPath(), False)
+    return next_v
+
+
+def _list_increment_dirs(
+    spark: SparkSession, table_path: str
+) -> list[str]:
+    _, fs, hdir = _hadoop_fs(spark, table_path)
+    if not fs.exists(hdir):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hdir)
+        if st.isDirectory() and st.getPath().getName().startswith("mb=")
+    )
+
+
+def _manifest_tables(
+    spark: SparkSession, index_path: str, table_names: list[str]
+) -> dict[str, list[str]]:
+    """Current live-dir map: the committed manifest, or (pre-manifest
+    index) the directory listing."""
+    m = _read_manifest(spark, index_path)
+    if m is not None:
+        return {k: list(v) for k, v in m["tables"].items()}
+    return {
+        t: _list_increment_dirs(spark, os.path.join(index_path, t))
+        for t in table_names
+    }
+
+
+def _manifest_add(
+    spark: SparkSession, index_path: str, table_names: list[str],
+    label: str,
+) -> None:
+    """Register ``mb=<label>`` in every named table (idempotent;
+    skips the commit when nothing changes)."""
+    tables = _manifest_tables(spark, index_path, table_names)
+    changed = _read_manifest(spark, index_path) is None
+    for t in table_names:
+        dirs = set(tables.get(t, []))
+        if f"mb={label}" not in dirs:
+            dirs.add(f"mb={label}")
+            changed = True
+        tables[t] = sorted(dirs)
+    if changed:
+        _commit_manifest(spark, index_path, tables)
+
+
+def _read_increment_table(
+    spark: SparkSession, index_path: str, table: str
+) -> DataFrame:
+    """The table's LIVE increments only — resolved through the
+    manifest (superseded dirs a compaction left behind are invisible);
+    directory semantics for pre-manifest indexes."""
+    root = os.path.join(index_path, table)
+    m = _read_manifest(spark, index_path)
+    if m is None or table not in m["tables"]:
+        return spark.read.parquet(root)
+    dirs = [os.path.join(root, d) for d in m["tables"][table]]
+    if not dirs:
+        raise ValueError(
+            f"index at {index_path!r}: manifest lists no live "
+            f"increments for table {table!r}"
+        )
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def index_vacuum(spark: SparkSession, index_path: str) -> dict:
+    """Delete increment dirs no manifest-listed table references —
+    the garbage a compaction supersedes. Run OUTSIDE the read grace
+    (readers resolve the manifest once, then list files; vacuum after
+    in-flight queries finish — the retention contract every
+    log-structured table format documents)."""
+    m = _read_manifest(spark, index_path)
+    if m is None:
+        return {"deleted": 0}
+    deleted = 0
+    for t, live in m["tables"].items():
+        root = os.path.join(index_path, t)
+        keep = set(live)
+        for d in _list_increment_dirs(spark, root):
+            if d not in keep:
+                _delete_path(spark, os.path.join(root, d))
+                deleted += 1
+    return {"deleted": deleted}
 
 
 # ---------------------------------------------------------------------------
@@ -610,70 +1035,80 @@ def substring_increment(
 # ---------------------------------------------------------------------------
 
 def _compact_increment_table(
-    spark: SparkSession, table_path: str, inner_partition: str | None
+    spark: SparkSession, index_path: str, table: str,
+    inner_partition: str | None,
 ) -> int:
-    """Fold every ``mb=`` increment of one index table back into a
-    single ``mb=base`` increment: read all increments, rewrite them as
-    one (clustered on the inner partition key when the table has one),
-    then swap directories. Returns the compacted row count.
+    """Fold every live ``mb=`` increment of one index table into a
+    single fresh increment dir and commit it via the manifest: read
+    the live set, rewrite it as one ``mb=base-<uuid>`` directory
+    (clustered on the inner partition key when the table has one),
+    then swap the manifest pointer — an ATOMIC commit, so a reader
+    resolving at any moment sees the old increments or the new one,
+    never a missing table. Superseded dirs remain until
+    :func:`index_vacuum`. Returns the compacted row count.
 
     A daily pipeline accretes one ``mb=`` directory per shard — file
-    counts and partition-discovery listings grow without bound, and
-    the per-increment files are shard-sized (small). Compaction is the
-    standard maintenance pass (the OPTIMIZE of this layout); it is a
-    MAINTENANCE operation, run without concurrent readers — the final
-    directory swap is two renames, not an atomic commit (a table
-    format's transaction log is the production answer; this engine's
-    contract is stated, not hidden)."""
+    counts and listings grow without bound; compaction is the
+    OPTIMIZE of this layout."""
     import uuid
 
-    df = spark.read.parquet(table_path)
+    df = _read_increment_table(spark, index_path, table)
     rows = df.drop("mb")
-    tmp = table_path + f".__compact_{uuid.uuid4().hex[:8]}"
+    table_root = os.path.join(index_path, table)
+    new_dir = f"mb=base-{uuid.uuid4().hex[:8]}"
+    dest = os.path.join(table_root, new_dir)
     if inner_partition is not None:
         rows.repartition(F.col(inner_partition)).write.mode(
             "overwrite"
-        ).partitionBy(inner_partition).parquet(
-            os.path.join(tmp, "mb=base")
-        )
+        ).partitionBy(inner_partition).parquet(dest)
     else:
-        rows.write.mode("overwrite").parquet(os.path.join(tmp, "mb=base"))
-    n = spark.read.parquet(tmp).count()
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = dst.getFileSystem(conf)
-    # Hadoop delete/rename report many failures (object-store and
-    # cross-filesystem quirks) by returning false, NOT by throwing —
-    # ignoring them could leave the live table deleted with the
-    # compacted data stranded in the tmp dir
-    if not fs.delete(dst, True) and fs.exists(dst):
-        raise IOError(
-            f"compaction: could not delete {table_path!r}; compacted "
-            f"data is intact at {tmp!r}"
-        )
-    if not fs.rename(src, dst):
-        raise IOError(
-            f"compaction: rename {tmp!r} -> {table_path!r} failed; the "
-            f"live table was deleted — recover by renaming {tmp!r} "
-            "into place manually"
-        )
+        rows.write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    tables = _manifest_tables(
+        spark, index_path,
+        [table] + [
+            t for t in _list_index_tables(spark, index_path)
+            if t != table
+        ],
+    )
+    tables[table] = [new_dir]
+    _commit_manifest(spark, index_path, tables)
     return n
+
+
+def _list_index_tables(spark: SparkSession, index_path: str) -> list[str]:
+    """Increment-table names under an index root (dirs that contain
+    ``mb=`` children) — so a first compaction on a pre-manifest index
+    seeds the manifest with EVERY table, not just the compacted one."""
+    _, fs, hdir = _hadoop_fs(spark, index_path)
+    out = []
+    if not fs.exists(hdir):
+        return out
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name.startswith("_"):
+            continue
+        if name in ("components", "meta", "model"):
+            continue
+        if _list_increment_dirs(
+            spark, os.path.join(index_path, name)
+        ):
+            out.append(name)
+    return sorted(out)
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> dict:
     """Compact the MinHash band index's accumulated increments
-    (bands + shingles; the components table is already a single
-    overwritten artifact). Decisions are unchanged — the increment
-    layout is physical, not semantic (pinned by pytest: a probe after
-    compaction equals the probe before)."""
+    (bands + shingles; the in-place components table is already a
+    single artifact). Decisions are unchanged — the increment layout
+    is physical, not semantic (pinned by pytest: a probe after
+    compaction equals the probe before). The swap is a manifest
+    commit (atomic); run :func:`index_vacuum` afterwards to reclaim
+    superseded directories."""
     return {
-        "bands_rows": _compact_increment_table(
-            spark, os.path.join(path, "bands"), "bb"
-        ),
+        "bands_rows": _compact_increment_table(spark, path, "bands", "bb"),
         "shingles_rows": _compact_increment_table(
-            spark, os.path.join(path, "shingles"), None
+            spark, path, "shingles", "ip"
         ),
     }
 
@@ -682,7 +1117,7 @@ def substring_index_compact(spark: SparkSession, path: str) -> dict:
     """Compact the substring window index's increments."""
     return {
         "windows_rows": _compact_increment_table(
-            spark, os.path.join(path, "windows"), "hp"
+            spark, path, "windows", "hp"
         )
     }
 
@@ -732,6 +1167,7 @@ def paragraph_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
+    _manifest_add(spark, path, ["paras"], "base")
 
 
 def paragraph_increment(
@@ -781,7 +1217,7 @@ def paragraph_increment(
         .collect()
     ]
     idx_h = (
-        spark.read.parquet(os.path.join(path, "paras"))
+        _read_increment_table(spark, path, "paras")
         .where(F.col("hp").isin(probe_hps))
         .select("h")
     )
@@ -822,6 +1258,7 @@ def paragraph_increment(
         ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
             "hp"
         ).parquet(os.path.join(path, "paras", f"mb={update_label}"))
+        _manifest_add(spark, path, ["paras"], update_label)
     return _with_cached_deps(result, [slim])
 
 
@@ -873,6 +1310,7 @@ def benchmark_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
+    _manifest_add(spark, path, ["shingles"], "base")
 
 
 def decontaminate_increment(
@@ -900,9 +1338,7 @@ def decontaminate_increment(
             f"({len(rows)} rows, expected 1)"
         )
     n = rows[0].n
-    bench_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
-        "sh"
-    )
+    bench_sh = _read_increment_table(spark, path, "shingles").select("sh")
     corpus_sh = (
         shard.select(
             F.col(id_col), _words(F.col(text_col)).alias("__toks")

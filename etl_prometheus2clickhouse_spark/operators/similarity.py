@@ -1323,41 +1323,31 @@ def ivfpq_encode(
     return vecs.mapInPandas(_encode, schema)
 
 
-def cosine_topk_ivfpq_codes(
+def _ivfpq_code_candidates(
     code_table: DataFrame,
     model: IVFPQModel,
-    corpus: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_probe: int = 8,
-    n_candidates: int = 50,
-    max_queries: int = 10_000,
-) -> DataFrame:
-    """IVFADC over a PERSISTED cell-partitioned code table — the
-    query-time face of :func:`ivfpq_encode`. The probe-set union
-    across all queries is pushed as a ``cell IN (...)`` filter BEFORE
-    the scan, so on a ``partitionBy("cell")`` table Spark prunes
-    non-probed directories at listing time and the candidate scan
-    reads only probed cells' ``(id, cell, codes)`` rows — never the
-    float vectors (those are touched only by the bounded broadcast
-    rescore). Scores, cuts, and tie-breaks are identical to
-    :func:`cosine_topk_ivfpq` with the same model."""
-    if n_candidates < k:
-        raise ValueError("n_candidates must be >= k")
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    n_candidates: int,
+    max_queries: int,
+    op: str,
+):
+    """ADC candidate generation over a persisted cell-partitioned code
+    table, WITHOUT the rescore: returns ``(cand, q_ids, q_unit)`` where
+    ``cand`` is the bounded (query_id, neighbor_id) candidate frame, or
+    ``None`` when the query side is empty. Factored out so callers can
+    choose the rescore source (caller-supplied corpus, or the index's
+    own id-bucketed vector table pruned to the candidates' prefixes —
+    operators/ann_index.py)."""
     C = model.coarse
     pq = model.pq
     residuals = model.residuals
     n_cells = C.shape[1]
-    q = _collect_query_luts(
-        queries, pq, id_col, vec_col, max_queries, "cosine_topk_ivfpq_codes"
-    )
+    q = _collect_query_luts(queries, pq, id_col, vec_col, max_queries, op)
     if q is None:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, "
-            "cosine_sim double, rank int"
-        )
+        return None
     q_ids, q_unit, lut = q
     n_q = len(q_ids)
     C_cut = n_candidates
@@ -1395,7 +1385,44 @@ def cosine_topk_ivfpq_codes(
             _scan, "query_id bigint, neighbor_id bigint, approx_sim double"
         )
     )
-    cand = _candidate_cut(partial, C_cut)
+    return _candidate_cut(partial, C_cut), q_ids, q_unit
+
+
+_IVFPQ_TOPK_SCHEMA = (
+    "query_id bigint, neighbor_id bigint, cosine_sim double, rank int"
+)
+
+
+def cosine_topk_ivfpq_codes(
+    code_table: DataFrame,
+    model: IVFPQModel,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    n_candidates: int = 50,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVFADC over a PERSISTED cell-partitioned code table — the
+    query-time face of :func:`ivfpq_encode`. The probe-set union
+    across all queries is pushed as a ``cell IN (...)`` filter BEFORE
+    the scan, so on a ``partitionBy("cell")`` table Spark prunes
+    non-probed directories at listing time and the candidate scan
+    reads only probed cells' ``(id, cell, codes)`` rows — never the
+    float vectors (those are touched only by the bounded broadcast
+    rescore). Scores, cuts, and tie-breaks are identical to
+    :func:`cosine_topk_ivfpq` with the same model."""
+    if n_candidates < k:
+        raise ValueError("n_candidates must be >= k")
+    res = _ivfpq_code_candidates(
+        code_table, model, queries, id_col, vec_col,
+        n_probe, n_candidates, max_queries, "cosine_topk_ivfpq_codes",
+    )
+    if res is None:
+        return corpus.sparkSession.createDataFrame([], _IVFPQ_TOPK_SCHEMA)
+    cand, q_ids, q_unit = res
     vecs = corpus.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )

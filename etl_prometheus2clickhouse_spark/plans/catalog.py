@@ -2416,8 +2416,10 @@ def q_ann_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantizers="first",
     )
     ann_index_append(shard, path, "w2")
+    # rescore from the index's own vp-bucketed vector table (no
+    # caller corpus) — the candidate-pruned scale path
     out = ann_index_search(
-        emb.where(F.col("vec_id") < 10), path, emb,
+        emb.where(F.col("vec_id") < 10), path,
         k=5, n_probe=8, n_candidates=50,
     )
     return out.select(
@@ -2465,7 +2467,7 @@ def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_streaming_ann_ingest(src, idx, f"{scratch}/ckpt")
         out = ann_index_search(
-            emb.where(F.col("vec_id") < 10), idx, emb,
+            emb.where(F.col("vec_id") < 10), idx,
             k=5, n_probe=8, n_candidates=50,
         ).select(
             "query_id",

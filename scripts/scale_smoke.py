@@ -984,6 +984,90 @@ def main() -> None:
             f"  probe pruned to {n_probe_dirs}/512 band-bucket "
             "directories (shard-sized, corpus-size-independent)"
         )
+
+        # round-12: probe ECONOMICS — the timing-independent bound the
+        # partition-filter assertion implies but doesn't measure: the
+        # probed partitions' file/byte share of the index IS the probe's
+        # I/O upper bound. An 80-prefix probe of a 512-prefix index may
+        # touch at most ~80/512 of the bytes (uniform hashing; 2×
+        # slack for file-size variance).
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            probe_economics,
+        )
+
+        b_econ = probe_economics(
+            spark, f"{idx_dir}/bands", "bb", shard_bbs[:80]
+        )
+        assert b_econ["files_total"] > 0, b_econ
+        assert b_econ["bytes_probed"] <= 2 * (80 / 512) * b_econ[
+            "bytes_total"
+        ], b_econ
+        print(
+            f"  band-probe economics: {b_econ['files_probed']}/"
+            f"{b_econ['files_total']} files, {b_econ['bytes_probed']}/"
+            f"{b_econ['bytes_total']} bytes — ≤ probed-partition share"
+        )
+        # verify side: the shingles store is id-bucketed at the same
+        # 512 prefixes; a 5-doc shard's candidate set maps to ≤ ~10
+        # prefixes, so the exact-verify read is bounded by that share
+        # of the corpus shingle bytes — probe a 10-prefix set and
+        # assert the share (the round-11 gap this round closes)
+        s_econ = probe_economics(
+            spark, f"{idx_dir}/shingles", "ip", list(range(10))
+        )
+        assert s_econ["files_total"] > 0, s_econ
+        assert s_econ["bytes_probed"] <= 2 * (10 / 512) * s_econ[
+            "bytes_total"
+        ], s_econ
+        print(
+            f"  shingle-verify economics: {s_econ['files_probed']}/"
+            f"{s_econ['files_total']} files, {s_econ['bytes_probed']}/"
+            f"{s_econ['bytes_total']} bytes for a 10-prefix candidate set"
+        )
+
+        # round-12: BOUNDED components rewrite — an update-increment
+        # must rewrite only the nb= partitions holding touched
+        # clusters' members (the shard's 5 docs + their K-multiplied
+        # duplicate clusters), never all 512. Snapshot the partition
+        # dirs, run an update increment, and assert the changed set is
+        # shard-cluster-sized.
+        import os
+
+        def _comp_state(d):
+            out = {}
+            for nb in os.listdir(d):
+                if nb.startswith("nb="):
+                    p = os.path.join(d, nb)
+                    out[nb] = {
+                        (f, os.path.getmtime(os.path.join(p, f)))
+                        for f in os.listdir(p)
+                        if not f.startswith((".", "_"))
+                    }
+            return out
+
+        comp_dir = f"{idx_dir}/components"
+        before = _comp_state(comp_dir)
+        empty_corpus = spark.createDataFrame([], "doc_id long")
+        with cached_scope():
+            inc2 = dedup_increment(
+                empty_corpus, shard, idx_dir, id_col="doc_id",
+                update_index=True, update_label="w1",
+            )
+            inc2.where(~F.col("is_canonical")).count()
+        after = _comp_state(comp_dir)
+        changed = {
+            d for d in set(before) | set(after)
+            if before.get(d) != after.get(d)
+        }
+        assert changed, "update increment rewrote nothing"
+        assert len(changed) < len(before), "rewrote every partition"
+        # 5 shard docs × K-sized duplicate clusters + 5 new nodes:
+        # prefix count bounded by member count, far under 512
+        assert len(changed) <= 5 * k + 5, (len(changed), len(before))
+        print(
+            f"  components rewrite touched {len(changed)}/{len(before)} "
+            "nb= partitions (shard-cluster-sized, not corpus-sized)"
+        )
     finally:
         shutil.rmtree(idx_dir.rsplit("/", 1)[0], ignore_errors=True)
 

@@ -130,12 +130,26 @@ def test_compaction_preserves_search(spark, sf_dir, tmp_path):
         got = _topk(ann_index_search(q, path, emb, k=5))
     assert got == want
     assert counts["codes_rows"] == emb.count()
+    assert counts["vectors_rows"] == emb.count()
+    # the swap is a manifest commit: one live dir per table; vacuum
+    # reclaims the superseded increments, search unchanged throughout
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+    )
+
+    m = _read_manifest(spark, path)
+    assert len(m["tables"]["codes"]) == 1
+    assert len(m["tables"]["vectors"]) == 1
+    index_vacuum(spark, path)
     mbs = {
         p.name
         for p in (tmp_path / "idxc" / "codes").iterdir()
         if p.name.startswith("mb=")
     }
-    assert mbs == {"mb=base"}
+    assert mbs == set(m["tables"]["codes"])
+    with cached_scope():
+        assert _topk(ann_index_search(q, path, emb, k=5)) == want
 
 
 def test_search_probe_prunes_cell_partitions(spark, sf_dir, tmp_path):
@@ -219,3 +233,199 @@ def test_streaming_ingest_kill_and_restart(spark, sf_dir, tmp_path):
             )
         )
     assert got == want
+
+
+def test_search_from_persisted_vectors_equals_corpus_rescore(
+    spark, sf_dir, tmp_path
+):
+    """Omitting `corpus` rescores against the index's own id-bucketed
+    vector table pruned to the candidates' vp= partitions — results
+    must be row-identical to the caller-supplied-corpus rescore."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    queries = emb.where(F.col("vec_id") < 8)
+    path = str(tmp_path / "annv")
+    dim = len(emb.select("embedding").first()[0])
+    ann_index_build(corpus, path, dim, n_cells=8, train_sample=512,
+                    vec_buckets=16)
+    ann_index_append(shard, path, "w2")
+    with_corpus = ann_index_search(
+        queries, path, emb, k=5, n_probe=4, n_candidates=20
+    ).collect()
+    from_index = ann_index_search(
+        queries, path, k=5, n_probe=4, n_candidates=20
+    ).collect()
+    assert sorted(map(tuple, with_corpus)) == sorted(map(tuple, from_index))
+    # the vector table is genuinely vp-bucketed in BOTH increments
+    for mb in ("mb=base", "mb=w2"):
+        parts = [
+            d for d in _os.listdir(_os.path.join(path, "vectors", mb))
+            if d.startswith("vp=")
+        ]
+        assert len(parts) >= 2, (mb, parts)
+
+
+def test_vector_rescore_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The pruned vectors read pushes vp as a PARTITION filter and its
+    probed file/byte share is strictly below the whole table."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        probe_economics,
+        probed_partition_plan,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "annp")
+    dim = len(emb.select("embedding").first()[0])
+    ann_index_build(emb, path, dim, n_cells=8, train_sample=512,
+                    vec_buckets=16)
+    vec_dir = _os.path.join(path, "vectors")
+    plan = probed_partition_plan(spark, vec_dir, "vp", [0, 1])
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "vp" in pf[0], plan
+    econ = probe_economics(spark, vec_dir, "vp", [0, 1])
+    assert 0 < econ["files_probed"] < econ["files_total"], econ
+    assert 0 < econ["bytes_probed"] < econ["bytes_total"], econ
+
+
+def _clustered_vecs(spark, n, dim, centers, seed, id_start=0):
+    """Deterministic synthetic vectors around the given centers."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        c = np.asarray(centers[i % len(centers)], dtype=np.float64)
+        v = c + 0.05 * rng.standard_normal(dim)
+        rows.append((id_start + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_retrain_recovers_recall_on_drifted_shard(spark, tmp_path):
+    """ann_index_append freezes the quantizers forever; when a shard
+    drifts away from the trained distribution, search recall for
+    queries in the drifted region degrades. ann_index_retrain must
+    (a) train fresh quantizers on the CURRENT stored vectors,
+    (b) re-encode every increment, (c) swap codes+model in one atomic
+    manifest commit ONLY when the recall gate passes — and recall on
+    the drifted queries must recover."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_retrain,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+    )
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk_bruteforce,
+    )
+
+    dim = 8
+    # base distribution: clusters near the first axis directions
+    base_centers = [list(np.eye(dim)[j]) for j in range(4)]
+    base = _clustered_vecs(spark, 256, dim, base_centers, seed=1)
+    # drifted shard: 8 well-separated far-away sub-clusters the frozen
+    # coarse cells collapse into one or two cells (so the old ADC scan
+    # drowns each query's true sub-cluster in the others' noise), but
+    # a retrained quantizer isolates per-cell
+    drift_centers = [list(-4.0 * np.eye(dim)[j]) for j in range(dim)]
+    shard = _clustered_vecs(
+        spark, 128, dim, drift_centers, seed=2, id_start=10_000
+    )
+    path = str(tmp_path / "annrt")
+    ann_index_build(
+        base, path, dim, n_cells=16, m=4, k_codes=16,
+        train_sample=256, vec_buckets=8,
+    )
+    ann_index_append(shard, path, "w2")
+    queries = shard.where(F.col("vec_id") < 10_016)
+
+    # n_candidates covers two whole post-retrain cells (~16-member
+    # sub-clusters), so once the retrained cells isolate the drifted
+    # sub-clusters the EXACT rescore makes recall structural — the
+    # before/after gap measures cell assignment, not PQ tie-breaks
+    def _mean_recall():
+        exact = cosine_topk_bruteforce(
+            base.unionByName(shard), queries, k=5
+        ).select("query_id", "neighbor_id")
+        approx = ann_index_search(
+            queries, path, k=5, n_probe=2, n_candidates=40
+        )
+        return float(
+            ann_recall(exact, approx).agg(F.avg("recall_at_k")).first()[0]
+        )
+
+    r_before = _mean_recall()
+    report = ann_index_retrain(
+        spark, path, queries=queries, k=5, n_probe=2, n_candidates=40,
+        train_sample=384,
+    )
+    assert report["swapped"], report
+    assert report["recall_new"] >= report["recall_old"], report
+    r_after = _mean_recall()
+    assert r_after >= r_before, (r_before, r_after, report)
+    # drift genuinely recovered: full recall after, strictly better
+    # than before (the magnitude of the gap is a PQ-geometry artifact
+    # — IVF assignment is partially drift-robust because query and
+    # corpus vectors mis-assign CONSISTENTLY — so the pinned contract
+    # is strict improvement + recovery, not an arbitrary delta)
+    assert r_after == 1.0, (r_before, r_after)
+    assert r_before < r_after, (r_before, r_after)
+    assert report["recall_new"] > report["recall_old"], report
+    # codes and model swapped TOGETHER in the manifest
+    m = _read_manifest(spark, path)
+    assert m["tables"]["codes"] == [f"mb={report['label']}"]
+    assert m["tables"]["model"] == [f"mb={report['label']}"]
+    # vectors untouched (both increments still live)
+    assert sorted(m["tables"]["vectors"]) == ["mb=base", "mb=w2"]
+    index_vacuum(spark, path)
+    assert _mean_recall() == r_after
+
+
+def test_retrain_gate_rolls_back_when_no_gain(spark, tmp_path):
+    """An impossible min_recall_gain must leave the index EXACTLY as
+    it was: no manifest commit, no new dirs, search unchanged."""
+    import os as _os
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_retrain,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "anng")
+    dim = len(emb.select("embedding").first()[0])
+    ann_index_build(emb, path, dim, n_cells=8, train_sample=512,
+                    vec_buckets=8)
+    queries = emb.where(F.col("vec_id") < 8)
+    before = sorted(
+        map(tuple, ann_index_search(queries, path, k=5).collect())
+    )
+    v_before = _read_manifest(spark, path)["version"]
+    report = ann_index_retrain(
+        spark, path, queries=queries, k=5, min_recall_gain=2.0,
+    )
+    assert not report["swapped"], report
+    assert _read_manifest(spark, path)["version"] == v_before
+    after = sorted(
+        map(tuple, ann_index_search(queries, path, k=5).collect())
+    )
+    assert before == after
+    # rolled-back dirs are gone
+    assert not any(
+        d.startswith(f"mb={report['label']}")
+        for d in _os.listdir(_os.path.join(path, "codes"))
+    )

@@ -292,12 +292,22 @@ def test_compaction_preserves_decisions(spark, tmp_path):
     assert got == want
     assert counts["bands_rows"] == before["bands_rows"] == after["bands_rows"]
     assert after["shingles_rows"] == before["shingles_rows"]
+    # the swap is a manifest commit: one live dir; superseded dirs
+    # stay on disk until vacuum, then exactly the live dir remains
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+    )
+
+    live = _read_manifest(spark, path)["tables"]["bands"]
+    assert len(live) == 1 and live[0].startswith("mb=base-"), live
+    index_vacuum(spark, path)
     mbs = {
         p.name
         for p in (tmp_path / "cidx" / "bands").iterdir()
         if p.name.startswith("mb=")
     }
-    assert mbs == {"mb=base"}
+    assert mbs == set(live)
 
     # substring index: same contract
     spath = str(tmp_path / "csub")
@@ -316,12 +326,15 @@ def test_compaction_preserves_decisions(spark, tmp_path):
             for r in substring_increment(new, spath).collect()
         }
     assert s_got == s_want
+    s_live = _read_manifest(spark, spath)["tables"]["windows"]
+    assert len(s_live) == 1, s_live
+    index_vacuum(spark, spath)
     smbs = {
         p.name
         for p in (tmp_path / "csub" / "windows").iterdir()
         if p.name.startswith("mb=")
     }
-    assert smbs == {"mb=base"}
+    assert smbs == set(s_live)
 
 
 def test_substring_probe_reads_hash_column_only(spark, tmp_path):
@@ -501,3 +514,176 @@ def test_replay_idempotent_when_bucket_cap_binds(spark, tmp_path):
     # and the cap genuinely binds in this geometry: dispositions found
     # real duplicate clusters (not everything singleton)
     assert any(not canon for (_, canon) in first.values())
+
+
+def test_shingle_verify_read_is_partition_pruned(spark, tmp_path):
+    """The exact-verify shingles store is written id-bucketed (ip=)
+    and a pruned read pushes the candidate prefixes as a PARTITION
+    filter — increment cost must be shard-proportional on the verify
+    path too, not just the band probe."""
+    import os as _os
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        probe_economics,
+        probed_partition_plan,
+    )
+
+    _, old, new = _frames(spark)
+    path = str(tmp_path / "idxv")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5, index_buckets=16)
+        # increment equivalence must survive the bucketed layout
+        got = _resolved(dedup_increment(old, new, path))
+    union_df, _, _ = _frames(spark)
+    assert got == _one_shot(union_df)
+    sh_dir = _os.path.join(path, "shingles")
+    parts = sorted(
+        d for d in _os.listdir(_os.path.join(sh_dir, "mb=base"))
+        if d.startswith("ip=")
+    )
+    assert len(parts) >= 2, parts
+    plan = probed_partition_plan(spark, sh_dir, "ip", [0, 1])
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ip" in pf[0], plan
+    econ = probe_economics(spark, sh_dir, "ip", [0, 1])
+    assert 0 < econ["files_probed"] < econ["files_total"], econ
+    assert 0 < econ["bytes_probed"] < econ["bytes_total"], econ
+
+
+def _comp_dir_state(comp_dir):
+    """{nb-dir: {(file, mtime, size)}} snapshot of the components table."""
+    import os as _os
+
+    out = {}
+    for d in _os.listdir(comp_dir):
+        if not d.startswith("nb="):
+            continue
+        p = _os.path.join(comp_dir, d)
+        out[d] = {
+            (f, round(_os.path.getmtime(_os.path.join(p, f)), 3),
+             _os.path.getsize(_os.path.join(p, f)))
+            for f in _os.listdir(p) if not f.startswith((".", "_"))
+        }
+    return out
+
+
+def test_increment_rewrites_only_touched_component_partitions(
+    spark, tmp_path
+):
+    """An increment with ONE new pair must rewrite only the nb=
+    partitions holding the touched cluster's members (+ the new node)
+    — never the whole components table (the round-11 full-overwrite
+    seam)."""
+    import os as _os
+
+    # 12 two-doc clusters with DISJOINT vocabularies (cross-cluster
+    # Jaccard is exactly 0), spread across many nb partitions
+    def _text(c, tail):
+        return " ".join(f"w{c}x{i}" for i in range(12)) + " " + tail
+
+    docs = []
+    for c in range(12):
+        docs.append((2 * c, _text(c, "aa")))
+        docs.append((2 * c + 1, _text(c, "bb")))
+    old = spark.createDataFrame(docs, "doc_id long, text string")
+    # shard: one doc near-dup of cluster 0 only
+    new = spark.createDataFrame(
+        [(100, _text(0, "cc"))], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idxb")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5, index_buckets=32)
+        comp_dir = _os.path.join(path, "components")
+        before = _comp_dir_state(comp_dir)
+        assert len(before) >= 6, before  # clusters spread over partitions
+        got = _resolved(
+            dedup_increment(
+                old, new, path, update_index=True, update_label="w1"
+            )
+        )
+    after = _comp_dir_state(comp_dir)
+    changed = {
+        d for d in set(before) | set(after)
+        if before.get(d) != after.get(d)
+    }
+    # touched = cluster 0's two members + the new node: ≤ 3 prefixes
+    assert 1 <= len(changed) <= 3, (changed, len(before))
+    assert len(changed) < len(before), "rewrote every partition"
+    # and the merge is still the one-shot answer
+    union_df = old.unionByName(new)
+    assert got == _one_shot(union_df)
+
+
+def test_build_with_zero_pairs_then_increment(spark, tmp_path):
+    """A corpus with no duplicate pairs writes an EMPTY partitioned
+    components table (no part files at all); reads must fall back to
+    an empty schema'd frame and the first real increment must create
+    the table."""
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta eta iota")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idxz")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5, index_buckets=8)
+        st = index_stats(spark, path)
+        assert st["components_rows"] == 0
+        got = _resolved(
+            dedup_increment(
+                old, new, path, update_index=True, update_label="w1"
+            )
+        )
+    assert got == _one_shot(old.unionByName(new))
+    assert index_stats(spark, path)["components_rows"] in (0, 2)
+
+
+def test_compaction_commit_is_atomic_for_readers(spark, tmp_path):
+    """A reader that resolved the manifest BEFORE compaction keeps a
+    complete, consistent view (superseded dirs are retained until
+    vacuum); a reader resolving AFTER sees the compacted table; at no
+    point does any resolver see a missing or partial table — the
+    round-11 rename-swap window this manifest closes."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_increment_table,
+        _read_manifest,
+        index_vacuum,
+        minhash_index_compact,
+    )
+
+    _, old, new = _frames(spark)
+    path = str(tmp_path / "aidx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dedup_increment(
+            old, new, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+    # reader A resolves the pre-compaction manifest (lazy plan pins the
+    # old increment dirs)
+    reader_a = _read_increment_table(spark, path, "bands")
+    v_before = _read_manifest(spark, path)["version"]
+    n_expected = reader_a.count()
+    minhash_index_compact(spark, path)
+    assert _read_manifest(spark, path)["version"] > v_before
+    # A's already-resolved view is still fully readable post-commit
+    assert reader_a.count() == n_expected
+    # reader B resolves the post-compaction manifest
+    reader_b = _read_increment_table(spark, path, "bands")
+    assert reader_b.count() == n_expected
+    # vacuum reclaims the superseded dirs; B (live) is unaffected
+    assert index_vacuum(spark, path)["deleted"] >= 2
+    assert reader_b.count() == n_expected
+    # and every version file commit was all-or-nothing: the manifest
+    # never lists a dir that does not exist
+    import os as _os
+
+    m = _read_manifest(spark, path)
+    for t, dirs in m["tables"].items():
+        for d in dirs:
+            assert _os.path.isdir(_os.path.join(path, t, d)), (t, d)
