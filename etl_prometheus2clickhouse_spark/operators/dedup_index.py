@@ -792,9 +792,14 @@ def substring_increment(
     ]
     # the probe reads ONLY the hash column of the probed partitions —
     # ReadSchema h, PartitionFilters hp (asserted in pytest)
+    win_tbl = _read_increment_table(spark, path, "windows")
+    if update_index:
+        # at-least-once replay: exclude this increment's own rows (a
+        # failed first attempt would otherwise make every shard window
+        # look already-indexed — the dedup_increment replay contract)
+        win_tbl = win_tbl.where(F.col("mb") != F.lit(update_label))
     idx_h = (
-        _read_increment_table(spark, path, "windows")
-        .where(F.col("hp").isin(probe_hps))
+        win_tbl.where(F.col("hp").isin(probe_hps))
         .select("h")
         .distinct()
     )
@@ -1216,11 +1221,11 @@ def paragraph_increment(
         .distinct()
         .collect()
     ]
-    idx_h = (
-        _read_increment_table(spark, path, "paras")
-        .where(F.col("hp").isin(probe_hps))
-        .select("h")
-    )
+    para_tbl = _read_increment_table(spark, path, "paras")
+    if update_index:
+        # replay exclusion — see substring_increment
+        para_tbl = para_tbl.where(F.col("mb") != F.lit(update_label))
+    idx_h = para_tbl.where(F.col("hp").isin(probe_hps)).select("h")
     fresh = slim.join(idx_h, "h", "left_anti")
     winners = fresh.groupBy("h").agg(
         F.min(F.struct("id", "pos")).alias("win")

@@ -5279,20 +5279,24 @@ WHERE rank <= 10
 """
 
 
-def _chunk5(src: F.Column) -> F.Column:
+def _chunkn(src: F.Column, w: int) -> F.Column:
     """Re-render a space-separated word stream as newline-joined
-    5-word paragraphs — the synthetic paragraph structure the
+    ``w``-word paragraphs — the synthetic paragraph structure the
     paragraph-dedup family runs on (mirrored in SQL by the
-    generate_series/list_slice CTEs of ORACLE_PARAGRAPH_DEDUP)."""
+    generate_series/list_slice CTEs of _oracle_paragraph_dedup)."""
     words = F.split(src, " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(5.0)).cast("int")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
     return F.array_join(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(words, i * 5 + 1, 5), " "),
+            lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
         ),
         "\n",
     )
+
+
+def _chunk5(src: F.Column) -> F.Column:
+    return _chunkn(src, 5)
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5317,14 +5321,17 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PARAGRAPH_DEDUP = """
+def _oracle_paragraph_dedup(w: int = 5) -> str:
+    """The paragraph-election oracle at chunk width ``w`` (the SQL
+    mirror of :func:`_chunkn`)."""
+    return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 idx AS (SELECT doc_id, ws,
-        unnest(generate_series(0, CAST(ceil(len(ws)/5.0) AS BIGINT) - 1))
+        unnest(generate_series(0, CAST(ceil(len(ws)/{w}.0) AS BIGINT) - 1))
           AS pos
         FROM w),
 chunks AS (SELECT doc_id, pos,
-           array_to_string(list_slice(ws, pos*5 + 1, pos*5 + 5), ' ')
+           array_to_string(list_slice(ws, pos*{w} + 1, pos*{w} + {w}), ' ')
              AS para
            FROM idx),
 ranked AS (SELECT doc_id, pos, para,
@@ -5340,6 +5347,9 @@ SELECT t.doc_id, CAST(t.n_paras AS BIGINT) AS n_paras,
        coalesce(k.text, '') AS text
 FROM tot t LEFT JOIN kept k USING (doc_id)
 """
+
+
+ORACLE_PARAGRAPH_DEDUP = _oracle_paragraph_dedup(5)
 
 
 def q_paragraph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6250,28 +6260,36 @@ _SC_CORPUS_SQL = (
 
 def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental curation (streaming/curation_stream.py) —
-    the curation funnel as a durable foreachBatch pipeline over the
-    persisted MinHash index: the first id-HALF of the (planted,
-    reference-split) corpus seeds the index, the remaining two id-
-    quarters arrive as REAL micro-batches in ascending id order, and
-    each batch is (1) incrementally deduped by probing only its own
-    band buckets — updating the index under its own replay-idempotent
-    ``mb=`` increment, (2) Gopher-filtered, (3) LM-scored under the
-    frozen doc_id%97 reference model against a FIXED threshold — with
+    the FULL four-stage curation funnel as a durable foreachBatch
+    pipeline over TWO persisted indexes: the first id-HALF of the
+    (planted, reference-split, 5-word-chunked) corpus seeds a
+    paragraph-hash index AND a MinHash band index (built on the seed's
+    paragraph-deduped text), the remaining two id-quarters arrive as
+    REAL micro-batches in ascending id order, and each batch is
+    (1) incrementally PARAGRAPH-deduped against the hash index
+    (CCNet's first stage; a doc that loses every paragraph is
+    ``dedup_empty``), (2) incrementally NEAR-DUP deduped on the
+    rewritten text by probing only its own band buckets — both
+    indexes updated under the batch's replay-idempotent ``mb=``
+    increments, (3) Gopher-filtered, (4) LM-scored under the frozen
+    doc_id%97 reference model against a FIXED threshold — with
     per-batch dispositions written to the batch's own partition under
     a streaming checkpoint (kill-and-restart + replay pinned by
     tests/test_streaming_curation.py). The oracle is the ONE-SHOT
-    recomputation over everything (exact-Jaccard closure → Gopher →
-    LM threshold) restricted to the streamed quartiles: green means
-    incremental streaming curation ≡ the batch funnel. Keep-first
-    equals the oracle's min-id election because batches arrive in
-    ascending id order (divergence class documented and pinned in
-    tests/test_streaming_curation.py + the funnel semantics matrix)."""
+    four-stage recomputation (paragraph election → exact-Jaccard
+    closure over rewritten text → Gopher → LM threshold) restricted
+    to the streamed quartiles: green means incremental streaming
+    curation ≡ the batch funnel, stage hand-offs included. Keep-first
+    equals the oracle's min-id/first-occurrence elections because
+    batches arrive in ascending id order (divergence class documented
+    and pinned in tests/test_streaming_curation.py + the funnel
+    semantics matrix)."""
     import shutil
     import tempfile
 
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
         minhash_index_build,
+        paragraph_index_build,
     )
     from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
         read_dispositions,
@@ -6282,8 +6300,22 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _plant_stopwords_col().alias("text")
     )
     ref = d.where(F.col("doc_id") % 97 == 0)
-    corpus = d.where(F.col("doc_id") % 97 != 0)
+    # 40-word paragraphs: wide enough that near-dup VARIANTS keep
+    # distinct paragraphs (the near-dup stage stays non-vacuous) and
+    # Gopher's line-shape rules still pass, while EXACT re-crawls
+    # still lose every paragraph to the index (dedup_empty)
+    corpus = d.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", _chunkn(F.col("text"), 40).alias("text")
+    )
     b = corpus.agg(F.max("doc_id")).first()[0] + 1
+    # plant EXACT re-crawls of a doc_id%29 slice of the seed into the
+    # final batch (ids shifted past the corpus) — the CCNet case the
+    # paragraph stage exists for: every paragraph already indexed →
+    # dedup_empty (the oracle plants the identical union)
+    recrawl = corpus.where(
+        (F.col("doc_id") % 29 == 3) & (F.col("doc_id") < b // 2)
+    ).select((F.col("doc_id") + b).alias("doc_id"), "text")
+    corpus = corpus.unionByName(recrawl)
     # seed = first id-half; TWO streamed quarter-batches (state still
     # crosses the store; the richer multi-batch matrices live in
     # tests/test_streaming_curation.py — each streamed batch costs
@@ -6293,6 +6325,16 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="stream_curation_")
     try:
         idx = f"{scratch}/idx"
+        pidx = f"{scratch}/pidx"
+        paragraph_index_build(seed, pidx, id_col="doc_id")
+        # the near-dup index is built on the seed's PARAGRAPH-DEDUPED
+        # text — the one-shot funnel's stage hand-off, reproduced at
+        # the index boundary (seed arrives first, so its internal
+        # paragraph election equals the global one restricted to it)
+        seed_dd = paragraph_dedup(seed, "doc_id", "text", "\n")
+        seed_surv = seed_dd.where(F.col("n_kept") > 0).select(
+            "doc_id", "text"
+        )
         # banding geometry: 32 bands × 2 rows — P(miss) =
         # (1-J²)^32 ≈ 3e-5 at the 0.53 threshold-edge pairs the
         # default 16×4 geometry misses on the PLANTED sf0.1 corpus
@@ -6304,14 +6346,17 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # full recall on this corpus (zero misses at all three SFs)
         # at bounded candidates.
         minhash_index_build(
-            seed, idx, id_col="doc_id", threshold=0.5,
+            seed_surv, idx, id_col="doc_id", threshold=0.5,
             num_hashes=64, bands=32,
         )
-        for i in (2, 3):
-            lo, hi = i * b // 4, ((i + 1) * b // 4 if i < 3 else b)
-            corpus.where(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).coalesce(1).write.parquet(f"{scratch}/in/b{i}")
+        # batch 2: third id-quarter; batch 3: the rest (incl. the
+        # shifted re-crawls — still ascending across batches)
+        corpus.where(
+            (F.col("doc_id") >= b // 2) & (F.col("doc_id") < 3 * b // 4)
+        ).coalesce(1).write.parquet(f"{scratch}/in/b2")
+        corpus.where(F.col("doc_id") >= 3 * b // 4).coalesce(1).write.parquet(
+            f"{scratch}/in/b3"
+        )
         src = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", "1")
@@ -6319,7 +6364,7 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_streaming_curation(
             src, idx, ref, f"{scratch}/disp", f"{scratch}/ckpt",
-            _SC_PPL_THR,
+            _SC_PPL_THR, para_index_path=pidx,
         )
         disp = read_dispositions(spark, f"{scratch}/disp").select(
             "doc_id", "disposition"
@@ -6331,8 +6376,29 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_stream_curation() -> str:
+    # four stages, same hand-offs as ORACLE_CURATION_FUNNEL: paragraph
+    # election over the chunked corpus first (dd0, MATERIALIZED — it
+    # feeds three consumers), then the exact-Jaccard closure / Gopher /
+    # LM run on the REWRITTEN text of non-empty docs
+    # the streamed corpus = chunked planted docs ∪ the exact re-crawl
+    # plant (seed %29 slice, ids shifted by max+1 — same arithmetic as
+    # the Spark face)
+    corpus4 = f"""(
+  SELECT doc_id, text FROM {_SC_CORPUS_SQL} c0
+  UNION ALL
+  SELECT c.doc_id + (SELECT max(doc_id) + 1 FROM {_SC_CORPUS_SQL} z)
+           AS doc_id,
+         c.text
+  FROM {_SC_CORPUS_SQL} c
+  WHERE c.doc_id % 29 = 3
+    AND c.doc_id < (SELECT (max(doc_id) + 1) // 2 FROM {_SC_CORPUS_SQL} z2)
+)"""
+    dd0 = _oracle_paragraph_dedup(40).replace(
+        "FROM documents", "FROM " + corpus4
+    )
     jac = _oracle_jaccard_unblocked(0.5).replace(
-        "FROM documents", "FROM " + _SC_CORPUS_SQL
+        "FROM documents",
+        "FROM (SELECT doc_id, text FROM dd0 WHERE n_kept > 0)",
     )
     gopher = _GOPHER_RULES_SQL.replace(
         "FROM documents",
@@ -6341,6 +6407,7 @@ def _oracle_stream_curation() -> str:
     lm = ORACLE_LM_PERPLEXITY.replace("FROM documents", "FROM lm_src")
     return f"""
 WITH RECURSIVE
+dd0 AS MATERIALIZED ({dd0}),
 pairs AS (SELECT id_a, id_b FROM ({jac}) t),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -6355,7 +6422,8 @@ walk(node, reach) AS (
 comp AS (SELECT node, min(reach) AS c FROM walk GROUP BY node),
 dd AS (SELECT d.doc_id, d.text,
               d.doc_id = coalesce(cm.c, d.doc_id) AS canon
-       FROM {_SC_CORPUS_SQL} d LEFT JOIN comp cm ON cm.node = d.doc_id),
+       FROM (SELECT doc_id, text FROM dd0 WHERE n_kept > 0) d
+       LEFT JOIN comp cm ON cm.node = d.doc_id),
 g AS ({gopher}),
 lm_src AS (
   SELECT doc_id, text FROM {_GOPHER_PLANT_SQL} p WHERE doc_id % 97 = 0
@@ -6365,14 +6433,18 @@ lm_src AS (
   WHERE dd.canon
 ),
 lm AS ({lm}),
-mx AS (SELECT max(doc_id) AS m FROM {_SC_CORPUS_SQL} x)
-SELECT dd.doc_id,
-       CASE WHEN NOT dd.canon THEN 'duplicate'
-            WHEN NOT coalesce(g.keep, FALSE) THEN 'quality'
-            WHEN lm.perplexity > {_SC_PPL_THR} THEN 'perplexity_tail'
-            ELSE 'kept' END AS disposition
-FROM dd LEFT JOIN g USING (doc_id) LEFT JOIN lm USING (doc_id), mx
-WHERE dd.doc_id >= (mx.m + 1) // 2
+mx AS (SELECT (max(doc_id) + 1) // 2 AS half FROM {_SC_CORPUS_SQL} x)
+SELECT u.doc_id, u.disposition FROM (
+  SELECT doc_id, 'dedup_empty' AS disposition FROM dd0 WHERE n_kept = 0
+  UNION ALL
+  SELECT dd.doc_id,
+         CASE WHEN NOT dd.canon THEN 'duplicate'
+              WHEN NOT coalesce(g.keep, FALSE) THEN 'quality'
+              WHEN lm.perplexity > {_SC_PPL_THR} THEN 'perplexity_tail'
+              ELSE 'kept' END AS disposition
+  FROM dd LEFT JOIN g USING (doc_id) LEFT JOIN lm USING (doc_id)
+) u, mx
+WHERE u.doc_id >= mx.half
 """
 
 

@@ -58,17 +58,30 @@ def curation_batch_body(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    para_index_path: str | None = None,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
     directly testable: a second invocation with the same ``batch_id``
-    overwrites both the batch's index increment and its dispositions
-    partition — never duplicates."""
+    overwrites the batch's index increments and its dispositions
+    partition — never duplicates.
+
+    With ``para_index_path`` the funnel runs FOUR stages — the full
+    one-shot ``curation_funnel`` lineage: incremental PARAGRAPH dedup
+    against the persisted hash index (operators/dedup_index.py
+    ``paragraph_increment``, CCNet's first stage) rewrites each doc to
+    its surviving paragraphs first; a doc that loses every paragraph
+    is ``dedup_empty`` and never enters the near-dup index. The
+    near-dup, Gopher, and LM stages then run on the REWRITTEN text —
+    exactly how the one-shot funnel hands text between stages. Same
+    monotone contract, same id-ordered equivalence (both indexes are
+    keep-first under ascending ids)."""
     from etl_prometheus2clickhouse_spark.operators.dedup import (
         cached_scope,
     )
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
         dedup_increment,
+        paragraph_increment,
     )
     from etl_prometheus2clickhouse_spark.operators.text import (
         gopher_filter,
@@ -79,6 +92,21 @@ def curation_batch_body(
         spark = batch_df.sparkSession
         batch_df = batch_df.select(id_col, text_col)
         with cached_scope():
+            label = f"b{int(batch_id)}"
+            para_empty = None
+            if para_index_path is not None:
+                pd = paragraph_increment(
+                    batch_df,
+                    para_index_path,
+                    id_col=id_col,
+                    text_col=text_col,
+                    update_index=True,
+                    update_label=label,
+                ).localCheckpoint()
+                para_empty = pd.where(F.col("n_kept") == 0).select(id_col)
+                batch_df = pd.where(F.col("n_kept") > 0).select(
+                    id_col, F.col("text").alias(text_col)
+                )
             empty = spark.createDataFrame([], batch_df.schema)
             inc = dedup_increment(
                 empty,
@@ -87,7 +115,7 @@ def curation_batch_body(
                 id_col=id_col,
                 text_col=text_col,
                 update_index=True,
-                update_label=f"b{int(batch_id)}",
+                update_label=label,
             ).localCheckpoint()  # decisions fixed before index writes land
             survivors = inc.where(F.col("is_canonical")).select(
                 id_col, text_col
@@ -118,6 +146,13 @@ def curation_batch_body(
                     .alias("disposition"),
                 )
             )
+            if para_empty is not None:
+                disp = disp.unionByName(
+                    para_empty.select(
+                        F.col(id_col),
+                        F.lit("dedup_empty").alias("disposition"),
+                    )
+                )
             disp.coalesce(1).write.mode("overwrite").parquet(
                 f"{dispositions_dir}/{_MB}={int(batch_id)}"
             )
@@ -135,6 +170,7 @@ def run_streaming_curation(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    para_index_path: str | None = None,
 ) -> None:
     """Run ``src`` (a streaming frame of documents) to completion of
     currently-available input (AvailableNow) through
@@ -152,6 +188,7 @@ def run_streaming_curation(
                 id_col,
                 text_col,
                 alpha,
+                para_index_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -248,11 +248,13 @@ def test_substring_index_update_lifecycle_and_replay(spark, tmp_path):
         )
         assert s1.count() == 0  # nothing shared with the seed
         n1 = spark.read.parquet(f"{path}/windows").count()
-        # replay of the same update: idempotent
+        # replay of the same update: idempotent — the probe must NOT
+        # see the failed first attempt's own mb=w1 rows (which would
+        # mark every w1 window "already indexed" and emit spans)
         s1b = substring_increment(
             w1, path, update_index=True, update_label="w1"
         )
-        s1b.write.format("noop").mode("overwrite").save()
+        assert s1b.count() == 0
         assert spark.read.parquet(f"{path}/windows").count() == n1
         # w2 shares the 5-token window "p q r s t" with w1 via the index
         spans = substring_increment(w2, path).collect()
@@ -431,6 +433,12 @@ def test_paragraph_increment_update_and_cross_shard(spark, tmp_path):
             w1, path, update_index=True, update_label="w1"
         ).collect()[0]
         assert (r1.n_paras, r1.n_kept, r1.text) == (2, 1, "epsilon zeta")
+        # replayed update: same disposition (own mb=w1 rows excluded
+        # from the probe — otherwise every w1 paragraph looks indexed)
+        r1b = paragraph_increment(
+            w1, path, update_index=True, update_label="w1"
+        ).collect()[0]
+        assert (r1b.n_paras, r1b.n_kept, r1b.text) == (2, 1, "epsilon zeta")
         r2 = paragraph_increment(w2, path).collect()[0]
     assert (r2.n_paras, r2.n_kept, r2.text) == (2, 1, "new words")
 

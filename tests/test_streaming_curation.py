@@ -60,6 +60,17 @@ _BASE3 = (
     "been torqued with certified wrenches before the shift supervisor "
     "signs the release documents for the next consignment of parts"
 )
+# A fourth fully-independent family (used by the four-stage test's
+# "fresh" doc — its shingles must not collide with ANY other family,
+# or the near-dup stage absorbs it and the kept-path pin is vacuous).
+_BASE4 = (
+    "the museum curators arranged the ancient pottery with great "
+    "attention and noted that each shard of glazed ceramic carried "
+    "marks of the kilns that fired them centuries ago and the catalog "
+    "of the collection grew slowly because every piece required "
+    "patient photography and measurement and description before it "
+    "could join the public exhibit hall downstairs near the entrance"
+)
 
 # seed corpus (the index build), then three streamed batches in
 # ascending id order. Duplicate topology: 1~2 (seed-internal),
@@ -228,3 +239,93 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     stats_second = index_stats(spark, idx)
     assert second == first
     assert stats_second == stats_first
+
+
+def test_four_stage_stream_with_paragraph_index(spark, tmp_path):
+    """The full funnel lineage: paragraph_increment (CCNet stage 1)
+    runs AHEAD of the near-dup increment, each updating its own
+    persisted index, and the result equals the four-stage one-shot
+    (paragraph election → near-dup closure on REWRITTEN text → Gopher
+    → fixed-threshold LM). An exact re-crawl loses every paragraph
+    (dedup_empty) and never enters the band index; the replayed batch
+    is idempotent across BOTH indexes."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_index_build,
+    )
+
+    # two-paragraph docs from the Gopher-passing families
+    seed_rows = [
+        (0, _BASE + "\n" + _BASE2),
+        (1, _BASE3 + " alpha" + "\n" + _BASE2 + " beta"),
+    ]
+    batch_rows = [
+        (10, _BASE + "\n" + _BASE2),              # exact re-crawl of 0
+        (11, _BASE3 + " alpha" + "\n" + _BASE2 + " gamma"),  # near-dup of 1
+        (12, _BASE4),                              # fresh (own family)
+        (13, "short doc"),                         # quality fail
+    ]
+    all_docs = spark.createDataFrame(seed_rows + batch_rows, _SCHEMA)
+    seed = spark.createDataFrame(seed_rows, _SCHEMA)
+    batch = spark.createDataFrame(batch_rows, _SCHEMA)
+    ref = spark.createDataFrame(_REFERENCE, _SCHEMA)
+    thr = 1e9  # LM stage exercised but non-binding here
+    idx = str(tmp_path / "f4_idx")
+    pidx = str(tmp_path / "f4_pidx")
+    disp_dir = str(tmp_path / "f4_disp")
+
+    with cached_scope():
+        # one-shot reference: the same four stages over everything
+        dd = paragraph_dedup(all_docs, "doc_id", "text", "\n")
+        nonempty = dd.where("n_kept > 0").select("doc_id", "text")
+        pairs = minhash_lsh_pairs(
+            nonempty, "doc_id", threshold=0.5
+        ).select("id_a", "id_b")
+        res = resolve_near_duplicates(nonempty, pairs, id_col="doc_id")
+        surv = res.where("is_canonical").select("doc_id", "text")
+        g = gopher_filter(surv, "text", "doc_id").select("doc_id", "keep")
+        want = {}
+        canon = {r.doc_id: r.is_canonical for r in res.collect()}
+        keep = {r.doc_id: r.keep for r in g.collect()}
+        for r in dd.collect():
+            if r.n_kept == 0:
+                want[r.doc_id] = "dedup_empty"
+            elif not canon[r.doc_id]:
+                want[r.doc_id] = "duplicate"
+            elif not keep.get(r.doc_id, False):
+                want[r.doc_id] = "quality"
+            else:
+                want[r.doc_id] = "kept"
+
+        # streaming: seed both indexes, then one batch + its replay
+        paragraph_index_build(seed, pidx, id_col="doc_id")
+        seed_dd = paragraph_dedup(seed, "doc_id", "text", "\n")
+        minhash_index_build(
+            seed_dd.where("n_kept > 0").select("doc_id", "text"),
+            idx, id_col="doc_id", threshold=0.5,
+        )
+        body = curation_batch_body(
+            idx, ref, disp_dir, thr, para_index_path=pidx
+        )
+        body(batch, 0)
+        first = sorted(
+            (r.doc_id, r.disposition)
+            for r in read_dispositions(spark, disp_dir).collect()
+        )
+        p_stats = index_stats(spark, idx)
+        body(batch, 0)  # replay: idempotent across BOTH indexes
+        second = sorted(
+            (r.doc_id, r.disposition)
+            for r in read_dispositions(spark, disp_dir).collect()
+        )
+    assert second == first
+    assert index_stats(spark, idx) == p_stats
+    got = dict(first)
+    assert got == {k: v for k, v in want.items() if k >= 10}, (got, want)
+    # the planted matrix is non-vacuous
+    assert got[10] == "dedup_empty"
+    assert got[11] == "duplicate"
+    assert got[13] == "quality"
+    assert got[12] == "kept"
