@@ -179,6 +179,10 @@ BENCH_QUERIES = [
     "pq_distortion",
     # round-9 late: SemDeDup cluster-then-prune
     "semantic_dedup",
+    # round-12: persisted-vector-index build + two sequential
+    # partition-pruned shard increments (the incremental SemDeDup
+    # lifecycle; build dominates at bench SF)
+    "semantic_increment",
     "decode_pixels",
     "decode_audio_wav",
     "decode_jpeg",

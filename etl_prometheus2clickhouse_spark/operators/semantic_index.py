@@ -1,0 +1,308 @@
+"""Incremental SemDeDup against a PERSISTED cell-partitioned vector
+index — the embedding-family member of the incremental dedup layer
+(operators/dedup_index.py for text; operators/ann_index.py for
+similarity SEARCH; this module for similarity DEDUP).
+
+:func:`operators.similarity.semantic_dedup` (Abbas et al.,
+arXiv:2303.09540) is one-shot: it re-clusters and re-compares the full
+corpus every run. A daily embedding pipeline instead needs to dedup a
+NEW shard against everything already ingested without rescanning it.
+Layout under ``<path>``:
+
+- ``vectors/mb=<increment>/cell=<c>/…`` — ``(id, vec)`` UNIT vectors,
+  PARTITIONED by the ingestion increment and the frozen-centroid cell.
+  A shard probe prunes ``cell=`` directories at file listing to the
+  cells the shard itself lands in (the band-index ``bb=`` discipline);
+  an update OVERWRITES its own ``mb=`` directory, so a replayed
+  increment is idempotent, and increments become live only through the
+  manifest commit (the dedup-index atomicity contract).
+- ``model`` — one row: the JSON centroid matrix plus the pinned
+  ``threshold`` — geometry is index state, not a probe parameter, so a
+  build can never be probed with mismatched parameters (the
+  sketch-geometry fail-loud contract).
+
+Equivalence contract (STRONGER than the MinHash index's): the
+increment's dispositions for the shard's own rows are EXACTLY the
+one-shot ``semantic_dedup`` of corpus∪shard restricted to the shard —
+no banding-recall or bucket-cap caveat, because (a) cells come from the
+FROZEN stored centroids, so assignment is identical, and (b) ALL prior
+vectors (duplicates included — the one-shot's lower-id relation ranges
+over every vector, not just the kept ones) are in the index, so
+``dup_of = min{lower id, same cell, cos ≥ threshold}`` sees the same
+candidate set both ways. Corpus-LEVEL equivalence (no stored row would
+flip) additionally needs shards to arrive in ascending id order — the
+id-ordered keep-first contract shared by every increment in this layer:
+decisions already persisted are monotone, never un-made.
+
+Scale shape: the probe reads only the shard's own cells (partition
+filter, ≤ ``n_cells`` literals); within a cell the pair work is
+|shard ∩ cell| × |corpus ∩ cell| with |cell| ≈ n/n_cells — the paper
+runs 50k clusters over 5B embeddings for exactly this bound, so
+``n_cells`` must scale with the corpus (the 100 TB knob). Vectors are
+stored unit-normalized, so the verify is a dot product, and the emitted
+columns are float-free (ids + booleans): no rounding surface in the
+result. Re-clustering under distribution drift is an explicit
+lifecycle event (rebuild), not something an increment silently absorbs
+— the ann_index_append contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_prometheus2clickhouse_spark.operators.dedup import (
+    _register_cached,
+    _with_cached_deps,
+)
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _compact_increment_table,
+    _delete_path,
+    _manifest_add,
+    _read_increment_table,
+)
+from etl_prometheus2clickhouse_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _train_centroids,
+    _unit,
+)
+
+
+def _model_json(C: np.ndarray, threshold: float) -> str:
+    """Serialize the frozen geometry: the (dim × n_cells) centroid
+    matrix and the pinned duplicate threshold. JSON floats round-trip
+    exactly (shortest-repr), so a loaded model assigns cells
+    bit-identically."""
+    return json.dumps(
+        {
+            "kind": "semantic",
+            "version": 1,
+            "dim": int(C.shape[0]),
+            "n_cells": int(C.shape[1]),
+            "threshold": float(threshold),
+            "centroids": C.tolist(),
+        }
+    )
+
+
+def _model_from_json(s: str) -> tuple[np.ndarray, float]:
+    d = json.loads(s)
+    if d.get("kind") != "semantic":
+        raise ValueError(
+            f"not a semantic index payload (kind={d.get('kind')!r})"
+        )
+    C = np.asarray(d["centroids"], dtype=np.float64)
+    if C.shape != (d["dim"], d["n_cells"]):
+        raise ValueError(
+            f"semantic model shape {C.shape} != "
+            f"({d['dim']}, {d['n_cells']})"
+        )
+    return C, float(d["threshold"])
+
+
+def _cell_udf(C: np.ndarray):
+    """argmax-dot cell assignment — the identical kernel (and the
+    identical first-max tie-break) as semantic_dedup's in-line UDF
+    (operators/similarity.py:1829), per-Arrow-batch GEMM against the
+    broadcast centroid matrix."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(vs: pd.Series) -> pd.Series:
+        mask = vs.notna().to_numpy()
+        res = np.zeros(len(vs), dtype=np.int32)
+        if mask.any():
+            sims = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in vs[mask]]
+            ) @ C
+            res[mask] = sims.argmax(axis=1)
+        return pd.Series(res)
+
+    return _cell
+
+
+def _read_model(spark: SparkSession, path: str) -> tuple[np.ndarray, float]:
+    rows = (
+        _read_increment_table(spark, path, "model")
+        .select("model_json")
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(
+            f"semantic index at {path!r} has a corrupt model table "
+            f"({len(rows)} rows, expected 1)"
+        )
+    return _model_from_json(rows[0].model_json)
+
+
+def _write_cell_vectors(
+    cells: DataFrame, path: str, label: str
+) -> None:
+    """Land ``(cell, id, vec)`` rows in the increment's own ``mb=``
+    directory, clustered on the partition key first (one file per
+    ``cell=`` directory instead of tasks × cells tiny files — the
+    band-index small-files lesson)."""
+    cells.select("cell", "id", "vec").repartition(
+        F.col("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "vectors", f"mb={label}")
+    )
+
+
+def semantic_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    threshold: float = 0.95,
+    train_sample: int = 4096,
+    seed: int = 42,
+    centroids: str = "kmeans",
+) -> None:
+    """Train centroids on the corpus (driver-side k-means on a bounded
+    deterministic sample — the :func:`_train_centroids` contract;
+    ``centroids="first"`` is the SQL-expressible quantizer for the
+    parity oracle), assign every corpus vector, and persist model +
+    cell-partitioned unit vectors. A build is a semantic overwrite of
+    the whole index (stale increments cleared first)."""
+    spark = corpus.sparkSession
+    _delete_path(spark, path)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("semantic_index_build: empty corpus")
+    n_cells = min(n_cells, len(X))
+    if centroids == "first":
+        C = X[:n_cells].T
+    else:
+        C = _train_centroids(X, n_cells, seed=seed).T
+    cells = vecs.withColumn("cell", _cell_udf(C)(F.col("vec")))
+    _write_cell_vectors(cells, path, "base")
+    spark.createDataFrame(
+        [(_model_json(C, threshold),)], "model_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "model", "mb=base")
+    )
+    _manifest_add(spark, path, ["vectors", "model"], "base")
+
+
+def semantic_increment(
+    shard: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update_index: bool = False,
+    update_label: str | None = None,
+) -> DataFrame:
+    """Semantically dedup a NEW shard against the persisted index:
+    assign cells with the FROZEN stored centroids, probe ONLY the
+    shard's own ``cell=`` partitions, and mark each shard vector whose
+    6-dp-rounded cosine to a LOWER-ID cell-mate (stored or same-shard)
+    reaches the pinned threshold.
+
+    Output: one row per SHARD vector — ``(id, cell, dup_of, kept)``,
+    the :func:`operators.similarity.semantic_dedup` schema; for the
+    shard's rows it equals the one-shot over corpus∪shard EXACTLY
+    (module docstring has the argument).
+
+    ``update_index=True`` lands ALL the shard's vectors (duplicates
+    included — tomorrow's lower-id relation must range over them) in
+    the increment's own ``mb=<update_label>`` directory; OVERWRITE +
+    the probe's own-label exclusion make an at-least-once replay
+    idempotent in both the index and the dispositions."""
+    if update_index:
+        if not update_label or any(c in update_label for c in "/=%"):
+            raise ValueError(
+                "semantic_increment: update_index=True needs a "
+                f"filesystem-safe update_label, got {update_label!r}"
+            )
+        if update_label == "base":
+            raise ValueError(
+                "semantic_increment: update_label 'base' is reserved "
+                "for the build increment"
+            )
+    spark = shard.sparkSession
+    C, threshold = _read_model(spark, path)
+    vecs = shard.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
+    )
+    cells = vecs.withColumn("cell", _cell_udf(C)(F.col("vec"))).persist()
+    _register_cached(cells)
+
+    # the probe set: the distinct cells the shard itself lands in —
+    # bounded by n_cells literals, pushed as a PARTITION filter so the
+    # stored-vector read prunes file listings to those directories
+    probe_cells = [
+        r.cell for r in cells.select("cell").distinct().collect()
+    ]
+    stored = _read_increment_table(spark, path, "vectors")
+    if update_index:
+        # at-least-once replay: a failed first attempt's own mb= rows
+        # would make every shard vector its own stored twin (cos 1.0)
+        # and mark the whole shard duplicate — the dedup_increment
+        # replay-exclusion contract
+        stored = stored.where(F.col("mb") != F.lit(update_label))
+    stored = stored.where(
+        F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
+    ).select("cell", "id", "vec")
+
+    # dup_of(x) = min{y < x, same cell, round(cos,6) ≥ threshold} with
+    # y ranging over stored ∪ shard — exactly the one-shot's relation
+    # restricted to shard rows. Both sides are pre-filtered to
+    # qualifying pairs before the min aggregate: nothing quadratic
+    # survives the stage (the semantic_dedup scale shape).
+    s = cells.select(
+        F.col("cell"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    old = stored.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    new_a = cells.select(
+        F.col("cell"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    qualifying = (
+        old.unionByName(new_a)
+        .join(s, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(_dot(F.col("vec_a"), F.col("vec_b")), 6)
+            >= F.lit(threshold)
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    out = cells.join(qualifying, cells.id == qualifying.id_b, "left").select(
+        F.col("id").alias(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+        F.col("dup_of").isNull().alias("kept"),
+    )
+    if update_index:
+        _write_cell_vectors(cells, path, update_label)
+        # data dir lands first, the manifest commit makes it live — a
+        # crash between the two leaves an invisible (replay-
+        # overwritten) directory, never a half-registered increment
+        _manifest_add(spark, path, ["vectors"], update_label)
+    return _with_cached_deps(out, [cells])
+
+
+def semantic_index_compact(spark: SparkSession, path: str) -> dict:
+    """Fold accumulated ``mb=`` increments into one directory via the
+    manifest swap (atomic for readers; run :func:`.dedup_index.
+    index_vacuum` afterwards to reclaim superseded dirs). Decisions
+    are unchanged — the increment layout is physical, not semantic."""
+    return {
+        "vector_rows": _compact_increment_table(
+            spark, path, "vectors", "cell"
+        )
+    }

@@ -5137,6 +5137,62 @@ FROM n LEFT JOIN q ON n.vec_id = q.id_b
 """
 
 
+def q_semantic_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup against the persisted cell-partitioned
+    vector index (operators/semantic_index.py) — the daily-shard shape
+    of the embedding pipeline: the first id-half of the embeddings
+    table is indexed ONCE (frozen ``centroids="first"`` quantizer, the
+    SQL-expressible mode; unit vectors partitioned by cell), then the
+    remaining two id-quarters arrive as sequential shards, each deduped
+    by probing ONLY its own ``cell=`` partitions and each updating the
+    index under its own replay-idempotent ``mb=`` increment — so the
+    second shard's duplicates of first-shard vectors are found through
+    the INDEX, not a rescan. The oracle is the one-shot
+    ``semantic_dedup`` SQL over the full table restricted to the
+    streamed half: green means incremental ≡ one-shot EXACTLY — no
+    recall caveat, because cells come from the frozen stored centroids
+    and ALL prior vectors (duplicates included) are indexed, so the
+    min-lower-id relation is identical both ways (the module docstring
+    carries the argument; same threshold-0.3 selection pressure as
+    ``semantic_dedup``)."""
+    import os
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_increment,
+        semantic_index_build,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    half, q3 = mx // 2, 3 * mx // 4
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"semantic_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    semantic_index_build(
+        emb.where(F.col("vec_id") <= half), path,
+        n_cells=16, threshold=0.3, centroids="first",
+    )
+    s1 = semantic_increment(
+        emb.where((F.col("vec_id") > half) & (F.col("vec_id") <= q3)),
+        path, update_index=True, update_label="s1",
+    )
+    s2 = semantic_increment(
+        emb.where(F.col("vec_id") > q3),
+        path, update_index=True, update_label="s2",
+    )
+    return s1.unionByName(s2)
+
+
+# the one-shot election over the full table, restricted to the streamed
+# half — byte-identical CTEs, so a drift between the one-shot and
+# incremental recipes surfaces as a hash mismatch
+ORACLE_SEMANTIC_INCREMENT = ORACLE_SEMANTIC_DEDUP + (
+    "WHERE n.vec_id > (SELECT max(vec_id) // 2 FROM embeddings)\n"
+)
+
+
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes classification (operators/text.py:
     nb_classify): language labels trained on the doc_id % 97 == 0
@@ -7199,8 +7255,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (SemDeDup) takes the exact cosine_topk slot — the brute-force
     # top-k's exact-rescore arithmetic stays in-window inside the PQ /
     # IVFADC rescore stages (same _dot kernel), and cosine_topk stays
-    # oracle-verified cross-checked beside its arrow/lsh twins
-    "semantic_dedup": q_semantic_dedup,
+    # oracle-verified cross-checked beside its arrow/lsh twins.
+    # Round-12 swap (demote-to-fund): semantic_increment — incremental
+    # SemDeDup against the persisted cell-partitioned vector index —
+    # runs a strict superset of semantic_dedup's machinery (same
+    # frozen-centroid assignment kernel, same within-cell rounded-
+    # cosine cut and min-lower-id election, PLUS the partition-pruned
+    # probe and the mb= increment lifecycle), so the one-shot face
+    # demotes to CROSS_CHECKED (same oracle CTEs, still swept every
+    # pytest + check_correctness run)
+    "semantic_increment": q_semantic_increment,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
     # round-11 swap (demote-to-fund): ann_increment — persisted-model
@@ -7339,6 +7403,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_dedup": q_corpus_dedup,
     # round-11: demoted to fund dedup_increment (see QUERIES comment)
     "minhash_lsh": q_minhash_lsh,
+    # round-12: demoted to fund semantic_increment (see QUERIES comment)
+    "semantic_dedup": q_semantic_dedup,
     "corpus_mix": q_corpus_mix,
     # round-9: per-series silence/gap report (the monitoring face of
     # the same keyed-window plan family as events_rate)
@@ -7503,7 +7569,7 @@ ORACLES: dict[str, str] = {
     # pipeline (exact pairs → recursive closure → annotate)
     "dedup_increment": _oracle_corpus_dedup(),
     "dup_clusters": _oracle_dup_clusters(),
-    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "semantic_increment": ORACLE_SEMANTIC_INCREMENT,
     "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
     "ann_increment": ORACLE_ANN_INCREMENT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
@@ -7566,6 +7632,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_kmv_durable": ORACLE_EVENTS_DISTINCT_KMV,
     "stream_ewma": ORACLE_STREAM_EWMA,
     "stream_ann": ORACLE_ANN_INCREMENT,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,

@@ -1,0 +1,196 @@
+"""Incremental SemDeDup against the persisted cell-partitioned vector
+index (operators/semantic_index.py): exact one-shot equivalence on the
+shard's rows, cross-shard duplicate detection through the index,
+at-least-once replay idempotence, probe partition pruning, and
+compaction decision-preservation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _read_manifest,
+    index_vacuum,
+    probed_partition_plan,
+)
+from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+    semantic_increment,
+    semantic_index_build,
+    semantic_index_compact,
+)
+from etl_prometheus2clickhouse_spark.operators.similarity import (
+    semantic_dedup,
+)
+
+
+def _v(deg: float) -> list[float]:
+    r = math.radians(deg)
+    return [math.cos(r), math.sin(r)]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, _v(a)) for i, a in rows], "vec_id long, embedding array<double>"
+    )
+
+
+def _disp(df):
+    return {
+        r.vec_id: (r.cell, r.dup_of, r.kept) for r in df.collect()
+    }
+
+
+def test_increment_equals_one_shot(spark, sf_dir):
+    """Prefix split of the real embeddings table: build on the first
+    id-half, increment the rest — dispositions equal the one-shot
+    semantic_dedup of the union restricted to the shard, EXACTLY (the
+    module's no-caveat contract: frozen centroids + all vectors
+    indexed)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    corpus = emb.where(F.col("vec_id") <= half)
+    shard = emb.where(F.col("vec_id") > half)
+    path = f"{sf_dir}/sem_idx_scratch"
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/idx"
+        with cached_scope():
+            semantic_index_build(
+                corpus, path, n_cells=16, threshold=0.3, centroids="first"
+            )
+            got = _disp(semantic_increment(shard, path))
+            want = {
+                k: v
+                for k, v in _disp(
+                    semantic_dedup(
+                        emb, dim=64, n_cells=16, threshold=0.3,
+                        centroids="first",
+                    )
+                ).items()
+                if k > half
+            }
+    assert got == want
+    # non-vacuous: real duplicates at this threshold on this corpus
+    assert sum(1 for v in got.values() if not v[2]) > 0
+
+
+def test_cross_shard_dups_and_replay(spark, tmp_path):
+    """Planted 2-D geometry: a second shard's vector is a near-dup of
+    a FIRST shard's vector only via the index (cross-shard), within-
+    shard pairs resolve to the global min lower id, and a replayed
+    increment is idempotent in both dispositions and stored rows
+    (its own mb= rows are excluded from the probe)."""
+    seed = _mk(spark, [(1, 0.0), (2, 90.0)])
+    s1 = _mk(spark, [(10, 5.0), (11, 50.0)])
+    s2 = _mk(spark, [(20, 48.0), (21, 3.0), (22, 49.0)])
+    path = str(tmp_path / "semidx")
+    with cached_scope():
+        # centroids="first" → cells are the seed's own two vectors
+        semantic_index_build(
+            seed, path, n_cells=2, threshold=0.9, centroids="first"
+        )
+        d1 = _disp(
+            semantic_increment(s1, path, update_index=True, update_label="s1")
+        )
+        # 10 @5° dups seed 1 @0° (cos 0.996); 11 @50° is fresh
+        assert d1[10] == (0, 1, False)
+        assert d1[11][1] is None and d1[11][2] is True
+        d2 = _disp(
+            semantic_increment(s2, path, update_index=True, update_label="s2")
+        )
+        # 20 @48° dups s1's 11 @50° — ONLY reachable through the index
+        assert d2[20] == (1, 11, False)
+        # 21 @3° dups seed 1 @0° (min lower id, not s1's 10 @5°)
+        assert d2[21] == (0, 1, False)
+        # 22 @49°: qualifying lower ids {11, 20} → min 11
+        assert d2[22] == (1, 11, False)
+        n_stored = spark.read.parquet(f"{path}/vectors").count()
+        # replay s2: same dispositions, same stored rows
+        d2b = _disp(
+            semantic_increment(s2, path, update_index=True, update_label="s2")
+        )
+        assert d2b == d2
+        assert spark.read.parquet(f"{path}/vectors").count() == n_stored
+        # duplicates ARE indexed: 30 @4° must resolve to min lower id 1
+        # through stored dups 10 @5° and 21 @3° even though both are
+        # themselves duplicates (the one-shot's lower-id relation)
+        d3 = _disp(semantic_increment(_mk(spark, [(30, 4.0)]), path))
+        assert d3[30] == (0, 1, False)
+
+
+def test_probe_is_a_partition_filter(spark, tmp_path):
+    """The stored-vector read must push the shard's cell set as a
+    PARTITION filter — unprobed cell directories pruned at file
+    listing, not post-scan."""
+    seed = _mk(spark, [(1, 0.0), (2, 90.0)])
+    path = str(tmp_path / "semidxp")
+    with cached_scope():
+        semantic_index_build(
+            seed, path, n_cells=2, threshold=0.9, centroids="first"
+        )
+    plan = probed_partition_plan(
+        spark, f"{path}/vectors", "cell", [0]
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
+
+
+def test_compaction_preserves_decisions(spark, tmp_path):
+    """Compaction is a physical rewrite behind an atomic manifest
+    swap: a probe after equals the probe before, one live dir
+    remains, vacuum reclaims the superseded ones."""
+    seed = _mk(spark, [(1, 0.0), (2, 90.0)])
+    s1 = _mk(spark, [(10, 5.0), (11, 50.0)])
+    probe = _mk(spark, [(20, 48.0), (21, 3.0)])
+    path = str(tmp_path / "semidxc")
+    with cached_scope():
+        semantic_index_build(
+            seed, path, n_cells=2, threshold=0.9, centroids="first"
+        )
+        semantic_increment(
+            s1, path, update_index=True, update_label="s1"
+        ).write.format("noop").mode("overwrite").save()
+        want = _disp(semantic_increment(probe, path))
+        counts = semantic_index_compact(spark, path)
+        got = _disp(semantic_increment(probe, path))
+    assert got == want
+    assert counts["vector_rows"] == 4
+    live = _read_manifest(spark, path)["tables"]["vectors"]
+    assert len(live) == 1 and live[0].startswith("mb=base-"), live
+    index_vacuum(spark, path)
+    mbs = {
+        p.name
+        for p in (tmp_path / "semidxc" / "vectors").iterdir()
+        if p.name.startswith("mb=")
+    }
+    assert mbs == set(live)
+
+
+def test_bad_labels_and_corrupt_model(spark, tmp_path):
+    seed = _mk(spark, [(1, 0.0), (2, 90.0)])
+    path = str(tmp_path / "semidxb")
+    with cached_scope():
+        semantic_index_build(
+            seed, path, n_cells=2, threshold=0.9, centroids="first"
+        )
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        semantic_increment(seed, path, update_index=True, update_label="a=b")
+    with pytest.raises(ValueError, match="reserved"):
+        semantic_increment(seed, path, update_index=True, update_label="base")
+    # corrupt model: two rows
+    m = spark.read.parquet(f"{path}/model")
+    m.unionByName(m).write.mode("overwrite").parquet(
+        str(tmp_path / "m_bad")
+    )
+    import shutil
+
+    shutil.rmtree(f"{path}/model/mb=base")
+    shutil.copytree(str(tmp_path / "m_bad"), f"{path}/model/mb=base")
+    with pytest.raises(ValueError, match="corrupt model"):
+        semantic_increment(seed, path)
