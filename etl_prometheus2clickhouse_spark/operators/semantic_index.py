@@ -296,6 +296,95 @@ def semantic_increment(
     return _with_cached_deps(out, [cells])
 
 
+def _pair_colocation(
+    X: np.ndarray, C: np.ndarray, threshold: float
+) -> float:
+    """Fraction of the sample's true duplicate pairs (6-dp-rounded
+    cosine ≥ threshold, the increment's own cut) that land in the SAME
+    cell under centroid matrix ``C`` — SemDeDup's recall axis: a
+    cross-cell near-dup pair is an accepted miss, and distribution
+    drift under frozen centroids silently grows that miss rate.
+    Driver-side on the bounded retrain sample (the centroid-training
+    budget), 1.0 when the sample has no qualifying pairs."""
+    S = np.round(X @ X.T, 6)
+    iu = np.triu_indices(len(X), k=1)
+    hit = S[iu] >= threshold
+    n_pairs = int(hit.sum())
+    if n_pairs == 0:
+        return 1.0
+    cells = (X @ C).argmax(axis=1)
+    same = cells[iu[0]] == cells[iu[1]]
+    return float((hit & same).sum() / n_pairs)
+
+
+def semantic_index_retrain(
+    spark: SparkSession,
+    path: str,
+    min_colocation_gain: float = 0.0,
+    train_sample: int = 4096,
+    seed: int = 43,
+) -> dict:
+    """The re-cluster lifecycle event the frozen-centroid contract
+    defers to: train NEW centroids on the CURRENT stored vector
+    distribution (the index is self-contained), re-assign every stored
+    vector, and SWAP vectors + model in one atomic manifest commit —
+    gated on the duplicate-pair CO-LOCATION rate (old vs new centroids
+    on the same bounded sample): a retrain that does not improve the
+    fraction of true near-dup pairs sharing a cell by at least
+    ``min_colocation_gain`` is rolled back (new dirs deleted, nothing
+    committed) and reported, not silently kept.
+
+    Geometry (n_cells, threshold) is inherited from the stored model.
+    PAST dispositions are unaffected — they live with the caller; a
+    retrain changes which FUTURE pairs get compared (the cross-cell
+    miss set), which is exactly the drift this event exists to repair.
+    Returns ``{swapped, colocation_old, colocation_new, label,
+    n_vectors}``; superseded dirs are reclaimed by
+    :func:`.dedup_index.index_vacuum`."""
+    import uuid
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _commit_manifest,
+        _manifest_tables,
+    )
+
+    C_old, threshold = _read_model(spark, path)
+    vecs = _read_increment_table(spark, path, "vectors").select("id", "vec")
+    sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
+    X = np.asarray([r.vec for r in sample], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("semantic_index_retrain: empty vector table")
+    n_cells = C_old.shape[1]
+    C_new = _train_centroids(X, min(n_cells, len(X)), seed=seed).T
+    report: dict = {
+        "colocation_old": _pair_colocation(X, C_old, threshold),
+        "colocation_new": _pair_colocation(X, C_new, threshold),
+        "n_vectors": vecs.count(),
+        "swapped": True,
+    }
+    if (
+        report["colocation_new"]
+        < report["colocation_old"] + min_colocation_gain
+    ):
+        report["swapped"] = False
+        report["label"] = None
+        return report
+    label = f"retrain-{uuid.uuid4().hex[:8]}"
+    report["label"] = label
+    reassigned = vecs.withColumn("cell", _cell_udf(C_new)(F.col("vec")))
+    _write_cell_vectors(reassigned, path, label)
+    spark.createDataFrame(
+        [(_model_json(C_new, threshold),)], "model_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "model", f"mb={label}")
+    )
+    tables = _manifest_tables(spark, path, ["vectors", "model"])
+    tables["vectors"] = [f"mb={label}"]
+    tables["model"] = [f"mb={label}"]
+    _commit_manifest(spark, path, tables)
+    return report
+
+
 def semantic_index_compact(spark: SparkSession, path: str) -> dict:
     """Fold accumulated ``mb=`` increments into one directory via the
     manifest swap (atomic for readers; run :func:`.dedup_index.

@@ -1071,6 +1071,73 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir.rsplit("/", 1)[0], ignore_errors=True)
 
+    # round-12: incremental SemDeDup probe — same discipline as the
+    # band index, on the embedding side. Build the persisted vector
+    # index over the K×-multiplied embeddings at 256 cells, probe it
+    # with an 8-vector shard, and assert (a) the shard's cell set is a
+    # PARTITION filter on the vectors read and (b) the probed cells'
+    # byte share bounds the probe I/O (k-means cells over this corpus
+    # are near-balanced; 4× slack covers occupancy variance).
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        probed_partition_plan,
+    )
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_increment,
+        semantic_index_build,
+    )
+
+    sem_dir = tempfile.mkdtemp(prefix="smoke_semidx_") + "/idx"
+    try:
+        t0 = time.perf_counter()
+        with cached_scope():
+            semantic_index_build(
+                embs, sem_dir, n_cells=256, threshold=0.5
+            )
+        t_build = round(time.perf_counter() - t0, 1)
+        sem_shard = spark.read.parquet(
+            f"{SF_DIR}/embeddings.parquet"
+        ).where(F.col("vec_id") < 8).select(
+            (F.col("vec_id") + 90_000_000).alias("vec_id"), "embedding"
+        )
+        with cached_scope():
+            t0 = time.perf_counter()
+            sem_out = semantic_increment(sem_shard, sem_dir)
+            sem_rows = sem_out.collect()
+            t_probe = round(time.perf_counter() - t0, 1)
+        n_dup = sum(1 for r in sem_rows if not r.kept)
+        probe_cells = sorted({r.cell for r in sem_rows})
+        print(
+            f"semantic_increment: index over {n_vecs} vectors built in "
+            f"{t_build}s; 8-vector shard probed in {t_probe}s "
+            f"({n_dup} duplicates, {len(probe_cells)} probed cells)"
+        )
+        sem_plan = probed_partition_plan(
+            spark, f"{sem_dir}/vectors", "cell", probe_cells
+        )
+        sem_pf = next(
+            (ln for ln in sem_plan.splitlines()
+             if "PartitionFilters: [cell" in ln), None
+        )
+        assert sem_pf is not None, (
+            "shard cell set not pushed as partition filter"
+        )
+        sem_econ = probe_economics(
+            spark, f"{sem_dir}/vectors", "cell", probe_cells
+        )
+        assert sem_econ["files_total"] > 0, sem_econ
+        assert sem_econ["bytes_probed"] <= 4 * (
+            len(probe_cells) / 256
+        ) * sem_econ["bytes_total"], sem_econ
+        print(
+            f"  vector-probe economics: {sem_econ['files_probed']}/"
+            f"{sem_econ['files_total']} files, "
+            f"{sem_econ['bytes_probed']}/{sem_econ['bytes_total']} "
+            "bytes — ≤ probed-cell share (shard-sized, "
+            "corpus-size-independent)"
+        )
+    finally:
+        shutil.rmtree(sem_dir.rsplit("/", 1)[0], ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

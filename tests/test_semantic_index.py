@@ -172,6 +172,53 @@ def test_compaction_preserves_decisions(spark, tmp_path):
     assert mbs == set(live)
 
 
+def test_retrain_recovers_drifted_colocation(spark, tmp_path):
+    """The frozen-centroid miss SemDeDup accepts grows under drift: a
+    near-dup pair straddling the old cell boundary is missed; retrain
+    re-clusters on the CURRENT stored distribution, the co-location
+    gate passes, the manifest swap is atomic, and the same geometry
+    probed again now catches the pair. A no-gain retrain rolls back."""
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        _read_model,
+        semantic_index_retrain,
+    )
+
+    seed = _mk(
+        spark, [(1, 0.0), (2, 1.0), (3, 2.0), (4, 89.0), (5, 90.0), (6, 91.0)]
+    )
+    path = str(tmp_path / "semidxr")
+    with cached_scope():
+        semantic_index_build(seed, path, n_cells=2, threshold=0.9)
+        # drifted shard: a true pair (cos 10° = 0.985) straddling the
+        # 45° boundary of the seed-trained centroids — both kept
+        d1 = _disp(
+            semantic_increment(
+                _mk(spark, [(10, 40.0), (11, 50.0)]),
+                path, update_index=True, update_label="s1",
+            )
+        )
+        assert d1[10][2] is True and d1[11][2] is True
+        assert d1[10][0] != d1[11][0]  # the miss IS cross-cell
+        rep = semantic_index_retrain(spark, path)
+        assert rep["swapped"] is True
+        assert rep["colocation_new"] > rep["colocation_old"]
+        assert rep["n_vectors"] == 8
+        # the same-shape pair now lands in ONE cell and resolves
+        # against the stored drifted vectors through the index
+        d2 = _disp(
+            semantic_increment(_mk(spark, [(20, 41.0), (21, 49.0)]), path)
+        )
+        assert d2[20] == (d2[20][0], 10, False)
+        assert d2[21][1] in (10, 11) and d2[21][2] is False
+        # no-gain retrain: gated out, nothing committed
+        C_before = _read_model(spark, path)[0]
+        rep2 = semantic_index_retrain(
+            spark, path, min_colocation_gain=0.5
+        )
+        assert rep2["swapped"] is False and rep2["label"] is None
+        assert (_read_model(spark, path)[0] == C_before).all()
+
+
 def test_bad_labels_and_corrupt_model(spark, tmp_path):
     seed = _mk(spark, [(1, 0.0), (2, 90.0)])
     path = str(tmp_path / "semidxb")
