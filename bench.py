@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     # against the persisted index + Gopher + LM through real
     # checkpointed micro-batches)
     "stream_curation",
+    # round-12: SemDeDup through checkpointed micro-batches
+    "stream_semantic",
 ]
 
 # Registry entries deliberately NOT benched, each with why. "No silent

@@ -5193,6 +5193,61 @@ ORACLE_SEMANTIC_INCREMENT = ORACLE_SEMANTIC_DEDUP + (
 )
 
 
+def q_stream_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental SemDeDup (streaming/curation_stream.py:
+    run_streaming_semantic_dedup): the same index build and id-quarter
+    shards as ``semantic_increment``, but the shards arrive as REAL
+    micro-batches under a streaming checkpoint, each probing only its
+    own cells, updating its own replay-idempotent ``mb=`` increment,
+    and writing its dispositions partition. SHARES semantic_increment's
+    oracle — the one-shot over everything restricted to the streamed
+    half — because under ascending-id batches streaming ≡ sequential
+    increments ≡ one-shot (the module's exact-equivalence contract;
+    kill-and-restart + replay pinned in tests/test_streaming_curation
+    .py)."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_index_build,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        read_dispositions,
+        run_streaming_semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    half, q3 = mx // 2, 3 * mx // 4
+    scratch = tempfile.mkdtemp(prefix="stream_semantic_")
+    try:
+        idx = f"{scratch}/idx"
+        semantic_index_build(
+            emb.where(F.col("vec_id") <= half), idx,
+            n_cells=16, threshold=0.3, centroids="first",
+        )
+        emb.where(
+            (F.col("vec_id") > half) & (F.col("vec_id") <= q3)
+        ).coalesce(1).write.parquet(f"{scratch}/in/b2")
+        emb.where(F.col("vec_id") > q3).coalesce(1).write.parquet(
+            f"{scratch}/in/b3"
+        )
+        src = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{scratch}/in/b*")
+        )
+        run_streaming_semantic_dedup(
+            src, idx, f"{scratch}/disp", f"{scratch}/ckpt"
+        )
+        disp = read_dispositions(spark, f"{scratch}/disp").select(
+            "vec_id", "cell", "dup_of", "kept"
+        )
+        return spark.createDataFrame(disp.collect(), disp.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes classification (operators/text.py:
     nb_classify): language labels trained on the doc_id % 97 == 0
@@ -7383,6 +7438,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # checkpointed micro-batches (shares ann_increment's oracle)
     "stream_ewma": q_stream_ewma,
     "stream_ann": q_stream_ann,
+    # round-12: SemDeDup through checkpointed micro-batches (shares
+    # semantic_increment's oracle — the exact-equivalence contract)
+    "stream_semantic": q_stream_semantic,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -7633,6 +7691,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_ewma": ORACLE_STREAM_EWMA,
     "stream_ann": ORACLE_ANN_INCREMENT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "stream_semantic": ORACLE_SEMANTIC_INCREMENT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,

@@ -204,6 +204,72 @@ def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
     return spark.read.parquet(dispositions_dir)
 
 
+def semantic_dedup_body(
+    index_path: str,
+    dispositions_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch body for STREAMING incremental SemDeDup: each
+    micro-batch of embeddings is deduped against the persisted
+    cell-partitioned vector index (operators/semantic_index.py
+    ``semantic_increment`` — probe pruned to the batch's own cells),
+    lands ALL its vectors in the batch's own replay-idempotent
+    ``mb=b<id>`` increment, and writes its ``(id, cell, dup_of, kept)``
+    dispositions to its own overwritable partition. Under ascending-id
+    batches the accumulated dispositions equal the one-shot
+    ``semantic_dedup`` of everything — EXACTLY, the semantic_index
+    module's no-caveat contract (frozen centroids + every prior vector
+    indexed), which is a stronger equivalence than the curation
+    funnel's banding-recall one."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        cached_scope,
+    )
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_increment,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        with cached_scope():
+            out = semantic_increment(
+                batch_df,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                update_index=True,
+                update_label=f"b{int(batch_id)}",
+            ).localCheckpoint()  # dispositions fixed before index write
+            out.coalesce(1).write.mode("overwrite").parquet(
+                f"{dispositions_dir}/{_MB}={int(batch_id)}"
+            )
+
+    return body
+
+
+def run_streaming_semantic_dedup(
+    src: DataFrame,
+    index_path: str,
+    dispositions_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Run an embedding stream to completion (AvailableNow) through
+    :func:`semantic_dedup_body` under a checkpoint — restartable,
+    replay-idempotent (the dedup-index increment discipline)."""
+    q = (
+        src.writeStream.foreachBatch(
+            semantic_dedup_body(
+                index_path, dispositions_dir, id_col, vec_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def ann_ingest_body(index_path: str, id_col: str = "vec_id",
                     vec_col: str = "embedding"):
     """foreachBatch body for streaming ANN ingestion: each micro-batch

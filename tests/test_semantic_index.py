@@ -219,6 +219,76 @@ def test_retrain_recovers_drifted_colocation(spark, tmp_path):
         assert (_read_model(spark, path)[0] == C_before).all()
 
 
+def test_stream_equals_one_shot_with_kill_and_restart(spark, tmp_path):
+    """Streaming SemDeDup (streaming/curation_stream.py:
+    run_streaming_semantic_dedup): batch 0 runs to completion, the
+    stream stops, batch 1 lands, a RESTART from the same checkpoint
+    processes ONLY it — and the accumulated dispositions equal the
+    one-shot semantic_dedup over everything, restricted to the
+    streamed ids (the exact-equivalence contract). A replayed body
+    invocation is idempotent in dispositions and stored vectors."""
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        read_dispositions,
+        run_streaming_semantic_dedup,
+        semantic_dedup_body,
+    )
+
+    seed_rows = [(1, 0.0), (2, 90.0)]
+    b0_rows = [(10, 5.0), (11, 50.0)]
+    b1_rows = [(20, 48.0), (21, 87.0)]
+    seed = _mk(spark, seed_rows)
+    all_vecs = _mk(spark, seed_rows + b0_rows + b1_rows)
+    path = str(tmp_path / "ssem_idx")
+    src = str(tmp_path / "ssem_src")
+    disp_dir = str(tmp_path / "ssem_disp")
+    ckpt = str(tmp_path / "ssem_ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+
+    with cached_scope():
+        want = {
+            k: v
+            for k, v in _disp(
+                semantic_dedup(
+                    all_vecs, dim=2, n_cells=2, threshold=0.9,
+                    centroids="first",
+                )
+            ).items()
+            if k >= 10
+        }
+        semantic_index_build(
+            seed, path, n_cells=2, threshold=0.9, centroids="first"
+        )
+        _mk(spark, b0_rows).coalesce(1).write.parquet(f"{src}/b0")
+        run_streaming_semantic_dedup(_stream(), path, disp_dir, ckpt)
+        assert read_dispositions(spark, disp_dir).count() == 2
+        # stream stopped; new batch lands; restart from checkpoint
+        _mk(spark, b1_rows).coalesce(1).write.parquet(f"{src}/b1")
+        run_streaming_semantic_dedup(_stream(), path, disp_dir, ckpt)
+        disp = read_dispositions(spark, disp_dir)
+        assert disp.select("mb").distinct().count() == 2
+        got = _disp(disp.select("vec_id", "cell", "dup_of", "kept"))
+        assert got == want
+        # cross-batch dup THROUGH the index: 20 @48° ~ batch-0's 11 @50°
+        assert got[20][1] == 11 and got[21][1] == 2
+        # replay: same dispositions, same stored rows
+        n_stored = spark.read.parquet(f"{path}/vectors").count()
+        body = semantic_dedup_body(path, disp_dir)
+        body(_mk(spark, b1_rows), 1)
+        got2 = _disp(
+            read_dispositions(spark, disp_dir).select(
+                "vec_id", "cell", "dup_of", "kept"
+            )
+        )
+        assert got2 == got
+        assert spark.read.parquet(f"{path}/vectors").count() == n_stored
+
+
 def test_bad_labels_and_corrupt_model(spark, tmp_path):
     seed = _mk(spark, [(1, 0.0), (2, 90.0)])
     path = str(tmp_path / "semidxb")
