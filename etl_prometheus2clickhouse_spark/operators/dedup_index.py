@@ -144,8 +144,18 @@ def _shingle_sig_bands(
         shingle_hashes(F.col(text_col), n).alias("sh"),
     ).persist()
     _register_cached(sh)
+    return sh, _bands_from_shingles(sh, num_hashes, bands, index_buckets)
+
+
+def _bands_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int, index_buckets: int
+) -> DataFrame:
+    """(bb, band, bucket, id) band rows derived from an ``(id, sh)``
+    shingle table — signatures are a pure function of the shingle SET,
+    which is why a stored index can be re-banded without ever
+    re-reading corpus text (:func:`minhash_index_reband`)."""
     rows_per_band = num_hashes // bands
-    banded = (
+    return (
         sh.withColumn("sig", _minhash_sig_udf(num_hashes, 42)(F.col("sh")))
         .select(
             "id",
@@ -160,7 +170,6 @@ def _shingle_sig_bands(
             "id",
         )
     )
-    return sh, banded
 
 
 def minhash_index_build(
@@ -290,7 +299,14 @@ def _delete_path(spark: SparkSession, path: str) -> None:
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    # a re-banded index's meta is manifest-tracked (geometry and band
+    # table must swap in ONE commit); a built index's meta is the
+    # original plain directory
+    m = _read_manifest(spark, path)
+    if m is not None and "meta" in m["tables"]:
+        rows = _read_increment_table(spark, path, "meta").collect()
+    else:
+        rows = spark.read.parquet(os.path.join(path, "meta")).collect()
     if len(rows) != 1:
         raise ValueError(
             f"minhash index at {path!r} has a corrupt meta table "
@@ -1100,6 +1116,137 @@ def _list_index_tables(spark: SparkSession, index_path: str) -> list[str]:
         ):
             out.append(name)
     return sorted(out)
+
+
+def minhash_index_reband(
+    spark: SparkSession,
+    path: str,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    threshold: float | None = None,
+    max_bucket: int | None = None,
+) -> dict:
+    """GEOMETRY MIGRATION — the band index's lifecycle event, sibling
+    of :func:`.ann_index.ann_index_retrain` and :func:`.semantic_index.
+    semantic_index_retrain`: re-derive the ENTIRE band table from the
+    stored shingle sets at a new banding geometry and swap bands + meta
+    in ONE atomic manifest commit. Banding recall is a geometry
+    property (P(candidate) = 1-(1-J^r)^b), so a deployment that
+    discovers threshold-edge pairs slipping through — exactly the
+    measured 16×4 → 32×2 migration this corpus needed, BENCH_NOTES
+    round-11 — repairs it HERE, without re-reading a byte of corpus
+    text: signatures are a pure function of the stored shingle sets.
+
+    The migration also re-runs pair discovery over the new band table
+    (new-geometry candidates the old banding never surfaced, verified
+    with exact Jaccard against the stored shingles at the — possibly
+    new — threshold) and merges them into the components closure.
+    MONOTONE: existing closure edges are kept, so decisions already
+    persisted are never un-made; a TIGHTER geometry stops surfacing
+    future candidates but does not split existing clusters (the
+    increment layer's monotone contract).
+
+    ``n`` (shingle width) and ``index_buckets`` are immutable — the
+    first changes the shingle sets themselves (that is a rebuild from
+    text), the second the shingle/component partition layout. A reader
+    resolving mid-migration sees the old geometry with the old bands
+    or the new with the new, never a mix: meta moves into the manifest
+    (``meta/mb=<label>``) at the first migration. Returns
+    ``{swapped, label, bands_rows, new_pairs, num_hashes, bands}``."""
+    import uuid
+
+    old = _read_meta(spark, path)
+    new_nh = int(num_hashes if num_hashes is not None else old["num_hashes"])
+    new_b = int(bands if bands is not None else old["bands"])
+    new_thr = float(threshold if threshold is not None else old["threshold"])
+    new_mb = int(max_bucket if max_bucket is not None else old["max_bucket"])
+    if new_nh % new_b != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    if (new_nh, new_b, new_thr, new_mb) == (
+        old["num_hashes"], old["bands"], old["threshold"], old["max_bucket"]
+    ):
+        return {"swapped": False, "label": None}
+    index_buckets = old["index_buckets"]
+    sh = _read_increment_table(spark, path, "shingles").select("id", "sh")
+    sh = sh.persist()
+    _register_cached(sh)
+    try:
+        banded = _bands_from_shingles(
+            sh, new_nh, new_b, index_buckets
+        ).persist()
+        _register_cached(banded)
+        label = f"reband-{uuid.uuid4().hex[:8]}"
+        banded.repartition(F.col("bb")).write.mode(
+            "overwrite"
+        ).partitionBy("bb").parquet(
+            os.path.join(path, "bands", f"mb={label}")
+        )
+        # pair discovery at the new geometry (same cap + verify
+        # semantics as the build), merged MONOTONICALLY into the
+        # stored closure
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bucket_n")
+        )
+        sized = banded.join(sizes, ["band", "bucket"]).where(
+            F.col("bucket_n") <= new_mb
+        )
+        a, b = sized.alias("a"), sized.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        new_pairs = _verify_pairs(cand, sh, sh, new_thr).select(
+            "id_a", "id_b"
+        )
+        comp_dir = os.path.join(path, "components")
+        old_edges = _read_components(spark, comp_dir, "long").select(
+            F.col("node").alias("id_a"), F.col("component").alias("id_b")
+        )
+        merged = dup_components_auto(
+            old_edges.unionByName(new_pairs)
+        ).localCheckpoint()  # pinned before the dir it reads is replaced
+        n_new_pairs = new_pairs.count()
+        _delete_path(spark, comp_dir)
+        _write_components(merged, comp_dir, index_buckets)
+        # new meta row lands as a manifest-tracked increment; the ONE
+        # commit below swaps bands AND meta together (atomic for
+        # readers — geometry and band table can never mismatch)
+        spark.createDataFrame(
+            [(
+                old["n"], new_nh, new_b, new_thr, new_mb, index_buckets,
+            )],
+            "n int, num_hashes int, bands int, threshold double, "
+            "max_bucket int, index_buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "meta", f"mb={label}")
+        )
+        tables = _manifest_tables(
+            spark, path,
+            ["bands", "shingles"]
+            + [t for t in _list_index_tables(spark, path)
+               if t not in ("bands", "shingles")],
+        )
+        tables["bands"] = [f"mb={label}"]
+        tables["meta"] = [f"mb={label}"]
+        _commit_manifest(spark, path, tables)
+        return {
+            "swapped": True,
+            "label": label,
+            "bands_rows": banded.count(),
+            "new_pairs": n_new_pairs,
+            "num_hashes": new_nh,
+            "bands": new_b,
+        }
+    finally:
+        sh.unpersist()
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> dict:

@@ -184,6 +184,88 @@ def test_geometry_is_read_from_the_index(spark, tmp_path):
         dedup_increment(old, new, path)
 
 
+def test_reband_migration_recovers_recall(spark, tmp_path):
+    """Geometry migration (minhash_index_reband): an 8×4 banding
+    deterministically misses the threshold-edge 2~3 pair on this
+    corpus (pinned by test_geometry_is_read_from_the_index); re-banding
+    the POPULATED index to 32×1 from the stored shingles — no corpus
+    text re-read — surfaces it, merges it into the closure, swaps
+    bands+meta in one manifest commit, and subsequent increments run
+    at the new geometry end-to-end. A same-geometry call no-ops; a
+    bad geometry fails loudly; vacuum reclaims the superseded bands."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+        minhash_index_reband,
+    )
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idxrb")
+    with cached_scope():
+        # seed the index with BOTH doc 2 and doc 3 (the pair the old
+        # geometry misses) so the miss is an index-resident fact
+        seed = union_df.where(F.col("doc_id").isin(0, 1, 2, 3, 6))
+        minhash_index_build(
+            seed, path, threshold=0.5, num_hashes=32, bands=8,
+            index_buckets=16,
+        )
+        st = index_stats(spark, path)
+        assert (st["num_hashes"], st["bands"]) == (32, 8)
+        comp_before = {
+            (r.node, r.component)
+            for r in spark.read.parquet(f"{path}/components").select(
+                "node", "component"
+            ).collect()
+        }
+        assert (3, 2) not in comp_before  # the 8-band miss
+        rep = minhash_index_reband(spark, path, bands=32)
+        assert rep["swapped"] is True and rep["bands"] == 32
+        assert rep["new_pairs"] >= 1
+        st2 = index_stats(spark, path)
+        assert (st2["num_hashes"], st2["bands"]) == (32, 32)
+        assert st2["bands_rows"] == seed.count() * 32
+        comp_after = {
+            (r.node, r.component)
+            for r in spark.read.parquet(f"{path}/components").select(
+                "node", "component"
+            ).collect()
+        }
+        assert (3, 2) in comp_after  # recovered and merged
+        assert comp_before <= comp_after  # monotone: nothing un-made
+        # increments now run at the new geometry: equal the one-shot
+        # at 32x1 over the union
+        shard = union_df.where(F.col("doc_id").isin(14, 15, 10, 11))
+        got = _resolved(dedup_increment(seed, shard, path))
+        with cached_scope():
+            pairs = minhash_lsh_pairs(
+                seed.unionByName(shard), "doc_id", threshold=0.5,
+                num_hashes=32, bands=32,
+            ).select("id_a", "id_b")
+            want = _resolved(
+                resolve_near_duplicates(
+                    seed.unionByName(shard).select("doc_id"), pairs,
+                    id_col="doc_id",
+                )
+            )
+        assert got == want
+        # same geometry again: no-op
+        assert minhash_index_reband(spark, path, bands=32) == {
+            "swapped": False, "label": None,
+        }
+        with pytest.raises(ValueError, match="divisible"):
+            minhash_index_reband(spark, path, bands=7)
+        # one live bands dir; vacuum reclaims the superseded build
+        live = _read_manifest(spark, path)["tables"]["bands"]
+        assert live == [f"mb={rep['label']}"]
+        index_vacuum(spark, path)
+        mbs = {
+            p.name
+            for p in (tmp_path / "idxrb" / "bands").iterdir()
+            if p.name.startswith("mb=")
+        }
+        assert mbs == set(live)
+
+
 def test_build_rejects_bad_banding(spark, tmp_path):
     _, old, _ = _frames(spark)
     with pytest.raises(ValueError, match="divisible"):
