@@ -6371,34 +6371,42 @@ _SC_CORPUS_SQL = (
 
 def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental curation (streaming/curation_stream.py) —
-    the FULL four-stage curation funnel as a durable foreachBatch
-    pipeline over TWO persisted indexes: the first id-HALF of the
+    the FULL five-stage curation funnel as a durable foreachBatch
+    pipeline over THREE persisted indexes: the first id-HALF of the
     (planted, reference-split, 5-word-chunked) corpus seeds a
     paragraph-hash index AND a MinHash band index (built on the seed's
-    paragraph-deduped text), the remaining two id-quarters arrive as
-    REAL micro-batches in ascending id order, and each batch is
-    (1) incrementally PARAGRAPH-deduped against the hash index
-    (CCNet's first stage; a doc that loses every paragraph is
-    ``dedup_empty``), (2) incrementally NEAR-DUP deduped on the
-    rewritten text by probing only its own band buckets — both
-    indexes updated under the batch's replay-idempotent ``mb=``
-    increments, (3) Gopher-filtered, (4) LM-scored under the frozen
-    doc_id%97 reference model against a FIXED threshold — with
+    paragraph-deduped text), a FIXED pseudo-benchmark (the first 8
+    words of every doc_id%13==5 corpus doc — held-out-eval excerpts
+    by construction) seeds a benchmark shingle index once, the
+    remaining two id-quarters arrive as REAL micro-batches in
+    ascending id order, and each batch is (1) incrementally
+    PARAGRAPH-deduped against the hash index (CCNet's first stage; a
+    doc that loses every paragraph is ``dedup_empty``),
+    (2) incrementally NEAR-DUP deduped on the rewritten text by
+    probing only its own band buckets — both indexes updated under
+    the batch's replay-idempotent ``mb=`` increments,
+    (3) DECONTAMINATED against the benchmark index (pure membership
+    on word 8-grams of the rewritten text — any hit is
+    ``contaminated``; order-independent, so the stage adds no
+    divergence class), (4) Gopher-filtered, (5) LM-scored under the
+    frozen doc_id%97 reference model against a FIXED threshold — with
     per-batch dispositions written to the batch's own partition under
     a streaming checkpoint (kill-and-restart + replay pinned by
     tests/test_streaming_curation.py). The oracle is the ONE-SHOT
-    four-stage recomputation (paragraph election → exact-Jaccard
-    closure over rewritten text → Gopher → LM threshold) restricted
-    to the streamed quartiles: green means incremental streaming
-    curation ≡ the batch funnel, stage hand-offs included. Keep-first
-    equals the oracle's min-id/first-occurrence elections because
-    batches arrive in ascending id order (divergence class documented
-    and pinned in tests/test_streaming_curation.py + the funnel
-    semantics matrix)."""
+    five-stage recomputation (paragraph election → exact-Jaccard
+    closure over rewritten text → 8-gram benchmark membership →
+    Gopher → LM threshold) restricted to the streamed quartiles:
+    green means incremental streaming curation ≡ the batch funnel,
+    stage hand-offs included. Keep-first equals the oracle's
+    min-id/first-occurrence elections because batches arrive in
+    ascending id order (divergence class documented and pinned in
+    tests/test_streaming_curation.py + the funnel semantics
+    matrix)."""
     import shutil
     import tempfile
 
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        benchmark_index_build,
         minhash_index_build,
         paragraph_index_build,
     )
@@ -6437,6 +6445,29 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         idx = f"{scratch}/idx"
         pidx = f"{scratch}/pidx"
+        bidx = f"{scratch}/bidx"
+        # the FIXED pseudo-benchmark: first 8 words of every %13==5
+        # corpus doc (exactly one 8-gram shingle per benchmark doc) —
+        # a doc whose rewritten text still carries one of these runs
+        # is what train/test decontamination exists to drop
+        benchmark_index_build(
+            corpus.where(F.col("doc_id") % 13 == 5).select(
+                "doc_id",
+                F.array_join(
+                    F.slice(
+                        F.filter(
+                            F.split(F.lower(F.col("text")), r"\s+"),
+                            lambda t: t != "",
+                        ),
+                        1,
+                        8,
+                    ),
+                    " ",
+                ).alias("text"),
+            ),
+            bidx,
+            n=8,
+        )
         paragraph_index_build(seed, pidx, id_col="doc_id")
         # the near-dup index is built on the seed's PARAGRAPH-DEDUPED
         # text — the one-shot funnel's stage hand-off, reproduced at
@@ -6475,7 +6506,7 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_streaming_curation(
             src, idx, ref, f"{scratch}/disp", f"{scratch}/ckpt",
-            _SC_PPL_THR, para_index_path=pidx,
+            _SC_PPL_THR, para_index_path=pidx, bench_index_path=bidx,
         )
         disp = read_dispositions(spark, f"{scratch}/disp").select(
             "doc_id", "disposition"
@@ -6487,10 +6518,11 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_stream_curation() -> str:
-    # four stages, same hand-offs as ORACLE_CURATION_FUNNEL: paragraph
+    # five stages, same hand-offs as ORACLE_CURATION_FUNNEL: paragraph
     # election over the chunked corpus first (dd0, MATERIALIZED — it
-    # feeds three consumers), then the exact-Jaccard closure / Gopher /
-    # LM run on the REWRITTEN text of non-empty docs
+    # feeds three consumers), then the exact-Jaccard closure /
+    # benchmark 8-gram membership / Gopher / LM run on the REWRITTEN
+    # text of non-empty docs
     # the streamed corpus = chunked planted docs ∪ the exact re-crawl
     # plant (seed %29 slice, ids shifted by max+1 — same arithmetic as
     # the Spark face)
@@ -6531,10 +6563,30 @@ walk(node, reach) AS (
   SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
 ),
 comp AS (SELECT node, min(reach) AS c FROM walk GROUP BY node),
-dd AS (SELECT d.doc_id, d.text,
+dd AS MATERIALIZED (SELECT d.doc_id, d.text,
               d.doc_id = coalesce(cm.c, d.doc_id) AS canon
        FROM (SELECT doc_id, text FROM dd0 WHERE n_kept > 0) d
        LEFT JOIN comp cm ON cm.node = d.doc_id),
+bsh AS (
+  SELECT DISTINCT array_to_string(toks[1:8], ' ') AS sh
+  FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM {corpus4} bc WHERE doc_id % 13 = 5)
+  WHERE len(toks) >= 8
+),
+dec AS (
+  SELECT DISTINCT t.doc_id, TRUE AS cont FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(toks) - 6),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS sh
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM dd WHERE canon)
+    WHERE len(toks) >= 8
+  ) t JOIN bsh USING (sh)
+),
 g AS ({gopher}),
 lm_src AS (
   SELECT doc_id, text FROM {_GOPHER_PLANT_SQL} p WHERE doc_id % 97 = 0
@@ -6550,10 +6602,12 @@ SELECT u.doc_id, u.disposition FROM (
   UNION ALL
   SELECT dd.doc_id,
          CASE WHEN NOT dd.canon THEN 'duplicate'
+              WHEN coalesce(dec.cont, FALSE) THEN 'contaminated'
               WHEN NOT coalesce(g.keep, FALSE) THEN 'quality'
               WHEN lm.perplexity > {_SC_PPL_THR} THEN 'perplexity_tail'
               ELSE 'kept' END AS disposition
-  FROM dd LEFT JOIN g USING (doc_id) LEFT JOIN lm USING (doc_id)
+  FROM dd LEFT JOIN dec USING (doc_id)
+       LEFT JOIN g USING (doc_id) LEFT JOIN lm USING (doc_id)
 ) u, mx
 WHERE u.doc_id >= mx.half
 """

@@ -17,9 +17,13 @@ per micro-batch (at-least-once, batch-id-keyed — the
    (keep-first semantics — with batches arriving in ascending id
    order this equals the one-shot min-id election, which is what the
    equivalence pytest and the catalog oracle check);
-2. **Gopher quality filter** — the survivors pass through the same
+2. **benchmark decontamination** (optional) — canonical docs probe
+   the persisted benchmark shingle index (pure membership against a
+   FIXED set — order-independent, no divergence class of its own);
+   a doc sharing n-grams with the benchmark → ``contaminated``;
+3. **Gopher quality filter** — the survivors pass through the same
    shuffle-free rule select as the batch operator → ``quality``;
-3. **LM perplexity scoring** — survivors are scored under the bigram
+4. **LM perplexity scoring** — survivors are scored under the bigram
    model of a FIXED reference corpus (broadcast, count-guarded — the
    reference is decided before the stream starts, exactly like a real
    CCNet deployment ships a frozen KenLM) against a FIXED threshold →
@@ -28,7 +32,7 @@ per micro-batch (at-least-once, batch-id-keyed — the
    re-label earlier batches retroactively — a fixed cutoff is the
    streaming-sane contract, and the one-shot equivalence oracle uses
    the same cutoff;
-4. the batch's ``(doc_id, disposition)`` rows land in the batch's own
+5. the batch's ``(doc_id, disposition)`` rows land in the batch's own
    ``mb=<id>`` partition of the dispositions directory, under a
    streaming CHECKPOINT — stop/restart resumes with only unseen input
    (kill-and-restart pinned by tests/test_streaming_curation.py).
@@ -59,6 +63,8 @@ def curation_batch_body(
     text_col: str = "text",
     alpha: float = 0.5,
     para_index_path: str | None = None,
+    bench_index_path: str | None = None,
+    min_contaminated: int = 1,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
@@ -75,11 +81,24 @@ def curation_batch_body(
     near-dup, Gopher, and LM stages then run on the REWRITTEN text —
     exactly how the one-shot funnel hands text between stages. Same
     monotone contract, same id-ordered equivalence (both indexes are
-    keep-first under ascending ids)."""
+    keep-first under ascending ids).
+
+    With ``bench_index_path`` a DECONTAMINATION stage runs between
+    near-dup and Gopher: every canonical doc probes the persisted
+    benchmark index (operators/dedup_index.py
+    ``decontaminate_increment`` — pure membership against the FIXED
+    benchmark shingle set, the exactest of the incremental faces) and
+    a doc sharing ≥ ``min_contaminated`` word n-grams with the
+    benchmark is labelled ``contaminated`` and never reaches the
+    quality/LM stages. Membership against a fixed set is
+    order-independent, so this stage adds NO divergence class of its
+    own — the streamed labels equal the one-shot recomputation's on
+    exactly the docs where the dedup stages already agree."""
     from etl_prometheus2clickhouse_spark.operators.dedup import (
         cached_scope,
     )
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        decontaminate_increment,
         dedup_increment,
         paragraph_increment,
     )
@@ -120,6 +139,22 @@ def curation_batch_body(
             survivors = inc.where(F.col("is_canonical")).select(
                 id_col, text_col
             )
+            contaminated = None
+            if bench_index_path is not None:
+                contaminated = (
+                    decontaminate_increment(
+                        survivors,
+                        bench_index_path,
+                        text_col=text_col,
+                        id_col=id_col,
+                    )
+                    .where(F.col("n_contaminated") >= min_contaminated)
+                    .select(id_col)
+                    .localCheckpoint()  # one probe, two consumers
+                )
+                survivors = survivors.join(
+                    contaminated, id_col, "left_anti"
+                )
             g = gopher_filter(survivors, text_col, id_col).select(
                 id_col, "keep"
             )
@@ -130,13 +165,25 @@ def curation_batch_body(
             ppl = lm_perplexity(
                 kept_quality, reference, text_col, id_col, alpha=alpha
             ).select(id_col, "perplexity")
+            base = inc.select(id_col, "is_canonical")
+            if contaminated is not None:
+                base = base.join(
+                    contaminated.withColumn("__cont", F.lit(True)),
+                    id_col,
+                    "left",
+                )
+            else:
+                base = base.withColumn("__cont", F.lit(False))
             disp = (
-                inc.select(id_col, "is_canonical")
-                .join(g, id_col, "left")
+                base.join(g, id_col, "left")
                 .join(ppl, id_col, "left")
                 .select(
                     F.col(id_col),
                     F.when(~F.col("is_canonical"), F.lit("duplicate"))
+                    .when(
+                        F.coalesce("__cont", F.lit(False)),
+                        F.lit("contaminated"),
+                    )
                     .when(~F.coalesce("keep", F.lit(False)), F.lit("quality"))
                     .when(
                         F.col("perplexity") > ppl_threshold,
@@ -171,6 +218,8 @@ def run_streaming_curation(
     text_col: str = "text",
     alpha: float = 0.5,
     para_index_path: str | None = None,
+    bench_index_path: str | None = None,
+    min_contaminated: int = 1,
 ) -> None:
     """Run ``src`` (a streaming frame of documents) to completion of
     currently-available input (AvailableNow) through
@@ -189,6 +238,8 @@ def run_streaming_curation(
                 text_col,
                 alpha,
                 para_index_path,
+                bench_index_path,
+                min_contaminated,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -241,6 +241,78 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert stats_second == stats_first
 
 
+def test_five_stage_stream_with_decontamination(spark, tmp_path):
+    """bench_index_path inserts the DECONTAMINATION stage between
+    near-dup and Gopher: a canonical doc sharing ≥1 word 5-gram with
+    the persisted benchmark index is ``contaminated`` and never
+    reaches the quality/LM stages (it would otherwise be 'kept' — the
+    precedence pin is non-vacuous); membership against the fixed set
+    matches the one-shot ngram_contamination of the same survivors;
+    replay stays idempotent."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        benchmark_index_build,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    # an independent vocabulary family for the benchmark (no 5-gram
+    # can collide with the _BASE* families)
+    bench_text = (
+        "the standardized examination questions ask students to "
+        "compute the derivative of polynomial functions and explain "
+        "the reasoning behind each algebraic manipulation"
+    )
+    excerpt = "compute the derivative of polynomial functions and"
+    assert excerpt in bench_text  # 7 words -> 3 five-gram hits
+    bench_df = spark.createDataFrame([(9901, bench_text)], _SCHEMA)
+    batch_rows = [
+        (301, _BASE + " gamma two"),            # near-dup of seed 1/2
+        (302, _BASE4 + " " + excerpt),          # canonical + contaminated
+        (303, "short doc"),                     # quality fail
+        (304, _BASE2 + " epsilon"),             # clean -> kept
+    ]
+    seed, ref, idx = _setup(spark, tmp_path, "dc")
+    bidx = str(tmp_path / "dc_bidx")
+    benchmark_index_build(bench_df, bidx, n=5)
+    disp_dir = str(tmp_path / "dc_disp")
+    batch = spark.createDataFrame(batch_rows, _SCHEMA)
+    with cached_scope():
+        body = curation_batch_body(
+            idx, ref, disp_dir, 1e9, bench_index_path=bidx
+        )
+        body(batch, 0)
+        first = sorted(
+            (r.doc_id, r.disposition)
+            for r in read_dispositions(spark, disp_dir).collect()
+        )
+        stats_first = index_stats(spark, idx)
+        body(batch, 0)  # replay
+        second = sorted(
+            (r.doc_id, r.disposition)
+            for r in read_dispositions(spark, disp_dir).collect()
+        )
+        assert second == first
+        assert index_stats(spark, idx) == stats_first
+        got = dict(first)
+        assert got == {
+            301: "duplicate",
+            302: "contaminated",
+            303: "quality",
+            304: "kept",
+        }
+        # stage ≡ the one-shot membership operator on the same
+        # canonical survivors (pure-membership equivalence)
+        surv = spark.createDataFrame(
+            [r for r in batch_rows if r[0] != 301], _SCHEMA
+        )
+        hits = ngram_contamination(
+            surv, bench_df, "text", "doc_id", n=5
+        )
+        assert {r.doc_id for r in hits.collect()} == {302}
+        assert hits.where("doc_id = 302").first().n_contaminated == 3
+
+
 def test_four_stage_stream_with_paragraph_index(spark, tmp_path):
     """The full funnel lineage: paragraph_increment (CCNet stage 1)
     runs AHEAD of the near-dup increment, each updating its own
