@@ -1206,16 +1206,66 @@ def minhash_index_reband(
         new_pairs = _verify_pairs(cand, sh, sh, new_thr).select(
             "id_a", "id_b"
         )
+        # merge the newly surfaced pairs with the TOUCHED-CLUSTER
+        # discipline of dedup_increment (untouched clusters' labels
+        # cannot change, their partitions are never read or written;
+        # no delete-all window where a reader sees a missing table)
         comp_dir = os.path.join(path, "components")
-        old_edges = _read_components(spark, comp_dir, "long").select(
-            F.col("node").alias("id_a"), F.col("component").alias("id_b")
+        id_type = sh.schema["id"].dataType.simpleString()
+        comp_tbl = _read_components(spark, comp_dir, id_type)
+        ends = (
+            new_pairs.select(F.col("id_a").alias("node"))
+            .unionByName(new_pairs.select(F.col("id_b").alias("node")))
+            .distinct()
+            .persist()
         )
-        merged = dup_components_auto(
-            old_edges.unionByName(new_pairs)
-        ).localCheckpoint()  # pinned before the dir it reads is replaced
+        _register_cached(ends)
+        end_nbs = [
+            r.nb
+            for r in ends.select(
+                _ip(F.col("node"), index_buckets).alias("nb")
+            ).distinct().collect()
+        ]
+        touched = (
+            comp_tbl.where(
+                F.col("nb").isin(end_nbs) if end_nbs else F.lit(False)
+            )
+            .join(ends, "node")
+            .select("component")
+            .distinct()
+        )
+        members = (
+            comp_tbl.join(F.broadcast(touched), "component")
+            .select("node", "component")
+        )
+        sub_edges = members.select(
+            F.col("node").alias("id_a"),
+            F.col("component").alias("id_b"),
+        ).unionByName(new_pairs)
+        comp_new = dup_components_auto(sub_edges)
+        comp_new_nb = comp_new.withColumn(
+            "nb", _ip(F.col("node"), index_buckets)
+        )
+        affected = [
+            r.nb for r in comp_new_nb.select("nb").distinct().collect()
+        ]
         n_new_pairs = new_pairs.count()
-        _delete_path(spark, comp_dir)
-        _write_components(merged, comp_dir, index_buckets)
+        if affected:
+            # pin BEFORE deleting: the untouched slice of the affected
+            # partitions reads the directories about to be rewritten
+            content = (
+                comp_tbl.where(F.col("nb").isin(affected))
+                .join(F.broadcast(touched), "component", "left_anti")
+                .select("nb", "node", "component")
+                .unionByName(comp_new_nb.select("nb", "node", "component"))
+                .localCheckpoint()
+            )
+            for x in affected:
+                _delete_path(spark, os.path.join(comp_dir, f"nb={x}"))
+            _write_components(
+                content.select("node", "component"), comp_dir,
+                index_buckets, mode="append",
+            )
         # new meta row lands as a manifest-tracked increment; the ONE
         # commit below swaps bands AND meta together (atomic for
         # readers — geometry and band table can never mismatch)

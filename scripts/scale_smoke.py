@@ -1068,6 +1068,51 @@ def main() -> None:
             f"  components rewrite touched {len(changed)}/{len(before)} "
             "nb= partitions (shard-cluster-sized, not corpus-sized)"
         )
+
+        # round-12: band-GEOMETRY migration (minhash_index_reband) at
+        # K× corpus — the lifecycle event derives the whole new band
+        # table from the STORED shingle sets (it takes no corpus
+        # argument: corpus text CANNOT be re-read), and after the
+        # manifest swap + vacuum the probe must stay partition-pruned
+        # and byte-bounded on the NEW mb=reband-* layout.
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            index_stats,
+            index_vacuum,
+            minhash_index_reband,
+        )
+
+        n_ids = n_docs + 5  # corpus + the w1 update shard above
+        t0 = time.perf_counter()
+        rep = minhash_index_reband(spark, idx_dir, bands=32)
+        t_reband = round(time.perf_counter() - t0, 1)
+        assert rep["swapped"] and rep["bands"] == 32, rep
+        assert rep["bands_rows"] == n_ids * 32, (rep, n_ids)
+        st = index_stats(spark, idx_dir)
+        assert (st["num_hashes"], st["bands"]) == (64, 32), st
+        index_vacuum(spark, idx_dir)
+        probe_plan3 = probed_bands_plan(spark, idx_dir, shard_bbs[:80])
+        pf3 = next(
+            (ln for ln in probe_plan3.splitlines()
+             if "PartitionFilters: [bb" in ln), None
+        )
+        assert pf3 is not None, (
+            "post-reband probe lost the bb partition filter"
+        )
+        r_econ = probe_economics(
+            spark, f"{idx_dir}/bands", "bb", shard_bbs[:80]
+        )
+        assert r_econ["files_total"] > 0, r_econ
+        assert r_econ["bytes_probed"] <= 2 * (80 / 512) * r_econ[
+            "bytes_total"
+        ], r_econ
+        print(
+            f"minhash_index_reband: 64x16 -> 64x32 over {n_ids} stored "
+            f"shingle sets in {t_reband}s (no corpus re-read — the "
+            f"operator has no corpus input); post-swap probe still "
+            f"pruned: {r_econ['files_probed']}/{r_econ['files_total']} "
+            f"files, {r_econ['bytes_probed']}/{r_econ['bytes_total']} "
+            "bytes"
+        )
     finally:
         shutil.rmtree(idx_dir.rsplit("/", 1)[0], ignore_errors=True)
 
