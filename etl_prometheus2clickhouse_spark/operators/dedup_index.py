@@ -1170,6 +1170,7 @@ def minhash_index_reband(
     sh = _read_increment_table(spark, path, "shingles").select("id", "sh")
     sh = sh.persist()
     _register_cached(sh)
+    banded = ends = None
     try:
         banded = _bands_from_shingles(
             sh, new_nh, new_b, index_buckets
@@ -1296,7 +1297,9 @@ def minhash_index_reband(
             "bands": new_b,
         }
     finally:
-        sh.unpersist()
+        for _c in (sh, banded, ends):
+            if _c is not None:
+                _c.unpersist()
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> dict:
