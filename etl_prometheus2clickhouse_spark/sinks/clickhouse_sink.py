@@ -23,7 +23,12 @@ Two write paths:
 
 Idempotency is inherited from the target table being a
 ReplacingMergeTree over the content hash, exactly like the reference
-(README.md:96-113): at-least-once POSTs, exactly-once effect.
+(README.md:96-113): at-least-once POSTs, exactly-once effect. With
+``dedup_tokens=True`` each POST additionally carries a
+content-addressed ``insert_deduplication_token`` (md5 of the body), so
+a retried task re-POSTing an identical block is dropped server-side
+inside ClickHouse's block-dedup window — exactly-once RAW rows, before
+any merge, on top of (never instead of) the RMT contract.
 """
 
 from __future__ import annotations
@@ -72,10 +77,19 @@ def _post_tsv(
     password: str | None,
     timeout: int,
     insecure: bool = False,
+    dedup_token: str | None = None,
 ) -> None:
-    query = f"INSERT INTO {table} FORMAT TabSeparated"
+    params = {"query": f"INSERT INTO {table} FORMAT TabSeparated"}
+    if dedup_token is not None:
+        # ClickHouse block-level retry idempotency: the server keeps a
+        # window of recent block tokens per partition and silently
+        # drops a re-inserted block whose token it has seen
+        # (``insert_deduplication_token``, public HTTP-interface
+        # setting) — the duplicate never lands, even before any
+        # ReplacingMergeTree merge
+        params["insert_deduplication_token"] = dedup_token
     req = urllib.request.Request(
-        f"{url.rstrip('/')}/?{urllib.parse.urlencode({'query': query})}",
+        f"{url.rstrip('/')}/?{urllib.parse.urlencode(params)}",
         data=body,
         method="POST",
     )
@@ -108,6 +122,7 @@ class ClickHouseHttpSink:
         distributed: bool = True,
         batch_rows: int = 100_000,
         insecure: bool = False,
+        dedup_tokens: bool = False,
     ) -> None:
         validate_table_name(table, "table_metrics")
         self._url = url
@@ -118,6 +133,15 @@ class ClickHouseHttpSink:
         self._distributed = distributed
         self._batch_rows = batch_rows
         self._insecure = insecure
+        # content-addressed insert_deduplication_token per POST (md5 of
+        # the body): a retried task re-POSTing the identical block
+        # carries the identical token, so the server drops the
+        # duplicate inside its dedup window — belt-and-braces ON TOP of
+        # the ReplacingMergeTree content-hash contract, never instead
+        # of it (a retry with different batch boundaries gets fresh
+        # tokens and falls back to the RMT collapse). Default off: the
+        # reference's wire shape carries no extra URL params.
+        self._dedup_tokens = dedup_tokens
 
     def write(self, rows: DataFrame) -> None:
         lines = rows_to_tsv_lines(rows)
@@ -126,6 +150,7 @@ class ClickHouseHttpSink:
             user, password = self._user, self._password
             timeout, batch_rows = self._timeout, self._batch_rows
             insecure = self._insecure
+            dedup_tokens = self._dedup_tokens
 
             def _send_partition(
                 batches: Iterator[pd.DataFrame],
@@ -135,10 +160,16 @@ class ClickHouseHttpSink:
 
                 def _flush() -> None:
                     nonlocal posted
+                    body = ("\n".join(buf) + "\n").encode()
+                    token = None
+                    if dedup_tokens:
+                        import hashlib
+
+                        token = hashlib.md5(body).hexdigest()
                     _post_tsv(
-                        url, table,
-                        ("\n".join(buf) + "\n").encode(),
+                        url, table, body,
                         user, password, timeout, insecure,
+                        dedup_token=token,
                     )
                     posted += len(buf)
                     buf.clear()
@@ -161,12 +192,19 @@ class ClickHouseHttpSink:
             collected = [r.line for r in lines.toLocalIterator()]
             if not collected:
                 return
+            body = ("\n".join(collected) + "\n").encode()
+            token = None
+            if self._dedup_tokens:
+                import hashlib
+
+                token = hashlib.md5(body).hexdigest()
             _post_tsv(
                 self._url,
                 self._table,
-                ("\n".join(collected) + "\n").encode(),
+                body,
                 self._user,
                 self._password,
                 self._timeout,
                 self._insecure,
+                dedup_token=token,
             )

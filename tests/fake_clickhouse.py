@@ -44,9 +44,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 @dataclass
 class _MetricsTable:
-    """Raw TSV field tuples (ts, name, keys, vals, value), append order."""
+    """Raw TSV field tuples (ts, name, keys, vals, value), append order.
+
+    ``tokens`` is the block-deduplication window: a real server keeps
+    the last N inserted blocks' hashes (``insert_deduplication_token``
+    overrides the hash) and silently DROPS a re-inserted block whose
+    token is still in the window — the at-least-once retry path."""
 
     rows: list[tuple[str, str, str, str, str]] = field(default_factory=list)
+    tokens: list[str] = field(default_factory=list)
 
     def final_rows(self) -> list[tuple[str, str, str, str, str]]:
         # ReplacingMergeTree ORDER BY (timestamp, name, sorted labels):
@@ -113,6 +119,9 @@ class FakeClickHouse:
         self.etl: dict[str, _EtlTable] = {}
         # byte-for-byte capture of every INSERT body: (query, raw body)
         self.inserts: list[tuple[str, bytes]] = []
+        # the insert_deduplication_token URL param of each INSERT, in
+        # the same order as ``inserts`` (None when the client sent none)
+        self.insert_tokens: list[str | None] = []
         self.requests: list[str] = []  # every query string, in order
         self._fail_pattern: re.Pattern | None = None
         self._fail_times = 0
@@ -163,7 +172,10 @@ class FakeClickHouse:
                         )
                         return
                     try:
-                        out = outer._dispatch(query, body)
+                        out = outer._dispatch(
+                            query, body,
+                            q.get("insert_deduplication_token"),
+                        )
                     except _Unknown as e:
                         self._reply(
                             501,
@@ -214,7 +226,9 @@ class FakeClickHouse:
 
     # -- the SQL surface ---------------------------------------------------
 
-    def _dispatch(self, query: str, body: bytes) -> str:
+    def _dispatch(
+        self, query: str, body: bytes, dedup_token: str | None = None
+    ) -> str:
         qn = " ".join(query.split())  # normalize whitespace
         if qn == "SELECT 1":
             return "1\n"
@@ -239,7 +253,13 @@ class FakeClickHouse:
         m = re.match(r"INSERT INTO (\S+) FORMAT TabSeparated$", qn)
         if m:
             self.inserts.append((query, body))
+            self.insert_tokens.append(dedup_token)
             t = self._metrics(m.group(1))
+            if dedup_token is not None:
+                if dedup_token in t.tokens:
+                    return ""  # duplicate block in the window: dropped
+                t.tokens.append(dedup_token)
+                del t.tokens[:-100]  # the server's window is bounded
             for line in body.decode().split("\n"):
                 if not line:
                     continue
@@ -261,6 +281,7 @@ class FakeClickHouse:
         )
         if m:
             self.inserts.append((query, body))
+            self.insert_tokens.append(dedup_token)
             t = self._etl(m.group(1))
             open_leases = [
                 r for r in t.final_rows() if r["timestamp_end"] is None
@@ -276,6 +297,7 @@ class FakeClickHouse:
         m = re.match(r"INSERT INTO (\S+) \(([^)]+)\) VALUES \((.+)\)$", qn)
         if m:
             self.inserts.append((query, body))
+            self.insert_tokens.append(dedup_token)
             t = self._etl(m.group(1))
             cols = [c.strip() for c in m.group(2).split(",")]
             vals = [_parse_value(v) for v in m.group(3).split(",")]

@@ -162,6 +162,49 @@ def test_k1_replay_is_idempotent_under_final(spark, ch):
     assert len(t.final_rows()) == 2  # FINAL: exactly-once effect
 
 
+def test_k1_dedup_token_drops_replayed_block_before_final(spark, ch):
+    """dedup_tokens=True: every POST carries a content-addressed
+    ``insert_deduplication_token`` (md5 of the body), so a replayed
+    identical block is dropped SERVER-SIDE inside the deduplication
+    window — raw (pre-merge) rows stay exactly-once, without waiting
+    for the ReplacingMergeTree FINAL collapse. Belt-and-braces on top
+    of the content-hash RMT contract, on both write paths."""
+    rows = _metric_rows(spark)
+    for distributed in (True, False):
+        server = FakeClickHouse()
+        with server:
+            server.create_metrics_table("default.metrics_wt")
+            sink = ClickHouseHttpSink(
+                server.url, "default.metrics_wt",
+                distributed=distributed, dedup_tokens=True,
+            )
+            sink.write(rows)
+            sink.write(rows)  # replay: identical bodies, same tokens
+            t = server.metrics["default.metrics_wt"]
+            assert len(t.rows) == 2, distributed  # raw already deduped
+            assert len(t.final_rows()) == 2, distributed
+            # every insert carried a token; the replay reused it
+            assert len(server.insert_tokens) == len(server.inserts)
+            assert all(tok for tok in server.insert_tokens), (
+                server.insert_tokens
+            )
+            import hashlib
+
+            for (_, body), tok in zip(
+                server.inserts, server.insert_tokens
+            ):
+                assert tok == hashlib.md5(body).hexdigest()
+
+
+def test_k1_no_token_without_opt_in(spark, ch):
+    """The default sink sends NO dedup token (the reference's wire
+    shape, byte-for-byte) and replay stays at-least-once raw."""
+    rows = _metric_rows(spark)
+    sink = ClickHouseHttpSink(ch.url, "default.metrics_wt", distributed=True)
+    sink.write(rows)
+    assert ch.insert_tokens == [None] * len(ch.inserts)
+
+
 def test_k1_empty_batch_short_circuits(spark, ch):
     """Empty batches never touch the network
     (clickhouse_client.py:166-170 parity), on both write paths."""
