@@ -198,11 +198,15 @@ def _write_model(
 
 
 def _model_row(spark: SparkSession, path: str):
-    rows = (
-        _read_increment_table(spark, path, "model")
-        .select("model_json", "vec_buckets")
-        .collect()
-    )
+    tbl = _read_increment_table(spark, path, "model")
+    if "vec_buckets" not in tbl.columns:
+        # model row written before the vp=-bucketed raw-vector side
+        # table existed: no bucket geometry to read — searches against
+        # such an index must pass their own corpus (the original
+        # contract); expose that as vec_buckets = None, fail-loud at
+        # the rescore read if a pruned read is attempted
+        tbl = tbl.withColumn("vec_buckets", F.lit(None).cast("int"))
+    rows = tbl.select("model_json", "vec_buckets").collect()
     if len(rows) != 1:
         raise ValueError(
             f"ANN index at {path!r} has a corrupt model table "
@@ -240,6 +244,12 @@ def ann_index_append(
     spark = shard.sparkSession
     row = _model_row(spark, path)
     model = ivfpq_model_from_json(row.model_json)
+    if row.vec_buckets is None:
+        raise ValueError(
+            f"ANN index at {path!r} predates the persisted vector "
+            "table: appends must keep the rescore side complete — "
+            "rebuild the index once with ann_index_build"
+        )
     _write_codes(shard, model, path, update_label, id_col, vec_col)
     _write_vectors(
         shard, path, update_label, id_col, vec_col, int(row.vec_buckets)
@@ -288,6 +298,13 @@ def ann_index_search(
             _unit(_as_double(vec_col)).alias("vec"),
         )
     else:
+        if row.vec_buckets is None:
+            raise ValueError(
+                f"ANN index at {path!r} predates the persisted vector "
+                "table (no vec_buckets in its model row): pass "
+                "`corpus` for the exact rescore, or rebuild the index "
+                "to get the pruned rescore reads"
+            )
         cand = cand.persist()
         _register_cached(cand)
         cand_vps = [
@@ -354,6 +371,12 @@ def ann_index_retrain(
 
     row = _model_row(spark, path)
     old_model = ivfpq_model_from_json(row.model_json)
+    if row.vec_buckets is None:
+        raise ValueError(
+            f"ANN index at {path!r} predates the persisted vector "
+            "table: retrain needs the stored raw vectors — rebuild "
+            "the index once with ann_index_build"
+        )
     vec_buckets = int(row.vec_buckets)
     vecs = _read_increment_table(spark, path, "vectors").select("id", "vec")
     new_model = ivfpq_train(

@@ -275,15 +275,187 @@ def _read_components(
 ) -> DataFrame:
     """(nb, node, component) — empty-safe: a corpus with zero duplicate
     pairs writes a partitioned table with no part files at all, which
-    Spark cannot infer a schema from."""
+    Spark cannot infer a schema from. An interrupted partition swap is
+    rolled forward/back first (:func:`_recover_components`); a table
+    MISSING the ``nb`` partition column is a structural error and
+    fails loudly — treating it as empty would silently un-make every
+    stored dedup decision."""
     from pyspark.errors import AnalysisException
 
+    _recover_components(spark, comp_dir)
     try:
-        return spark.read.parquet(comp_dir).select("nb", "node", "component")
+        df = spark.read.parquet(comp_dir)
     except AnalysisException:
         return spark.createDataFrame(
             [], f"nb int, node {id_type}, component {id_type}"
         )
+    missing = {"nb", "node", "component"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"components table at {comp_dir!r} is missing columns "
+            f"{sorted(missing)}: not this module's nb-partitioned "
+            "layout — rebuild the index (or backfill nb = "
+            "pmod(xxhash64(node), index_buckets) once)"
+        )
+    return df.select("nb", "node", "component")
+
+
+def _recover_components(spark: SparkSession, comp_dir: str) -> None:
+    """Finish (or discard) an interrupted touched-partition swap.
+
+    :func:`_rewrite_touched_components` stages recomputed partitions
+    under a dot-directory (invisible to parquet readers), then RENAMES
+    the staged root to a ``.commit-*`` marker before any live
+    directory is deleted — so every crash window is decidable from the
+    directory state alone: a ``.staged-*`` root means the swap never
+    reached the point of no return (discard it — the live table is
+    untouched and the increment replays); a ``.commit-*`` root means
+    the new content is fully durable (roll FORWARD: finish the
+    per-partition swap). Both recoveries are idempotent."""
+    jvm, fs, root = _hadoop_fs(spark, comp_dir)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".staged-"):
+            fs.delete(st.getPath(), True)
+        elif name.startswith(".commit-"):
+            for part in fs.listStatus(st.getPath()):
+                pname = part.getPath().getName()
+                if not pname.startswith("nb="):
+                    continue
+                live = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(comp_dir, pname)
+                )
+                if fs.exists(live):
+                    fs.delete(live, True)
+                if not fs.rename(part.getPath(), live):
+                    raise IOError(
+                        f"components swap recovery: rename of {pname} "
+                        f"under {comp_dir!r} reported failure"
+                    )
+            fs.delete(st.getPath(), True)
+
+
+def _closure_with_new_pairs(
+    comp_tbl: DataFrame, new_pairs: DataFrame, index_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """TOUCHED-CLUSTER closure merge (shared by :func:`dedup_increment`
+    and :func:`minhash_index_reband`) — closure(touched clusters'
+    closure edges ∪ new pairs) == closure(all pairs) restricted to
+    touched ∪ new nodes, because untouched clusters share no node with
+    any new pair (their labels cannot change). The components table is
+    partitioned by nb = prefix(node):
+
+    1. endpoint-label lookup prunes to the endpoints' nb prefixes
+       (bounded: endpoints come from capped candidate pairs);
+    2. member extraction is a broadcast semi-join on component
+       (row-group-skipped — files are component-sorted);
+    3. the closure recompute sees ONLY that subgraph.
+
+    Returns ``(comp_new, touched)``: the recomputed (node, component)
+    labels and the touched component ids."""
+    ends = (
+        new_pairs.select(F.col("id_a").alias("node"))
+        .unionByName(new_pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    _register_cached(ends)
+    end_nbs = [
+        r.nb
+        for r in ends.select(
+            _ip(F.col("node"), index_buckets).alias("nb")
+        ).distinct().collect()
+    ]
+    touched = (
+        comp_tbl.where(
+            F.col("nb").isin(end_nbs) if end_nbs else F.lit(False)
+        )
+        .join(ends, "node")
+        .select("component")
+        .distinct()
+    )
+    members = (
+        comp_tbl.join(F.broadcast(touched), "component")
+        .select("node", "component")
+        .persist()
+    )
+    _register_cached(members)
+    sub_edges = members.select(
+        F.col("node").alias("id_a"), F.col("component").alias("id_b")
+    ).unionByName(new_pairs)
+    return dup_components_auto(sub_edges), touched
+
+
+def _rewrite_touched_components(
+    spark: SparkSession,
+    comp_dir: str,
+    comp_tbl: DataFrame,
+    comp_new: DataFrame,
+    touched: DataFrame,
+    index_buckets: int,
+) -> None:
+    """Swap ONLY the ``nb=`` partitions holding recomputed rows,
+    CRASH-SAFE: (1) stage the new content under a dot-directory
+    readers never list; (2) rename it to a ``.commit-*`` marker — the
+    atomic point of no return, so the content is fully durable before
+    any live directory is deleted; (3) per-partition delete + rename
+    into place; (4) drop the marker. A crash in any window is repaired
+    by :func:`_recover_components` on the next read (roll back before
+    the marker, roll forward after). The previous delete-then-append
+    protocol lost the affected partitions' rows irrecoverably on a
+    crash between the two."""
+    import uuid
+
+    comp_new_nb = comp_new.withColumn(
+        "nb", _ip(F.col("node"), index_buckets)
+    )
+    affected = [
+        r.nb for r in comp_new_nb.select("nb").distinct().collect()
+    ]
+    if not affected:
+        return
+    # pin BEFORE staging: the untouched slice of the affected
+    # partitions reads the directories about to be swapped
+    content = (
+        comp_tbl.where(F.col("nb").isin(affected))
+        .join(F.broadcast(touched), "component", "left_anti")
+        .select("nb", "node", "component")
+        .unionByName(comp_new_nb.select("nb", "node", "component"))
+        .localCheckpoint()
+    )
+    jvm, fs, _ = _hadoop_fs(spark, comp_dir)
+    tag = uuid.uuid4().hex[:8]
+    staged = os.path.join(comp_dir, f".staged-{tag}")
+    _write_components(
+        content.select("node", "component"), staged, index_buckets
+    )
+    commit = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(comp_dir, f".commit-{tag}")
+    )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), commit):
+        raise IOError(
+            f"components swap: staging rename to {commit} reported "
+            "failure; live table untouched, staged content at "
+            f"{staged!r}"
+        )
+    for x in affected:
+        live = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(comp_dir, f"nb={x}")
+        )
+        if fs.exists(live):
+            fs.delete(live, True)
+        src = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(comp_dir, f".commit-{tag}", f"nb={x}")
+        )
+        if not fs.rename(src, live):
+            raise IOError(
+                f"components swap: rename of nb={x} into place "
+                f"reported failure; recovery completes it from "
+                f".commit-{tag}"
+            )
+    fs.delete(commit, True)
 
 
 def _delete_path(spark: SparkSession, path: str) -> None:
@@ -475,9 +647,18 @@ def dedup_increment(
         # same replay exclusion as the bands probe: keeps the verify
         # union id-disjoint (the _verify_pairs contract) on replay
         sh_old = sh_old.where(F.col("mb") != F.lit(update_label))
-    sh_old = sh_old.where(
-        F.col("ip").isin(cand_ips) if cand_ips else F.lit(False)
-    ).select("id", "sh")
+    if "ip" in sh_old.columns:
+        sh_old = sh_old.where(
+            F.col("ip").isin(cand_ips) if cand_ips else F.lit(False)
+        )
+    elif cand_ips:
+        # pre-ip-bucketed shingle layout: no partition filter possible
+        # — the verify reads the whole store, exactly that layout's
+        # original behavior (rebuild to regain the pruned read)
+        pass
+    else:
+        sh_old = sh_old.where(F.lit(False))
+    sh_old = sh_old.select("id", "sh")
     new_pairs = (
         _verify_pairs(cand, sh_old, sh_new, threshold)
         .select("id_a", "id_b")
@@ -485,54 +666,18 @@ def dedup_increment(
     )
     _register_cached(new_pairs)
 
-    # TOUCHED-CLUSTER closure merge — closure(touched clusters' closure
-    # edges ∪ new pairs) == closure(all pairs) restricted to touched ∪
-    # new nodes, because untouched clusters share no node with any new
-    # pair (their labels cannot change). The components table is
-    # partitioned by nb = prefix(node):
-    #   1. endpoint-label lookup prunes to the endpoints' nb prefixes
-    #      (bounded: endpoints come from capped candidate pairs);
-    #   2. member extraction is a broadcast semi-join on component
-    #      (row-group-skipped — files are component-sorted);
-    #   3. the closure recompute sees ONLY that subgraph;
-    #   4. the rewrite touches ONLY the partitions holding recomputed
-    #      rows — untouched partitions are never read or written.
+    # TOUCHED-CLUSTER closure merge (shared helper — see
+    # _closure_with_new_pairs for the bounded-work argument); the
+    # rewrite below touches ONLY the partitions holding recomputed
+    # rows — untouched partitions are never read or written.
     comp_dir = os.path.join(path, "components")
     id_type = shard.schema[id_col].dataType.simpleString()
     comp_tbl = _read_components(spark, comp_dir, id_type)
-    ends = (
-        new_pairs.select(F.col("id_a").alias("node"))
-        .unionByName(new_pairs.select(F.col("id_b").alias("node")))
-        .distinct()
-        .persist()
-    )
-    _register_cached(ends)
-    end_nbs = [
-        r.nb
-        for r in ends.select(
-            _ip(F.col("node"), index_buckets).alias("nb")
-        ).distinct().collect()
-    ]
-    touched = (
-        comp_tbl.where(
-            F.col("nb").isin(end_nbs) if end_nbs else F.lit(False)
-        )
-        .join(ends, "node")
-        .select("component")
-        .distinct()
-    )
-    members = (
-        comp_tbl.join(F.broadcast(touched), "component")
-        .select("node", "component")
-        .persist()
-    )
-    _register_cached(members)
-    sub_edges = members.select(
-        F.col("node").alias("id_a"), F.col("component").alias("id_b")
-    ).unionByName(new_pairs)
     # eager either route (driver union-find or checkpointed rounds);
     # bounded by the touched subgraph, not the corpus
-    comp_new = dup_components_auto(sub_edges)
+    comp_new, touched = _closure_with_new_pairs(
+        comp_tbl, new_pairs, index_buckets
+    )
 
     if update_index:
         # band and shingle rows OVERWRITE this increment's own mb=
@@ -554,30 +699,17 @@ def dedup_increment(
         # a crash between the two leaves invisible (replay-overwritten)
         # directories, never a half-registered increment
         _manifest_add(spark, path, ["bands", "shingles"], update_label)
-        comp_new_nb = comp_new.withColumn(
-            "nb", _ip(F.col("node"), index_buckets)
+        _rewrite_touched_components(
+            spark, comp_dir, comp_tbl, comp_new, touched, index_buckets
         )
-        affected = [
-            r.nb for r in comp_new_nb.select("nb").distinct().collect()
-        ]
-        if affected:
-            # pin BEFORE deleting: the untouched slice of the affected
-            # partitions reads the directories about to be rewritten
-            content = (
-                comp_tbl.where(F.col("nb").isin(affected))
-                .join(F.broadcast(touched), "component", "left_anti")
-                .select("nb", "node", "component")
-                .unionByName(comp_new_nb.select("nb", "node", "component"))
-                .localCheckpoint()
-            )
-            for x in affected:
-                _delete_path(spark, os.path.join(comp_dir, f"nb={x}"))
-            _write_components(
-                content.select("node", "component"), comp_dir,
-                index_buckets, mode="append",
-            )
         # annotation reads the POST-rewrite table — consistent with
-        # what the next increment will probe
+        # what the next increment will probe. NOTE the evaluation
+        # contract: this read is LAZY, so evaluate (or localCheckpoint,
+        # as the streaming body does) the returned frame BEFORE running
+        # another update increment against the same index — a later
+        # increment's partition swap replaces the files this plan
+        # points at, which fails loudly (FileNotFoundException) under
+        # default configs.
         comp = _read_components(spark, comp_dir, id_type).select(
             "node", "component"
         )
@@ -1078,6 +1210,11 @@ def _compact_increment_table(
     table_root = os.path.join(index_path, table)
     new_dir = f"mb=base-{uuid.uuid4().hex[:8]}"
     dest = os.path.join(table_root, new_dir)
+    if inner_partition is not None and inner_partition not in rows.columns:
+        # a table written before this inner bucketing existed has no
+        # such column — compact it flat (its original layout) rather
+        # than fail; a rebuild regains the bucketed reads
+        inner_partition = None
     if inner_partition is not None:
         rows.repartition(F.col(inner_partition)).write.mode(
             "overwrite"
@@ -1148,12 +1285,20 @@ def minhash_index_reband(
 
     ``n`` (shingle width) and ``index_buckets`` are immutable — the
     first changes the shingle sets themselves (that is a rebuild from
-    text), the second the shingle/component partition layout. A reader
-    resolving mid-migration sees the old geometry with the old bands
-    or the new with the new, never a mix: meta moves into the manifest
+    text), the second the shingle/component partition layout. A
+    threshold/cap-ONLY migration skips the band rewrite entirely (the
+    band table is a pure function of (shingles, num_hashes, bands), so
+    it would be bit-identical): only pair re-discovery at the new
+    threshold plus the meta swap runs. A reader resolving
+    mid-migration sees the old geometry with the old bands or the new
+    with the new, never a mix: meta moves into the manifest
     (``meta/mb=<label>``) at the first migration. Returns
     ``{swapped, label, bands_rows, new_pairs, num_hashes, bands}``."""
     import uuid
+
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        cached_scope,
+    )
 
     old = _read_meta(spark, path)
     new_nh = int(num_hashes if num_hashes is not None else old["num_hashes"])
@@ -1166,22 +1311,37 @@ def minhash_index_reband(
         old["num_hashes"], old["bands"], old["threshold"], old["max_bucket"]
     ):
         return {"swapped": False, "label": None}
+    geometry_changed = (new_nh, new_b) != (
+        old["num_hashes"], old["bands"],
+    )
     index_buckets = old["index_buckets"]
-    sh = _read_increment_table(spark, path, "shingles").select("id", "sh")
-    sh = sh.persist()
-    _register_cached(sh)
-    banded = ends = None
-    try:
-        banded = _bands_from_shingles(
-            sh, new_nh, new_b, index_buckets
+    with cached_scope():  # every persist below dies with the migration
+        sh = _read_increment_table(spark, path, "shingles").select(
+            "id", "sh"
         ).persist()
-        _register_cached(banded)
+        _register_cached(sh)
         label = f"reband-{uuid.uuid4().hex[:8]}"
-        banded.repartition(F.col("bb")).write.mode(
-            "overwrite"
-        ).partitionBy("bb").parquet(
-            os.path.join(path, "bands", f"mb={label}")
-        )
+        if geometry_changed:
+            banded = _bands_from_shingles(
+                sh, new_nh, new_b, index_buckets
+            ).persist()
+            _register_cached(banded)
+            banded.repartition(F.col("bb")).write.mode(
+                "overwrite"
+            ).partitionBy("bb").parquet(
+                os.path.join(path, "bands", f"mb={label}")
+            )
+        else:
+            # threshold/cap-only migration: the band table is a pure
+            # function of (shingles, num_hashes, bands), so it is
+            # bit-identical under the new meta — rewriting it would be
+            # corpus-sized I/O for a one-row meta change; pair
+            # discovery re-runs over the LIVE band table at the new
+            # threshold/cap instead
+            banded = _read_increment_table(spark, path, "bands").select(
+                "bb", "band", "bucket", "id"
+            ).persist()
+            _register_cached(banded)
         # pair discovery at the new geometry (same cap + verify
         # semantics as the build), merged MONOTONICALLY into the
         # stored closure
@@ -1208,65 +1368,21 @@ def minhash_index_reband(
             "id_a", "id_b"
         )
         # merge the newly surfaced pairs with the TOUCHED-CLUSTER
-        # discipline of dedup_increment (untouched clusters' labels
-        # cannot change, their partitions are never read or written;
-        # no delete-all window where a reader sees a missing table)
+        # discipline of dedup_increment (shared helpers — untouched
+        # clusters' labels cannot change, their partitions are never
+        # read or written, and the staged swap leaves no window where
+        # a crash loses rows or a reader sees a missing table)
         comp_dir = os.path.join(path, "components")
         id_type = sh.schema["id"].dataType.simpleString()
         comp_tbl = _read_components(spark, comp_dir, id_type)
-        ends = (
-            new_pairs.select(F.col("id_a").alias("node"))
-            .unionByName(new_pairs.select(F.col("id_b").alias("node")))
-            .distinct()
-            .persist()
+        comp_new, touched = _closure_with_new_pairs(
+            comp_tbl, new_pairs, index_buckets
         )
-        _register_cached(ends)
-        end_nbs = [
-            r.nb
-            for r in ends.select(
-                _ip(F.col("node"), index_buckets).alias("nb")
-            ).distinct().collect()
-        ]
-        touched = (
-            comp_tbl.where(
-                F.col("nb").isin(end_nbs) if end_nbs else F.lit(False)
-            )
-            .join(ends, "node")
-            .select("component")
-            .distinct()
-        )
-        members = (
-            comp_tbl.join(F.broadcast(touched), "component")
-            .select("node", "component")
-        )
-        sub_edges = members.select(
-            F.col("node").alias("id_a"),
-            F.col("component").alias("id_b"),
-        ).unionByName(new_pairs)
-        comp_new = dup_components_auto(sub_edges)
-        comp_new_nb = comp_new.withColumn(
-            "nb", _ip(F.col("node"), index_buckets)
-        )
-        affected = [
-            r.nb for r in comp_new_nb.select("nb").distinct().collect()
-        ]
         n_new_pairs = new_pairs.count()
-        if affected:
-            # pin BEFORE deleting: the untouched slice of the affected
-            # partitions reads the directories about to be rewritten
-            content = (
-                comp_tbl.where(F.col("nb").isin(affected))
-                .join(F.broadcast(touched), "component", "left_anti")
-                .select("nb", "node", "component")
-                .unionByName(comp_new_nb.select("nb", "node", "component"))
-                .localCheckpoint()
-            )
-            for x in affected:
-                _delete_path(spark, os.path.join(comp_dir, f"nb={x}"))
-            _write_components(
-                content.select("node", "component"), comp_dir,
-                index_buckets, mode="append",
-            )
+        n_bands_rows = banded.count()
+        _rewrite_touched_components(
+            spark, comp_dir, comp_tbl, comp_new, touched, index_buckets
+        )
         # new meta row lands as a manifest-tracked increment; the ONE
         # commit below swaps bands AND meta together (atomic for
         # readers — geometry and band table can never mismatch)
@@ -1285,21 +1401,18 @@ def minhash_index_reband(
             + [t for t in _list_index_tables(spark, path)
                if t not in ("bands", "shingles")],
         )
-        tables["bands"] = [f"mb={label}"]
+        if geometry_changed:
+            tables["bands"] = [f"mb={label}"]
         tables["meta"] = [f"mb={label}"]
         _commit_manifest(spark, path, tables)
         return {
             "swapped": True,
             "label": label,
-            "bands_rows": banded.count(),
+            "bands_rows": n_bands_rows,
             "new_pairs": n_new_pairs,
             "num_hashes": new_nh,
             "bands": new_b,
         }
-    finally:
-        for _c in (sh, banded, ends):
-            if _c is not None:
-                _c.unpersist()
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> dict:

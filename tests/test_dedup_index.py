@@ -266,6 +266,124 @@ def test_reband_migration_recovers_recall(spark, tmp_path):
         assert mbs == set(live)
 
 
+def test_components_swap_crash_recovery(spark, tmp_path):
+    """The touched-partition swap is crash-safe at every window: a
+    leftover ``.staged-*`` root (crash before the commit marker) is
+    discarded with the live table untouched, and a ``.commit-*`` root
+    whose live partition was already deleted (mid-swap crash — the
+    window that previously lost the partition's rows forever) is
+    rolled FORWARD on the next read. After either recovery an
+    increment still equals the one-shot."""
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_components,
+    )
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idxcr")
+    comp = f"{path}/components"
+
+    def _rows():
+        return {
+            (r.node, r.component)
+            for r in _read_components(spark, comp, "long")
+            .select("node", "component").collect()
+        }
+
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        before = _rows()
+        assert before  # clusters 0/1 and 4/5 are stored
+        nbs = [d for d in os.listdir(comp) if d.startswith("nb=")]
+        # (a) crash BEFORE the commit marker: staged content is junk
+        # until committed — discarded, live table untouched
+        shutil.copytree(f"{comp}/{nbs[0]}", f"{comp}/.staged-zz/{nbs[0]}")
+        assert _rows() == before
+        assert not any(d.startswith(".staged") for d in os.listdir(comp))
+        # (b) crash MID-SWAP: a live partition is deleted but its new
+        # content sits durably under the commit marker — rolled forward
+        os.makedirs(f"{comp}/.commit-zz", exist_ok=True)
+        shutil.move(f"{comp}/{nbs[0]}", f"{comp}/.commit-zz/{nbs[0]}")
+        assert _rows() == before
+        assert not any(d.startswith(".commit") for d in os.listdir(comp))
+        # recovery is invisible to semantics
+        assert _resolved(dedup_increment(old, new, path)) == _one_shot(
+            union_df
+        )
+
+
+def test_legacy_flat_components_fails_loud(spark, tmp_path):
+    """A components table without the nb partition column is not this
+    module's layout: reading it as EMPTY would silently un-make every
+    stored dedup decision, so it fails loudly instead."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_components,
+    )
+
+    comp = str(tmp_path / "legacy_components")
+    spark.createDataFrame(
+        [(1, 0), (0, 0)], "node long, component long"
+    ).write.parquet(comp)
+    with pytest.raises(ValueError, match="missing columns"):
+        _read_components(spark, comp, "long")
+
+
+def test_unbucketed_shingles_degrade_to_full_verify(spark, tmp_path):
+    """A shingle store written before the ip id-bucketing (flat
+    (id, sh) rows) cannot prune the exact-verify read — the increment
+    degrades to the whole-store read that layout always did, and the
+    result still equals the one-shot (no fail, no silent wrongness)."""
+    import shutil
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idxleg")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        flat = (
+            spark.read.parquet(f"{path}/shingles")
+            .select("id", "sh")
+            .localCheckpoint()
+        )
+        shutil.rmtree(f"{path}/shingles")
+        flat.write.parquet(f"{path}/shingles/mb=base")
+        assert _resolved(dedup_increment(old, new, path)) == _one_shot(
+            union_df
+        )
+
+
+def test_threshold_only_reband_skips_band_rewrite(spark, tmp_path):
+    """A threshold-only migration must not rewrite the band table (it
+    is a pure function of (shingles, num_hashes, bands) — bit-identical
+    under the new meta): only pair re-discovery at the new threshold
+    plus the atomic meta swap runs, and pairs the old threshold
+    rejected are merged into the closure."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        minhash_index_reband,
+    )
+
+    _, old, _ = _frames(spark)
+    path = str(tmp_path / "idxto")
+    with cached_scope():
+        # at threshold 0.9 nothing qualifies (the planted pairs sit at
+        # J ≈ 0.7-0.8); the closure starts empty
+        minhash_index_build(old, path, threshold=0.9)
+        assert index_stats(spark, path)["components_rows"] == 0
+        bands_before = sorted(os.listdir(f"{path}/bands"))
+        rep = minhash_index_reband(spark, path, threshold=0.5)
+        assert rep["swapped"] is True and rep["new_pairs"] >= 2
+        # no new band increment: same directories, byte-identical table
+        assert sorted(os.listdir(f"{path}/bands")) == bands_before
+        st = index_stats(spark, path)
+        assert st["threshold"] == 0.5
+        comp = {
+            (r.node, r.component)
+            for r in spark.read.parquet(f"{path}/components")
+            .select("node", "component").collect()
+        }
+        assert (1, 0) in comp and (5, 4) in comp  # surfaced and merged
+
+
 def test_build_rejects_bad_banding(spark, tmp_path):
     _, old, _ = _frames(spark)
     with pytest.raises(ValueError, match="divisible"):
