@@ -251,7 +251,14 @@ def run_streaming_curation(
 
 def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
     """All batches' dispositions as one frame (``mb`` restored as the
-    micro-batch partition column)."""
+    micro-batch partition column). An interrupted retention fold is
+    repaired first (streaming/retention.py roll-forward), so a reader
+    after a mid-compaction crash sees every batch exactly once."""
+    from etl_prometheus2clickhouse_spark.streaming.retention import (
+        recover_stream_outputs,
+    )
+
+    recover_stream_outputs(spark, dispositions_dir)
     return spark.read.parquet(dispositions_dir)
 
 

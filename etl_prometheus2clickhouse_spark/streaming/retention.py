@@ -21,17 +21,28 @@ kill→compact→restart pytest). Readers that only aggregate over the
 rows (every sketch merge, the dispositions rollup) are unaffected;
 per-batch lineage for folded batches is intentionally collapsed.
 
-The fold itself is write-new → delete-old → rename (the hidden
-``.compact-*`` staging dir is invisible to Spark readers, so a crash
-before the deletes duplicates nothing); the window between the deletes
-and the rename is documented debt shared with every non-transactional
-parquet layout — the persisted-index tables close it with a manifest
-(operators/dedup_index.py), streams that need the same guarantee
-should land dispositions in a manifested index instead.
+CRASH SAFETY (the staged-swap protocol shared with the component
+rewrite, operators/dedup_index.py): the folded rows land in a hidden
+``.compact-*`` staging directory together with a ``_plan.json`` naming
+every source directory, the staging dir is RENAMED to a
+``.compact-commit-*`` marker — the atomic point of no return, content
+and plan fully durable before anything is deleted — then the sources
+are deleted and the marker renamed into ``<col>=-1``.
+:func:`recover_stream_outputs` repairs any crash window from the
+directory state alone (discard an uncommitted staging dir; roll a
+committed one forward by finishing the deletes from its plan), and
+runs automatically at the start of every compaction and every
+:func:`~etl_prometheus2clickhouse_spark.streaming.curation_stream.
+read_dispositions`. A pure reader racing the window between the
+commit rename and the roll-forward can see the folded batches missing
+until the next recovery touch — streams that need a reader-atomic
+swap should land their outputs in a manifested index instead
+(operators/dedup_index.py).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -43,6 +54,51 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
 )
 
 _FOLDED = -1  # reserved partition value for compacted batches
+_PLAN = "_plan.json"  # underscore-prefixed: invisible to parquet readers
+
+
+def recover_stream_outputs(spark: SparkSession, out_dir: str) -> None:
+    """Finish (or discard) an interrupted :func:`compact_stream_outputs`.
+
+    A ``.compact-<tag>`` directory (no commit marker) means the fold
+    never reached the point of no return: discard it — every source
+    directory is still live. A ``.compact-commit-<tag>`` directory
+    means the folded content and its source plan are durable: roll
+    FORWARD — delete the planned sources that still exist, then rename
+    the marker into the reserved partition. Both paths are idempotent."""
+    jvm, fs, hdir = _hadoop_fs(spark, out_dir)
+    if not fs.exists(hdir):
+        return
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if not st.isDirectory():
+            continue
+        if name.startswith(".compact-commit-"):
+            plan_path = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(out_dir, name, _PLAN)
+            )
+            stream = fs.open(plan_path)
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            plan = json.loads(raw.decode())
+            for src in plan["sources"]:
+                src_p = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(out_dir, src)
+                )
+                if fs.exists(src_p):
+                    fs.delete(src_p, True)
+            dst = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(out_dir, plan["dest"])
+            )
+            if not fs.rename(st.getPath(), dst):
+                raise IOError(
+                    f"compaction recovery: rename {name} into place "
+                    f"under {out_dir!r} reported failure"
+                )
+        elif name.startswith(".compact-"):
+            fs.delete(st.getPath(), True)
 
 
 def compact_stream_outputs(
@@ -60,6 +116,7 @@ def compact_stream_outputs(
             "keep_latest must be >= 1: the newest batch may be an "
             "uncommitted replay target and must stay overwritable"
         )
+    recover_stream_outputs(spark, out_dir)
     jvm, fs, hdir = _hadoop_fs(spark, out_dir)
     if not fs.exists(hdir):
         return {"folded_dirs": 0, "rows": 0}
@@ -80,30 +137,55 @@ def compact_stream_outputs(
             batch_ids.append(v)
     batch_ids.sort()
     foldable = batch_ids[: max(0, len(batch_ids) - keep_latest)]
-    src_dirs = [
-        os.path.join(out_dir, f"{partition_col}={v}") for v in foldable
-    ]
+    src_names = [f"{partition_col}={v}" for v in foldable]
     if has_folded:
-        src_dirs.append(os.path.join(out_dir, f"{partition_col}={_FOLDED}"))
-    if not src_dirs or (len(src_dirs) == 1 and has_folded and not foldable):
+        src_names.append(f"{partition_col}={_FOLDED}")
+    if not src_names or (len(src_names) == 1 and has_folded and not foldable):
         # nothing new to fold (re-folding just the -1 dir is a no-op)
         return {"folded_dirs": 0, "rows": 0}
+    src_dirs = [os.path.join(out_dir, s) for s in src_names]
     rows = spark.read.parquet(*src_dirs)
-    staging = os.path.join(out_dir, f".compact-{uuid.uuid4().hex[:8]}")
+    tag = uuid.uuid4().hex[:8]
+    staging = os.path.join(out_dir, f".compact-{tag}")
     rows.coalesce(max(1, rows.rdd.getNumPartitions() // 8)).write.mode(
         "overwrite"
     ).parquet(staging)
     n = spark.read.parquet(staging).count()
+    # the recovery plan rides INSIDE the staged dir (underscore file —
+    # parquet readers ignore it), so the commit rename below makes
+    # content and plan durable in one atomic step
+    plan_path = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(staging, _PLAN)
+    )
+    stream = fs.create(plan_path, True)
+    try:
+        stream.write(
+            json.dumps(
+                {
+                    "sources": src_names,
+                    "dest": f"{partition_col}={_FOLDED}",
+                }
+            ).encode()
+        )
+    finally:
+        stream.close()
+    commit = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(out_dir, f".compact-commit-{tag}")
+    )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), commit):
+        raise IOError(
+            f"compact_stream_outputs: commit rename of {staging!r} "
+            "reported failure; sources untouched"
+        )
     for d in src_dirs:
         _delete_path(spark, d)
-    src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(
         os.path.join(out_dir, f"{partition_col}={_FOLDED}")
     )
-    if not fs.rename(src, dst):
+    if not fs.rename(commit, dst):
         raise IOError(
-            f"compact_stream_outputs: rename {staging!r} -> "
-            f"{dst.toString()!r} failed; folded rows are intact in the "
-            "staging directory — rename it into place manually"
+            f"compact_stream_outputs: rename {commit.toString()!r} -> "
+            f"{dst.toString()!r} failed; recover_stream_outputs "
+            "completes the swap on the next touch"
         )
     return {"folded_dirs": len(src_dirs), "rows": n}

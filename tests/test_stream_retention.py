@@ -57,6 +57,71 @@ def test_fold_preserves_rows_schema_and_latest(spark, tmp_path):
     }
 
 
+def test_fold_crash_windows_recover(spark, tmp_path):
+    """The fold is crash-safe at every window: an uncommitted
+    ``.compact-*`` staging dir (crash before the commit rename) is
+    discarded with every source intact; a ``.compact-commit-*`` dir
+    whose sources were not yet deleted (crash right after the point of
+    no return — previously a permanent, manual-fix data loss once the
+    deletes started) rolls FORWARD from its embedded plan: sources
+    deleted, folded content renamed into ``mb=-1``, every row exactly
+    once."""
+    import json
+    import os
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.streaming.retention import (
+        recover_stream_outputs,
+    )
+
+    root = str(tmp_path / "dispc")
+    for mb in range(4):
+        _write_mb(
+            spark, root, mb,
+            [(10 * mb + i, "kept") for i in range(3)],
+        )
+    want = sorted(
+        r.doc_id for r in spark.read.parquet(root).collect()
+    )
+    # (a) crash BEFORE the commit rename: staging is junk — discarded
+    shutil.copytree(f"{root}/mb=0", f"{root}/.compact-zz")
+    recover_stream_outputs(spark, root)
+    assert not any(
+        d.startswith(".compact") for d in os.listdir(root)
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(root).collect()
+    ) == want
+    # (b) crash AFTER the commit rename, before any source delete:
+    # fabricate the exact on-disk state — folded content for batches
+    # 0-2 under the marker, plan listing the sources, sources live
+    folded = spark.read.parquet(
+        f"{root}/mb=0", f"{root}/mb=1", f"{root}/mb=2"
+    )
+    commit = f"{root}/.compact-commit-zz"
+    folded.coalesce(1).write.parquet(commit)
+    with open(f"{commit}/_plan.json", "w") as f:
+        json.dump(
+            {"sources": ["mb=0", "mb=1", "mb=2"], "dest": "mb=-1"}, f
+        )
+    recover_stream_outputs(spark, root)
+    after = spark.read.parquet(root)
+    assert sorted(r.doc_id for r in after.collect()) == want
+    assert sorted(
+        r.mb for r in after.select("mb").distinct().collect()
+    ) == [-1, 3]
+    # recovery is idempotent; only the newest batch is foldable-exempt,
+    # so a later fold (after one more batch lands) folds -1 ∪ mb=3
+    recover_stream_outputs(spark, root)
+    assert compact_stream_outputs(spark, root, "mb", keep_latest=1) == {
+        "folded_dirs": 0, "rows": 0,
+    }
+    _write_mb(spark, root, 4, [(40 + i, "kept") for i in range(3)])
+    assert compact_stream_outputs(spark, root, "mb", keep_latest=1)[
+        "rows"
+    ] == 12
+
+
 def test_kill_compact_restart_curation(spark, tmp_path):
     """Run the curation stream over two batches, stop, COMPACT the
     dispositions, land a third batch, restart from the same

@@ -313,6 +313,98 @@ def test_five_stage_stream_with_decontamination(spark, tmp_path):
         assert hits.where("doc_id = 302").first().n_contaminated == 3
 
 
+def test_contaminated_vs_late_merge_divergence(spark, tmp_path):
+    """COMPOSED-precedence divergence pin: doc X is canonical when its
+    batch arrives (→ probed, found contaminated, disposition written),
+    and a LATER batch's doc Y transitively merges X into an
+    earlier-seeded cluster — the one-shot recomputation labels X
+    ``duplicate`` (dedup precedes decontamination in the CASE), while
+    the streamed label stays ``contaminated`` (dispositions are
+    append-only). This is the near-dup stage's documented late-merge
+    divergence class, unchanged by the decontamination stage: BOTH
+    labels reject the doc (monotone — a rejection never becomes a
+    keep), and Y itself streams as ``duplicate`` exactly like the
+    one-shot."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        benchmark_index_build,
+    )
+
+    W = _BASE.split()
+    assert len(W) >= 40
+    bench_text = (
+        "quarterly revenue figures must reconcile against audited "
+        "ledger balances before publication deadlines arrive"
+    )
+    excerpt = bench_text.split()[:7]
+    filler = (
+        "granite cliffs overlook turquoise bays where fishing boats "
+        "anchor beneath pale dawn skies slowly drifting gulls circle "
+        "weathered lighthouses guarding rocky headlands while distant "
+        "ferries cross silver channels toward sheltered harbors"
+    ).split()
+    # similarity ladder on the _BASE word sequence: Z = base;
+    # Y replaces words 0-14; X keeps Y's replacement AND replaces
+    # words 15-29 (7 of them with the benchmark excerpt) — so X~Y
+    # and Y~Z share enough to qualify at 0.5 while X~Z shares only
+    # the common tail and does not (verified against the operator
+    # below, so the construction cannot silently rot)
+    r1 = filler[:15]
+    z_text = " ".join(W)
+    y_text = " ".join(r1 + W[15:])
+    x_text = " ".join(r1 + excerpt + filler[15:23] + W[30:])
+    docs = spark.createDataFrame(
+        [(1, z_text), (50, x_text), (60, y_text)], _SCHEMA
+    )
+    with cached_scope():
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", threshold=0.5
+            ).select("id_a", "id_b").collect()
+        }
+        # the construction the divergence needs: a transitive chain
+        assert (1, 60) in pairs and (50, 60) in pairs, pairs
+        assert (1, 50) not in pairs, pairs
+        # one-shot: closure {1, 50, 60} -> X (50) and Y (60) duplicate
+        one_shot = _resolved_labels = {
+            r.doc_id: r.is_canonical
+            for r in resolve_near_duplicates(
+                docs.select("doc_id"),
+                spark.createDataFrame(
+                    [(1, 60), (50, 60)], "id_a long, id_b long"
+                ),
+                id_col="doc_id",
+            ).collect()
+        }
+        assert one_shot == {1: True, 50: False, 60: False}
+
+        ref = spark.createDataFrame(_REFERENCE, _SCHEMA)
+        idx = str(tmp_path / "dv_idx")
+        bidx = str(tmp_path / "dv_bidx")
+        minhash_index_build(
+            docs.where("doc_id = 1"), idx, id_col="doc_id",
+            threshold=0.5,
+        )
+        benchmark_index_build(
+            spark.createDataFrame([(9901, bench_text)], _SCHEMA),
+            bidx, n=5,
+        )
+        disp_dir = str(tmp_path / "dv_disp")
+        body = curation_batch_body(
+            idx, ref, disp_dir, 1e9, bench_index_path=bidx
+        )
+        body(docs.where("doc_id = 50"), 0)  # X arrives first
+        body(docs.where("doc_id = 60"), 1)  # Y merges X with Z later
+        got = {
+            r.doc_id: r.disposition
+            for r in read_dispositions(spark, disp_dir).collect()
+        }
+    # the pinned divergence: streamed X stays 'contaminated'
+    # (append-only), the one-shot would say 'duplicate' — both reject
+    assert got[50] == "contaminated"
+    assert got[60] == "duplicate"
+
+
 def test_four_stage_stream_with_paragraph_index(spark, tmp_path):
     """The full funnel lineage: paragraph_increment (CCNet stage 1)
     runs AHEAD of the near-dup increment, each updating its own
