@@ -275,14 +275,14 @@ def _read_components(
 ) -> DataFrame:
     """(nb, node, component) — empty-safe: a corpus with zero duplicate
     pairs writes a partitioned table with no part files at all, which
-    Spark cannot infer a schema from. An interrupted partition swap is
-    rolled forward/back first (:func:`_recover_components`); a table
-    MISSING the ``nb`` partition column is a structural error and
-    fails loudly — treating it as empty would silently un-make every
-    stored dedup decision."""
+    Spark cannot infer a schema from. PURE — a reader that ran
+    recovery would race an in-flight writer's staged swap; writers
+    call :func:`_recover_components` themselves before reading. A
+    table MISSING the ``nb`` partition column is a structural error
+    and fails loudly — treating it as empty would silently un-make
+    every stored dedup decision."""
     from pyspark.errors import AnalysisException
 
-    _recover_components(spark, comp_dir)
     try:
         df = spark.read.parquet(comp_dir)
     except AnalysisException:
@@ -643,11 +643,12 @@ def dedup_increment(
         .collect()
     ]
     sh_old = _read_increment_table(spark, path, "shingles")
+    shingles_bucketed = "ip" in sh_old.columns
     if update_index:
         # same replay exclusion as the bands probe: keeps the verify
         # union id-disjoint (the _verify_pairs contract) on replay
         sh_old = sh_old.where(F.col("mb") != F.lit(update_label))
-    if "ip" in sh_old.columns:
+    if shingles_bucketed:
         sh_old = sh_old.where(
             F.col("ip").isin(cand_ips) if cand_ips else F.lit(False)
         )
@@ -672,6 +673,7 @@ def dedup_increment(
     # rows — untouched partitions are never read or written.
     comp_dir = os.path.join(path, "components")
     id_type = shard.schema[id_col].dataType.simpleString()
+    _recover_components(spark, comp_dir)  # writer touch: heal a crashed swap first
     comp_tbl = _read_components(spark, comp_dir, id_type)
     # eager either route (driver union-find or checkpointed rounds);
     # bounded by the touched subgraph, not the corpus
@@ -690,11 +692,21 @@ def dedup_increment(
         ).partitionBy("bb").parquet(
             os.path.join(path, "bands", f"mb={update_label}")
         )
-        _write_id_bucketed(
-            sh_new, F.col("id"), index_buckets,
-            os.path.join(path, "shingles", f"mb={update_label}"),
-            ["id", "sh"],
-        )
+        if shingles_bucketed:
+            _write_id_bucketed(
+                sh_new, F.col("id"), index_buckets,
+                os.path.join(path, "shingles", f"mb={update_label}"),
+                ["id", "sh"],
+            )
+        else:
+            # match the store's existing FLAT depth: mixing ip=
+            # directories into a pre-bucketed table root wedges
+            # Spark's partition discovery ('conflicting partition
+            # column names') — a legacy store stays flat (whole-store
+            # verify reads) until rebuilt
+            sh_new.select("id", "sh").write.mode("overwrite").parquet(
+                os.path.join(path, "shingles", f"mb={update_label}")
+            )
         # data dirs land first, the manifest commit makes them live —
         # a crash between the two leaves invisible (replay-overwritten)
         # directories, never a half-registered increment
@@ -1374,6 +1386,7 @@ def minhash_index_reband(
         # a crash loses rows or a reader sees a missing table)
         comp_dir = os.path.join(path, "components")
         id_type = sh.schema["id"].dataType.simpleString()
+        _recover_components(spark, comp_dir)  # writer touch: heal a crashed swap first
         comp_tbl = _read_components(spark, comp_dir, id_type)
         comp_new, touched = _closure_with_new_pairs(
             comp_tbl, new_pairs, index_buckets

@@ -251,14 +251,13 @@ def run_streaming_curation(
 
 def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
     """All batches' dispositions as one frame (``mb`` restored as the
-    micro-batch partition column). An interrupted retention fold is
-    repaired first (streaming/retention.py roll-forward), so a reader
-    after a mid-compaction crash sees every batch exactly once."""
-    from etl_prometheus2clickhouse_spark.streaming.retention import (
-        recover_stream_outputs,
-    )
-
-    recover_stream_outputs(spark, dispositions_dir)
+    micro-batch partition column). PURE — readers never mutate the
+    directory (a reader running recovery would race an in-flight
+    compaction's staging dir); an interrupted retention fold is
+    repaired by the next WRITER touch (streaming/retention.py
+    ``recover_stream_outputs``, run at every compaction start), until
+    which a reader sees the folded batches missing — the documented
+    reader-visible window."""
     return spark.read.parquet(dispositions_dir)
 
 

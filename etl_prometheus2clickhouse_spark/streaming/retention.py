@@ -30,14 +30,17 @@ and plan fully durable before anything is deleted — then the sources
 are deleted and the marker renamed into ``<col>=-1``.
 :func:`recover_stream_outputs` repairs any crash window from the
 directory state alone (discard an uncommitted staging dir; roll a
-committed one forward by finishing the deletes from its plan), and
-runs automatically at the start of every compaction and every
-:func:`~etl_prometheus2clickhouse_spark.streaming.curation_stream.
-read_dispositions`. A pure reader racing the window between the
-commit rename and the roll-forward can see the folded batches missing
-until the next recovery touch — streams that need a reader-atomic
-swap should land their outputs in a manifested index instead
-(operators/dedup_index.py).
+committed one forward by finishing the deletes from its plan). It is
+WRITER-side only — it runs at the start of every compaction, and
+readers (``read_dispositions``, ``read_partials``) stay pure: a
+reader that ran recovery would race an IN-FLIGHT compaction and could
+delete its staging directory mid-fold. One writer at a time per
+output directory is the module's contract (the same single-writer
+contract every persisted index holds). A pure reader racing the
+window between the commit rename and the next writer touch sees the
+folded batches missing until then — streams that need a
+reader-atomic swap should land their outputs in a manifested index
+instead (operators/dedup_index.py).
 """
 
 from __future__ import annotations
@@ -79,7 +82,9 @@ def recover_stream_outputs(spark: SparkSession, out_dir: str) -> None:
             )
             stream = fs.open(plan_path)
             try:
-                raw = bytes(stream.readAllBytes())
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
             finally:
                 stream.close()
             plan = json.loads(raw.decode())

@@ -166,14 +166,10 @@ def _durable_body(
 def read_partials(spark: SparkSession, partials_dir: str) -> DataFrame:
     """Read a durable partials directory back as one batch DataFrame
     (``micro_batch`` restored as a partition column), ready for the
-    family's ``*_merge``. An interrupted retention fold is repaired
-    first (streaming/retention.py roll-forward), so a reader after a
-    mid-compaction crash sees every partial exactly once."""
-    from etl_prometheus2clickhouse_spark.streaming.retention import (
-        recover_stream_outputs,
-    )
-
-    recover_stream_outputs(spark, partials_dir)
+    family's ``*_merge``. PURE — readers never mutate the directory;
+    an interrupted retention fold is repaired by the next WRITER touch
+    (streaming/retention.py ``recover_stream_outputs``, run at every
+    compaction start)."""
     return spark.read.parquet(partials_dir)
 
 

@@ -272,12 +272,14 @@ def test_components_swap_crash_recovery(spark, tmp_path):
     discarded with the live table untouched, and a ``.commit-*`` root
     whose live partition was already deleted (mid-swap crash — the
     window that previously lost the partition's rows forever) is
-    rolled FORWARD on the next read. After either recovery an
-    increment still equals the one-shot."""
+    rolled FORWARD by the next WRITER touch (readers stay pure — a
+    reader running recovery would race an in-flight writer's staging).
+    After either recovery an increment still equals the one-shot."""
     import shutil
 
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
         _read_components,
+        _recover_components,
     )
 
     union_df, old, new = _frames(spark)
@@ -285,6 +287,8 @@ def test_components_swap_crash_recovery(spark, tmp_path):
     comp = f"{path}/components"
 
     def _rows():
+        # the writer's sequence: heal, then read
+        _recover_components(spark, comp)
         return {
             (r.node, r.component)
             for r in _read_components(spark, comp, "long")
@@ -333,7 +337,11 @@ def test_unbucketed_shingles_degrade_to_full_verify(spark, tmp_path):
     """A shingle store written before the ip id-bucketing (flat
     (id, sh) rows) cannot prune the exact-verify read — the increment
     degrades to the whole-store read that layout always did, and the
-    result still equals the one-shot (no fail, no silent wrongness)."""
+    result still equals the one-shot (no fail, no silent wrongness).
+    An UPDATE increment against such a store writes its shingles FLAT
+    too (mixing ip= dirs into the root would wedge Spark's partition
+    discovery with 'conflicting partition column names'), so the index
+    stays readable across later increments."""
     import shutil
 
     union_df, old, new = _frames(spark)
@@ -347,9 +355,24 @@ def test_unbucketed_shingles_degrade_to_full_verify(spark, tmp_path):
         )
         shutil.rmtree(f"{path}/shingles")
         flat.write.parquet(f"{path}/shingles/mb=base")
-        assert _resolved(dedup_increment(old, new, path)) == _one_shot(
-            union_df
+        shard1 = new.where(F.col("doc_id").isin(3, 10, 11))
+        shard2 = new.where(F.col("doc_id").isin(14, 15))
+        got1 = _resolved(
+            dedup_increment(
+                old, shard1, path, update_index=True, update_label="w1"
+            )
         )
+        want1 = _one_shot(old.unionByName(shard1))
+        assert got1 == want1
+        # the flat-matched write keeps the store readable: a SECOND
+        # update increment still probes and verifies correctly
+        got2 = _resolved(
+            dedup_increment(
+                old.unionByName(shard1), shard2, path,
+                update_index=True, update_label="w2",
+            )
+        )
+        assert got2 == _one_shot(union_df)
 
 
 def test_threshold_only_reband_skips_band_rewrite(spark, tmp_path):
