@@ -655,7 +655,8 @@ def dedup_increment(
     elif cand_ips:
         # pre-ip-bucketed shingle layout: no partition filter possible
         # — the verify reads the whole store, exactly that layout's
-        # original behavior (rebuild to regain the pruned read)
+        # original behavior (minhash_index_compact upgrades the store
+        # to the bucketed layout and the pruned read comes back)
         pass
     else:
         sh_old = sh_old.where(F.lit(False))
@@ -1202,6 +1203,7 @@ def index_vacuum(spark: SparkSession, index_path: str) -> dict:
 def _compact_increment_table(
     spark: SparkSession, index_path: str, table: str,
     inner_partition: str | None,
+    derive_inner=None,
 ) -> int:
     """Fold every live ``mb=`` increment of one index table into a
     single fresh increment dir and commit it via the manifest: read
@@ -1223,10 +1225,16 @@ def _compact_increment_table(
     new_dir = f"mb=base-{uuid.uuid4().hex[:8]}"
     dest = os.path.join(table_root, new_dir)
     if inner_partition is not None and inner_partition not in rows.columns:
-        # a table written before this inner bucketing existed has no
-        # such column — compact it flat (its original layout) rather
-        # than fail; a rebuild regains the bucketed reads
-        inner_partition = None
+        if derive_inner is not None:
+            # compaction rewrites the whole table anyway — the natural
+            # moment to UPGRADE a legacy flat layout to the bucketed
+            # one (the caller supplies the derivation, e.g. the ip
+            # id-prefix), so pruned reads come back without a rebuild
+            rows = derive_inner(rows)
+        else:
+            # no derivation available: compact flat (the table's
+            # original layout) rather than fail
+            inner_partition = None
     if inner_partition is not None:
         rows.repartition(F.col(inner_partition)).write.mode(
             "overwrite"
@@ -1435,11 +1443,18 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
     is physical, not semantic (pinned by pytest: a probe after
     compaction equals the probe before). The swap is a manifest
     commit (atomic); run :func:`index_vacuum` afterwards to reclaim
-    superseded directories."""
+    superseded directories. A legacy FLAT shingle store (no ``ip``
+    bucket column) is UPGRADED to the bucketed layout here — the
+    compaction rewrite is the natural migration moment, after which
+    the exact-verify reads prune again."""
+    ib = int(_read_meta(spark, path)["index_buckets"])
     return {
         "bands_rows": _compact_increment_table(spark, path, "bands", "bb"),
         "shingles_rows": _compact_increment_table(
-            spark, path, "shingles", "ip"
+            spark, path, "shingles", "ip",
+            derive_inner=lambda r: r.withColumn(
+                "ip", _ip(F.col("id"), ib)
+            ),
         ),
     }
 

@@ -373,6 +373,29 @@ def test_unbucketed_shingles_degrade_to_full_verify(spark, tmp_path):
             )
         )
         assert got2 == _one_shot(union_df)
+        # compaction UPGRADES the flat store to the bucketed layout:
+        # the ip column comes back and later increments prune again
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            minhash_index_compact,
+        )
+
+        minhash_index_compact(spark, path)
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            index_vacuum,
+        )
+
+        index_vacuum(spark, path)  # reclaim the superseded flat dirs
+        upgraded = spark.read.parquet(f"{path}/shingles")
+        assert "ip" in upgraded.columns
+        shard3 = spark.createDataFrame(
+            [
+                (20, _BASE + " three"),
+                (21, "totally novel content never seen in this corpus"),
+            ],
+            "doc_id long, text string",
+        )
+        got3 = _resolved(dedup_increment(union_df, shard3, path))
+        assert got3 == _one_shot(union_df.unionByName(shard3))
 
 
 def test_threshold_only_reband_skips_band_rewrite(spark, tmp_path):
