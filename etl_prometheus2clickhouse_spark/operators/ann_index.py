@@ -128,12 +128,20 @@ def _write_vectors(
     ids hash into, so search cost stays candidate-proportional instead
     of rescanning the full raw-vector corpus. Also what makes
     :func:`ann_index_retrain` self-contained (re-encoding needs the
-    raw vectors, not just the codes)."""
+    raw vectors, not just the codes).
+
+    The ``vp`` derivation hashes the id CAST TO LONG: Spark's
+    ``xxhash64`` is input-type-sensitive (the same value as int vs
+    bigint hashes differently), and the search side derives candidate
+    prefixes from ``neighbor_id``, which the code table stores as
+    bigint — without the cast an index built from an int id column
+    would prune to the WRONG ``vp=`` partitions and silently drop
+    true neighbors."""
     (
         shard.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
-        .withColumn("vp", _ip(F.col("id"), vec_buckets))
+        .withColumn("vp", _ip(F.col("id").cast("long"), vec_buckets))
         .repartition(F.col("vp"))
         .write.mode("overwrite")
         .partitionBy("vp")
@@ -307,10 +315,14 @@ def ann_index_search(
             )
         cand = cand.persist()
         _register_cached(cand)
+        # cast matches _write_vectors' vp derivation — xxhash64 is
+        # type-sensitive, both sides must hash LONG ids
         cand_vps = [
             r.vp
             for r in cand.select(
-                _ip(F.col("neighbor_id"), int(row.vec_buckets)).alias("vp")
+                _ip(
+                    F.col("neighbor_id").cast("long"), int(row.vec_buckets)
+                ).alias("vp")
             )
             .distinct()
             .collect()
@@ -398,11 +410,10 @@ def ann_index_retrain(
         "cell"
     ).parquet(os.path.join(path, "codes", f"mb={label}"))
     _write_model(spark, path, new_model, vec_buckets, label)
-    report: dict = {
-        "label": label,
-        "n_vectors": vecs.count(),
-        "swapped": True,
-    }
+    # n_vectors is stamped only on the commit path below — counting the
+    # full vector table before the gate decides would waste a scan on a
+    # rolled-back retrain
+    report: dict = {"label": label, "swapped": True}
     if queries is not None:
         corpus = vecs.select(
             F.col("id").alias(id_col), F.col("vec").alias(vec_col)
@@ -444,11 +455,15 @@ def ann_index_retrain(
             _delete_path(spark, os.path.join(path, "codes", f"mb={label}"))
             _delete_path(spark, os.path.join(path, "model", f"mb={label}"))
             report["swapped"] = False
+            # the increment dirs named by `label` no longer exist —
+            # don't hand callers a dangling reference
+            report["label"] = None
             return report
     tables = _manifest_tables(spark, path, ["codes", "vectors", "model"])
     tables["codes"] = [f"mb={label}"]
     tables["model"] = [f"mb={label}"]
     _commit_manifest(spark, path, tables)
+    report["n_vectors"] = vecs.count()
     return report
 
 

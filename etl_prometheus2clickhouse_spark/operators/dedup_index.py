@@ -538,7 +538,15 @@ def dedup_increment(
     duplicate append) and replaces the components table (recomputed
     from the full closure, also idempotent), so the NEXT shard probes
     an index that already knows this one (pinned by a three-wave
-    pytest and a replay pytest)."""
+    pytest and a replay pytest).
+
+    EVALUATION CONTRACT (``update_index=True``): the returned frame's
+    plan pins the POST-rewrite components files; the next update
+    increment's partition swap deletes them. Materialize the result
+    (action, write, or ``localCheckpoint`` — the streaming body does
+    the latter) BEFORE running another update increment against the
+    same index, or the stale plan fails loudly with
+    ``FileNotFoundException``."""
     if update_index:
         if not update_label or any(c in update_label for c in "/=%"):
             raise ValueError(
@@ -805,16 +813,24 @@ def probe_economics(
     probed = {f"{partition_col}={v}" for v in values}
     out = {"files_probed": 0, "files_total": 0,
            "bytes_probed": 0, "bytes_total": 0}
+    qualified_root = fs.makeQualified(root).toString().rstrip("/") + "/"
     it = fs.listFiles(root, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        name = st.getPath().getName()
-        if not st.isFile() or name.startswith("_") or name.startswith("."):
+        # skip files under ANY hidden/meta directory component BELOW
+        # the table root — part files inside leftover staging dirs
+        # (.staged-*/.commit-*/.compact-*) after a crashed swap must
+        # not skew the witness (components above the root, e.g. a
+        # dotted tmp dir, are the caller's business)
+        rel = p[len(qualified_root):] if p.startswith(qualified_root) else p
+        if not st.isFile() or any(
+            seg.startswith(("_", ".")) for seg in rel.split("/") if seg
+        ):
             continue
         out["files_total"] += 1
         out["bytes_total"] += st.getLen()
-        if any(f"/{d}/" in p for d in probed):
+        if any(f"/{d}/" in f"/{rel}" for d in probed):
             out["files_probed"] += 1
             out["bytes_probed"] += st.getLen()
     return out

@@ -270,6 +270,36 @@ def test_search_from_persisted_vectors_equals_corpus_rescore(
         assert len(parts) >= 2, (mb, parts)
 
 
+def test_int_id_index_prunes_to_correct_vp_partitions(
+    spark, sf_dir, tmp_path
+):
+    """xxhash64 is input-type-sensitive: the vp= bucketing must hash
+    the id CAST TO LONG on the write side to match the search side's
+    bigint neighbor_id derivation — an index built from an INT id
+    column must return the same top-k from its own vector table as
+    from a caller-supplied corpus (it used to prune to the wrong vp=
+    partitions and silently drop true neighbors)."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id").cast("int"))
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    path = str(tmp_path / "annint")
+    dim = len(emb.select("embedding").first()[0])
+    ann_index_build(emb, path, dim, n_cells=8, train_sample=512,
+                    vec_buckets=64)
+    with_corpus = ann_index_search(
+        queries, path, emb, k=5, n_probe=4, n_candidates=20
+    ).collect()
+    from_index = ann_index_search(
+        queries, path, k=5, n_probe=4, n_candidates=20
+    ).collect()
+    assert sorted(map(tuple, with_corpus)) == sorted(map(tuple, from_index))
+    assert len(from_index) == 8 * 5
+
+
 def test_vector_rescore_read_is_partition_pruned(spark, sf_dir, tmp_path):
     """The pruned vectors read pushes vp as a PARTITION filter and its
     probed file/byte share is strictly below the whole table."""
