@@ -43,6 +43,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.localframe import local_df
+
 from etl_prometheus2clickhouse_spark.operators.dedup import (
     _register_cached,
 )
@@ -197,7 +199,8 @@ def _write_model(
     the code table, so a retrain can swap codes AND model in ONE
     atomic manifest commit (a reader never pairs new codes with the
     old quantizers or vice versa)."""
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(ivfpq_model_to_json(model), vec_buckets)],
         "model_json string, vec_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(

@@ -301,10 +301,18 @@ def dup_components_auto(
                 r = find(n)
                 if r not in comp_min or n < comp_min[r]:
                     comp_min[r] = n
+            from etl_prometheus2clickhouse_spark.localframe import (
+                local_df,
+            )
+
             spark = pairs.sparkSession
-            return spark.createDataFrame(
+            # Arrow-backed: the labels feed a partitioned write in the
+            # index paths — an RDD-scan plan would pay a Python-worker
+            # spin-up per downstream job
+            return local_df(
+                spark,
                 [(n, comp_min[find(n)]) for n in sorted(parent)],
-                schema=pairs.select(
+                pairs.select(
                     F.col(left).alias("node"),
                     F.col(right).alias("component"),
                 ).schema,

@@ -77,6 +77,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.localframe import local_df
 from etl_prometheus2clickhouse_spark.operators.dedup import (
     _minhash_sig_udf,
     _register_cached,
@@ -237,7 +238,8 @@ def minhash_index_build(
     pairs = _verify_pairs(cand, sh, sh, threshold)
     comp = dup_components_auto(pairs)
     _write_components(comp, os.path.join(path, "components"), index_buckets)
-    meta = spark.createDataFrame(
+    meta = local_df(
+        spark,
         [(n, num_hashes, bands, float(threshold), max_bucket, index_buckets)],
         "n int, num_hashes int, bands int, threshold double, "
         "max_bucket int, index_buckets int",
@@ -416,14 +418,16 @@ def _rewrite_touched_components(
     ]
     if not affected:
         return
-    # pin BEFORE staging: the untouched slice of the affected
-    # partitions reads the directories about to be swapped
+    # no pin needed: the staged write below is this frame's ONLY
+    # consumer and it completes before any live directory is deleted,
+    # so the untouched slice's read of the about-to-be-swapped
+    # directories always sees them intact (single-writer contract;
+    # _recover_components already healed any prior crash)
     content = (
         comp_tbl.where(F.col("nb").isin(affected))
         .join(F.broadcast(touched), "component", "left_anti")
         .select("nb", "node", "component")
         .unionByName(comp_new_nb.select("nb", "node", "component"))
-        .localCheckpoint()
     )
     jvm, fs, _ = _hadoop_fs(spark, comp_dir)
     tag = uuid.uuid4().hex[:8]
@@ -684,11 +688,19 @@ def dedup_increment(
     id_type = shard.schema[id_col].dataType.simpleString()
     _recover_components(spark, comp_dir)  # writer touch: heal a crashed swap first
     comp_tbl = _read_components(spark, comp_dir, id_type)
-    # eager either route (driver union-find or checkpointed rounds);
-    # bounded by the touched subgraph, not the corpus
-    comp_new, touched = _closure_with_new_pairs(
-        comp_tbl, new_pairs, index_buckets
-    )
+    # ZERO-NEW-PAIR fast path: a shard that verifies no duplicate pair
+    # cannot touch any cluster — skip the closure recompute AND the
+    # components partition swap entirely (the common case for a clean
+    # daily shard; checked on the PERSISTED pair frame, so the verify
+    # job runs exactly once either way)
+    if new_pairs.isEmpty():
+        comp_new = touched = None
+    else:
+        # eager either route (driver union-find or checkpointed
+        # rounds); bounded by the touched subgraph, not the corpus
+        comp_new, touched = _closure_with_new_pairs(
+            comp_tbl, new_pairs, index_buckets
+        )
 
     if update_index:
         # band and shingle rows OVERWRITE this increment's own mb=
@@ -720,20 +732,30 @@ def dedup_increment(
         # a crash between the two leaves invisible (replay-overwritten)
         # directories, never a half-registered increment
         _manifest_add(spark, path, ["bands", "shingles"], update_label)
-        _rewrite_touched_components(
-            spark, comp_dir, comp_tbl, comp_new, touched, index_buckets
-        )
-        # annotation reads the POST-rewrite table — consistent with
-        # what the next increment will probe. NOTE the evaluation
-        # contract: this read is LAZY, so evaluate (or localCheckpoint,
-        # as the streaming body does) the returned frame BEFORE running
-        # another update increment against the same index — a later
-        # increment's partition swap replaces the files this plan
-        # points at, which fails loudly (FileNotFoundException) under
-        # default configs.
-        comp = _read_components(spark, comp_dir, id_type).select(
-            "node", "component"
-        )
+        if comp_new is None:
+            # no new pairs → the components table is already correct;
+            # the read predates the (skipped) rewrite, so the plan
+            # pins files nothing will delete this increment
+            comp = comp_tbl.select("node", "component")
+        else:
+            _rewrite_touched_components(
+                spark, comp_dir, comp_tbl, comp_new, touched,
+                index_buckets,
+            )
+            # annotation reads the POST-rewrite table — consistent
+            # with what the next increment will probe. NOTE the
+            # evaluation contract: this read is LAZY, so evaluate (or
+            # localCheckpoint, as the streaming body does) the
+            # returned frame BEFORE running another update increment
+            # against the same index — a later increment's partition
+            # swap replaces the files this plan points at, which
+            # fails loudly (FileNotFoundException) under default
+            # configs.
+            comp = _read_components(spark, comp_dir, id_type).select(
+                "node", "component"
+            )
+    elif comp_new is None:
+        comp = comp_tbl.select("node", "component")
     else:
         untouched = comp_tbl.join(
             F.broadcast(touched), "component", "left_anti"
@@ -880,8 +902,8 @@ def substring_index_build(
     ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
         "hp"
     ).parquet(os.path.join(path, "windows", "mb=base"))
-    spark.createDataFrame(
-        [(min_len, index_buckets)], "min_len int, index_buckets int"
+    local_df(
+        spark, [(min_len, index_buckets)], "min_len int, index_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
@@ -1423,7 +1445,8 @@ def minhash_index_reband(
         # new meta row lands as a manifest-tracked increment; the ONE
         # commit below swaps bands AND meta together (atomic for
         # readers — geometry and band table can never mismatch)
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(
                 old["n"], new_nh, new_b, new_thr, new_mb, index_buckets,
             )],
@@ -1524,8 +1547,8 @@ def paragraph_index_build(
     ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
         "hp"
     ).parquet(os.path.join(path, "paras", "mb=base"))
-    spark.createDataFrame(
-        [(sep, index_buckets)], "sep string, index_buckets int"
+    local_df(
+        spark, [(sep, index_buckets)], "sep string, index_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
@@ -1667,8 +1690,8 @@ def benchmark_index_build(
     ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
         "hp"
     ).parquet(os.path.join(path, "shingles", "mb=base"))
-    spark.createDataFrame(
-        [(n, index_buckets)], "n int, index_buckets int"
+    local_df(
+        spark, [(n, index_buckets)], "n int, index_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )

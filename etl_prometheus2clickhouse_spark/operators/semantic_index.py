@@ -55,6 +55,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.localframe import local_df
 from pyspark.sql import types as T
 
 from etl_prometheus2clickhouse_spark.operators.dedup import (
@@ -188,8 +190,8 @@ def semantic_index_build(
         C = _train_centroids(X, n_cells, seed=seed).T
     cells = vecs.withColumn("cell", _cell_udf(C)(F.col("vec")))
     _write_cell_vectors(cells, path, "base")
-    spark.createDataFrame(
-        [(_model_json(C, threshold),)], "model_json string"
+    local_df(
+        spark, [(_model_json(C, threshold),)], "model_json string"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "model", "mb=base")
     )
@@ -373,8 +375,8 @@ def semantic_index_retrain(
     report["label"] = label
     reassigned = vecs.withColumn("cell", _cell_udf(C_new)(F.col("vec")))
     _write_cell_vectors(reassigned, path, label)
-    spark.createDataFrame(
-        [(_model_json(C_new, threshold),)], "model_json string"
+    local_df(
+        spark, [(_model_json(C_new, threshold),)], "model_json string"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "model", f"mb={label}")
     )

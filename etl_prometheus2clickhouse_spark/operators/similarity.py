@@ -39,9 +39,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
 
+from etl_prometheus2clickhouse_spark.localframe import local_df
+
 from etl_prometheus2clickhouse_spark.operators.dedup import (
+
     _register_cached,
     _with_cached_deps,
 )
@@ -862,7 +866,8 @@ def _pq_rescore_topk(
     candidates are bounded (queries × n_candidates rows) by
     construction, so both joins broadcast and the corpus side never
     shuffles."""
-    qdf = corpus_vecs.sparkSession.createDataFrame(
+    qdf = local_df(
+        corpus_vecs.sparkSession,
         [(int(q), [float(x) for x in v]) for q, v in zip(q_ids, q_unit)],
         "query_id bigint, qvec array<double>",
     )

@@ -39,6 +39,8 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_prometheus2clickhouse_spark.localframe import local_df
+
 from etl_prometheus2clickhouse_spark.functions import ts
 from etl_prometheus2clickhouse_spark.streaming.windowed import (
     session_window_stats,
@@ -447,7 +449,7 @@ def q_stream_kmv_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=64,
         )
         on_disk = read_partials(spark, f"{scratch}/partials")
-        partials = spark.createDataFrame(on_disk.collect(), on_disk.schema)
+        partials = local_df(spark, on_disk.collect(), on_disk.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return kmv_merge(partials, ["event_type"], k=64).select(
@@ -631,7 +633,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.last_sec").alias("last_sec"),
             F.col("f.ewma").alias("ewma"),
         )
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        return local_df(spark, rows.collect(), rows.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

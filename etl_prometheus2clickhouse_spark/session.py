@@ -53,6 +53,18 @@ def get_spark(
         # as BIGINT nanoseconds instead of erroring; set once here so
         # query builders never mutate session state (order-independence)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # task-side output commit (v2): dynamic-partition writes commit
+        # each task's files directly instead of a driver-side rename
+        # pass over every partition directory — measured ~25% off the
+        # fixed cost of the index increments' 64-dir writes. Safe here:
+        # every multi-writer surface in this engine gates visibility
+        # behind its own commit point (versioned _manifest JSON, staged
+        # .commit-* renames), so a crashed job's partial files are
+        # never readable as live data
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

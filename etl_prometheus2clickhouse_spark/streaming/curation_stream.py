@@ -53,6 +53,18 @@ from pyspark.sql import functions as F
 
 _MB = "mb"
 
+# target rows per file of a (doc_id, disposition)-shaped batch write —
+# small batches still land as one file, a very large micro-batch fans
+# out instead of serializing through one task
+_DISP_ROWS_PER_FILE = 1_000_000
+
+
+def _disp_partitions(n_rows: int) -> int:
+    """Partition count for a batch's disposition write, proportional to
+    its row count (the ``mb=`` overwrite contract is partition-count-
+    agnostic, so this is purely a write-parallelism knob)."""
+    return max(1, min(256, -(-int(n_rows) // _DISP_ROWS_PER_FILE)))
+
 
 def curation_batch_body(
     index_path: str,
@@ -114,6 +126,10 @@ def curation_batch_body(
             label = f"b{int(batch_id)}"
             para_empty = None
             if para_index_path is not None:
+                # paragraph_increment(update_index=True) already
+                # returns a checkpointed frame (pinned before its own
+                # index write) — checkpointing again here would pay a
+                # second full materialization per batch
                 pd = paragraph_increment(
                     batch_df,
                     para_index_path,
@@ -121,7 +137,7 @@ def curation_batch_body(
                     text_col=text_col,
                     update_index=True,
                     update_label=label,
-                ).localCheckpoint()
+                )
                 para_empty = pd.where(F.col("n_kept") == 0).select(id_col)
                 batch_df = pd.where(F.col("n_kept") > 0).select(
                     id_col, F.col("text").alias(text_col)
@@ -200,9 +216,15 @@ def curation_batch_body(
                         F.lit("dedup_empty").alias("disposition"),
                     )
                 )
-            disp.coalesce(1).write.mode("overwrite").parquet(
-                f"{dispositions_dir}/{_MB}={int(batch_id)}"
-            )
+            # size-conditional: every batch doc gets exactly one
+            # disposition row, and `inc` is already checkpointed, so
+            # its count is the cheap proxy for the write's row count
+            n_rows = inc.count()
+            if para_empty is not None:
+                n_rows += para_empty.count()
+            disp.coalesce(_disp_partitions(n_rows)).write.mode(
+                "overwrite"
+            ).parquet(f"{dispositions_dir}/{_MB}={int(batch_id)}")
 
     return body
 
@@ -296,9 +318,9 @@ def semantic_dedup_body(
                 update_index=True,
                 update_label=f"b{int(batch_id)}",
             ).localCheckpoint()  # dispositions fixed before index write
-            out.coalesce(1).write.mode("overwrite").parquet(
-                f"{dispositions_dir}/{_MB}={int(batch_id)}"
-            )
+            out.coalesce(_disp_partitions(out.count())).write.mode(
+                "overwrite"
+            ).parquet(f"{dispositions_dir}/{_MB}={int(batch_id)}")
 
     return body
 

@@ -54,6 +54,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.localframe import local_df
+
 from etl_prometheus2clickhouse_spark.operators.sketch import (
     bloom_build,
     cms_partial_sketches,
@@ -91,7 +93,7 @@ def _run_partial_stream(
     )
     q.awaitTermination()
     rows = [r for b in sorted(acc) for r in acc[b]]
-    return spark.createDataFrame(rows, template.schema)
+    return local_df(spark, rows, template.schema)
 
 
 def _keyed_collect_body(
