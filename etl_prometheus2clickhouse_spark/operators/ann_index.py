@@ -481,7 +481,10 @@ __all__ = [
 ]
 
 
-def ann_index_compact(spark: SparkSession, path: str) -> dict:
+def ann_index_compact(
+    spark: SparkSession, path: str,
+    exclude_labels: set[str] | None = None,
+) -> dict:
     """Fold accumulated code-table increments back into ``mb=base``
     (operators/dedup_index.py:_compact_increment_table — the shared
     maintenance pass): physical rewrite only, search results unchanged
@@ -491,8 +494,10 @@ def ann_index_compact(spark: SparkSession, path: str) -> dict:
     )
 
     return {
-        "codes_rows": _compact_increment_table(spark, path, "codes", "cell"),
+        "codes_rows": _compact_increment_table(
+            spark, path, "codes", "cell", exclude_labels=exclude_labels
+        ),
         "vectors_rows": _compact_increment_table(
-            spark, path, "vectors", "vp"
+            spark, path, "vectors", "vp", exclude_labels=exclude_labels
         ),
     }

@@ -1242,6 +1242,7 @@ def _compact_increment_table(
     spark: SparkSession, index_path: str, table: str,
     inner_partition: str | None,
     derive_inner=None,
+    exclude_labels: set[str] | None = None,
 ) -> int:
     """Fold every live ``mb=`` increment of one index table into a
     single fresh increment dir and commit it via the manifest: read
@@ -1252,14 +1253,33 @@ def _compact_increment_table(
     never a missing table. Superseded dirs remain until
     :func:`index_vacuum`. Returns the compacted row count.
 
+    ``exclude_labels`` keeps the named increments OUT of the fold and
+    live in the committed manifest — the streaming lifecycle's replay
+    guard: a micro-batch that is not yet checkpoint-committed may be
+    re-delivered and OVERWRITE its own ``mb=`` directory, so folding
+    it would double its rows on replay. Callers pass the in-flight
+    batch's label; everything older is committed and safe to fold.
+
     A daily pipeline accretes one ``mb=`` directory per shard — file
     counts and listings grow without bound; compaction is the
     OPTIMIZE of this layout."""
     import uuid
 
-    df = _read_increment_table(spark, index_path, table)
-    rows = df.drop("mb")
     table_root = os.path.join(index_path, table)
+    excluded: list[str] = []
+    if exclude_labels:
+        live = _manifest_tables(spark, index_path, [table]).get(table, [])
+        keep = {f"mb={x}" for x in exclude_labels}
+        fold = [d for d in live if d not in keep]
+        excluded = sorted(d for d in live if d in keep)
+        if not fold:
+            return 0
+        df = spark.read.option("basePath", table_root).parquet(
+            *[os.path.join(table_root, d) for d in fold]
+        )
+    else:
+        df = _read_increment_table(spark, index_path, table)
+    rows = df.drop("mb")
     new_dir = f"mb=base-{uuid.uuid4().hex[:8]}"
     dest = os.path.join(table_root, new_dir)
     if inner_partition is not None and inner_partition not in rows.columns:
@@ -1287,7 +1307,7 @@ def _compact_increment_table(
             if t != table
         ],
     )
-    tables[table] = [new_dir]
+    tables[table] = [new_dir] + excluded
     _commit_manifest(spark, index_path, tables)
     return n
 
@@ -1475,7 +1495,10 @@ def minhash_index_reband(
         }
 
 
-def minhash_index_compact(spark: SparkSession, path: str) -> dict:
+def minhash_index_compact(
+    spark: SparkSession, path: str,
+    exclude_labels: set[str] | None = None,
+) -> dict:
     """Compact the MinHash band index's accumulated increments
     (bands + shingles; the in-place components table is already a
     single artifact). Decisions are unchanged — the increment layout
@@ -1488,12 +1511,15 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
     the exact-verify reads prune again."""
     ib = int(_read_meta(spark, path)["index_buckets"])
     return {
-        "bands_rows": _compact_increment_table(spark, path, "bands", "bb"),
+        "bands_rows": _compact_increment_table(
+            spark, path, "bands", "bb", exclude_labels=exclude_labels
+        ),
         "shingles_rows": _compact_increment_table(
             spark, path, "shingles", "ip",
             derive_inner=lambda r: r.withColumn(
                 "ip", _ip(F.col("id"), ib)
             ),
+            exclude_labels=exclude_labels,
         ),
     }
 
@@ -1505,6 +1531,29 @@ def substring_index_compact(spark: SparkSession, path: str) -> dict:
             spark, path, "windows", "hp"
         )
     }
+
+
+def paragraph_index_compact(
+    spark: SparkSession, path: str,
+    exclude_labels: set[str] | None = None,
+) -> dict:
+    """Compact the paragraph hash index's increments (the CCNet-stage
+    sibling of :func:`minhash_index_compact` — same manifest-committed
+    fold, same ``exclude_labels`` replay guard for the streaming
+    lifecycle)."""
+    return {
+        "paras_rows": _compact_increment_table(
+            spark, path, "paras", "hp", exclude_labels=exclude_labels
+        )
+    }
+
+
+def index_live_increments(spark: SparkSession, path: str) -> dict:
+    """Live ``mb=`` increment count per table — the metadata-size
+    telemetry a streaming lifecycle's compaction cadence triggers on
+    (manifest-resolved; directory listing for pre-manifest indexes)."""
+    tables = _manifest_tables(spark, path, _list_index_tables(spark, path))
+    return {t: len(v) for t, v in tables.items()}
 
 
 # ---------------------------------------------------------------------------

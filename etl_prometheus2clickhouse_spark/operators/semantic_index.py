@@ -387,13 +387,19 @@ def semantic_index_retrain(
     return report
 
 
-def semantic_index_compact(spark: SparkSession, path: str) -> dict:
+def semantic_index_compact(
+    spark: SparkSession, path: str,
+    exclude_labels: set[str] | None = None,
+) -> dict:
     """Fold accumulated ``mb=`` increments into one directory via the
     manifest swap (atomic for readers; run :func:`.dedup_index.
     index_vacuum` afterwards to reclaim superseded dirs). Decisions
-    are unchanged — the increment layout is physical, not semantic."""
+    are unchanged — the increment layout is physical, not semantic.
+    ``exclude_labels`` is the streaming replay guard (see
+    :func:`.dedup_index._compact_increment_table`): the model table is
+    never folded, only vectors."""
     return {
         "vector_rows": _compact_increment_table(
-            spark, path, "vectors", "cell"
+            spark, path, "vectors", "cell", exclude_labels=exclude_labels
         )
     }

@@ -66,6 +66,51 @@ def _disp_partitions(n_rows: int) -> int:
     return max(1, min(256, -(-int(n_rows) // _DISP_ROWS_PER_FILE)))
 
 
+def _maintain_curation_stores(
+    spark, batch_id: int, dispositions_dir: str, index_path: str,
+    para_index_path: str | None, max_live_dirs: int,
+) -> None:
+    """The streaming lifecycle's scheduled compaction + vacuum: when
+    any tracked surface's live-unit count reaches ``max_live_dirs``
+    (batch partition dirs for the dispositions output, manifest-listed
+    increments for the indexes), fold it back down. Runs at the START
+    of a batch body, BEFORE the batch's own increments exist, and
+    still excludes the in-flight batch's label defensively — on a
+    replay the batch's directories from the crashed first attempt DO
+    exist, are not checkpoint-committed, and will be overwritten, so
+    folding them would double their rows. Crash-safe end to end: the
+    dispositions fold is the staged ``.compact-*`` protocol
+    (recover_stream_outputs heals any window), index folds are atomic
+    manifest commits, and ``index_vacuum`` only deletes directories no
+    committed manifest references."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        index_live_increments,
+        index_vacuum,
+        minhash_index_compact,
+        paragraph_index_compact,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.retention import (
+        compact_stream_outputs,
+        live_batch_dirs,
+    )
+
+    guard = {f"b{int(batch_id)}"}
+    if live_batch_dirs(spark, dispositions_dir, _MB) >= max_live_dirs:
+        compact_stream_outputs(
+            spark, dispositions_dir, partition_col=_MB, keep_latest=1
+        )
+    for path, compact in (
+        (index_path, minhash_index_compact),
+        (para_index_path, paragraph_index_compact),
+    ):
+        if path is None:
+            continue
+        live = index_live_increments(spark, path)
+        if live and max(live.values()) >= max_live_dirs:
+            compact(spark, path, exclude_labels=guard)
+            index_vacuum(spark, path)
+
+
 def curation_batch_body(
     index_path: str,
     reference: DataFrame,
@@ -77,6 +122,7 @@ def curation_batch_body(
     para_index_path: str | None = None,
     bench_index_path: str | None = None,
     min_contaminated: int = 1,
+    max_live_dirs: int | None = None,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
@@ -122,6 +168,11 @@ def curation_batch_body(
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.select(id_col, text_col)
+        if max_live_dirs is not None:
+            _maintain_curation_stores(
+                spark, batch_id, dispositions_dir, index_path,
+                para_index_path, max_live_dirs,
+            )
         with cached_scope():
             label = f"b{int(batch_id)}"
             para_empty = None
@@ -242,13 +293,20 @@ def run_streaming_curation(
     para_index_path: str | None = None,
     bench_index_path: str | None = None,
     min_contaminated: int = 1,
+    max_live_dirs: int | None = None,
 ) -> None:
     """Run ``src`` (a streaming frame of documents) to completion of
     currently-available input (AvailableNow) through
     :func:`curation_batch_body` under ``checkpoint_dir``. Restartable:
     stop mid-stream, call again with the same checkpoint, and only
     unseen input is processed — already-written dispositions and index
-    increments stay put."""
+    increments stay put.
+
+    ``max_live_dirs`` schedules compaction + vacuum INSIDE the
+    lifecycle (:func:`_maintain_curation_stores`): without it the
+    dispositions directory and every index manifest accrete one unit
+    per micro-batch until an operator remembers to compact — the
+    listing itself becomes the bottleneck on a long-running stream."""
     q = (
         src.writeStream.foreachBatch(
             curation_batch_body(
@@ -262,6 +320,7 @@ def run_streaming_curation(
                 para_index_path,
                 bench_index_path,
                 min_contaminated,
+                max_live_dirs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -283,11 +342,43 @@ def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
     return spark.read.parquet(dispositions_dir)
 
 
+def _maintain_vector_store(
+    spark, batch_id: int, index_path: str, compact,
+    dispositions_dir: str | None, max_live_dirs: int,
+) -> None:
+    """Vector-index flavor of :func:`_maintain_curation_stores` —
+    same cadence trigger, same in-flight-batch replay guard, the
+    caller supplies the index's compact function (semantic or ANN)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        index_live_increments,
+        index_vacuum,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.retention import (
+        compact_stream_outputs,
+        live_batch_dirs,
+    )
+
+    if dispositions_dir is not None and live_batch_dirs(
+        spark, dispositions_dir, _MB
+    ) >= max_live_dirs:
+        compact_stream_outputs(
+            spark, dispositions_dir, partition_col=_MB, keep_latest=1
+        )
+    live = index_live_increments(spark, index_path)
+    # the single-row model table legitimately stays at one increment
+    # per lifecycle event — only data tables trigger the fold
+    live.pop("model", None)
+    if live and max(live.values()) >= max_live_dirs:
+        compact(spark, index_path, exclude_labels={f"b{int(batch_id)}"})
+        index_vacuum(spark, index_path)
+
+
 def semantic_dedup_body(
     index_path: str,
     dispositions_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_live_dirs: int | None = None,
 ):
     """foreachBatch body for STREAMING incremental SemDeDup: each
     micro-batch of embeddings is deduped against the persisted
@@ -309,6 +400,15 @@ def semantic_dedup_body(
     )
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        if max_live_dirs is not None:
+            from etl_prometheus2clickhouse_spark.operators.semantic_index import (  # noqa: E501
+                semantic_index_compact,
+            )
+
+            _maintain_vector_store(
+                batch_df.sparkSession, batch_id, index_path,
+                semantic_index_compact, dispositions_dir, max_live_dirs,
+            )
         with cached_scope():
             out = semantic_increment(
                 batch_df,
@@ -332,14 +432,17 @@ def run_streaming_semantic_dedup(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_live_dirs: int | None = None,
 ) -> None:
     """Run an embedding stream to completion (AvailableNow) through
     :func:`semantic_dedup_body` under a checkpoint — restartable,
-    replay-idempotent (the dedup-index increment discipline)."""
+    replay-idempotent (the dedup-index increment discipline).
+    ``max_live_dirs`` schedules in-lifecycle compaction + vacuum."""
     q = (
         src.writeStream.foreachBatch(
             semantic_dedup_body(
-                index_path, dispositions_dir, id_col, vec_col
+                index_path, dispositions_dir, id_col, vec_col,
+                max_live_dirs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -350,7 +453,8 @@ def run_streaming_semantic_dedup(
 
 
 def ann_ingest_body(index_path: str, id_col: str = "vec_id",
-                    vec_col: str = "embedding"):
+                    vec_col: str = "embedding",
+                    max_live_dirs: int | None = None):
     """foreachBatch body for streaming ANN ingestion: each micro-batch
     of embeddings is encoded with the index's STORED model into the
     batch's own replay-idempotent ``mb=b<id>`` increment
@@ -362,6 +466,15 @@ def ann_ingest_body(index_path: str, id_col: str = "vec_id",
     )
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        if max_live_dirs is not None:
+            from etl_prometheus2clickhouse_spark.operators.ann_index import (
+                ann_index_compact,
+            )
+
+            _maintain_vector_store(
+                batch_df.sparkSession, batch_id, index_path,
+                ann_index_compact, None, max_live_dirs,
+            )
         ann_index_append(
             batch_df, index_path, f"b{int(batch_id)}",
             id_col=id_col, vec_col=vec_col,
@@ -376,13 +489,15 @@ def run_streaming_ann_ingest(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_live_dirs: int | None = None,
 ) -> None:
     """Run an embedding stream to completion (AvailableNow) through
     :func:`ann_ingest_body` under a checkpoint — restartable, replay-
-    idempotent (the dedup-index increment discipline)."""
+    idempotent (the dedup-index increment discipline).
+    ``max_live_dirs`` schedules in-lifecycle compaction + vacuum."""
     q = (
         src.writeStream.foreachBatch(
-            ann_ingest_body(index_path, id_col, vec_col)
+            ann_ingest_body(index_path, id_col, vec_col, max_live_dirs)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -106,6 +106,23 @@ def recover_stream_outputs(spark: SparkSession, out_dir: str) -> None:
             fs.delete(st.getPath(), True)
 
 
+def live_batch_dirs(
+    spark: SparkSession, out_dir: str, partition_col: str = "mb"
+) -> int:
+    """Count of live batch partition directories (the folded ``-1``
+    partition included) — the metadata-size telemetry the streaming
+    compaction cadence triggers on. One listStatus, no Spark job."""
+    _, fs, hdir = _hadoop_fs(spark, out_dir)
+    if not fs.exists(hdir):
+        return 0
+    prefix = f"{partition_col}="
+    return sum(
+        1
+        for st in fs.listStatus(hdir)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    )
+
+
 def compact_stream_outputs(
     spark: SparkSession,
     out_dir: str,

@@ -116,6 +116,7 @@ def run_partial_stream_durable(
     per_batch: Callable[[DataFrame, int], DataFrame],
     partials_dir: str,
     checkpoint_dir: str,
+    max_live_dirs: int | None = None,
 ) -> None:
     """The durable face of :func:`_run_partial_stream` — the shape a
     100 TB deployment actually runs: every micro-batch writes its
@@ -134,10 +135,17 @@ def run_partial_stream_durable(
       ``*_merge`` — no driver accumulation, no stream left running.
 
     Runs to completion of currently-available input (AvailableNow) and
-    returns when the stream stops."""
+    returns when the stream stops. ``max_live_dirs`` schedules the
+    retention fold (streaming/retention.py ``compact_stream_outputs``)
+    INSIDE the lifecycle: when the partials directory reaches that
+    many live batch partitions, the batch body folds the committed
+    ones before doing its own work — bounded listings on a
+    long-running stream without an operator remembering to compact."""
 
     q = (
-        src.writeStream.foreachBatch(_durable_body(per_batch, partials_dir))
+        src.writeStream.foreachBatch(
+            _durable_body(per_batch, partials_dir, max_live_dirs)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -148,13 +156,30 @@ def run_partial_stream_durable(
 def _durable_body(
     per_batch: Callable[[DataFrame, int], DataFrame],
     partials_dir: str,
+    max_live_dirs: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body of :func:`run_partial_stream_durable`,
     factored out so the replay contract is directly testable: a second
     invocation with the same ``batch_id`` overwrites that batch's own
-    partition — never appends a duplicate."""
+    partition — never appends a duplicate. With ``max_live_dirs`` the
+    body folds committed batch partitions first (keep_latest=1
+    protects the only replayable one — see streaming/retention.py)."""
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
+        if max_live_dirs is not None:
+            from etl_prometheus2clickhouse_spark.streaming.retention import (
+                compact_stream_outputs,
+                live_batch_dirs,
+            )
+
+            spark = batch_df.sparkSession
+            if live_batch_dirs(
+                spark, partials_dir, _MICRO_BATCH_COL
+            ) >= max_live_dirs:
+                compact_stream_outputs(
+                    spark, partials_dir,
+                    partition_col=_MICRO_BATCH_COL, keep_latest=1,
+                )
         partial = per_batch(batch_df, int(batch_id))
         # drop the batch column: the partition directory IS the batch
         # id, and partition discovery restores it as a column on read
