@@ -478,7 +478,77 @@ __all__ = [
     "ann_index_append",
     "ann_index_search",
     "ann_index_retrain",
+    "ann_cell_occupancy",
+    "ann_occupancy_skew",
+    "ann_index_retrain_on_skew",
 ]
+
+
+def ann_cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell vector counts of the live code table — one row per
+    coarse cell (sketch-sized: bounded by n_cells, never the corpus).
+    The telemetry the hot-cell skew witness reads after every append:
+    IVFADC probe work is |queries∩cell| × |corpus∩cell|, so a frozen
+    centroid silently absorbing the distribution under drift is the
+    failure mode the retrain lifecycle exists to repair."""
+    return (
+        _read_increment_table(spark, path, "codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ann_occupancy_skew(spark: SparkSession, path: str) -> dict:
+    """Skew summary of :func:`ann_cell_occupancy`: ``skew`` is the
+    largest cell's share × n_cells — 1.0 when perfectly balanced,
+    n_cells when one centroid holds everything. A bounded collect
+    (≤ n_cells rows)."""
+    row = _model_row(spark, path)
+    model = ivfpq_model_from_json(row.model_json)
+    n_cells = int(model.coarse.shape[1])
+    occ = ann_cell_occupancy(spark, path).collect()
+    total = sum(r.n_vectors for r in occ)
+    biggest = max(occ, key=lambda r: r.n_vectors) if occ else None
+    max_share = (biggest.n_vectors / total) if total else 0.0
+    return {
+        "n_cells": n_cells,
+        "occupied_cells": len(occ),
+        "total_vectors": total,
+        "max_cell": int(biggest.cell) if biggest else None,
+        "max_share": max_share,
+        "skew": max_share * n_cells,
+    }
+
+
+def ann_index_retrain_on_skew(
+    spark: SparkSession,
+    path: str,
+    skew_threshold: float = 4.0,
+    queries: DataFrame | None = None,
+    **retrain_kwargs,
+) -> dict:
+    """Fire the (gated, reversible) :func:`ann_index_retrain` when the
+    occupancy-skew witness trips — the scheduled maintenance face of
+    the model lifecycle: appends freeze the quantizers, the witness
+    watches what freezing costs, and the retrain only swaps if the
+    recall gate (when ``queries`` is given) holds. Returns the skew
+    report before (and, when swapped, after) plus the retrain report;
+    ``triggered=False`` means the index was still balanced and nothing
+    ran."""
+    before = ann_occupancy_skew(spark, path)
+    report: dict = {
+        "skew_before": before,
+        "triggered": before["skew"] >= skew_threshold,
+        "swapped": False,
+    }
+    if not report["triggered"]:
+        return report
+    report.update(
+        ann_index_retrain(spark, path, queries=queries, **retrain_kwargs)
+    )
+    if report["swapped"]:
+        report["skew_after"] = ann_occupancy_skew(spark, path)
+    return report
 
 
 def ann_index_compact(

@@ -387,6 +387,66 @@ def semantic_index_retrain(
     return report
 
 
+def semantic_cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell vector counts of the live vector table — one row per
+    frozen centroid (bounded by n_cells). ``semantic_increment``'s
+    pair work is |shard∩cell| × |corpus∩cell|, so a hot cell under
+    distribution drift is THE quantity that breaks the Σ|cell|² bound
+    the module's 100 TB argument rests on; this is the witness that
+    watches it."""
+    return (
+        _read_increment_table(spark, path, "vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def semantic_occupancy_skew(spark: SparkSession, path: str) -> dict:
+    """Skew summary of :func:`semantic_cell_occupancy` (largest cell's
+    share × n_cells; 1.0 balanced, n_cells degenerate). Bounded
+    collect."""
+    C, _thr = _read_model(spark, path)
+    n_cells = int(C.shape[1])
+    occ = semantic_cell_occupancy(spark, path).collect()
+    total = sum(r.n_vectors for r in occ)
+    biggest = max(occ, key=lambda r: r.n_vectors) if occ else None
+    max_share = (biggest.n_vectors / total) if total else 0.0
+    return {
+        "n_cells": n_cells,
+        "occupied_cells": len(occ),
+        "total_vectors": total,
+        "max_cell": int(biggest.cell) if biggest else None,
+        "max_share": max_share,
+        "skew": max_share * n_cells,
+    }
+
+
+def semantic_retrain_on_skew(
+    spark: SparkSession,
+    path: str,
+    skew_threshold: float = 4.0,
+    **retrain_kwargs,
+) -> dict:
+    """Fire the (co-location-gated, reversible)
+    :func:`semantic_index_retrain` when the occupancy-skew witness
+    trips. NOTE the dedup-semantics caveat the gate enforces: past
+    dispositions stay with the caller; a swap changes which FUTURE
+    pairs share a cell — exactly the drift repair this event exists
+    for."""
+    before = semantic_occupancy_skew(spark, path)
+    report: dict = {
+        "skew_before": before,
+        "triggered": before["skew"] >= skew_threshold,
+        "swapped": False,
+    }
+    if not report["triggered"]:
+        return report
+    report.update(semantic_index_retrain(spark, path, **retrain_kwargs))
+    if report["swapped"]:
+        report["skew_after"] = semantic_occupancy_skew(spark, path)
+    return report
+
+
 def semantic_index_compact(
     spark: SparkSession, path: str,
     exclude_labels: set[str] | None = None,

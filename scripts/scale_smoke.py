@@ -1183,6 +1183,78 @@ def main() -> None:
     finally:
         shutil.rmtree(sem_dir.rsplit("/", 1)[0], ignore_errors=True)
 
+    # round-13: hot-cell skew witness + gated retrain on PLANTED drift.
+    # Frozen quantizers are the IVF scale contract; the witness is the
+    # telemetry that notices when drift concentrates the corpus into
+    # one frozen cell (probe work is |q∩cell|×|corpus∩cell| — a hot
+    # cell breaks the Σ|cell|² bound), and the retrain-on-skew hook
+    # fires the existing recall-gated lifecycle event to repair it.
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_retrain_on_skew,
+        ann_occupancy_skew,
+    )
+
+    ann_dir = tempfile.mkdtemp(prefix="smoke_annskew_") + "/idx"
+    try:
+        dim = 8
+        rng_rows = [
+            (i, [float(x) for x in np.eye(dim)[i % 4]
+                 + 0.05 * np.random.default_rng(i).standard_normal(dim)])
+            for i in range(512)
+        ]
+        base = spark.createDataFrame(
+            rng_rows, "vec_id long, embedding array<double>"
+        )
+        ann_index_build(
+            base, ann_dir, dim, n_cells=16, m=4, k_codes=16,
+            train_sample=512, vec_buckets=8,
+        )
+        balanced = ann_occupancy_skew(spark, ann_dir)
+        # planted drift: 2× the corpus mass in two WIDE (σ=0.6)
+        # far-away clusters — each collapses into ~one frozen cell
+        # (the hot-cell witness), and the width gives the exact
+        # ground truth real structure, so the retrained per-cell
+        # isolation shows up as a recall gain the gate can measure
+        drift = spark.createDataFrame(
+            [
+                (10_000 + i,
+                 [float(x) for x in -4.0 * np.eye(dim)[i % 2]
+                  + 0.6 * np.random.default_rng(9_000 + i)
+                  .standard_normal(dim)])
+                for i in range(1024)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        ann_index_append(drift, ann_dir, "drift")
+        skewed = ann_occupancy_skew(spark, ann_dir)
+        assert skewed["skew"] > max(3.0, balanced["skew"]), (
+            balanced, skewed,
+        )
+        queries = drift.where(F.col("vec_id") < 10_016)
+        t0 = time.perf_counter()
+        rep = ann_index_retrain_on_skew(
+            spark, ann_dir, skew_threshold=3.0, queries=queries,
+            k=5, n_probe=2, n_candidates=40, train_sample=768,
+        )
+        t_retrain = round(time.perf_counter() - t0, 1)
+        assert rep["triggered"] and rep["swapped"], rep
+        assert rep["recall_new"] >= rep["recall_old"], rep
+        assert rep["skew_after"]["skew"] < skewed["skew"], rep
+        print(
+            "ann_index_retrain_on_skew: planted drift tripped the "
+            f"witness (skew {balanced['skew']:.2f} -> "
+            f"{skewed['skew']:.2f} of n_cells=16); recall-gated "
+            f"retrain rebalanced to {rep['skew_after']['skew']:.2f} "
+            f"in {t_retrain}s (recall {rep['recall_old']:.3f} -> "
+            f"{rep['recall_new']:.3f})"
+        )
+    finally:
+        shutil.rmtree(ann_dir.rsplit("/", 1)[0], ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

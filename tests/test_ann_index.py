@@ -454,8 +454,66 @@ def test_retrain_gate_rolls_back_when_no_gain(spark, tmp_path):
         map(tuple, ann_index_search(queries, path, k=5).collect())
     )
     assert before == after
+    # the rollback report must not dangle a reference to the deleted
+    # increment dirs, and n_vectors (commit-path-only) is not stamped
+    assert report["label"] is None, report
+    assert "n_vectors" not in report, report
     # rolled-back dirs are gone
     assert not any(
-        d.startswith(f"mb={report['label']}")
+        d.startswith("mb=retrain-")
         for d in _os.listdir(_os.path.join(path, "codes"))
     )
+
+
+def test_skew_witness_trips_on_planted_drift_and_retrain_rebalances(
+    spark, tmp_path
+):
+    """Hot-cell witness (ann_occupancy_skew): a balanced build stays
+    under the threshold (retrain_on_skew is a no-op); planting every
+    new vector near ONE frozen centroid trips the witness; the
+    triggered retrain passes the recall gate and restores cell
+    balance."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_retrain_on_skew,
+        ann_occupancy_skew,
+    )
+
+    dim = 8
+    base_centers = [list(np.eye(dim)[j]) for j in range(4)]
+    base = _clustered_vecs(spark, 256, dim, base_centers, seed=1)
+    path = str(tmp_path / "annsk")
+    ann_index_build(
+        base, path, dim, n_cells=16, m=4, k_codes=16,
+        train_sample=256, vec_buckets=8,
+    )
+    balanced = ann_occupancy_skew(spark, path)
+    assert balanced["total_vectors"] == 256
+    # balanced build: no single frozen cell dominates
+    rep0 = ann_index_retrain_on_skew(
+        spark, path, skew_threshold=max(4.0, balanced["skew"] + 0.1)
+    )
+    assert not rep0["triggered"] and not rep0["swapped"]
+
+    # drift: every new vector lands in one tight far-away cluster the
+    # frozen quantizer maps to a single cell
+    drift = _clustered_vecs(
+        spark, 512, dim, [list(-4.0 * np.eye(dim)[0])], seed=2,
+        id_start=10_000,
+    )
+    ann_index_append(drift, path, "w2")
+    skewed = ann_occupancy_skew(spark, path)
+    assert skewed["skew"] > balanced["skew"], (balanced, skewed)
+    # nearly all of the drifted mass collapsed into one frozen cell
+    assert skewed["max_share"] >= 0.5, skewed
+
+    queries = drift.where(F.col("vec_id") < 10_016)
+    report = ann_index_retrain_on_skew(
+        spark, path, skew_threshold=4.0, queries=queries,
+        k=5, n_probe=4, n_candidates=40, train_sample=384,
+    )
+    assert report["triggered"] and report["swapped"], report
+    assert report["recall_new"] >= report["recall_old"], report
+    # the retrained centroids spread the drifted mass back out
+    assert report["skew_after"]["skew"] < skewed["skew"], report

@@ -311,3 +311,59 @@ def test_bad_labels_and_corrupt_model(spark, tmp_path):
     shutil.copytree(str(tmp_path / "m_bad"), f"{path}/model/mb=base")
     with pytest.raises(ValueError, match="corrupt model"):
         semantic_increment(seed, path)
+
+
+def test_skew_witness_trips_and_semantic_retrain_rebalances(
+    spark, tmp_path
+):
+    """Hot-cell witness (semantic_occupancy_skew): a balanced build is
+    a no-op for retrain_on_skew; planting every new vector near ONE
+    frozen centroid trips the witness, the triggered retrain passes
+    the co-location gate, and per-cell occupancy rebalances — the
+    Σ|cell|² bound the module's scale argument rests on is restored."""
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_occupancy_skew,
+        semantic_retrain_on_skew,
+    )
+
+    # four seed clusters at the axes -> 4 cells, balanced
+    seed = _mk(
+        spark,
+        [(10 * j + i, 90.0 * j + i) for j in range(4) for i in range(2)],
+    )
+    path = str(tmp_path / "semsk")
+    with cached_scope():
+        semantic_index_build(seed, path, n_cells=4, threshold=0.99)
+        balanced = semantic_occupancy_skew(spark, path)
+        assert balanced["total_vectors"] == 8
+        assert balanced["skew"] <= 1.2, balanced
+        rep0 = semantic_retrain_on_skew(spark, path, skew_threshold=2.0)
+        assert not rep0["triggered"] and not rep0["swapped"]
+
+        # drift: new vectors over the 0°..44° arc, spaced wider than
+        # the duplicate threshold (9° > arccos(.99) ≈ 8.1°) so the
+        # increment adds NO true pairs — the frozen quantizer still
+        # maps the whole arc to the 0° cell (the 45° boundary), so
+        # one cell absorbs the entire increment and the rebalance
+        # cannot cost the co-location gate anything
+        drift = _mk(
+            spark, [(100 + i, 9.0 * i) for i in range(5)] + [(105, 44.0)]
+        )
+        semantic_increment(
+            drift, path, update_index=True, update_label="s1"
+        )
+        skewed = semantic_occupancy_skew(spark, path)
+        assert skewed["skew"] > 2.0, skewed  # (2+6)/14 × 4 ≈ 2.29
+
+        report = semantic_retrain_on_skew(
+            spark, path, skew_threshold=2.0
+        )
+        assert report["triggered"], report
+        if report["swapped"]:
+            assert (
+                report["skew_after"]["skew"] < skewed["skew"]
+            ), report
+        else:
+            # the co-location gate may legitimately refuse (reported,
+            # not silent) — but on this geometry it should not
+            raise AssertionError(f"gate refused the rebalance: {report}")
