@@ -303,6 +303,16 @@ PROBE_RUNS = 3
 PROBE_MAX = 8  # bound the worst-case suite extension (~45 s/probe)
 PROBE_FLOOR_SEC = 0.2  # sub-200ms entries are driver-overhead noise
 
+# Entries probe-cleared as SUITE CONTENTION in two consecutive
+# recordings (probe_steady ≈ its reference both times) stop consuming
+# probe slots: their flag is recorded with a pin note instead of a
+# fresh-JVM re-run. Remove a pin if the entry's plan changes.
+PROBE_PINNED = {
+    # r11: 1.48→probe 1.25s ≈ ref; r12: 2.56→probe 1.32s ≈ ref 1.25s —
+    # the postings-build shuffle is cache/GC-sensitive in-suite only
+    "bm25_search": "probe-cleared as contention in r11 and r12",
+}
+
 
 def _repo_root() -> Path:
     return Path(__file__).resolve().parent
@@ -486,8 +496,15 @@ def main() -> None:
         and ref[n] >= PROBE_FLOOR_SEC
         and times_warm.get(n, 0.0) >= PROBE_RATIO * ref[n]
     ]
-    dropped_probes = flagged[PROBE_MAX:]
     probes: dict[str, dict] = {}
+    for n in [x for x in flagged if x in PROBE_PINNED]:
+        probes[n] = {
+            "in_suite": times_warm[n],
+            "reference": ref[n],
+            "pinned": PROBE_PINNED[n],
+        }
+    flagged = [x for x in flagged if x not in PROBE_PINNED]
+    dropped_probes = flagged[PROBE_MAX:]
     for n in flagged[:PROBE_MAX]:
         runs = _probe_once(n, sf_dir, cpus)
         probes[n] = {

@@ -169,7 +169,10 @@ def compact_stream_outputs(
     rows = spark.read.parquet(*src_dirs)
     tag = uuid.uuid4().hex[:8]
     staging = os.path.join(out_dir, f".compact-{tag}")
-    rows.coalesce(max(1, rows.rdd.getNumPartitions() // 8)).write.mode(
+    # ~8 source batch dirs (one small file each) per output file; the
+    # dir count stands in for the scan's partition count without a
+    # .rdd plan conversion
+    rows.coalesce(max(1, len(src_dirs) // 8)).write.mode(
         "overwrite"
     ).parquet(staging)
     n = spark.read.parquet(staging).count()

@@ -1113,6 +1113,79 @@ def main() -> None:
             f"files, {r_econ['bytes_probed']}/{r_econ['bytes_total']} "
             "bytes"
         )
+
+        # round-13: the PER-BATCH probe byte witness on the REAL
+        # streaming path — the K=10 one-shot witnesses above bound the
+        # increments; this runs an actual foreachBatch stream through
+        # curation_batch_body over the same 512-prefix index and
+        # asserts, per micro-batch, that the batch's probed band bytes
+        # ≤ its own probed-partition share (the witness derivation
+        # mirrors the operator's probe-set construction and runs
+        # BEFORE the body, against exactly the table state the body's
+        # probe will read).
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            _read_meta,
+            _shingle_sig_bands,
+        )
+        from etl_prometheus2clickhouse_spark.streaming.curation_stream import (  # noqa: E501
+            curation_batch_body,
+        )
+
+        smoke_root = idx_dir.rsplit("/", 1)[0]
+        ref_lm = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+            F.col("doc_id") % 97 == 0
+        ).select("doc_id", "text").localCheckpoint()
+        meta = _read_meta(spark, idx_dir)
+        body = curation_batch_body(
+            idx_dir, ref_lm, f"{smoke_root}/disp", 1e9
+        )
+        witness: list = []
+
+        def witness_body(batch_df, batch_id):
+            bdf = batch_df.select("doc_id", "text")
+            with cached_scope():
+                _sh, banded = _shingle_sig_bands(
+                    bdf, "doc_id", "text", meta["n"],
+                    meta["num_hashes"], meta["bands"],
+                    meta["index_buckets"],
+                )
+                bbs = [
+                    r.bb for r in banded.select("bb").distinct().collect()
+                ]
+            econ = probe_economics(spark, f"{idx_dir}/bands", "bb", bbs)
+            assert econ["files_total"] > 0, (batch_id, econ)
+            assert econ["bytes_probed"] <= 2 * (
+                len(bbs) / meta["index_buckets"]
+            ) * econ["bytes_total"], (batch_id, bbs, econ)
+            witness.append((int(batch_id), len(bbs), econ))
+            body(batch_df, batch_id)
+
+        base_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for bn in range(2):
+            base_docs.where(
+                (F.col("doc_id") >= 5 * bn) & (F.col("doc_id") < 5 * (bn + 1))
+            ).select(
+                (F.col("doc_id") + 91_000_000).alias("doc_id"), "text"
+            ).coalesce(1).write.parquet(f"{smoke_root}/stream_in/b{bn}")
+        sq = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{smoke_root}/stream_in/b*")
+            .writeStream.foreachBatch(witness_body)
+            .option("checkpointLocation", f"{smoke_root}/stream_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        assert len(witness) >= 2, witness
+        for bid, nbb, econ in witness:
+            print(
+                f"  stream batch {bid}: probe {econ['files_probed']}/"
+                f"{econ['files_total']} files, {econ['bytes_probed']}/"
+                f"{econ['bytes_total']} bytes over {nbb}/"
+                f"{meta['index_buckets']} prefixes — per-batch bytes "
+                "≤ probed-partition share on the live foreachBatch path"
+            )
     finally:
         shutil.rmtree(idx_dir.rsplit("/", 1)[0], ignore_errors=True)
 
