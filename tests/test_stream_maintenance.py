@@ -239,3 +239,57 @@ def test_durable_sketch_stream_bounds_partials(spark, tmp_path):
     _, want = _go("flat", None)
     assert got == want and len(got) == 3
     assert live_batch_dirs(spark, pdir, "micro_batch") <= 5
+
+
+def test_replay_after_fold_excludes_inflight_label(spark, tmp_path):
+    """The replay guard, isolated: batch b3's first attempt writes its
+    increments and crashes BEFORE the checkpoint commit; maintenance
+    then folds the index. If the fold swallowed mb=b3, the replayed
+    attempt's overwrite would land NEXT TO the folded copy and double
+    b3's rows. exclude_labels keeps b3 live and un-folded, so the
+    replay overwrite stays idempotent."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _manifest_tables,
+        dedup_increment,
+        index_stats,
+        index_vacuum,
+        minhash_index_compact,
+    )
+
+    seed = spark.createDataFrame([_doc(1), _doc(2, "seed two")], _SCHEMA)
+    idx = str(tmp_path / "rg_idx")
+    minhash_index_build(seed, idx, id_col="doc_id", threshold=0.5,
+                        index_buckets=8)
+    empty = spark.createDataFrame([], _SCHEMA)
+    with cached_scope():
+        for b in range(4):  # b0-b2 committed; b3 is the crashed attempt
+            dedup_increment(
+                empty,
+                spark.createDataFrame(
+                    [_doc(100 + b, f"batch {b} entry")], _SCHEMA
+                ),
+                idx, id_col="doc_id",
+                update_index=True, update_label=f"b{b}",
+            ).count()
+        stats_before = index_stats(spark, idx)
+
+        # maintenance fires while b3 is still the in-flight batch
+        minhash_index_compact(spark, idx, exclude_labels={"b3"})
+        index_vacuum(spark, idx)
+        live = _manifest_tables(spark, idx, ["bands", "shingles"])
+        for t in ("bands", "shingles"):
+            assert "mb=b3" in live[t], live
+            assert len(live[t]) == 2, live  # folded base + live b3
+
+        # the replay: same label, same shard — must OVERWRITE, not add
+        dedup_increment(
+            empty,
+            spark.createDataFrame([_doc(103, "batch 3 entry")], _SCHEMA),
+            idx, id_col="doc_id",
+            update_index=True, update_label="b3",
+        ).count()
+        stats_after = index_stats(spark, idx)
+    for key in ("bands_rows", "shingles_rows", "components_rows"):
+        assert stats_after[key] == stats_before[key], (
+            key, stats_before, stats_after,
+        )
