@@ -216,6 +216,11 @@ BENCH_QUERIES = [
     "stream_curation",
     # round-12: SemDeDup through checkpointed micro-batches
     "stream_semantic",
+    # round-13: persisted BM25 inverted index — build + append +
+    # term-prefix-pruned search, and the same lifecycle through
+    # checkpointed micro-batches
+    "bm25_increment",
+    "stream_bm25",
 ]
 
 # Registry entries deliberately NOT benched, each with why. "No silent

@@ -5385,6 +5385,93 @@ WHERE rank <= 10
 """
 
 
+def _bm25_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5 benchmark queries shared by every BM25 face (the
+    q_bm25_search definition, factored)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_doc_words(F.col("text")), 1, 4).alias("terms"),
+        )
+        .orderBy("query_id")
+        .limit(5)
+    )
+
+
+def q_bm25_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental retrieval over the PERSISTED BM25 inverted index
+    (operators/bm25_index.py): 80% of the documents build the
+    term-prefix-partitioned postings + additive stats + geometry meta;
+    the remaining 20% arrive as a shard into their own replay-
+    idempotent ``mb=`` increment; the search probes ONLY the query
+    terms' ``tp=`` partitions and sums the per-increment stats rows.
+    SHARES q_bm25_search's oracle verbatim — the module's EXACT
+    equivalence contract: search over the live index ≡ one-shot
+    bm25_search over the union corpus, so green means build → append →
+    pruned search reproduces the full idf/tf/length-norm arithmetic."""
+    import os
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 5 != 0)
+    shard = d.where(F.col("doc_id") % 5 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bm25_index_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    bm25_index_build(base, path, term_buckets=16)
+    bm25_index_append(shard, path, "w2")
+    return bm25_index_search(_bm25_queries(spark, sf_dir), path, k=10)
+
+
+def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index ingestion (streaming/curation_stream.py:
+    run_streaming_bm25_ingest): the base-built index receives the shard
+    as REAL micro-batches — each tokenized under the STORED geometry
+    into its own replay-idempotent increment under a checkpoint — and
+    the search over the grown index SHARES bm25_search's oracle
+    (search depends only on the final postings + additive stats, so
+    arrival order is irrelevant — the ann-ingest no-ordering
+    contract)."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        run_streaming_bm25_ingest,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 5 != 0)
+    shard = d.where(F.col("doc_id") % 5 == 0)
+    scratch = tempfile.mkdtemp(prefix="stream_bm25_")
+    try:
+        idx = f"{scratch}/idx"
+        bm25_index_build(base, idx, term_buckets=16)
+        shard.repartition(2).write.parquet(f"{scratch}/in")
+        src = (
+            spark.readStream.schema(shard.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{scratch}/in")
+        )
+        run_streaming_bm25_ingest(src, idx, f"{scratch}/ckpt")
+        out = bm25_index_search(_bm25_queries(spark, sf_dir), idx, k=10)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _chunkn(src: F.Column, w: int) -> F.Column:
     """Re-render a space-separated word stream as newline-joined
     ``w``-word paragraphs — the synthetic paragraph structure the
@@ -7504,6 +7591,11 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-12: SemDeDup through checkpointed micro-batches (shares
     # semantic_increment's oracle — the exact-equivalence contract)
     "stream_semantic": q_stream_semantic,
+    # round-13: the RETRIEVAL member of the incremental-index layer —
+    # persisted BM25 inverted index, one-shot and streaming ingestion
+    # (both share bm25_search's oracle: the EXACT equivalence contract)
+    "bm25_increment": q_bm25_increment,
+    "stream_bm25": q_stream_bm25,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -7755,6 +7847,9 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_ann": ORACLE_ANN_INCREMENT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "stream_semantic": ORACLE_SEMANTIC_INCREMENT,
+    # exact equivalence: index search ≡ one-shot BM25 over the union
+    "bm25_increment": ORACLE_BM25_SEARCH,
+    "stream_bm25": ORACLE_BM25_SEARCH,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,

@@ -365,9 +365,10 @@ def _maintain_vector_store(
             spark, dispositions_dir, partition_col=_MB, keep_latest=1
         )
     live = index_live_increments(spark, index_path)
-    # the single-row model table legitimately stays at one increment
-    # per lifecycle event — only data tables trigger the fold
+    # the single-row model/meta tables legitimately stay at one
+    # increment per lifecycle event — only data tables trigger the fold
     live.pop("model", None)
+    live.pop("meta", None)
     if live and max(live.values()) >= max_live_dirs:
         compact(spark, index_path, exclude_labels={f"b{int(batch_id)}"})
         index_vacuum(spark, index_path)
@@ -498,6 +499,60 @@ def run_streaming_ann_ingest(
     q = (
         src.writeStream.foreachBatch(
             ann_ingest_body(index_path, id_col, vec_col, max_live_dirs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def bm25_ingest_body(index_path: str, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_live_dirs: int | None = None):
+    """foreachBatch body for streaming BM25 index ingestion: each
+    micro-batch of documents is tokenized under the index's STORED
+    geometry into the batch's own replay-idempotent ``mb=b<id>``
+    increment (operators/bm25_index.py). Like the ANN ingest there is
+    no ordering contract — search depends only on the final postings +
+    additive stats, so any arrival order yields the same index."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+    )
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if max_live_dirs is not None:
+            from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+                bm25_index_compact,
+            )
+
+            _maintain_vector_store(
+                batch_df.sparkSession, batch_id, index_path,
+                bm25_index_compact, None, max_live_dirs,
+            )
+        bm25_index_append(
+            batch_df, index_path, f"b{int(batch_id)}",
+            text_col=text_col, id_col=id_col,
+        )
+
+    return body
+
+
+def run_streaming_bm25_ingest(
+    src: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_live_dirs: int | None = None,
+) -> None:
+    """Run a document stream to completion (AvailableNow) through
+    :func:`bm25_ingest_body` under a checkpoint — restartable, replay-
+    idempotent (the dedup-index increment discipline).
+    ``max_live_dirs`` schedules in-lifecycle compaction + vacuum."""
+    q = (
+        src.writeStream.foreachBatch(
+            bm25_ingest_body(index_path, text_col, id_col, max_live_dirs)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -245,17 +245,31 @@ def test_cached_scope_releases_even_after_reselect(spark, corpus):
 
 def test_cached_scope_long_lived_session_no_growth(spark, corpus):
     """10 runs under 10 scopes must leave storage memory flat — the
-    long-lived-session contract (one-shot driver runs never noticed)."""
+    long-lived-session contract (one-shot driver runs never noticed).
+    Compared as RDD-id SETS, not counts: in a long suite session the
+    ContextCleaner asynchronously unregisters earlier tests' RDDs
+    between the baseline capture and the final check, so a size
+    equality races against unrelated removals — what this test pins is
+    that no NEW id survives the scopes."""
     from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope
 
-    def n_persisted():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persisted_ids():
+        it = (
+            spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .iterator()
+        )
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    base = n_persisted()
+    base = persisted_ids()
     for _ in range(10):
         with cached_scope():
             minhash_lsh_pairs(corpus, "id", threshold=0.5).collect()
-    assert n_persisted() == base
+    leaked = persisted_ids() - base
+    assert not leaked
 
 
 def test_nested_scope_with_interleaved_release(spark, corpus):
@@ -286,9 +300,12 @@ def test_nested_scope_with_interleaved_release(spark, corpus):
             assert n_persisted() > after_outer
             # free the OUTER frame's deps while the inner scope is open
             release_cached(outer)
-        # inner scope exit released the inner registrations too
-        assert n_persisted() == base
-    assert n_persisted() == base
+        # inner scope exit released the inner registrations too; ≤
+        # rather than == because the ContextCleaner may concurrently
+        # unregister EARLIER tests' RDDs in a long suite session (the
+        # no-growth test's id-set rationale)
+        assert n_persisted() <= base
+    assert n_persisted() <= base
 
 
 def test_unscoped_use_registers_nothing_globally(corpus):
