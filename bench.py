@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "weighted_sample",
     "corpus_mix",
+    # round-13: temperature-allocated mixture with epoch replication
+    "mix_temperature",
     # round-10 late: Z-order layout pruning witness; round-11: the
     # Hilbert-curve sibling
     "zorder_stats",

@@ -27,12 +27,17 @@ order and bias the sample.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Knuth's multiplicative constant: floor(2^32 / golden ratio), odd.
 _MULT = 2654435761
 _MODULUS = 2**32
+# second independent odd multiplier for per-copy key strides
+# (xxHash32's PRIME32_2 — public constant, coprime to 2^32)
+_MULT2 = 2246822519
 
 
 def sample_bucket(id_col: Column | str, salt: int = 12345) -> Column:
@@ -198,6 +203,198 @@ def mix_corpora(
             .where(F.col("u_bucket") < F.lit(float(rate) * _MODULUS))
             .withColumn("source", F.lit(name))
         )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _round6(x: float) -> float:
+    """Explicit HALF-UP rounding to 6 dp via ``floor(x·10⁶ + 0.5)/10⁶``
+    — the engine's cross-engine rounding convention (identical
+    computation on identical doubles; the EWMA lesson)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def temperature_epochs(
+    token_counts: dict[str, int],
+    budget_tokens: int,
+    temperature: float,
+) -> dict[str, float]:
+    """Temperature-based mixture allocation — the multilingual-
+    pretraining sampling rule (mT5/XLM-R lineage; UniMax, Chung et al.
+    ICLR 2023, is the capped alternative below): source ``s`` receives
+    ``budget · n_s^(1/τ) / Σ_t n_t^(1/τ)`` tokens, i.e. τ=1 samples
+    proportional to size, τ→∞ flattens toward uniform, τ<1 sharpens
+    toward the head. Returned as EPOCHS per source
+    (``target_s / n_s``): epochs < 1 is downsampling, > 1 means the
+    source repeats — :func:`mix_epochs` materializes either.
+
+    Determinism contract: when ``1/τ`` is integral the weights are
+    exact integer powers and every float op is pinned to the order
+    ``((budget · w_s) / Σw) / n_s`` then 6-dp-rounded with the
+    ``floor(x·10⁶+0.5)`` spelling — bit-reproducible in ANSI SQL, so a
+    catalog oracle can re-derive the allocation from the corpus (the
+    ``mix_temperature`` entry runs at τ=0.5, α=2)."""
+    if not token_counts:
+        raise ValueError("temperature_epochs: empty token_counts")
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature_epochs: temperature must be > 0, got {temperature}"
+        )
+    if any(n <= 0 for n in token_counts.values()):
+        raise ValueError(
+            "temperature_epochs: every source needs a positive token count"
+        )
+    alpha = 1.0 / temperature
+    if alpha == int(alpha):
+        weights = {s: n ** int(alpha) for s, n in token_counts.items()}
+    else:
+        weights = {s: float(n) ** alpha for s, n in token_counts.items()}
+    total_w = sum(weights.values())
+    # every operand double-cast BEFORE the pinned ((B·w)/Σw)/n order —
+    # Python's exact big-int division would otherwise round differently
+    # from an engine's double arithmetic (each cast and op below is a
+    # single IEEE rounding, identical in any engine that evaluates the
+    # same order)
+    return {
+        s: _round6(
+            float(budget_tokens) * float(weights[s]) / float(total_w)
+            / float(n)
+        )
+        for s, n in token_counts.items()
+    }
+
+
+def unimax_epochs(
+    token_counts: dict[str, int],
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+) -> dict[str, float]:
+    """UniMax mixture allocation (Chung et al., ICLR 2023): split the
+    token budget as UNIFORMLY across sources as the per-source epoch
+    cap allows — greedy waterfilling in ascending capacity order: each
+    source takes ``min(remaining / sources_left, cap · n_s)`` tokens.
+    Low-resource sources are repeated up to the cap instead of being
+    temperature-upweighted past usefulness; the budget lands on the
+    sources that can still absorb it. Returns epochs per source,
+    6-dp-rounded; allocation never exceeds ``max_epochs`` and is
+    monotone in the budget."""
+    if not token_counts:
+        raise ValueError("unimax_epochs: empty token_counts")
+    if max_epochs <= 0:
+        raise ValueError(
+            f"unimax_epochs: max_epochs must be > 0, got {max_epochs}"
+        )
+    if any(n <= 0 for n in token_counts.values()):
+        raise ValueError(
+            "unimax_epochs: every source needs a positive token count"
+        )
+    remaining = float(budget_tokens)
+    out: dict[str, float] = {}
+    # ascending capacity: a source that hits its cap frees budget for
+    # the ones after it (the paper's allocation order)
+    pending = sorted(token_counts, key=lambda s: (max_epochs * token_counts[s], s))
+    for idx, s in enumerate(pending):
+        quota = remaining / (len(pending) - idx)
+        alloc = min(quota, max_epochs * token_counts[s])
+        remaining -= alloc
+        out[s] = _round6(alloc / token_counts[s])
+    return out
+
+
+def mix_epochs(
+    sources: list[tuple[DataFrame, str]],
+    epochs: dict[str, float],
+    id_col: str,
+    salt: int = 12345,
+    max_epochs: float = 128.0,
+) -> DataFrame:
+    """Materialize an epoch allocation (:func:`temperature_epochs` /
+    :func:`unimax_epochs`) into actual training rows: every row of
+    source ``s`` appears ``floor(e_s)`` times plus one more copy with
+    probability ``frac(e_s)`` — the deterministic realization of "this
+    source runs 2.3 epochs". The fractional coin is the same
+    multiplicative-hash Bernoulli as :func:`mix_corpora` (per-source
+    salt ``salt + i``), so membership of the extra copy is a pure
+    function of the row id; each copy carries its own ``mix_key``
+    (``u_bucket + copy · 2246822519 mod 2^32`` — an independent odd
+    stride, exact wide-integer math) so shard writes interleave copies
+    apart instead of adjacent (repeated data adjacent in a batch is
+    the failure mode epoch replication must avoid).
+
+    Scale shape: membership and copy counts are pure JVM hash
+    expressions; the only row expansion is ``explode_outer`` of a
+    ``sequence(1, n_copies)`` materialized in its own projection (the
+    InferFiltersFromGenerate discipline), so output volume is exactly
+    Σ_s e_s·|s| — the training budget, not a blowup. ``max_epochs`` is
+    a loud guard against an allocation bug replicating a corpus
+    hundreds of times. Emits ``source``, ``u_bucket``, ``n_copies``,
+    ``copy`` (1-based), ``mix_key`` beside the input columns."""
+    if not sources:
+        raise ValueError("mix_epochs needs at least one source")
+    parts = []
+    for i, (df, name) in enumerate(sources):
+        if name not in epochs:
+            raise ValueError(f"mix_epochs: no epoch allocation for {name!r}")
+        e = float(epochs[name])
+        if e < 0:
+            raise ValueError(f"source {name!r}: epochs {e} < 0")
+        if e > max_epochs:
+            raise ValueError(
+                f"source {name!r}: epochs {e} exceeds max_epochs "
+                f"{max_epochs} — an allocation this high replicates the "
+                "corpus that many times; raise the guard only on purpose"
+            )
+        for reserved in ("source", "u_bucket", "n_copies", "copy",
+                         "mix_key"):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"mix_epochs reserves column name {reserved!r}; "
+                    "rename it on the input frame first"
+                )
+        whole = int(math.floor(e))
+        frac = e - whole  # exact: both doubles, |e - whole| < 1
+        bucket = sample_bucket(id_col, salt=salt + i).cast("long")
+        n_copies = (
+            F.lit(whole)
+            + F.when(
+                F.col("u_bucket") < F.lit(frac) * F.lit(float(_MODULUS)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("int")
+        wide_id = F.col(id_col).cast("decimal(38,0)")
+        copy_key = (
+            (
+                wide_id * F.lit(_MULT)
+                + F.lit(salt + i + 7919)
+                + F.col("copy").cast("decimal(38,0)") * F.lit(_MULT2)
+            )
+            % F.lit(_MODULUS)
+        ).cast("long")
+        part = (
+            df.select("*", bucket.alias("u_bucket"))
+            .select("*", n_copies.alias("n_copies"))
+            # own projection for the sequence, explode_outer + null
+            # filter — the InferFiltersFromGenerate discipline (a plain
+            # explode of a computed array gets the generator expression
+            # cloned into an injected size()>0 filter)
+            .select(
+                "*",
+                F.when(
+                    F.col("n_copies") >= 1,
+                    F.sequence(
+                        F.lit(1), F.col("n_copies"), F.lit(1)
+                    ),
+                ).alias("__copies"),
+            )
+            .select("*", F.explode_outer("__copies").alias("copy"))
+            .where(F.col("copy").isNotNull())
+            .drop("__copies")
+            .withColumn("source", F.lit(name))
+            .withColumn("mix_key", copy_key)
+        )
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

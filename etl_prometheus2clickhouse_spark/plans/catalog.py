@@ -839,6 +839,120 @@ WHERE CAST((d.doc_id::HUGEINT * 2654435761 + 12345) % 4294967296 AS BIGINT)
 """
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training mixture, materialized (operators/
+    sampling.py ``temperature_epochs`` + ``mix_epochs``): three sources
+    (English web, German curated, the rest as tail), token-counted in
+    one pass, allocated a Σ-tokens budget at τ=0.5 (α=2 — integer
+    weights, so the allocation arithmetic is a pinned sequence of
+    double ops the oracle replays exactly), then every document
+    replicated ``floor(e)`` times plus a deterministic-hash fractional
+    copy. At every SF the head source lands under one epoch (some docs
+    dropped) and the tail sources land above one (every doc repeated,
+    some twice + a coin) — both directions of epoch materialization are
+    exercised and the oracle recomputes counts → epochs → copies →
+    per-copy mix keys end-to-end in SQL."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_epochs,
+        temperature_epochs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tag = (
+        F.when(F.col("lang") == "en", "web_en")
+        .when(F.col("lang") == "de", "curated_de")
+        .otherwise("tail")
+    )
+    counts = {
+        r.source: int(r.n)
+        for r in d.select(
+            tag.alias("source"),
+            F.size(_doc_words(F.col("text"))).alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    budget = sum(counts.values())
+    epochs = temperature_epochs(counts, budget, temperature=0.5)
+    srcs = [
+        (d.where(F.col("lang") == "en").drop("lang", "text"), "web_en"),
+        (d.where(F.col("lang") == "de").drop("lang", "text"), "curated_de"),
+        (
+            d.where(~F.col("lang").isin("en", "de")).drop("lang", "text"),
+            "tail",
+        ),
+    ]
+    out = mix_epochs(srcs, epochs, id_col="doc_id")
+    return out.select(
+        "doc_id", "source", "u_bucket",
+        F.col("n_copies").cast("int").alias("n_copies"),
+        F.col("copy").cast("int").alias("copy"),
+        "mix_key",
+    )
+
+
+# counts → α=2 weights (exact HUGEINT squares) → the pinned
+# ((B·w)/Σw)/n double sequence → 6-dp floor-rounding → floor+coin copy
+# expansion → per-copy stride keys: the whole allocation re-derived
+# from the corpus, no number imported from the engine
+ORACLE_MIX_TEMPERATURE = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'web_en'
+              WHEN lang = 'de' THEN 'curated_de'
+              ELSE 'tail' END AS source,
+         CASE WHEN lang = 'en' THEN 0
+              WHEN lang = 'de' THEN 1
+              ELSE 2 END AS si,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) AS n
+  FROM documents
+),
+counts AS (
+  SELECT source, si, CAST(sum(n) AS HUGEINT) AS n_s
+  FROM toks GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n_s * n_s) AS HUGEINT) AS s2,
+         CAST(sum(n_s) AS HUGEINT) AS b
+  FROM counts
+),
+eps AS (
+  SELECT source, si,
+         floor((CAST(b AS DOUBLE) * CAST(n_s * n_s AS DOUBLE)
+                / CAST(s2 AS DOUBLE) / CAST(n_s AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS e
+  FROM counts CROSS JOIN tot
+),
+cop AS (
+  SELECT t.doc_id, t.source, e.si,
+         CAST((t.doc_id::HUGEINT * 2654435761 + 12345 + e.si)
+              % 4294967296 AS BIGINT) AS u_bucket,
+         e.e
+  FROM toks t JOIN eps e USING (source)
+),
+ncop AS (
+  SELECT doc_id, source, si, u_bucket,
+         CAST(floor(e) AS INT)
+           + CASE WHEN u_bucket < (e - floor(e)) * 4294967296.0
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM cop
+),
+expanded AS (
+  SELECT doc_id, source, si, u_bucket, n_copies,
+         unnest(generate_series(1, n_copies)) AS copy
+  FROM ncop WHERE n_copies >= 1
+)
+SELECT doc_id, source, u_bucket, CAST(n_copies AS INT) AS n_copies,
+       CAST(copy AS INT) AS copy,
+       CAST((doc_id::HUGEINT * 2654435761 + (12345 + si + 7919)
+             + copy::HUGEINT * 2246822519) % 4294967296
+            AS BIGINT) AS mix_key
+FROM expanded
+"""
+
+
 def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level percentile filter: documents at or above the p90
     length threshold located via a 64-char-wide histogram
@@ -7596,6 +7710,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (both share bm25_search's oracle: the EXACT equivalence contract)
     "bm25_increment": q_bm25_increment,
     "stream_bm25": q_stream_bm25,
+    # round-13: temperature-allocated training mixture, epochs
+    # materialized by deterministic replication (UniMax's capped
+    # allocator is pytest-pinned beside it)
+    "mix_temperature": q_mix_temperature,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -7850,6 +7968,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     # exact equivalence: index search ≡ one-shot BM25 over the union
     "bm25_increment": ORACLE_BM25_SEARCH,
     "stream_bm25": ORACLE_BM25_SEARCH,
+    "mix_temperature": ORACLE_MIX_TEMPERATURE,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,

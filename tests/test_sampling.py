@@ -299,3 +299,131 @@ def test_write_training_shards_ranges_and_determinism(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="n_shards"):
         write_training_shards(mixed, str(tmp_path / "x"), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature / UniMax epoch allocation + materialization
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_epochs_allocation_math():
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        temperature_epochs,
+    )
+
+    counts = {"web": 1_000_000, "code": 100_000, "books": 10_000}
+    total = sum(counts.values())
+    # τ=1: proportional sampling → exactly one epoch everywhere
+    e1 = temperature_epochs(counts, total, temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in e1.values()), e1
+    # τ=0.5 (α=2) sharpens toward the head: web upsampled relative to
+    # its share, books' epochs collapse
+    e05 = temperature_epochs(counts, total, temperature=0.5)
+    assert e05["web"] > 1.0 > e05["code"] > e05["books"]
+    # τ→∞ flattens toward uniform TOKEN budget per source → the small
+    # source repeats many times
+    eflat = temperature_epochs(counts, total, temperature=100.0)
+    assert eflat["books"] > eflat["code"] > eflat["web"]
+    # budget scales allocations linearly
+    e2x = temperature_epochs(counts, 2 * total, temperature=1.0)
+    assert all(abs(v - 2.0) < 1e-9 for v in e2x.values())
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_epochs(counts, total, temperature=0.0)
+    with pytest.raises(ValueError, match="positive token count"):
+        temperature_epochs({"a": 0}, 10, temperature=1.0)
+
+
+def test_unimax_epochs_waterfilling():
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        unimax_epochs,
+    )
+
+    counts = {"web": 1_000_000, "code": 100_000, "books": 10_000}
+    # generous budget: small sources hit the cap, the head absorbs the
+    # remainder
+    e = unimax_epochs(counts, 2_000_000, max_epochs=4.0)
+    assert e["books"] == 4.0 and e["code"] == 4.0
+    spent = sum(e[s] * counts[s] for s in counts)
+    assert abs(spent - 2_000_000) < 1.0  # budget exhausted
+    assert all(v <= 4.0 for v in e.values())
+    # tiny budget: nobody caps, uniform token split
+    e_small = unimax_epochs(counts, 30_000, max_epochs=4.0)
+    for s, n in counts.items():
+        assert abs(e_small[s] * n - 10_000) < 1.0, (s, e_small)
+    # monotone in budget
+    e_mid = unimax_epochs(counts, 1_000_000, max_epochs=4.0)
+    assert all(e_small[s] <= e_mid[s] <= e[s] for s in counts)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_epochs(counts, 10, max_epochs=0)
+
+
+def test_mix_epochs_materialization(spark):
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        _MODULUS,
+        mix_epochs,
+        sample_bucket,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    b = spark.range(1000, 1400).select(F.col("id").alias("doc_id"))
+    epochs = {"head": 0.25, "tail": 2.5}
+    out = mix_epochs(
+        [(a, "head"), (b, "tail")], epochs, id_col="doc_id"
+    ).persist()
+    rows = out.collect()
+    # head: each row 0 or 1 copies, ~25%; tail: 2 or 3 copies each
+    head = [r for r in rows if r.source == "head"]
+    tail = [r for r in rows if r.source == "tail"]
+    assert all(r.n_copies in (0, 1) for r in head)
+    assert all(r.copy == 1 for r in head)
+    assert 150 < len(head) < 350  # ~250 expected
+    assert all(r.n_copies in (2, 3) for r in tail)
+    per_doc = {}
+    for r in tail:
+        per_doc.setdefault(r.doc_id, []).append(r.copy)
+    # every tail doc present with copies 1..n_copies, ~40% get a third
+    assert len(per_doc) == 400
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+    n3 = sum(1 for v in per_doc.values() if len(v) == 3)
+    assert 120 < n3 < 280  # ~200 expected
+    # expansion volume ≈ Σ e_s·|s|
+    assert abs(len(rows) - (0.25 * 1000 + 2.5 * 400)) < 120
+    # membership of the fractional copy is the documented hash coin
+    sample = spark.createDataFrame(
+        [(r.doc_id, r.n_copies) for r in tail], "doc_id long, n_copies int"
+    ).withColumn("bucket", sample_bucket("doc_id", salt=12345 + 1).cast("long"))
+    for r in sample.collect():
+        expected = 2 + (1 if r.bucket < 0.5 * _MODULUS else 0)
+        assert r.n_copies == expected
+    # mix_key distinct per copy, deterministic across recomputation
+    keys = sorted((r.doc_id, r.copy, r.mix_key) for r in rows)
+    keys2 = sorted(
+        (r.doc_id, r.copy, r.mix_key)
+        for r in mix_epochs(
+            [(a, "head"), (b, "tail")], epochs, id_col="doc_id"
+        ).collect()
+    )
+    assert keys == keys2
+    assert len({k[2] for k in keys if k[0] >= 1000}) > 350  # keys spread
+    out.unpersist()
+
+
+def test_mix_epochs_guards(spark):
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_epochs,
+    )
+
+    a = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="max_epochs"):
+        mix_epochs([(a, "x")], {"x": 500.0}, id_col="doc_id")
+    with pytest.raises(ValueError, match="no epoch allocation"):
+        mix_epochs([(a, "x")], {"y": 1.0}, id_col="doc_id")
+    with pytest.raises(ValueError, match="reserves column"):
+        mix_epochs(
+            [(a.withColumn("copy", F.lit(1)), "x")],
+            {"x": 1.0},
+            id_col="doc_id",
+        )
+    # zero epochs drops the source entirely
+    out = mix_epochs([(a, "x")], {"x": 0.0}, id_col="doc_id")
+    assert out.count() == 0
