@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "decode_jpeg_ac",
     "resize_nn",
     "image_features",
+    # round-13: perceptual dedup over real decoded pixels (dHash)
+    "image_dhash_dedup",
     "audio_features",
     # round-10 late: codec-free per-video features (demux + rollup)
     "video_features",

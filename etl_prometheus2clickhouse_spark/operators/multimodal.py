@@ -795,6 +795,82 @@ def resize_nearest(
     )
 
 
+def image_dhash(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "channels",
+    out_col: str = "dhash",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference hash (dHash — the public
+    gradient-sign construction: Krawetz, "Kind of Like That", 2013)
+    over a decoded pixel buffer: grayscale by exact integer floor-mean
+    across channels, nearest-neighbor downsample to a
+    ``grid × (grid+1)`` sample lattice (the :func:`resize_nearest`
+    index arithmetic — ``(i·src)//out``), bit ``(r, c)`` = 1 iff
+    ``g[r][c] > g[r][c+1]``, packed LSB-first (``i = r·grid + c``) into
+    a SIGNED 64-bit value (two's-complement wrap — the cross-engine
+    spelling). Every step is exact integer arithmetic, so the hash is
+    bit-reproducible in SQL on closed-form pixels (the
+    ``image_dhash_dedup`` catalog oracle).
+
+    Why a gradient-SIGN hash: byte-level content dedup
+    (``binary_dedup``) misses re-encoded duplicates (same picture,
+    different bytes: restart markers, metadata, encoder settings) and
+    brightness-shifted copies; dHash is invariant to both — a uniform
+    pixel shift preserves every comparison — while any change to the
+    image's coarse gradient structure flips bits. Equal dHash means
+    "same 8×8 gradient-sign structure", not byte equality: visually
+    simple images can collide, which is the documented trade of every
+    perceptual hash. One vectorized numpy pass per Arrow batch, no
+    shuffle; NULL/malformed buffers yield NULL."""
+    import numpy as np
+
+    if not 1 <= grid <= 8:
+        raise ValueError(f"image_dhash: grid must be in [1, 8], got {grid}")
+
+    @F.pandas_udf("long")
+    def _dhash(
+        px: pd.Series, w: pd.Series, h: pd.Series, c: pd.Series
+    ) -> pd.Series:
+        out = []
+        for buf, sw, sh, sc in zip(px, w, h, c):
+            if buf is None or sw is None or sw <= 0 or sh <= 0:
+                out.append(None)
+                continue
+            sw, sh, sc = int(sw), int(sh), int(sc)
+            a = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if len(a) != sw * sh * sc:
+                out.append(None)
+                continue
+            g = a.reshape(sh, sw, sc).astype(np.int64).sum(axis=2) // sc
+            ys = (np.arange(grid) * sh) // grid
+            xs = (np.arange(grid + 1) * sw) // (grid + 1)
+            s = g[ys][:, xs]
+            bits = (s[:, :-1] > s[:, 1:]).astype(np.uint64)
+            val = 0
+            for r in range(grid):
+                for cc in range(grid):
+                    if bits[r, cc]:
+                        val |= 1 << (r * grid + cc)
+            if val >= 1 << 63:
+                val -= 1 << 64  # two's-complement wrap to signed long
+            out.append(val)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(
+        out_col,
+        _dhash(
+            F.col(pixels_col),
+            F.col(width_col),
+            F.col(height_col),
+            F.col(channels_col),
+        ),
+    )
+
+
 IMAGE_FEATURES_FIELDS = (
     "px_mean double, px_std double, px_min int, px_max int, "
     "edge_mean double"

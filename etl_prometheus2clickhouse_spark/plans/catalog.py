@@ -3113,6 +3113,146 @@ FROM v
 """
 
 
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded pixels
+    (operators/multimodal.py ``image_dhash`` + keep-lowest-id): part
+    rows arrive in TRIPLES sharing one base image, with each variant
+    brightness-shifted by +v and re-encoded with different restart
+    markers — byte-DIFFERENT files that byte-level content dedup can
+    never collapse, but dHash is invariant to a uniform pixel shift
+    (every gradient-sign comparison is preserved exactly), so each
+    triple lands on one hash. The oracle re-derives the hash from the
+    closed-form S(0,1) pixels (the decode_jpeg_ac ramp arithmetic
+    sampled at the dHash lattice), packs the same LSB-first 64-bit
+    signed value, and elects the same canonical ids — decode → gray →
+    sample → compare → pack → group, end to end. Equal dHash means
+    equal 8×8 gradient-sign structure: visually simple base images can
+    legitimately collide ACROSS triples (the perceptual-hash trade);
+    the within-triple collapse is the planted guarantee."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.jpegcodec import (
+        encode_jpeg_dc,
+    )
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    def _synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                v = rid % 3
+                base = rid - v
+                dc = np.array(
+                    [
+                        [base % 180 - 90 + v, (base * 7 + 53) % 180 - 90 + v],
+                        [
+                            (base * 13 + 106) % 180 - 90 + v,
+                            (base * 29 + 159) % 180 - 90 + v,
+                        ],
+                    ]
+                )
+                ac = np.array(
+                    [
+                        [base % 7 - 3, (base + 1) % 7 - 3],
+                        [(base + 2) % 7 - 3, (base + 3) % 7 - 3],
+                    ]
+                )
+                ids.append(rid)
+                blobs.append(
+                    encode_jpeg_dc([dc], restart_interval=v, ac01_planes=[ac])
+                )
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    blobs = p.mapInPandas(_synth, "id bigint, content binary")
+    dec = decode_images(blobs, "content", "id", mode="real")
+    h = image_dhash(dec).select("id", "dhash")
+    canon = h.groupBy("dhash").agg(F.min("id").alias("canonical_id"))
+    return h.join(canon, "dhash").select(
+        "id",
+        "dhash",
+        "canonical_id",
+        (F.col("id") == F.col("canonical_id")).alias("kept"),
+    )
+
+
+def _jpeg_ac_px(b: int, xp: int) -> str:
+    """Closed-form decoded pixel of block ``b`` at within-block column
+    ``xp`` for a {DC, S(0,1)} block — the decode_jpeg_ac ramp
+    arithmetic as one SQL scalar."""
+    sign, j = ("", xp) if xp < 4 else ("-", 7 - xp)
+    return (
+        f"CAST(round(dc{b} + 128 + ac{b} * 16 * "
+        f"({sign}{_JPEG_AC_RAMP[j]})) AS BIGINT)"
+    )
+
+
+def _dhash_byte(samples: list[str]) -> str:
+    """LSB-first gradient-sign byte over 9 sampled gray values."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {samples[c]} > {samples[c + 1]} "
+        f"THEN {1 << c} ELSE 0 END)"
+        for c in range(8)
+    ) + ")"
+
+
+# the dHash sample lattice on a 16x16 image: rows (r·16)//8 land in
+# block row r//4; columns (c·16)//9 = 0,1,3,5,7 | 8,10,12,14 land in
+# block cols 0/1 at within-block offsets {0,1,3,5,7} and {0,2,4,6}
+_DHASH_TOP = [_jpeg_ac_px(0, x) for x in (0, 1, 3, 5, 7)] + [
+    _jpeg_ac_px(1, x) for x in (0, 2, 4, 6)
+]
+_DHASH_BOT = [_jpeg_ac_px(2, x) for x in (0, 1, 3, 5, 7)] + [
+    _jpeg_ac_px(3, x) for x in (0, 2, 4, 6)
+]
+
+# rows 0-3 repeat the top pattern byte at bit offsets 0/8/16/24
+# (0x01010101 = 16843009), rows 4-7 the bottom byte shifted 32 up;
+# two's-complement wrap spells the signed 64-bit engine value
+ORACLE_IMAGE_DHASH_DEDUP = f"""
+WITH v AS (
+  SELECT p_partkey AS id, p_partkey % 3 AS vv,
+         p_partkey - p_partkey % 3 AS base
+  FROM part
+),
+coef AS (
+  SELECT id,
+         CAST(base % 180 - 90 + vv AS DOUBLE) AS dc0,
+         CAST((base * 7 + 53) % 180 - 90 + vv AS DOUBLE) AS dc1,
+         CAST((base * 13 + 106) % 180 - 90 + vv AS DOUBLE) AS dc2,
+         CAST((base * 29 + 159) % 180 - 90 + vv AS DOUBLE) AS dc3,
+         CAST(base % 7 - 3 AS DOUBLE) AS ac0,
+         CAST((base + 1) % 7 - 3 AS DOUBLE) AS ac1,
+         CAST((base + 2) % 7 - 3 AS DOUBLE) AS ac2,
+         CAST((base + 3) % 7 - 3 AS DOUBLE) AS ac3
+  FROM v
+),
+hu AS (
+  SELECT id,
+         {_dhash_byte(_DHASH_TOP)}::HUGEINT * 16843009
+           + {_dhash_byte(_DHASH_BOT)}::HUGEINT * 16843009 * 4294967296
+           AS u
+  FROM coef
+),
+hashes AS (
+  SELECT id,
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT
+                   ELSE u END AS BIGINT) AS dhash
+  FROM hu
+)
+SELECT h.id, h.dhash, m.canonical_id, h.id = m.canonical_id AS kept
+FROM hashes h
+JOIN (SELECT dhash, min(id) AS canonical_id FROM hashes GROUP BY 1) m
+  USING (dhash)
+"""
+
+
 def _synth_dc_jpeg_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode_jpeg synthesis, shared: every part row → a 16x16
     grayscale DC-only baseline JPEG of four flat blocks (block i's
@@ -7712,8 +7852,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_bm25": q_stream_bm25,
     # round-13: temperature-allocated training mixture, epochs
     # materialized by deterministic replication (UniMax's capped
-    # allocator is pytest-pinned beside it)
+    # allocator is pytest-pinned beside it); perceptual image dedup
+    # over real decoded pixels (brightness/re-encode-invariant dHash)
     "mix_temperature": q_mix_temperature,
+    "image_dhash_dedup": q_image_dhash_dedup,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -7969,6 +8111,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "bm25_increment": ORACLE_BM25_SEARCH,
     "stream_bm25": ORACLE_BM25_SEARCH,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
+    "image_dhash_dedup": ORACLE_IMAGE_DHASH_DEDUP,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,

@@ -466,3 +466,58 @@ def test_audio_features_known_values_and_edges(spark):
     assert out[3].rms is None
     assert out[4].rms is None
     assert out[5].rms is None
+
+
+def test_image_dhash_invariances_and_sensitivity(spark):
+    """dHash (gradient-sign perceptual hash): invariant to a uniform
+    brightness shift and to byte-level re-encoding of the same pixels;
+    sensitive to a gradient-structure change; exact reference packing
+    (LSB-first, two's-complement); NULL/malformed pass through NULL."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, (16, 16, 1), dtype=np.uint8)
+    shifted = (img.astype(np.int64) + 30).astype(np.uint8)  # no clip
+    flipped = img[:, ::-1]  # horizontal mirror reverses gradient signs
+    rows = [
+        (1, img.tobytes(), 16, 16, 1),
+        (2, shifted.tobytes(), 16, 16, 1),
+        (3, flipped.tobytes(), 16, 16, 1),
+        (4, None, 16, 16, 1),
+        (5, b"\x00", 16, 16, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, pixels binary, width long, height long, channels int"
+    )
+    got = {r.id: r.dhash for r in image_dhash(df).collect()}
+    # reference packing computed independently
+    g = img[:, :, 0].astype(np.int64)
+    ys = (np.arange(8) * 16) // 8
+    xs = (np.arange(9) * 16) // 9
+    s = g[ys][:, xs]
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if s[r, c] > s[r, c + 1]:
+                val |= 1 << (r * 8 + c)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    assert got[1] == val
+    assert got[2] == got[1]  # brightness-shift invariant
+    assert got[3] != got[1]  # gradient flip changes the hash
+    assert got[4] is None and got[5] is None
+    # multi-channel grayscale is the exact integer floor-mean
+    rgb = np.stack([img[:, :, 0]] * 3, axis=2)
+    df3 = spark.createDataFrame(
+        [(1, rgb.tobytes(), 16, 16, 3)],
+        "id bigint, pixels binary, width long, height long, channels int",
+    )
+    assert image_dhash(df3).collect()[0].dhash == got[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid"):
+        image_dhash(df, grid=9)
