@@ -99,15 +99,38 @@ def _write_increment(
     text_col: str,
     id_col: str,
     term_buckets: int,
+    require_tokens: bool = False,
 ) -> None:
     """Land one increment's postings (term-prefix-partitioned, clustered
     on the partition key first — the band-table small-files lesson) and
     its additive one-row stats frame in their own ``mb=`` directories.
     OVERWRITE mode makes an at-least-once replay idempotent; the
-    directories go live only through the caller's manifest commit."""
+    directories go live only through the caller's manifest commit.
+
+    An increment with zero postings (empty shard, or all-empty texts)
+    is legal: its postings directory holds no files — harmless beside
+    the build's — and its stats row still counts the documents. The
+    BUILD is the exception (``require_tokens``): a base with zero
+    postings would leave every future read schemaless, so it fails
+    loud instead."""
+    spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("id"), _words(F.col(text_col)).alias("toks")
     )
+    # one additive stats row per increment — N and sum_dl range over
+    # EVERY document (zero-token docs emit no postings but do count
+    # here, exactly like the one-shot's avg over all corpus rows);
+    # collected so the build can validate, written driver-local
+    st = toks.select(F.size("toks").cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).collect()[0]
+    if require_tokens and st.sum_dl == 0:
+        raise ValueError(
+            "bm25_index_build: the corpus has no tokens — an index "
+            "whose base increment holds zero postings has no readable "
+            "postings schema; build from a corpus with text"
+        )
     posts = (
         toks.select(
             "id", F.size("toks").alias("dl"), F.explode("toks").alias("t")
@@ -120,14 +143,10 @@ def _write_increment(
     ).repartition(F.col("tp")).write.mode("overwrite").partitionBy(
         "tp"
     ).parquet(os.path.join(path, "postings", f"mb={label}"))
-    # one additive stats row per increment — N and sum_dl range over
-    # EVERY document (zero-token docs emit no postings but do count
-    # here, exactly like the one-shot's avg over all corpus rows)
-    toks.select(
-        F.size("toks").cast("long").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    local_df(
+        spark,
+        [(int(st.n_docs), int(st.sum_dl))],
+        "n_docs long, sum_dl long",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "stats", f"mb={label}")
     )
@@ -169,7 +188,10 @@ def bm25_index_build(
         )
     spark = corpus.sparkSession
     _delete_path(spark, path)
-    _write_increment(corpus, path, "base", text_col, id_col, term_buckets)
+    _write_increment(
+        corpus, path, "base", text_col, id_col, term_buckets,
+        require_tokens=True,
+    )
     local_df(
         spark, [(int(term_buckets),)], "term_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(

@@ -69,6 +69,7 @@ def _disp_partitions(n_rows: int) -> int:
 def _maintain_curation_stores(
     spark, batch_id: int, dispositions_dir: str, index_path: str,
     para_index_path: str | None, max_live_dirs: int,
+    serve_index_path: str | None = None,
 ) -> None:
     """The streaming lifecycle's scheduled compaction + vacuum: when
     any tracked surface's live-unit count reaches ``max_live_dirs``
@@ -83,6 +84,9 @@ def _maintain_curation_stores(
     (recover_stream_outputs heals any window), index folds are atomic
     manifest commits, and ``index_vacuum`` only deletes directories no
     committed manifest references."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_compact,
+    )
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
         index_live_increments,
         index_vacuum,
@@ -102,10 +106,12 @@ def _maintain_curation_stores(
     for path, compact in (
         (index_path, minhash_index_compact),
         (para_index_path, paragraph_index_compact),
+        (serve_index_path, bm25_index_compact),
     ):
         if path is None:
             continue
         live = index_live_increments(spark, path)
+        live.pop("meta", None)  # single-row geometry stays at one dir
         if live and max(live.values()) >= max_live_dirs:
             compact(spark, path, exclude_labels=guard)
             index_vacuum(spark, path)
@@ -123,12 +129,24 @@ def curation_batch_body(
     bench_index_path: str | None = None,
     min_contaminated: int = 1,
     max_live_dirs: int | None = None,
+    serve_index_path: str | None = None,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
     directly testable: a second invocation with the same ``batch_id``
     overwrites the batch's index increments and its dispositions
     partition — never duplicates.
+
+    With ``serve_index_path`` the funnel closes the curate → serve
+    loop: each batch's KEPT documents (their post-paragraph-dedup
+    text — the text the funnel's decisions were made on) are appended
+    into a persisted BM25 inverted index
+    (operators/bm25_index.py — built beforehand, e.g. from the seed's
+    kept output) under the batch's own replay-idempotent ``mb=``
+    label, so retrieval over exactly the curated corpus is live the
+    moment the batch commits. A batch with zero kept documents still
+    appends its (empty-postings, zero-docs) stats row — harmless and
+    replay-stable.
 
     With ``para_index_path`` the funnel runs FOUR stages — the full
     one-shot ``curation_funnel`` lineage: incremental PARAGRAPH dedup
@@ -171,7 +189,7 @@ def curation_batch_body(
         if max_live_dirs is not None:
             _maintain_curation_stores(
                 spark, batch_id, dispositions_dir, index_path,
-                para_index_path, max_live_dirs,
+                para_index_path, max_live_dirs, serve_index_path,
             )
         with cached_scope():
             label = f"b{int(batch_id)}"
@@ -232,6 +250,27 @@ def curation_batch_body(
             ppl = lm_perplexity(
                 kept_quality, reference, text_col, id_col, alpha=alpha
             ).select(id_col, "perplexity")
+            if serve_index_path is not None:
+                # one LM scoring, two consumers (the contaminated
+                # checkpoint pattern): the disposition write below and
+                # the serve-index append here
+                ppl = ppl.localCheckpoint()
+                from etl_prometheus2clickhouse_spark.operators.bm25_index import (  # noqa: E501
+                    bm25_index_append,
+                )
+
+                kept_docs = (
+                    kept_quality.join(ppl, id_col)
+                    .where(
+                        (F.col("perplexity") <= ppl_threshold)
+                        | F.col("perplexity").isNull()
+                    )
+                    .select(id_col, text_col)
+                )
+                bm25_index_append(
+                    kept_docs, serve_index_path, label,
+                    text_col=text_col, id_col=id_col,
+                )
             base = inc.select(id_col, "is_canonical")
             if contaminated is not None:
                 base = base.join(
@@ -294,6 +333,7 @@ def run_streaming_curation(
     bench_index_path: str | None = None,
     min_contaminated: int = 1,
     max_live_dirs: int | None = None,
+    serve_index_path: str | None = None,
 ) -> None:
     """Run ``src`` (a streaming frame of documents) to completion of
     currently-available input (AvailableNow) through
@@ -306,7 +346,10 @@ def run_streaming_curation(
     lifecycle (:func:`_maintain_curation_stores`): without it the
     dispositions directory and every index manifest accrete one unit
     per micro-batch until an operator remembers to compact — the
-    listing itself becomes the bottleneck on a long-running stream."""
+    listing itself becomes the bottleneck on a long-running stream.
+    ``serve_index_path`` closes the curate → serve loop: each batch's
+    kept documents are appended to a persisted BM25 index (see
+    :func:`curation_batch_body`)."""
     q = (
         src.writeStream.foreachBatch(
             curation_batch_body(
@@ -321,6 +364,7 @@ def run_streaming_curation(
                 bench_index_path,
                 min_contaminated,
                 max_live_dirs,
+                serve_index_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

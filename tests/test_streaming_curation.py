@@ -493,3 +493,78 @@ def test_four_stage_stream_with_paragraph_index(spark, tmp_path):
     assert got[11] == "duplicate"
     assert got[13] == "quality"
     assert got[12] == "kept"
+
+
+def test_serve_index_receives_kept_docs(spark, tmp_path):
+    """serve_index_path closes the curate → serve loop: each batch's
+    kept documents land in a persisted BM25 index under the batch's
+    replay-idempotent label, so search over the index equals one-shot
+    BM25 over exactly the curated corpus (seed kept + streamed kept),
+    and a replayed batch changes nothing."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import bm25_search
+
+    with cached_scope():
+        thr = _median_ppl(spark)
+        want = _one_shot(spark, thr)
+    seed, ref, idx = _setup(spark, tmp_path, "sv")
+    src = str(tmp_path / "sv_src")
+    disp_dir = str(tmp_path / "sv_disp")
+    ckpt = str(tmp_path / "sv_ckpt")
+    serve = str(tmp_path / "sv_serve")
+
+    # the serve index starts from the SEED's kept output (the
+    # production bootstrap: curate the backlog once, then stream)
+    all_rows = _SEED + [r for b in _BATCHES for r in b]
+    kept_ids = {k for k, v in want.items() if v == "kept"}
+    seed_kept = [r for r in _SEED if r[0] in kept_ids]
+    assert seed_kept, "seed must contribute kept docs (fixture drift)"
+    bm25_index_build(
+        spark.createDataFrame(seed_kept, _SCHEMA), serve, term_buckets=8
+    )
+
+    for n, b in enumerate(_BATCHES):
+        _write_batch(spark, src, b, n)
+    run_streaming_curation(
+        _stream(spark, src), idx, ref, disp_dir, ckpt, thr,
+        serve_index_path=serve,
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, ["curious", "engineers", "documents"]),
+            (2, ["gentle", "rain", "harvest"]),
+            (3, ["zorbic", "flanges"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in bm25_index_search(queries, serve, k=5).collect()
+    )
+    kept_docs = spark.createDataFrame(
+        [r for r in all_rows if r[0] in kept_ids], _SCHEMA
+    )
+    want_rows = sorted(
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in bm25_search(kept_docs, queries, k=5).collect()
+    )
+    assert got == want_rows and got
+    # streamed kept docs actually reached the index (non-vacuous)
+    streamed_kept = kept_ids & {r[0] for b in _BATCHES for r in b}
+    assert streamed_kept
+    assert streamed_kept & {g[1] for g in got}
+
+    # at-least-once replay: re-invoking a batch body leaves the serve
+    # index unchanged (mb= overwrite + stats row replacement)
+    body = curation_batch_body(
+        idx, ref, disp_dir, thr, serve_index_path=serve
+    )
+    body(spark.createDataFrame(_BATCHES[0], _SCHEMA), 0)
+    again = sorted(
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in bm25_index_search(queries, serve, k=5).collect()
+    )
+    assert again == got
