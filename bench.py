@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "bpe_pack_ids",
     "nb_classify",
     "bm25_search",
+    # round-13: graded ranking evaluation over the BM25 lists
+    "bm25_ndcg",
     # round-10: BM25 + dense cosine fused by reciprocal rank, and MMR
     # diversity re-ranking over the embedding-free retrieval stack
     "hybrid_search",

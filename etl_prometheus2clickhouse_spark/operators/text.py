@@ -1196,6 +1196,80 @@ def rrf_fuse(
     )
 
 
+def ndcg_at_k(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k ranking evaluation (Järvelin & Kekäläinen, TOIS 2002 —
+    the graded-relevance metric every retrieval deployment tracks
+    beside recall): ``DCG@k = Σ_{rank≤k} (2^rel − 1)/log2(rank+1)``
+    over the retrieved list, normalized by the IDEAL DCG@k — the same
+    sum over the query's judgments sorted by relevance (ties by doc
+    id). Retrieved documents without a judgment score relevance 0
+    (the standard pooling convention); a query with no positive
+    judgments reports ndcg 0.0 rather than NULL so downstream
+    averages stay defined. Emits one row per RETRIEVED query:
+    ``(query_id, dcg, idcg, ndcg)``, each rounded to 6 dp.
+
+    Scale shape: ``results`` is a top-k list (O(queries × k) rows) and
+    ``judgments`` is the assessment pool — both evaluation-sized, so
+    the join and the per-query ideal-ranking window move slim frames
+    only; the corpus never appears. This closes the evaluation axis
+    pair: ``ann_recall`` measures set overlap for nearest-neighbor
+    lists, this measures graded ranking quality for retrieval lists
+    (BM25 / hybrid / fused)."""
+    if k < 1:
+        raise ValueError("ndcg_at_k: k must be >= 1")
+    res = results.where(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    judg = judgments.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rel_col).cast("double").alias("rel"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(
+        F.col("rank") + 1.0
+    )
+    dcg = (
+        res.join(judg, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0.0)))
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        judg.withColumn("rank", F.row_number().over(w_ideal).cast("long"))
+        .where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(F.coalesce("idcg", F.lit(0.0)), 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce("idcg", F.lit(0.0)) > 0.0,
+                    F.col("dcg") / F.col("idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
 def bm25_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5726,6 +5726,65 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking evaluation (operators/text.py ``ndcg_at_k``) over
+    the BM25 top-10 lists: judgments are the POOLED convention —
+    every retrieved (query, doc) pair assessed, here with the
+    deterministic grade ``(doc_id + query_id) % 4`` so the ideal
+    ordering genuinely differs from the BM25 ordering (nDCG < 1 and
+    varied). The oracle embeds the full BM25 SQL as a CTE and
+    recomputes DCG/IDCG/nDCG — retrieval AND evaluation arithmetic
+    must agree end-to-end for the hash to match. Completes the
+    evaluation-axis pair: ann_recall for neighbor sets, nDCG for
+    graded rankings."""
+    from etl_prometheus2clickhouse_spark.operators.text import ndcg_at_k
+
+    d = _t(spark, sf_dir, "documents")
+    res = bm25_search(d, _bm25_queries(spark, sf_dir), k=10)
+    judg = res.select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") + F.col("query_id")) % 4).alias("rel"),
+    )
+    return ndcg_at_k(res, judg, k=10)
+
+
+ORACLE_BM25_NDCG = f"""
+WITH res AS ({ORACLE_BM25_SEARCH}),
+j AS (
+  SELECT query_id, doc_id,
+         CAST((doc_id + query_id) % 4 AS DOUBLE) AS rel
+  FROM res
+),
+d AS (
+  SELECT r.query_id,
+         sum((pow(2.0, coalesce(j.rel, 0.0)) - 1.0)
+             / log2(r.rank + 1.0)) AS dcg
+  FROM res r
+  LEFT JOIN j ON r.query_id = j.query_id AND r.doc_id = j.doc_id
+  WHERE r.rank <= 10
+  GROUP BY 1
+),
+i AS (
+  SELECT query_id,
+         sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rnk
+    FROM j
+  )
+  WHERE rnk <= 10
+  GROUP BY 1
+)
+SELECT d.query_id, round(d.dcg, 6) AS dcg,
+       round(coalesce(i.idcg, 0.0), 6) AS idcg,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0
+                  THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM d LEFT JOIN i USING (query_id)
+"""
+
+
 def _chunkn(src: F.Column, w: int) -> F.Column:
     """Re-render a space-separated word stream as newline-joined
     ``w``-word paragraphs — the synthetic paragraph structure the
@@ -7856,6 +7915,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # over real decoded pixels (brightness/re-encode-invariant dHash)
     "mix_temperature": q_mix_temperature,
     "image_dhash_dedup": q_image_dhash_dedup,
+    # round-13: graded ranking evaluation over the BM25 lists (the
+    # nDCG axis beside ann_recall's set-overlap axis)
+    "bm25_ndcg": q_bm25_ndcg,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -8112,6 +8174,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "stream_bm25": ORACLE_BM25_SEARCH,
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
     "image_dhash_dedup": ORACLE_IMAGE_DHASH_DEDUP,
+    "bm25_ndcg": ORACLE_BM25_NDCG,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,

@@ -427,3 +427,32 @@ def test_mix_epochs_guards(spark):
     # zero epochs drops the source entirely
     out = mix_epochs([(a, "x")], {"x": 0.0}, id_col="doc_id")
     assert out.count() == 0
+
+
+def test_mix_epochs_plan_pure_jvm_no_shuffle(spark):
+    """The materialization's scale claim as a plan assertion: copy
+    counts, membership, and keys are JVM hash expressions, the
+    expansion is a generator — no Python eval node, no shuffle of the
+    corpus side."""
+    import re
+
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_epochs,
+    )
+
+    a = spark.range(100).select(F.col("id").alias("doc_id"))
+    out = mix_epochs([(a, "x")], {"x": 1.5}, id_col="doc_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "PythonUDF" not in plan and "EvalPython" not in plan
+    non_broadcast = [
+        l for l in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|Single)", l)
+    ]
+    assert non_broadcast == [], non_broadcast
+    # the generator expression must not be cloned into an injected
+    # size()>0 filter (the InferFiltersFromGenerate blowup): the plan
+    # carries explode_outer (Generate ... false) — outer generate is
+    # exempt from the rule
+    assert "sequence(" in plan

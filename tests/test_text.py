@@ -1012,3 +1012,45 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([l1], k0=60)
     with _pytest.raises(ValueError):
         rrf_fuse([l1, l2], k0=0)
+
+
+def test_ndcg_at_k_known_answer(spark):
+    """Hand-computed nDCG on a 2-query fixture: perfect ranking → 1.0,
+    inverted ranking → the closed-form ratio; unjudged docs score 0,
+    a query with no positive judgments reports 0.0."""
+    import math
+
+    from etl_prometheus2clickhouse_spark.operators.text import ndcg_at_k
+
+    results = spark.createDataFrame(
+        [
+            # q1: retrieved in EXACTLY ideal order (rels 3, 1, 0)
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            # q2: inverted (rels 0, 1, 3) + an unjudged doc at rank 2
+            (2, 20, 1), (2, 99, 2), (2, 21, 3), (2, 22, 4),
+            # q3: retrieved docs all unjudged
+            (3, 30, 1),
+        ],
+        "query_id long, doc_id long, rank int",
+    )
+    judgments = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1), (1, 12, 0),
+         (2, 20, 0), (2, 21, 1), (2, 22, 3)],
+        "query_id long, doc_id long, rel int",
+    )
+    got = {r.query_id: r for r in ndcg_at_k(results, judgments, k=4).collect()}
+
+    def dcg(pairs):
+        return sum((2.0 ** r - 1) / math.log2(rk + 1) for rk, r in pairs)
+
+    assert got[1].ndcg == 1.0  # ideal order
+    d2 = dcg([(1, 0), (2, 0), (3, 1), (4, 3)])
+    i2 = dcg([(1, 3), (2, 1), (3, 0)])
+    assert abs(got[2].ndcg - round(d2 / i2, 6)) < 1e-9
+    assert got[2].ndcg < 1.0
+    assert got[3].dcg == 0.0 and got[3].idcg == 0.0 and got[3].ndcg == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(results, judgments, k=0)
