@@ -3172,13 +3172,15 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = p.mapInPandas(_synth, "id bigint, content binary")
     dec = decode_images(blobs, "content", "id", mode="real")
     h = image_dhash(dec).select("id", "dhash")
-    canon = h.groupBy("dhash").agg(F.min("id").alias("canonical_id"))
-    return h.join(canon, "dhash").select(
+    # canonical election as a window over ONE pass — a groupBy +
+    # self-join would re-evaluate the plan (and re-decode the corpus)
+    # on both sides
+    w_canon = Window.partitionBy("dhash")
+    return h.select(
         "id",
         "dhash",
-        "canonical_id",
-        (F.col("id") == F.col("canonical_id")).alias("kept"),
-    )
+        F.min("id").over(w_canon).alias("canonical_id"),
+    ).withColumn("kept", F.col("id") == F.col("canonical_id"))
 
 
 def _jpeg_ac_px(b: int, xp: int) -> str:
