@@ -140,8 +140,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "weighted_sample",
     "corpus_mix",
-    # round-13: temperature-allocated mixture with epoch replication
+    # round-13: temperature-allocated mixture with epoch replication,
+    # and the row-level data-quality gate
     "mix_temperature",
+    "validate_quarantine",
     # round-10 late: Z-order layout pruning witness; round-11: the
     # Hilbert-curve sibling
     "zorder_stats",

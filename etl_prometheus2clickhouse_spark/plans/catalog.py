@@ -5787,6 +5787,78 @@ FROM d LEFT JOIN i USING (query_id)
 """
 
 
+def q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality gate (operators/validate.py
+    ``validate_rows``): three expectations over the documents table —
+    minimum length, no email PII, known language — with fail-closed
+    NULL semantics and the FULL ordered violation list per row (the
+    annotate-don't-delete audit discipline). The min-length and
+    PII rules genuinely fire on the synthetic corpus (short docs and
+    planted emails), the language rule passes everywhere — a zero-rate
+    rule is part of the contract too. The oracle rebuilds the
+    violation lists with the identical conditions in SQL."""
+    from etl_prometheus2clickhouse_spark.operators.text import EMAIL_REGEX
+    from etl_prometheus2clickhouse_spark.operators.validate import (
+        validate_rows,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    # the word-salad corpus contains no emails — inject them on every
+    # 10th doc (the pii_scrub planting, recomputed by the oracle) so
+    # the PII rule genuinely fires
+    sid = F.col("doc_id").cast("string")
+    d = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"), sid, F.lit("@example.com now")
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    rules = [
+        ("min_len", F.col("n_chars") >= 100),
+        ("no_email_pii", ~F.col("text").rlike(EMAIL_REGEX)),
+        ("known_lang", F.col("lang").isin("en", "de", "es", "fr", "zh")),
+    ]
+    return validate_rows(d, rules).select(
+        "doc_id", "violations", "valid"
+    )
+
+
+ORACLE_VALIDATE_QUARANTINE = """
+WITH injected AS (
+  SELECT doc_id, lang, n_chars,
+         text || CASE WHEN doc_id % 10 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+                      ELSE '' END AS text
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN NOT coalesce(n_chars >= 100, false)
+                THEN 'min_len' END,
+           CASE WHEN NOT coalesce(NOT regexp_matches(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'),
+                  false)
+                THEN 'no_email_pii' END,
+           CASE WHEN NOT coalesce(lang IN ('en','de','es','fr','zh'),
+                  false)
+                THEN 'known_lang' END
+         ], x -> x IS NOT NULL) AS violations
+  FROM injected
+)
+SELECT doc_id, violations, len(violations) = 0 AS valid FROM v
+"""
+
+
 def _chunkn(src: F.Column, w: int) -> F.Column:
     """Re-render a space-separated word stream as newline-joined
     ``w``-word paragraphs — the synthetic paragraph structure the
@@ -7918,8 +7990,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_temperature": q_mix_temperature,
     "image_dhash_dedup": q_image_dhash_dedup,
     # round-13: graded ranking evaluation over the BM25 lists (the
-    # nDCG axis beside ann_recall's set-overlap axis)
+    # nDCG axis beside ann_recall's set-overlap axis); row-level
+    # data-quality expectations with fail-closed NULLs + quarantine
     "bm25_ndcg": q_bm25_ndcg,
+    "validate_quarantine": q_validate_quarantine,
     "events_unpivot": q_events_unpivot,
     # round-9: the residual-encoding IVFADC refinement (Jégou §IV-A)
     # under its own full-pipeline oracle, and CMS through real
@@ -8177,6 +8251,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "mix_temperature": ORACLE_MIX_TEMPERATURE,
     "image_dhash_dedup": ORACLE_IMAGE_DHASH_DEDUP,
     "bm25_ndcg": ORACLE_BM25_NDCG,
+    "validate_quarantine": ORACLE_VALIDATE_QUARANTINE,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "cosine_topk_ivfpq": ORACLE_COSINE_TOPK_IVFPQ,
     "cosine_topk_ivfpq_residual": ORACLE_COSINE_TOPK_IVFPQ_RESIDUAL,
