@@ -263,3 +263,22 @@ def test_streaming_ingest_scheduled_maintenance(spark, docs, queries,
         )
     )
     assert _rows(bm25_index_search(queries, path, k=5)) == want
+
+
+def test_search_snapshot_isolated_from_concurrent_append(
+    spark, docs, shard, queries, tmp_path
+):
+    """A search resolves the manifest ONCE: an append landing after the
+    search frame is built (but before it materializes) must not mix the
+    new increment's postings with the old stats — the frame keeps
+    answering from its snapshot, and only a NEW search sees the
+    append."""
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    pre = _rows(bm25_index_search(queries, path, k=5))
+    lazy = bm25_index_search(queries, path, k=5)  # snapshot pinned here
+    bm25_index_append(shard, path, "w2")
+    assert _rows(lazy) == pre
+    post = _rows(bm25_index_search(queries, path, k=5))
+    assert post != pre
+    assert post == _rows(bm25_search(docs.unionByName(shard), queries, k=5))
