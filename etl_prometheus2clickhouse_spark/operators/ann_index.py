@@ -52,7 +52,9 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _delete_path,
     _ip,
     _manifest_add,
+    _pinned_live,
     _read_increment_table,
+    _read_pinned_table,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
     _IVFPQ_TOPK_SCHEMA,
@@ -208,8 +210,11 @@ def _write_model(
     )
 
 
-def _model_row(spark: SparkSession, path: str):
-    tbl = _read_increment_table(spark, path, "model")
+def _model_row(
+    spark: SparkSession, path: str,
+    live: "dict[str, list[str]] | None" = None,
+):
+    tbl = _read_pinned_table(spark, path, "model", live)
     if "vec_buckets" not in tbl.columns:
         # model row written before the vp=-bucketed raw-vector side
         # table existed: no bucket geometry to read — searches against
@@ -287,13 +292,20 @@ def ann_index_search(
     a handful of literals — never a full raw-vector scan). Passing
     ``corpus`` overrides the rescore source with a caller-supplied
     raw-vector frame (same values — the vector table is a copy of the
-    ingested vectors)."""
+    ingested vectors).
+
+    The manifest is resolved ONCE per search and model, codes, and
+    vectors all read from that snapshot — the one-commit retrain swap
+    guarantees a reader never pairs new codes with old quantizers only
+    if the reader binds every table to one resolution (the
+    ``_read_pinned_table`` contract)."""
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
     spark = queries.sparkSession
-    row = _model_row(spark, path)
+    live = _pinned_live(spark, path)
+    row = _model_row(spark, path, live)
     model = ivfpq_model_from_json(row.model_json)
-    table = _read_increment_table(spark, path, "codes").select(
+    table = _read_pinned_table(spark, path, "codes", live).select(
         "id", "cell", "codes"
     )
     res = _ivfpq_code_candidates(
@@ -331,7 +343,7 @@ def ann_index_search(
             .collect()
         ]
         vecs = (
-            _read_increment_table(spark, path, "vectors")
+            _read_pinned_table(spark, path, "vectors", live)
             .where(
                 F.col("vp").isin(cand_vps) if cand_vps else F.lit(False)
             )

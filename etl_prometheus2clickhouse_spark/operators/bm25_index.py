@@ -64,8 +64,8 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _compact_increment_table,
     _delete_path,
     _manifest_add,
-    _manifest_tables,
-    _read_increment_table,
+    _pinned_live,
+    _read_pinned_table,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
     _guard_model_rows,
@@ -153,43 +153,15 @@ def _write_increment(
     )
 
 
-def _read_pinned(
-    spark: SparkSession, path: str, table: str,
-    live: "dict[str, list[str]]",
-) -> DataFrame:
-    """Read one index table's live increments from a PINNED manifest
-    snapshot (:func:`.dedup_index._manifest_tables` resolved once by
-    the caller): the per-table :func:`.dedup_index._read_increment_table`
-    re-resolves the manifest on every call, so a commit landing between
-    a search's postings read and its stats read would mix versions —
-    postings from one increment set, N/avgdl from another. One snapshot
-    per query keeps the score arithmetic internally consistent (the
-    reader still sees old-state-or-new, never a mix)."""
-    root = os.path.join(path, table)
-    dirs = live.get(table)
-    if dirs is None:
-        # pre-manifest layout: directory semantics
-        return spark.read.parquet(root)
-    if not dirs:
-        raise ValueError(
-            f"bm25 index at {path!r}: manifest lists no live "
-            f"increments for table {table!r}"
-        )
-    return spark.read.option("basePath", root).parquet(
-        *[os.path.join(root, d) for d in dirs]
-    )
-
-
 def _read_meta(
     spark: SparkSession, path: str,
     live: "dict[str, list[str]] | None" = None,
 ) -> int:
-    meta = (
-        _read_pinned(spark, path, "meta", live)
-        if live is not None
-        else _read_increment_table(spark, path, "meta")
+    rows = (
+        _read_pinned_table(spark, path, "meta", live)
+        .select("term_buckets")
+        .collect()
     )
-    rows = meta.select("term_buckets").collect()
     if len(rows) != 1:
         raise ValueError(
             f"bm25 index at {path!r} has a corrupt meta table "
@@ -278,11 +250,11 @@ def bm25_index_search(
     Output ``(query_id, doc_id, bm25 rounded to 6, rank)`` — EXACTLY
     the one-shot's frame on the union corpus (module docstring has the
     argument). The manifest is resolved ONCE per search and every
-    table read from that snapshot (:func:`_read_pinned`), so a commit
-    landing mid-query can never mix one version's postings with
-    another's corpus stats."""
+    table read from that snapshot (:func:`.dedup_index.
+    _read_pinned_table`), so a commit landing mid-query can never mix
+    one version's postings with another's corpus stats."""
     spark = queries.sparkSession
-    live = _manifest_tables(spark, path, ["postings", "stats", "meta"])
+    live = _pinned_live(spark, path)
     term_buckets = _read_meta(spark, path, live)
     qterms = queries.select(
         F.col(query_id_col),
@@ -302,11 +274,11 @@ def bm25_index_search(
         ).distinct().collect()
     ]
     postings = (
-        _read_pinned(spark, path, "postings", live)
+        _read_pinned_table(spark, path, "postings", live)
         .where(F.col("tp").isin(probe) if probe else F.lit(False))
         .select("t", "id", "dl", "tf")
     )
-    stats = _read_pinned(spark, path, "stats", live).agg(
+    stats = _read_pinned_table(spark, path, "stats", live).agg(
         F.sum("n_docs").cast("double").alias("n_docs"),
         (
             F.sum("sum_dl").cast("double")

@@ -1200,7 +1200,12 @@ def _read_increment_table(
 ) -> DataFrame:
     """The table's LIVE increments only — resolved through the
     manifest (superseded dirs a compaction left behind are invisible);
-    directory semantics for pre-manifest indexes."""
+    directory semantics for pre-manifest indexes. Resolves the
+    manifest PER CALL: a reader touching several tables of one index
+    should resolve once with :func:`_manifest_tables` and read each
+    through :func:`_read_pinned_table` instead, or a commit landing
+    between its calls mixes table versions (e.g. one version's codes
+    decoded with another's model)."""
     root = os.path.join(index_path, table)
     m = _read_manifest(spark, index_path)
     if m is None or table not in m["tables"]:
@@ -1212,6 +1217,46 @@ def _read_increment_table(
             f"increments for table {table!r}"
         )
     return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def _pinned_live(
+    spark: SparkSession, index_path: str
+) -> "dict[str, list[str]] | None":
+    """ONE manifest resolution for a multi-table reader, or ``None``
+    for a pre-manifest (legacy) index — where there are no manifest
+    commits to race, so per-call directory reads are already
+    consistent."""
+    m = _read_manifest(spark, index_path)
+    return None if m is None else {
+        k: list(v) for k, v in m["tables"].items()
+    }
+
+
+def _read_pinned_table(
+    spark: SparkSession, index_path: str, table: str,
+    live: "dict[str, list[str]] | None",
+) -> DataFrame:
+    """Read one index table's live increments from a PINNED manifest
+    snapshot (``live`` = one :func:`_pinned_live` resolution shared by
+    every table a multi-table reader touches). The atomic manifest
+    commit guarantees old-state-or-new only per RESOLUTION; cross-table
+    consistency inside one query (model ↔ codes, postings ↔ corpus
+    stats) needs all its reads bound to the same resolution — this is
+    that binding. ``live=None`` (pre-manifest index) and tables the
+    manifest doesn't list fall back to the per-call reader's
+    semantics."""
+    if live is None or table not in live:
+        return _read_increment_table(spark, index_path, table)
+    root = os.path.join(index_path, table)
+    dirs = live[table]
+    if not dirs:
+        raise ValueError(
+            f"index at {index_path!r}: manifest lists no live "
+            f"increments for table {table!r}"
+        )
+    return spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, d) for d in dirs]
+    )
 
 
 def index_vacuum(spark: SparkSession, index_path: str) -> dict:

@@ -67,7 +67,9 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _compact_increment_table,
     _delete_path,
     _manifest_add,
+    _pinned_live,
     _read_increment_table,
+    _read_pinned_table,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
     _as_double,
@@ -129,9 +131,12 @@ def _cell_udf(C: np.ndarray):
     return _cell
 
 
-def _read_model(spark: SparkSession, path: str) -> tuple[np.ndarray, float]:
+def _read_model(
+    spark: SparkSession, path: str,
+    live: "dict[str, list[str]] | None" = None,
+) -> tuple[np.ndarray, float]:
     rows = (
-        _read_increment_table(spark, path, "model")
+        _read_pinned_table(spark, path, "model", live)
         .select("model_json")
         .collect()
     )
@@ -234,7 +239,12 @@ def semantic_increment(
                 "for the build increment"
             )
     spark = shard.sparkSession
-    C, threshold = _read_model(spark, path)
+    # one manifest resolution for BOTH the frozen centroids and the
+    # stored-vector read: a retrain committing between them would
+    # otherwise assign cells with the OLD model while probing vectors
+    # partitioned by the NEW one — wrong cells pruned, silent misses
+    live = _pinned_live(spark, path)
+    C, threshold = _read_model(spark, path, live)
     vecs = shard.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
@@ -247,7 +257,7 @@ def semantic_increment(
     probe_cells = [
         r.cell for r in cells.select("cell").distinct().collect()
     ]
-    stored = _read_increment_table(spark, path, "vectors")
+    stored = _read_pinned_table(spark, path, "vectors", live)
     if update_index:
         # at-least-once replay: a failed first attempt's own mb= rows
         # would make every shard vector its own stored twin (cos 1.0)

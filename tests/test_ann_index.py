@@ -517,3 +517,28 @@ def test_skew_witness_trips_on_planted_drift_and_retrain_rebalances(
     assert report["recall_new"] >= report["recall_old"], report
     # the retrained centroids spread the drifted mass back out
     assert report["skew_after"]["skew"] < skewed["skew"], report
+
+
+def test_search_snapshot_isolated_from_concurrent_append(
+    spark, sf_dir, tmp_path
+):
+    """A search resolves the manifest ONCE — model, codes, and vectors
+    all bind to that snapshot, so an append (or retrain) committing
+    after the search frame is built cannot mix one version's codes
+    with another's quantizers: the in-flight frame answers from
+    pre-append state, and only a NEW search sees the increment."""
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "snap_idx")
+    q = emb.where(F.col("vec_id") < 10)
+    with cached_scope():
+        ann_index_build(base, path, dim=64, n_cells=16, m=4, k_codes=8)
+        pre = _topk(ann_index_search(q, path, k=5, n_probe=8,
+                                     n_candidates=50))
+        lazy = ann_index_search(q, path, k=5, n_probe=8, n_candidates=50)
+        ann_index_append(shard, path, "w2")
+        assert _topk(lazy) == pre
+        post = _topk(ann_index_search(q, path, k=5, n_probe=8,
+                                      n_candidates=50))
+    assert post != pre  # the new search sees the appended shard
