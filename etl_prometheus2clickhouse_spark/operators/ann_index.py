@@ -53,7 +53,6 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _ip,
     _manifest_add,
     _pinned_live,
-    _read_increment_table,
     _read_pinned_table,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
@@ -396,7 +395,12 @@ def ann_index_retrain(
         cosine_topk_bruteforce,
     )
 
-    row = _model_row(spark, path)
+    # one manifest resolution for model + vectors: a commit landing
+    # between the two reads would pair one version's quantizers with
+    # the other version's vector set (the search-path pinning contract
+    # applied to the lifecycle readers)
+    live = _pinned_live(spark, path)
+    row = _model_row(spark, path, live)
     old_model = ivfpq_model_from_json(row.model_json)
     if row.vec_buckets is None:
         raise ValueError(
@@ -405,7 +409,9 @@ def ann_index_retrain(
             "the index once with ann_index_build"
         )
     vec_buckets = int(row.vec_buckets)
-    vecs = _read_increment_table(spark, path, "vectors").select("id", "vec")
+    vecs = _read_pinned_table(spark, path, "vectors", live).select(
+        "id", "vec"
+    )
     new_model = ivfpq_train(
         vecs,
         old_model.pq.dim,
@@ -496,7 +502,10 @@ __all__ = [
 ]
 
 
-def ann_cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
+def ann_cell_occupancy(
+    spark: SparkSession, path: str,
+    live: "dict[str, list[str]] | None" = None,
+) -> DataFrame:
     """Per-cell vector counts of the live code table — one row per
     coarse cell (sketch-sized: bounded by n_cells, never the corpus).
     The telemetry the hot-cell skew witness reads after every append:
@@ -504,7 +513,7 @@ def ann_cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
     centroid silently absorbing the distribution under drift is the
     failure mode the retrain lifecycle exists to repair."""
     return (
-        _read_increment_table(spark, path, "codes")
+        _read_pinned_table(spark, path, "codes", live)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -515,10 +524,11 @@ def ann_occupancy_skew(spark: SparkSession, path: str) -> dict:
     largest cell's share × n_cells — 1.0 when perfectly balanced,
     n_cells when one centroid holds everything. A bounded collect
     (≤ n_cells rows)."""
-    row = _model_row(spark, path)
+    live = _pinned_live(spark, path)
+    row = _model_row(spark, path, live)
     model = ivfpq_model_from_json(row.model_json)
     n_cells = int(model.coarse.shape[1])
-    occ = ann_cell_occupancy(spark, path).collect()
+    occ = ann_cell_occupancy(spark, path, live).collect()
     total = sum(r.n_vectors for r in occ)
     biggest = max(occ, key=lambda r: r.n_vectors) if occ else None
     max_share = (biggest.n_vectors / total) if total else 0.0

@@ -766,7 +766,11 @@ def resize_nearest(
     ) -> pd.Series:
         out = []
         for buf, sw, sh, sc in zip(px, w, h, c):
-            if buf is None or sw is None or sw <= 0 or sh <= 0:
+            if (
+                buf is None
+                or pd.isna(sw) or pd.isna(sh) or pd.isna(sc)
+                or sw <= 0 or sh <= 0 or sc <= 0
+            ):
                 out.append(None)
                 continue
             sw, sh, sc = int(sw), int(sh), int(sc)
@@ -837,7 +841,11 @@ def image_dhash(
     ) -> pd.Series:
         out = []
         for buf, sw, sh, sc in zip(px, w, h, c):
-            if buf is None or sw is None or sw <= 0 or sh <= 0:
+            if (
+                buf is None
+                or pd.isna(sw) or pd.isna(sh) or pd.isna(sc)
+                or sw <= 0 or sh <= 0 or sc <= 0
+            ):
                 out.append(None)
                 continue
             sw, sh, sc = int(sw), int(sh), int(sc)

@@ -68,7 +68,6 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _delete_path,
     _manifest_add,
     _pinned_live,
-    _read_increment_table,
     _read_pinned_table,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
@@ -360,8 +359,15 @@ def semantic_index_retrain(
         _manifest_tables,
     )
 
-    C_old, threshold = _read_model(spark, path)
-    vecs = _read_increment_table(spark, path, "vectors").select("id", "vec")
+    # one manifest resolution for model + vectors: a retrain committing
+    # between the two reads would pair one version's n_cells with the
+    # other version's cell assignments (the search/increment pinning
+    # contract applied to the lifecycle readers)
+    live = _pinned_live(spark, path)
+    C_old, threshold = _read_model(spark, path, live)
+    vecs = _read_pinned_table(spark, path, "vectors", live).select(
+        "id", "vec"
+    )
     sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
     X = np.asarray([r.vec for r in sample], dtype=np.float64)
     if len(X) == 0:
@@ -397,7 +403,10 @@ def semantic_index_retrain(
     return report
 
 
-def semantic_cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
+def semantic_cell_occupancy(
+    spark: SparkSession, path: str,
+    live: "dict[str, list[str]] | None" = None,
+) -> DataFrame:
     """Per-cell vector counts of the live vector table — one row per
     frozen centroid (bounded by n_cells). ``semantic_increment``'s
     pair work is |shard∩cell| × |corpus∩cell|, so a hot cell under
@@ -405,7 +414,7 @@ def semantic_cell_occupancy(spark: SparkSession, path: str) -> DataFrame:
     the module's 100 TB argument rests on; this is the witness that
     watches it."""
     return (
-        _read_increment_table(spark, path, "vectors")
+        _read_pinned_table(spark, path, "vectors", live)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -415,9 +424,10 @@ def semantic_occupancy_skew(spark: SparkSession, path: str) -> dict:
     """Skew summary of :func:`semantic_cell_occupancy` (largest cell's
     share × n_cells; 1.0 balanced, n_cells degenerate). Bounded
     collect."""
-    C, _thr = _read_model(spark, path)
+    live = _pinned_live(spark, path)
+    C, _thr = _read_model(spark, path, live)
     n_cells = int(C.shape[1])
-    occ = semantic_cell_occupancy(spark, path).collect()
+    occ = semantic_cell_occupancy(spark, path, live).collect()
     total = sum(r.n_vectors for r in occ)
     biggest = max(occ, key=lambda r: r.n_vectors) if occ else None
     max_share = (biggest.n_vectors / total) if total else 0.0

@@ -1230,10 +1230,18 @@ def ndcg_at_k(
         F.col(id_col).alias("doc_id"),
         F.col(rank_col).cast("long").alias("rank"),
     )
-    judg = judgments.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("doc_id"),
-        F.col(rel_col).cast("double").alias("rel"),
+    judg = (
+        judgments.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rel_col).cast("double").alias("rel"),
+        )
+        # duplicate (query, doc) judgments would fan out the DCG join
+        # (each retrieved row's gain summed once per duplicate) and give
+        # the ideal ranking two slots for one document — collapse to the
+        # max-relevance assessment, the standard pooling resolution
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("rel").alias("rel"))
     )
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(
         F.col("rank") + 1.0

@@ -92,8 +92,11 @@ def rule_summary(
     combining aggregate (booleans summed as ints); the output is
     rule-list-sized."""
     aggs = [
-        F.sum(
-            F.array_contains(F.col(violations_col), name).cast("long")
+        F.coalesce(
+            F.sum(
+                F.array_contains(F.col(violations_col), name).cast("long")
+            ),
+            F.lit(0),
         ).alias(f"__v_{i}")
         for i, (name, _) in enumerate(rules)
     ]

@@ -5667,7 +5667,7 @@ def q_bm25_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence contract: search over the live index ≡ one-shot
     bm25_search over the union corpus, so green means build → append →
     pruned search reproduces the full idf/tf/length-norm arithmetic."""
-    import os
+    import shutil
     import tempfile
 
     from etl_prometheus2clickhouse_spark.operators.bm25_index import (
@@ -5679,13 +5679,18 @@ def q_bm25_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     base = d.where(F.col("doc_id") % 5 != 0)
     shard = d.where(F.col("doc_id") % 5 == 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bm25_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    bm25_index_build(base, path, term_buckets=16)
-    bm25_index_append(shard, path, "w2")
-    return bm25_index_search(_bm25_queries(spark, sf_dir), path, k=10)
+    # private scratch per run (a fixed shared path keyed on the sf dir
+    # races two concurrent runs: one's build deletes the directory the
+    # other is searching), materialized before the cleanup
+    scratch = tempfile.mkdtemp(prefix="bm25_increment_")
+    try:
+        path = f"{scratch}/idx"
+        bm25_index_build(base, path, term_buckets=16)
+        bm25_index_append(shard, path, "w2")
+        out = bm25_index_search(_bm25_queries(spark, sf_dir), path, k=10)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

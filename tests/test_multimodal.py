@@ -521,3 +521,36 @@ def test_image_dhash_invariances_and_sensitivity(spark):
 
     with _pytest.raises(ValueError, match="grid"):
         image_dhash(df, grid=9)
+
+
+def test_image_dhash_null_metadata_yields_null(spark):
+    """The docstring's 'NULL/malformed buffers yield NULL' contract
+    covers NULL/zero height and channels too — a NULL metadata column
+    or channels == 0 must produce a NULL hash, not a TypeError or a
+    division by zero inside the Arrow batch."""
+    import numpy as np
+
+    from etl_prometheus2clickhouse_spark.operators.multimodal import (
+        image_dhash,
+        resize_nearest,
+    )
+
+    img = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16, 1)
+    rows = [
+        (1, img.tobytes(), 16, 16, 1),   # healthy control
+        (2, img.tobytes(), 16, None, 1),  # NULL height
+        (3, img.tobytes(), 16, 16, None),  # NULL channels
+        (4, img.tobytes(), 16, 16, 0),   # zero channels (÷0 guard)
+        (5, img.tobytes(), None, 16, 1),  # NULL width
+        (6, img.tobytes(), -4, 16, 1),   # negative width
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, pixels binary, width long, height long, channels int"
+    )
+    got = {r.id: r.dhash for r in image_dhash(df).collect()}
+    assert got[1] is not None
+    assert all(got[i] is None for i in (2, 3, 4, 5, 6))
+    # resize_nearest shares the guard: malformed rows pass through NULL
+    rz = {r.id: r.pixels for r in resize_nearest(df, 4, 4).collect()}
+    assert rz[1] is not None
+    assert all(rz[i] is None for i in (2, 3, 4, 5, 6))

@@ -1054,3 +1054,30 @@ def test_ndcg_at_k_known_answer(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(results, judgments, k=0)
+
+
+def test_ndcg_at_k_duplicate_judgments_collapse(spark):
+    """Duplicate (query, doc) judgment rows must not fan out the DCG
+    join or give the ideal ranking two slots for one document: the
+    operator collapses them to the max-relevance assessment, so the
+    result equals the deduplicated pool's."""
+    from etl_prometheus2clickhouse_spark.operators.text import ndcg_at_k
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 1), (1, 11, 1), (1, 11, 1)],
+        "query_id long, doc_id long, rel int",
+    )
+    clean = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1)],
+        "query_id long, doc_id long, rel int",
+    )
+    got_dup = ndcg_at_k(results, dup, k=3).collect()[0]
+    got_clean = ndcg_at_k(results, clean, k=3).collect()[0]
+    assert (got_dup.dcg, got_dup.idcg, got_dup.ndcg) == (
+        got_clean.dcg, got_clean.idcg, got_clean.ndcg,
+    )
+    assert got_dup.ndcg == 1.0

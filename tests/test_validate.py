@@ -93,3 +93,16 @@ def test_plan_pure_jvm_no_shuffle(spark, frame):
     )
     assert "PythonUDF" not in plan and "EvalPython" not in plan
     assert not re.search(r"\bExchange ", plan), plan
+
+
+def test_rule_summary_empty_frame(spark, frame):
+    """Zero validated rows → zero-count summary rows, not a TypeError
+    from int(None): the F.sum aggregates are NULL on an empty frame and
+    must be coalesced."""
+    v = validate_rows(frame, _rules()).where(F.lit(False))
+    s = {r.rule: r for r in rule_summary(v, _rules()).collect()}
+    assert set(s) == {"id_positive", "name_present", "score_in_range"}
+    assert all(
+        r.n_violations == 0 and r.n_rows == 0 and r.violation_rate == 0.0
+        for r in s.values()
+    )
