@@ -29,16 +29,26 @@ Layout under ``<path>``:
 - ``meta/mb=base`` — one row: ``term_buckets``. Geometry is index
   state, not a probe parameter (the sketch-geometry fail-loud
   contract); ``k1``/``b``/``k`` remain query-time parameters because
-  they never affect the stored postings.
+  they never affect the stored postings. :func:`bm25_index_rebucket`
+  is the geometry-migration lifecycle event (re-derives ``tp`` from
+  the stored postings at a new bucket count; one-commit swap).
+- ``ids/mb=<increment>/ip=<p>`` + ``idmeta`` — the identity layer:
+  one ``(id, dl)`` row per document, id-hash-bucketed. Appends probe
+  it (partition-pruned) and FAIL LOUD on id overlap; deletes read
+  ``dl`` here to write their negative stats row.
+- ``tombstones/mb=<label>/ip=<p>`` — deleted ids
+  (:func:`bm25_index_delete`); searches anti-join it, compaction
+  physically drops tombstoned rows and clears it.
 
 Equivalence contract (EXACT, like the semantic index's): for
 id-disjoint increments, :func:`bm25_index_search` over the live index
 returns EXACTLY what :func:`operators.text.bm25_search` returns on the
-union corpus — tf/dl are per-document facts, df/N/sum_dl are disjoint
-sums, and the scoring arithmetic is identical term for term. Disjoint
-shards are the layer's shared contract: a document split across
-increments would double-count df and N (fail mode documented, not
-detected — ids are the caller's identity).
+union corpus MINUS tombstoned docs — tf/dl are per-document facts,
+df/N/sum_dl are disjoint sums (deletes subtract via negative rows:
+counter linearity runs both directions), and the scoring arithmetic is
+identical term for term. Disjoint shards are the layer's shared
+contract, and DETECTED here: an overlapping append fails loud instead
+of silently double-counting df and N.
 
 Scale shape: probe work is ``|query terms' buckets| / term_buckets`` of
 the postings bytes (witnessed byte-counted in scripts/scale_smoke.py);
@@ -61,11 +71,23 @@ from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.localframe import local_df
 from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _anti_tombstones,
+    _commit_manifest,
     _compact_increment_table,
     _delete_path,
+    _id_str,
+    _ids_buckets,
+    _ids_init,
+    _ids_overlap_guard,
+    _ids_write,
     _manifest_add,
+    _manifest_tables,
     _pinned_live,
+    _read_id_table_probed,
     _read_pinned_table,
+    _read_tombstones,
+    _set_manifest_table,
+    _tomb_write,
 )
 from etl_prometheus2clickhouse_spark.operators.text import (
     _guard_model_rows,
@@ -101,6 +123,7 @@ def _write_increment(
     id_col: str,
     term_buckets: int,
     require_tokens: bool = False,
+    id_buckets: int | None = None,
 ) -> None:
     """Land one increment's postings (term-prefix-partitioned, clustered
     on the partition key first — the band-table small-files lesson) and
@@ -151,6 +174,18 @@ def _write_increment(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "stats", f"mb={label}")
     )
+    if id_buckets is not None:
+        # the identity-layer rows: one (id, dl) per document — the
+        # overlap guard probes these (postings can't serve: they are
+        # term-bucketed, and zero-token docs emit none) and a delete
+        # reads dl here to write its negative stats row
+        _ids_write(
+            toks.select(
+                _id_str("id").alias("id"),
+                F.size("toks").cast("long").alias("dl"),
+            ),
+            path, label, id_buckets,
+        )
 
 
 def _read_meta(
@@ -176,6 +211,7 @@ def bm25_index_build(
     text_col: str = "text",
     id_col: str = "doc_id",
     term_buckets: int = 64,
+    id_buckets: int = 64,
 ) -> None:
     """Tokenize the corpus once and persist the term-prefix-partitioned
     postings + the additive stats row + the geometry meta row, committed
@@ -194,14 +230,17 @@ def bm25_index_build(
     _delete_path(spark, path)
     _write_increment(
         corpus, path, "base", text_col, id_col, term_buckets,
-        require_tokens=True,
+        require_tokens=True, id_buckets=id_buckets,
     )
     local_df(
         spark, [(int(term_buckets),)], "term_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta", "mb=base")
     )
-    _manifest_add(spark, path, ["postings", "stats", "meta"], "base")
+    _ids_init(spark, path, id_buckets)
+    _manifest_add(
+        spark, path, ["postings", "stats", "meta", "ids", "idmeta"], "base"
+    )
 
 
 def bm25_index_append(
@@ -212,15 +251,42 @@ def bm25_index_append(
     id_col: str = "doc_id",
 ) -> None:
     """Append an id-DISJOINT shard under the index's stored geometry:
-    postings + stats land in the shard's own ``mb=<label>`` directory
-    (OVERWRITE ⇒ replay idempotent) and go live in one manifest commit —
-    a crash between the write and the commit leaves an invisible,
-    replay-overwritten directory, never a half-registered increment."""
+    postings + stats + identity rows land in the shard's own
+    ``mb=<label>`` directory (OVERWRITE ⇒ replay idempotent) and go
+    live in one manifest commit — a crash between the write and the
+    commit leaves an invisible, replay-overwritten directory, never a
+    half-registered increment.
+
+    Id-disjointness is DETECTED, not assumed: the shard's ids probe the
+    ``ip=``-bucketed identity table (a partition filter — sketch-sized
+    work, zero postings cost) and an overlap fails loud before anything
+    is written, because an overlapping document would silently
+    double-count df and N in every future score. The probe excludes the
+    increment's own label, so an at-least-once replay of THIS append
+    still passes. Indexes built before the identity layer (no
+    ``idmeta``) keep their original documented-not-detected semantics
+    until rebuilt."""
     _validate_label(label, "bm25_index_append")
     spark = shard.sparkSession
-    term_buckets = _read_meta(spark, path)
-    _write_increment(shard, path, label, text_col, id_col, term_buckets)
-    _manifest_add(spark, path, ["postings", "stats"], label)
+    live = _pinned_live(spark, path)
+    term_buckets = _read_meta(spark, path, live)
+    id_buckets = _ids_buckets(spark, path, live)
+    if id_buckets is not None:
+        new_ids = shard.select(_id_str(id_col).alias("id")).distinct()
+        stored = _read_id_table_probed(
+            spark, path, "ids", new_ids, id_buckets, live,
+            exclude_label=label,
+        ).select("id")
+        _ids_overlap_guard(spark, path, new_ids, stored, "bm25_index_append")
+    _write_increment(
+        shard, path, label, text_col, id_col, term_buckets,
+        id_buckets=id_buckets,
+    )
+    _manifest_add(
+        spark, path,
+        ["postings", "stats"] + (["ids"] if id_buckets is not None else []),
+        label,
+    )
 
 
 def bm25_index_search(
@@ -278,6 +344,13 @@ def bm25_index_search(
         .where(F.col("tp").isin(probe) if probe else F.lit(False))
         .select("t", "id", "dl", "tf")
     )
+    # deleted docs: their postings are anti-joined out (so tf AND df
+    # exclude them) and their (1, dl) was already subtracted from the
+    # additive stats by the delete's negative row — the live index
+    # scores EXACTLY the one-shot on the reduced corpus
+    postings = _anti_tombstones(
+        postings, _read_tombstones(spark, path, live), "id"
+    )
     stats = _read_pinned_table(spark, path, "stats", live).agg(
         F.sum("n_docs").cast("double").alias("n_docs"),
         (
@@ -319,6 +392,141 @@ def bm25_index_search(
     ).where(F.col("rank") <= k)
 
 
+def bm25_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    label: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """Tombstone documents out of the live index — the takedown /
+    retraction / right-to-be-forgotten lifecycle event. Physical bytes
+    are reclaimed later by compaction; the SEARCH contract holds
+    immediately: after the commit, :func:`bm25_index_search` returns
+    EXACTLY the one-shot BM25 on the reduced corpus, because
+
+    - the deleted docs' postings are anti-joined out of every probed
+      read (tf and df both shrink), and
+    - their ``(1, dl)`` contribution is subtracted from the additive
+      corpus stats by a NEGATIVE stats row written under the same
+      manifest commit (counter linearity works in both directions).
+
+    The delete set is resolved against the identity table first
+    (``ip=``-pruned — sketch-sized work): ids not live in the index are
+    ignored, ids already tombstoned are not double-subtracted, and a
+    replayed delete (same label) recomputes the identical rows into its
+    own OVERWRITE-mode directory. A tombstoned id stays "occupied" for
+    the append-overlap guard until compaction physically removes it —
+    the delete → compact → re-ingest lifecycle. Requires the identity
+    layer (indexes built before it must be rebuilt once).
+
+    Returns ``{deleted_docs, deleted_tokens}`` (the subtraction the
+    stats row carries)."""
+    _validate_label(label, "bm25_index_delete")
+    live = _pinned_live(spark, path)
+    id_buckets = _ids_buckets(spark, path, live)
+    if id_buckets is None:
+        raise ValueError(
+            f"bm25_index_delete: the index at {path!r} predates the "
+            "identity layer (no idmeta table) — rebuild it once with "
+            "bm25_index_build to enable deletes"
+        )
+    want = ids.select(_id_str(id_col).alias("id")).distinct()
+    present = _read_id_table_probed(
+        spark, path, "ids", want, id_buckets, live,
+    ).select("id", "dl").join(want, "id", "leftsemi")
+    # already-tombstoned ids must not be double-subtracted — anti-join
+    # PRIOR tombstones only: a replayed delete (same label) must not
+    # see its own first attempt's rows as "already deleted" (that would
+    # zero the recomputed negative stats row it is about to overwrite)
+    tomb_prior = None
+    if live is not None and live.get("tombstones"):
+        prior = [d for d in live["tombstones"] if d != f"mb={label}"]
+        if prior:
+            root = os.path.join(path, "tombstones")
+            tomb_prior = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, d) for d in prior]
+            ).select("id")
+    effective = _anti_tombstones(present, tomb_prior, "id")
+    st = effective.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sdl"),
+    ).collect()[0]
+    _tomb_write(spark, path, effective.select("id"), label, id_buckets)
+    local_df(
+        spark,
+        [(-int(st.n), -int(st.sdl))],
+        "n_docs long, sum_dl long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stats", f"mb=del-{label}")
+    )
+    tables = _manifest_tables(
+        spark, path,
+        ["postings", "stats", "meta", "ids", "idmeta", "tombstones"],
+    )
+    for t, d in (("tombstones", f"mb={label}"), ("stats", f"mb=del-{label}")):
+        dirs = set(tables.get(t, []))
+        dirs.add(d)
+        tables[t] = sorted(dirs)
+    _commit_manifest(spark, path, tables)
+    return {"deleted_docs": int(st.n), "deleted_tokens": int(st.sdl)}
+
+
+def bm25_index_rebucket(
+    spark: SparkSession, path: str, term_buckets: int
+) -> dict:
+    """GEOMETRY MIGRATION for the postings layout — the
+    :func:`.dedup_index.minhash_index_reband` analog: re-derive every
+    live posting's ``tp`` partition at a NEW bucket count from the
+    STORED postings (``tp`` is a pure function of ``t`` — no corpus
+    re-read, no re-tokenization) and swap postings + meta in ONE atomic
+    manifest commit, so a reader resolving at any moment prunes with
+    the geometry its postings were written under. Search results are
+    IDENTICAL before and after (same rows, new layout); what changes is
+    the probe economics — a vocabulary that outgrew its bucket count
+    gets its ``|query terms' buckets| / term_buckets`` bound back.
+    Stats / identity / tombstone tables are untouched. Superseded dirs
+    are reclaimed by :func:`.dedup_index.index_vacuum`."""
+    import uuid
+
+    if term_buckets < 1:
+        raise ValueError(
+            f"bm25_index_rebucket: term_buckets must be ≥ 1, "
+            f"got {term_buckets}"
+        )
+    live = _pinned_live(spark, path)
+    old_buckets = _read_meta(spark, path, live)
+    label = f"rebucket-{uuid.uuid4().hex[:8]}"
+    posts = _read_pinned_table(spark, path, "postings", live).select(
+        "t", "id", "dl", "tf"
+    )
+    posts.select(
+        _tp(F.col("t"), term_buckets).alias("tp"), "t", "id", "dl", "tf"
+    ).repartition(F.col("tp")).write.mode("overwrite").partitionBy(
+        "tp"
+    ).parquet(os.path.join(path, "postings", f"mb={label}"))
+    local_df(
+        spark, [(int(term_buckets),)], "term_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta", f"mb={label}")
+    )
+    n = spark.read.parquet(
+        os.path.join(path, "postings", f"mb={label}")
+    ).count()
+    tables = _manifest_tables(
+        spark, path,
+        ["postings", "stats", "meta", "ids", "idmeta", "tombstones"],
+    )
+    tables["postings"] = [f"mb={label}"]
+    tables["meta"] = [f"mb={label}"]
+    _commit_manifest(spark, path, tables)
+    return {
+        "term_buckets_old": int(old_buckets),
+        "term_buckets_new": int(term_buckets),
+        "posting_rows": int(n),
+    }
+
+
 def bm25_index_compact(
     spark: SparkSession,
     path: str,
@@ -327,16 +535,50 @@ def bm25_index_compact(
     """Fold accumulated ``mb=`` increments into one directory per table
     via the manifest swap (atomic for readers; run
     :func:`.dedup_index.index_vacuum` afterwards to reclaim superseded
-    dirs). Stats rows stay one-per-folded-increment inside the single
-    directory — they are additive, so the fold is physical, not
-    semantic. The meta table is never folded (the model-table rule).
-    ``exclude_labels`` is the streaming replay guard (see
-    :func:`.dedup_index._compact_increment_table`)."""
-    return {
+    dirs). The meta/idmeta tables are never folded (the model-table
+    rule). ``exclude_labels`` is the streaming replay guard (see
+    :func:`.dedup_index._compact_increment_table`).
+
+    Deletion integration: the postings/identity folds PHYSICALLY DROP
+    tombstoned rows, the stats fold nets every additive row (negative
+    delete rows included) into one, and the tombstone table is cleared
+    LAST — so a reader resolving between the commits sees either the
+    old rows + live tombstones (anti-joined out) or the reduced rows +
+    live tombstones (no-op), never a resurrected document. With
+    ``exclude_labels`` (an in-flight streaming batch) tombstones are
+    kept, since excluded increments were not rewritten."""
+    live = _pinned_live(spark, path)
+    tomb = _read_tombstones(spark, path, live)
+
+    def _drop_tombstoned(rows: DataFrame) -> DataFrame:
+        return _anti_tombstones(rows, tomb, "id")
+
+    def _net_stats(rows: DataFrame) -> DataFrame:
+        return rows.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long").alias(
+                "sum_dl"
+            ),
+        )
+
+    out = {
         "posting_rows": _compact_increment_table(
-            spark, path, "postings", "tp", exclude_labels=exclude_labels
+            spark, path, "postings", "tp", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
         ),
         "stats_rows": _compact_increment_table(
-            spark, path, "stats", None, exclude_labels=exclude_labels
+            spark, path, "stats", None, exclude_labels=exclude_labels,
+            transform=_net_stats,
         ),
     }
+    if (live or {}).get("ids") or _ids_buckets(spark, path, live):
+        out["id_rows"] = _compact_increment_table(
+            spark, path, "ids", "ip", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
+        )
+    if tomb is not None and not exclude_labels:
+        _set_manifest_table(spark, path, "tombstones", [])
+        out["tombstones_cleared"] = True
+    return out

@@ -1259,6 +1259,214 @@ def _read_pinned_table(
     )
 
 
+# ---------------------------------------------------------------------------
+# shared identity layer: id-overlap detection + deletion tombstones
+# ---------------------------------------------------------------------------
+# Every incremental index in this layer assumes id-DISJOINT increments
+# (a document split across increments double-counts whatever the index
+# aggregates — BM25 df/N, dedup pair fanout, duplicate ANN neighbors).
+# Re-ingesting a partially-failed upstream shard is the most common
+# operational accident, so appends PROBE a per-index identity store and
+# fail loud instead of corrupting silently:
+#
+# - indexes whose tables are already id-bucketed probe those directly
+#   (ANN ``vectors/vp=``, minhash ``shingles/ip=``);
+# - the others (BM25 postings are term-bucketed, semantic vectors are
+#   cell-bucketed) carry an explicit ``ids/mb=<label>/ip=<p>`` table —
+#   ids only, written beside each increment — plus a one-row ``idmeta``
+#   geometry table. Both are manifest-tracked like every other table.
+#
+# Deletion (takedowns / retractions / right-to-be-forgotten) is a
+# ``tombstones/mb=<label>/ip=<p>`` table of STRING-canonicalized ids
+# under the same manifest commit discipline: reads anti-join it, and
+# compaction physically drops tombstoned rows and clears the table.
+# A tombstoned id stays "occupied" for the overlap guard until a
+# compaction physically removes it — the delete → compact → re-ingest
+# lifecycle, never an ambiguous half-resurrected id.
+
+_IDS_TABLE = "ids"
+_IDMETA_TABLE = "idmeta"
+_TOMB_TABLE = "tombstones"
+
+
+def _id_str(col):
+    """Canonical string form of an id for the identity layer — makes
+    the overlap/tombstone hash independent of the caller's integer
+    width (Spark's xxhash64 is input-type-sensitive; int-vs-long id
+    columns must not land in different buckets)."""
+    return F.col(col).cast("string") if isinstance(col, str) else col.cast(
+        "string"
+    )
+
+
+def _ids_init(spark: SparkSession, path: str, id_buckets: int) -> None:
+    """Write the identity-layer geometry row at build time. Goes live
+    through the caller's manifest commit (include ``idmeta`` in the
+    table list)."""
+    if id_buckets < 1:
+        raise ValueError(f"id_buckets must be ≥ 1, got {id_buckets}")
+    local_df(
+        spark, [(int(id_buckets),)], "id_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _IDMETA_TABLE, "mb=base")
+    )
+
+
+def _ids_buckets(
+    spark: SparkSession, path: str,
+    live: "dict[str, list[str]] | None",
+) -> int | None:
+    """The identity layer's bucket count, or ``None`` for an index
+    built before the layer existed (no ``idmeta`` table) — such an
+    index keeps its original no-detection semantics until rebuilt."""
+    if live is not None:
+        if _IDMETA_TABLE not in live:
+            return None
+    else:
+        _, fs, hdir = _hadoop_fs(
+            spark, os.path.join(path, _IDMETA_TABLE)
+        )
+        if not fs.exists(hdir):
+            return None
+    rows = _read_pinned_table(spark, path, _IDMETA_TABLE, live).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"index at {path!r} has a corrupt idmeta table "
+            f"({len(rows)} rows, expected 1)"
+        )
+    return int(rows[0].id_buckets)
+
+
+def _ids_write(
+    ids: DataFrame, path: str, label: str, id_buckets: int,
+    table: str = _IDS_TABLE,
+) -> None:
+    """Land one increment's id rows (first column must be the
+    string-canonical ``id``; extra columns ride along) in its own
+    ``mb=`` directory, ``ip``-bucketed. OVERWRITE ⇒ replay idempotent;
+    live only through the caller's manifest commit."""
+    cols = ids.columns
+    _write_id_bucketed(
+        ids, F.col("id"), id_buckets,
+        os.path.join(path, table, f"mb={label}"), cols,
+    )
+
+
+def _ids_overlap_guard(
+    spark: SparkSession,
+    path: str,
+    new_ids: DataFrame,
+    stored_ids: DataFrame,
+    fn: str,
+) -> None:
+    """Fail loud when any id of ``new_ids`` (single string column
+    ``id``) already exists in ``stored_ids`` (same shape; the caller
+    reads it PRUNED to the new ids' buckets and EXCLUDES the
+    increment's own replayed label). The bounded collect is ≤ 11
+    sample rows."""
+    hits = [
+        r.id
+        for r in stored_ids.join(new_ids, "id", "leftsemi")
+        .select("id").limit(11).collect()
+    ]
+    if hits:
+        sample = ", ".join(map(str, hits[:10]))
+        more = ", …" if len(hits) > 10 else ""
+        raise ValueError(
+            f"{fn}: shard overlaps ids already live in the index at "
+            f"{path!r} (e.g. {sample}{more}). Increments must be "
+            "id-disjoint — an overlapping append would silently corrupt "
+            "the index's aggregates. If this is a replay of a failed "
+            "append, reuse its original label; if the id was deleted, "
+            "compact the index first (delete → compact → re-ingest)."
+        )
+
+
+def _read_id_table_probed(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    new_ids: DataFrame,
+    id_buckets: int,
+    live: "dict[str, list[str]] | None",
+    exclude_label: str | None = None,
+) -> DataFrame:
+    """The ``ip``-bucketed id table pruned to the probe ids' buckets
+    (a PARTITION filter — bounded by ``id_buckets`` literals) minus
+    the replayed increment's own rows."""
+    probe = [
+        r.ip
+        for r in new_ids.select(
+            _ip(F.col("id"), id_buckets).alias("ip")
+        ).distinct().collect()
+    ]
+    tbl = _read_pinned_table(spark, path, table, live)
+    if exclude_label is not None:
+        tbl = tbl.where(F.col("mb") != F.lit(exclude_label))
+    return tbl.where(
+        F.col("ip").isin(probe) if probe else F.lit(False)
+    )
+
+
+def _tomb_write(
+    spark: SparkSession, path: str, ids: DataFrame, label: str,
+    id_buckets: int,
+) -> None:
+    """Land one delete's tombstone rows (single string column ``id``)
+    in their own ``mb=`` directory — OVERWRITE ⇒ a replayed delete is
+    idempotent; live only through the caller's manifest commit."""
+    _ids_write(ids, path, label, id_buckets, table=_TOMB_TABLE)
+
+
+def _read_tombstones(
+    spark: SparkSession, path: str,
+    live: "dict[str, list[str]] | None",
+) -> "DataFrame | None":
+    """The live tombstone set as a single string ``id`` column, or
+    ``None`` when the index has none (table absent, or cleared to an
+    empty live list by compaction — the one table where an empty live
+    list is a legal state, not corruption)."""
+    if live is not None:
+        if not live.get(_TOMB_TABLE):
+            return None
+        return _read_pinned_table(
+            spark, path, _TOMB_TABLE, live
+        ).select("id")
+    _, fs, hdir = _hadoop_fs(spark, os.path.join(path, _TOMB_TABLE))
+    if not fs.exists(hdir):
+        return None
+    m = _read_manifest(spark, path)
+    if m is not None and not m["tables"].get(_TOMB_TABLE):
+        return None
+    return _read_increment_table(spark, path, _TOMB_TABLE).select("id")
+
+
+def _anti_tombstones(df: DataFrame, tomb: "DataFrame | None", id_col):
+    """``df`` minus rows whose (string-canonical) id is tombstoned —
+    the read-side half of deletion. No-op when there are no
+    tombstones, so undeleted indexes keep their exact original plan."""
+    if tomb is None:
+        return df
+    probe = tomb.select(F.col("id").alias("__tomb_id"))
+    key = _id_str(id_col)
+    return df.join(
+        probe, key == F.col("__tomb_id"), "left_anti"
+    )
+
+
+def _set_manifest_table(
+    spark: SparkSession, path: str, table: str, dirs: list[str],
+) -> None:
+    """Point one table at an explicit live-dir list in a fresh manifest
+    commit, preserving every other table — the tombstone-clear step of
+    a compaction (an empty list is legal ONLY for tombstones)."""
+    tables = _manifest_tables(
+        spark, path, sorted(set(_list_index_tables(spark, path)) | {table})
+    )
+    tables[table] = dirs
+    _commit_manifest(spark, path, tables)
+
+
 def index_vacuum(spark: SparkSession, index_path: str) -> dict:
     """Delete increment dirs no manifest-listed table references —
     the garbage a compaction supersedes. Run OUTSIDE the read grace
@@ -1288,6 +1496,7 @@ def _compact_increment_table(
     inner_partition: str | None,
     derive_inner=None,
     exclude_labels: set[str] | None = None,
+    transform=None,
 ) -> int:
     """Fold every live ``mb=`` increment of one index table into a
     single fresh increment dir and commit it via the manifest: read
@@ -1325,6 +1534,12 @@ def _compact_increment_table(
     else:
         df = _read_increment_table(spark, index_path, table)
     rows = df.drop("mb")
+    if transform is not None:
+        # the deletion hook: compaction is the moment tombstoned rows
+        # are physically dropped (and stats rows net-folded) — the
+        # caller supplies the row-level rewrite, this function supplies
+        # the atomic swap
+        rows = transform(rows)
     new_dir = f"mb=base-{uuid.uuid4().hex[:8]}"
     dest = os.path.join(table_root, new_dir)
     if inner_partition is not None and inner_partition not in rows.columns:

@@ -132,7 +132,8 @@ def test_compact_and_vacuum(spark, docs, shard, queries, tmp_path):
     )
     before = _rows(bm25_index_search(queries, path, k=5))
     report = bm25_index_compact(spark, path)
-    assert report["posting_rows"] > 0 and report["stats_rows"] == 3
+    # stats fold NETS the additive rows to one (delete rows included)
+    assert report["posting_rows"] > 0 and report["stats_rows"] == 1
     assert _rows(bm25_index_search(queries, path, k=5)) == before
     deleted = index_vacuum(spark, path)["deleted"]
     assert deleted >= 6  # 3 postings + 3 stats dirs superseded
@@ -282,3 +283,208 @@ def test_search_snapshot_isolated_from_concurrent_append(
     post = _rows(bm25_index_search(queries, path, k=5))
     assert post != pre
     assert post == _rows(bm25_search(docs.unionByName(shard), queries, k=5))
+
+
+# ---------------------------------------------------------------------------
+# identity layer: overlap detection + deletion tombstones + rebucket
+# ---------------------------------------------------------------------------
+
+def test_append_overlapping_ids_fails_loud(spark, docs, shard, tmp_path):
+    """Re-ingesting a shard whose ids are already live (the partial-
+    upstream-failure accident) must raise BEFORE anything is written —
+    the documented silent df/N double-count turned into a loud error."""
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    bm25_index_append(shard, path, "w2")
+    overlap = spark.createDataFrame(
+        [(10, "another shard row the fox ignores"), (12, "fresh doc")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="overlaps ids already live"):
+        bm25_index_append(overlap, path, "w3")
+    # the failed append registered nothing: search still equals the
+    # one-shot over base ∪ first shard
+    queries = spark.createDataFrame(
+        QUERIES, "query_id long, terms array<string>"
+    )
+    got = _rows(bm25_index_search(queries, path, k=5))
+    want = _rows(bm25_search(docs.unionByName(
+        spark.createDataFrame(SHARD, "doc_id long, text string")
+    ), queries, k=5))
+    assert got == want
+
+
+def test_append_replay_same_label_passes_guard(
+    spark, docs, shard, queries, tmp_path
+):
+    """An at-least-once replay re-delivers the SAME shard with the SAME
+    label: the guard must exclude the increment's own rows, and the
+    overwrite keeps the result identical to a single delivery."""
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    bm25_index_append(shard, path, "w2")
+    bm25_index_append(shard, path, "w2")  # replay — must not raise
+    got = _rows(bm25_index_search(queries, path, k=5))
+    want = _rows(bm25_search(docs.unionByName(shard), queries, k=5))
+    assert got == want
+
+
+def test_delete_search_equals_one_shot_on_reduced_corpus(
+    spark, docs, shard, queries, tmp_path
+):
+    """The takedown contract: after bm25_index_delete, search returns
+    EXACTLY the one-shot BM25 over the corpus minus the deleted docs —
+    tf, df, N, and avgdl all shrink (docs 1 and 5 cover a postings-
+    heavy doc and a zero-token doc, whose deletion moves only N)."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    bm25_index_append(shard, path, "w2")
+    dele = spark.createDataFrame([(1,), (5,), (999,)], "doc_id long")
+    rep = bm25_index_delete(spark, path, dele, "takedown1")
+    assert rep["deleted_docs"] == 2  # 999 was never in the index
+    reduced = docs.unionByName(shard).where(~F.col("doc_id").isin(1, 5))
+    got = _rows(bm25_index_search(queries, path, k=5))
+    want = _rows(bm25_search(reduced, queries, k=5))
+    assert got == want and got
+    # deleted ids never surface
+    assert all(r[1] != 1 for r in got)
+
+
+def test_delete_replay_and_double_delete_idempotent(
+    spark, docs, queries, tmp_path
+):
+    """Replaying a delete with the same label recomputes the identical
+    negative stats row (overwrite, not compound); deleting an already-
+    tombstoned id under a NEW label subtracts nothing."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    dele = spark.createDataFrame([(1,)], "doc_id long")
+    rep1 = bm25_index_delete(spark, path, dele, "d1")
+    rep1b = bm25_index_delete(spark, path, dele, "d1")  # replay
+    assert rep1 == rep1b
+    rep2 = bm25_index_delete(spark, path, dele, "d2")  # double delete
+    assert rep2 == {"deleted_docs": 0, "deleted_tokens": 0}
+    got = _rows(bm25_index_search(queries, path, k=5))
+    want = _rows(bm25_search(docs.where(F.col("doc_id") != 1), queries, k=5))
+    assert got == want
+
+
+def test_compact_drops_tombstones_then_reingest(
+    spark, docs, queries, tmp_path
+):
+    """delete → compact → re-ingest lifecycle: compaction physically
+    drops the tombstoned rows (postings AND identity rows), nets the
+    stats to one row, clears the tombstone table — and the freed id can
+    be appended again."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    dele = spark.createDataFrame([(1,)], "doc_id long")
+    bm25_index_delete(spark, path, dele, "d1")
+    # re-ingesting the tombstoned id BEFORE compaction is refused
+    redoc = spark.createDataFrame(
+        [(1, "the resurrected document")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="overlaps ids already live"):
+        bm25_index_append(redoc, path, "w2")
+    out = bm25_index_compact(spark, path)
+    assert out.get("tombstones_cleared") is True
+    index_vacuum(spark, path)
+    m = _read_manifest(spark, path)
+    assert m["tables"]["tombstones"] == []
+    # search unchanged by the physical rewrite
+    got = _rows(bm25_index_search(queries, path, k=5))
+    want = _rows(bm25_search(docs.where(F.col("doc_id") != 1), queries, k=5))
+    assert got == want
+    # the physically-removed id is free again
+    bm25_index_append(redoc, path, "w2")
+    got2 = _rows(bm25_index_search(queries, path, k=5))
+    want2 = _rows(bm25_search(
+        docs.where(F.col("doc_id") != 1).unionByName(redoc), queries, k=5
+    ))
+    assert got2 == want2
+
+
+def test_rebucket_search_identical_and_prunes_new_geometry(
+    spark, docs, shard, queries, tmp_path
+):
+    """Geometry migration: search results are IDENTICAL across the
+    swap, the meta row carries the new bucket count, and the postings
+    layout actually moved (new tp= dirs exist under the new live
+    increment)."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_rebucket,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=2)
+    bm25_index_append(shard, path, "w2")
+    before = _rows(bm25_index_search(queries, path, k=5))
+    rep = bm25_index_rebucket(spark, path, 16)
+    assert rep["term_buckets_old"] == 2 and rep["term_buckets_new"] == 16
+    after = _rows(bm25_index_search(queries, path, k=5))
+    assert before == after and after
+    m = _read_manifest(spark, path)
+    assert len(m["tables"]["postings"]) == 1
+    assert m["tables"]["postings"] == m["tables"]["meta"]
+    assert m["tables"]["postings"][0].startswith("mb=rebucket-")
+    index_vacuum(spark, path)
+    # appends keep working under the new geometry
+    extra = spark.createDataFrame(
+        [(20, "a brand new quick fox document")], "doc_id long, text string"
+    )
+    bm25_index_append(extra, path, "w3")
+    got = _rows(bm25_index_search(queries, path, k=5))
+    want = _rows(bm25_search(
+        docs.unionByName(shard).unionByName(extra), queries, k=5
+    ))
+    assert got == want
+
+
+def test_delete_requires_identity_layer(spark, docs, tmp_path):
+    """An index whose manifest has no idmeta table (pre-identity-layer
+    build) refuses deletes loudly instead of corrupting stats."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _commit_manifest, _manifest_tables, _read_manifest,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    # simulate a legacy index: drop ids/idmeta from the manifest
+    t = _manifest_tables(
+        spark, path, ["postings", "stats", "meta", "ids", "idmeta"]
+    )
+    t.pop("ids", None)
+    t.pop("idmeta", None)
+    _commit_manifest(spark, path, t)
+    dele = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="predates the identity layer"):
+        bm25_index_delete(spark, path, dele, "d1")
+    # and appends against it skip the guard (legacy semantics) —
+    # must not raise
+    bm25_index_append(
+        spark.createDataFrame([(30, "legacy ok")], "doc_id long, text string"),
+        path, "w9",
+    )
