@@ -49,11 +49,17 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     _register_cached,
 )
 from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _anti_tombstones,
     _delete_path,
+    _id_str,
+    _ids_overlap_guard,
     _ip,
     _manifest_add,
     _pinned_live,
     _read_pinned_table,
+    _read_tombstones,
+    _set_manifest_table,
+    _tomb_write,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
     _IVFPQ_TOPK_SCHEMA,
@@ -245,7 +251,15 @@ def ann_index_append(
     shard's own ``mb=`` increment (overwrite — replay-idempotent).
     No re-training: drift between the frozen quantizers and a shifted
     embedding distribution is the deployment's re-train trigger, not
-    something an append silently absorbs."""
+    something an append silently absorbs.
+
+    Id-disjointness is DETECTED: the shard's ids probe the index's own
+    ``vp=``-bucketed vector table (a partition filter — the table IS
+    the identity store, every live vector has a row there) and an
+    overlap fails loud before anything is written — a re-ingested id
+    would otherwise surface as its own duplicate neighbor in every
+    future search. The probe excludes the increment's own label, so an
+    at-least-once replay of THIS append still passes."""
     if not update_label or any(c in update_label for c in "/=%"):
         raise ValueError(
             "ann_index_append needs a filesystem-safe update_label, "
@@ -257,7 +271,8 @@ def ann_index_append(
             "build increment"
         )
     spark = shard.sparkSession
-    row = _model_row(spark, path)
+    live = _pinned_live(spark, path)
+    row = _model_row(spark, path, live)
     model = ivfpq_model_from_json(row.model_json)
     if row.vec_buckets is None:
         raise ValueError(
@@ -265,9 +280,24 @@ def ann_index_append(
             "table: appends must keep the rescore side complete — "
             "rebuild the index once with ann_index_build"
         )
+    vec_buckets = int(row.vec_buckets)
+    new_ids = shard.select(F.col(id_col).alias("id")).distinct()
+    probe = [
+        r.vp
+        for r in new_ids.select(
+            _ip(F.col("id").cast("long"), vec_buckets).alias("vp")
+        ).distinct().collect()
+    ]
+    stored = (
+        _read_pinned_table(spark, path, "vectors", live)
+        .where(F.col("mb") != F.lit(update_label))
+        .where(F.col("vp").isin(probe) if probe else F.lit(False))
+        .select("id")
+    )
+    _ids_overlap_guard(spark, path, new_ids, stored, "ann_index_append")
     _write_codes(shard, model, path, update_label, id_col, vec_col)
     _write_vectors(
-        shard, path, update_label, id_col, vec_col, int(row.vec_buckets)
+        shard, path, update_label, id_col, vec_col, vec_buckets
     )
     _manifest_add(spark, path, ["codes", "vectors"], update_label)
 
@@ -306,6 +336,13 @@ def ann_index_search(
     model = ivfpq_model_from_json(row.model_json)
     table = _read_pinned_table(spark, path, "codes", live).select(
         "id", "cell", "codes"
+    )
+    # deleted vectors are anti-joined out BEFORE candidate generation,
+    # so their freed candidate slots go to live vectors — exactly the
+    # one-shot on the reduced corpus (the rescore side needs no filter:
+    # it only scores candidate ids)
+    table = _anti_tombstones(
+        table, _read_tombstones(spark, path, live), "id"
     )
     res = _ivfpq_code_candidates(
         table, model, queries, id_col, vec_col,
@@ -409,9 +446,11 @@ def ann_index_retrain(
             "the index once with ann_index_build"
         )
     vec_buckets = int(row.vec_buckets)
-    vecs = _read_pinned_table(spark, path, "vectors", live).select(
-        "id", "vec"
-    )
+    vecs = _anti_tombstones(
+        _read_pinned_table(spark, path, "vectors", live),
+        _read_tombstones(spark, path, live),
+        "id",
+    ).select("id", "vec")
     new_model = ivfpq_train(
         vecs,
         old_model.pq.dim,
@@ -495,6 +534,7 @@ __all__ = [
     "ann_index_model",
     "ann_index_append",
     "ann_index_search",
+    "ann_index_delete",
     "ann_index_retrain",
     "ann_cell_occupancy",
     "ann_occupancy_skew",
@@ -513,7 +553,11 @@ def ann_cell_occupancy(
     centroid silently absorbing the distribution under drift is the
     failure mode the retrain lifecycle exists to repair."""
     return (
-        _read_pinned_table(spark, path, "codes", live)
+        _anti_tombstones(
+            _read_pinned_table(spark, path, "codes", live),
+            _read_tombstones(spark, path, live),
+            "id",
+        )
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -573,6 +617,72 @@ def ann_index_retrain_on_skew(
     return report
 
 
+def ann_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    label: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Tombstone vectors out of the live index — the takedown /
+    right-to-be-forgotten lifecycle event. After the commit,
+    :func:`ann_index_search` returns EXACTLY the one-shot search on the
+    reduced corpus with the same frozen model: the deleted codes are
+    anti-joined out BEFORE candidate generation (their candidate slots
+    go to live vectors), and occupancy/retrain read only live vectors.
+    Physical bytes are reclaimed by :func:`ann_index_compact`, which
+    drops tombstoned code/vector rows and clears the tombstone table;
+    until then the id stays "occupied" for the append-overlap guard
+    (delete → compact → re-ingest). The delete set is resolved against
+    the ``vp=``-pruned vector table, so ids never in the index are
+    ignored and a replayed delete (same label) is idempotent. Returns
+    ``{deleted_vectors}``."""
+    if not label or any(c in label for c in "/=%"):
+        raise ValueError(
+            f"ann_index_delete needs a filesystem-safe label, got {label!r}"
+        )
+    live = _pinned_live(spark, path)
+    row = _model_row(spark, path, live)
+    if row.vec_buckets is None:
+        raise ValueError(
+            f"ANN index at {path!r} predates the persisted vector "
+            "table: deletes need the identity-bearing vector table — "
+            "rebuild the index once with ann_index_build"
+        )
+    vec_buckets = int(row.vec_buckets)
+    want = ids.select(F.col(id_col).alias("id")).distinct()
+    probe = [
+        r.vp
+        for r in want.select(
+            _ip(F.col("id").cast("long"), vec_buckets).alias("vp")
+        ).distinct().collect()
+    ]
+    present = (
+        _read_pinned_table(spark, path, "vectors", live)
+        .where(F.col("vp").isin(probe) if probe else F.lit(False))
+        .select("id")
+        .join(want, "id", "leftsemi")
+    )
+    # already-tombstoned ids are not re-counted; PRIOR tombstones only,
+    # so a replayed delete does not see its own first attempt
+    tomb_prior = None
+    if live is not None and live.get("tombstones"):
+        prior = [d for d in live["tombstones"] if d != f"mb={label}"]
+        if prior:
+            root = os.path.join(path, "tombstones")
+            tomb_prior = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, d) for d in prior]
+            ).select("id")
+    effective = _anti_tombstones(present, tomb_prior, "id")
+    n = effective.count()
+    _tomb_write(
+        spark, path, effective.select(_id_str("id").alias("id")),
+        label, vec_buckets,
+    )
+    _manifest_add(spark, path, ["tombstones"], label)
+    return {"deleted_vectors": int(n)}
+
+
 def ann_index_compact(
     spark: SparkSession, path: str,
     exclude_labels: set[str] | None = None,
@@ -580,16 +690,36 @@ def ann_index_compact(
     """Fold accumulated code-table increments back into ``mb=base``
     (operators/dedup_index.py:_compact_increment_table — the shared
     maintenance pass): physical rewrite only, search results unchanged
-    (pytest-pinned). The model table is already a single artifact."""
+    (pytest-pinned). The model table is already a single artifact.
+
+    Deletion integration: the folds PHYSICALLY DROP tombstoned
+    code/vector rows, then the tombstone table is cleared LAST — a
+    reader between the commits sees old rows + live tombstones
+    (anti-joined out) or reduced rows + harmless tombstones, never a
+    resurrected vector. With ``exclude_labels`` (an in-flight streaming
+    batch) tombstones are kept, since excluded increments were not
+    rewritten."""
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
         _compact_increment_table,
     )
 
-    return {
+    live = _pinned_live(spark, path)
+    tomb = _read_tombstones(spark, path, live)
+
+    def _drop_tombstoned(rows: DataFrame) -> DataFrame:
+        return _anti_tombstones(rows, tomb, "id")
+
+    out = {
         "codes_rows": _compact_increment_table(
-            spark, path, "codes", "cell", exclude_labels=exclude_labels
+            spark, path, "codes", "cell", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
         ),
         "vectors_rows": _compact_increment_table(
-            spark, path, "vectors", "vp", exclude_labels=exclude_labels
+            spark, path, "vectors", "vp", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
         ),
     }
+    if tomb is not None and not exclude_labels:
+        _set_manifest_table(spark, path, "tombstones", [])
+        out["tombstones_cleared"] = True
+    return out

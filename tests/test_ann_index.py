@@ -542,3 +542,124 @@ def test_search_snapshot_isolated_from_concurrent_append(
         post = _topk(ann_index_search(q, path, k=5, n_probe=8,
                                       n_candidates=50))
     assert post != pre  # the new search sees the appended shard
+
+
+# ---------------------------------------------------------------------------
+# identity layer: overlap detection + deletion tombstones
+# ---------------------------------------------------------------------------
+
+def test_append_overlapping_ids_fails_loud(spark, sf_dir, tmp_path):
+    """Re-ingesting ids already live in the vector table (the partial-
+    upstream-failure accident) raises before anything is written — a
+    duplicate id would surface as its own nearest neighbor in every
+    future search."""
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    shard = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        ann_index_build(
+            base, path, dim=64, n_cells=32, m=4, k_codes=16,
+            quantizers="first",
+        )
+        ann_index_append(shard, path, "w2")
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            ann_index_append(shard.limit(3), path, "w3")
+        # replay with the SAME label is still legal
+        ann_index_append(shard, path, "w2")
+
+
+def test_delete_search_equals_one_shot_on_reduced_corpus(
+    spark, sf_dir, tmp_path
+):
+    """After ann_index_delete, search over the index equals the
+    one-shot IVFADC (same frozen model) over the corpus minus the
+    deleted ids — freed candidate slots go to live vectors."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_delete,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        model = ann_index_build(
+            emb, path, dim=64, n_cells=32, m=4, k_codes=16,
+            quantizers="first",
+        )
+        queries = emb.where(F.col("vec_id") < 10)
+        before = _topk(
+            ann_index_search(queries, path, k=5, n_probe=8, n_candidates=50)
+        )
+        # delete some ids that actually appear among the neighbors
+        victims = sorted({v[0] for v in before.values()})[:3]
+        dele = spark.createDataFrame(
+            [(int(v),) for v in victims] + [(987654,)], "vec_id long"
+        )
+        rep = ann_index_delete(spark, path, dele, "takedown1")
+        assert rep["deleted_vectors"] == 3  # the absent id is ignored
+        got = _topk(
+            ann_index_search(queries, path, k=5, n_probe=8, n_candidates=50)
+        )
+        reduced = emb.where(~F.col("vec_id").isin(*victims))
+        want = _topk(
+            cosine_topk_ivfpq_codes(
+                ivfpq_encode(reduced, model),
+                model,
+                reduced,
+                queries,
+                k=5,
+                n_probe=8,
+                n_candidates=50,
+            )
+        )
+    assert got == want and got != before
+    assert all(v[0] not in victims for v in got.values())
+
+
+def test_delete_compact_reingest_lifecycle(spark, sf_dir, tmp_path):
+    """delete → compact → re-ingest: compaction physically drops
+    tombstoned code/vector rows and clears the tombstone table, after
+    which the freed ids append cleanly and search matches the one-shot
+    over the final corpus."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_delete,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        model = ann_index_build(
+            emb, path, dim=64, n_cells=32, m=4, k_codes=16,
+            quantizers="first",
+        )
+        dele = spark.createDataFrame([(0,), (5,)], "vec_id long")
+        ann_index_delete(spark, path, dele, "d1")
+        # double delete under a new label is a no-op
+        assert ann_index_delete(spark, path, dele, "d2") == {
+            "deleted_vectors": 0
+        }
+        # re-ingest before compaction is refused (id still occupied)
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            ann_index_append(emb.where(F.col("vec_id") == 0), path, "w2")
+        out = ann_index_compact(spark, path)
+        assert out.get("tombstones_cleared") is True
+        index_vacuum(spark, path)
+        assert _read_manifest(spark, path)["tables"]["tombstones"] == []
+        ann_index_append(emb.where(F.col("vec_id") == 0), path, "w2")
+        queries = emb.where(F.col("vec_id") < 10)
+        got = _topk(
+            ann_index_search(queries, path, k=5, n_probe=8, n_candidates=50)
+        )
+        final = emb.where(F.col("vec_id") != 5)
+        want = _topk(
+            cosine_topk_ivfpq_codes(
+                ivfpq_encode(final, model), model, final, queries,
+                k=5, n_probe=8, n_candidates=50,
+            )
+        )
+    assert got == want
