@@ -64,11 +64,21 @@ from etl_prometheus2clickhouse_spark.operators.dedup import (
     _with_cached_deps,
 )
 from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _anti_tombstones,
     _compact_increment_table,
     _delete_path,
+    _id_str,
+    _ids_buckets,
+    _ids_init,
+    _ids_overlap_guard,
+    _ids_write,
     _manifest_add,
     _pinned_live,
+    _read_id_table_probed,
     _read_pinned_table,
+    _read_tombstones,
+    _set_manifest_table,
+    _tomb_write,
 )
 from etl_prometheus2clickhouse_spark.operators.similarity import (
     _as_double,
@@ -171,13 +181,17 @@ def semantic_index_build(
     train_sample: int = 4096,
     seed: int = 42,
     centroids: str = "kmeans",
+    id_buckets: int = 64,
 ) -> None:
     """Train centroids on the corpus (driver-side k-means on a bounded
     deterministic sample — the :func:`_train_centroids` contract;
     ``centroids="first"`` is the SQL-expressible quantizer for the
     parity oracle), assign every corpus vector, and persist model +
-    cell-partitioned unit vectors. A build is a semantic overwrite of
-    the whole index (stale increments cleared first)."""
+    cell-partitioned unit vectors + the ``ip=``-bucketed identity
+    table (the vectors are CELL-partitioned, so they cannot serve as
+    the append-overlap probe — the BM25 ``ids`` discipline applies).
+    A build is a semantic overwrite of the whole index (stale
+    increments cleared first)."""
     spark = corpus.sparkSession
     _delete_path(spark, path)
     vecs = corpus.select(
@@ -199,7 +213,13 @@ def semantic_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "model", "mb=base")
     )
-    _manifest_add(spark, path, ["vectors", "model"], "base")
+    _ids_write(
+        vecs.select(_id_str("id").alias("id")), path, "base", id_buckets
+    )
+    _ids_init(spark, path, id_buckets)
+    _manifest_add(
+        spark, path, ["vectors", "model", "ids", "idmeta"], "base"
+    )
 
 
 def semantic_increment(
@@ -244,9 +264,24 @@ def semantic_increment(
     # partitioned by the NEW one — wrong cells pruned, silent misses
     live = _pinned_live(spark, path)
     C, threshold = _read_model(spark, path, live)
+    id_buckets = _ids_buckets(spark, path, live)
     vecs = shard.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
+    if update_index and id_buckets is not None:
+        # id-overlap detection before anything is written: an
+        # overlapping update would give the one-shot's lower-id
+        # relation two rows for one identity (self-duplicate at cos
+        # 1.0). Pruned to the shard's own ip= buckets; the increment's
+        # own replayed label is excluded, so at-least-once replays pass.
+        new_ids = vecs.select(_id_str("id").alias("id")).distinct()
+        stored_ids = _read_id_table_probed(
+            spark, path, "ids", new_ids, id_buckets, live,
+            exclude_label=update_label,
+        ).select("id")
+        _ids_overlap_guard(
+            spark, path, new_ids, stored_ids, "semantic_increment"
+        )
     cells = vecs.withColumn("cell", _cell_udf(C)(F.col("vec"))).persist()
     _register_cached(cells)
 
@@ -265,6 +300,11 @@ def semantic_increment(
         stored = stored.where(F.col("mb") != F.lit(update_label))
     stored = stored.where(
         F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
+    )
+    # deleted vectors must not suppress new shard rows — the one-shot's
+    # lower-id relation on the REDUCED corpus never sees them
+    stored = _anti_tombstones(
+        stored, _read_tombstones(spark, path, live), "id"
     ).select("cell", "id", "vec")
 
     # dup_of(x) = min{y < x, same cell, round(cos,6) ≥ threshold} with
@@ -300,10 +340,19 @@ def semantic_increment(
     )
     if update_index:
         _write_cell_vectors(cells, path, update_label)
-        # data dir lands first, the manifest commit makes it live — a
-        # crash between the two leaves an invisible (replay-
-        # overwritten) directory, never a half-registered increment
-        _manifest_add(spark, path, ["vectors"], update_label)
+        if id_buckets is not None:
+            _ids_write(
+                vecs.select(_id_str("id").alias("id")),
+                path, update_label, id_buckets,
+            )
+        # data dirs land first, the manifest commit makes them live — a
+        # crash between the two leaves invisible (replay-overwritten)
+        # directories, never a half-registered increment
+        _manifest_add(
+            spark, path,
+            ["vectors"] + (["ids"] if id_buckets is not None else []),
+            update_label,
+        )
     return _with_cached_deps(out, [cells])
 
 
@@ -365,9 +414,11 @@ def semantic_index_retrain(
     # contract applied to the lifecycle readers)
     live = _pinned_live(spark, path)
     C_old, threshold = _read_model(spark, path, live)
-    vecs = _read_pinned_table(spark, path, "vectors", live).select(
-        "id", "vec"
-    )
+    vecs = _anti_tombstones(
+        _read_pinned_table(spark, path, "vectors", live),
+        _read_tombstones(spark, path, live),
+        "id",
+    ).select("id", "vec")
     sample = vecs.orderBy("id").limit(train_sample).select("vec").collect()
     X = np.asarray([r.vec for r in sample], dtype=np.float64)
     if len(X) == 0:
@@ -414,7 +465,11 @@ def semantic_cell_occupancy(
     the module's 100 TB argument rests on; this is the witness that
     watches it."""
     return (
-        _read_pinned_table(spark, path, "vectors", live)
+        _anti_tombstones(
+            _read_pinned_table(spark, path, "vectors", live),
+            _read_tombstones(spark, path, live),
+            "id",
+        )
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -467,6 +522,55 @@ def semantic_retrain_on_skew(
     return report
 
 
+def semantic_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    label: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Tombstone vectors out of the live index — the takedown
+    lifecycle event. After the commit the stored-side candidate set of
+    every future :func:`semantic_increment` excludes the deleted ids
+    (the one-shot's lower-id relation on the REDUCED corpus), and
+    occupancy/retrain read only live vectors. Past dispositions stay
+    with the caller — deletion changes which FUTURE pairs exist, it
+    never un-makes a persisted decision (the layer's monotonicity
+    contract). Compaction physically drops tombstoned rows and clears
+    the table; until then the id stays occupied for the overlap guard
+    (delete → compact → re-ingest). Returns ``{deleted_vectors}``."""
+    if not label or any(c in label for c in "/=%"):
+        raise ValueError(
+            "semantic_index_delete needs a filesystem-safe label, "
+            f"got {label!r}"
+        )
+    live = _pinned_live(spark, path)
+    id_buckets = _ids_buckets(spark, path, live)
+    if id_buckets is None:
+        raise ValueError(
+            f"semantic_index_delete: the index at {path!r} predates "
+            "the identity layer (no idmeta table) — rebuild it once "
+            "with semantic_index_build to enable deletes"
+        )
+    want = ids.select(_id_str(id_col).alias("id")).distinct()
+    present = _read_id_table_probed(
+        spark, path, "ids", want, id_buckets, live,
+    ).select("id").join(want, "id", "leftsemi")
+    tomb_prior = None
+    if live is not None and live.get("tombstones"):
+        prior = [d for d in live["tombstones"] if d != f"mb={label}"]
+        if prior:
+            root = os.path.join(path, "tombstones")
+            tomb_prior = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, d) for d in prior]
+            ).select("id")
+    effective = _anti_tombstones(present, tomb_prior, "id")
+    n = effective.count()
+    _tomb_write(spark, path, effective, label, id_buckets)
+    _manifest_add(spark, path, ["tombstones"], label)
+    return {"deleted_vectors": int(n)}
+
+
 def semantic_index_compact(
     spark: SparkSession, path: str,
     exclude_labels: set[str] | None = None,
@@ -476,10 +580,31 @@ def semantic_index_compact(
     index_vacuum` afterwards to reclaim superseded dirs). Decisions
     are unchanged — the increment layout is physical, not semantic.
     ``exclude_labels`` is the streaming replay guard (see
-    :func:`.dedup_index._compact_increment_table`): the model table is
-    never folded, only vectors."""
-    return {
+    :func:`.dedup_index._compact_increment_table`): the model/idmeta
+    tables are never folded.
+
+    Deletion integration: the vector/identity folds PHYSICALLY DROP
+    tombstoned rows, then the tombstone table is cleared LAST (a
+    reader in between anti-joins still-live tombstones — a no-op on
+    the reduced rows). With ``exclude_labels`` tombstones are kept."""
+    live = _pinned_live(spark, path)
+    tomb = _read_tombstones(spark, path, live)
+
+    def _drop_tombstoned(rows: DataFrame) -> DataFrame:
+        return _anti_tombstones(rows, tomb, "id")
+
+    out = {
         "vector_rows": _compact_increment_table(
-            spark, path, "vectors", "cell", exclude_labels=exclude_labels
+            spark, path, "vectors", "cell", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
         )
     }
+    if (live or {}).get("ids") or _ids_buckets(spark, path, live):
+        out["id_rows"] = _compact_increment_table(
+            spark, path, "ids", "ip", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
+        )
+    if tomb is not None and not exclude_labels:
+        _set_manifest_table(spark, path, "tombstones", [])
+        out["tombstones_cleared"] = True
+    return out

@@ -367,3 +367,108 @@ def test_skew_witness_trips_and_semantic_retrain_rebalances(
             # the co-location gate may legitimately refuse (reported,
             # not silent) — but on this geometry it should not
             raise AssertionError(f"gate refused the rebalance: {report}")
+
+
+# ---------------------------------------------------------------------------
+# identity layer: overlap detection + deletion tombstones
+# ---------------------------------------------------------------------------
+
+def test_update_overlapping_ids_fails_loud(spark, tmp_path):
+    """Re-presenting a live id as a new update increment raises before
+    anything is written — an overlapping update would make the id its
+    own stored twin (cos 1.0) in every later probe. A replay with the
+    SAME label still passes (own-label exclusion)."""
+    path = str(tmp_path / "idx")
+    base = _mk(spark, [(1, 0.0), (2, 40.0), (3, 90.0)])
+    with cached_scope():
+        semantic_index_build(
+            base, path, n_cells=2, threshold=0.95, centroids="first"
+        )
+        shard = _mk(spark, [(4, 1.0), (5, 120.0)])
+        semantic_increment(
+            shard, path, update_index=True, update_label="w2"
+        ).collect()
+        # replay: same shard, same label — legal
+        semantic_increment(
+            shard, path, update_index=True, update_label="w2"
+        ).collect()
+        overlap = _mk(spark, [(4, 2.0), (6, 200.0)])
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            semantic_increment(
+                overlap, path, update_index=True, update_label="w3"
+            ).collect()
+
+
+def test_delete_then_increment_equals_one_shot_on_reduced(spark, tmp_path):
+    """After semantic_index_delete, a new shard's dispositions equal
+    the one-shot semantic_dedup over (reduced corpus) ∪ shard — a
+    deleted near-twin no longer suppresses the new arrival."""
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_index_delete,
+    )
+
+    path = str(tmp_path / "idx")
+    # ids 1 and 2 are near-twins (1°); deleting 1 frees the slot
+    base = _mk(spark, [(1, 0.0), (2, 45.0), (3, 90.0)])
+    with cached_scope():
+        semantic_index_build(
+            base, path, n_cells=2, threshold=0.95, centroids="first"
+        )
+        rep = semantic_index_delete(
+            spark, path,
+            spark.createDataFrame([(1,), (99,)], "vec_id long"),
+            "takedown1",
+        )
+        assert rep["deleted_vectors"] == 1  # 99 was never present
+        # replayed delete recomputes identically; double delete no-ops
+        assert semantic_index_delete(
+            spark, path,
+            spark.createDataFrame([(1,)], "vec_id long"), "takedown1",
+        ) == {"deleted_vectors": 1}
+        assert semantic_index_delete(
+            spark, path,
+            spark.createDataFrame([(1,)], "vec_id long"), "t2",
+        ) == {"deleted_vectors": 0}
+        shard = _mk(spark, [(10, 0.5), (11, 46.0)])
+        got = _disp(semantic_increment(shard, path))
+    # 10's only near-twin was the DELETED id 1 (0.5° apart) → kept now
+    # (before the delete it would have been dup_of=1); 11 is 1° from
+    # the live id 2 → still suppressed — exactly the one-shot's
+    # lower-id relation on the reduced corpus ∪ shard
+    assert got[10] == (got[10][0], None, True)
+    assert got[11][1] == 2 and got[11][2] is False
+
+
+def test_delete_compact_reingest_lifecycle(spark, tmp_path):
+    """delete → compact → re-ingest: compaction drops tombstoned
+    vector + identity rows, clears the tombstone table, and the freed
+    id can be updated in again."""
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_index_delete,
+    )
+
+    path = str(tmp_path / "idx")
+    base = _mk(spark, [(1, 0.0), (2, 45.0), (3, 90.0)])
+    with cached_scope():
+        semantic_index_build(
+            base, path, n_cells=2, threshold=0.95, centroids="first"
+        )
+        semantic_index_delete(
+            spark, path, spark.createDataFrame([(1,)], "vec_id long"), "d1"
+        )
+        redo = _mk(spark, [(1, 10.0)])
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            semantic_increment(
+                redo, path, update_index=True, update_label="w2"
+            ).collect()
+        out = semantic_index_compact(spark, path)
+        assert out.get("tombstones_cleared") is True
+        index_vacuum(spark, path)
+        assert _read_manifest(spark, path)["tables"]["tombstones"] == []
+        semantic_increment(
+            redo, path, update_index=True, update_label="w2"
+        ).collect()
+        # the re-ingested id now participates as stored corpus
+        probe = _mk(spark, [(20, 10.5)])
+        got = _disp(semantic_increment(probe, path))
+    assert got[20][1] == 1 and got[20][2] is False
