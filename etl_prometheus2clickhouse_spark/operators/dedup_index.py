@@ -397,6 +397,7 @@ def _rewrite_touched_components(
     comp_new: DataFrame,
     touched: DataFrame,
     index_buckets: int,
+    extra_affected: "list[int] | None" = None,
 ) -> None:
     """Swap ONLY the ``nb=`` partitions holding recomputed rows,
     CRASH-SAFE: (1) stage the new content under a dot-directory
@@ -413,9 +414,14 @@ def _rewrite_touched_components(
     comp_new_nb = comp_new.withColumn(
         "nb", _ip(F.col("node"), index_buckets)
     )
-    affected = [
-        r.nb for r in comp_new_nb.select("nb").distinct().collect()
-    ]
+    affected = sorted(
+        {r.nb for r in comp_new_nb.select("nb").distinct().collect()}
+        # a DELETION can shrink a touched component to nothing in some
+        # partition — those partitions receive no comp_new rows but
+        # must still be rewritten to drop the old rows; the caller
+        # passes their prefixes explicitly
+        | set(extra_affected or [])
+    )
     if not affected:
         return
     # no pin needed: the staged write below is this frame's ONLY
@@ -435,6 +441,16 @@ def _rewrite_touched_components(
     _write_components(
         content.select("node", "component"), staged, index_buckets
     )
+    # a DELETION can empty an affected partition entirely — the
+    # parquet write skips it, but the swap (and its crash recovery)
+    # must still replace the live directory; stage an explicit empty
+    # partition dir so every affected prefix has a rename source
+    for x in affected:
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(staged, f"nb={x}")
+        )
+        if not fs.exists(p):
+            fs.mkdirs(p)
     commit = jvm.org.apache.hadoop.fs.Path(
         os.path.join(comp_dir, f".commit-{tag}")
     )
@@ -567,6 +583,37 @@ def dedup_increment(
     n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
     threshold, max_bucket = meta["threshold"], meta["max_bucket"]
     index_buckets = meta["index_buckets"]
+    tomb = _read_tombstones(spark, path, None)
+
+    if update_index:
+        # id-overlap detection before anything is written: the shingle
+        # table IS the identity store (every indexed doc has rows
+        # there, ip=-bucketed) and an overlapping update would break
+        # _verify_pairs' id-disjoint union (2×2 join fanout, duplicate
+        # closure edges). Pruned to the shard's own ip= buckets; the
+        # increment's own replayed label is excluded. Legacy FLAT
+        # shingle stores (no ip column) keep their original
+        # no-detection semantics until compacted/rebuilt.
+        sh_guard = _read_increment_table(spark, path, "shingles")
+        if "ip" in sh_guard.columns:
+            new_ids = shard.select(F.col(id_col).alias("id")).distinct()
+            guard_ips = [
+                r.ip
+                for r in new_ids.select(
+                    _ip(F.col("id"), index_buckets).alias("ip")
+                ).distinct().collect()
+            ]
+            stored_ids = (
+                sh_guard.where(F.col("mb") != F.lit(update_label))
+                .where(
+                    F.col("ip").isin(guard_ips)
+                    if guard_ips else F.lit(False)
+                )
+                .select("id")
+            )
+            _ids_overlap_guard(
+                spark, path, new_ids, stored_ids, "dedup_increment"
+            )
 
     sh_new, banded_new = _shingle_sig_bands(
         shard, id_col, text_col, n, num_hashes, bands, index_buckets
@@ -581,7 +628,11 @@ def dedup_increment(
     probe_bbs = [
         r.bb for r in banded_new.select("bb").distinct().collect()
     ]
-    bands_tbl = _read_increment_table(spark, path, "bands")
+    bands_tbl = _anti_tombstones(
+        # deleted docs' band rows must not generate candidates — the
+        # one-shot on the reduced corpus never sees them
+        _read_increment_table(spark, path, "bands"), tomb, "id",
+    )
     if update_index:
         # at-least-once replay: a failed first attempt may already have
         # written this increment's own mb= rows — probing them would
@@ -654,7 +705,9 @@ def dedup_increment(
         .distinct()
         .collect()
     ]
-    sh_old = _read_increment_table(spark, path, "shingles")
+    sh_old = _anti_tombstones(
+        _read_increment_table(spark, path, "shingles"), tomb, "id"
+    )
     shingles_bucketed = "ip" in sh_old.columns
     if update_index:
         # same replay exclusion as the bands probe: keeps the verify
@@ -776,6 +829,199 @@ def dedup_increment(
     return _with_cached_deps(out, [sh_new, banded_new, probed])
 
 
+def minhash_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    label: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """Tombstone documents out of the band index — the takedown
+    lifecycle event, and the one delete in the layer that must REPAIR
+    state rather than just mask rows: removing a node can change its
+    cluster's labels (the deleted doc may have been the canonical
+    min-id) or SPLIT the cluster (it may have been the only bridge), so
+    the touched components are re-clustered from scratch on the
+    REDUCED member set:
+
+    1. resolve the delete set against the ``ip=``-pruned shingle store
+       (absent ids ignored; prior tombstones not re-counted);
+    2. commit tombstones — every future probe's band/shingle reads
+       anti-join them immediately (bytes reclaimed at compaction);
+    3. recompute the touched components: surviving members' band rows
+       are re-derived from their STORED shingles (purity — no corpus
+       text), bucket-capped against the reduced GLOBAL bucket sizes,
+       exact-verified, and re-closed; the partition swap drops deleted
+       nodes and relabels/splits survivors — EXACTLY the one-shot
+       clustering of the reduced corpus restricted to those components.
+
+    Work is bounded by the touched clusters (pruned shingle/band reads
+    + cluster-sized pair verify), never the corpus. Crash between the
+    tombstone commit and the swap is repaired by REPLAYING the delete
+    (fully idempotent — a replay after a completed swap finds no
+    touched components and no-ops). Returns ``{deleted_docs,
+    touched_components, new_pairs}``."""
+    if not label or any(c in label for c in "/=%"):
+        raise ValueError(
+            "minhash_index_delete needs a filesystem-safe label, "
+            f"got {label!r}"
+        )
+    meta = _read_meta(spark, path)
+    num_hashes, bands_n = meta["num_hashes"], meta["bands"]
+    threshold, max_bucket = meta["threshold"], meta["max_bucket"]
+    index_buckets = meta["index_buckets"]
+    sh_tbl = _read_increment_table(spark, path, "shingles")
+    if "ip" not in sh_tbl.columns:
+        raise ValueError(
+            f"minhash_index_delete: the index at {path!r} has a legacy "
+            "flat shingle store — run minhash_index_compact once (it "
+            "upgrades the layout) to enable deletes"
+        )
+    want = ids.select(F.col(id_col).alias("id")).distinct()
+    want_ips = [
+        r.ip
+        for r in want.select(
+            _ip(F.col("id"), index_buckets).alias("ip")
+        ).distinct().collect()
+    ]
+    present = (
+        sh_tbl.where(
+            F.col("ip").isin(want_ips) if want_ips else F.lit(False)
+        )
+        .select("id")
+        .join(want, "id", "leftsemi")
+        .distinct()
+    )
+    # prior tombstones only — a replayed delete must not see its own
+    # first attempt's rows as already deleted
+    tomb_prior = None
+    m = _read_manifest(spark, path)
+    if m is not None and m["tables"].get(_TOMB_TABLE):
+        prior = [
+            d for d in m["tables"][_TOMB_TABLE] if d != f"mb={label}"
+        ]
+        if prior:
+            root = os.path.join(path, _TOMB_TABLE)
+            tomb_prior = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, d) for d in prior]
+            ).select("id")
+    effective = _anti_tombstones(present, tomb_prior, "id").persist()
+    _register_cached(effective)
+    n_deleted = effective.count()
+
+    # tombstones go live FIRST: from this commit on, every probe's
+    # band/shingle reads exclude the deleted docs; the component
+    # repair below is replay-idempotent if a crash lands between
+    _tomb_write(
+        spark, path, effective.select(_id_str("id").alias("id")),
+        label, index_buckets,
+    )
+    _manifest_add(spark, path, [_TOMB_TABLE], label)
+
+    comp_dir = os.path.join(path, "components")
+    id_type = ids.schema[id_col].dataType.simpleString()
+    _recover_components(spark, comp_dir)
+    comp_tbl = _read_components(spark, comp_dir, id_type)
+    dele_nodes = effective.withColumnRenamed("id", "node")
+    del_nbs = [
+        r.nb
+        for r in dele_nodes.select(
+            _ip(F.col("node"), index_buckets).alias("nb")
+        ).distinct().collect()
+    ]
+    touched = (
+        comp_tbl.where(
+            F.col("nb").isin(del_nbs) if del_nbs else F.lit(False)
+        )
+        .join(dele_nodes, "node")
+        .select("component")
+        .distinct()
+        .persist()
+    )
+    _register_cached(touched)
+    members_all = comp_tbl.join(F.broadcast(touched), "component").persist()
+    _register_cached(members_all)
+    survivors = members_all.join(dele_nodes, "node", "left_anti").select(
+        F.col("node").alias("id")
+    )
+    n_touched = touched.count()
+    if n_touched == 0:
+        return {
+            "deleted_docs": int(n_deleted),
+            "touched_components": 0,
+            "new_pairs": 0,
+        }
+    # re-cluster the survivors exactly as the one-shot on the reduced
+    # corpus would see them: band rows from STORED shingles, the
+    # bucket cap against reduced GLOBAL sizes, exact-verify, closure
+    mem_ips = [
+        r.ip
+        for r in survivors.select(
+            _ip(F.col("id"), index_buckets).alias("ip")
+        ).distinct().collect()
+    ]
+    mem_sh = (
+        sh_tbl.where(
+            F.col("ip").isin(mem_ips) if mem_ips else F.lit(False)
+        )
+        .select("id", "sh")
+        .join(survivors, "id", "leftsemi")
+        .persist()
+    )
+    _register_cached(mem_sh)
+    mem_bands = _bands_from_shingles(
+        mem_sh, num_hashes, bands_n, index_buckets
+    ).persist()
+    _register_cached(mem_bands)
+    probe_bbs = [
+        r.bb for r in mem_bands.select("bb").distinct().collect()
+    ]
+    global_bands = (
+        _read_increment_table(spark, path, "bands")
+        .where(F.col("bb").isin(probe_bbs) if probe_bbs else F.lit(False))
+    )
+    global_bands = _anti_tombstones(global_bands, tomb_prior, "id")
+    global_bands = global_bands.join(
+        effective.withColumnRenamed("id", "__del_id"),
+        F.col("id") == F.col("__del_id"),
+        "left_anti",
+    )
+    sizes = global_bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    ).where(F.col("bucket_n") <= max_bucket)
+    ok = mem_bands.join(sizes, ["band", "bucket"]).select(
+        "band", "bucket", "id"
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = _verify_pairs(cand, mem_sh, mem_sh, threshold).select(
+        "id_a", "id_b"
+    )
+    comp_new = dup_components_auto(pairs)
+    n_pairs = pairs.count()
+    extra_nbs = [
+        r.nb for r in members_all.select("nb").distinct().collect()
+    ]
+    _rewrite_touched_components(
+        spark, comp_dir, comp_tbl, comp_new, touched, index_buckets,
+        extra_affected=extra_nbs,
+    )
+    return {
+        "deleted_docs": int(n_deleted),
+        "touched_components": int(n_touched),
+        "new_pairs": int(n_pairs),
+    }
+
+
 def index_stats(spark: SparkSession, path: str) -> dict:
     """Operational sizes of a persisted index — what a daily pipeline
     logs after each ``update_index`` append."""
@@ -861,6 +1107,7 @@ def probe_economics(
 __all__ = [
     "minhash_index_build",
     "dedup_increment",
+    "minhash_index_delete",
     "index_stats",
     "probed_bands_plan",
     "probed_partition_plan",
@@ -1654,9 +1901,13 @@ def minhash_index_reband(
     )
     index_buckets = old["index_buckets"]
     with cached_scope():  # every persist below dies with the migration
-        sh = _read_increment_table(spark, path, "shingles").select(
-            "id", "sh"
-        ).persist()
+        tomb = _read_tombstones(spark, path, None)
+        sh = _anti_tombstones(
+            # a reband derives the new band table from the LIVE
+            # shingle sets: tombstoned docs must not re-enter the
+            # geometry (compaction may not have dropped them yet)
+            _read_increment_table(spark, path, "shingles"), tomb, "id"
+        ).select("id", "sh").persist()
         _register_cached(sh)
         label = f"reband-{uuid.uuid4().hex[:8]}"
         if geometry_changed:
@@ -1676,7 +1927,9 @@ def minhash_index_reband(
             # corpus-sized I/O for a one-row meta change; pair
             # discovery re-runs over the LIVE band table at the new
             # threshold/cap instead
-            banded = _read_increment_table(spark, path, "bands").select(
+            banded = _anti_tombstones(
+                _read_increment_table(spark, path, "bands"), tomb, "id"
+            ).select(
                 "bb", "band", "bucket", "id"
             ).persist()
             _register_cached(banded)
@@ -1770,9 +2023,19 @@ def minhash_index_compact(
     compaction rewrite is the natural migration moment, after which
     the exact-verify reads prune again."""
     ib = int(_read_meta(spark, path)["index_buckets"])
-    return {
+    tomb = _read_tombstones(spark, path, None)
+
+    def _drop_tombstoned(rows: DataFrame) -> DataFrame:
+        # deletion integration: compaction physically drops tombstoned
+        # band/shingle rows; the tombstone table is cleared LAST, so a
+        # reader between the commits anti-joins still-live tombstones
+        # (a no-op on the reduced rows), never resurrects a doc
+        return _anti_tombstones(rows, tomb, "id")
+
+    out = {
         "bands_rows": _compact_increment_table(
-            spark, path, "bands", "bb", exclude_labels=exclude_labels
+            spark, path, "bands", "bb", exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
         ),
         "shingles_rows": _compact_increment_table(
             spark, path, "shingles", "ip",
@@ -1780,8 +2043,13 @@ def minhash_index_compact(
                 "ip", _ip(F.col("id"), ib)
             ),
             exclude_labels=exclude_labels,
+            transform=_drop_tombstoned,
         ),
     }
+    if tomb is not None and not exclude_labels:
+        _set_manifest_table(spark, path, _TOMB_TABLE, [])
+        out["tombstones_cleared"] = True
+    return out
 
 
 def substring_index_compact(spark: SparkSession, path: str) -> dict:

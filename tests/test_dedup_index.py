@@ -941,3 +941,140 @@ def test_compaction_commit_is_atomic_for_readers(spark, tmp_path):
     for t, dirs in m["tables"].items():
         for d in dirs:
             assert _os.path.isdir(_os.path.join(path, t, d)), (t, d)
+
+
+# ---------------------------------------------------------------------------
+# identity layer: overlap detection + deletion with component repair
+# ---------------------------------------------------------------------------
+
+def test_update_overlapping_ids_fails_loud(spark, tmp_path):
+    """Re-presenting a live id as an update increment raises before
+    anything is written (_verify_pairs' id-disjoint union would
+    otherwise fan out 2×2); a replay with the SAME label passes."""
+    _, old, new = _frames(spark)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dedup_increment(
+            old, new, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        # replay same label: legal
+        dedup_increment(
+            old, new, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            dedup_increment(
+                old, new.limit(2), path,
+                update_index=True, update_label="w3",
+            ).write.format("noop").mode("overwrite").save()
+
+
+def test_delete_relabels_and_splits_components(spark, tmp_path):
+    """The component-repair contract: deleting the canonical min-id of
+    a cluster relabels the survivors, and deleting the only BRIDGE of a
+    transitive chain SPLITS the cluster — in both cases the annotation
+    afterwards equals the one-shot clustering of the REDUCED corpus."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        minhash_index_delete,
+    )
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dedup_increment(
+            old, new, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        # 4~5~14 is a chain through 5 only if 4!~14; verify topology on
+        # the one-shot first so the split assertion is non-vacuous
+        one_shot_pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                union_df, "doc_id", threshold=0.5
+            ).select("id_a", "id_b").collect()
+        }
+        # delete 0 (canonical of {0,1}) and 5 (bridge of {4,5,14} if
+        # 4~14 is not a direct pair)
+        rep = minhash_index_delete(
+            spark, path,
+            spark.createDataFrame([(0,), (5,), (404,)], "doc_id long"),
+            "takedown1",
+        )
+        assert rep["deleted_docs"] == 2  # 404 was never indexed
+        assert rep["touched_components"] == 2
+        reduced = union_df.where(~F.col("doc_id").isin(0, 5))
+        got = _resolved(dedup_increment(reduced, reduced.limit(0), path))
+        want = _one_shot(reduced)
+    assert got == want
+    # survivors relabeled: 1 is now its own canonical
+    assert got[1] == (1, True)
+    if (4, 14) not in one_shot_pairs:
+        # bridge removed → 4 and 14 split into singletons
+        assert got[4] == (4, True) and got[14] == (14, True)
+
+
+def test_delete_then_increment_matches_reduced_one_shot(spark, tmp_path):
+    """A shard arriving AFTER a delete is resolved against the reduced
+    corpus: a new near-twin of the deleted doc is now canonical, and
+    replaying the delete after the repair is a no-op."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        minhash_index_delete,
+    )
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dele = spark.createDataFrame([(2,)], "doc_id long")
+        rep1 = minhash_index_delete(spark, path, dele, "d1")
+        assert rep1["deleted_docs"] == 1
+        # replay (same label) after the completed repair: no-op
+        rep2 = minhash_index_delete(spark, path, dele, "d1")
+        assert rep2["deleted_docs"] == 1  # same effective set recomputed
+        assert rep2["touched_components"] == 0  # repair already done
+        # doc 3 is 2's near-twin; with 2 gone it must come back kept
+        reduced_old = old.where(F.col("doc_id") != 2)
+        got = _resolved(dedup_increment(reduced_old, new, path))
+        want = _one_shot(
+            reduced_old.unionByName(new)
+        )
+    assert got == want
+    assert got[3] == (3, True)
+
+
+def test_compact_drops_tombstones_and_reingest(spark, tmp_path):
+    """delete → compact → re-ingest: the fold physically drops the
+    tombstoned band/shingle rows, clears the tombstone table, and the
+    freed id appends cleanly."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+        index_vacuum,
+        minhash_index_compact,
+        minhash_index_delete,
+    )
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dele = spark.createDataFrame([(2,)], "doc_id long")
+        minhash_index_delete(spark, path, dele, "d1")
+        redoc = old.where(F.col("doc_id") == 2)
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            dedup_increment(
+                old.where(F.col("doc_id") != 2), redoc, path,
+                update_index=True, update_label="w2",
+            ).write.format("noop").mode("overwrite").save()
+        out = minhash_index_compact(spark, path)
+        assert out.get("tombstones_cleared") is True
+        index_vacuum(spark, path)
+        assert _read_manifest(spark, path)["tables"]["tombstones"] == []
+        # freed id re-ingests; final state equals the one-shot of the
+        # original old corpus (2 is back)
+        dedup_increment(
+            old.where(F.col("doc_id") != 2), redoc, path,
+            update_index=True, update_label="w2",
+        ).write.format("noop").mode("overwrite").save()
+        got = _resolved(dedup_increment(old, old.limit(0), path))
+        want = _one_shot(old)
+    assert got == want
