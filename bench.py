@@ -229,6 +229,16 @@ BENCH_QUERIES = [
     # checkpointed micro-batches
     "bm25_increment",
     "stream_bm25",
+    # round-14: deletion/tombstone lifecycle on all four persisted
+    # indexes (each faces the reduced-corpus one-shot), BM25 geometry
+    # migration from stored postings, and hybrid retrieval served from
+    # the persisted BM25 + IVFADC indexes through RRF
+    "bm25_delete",
+    "bm25_rebucket",
+    "ann_delete",
+    "semantic_delete",
+    "dedup_delete",
+    "hybrid_increment",
 ]
 
 # Registry entries deliberately NOT benched, each with why. "No silent

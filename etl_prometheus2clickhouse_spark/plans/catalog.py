@@ -1736,7 +1736,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_jaccard_unblocked(threshold: float) -> str:
+def _oracle_jaccard_unblocked(
+    threshold: float, doc_pred: str | None = None
+) -> str:
     """Exact word-3-gram Jaccard ≥ threshold (the oracle for both LSH
     near-dup variants), spelled as an inverted-index join: distinct
     shingles unnested and self-joined on the shingle with id_a < id_b,
@@ -1746,11 +1748,12 @@ def _oracle_jaccard_unblocked(threshold: float) -> str:
     and ~140× faster (0.13 s vs 18 s at 500 docs), which is what lets
     the sf0.1 oracle sweep cover the near-dup family."""
     assert threshold > 0
+    where = f" WHERE {doc_pred}" if doc_pred else ""
     return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS toks
-  FROM documents
+  FROM documents{where}
 ),
 sh AS (
   SELECT doc_id,
@@ -1834,10 +1837,18 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "component_id", "is_canonical")
 
 
-def _oracle_corpus_dedup() -> str:
+def _oracle_corpus_dedup(doc_pred: str | None = None) -> str:
+    """The one-shot clustering SQL (exact pairs → recursive closure →
+    annotate). ``doc_pred`` restricts the corpus — the REDUCED-corpus
+    oracle for the deletion lifecycle (``dedup_delete``); ``None``
+    yields the byte-identical original."""
+    ann = (
+        f"(SELECT * FROM documents WHERE {doc_pred}) d"
+        if doc_pred else "documents d"
+    )
     return f"""
 WITH RECURSIVE
-pairs AS (SELECT id_a, id_b FROM ({_oracle_jaccard_unblocked(0.5)}) t),
+pairs AS (SELECT id_a, id_b FROM ({_oracle_jaccard_unblocked(0.5, doc_pred)}) t),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -1852,7 +1863,7 @@ comp AS (SELECT node, min(reach) AS c FROM walk GROUP BY node)
 SELECT d.doc_id, d.lang,
        COALESCE(cm.c, d.doc_id) AS component_id,
        d.doc_id = COALESCE(cm.c, d.doc_id) AS is_canonical
-FROM documents d
+FROM {ann}
 LEFT JOIN comp cm ON cm.node = d.doc_id
 """
 
@@ -7746,6 +7757,355 @@ FROM s
 # CROSS_CHECKED_QUERIES below: still oracle-verified by pytest
 # (tests/test_cross_checked.py) and scripts/check_correctness.py,
 # just not spending driver-window slots on duplicate oracles.
+# ---------------------------------------------------------------------------
+# round-14: deletion/tombstone lifecycle, BM25 geometry migration, and
+# hybrid retrieval served from the PERSISTED indexes
+# ---------------------------------------------------------------------------
+
+def q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown lifecycle on the persisted BM25 index
+    (operators/bm25_index.py ``bm25_index_delete``): build 80% +
+    append 20%, then tombstone every ``doc_id % 7 == 3`` document —
+    including one of the five benchmark QUERY docs, so a deleted doc
+    querying the index is exercised. The oracle is the one-shot BM25
+    SQL over the REDUCED corpus (queries still drawn from the full
+    table): green means the anti-joined postings (tf and df shrink)
+    plus the NEGATIVE stats row (N and avgdl shrink) reproduce the
+    reduced-corpus arithmetic exactly — counter linearity in both
+    directions."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="bm25_delete_")
+    try:
+        path = f"{scratch}/idx"
+        bm25_index_build(d.where(F.col("doc_id") % 5 != 0), path,
+                         term_buckets=16)
+        bm25_index_append(d.where(F.col("doc_id") % 5 == 0), path, "w2")
+        bm25_index_delete(
+            spark, path,
+            d.where(F.col("doc_id") % 7 == 3).select("doc_id"),
+            "takedown",
+        )
+        out = bm25_index_search(_bm25_queries(spark, sf_dir), path, k=10)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# the one-shot BM25 SQL with the CORPUS reduced to the undeleted docs;
+# the query bags (q5) still come from the full table — a deleted doc
+# may still query the index
+ORACLE_BM25_DELETE = ORACLE_BM25_SEARCH.replace(
+    "    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM toks",
+    "    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM toks\n"
+    "    WHERE NOT (doc_id % 7 = 3)",
+).replace(
+    "  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl"
+    " FROM toks",
+    "  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl"
+    " FROM toks WHERE NOT (doc_id % 7 = 3)",
+)
+assert ORACLE_BM25_DELETE != ORACLE_BM25_SEARCH  # both spliced
+
+
+def q_bm25_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 geometry migration (operators/bm25_index.py
+    ``bm25_index_rebucket`` — the ``minhash_index_reband`` analog for
+    the postings layout): build at a deliberately cramped 4-bucket
+    geometry, append, migrate to 32 buckets FROM THE STORED POSTINGS
+    (``tp`` is a pure function of ``t`` — no corpus re-read, no
+    re-tokenization; postings + meta swap in one manifest commit),
+    then append another shard under the new geometry and search.
+    SHARES q_bm25_search's oracle verbatim: the migration is physical,
+    so search over the migrated index still equals the one-shot on the
+    union corpus."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_rebucket,
+        bm25_index_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="bm25_rebucket_")
+    try:
+        path = f"{scratch}/idx"
+        bm25_index_build(d.where(F.col("doc_id") % 5 == 1), path,
+                         term_buckets=4)
+        bm25_index_append(d.where(F.col("doc_id") % 5 == 2), path, "w2")
+        bm25_index_rebucket(spark, path, 32)
+        bm25_index_append(
+            d.where((F.col("doc_id") % 5).isin(0, 3, 4)), path, "w3"
+        )
+        out = bm25_index_search(_bm25_queries(spark, sf_dir), path, k=10)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def q_hybrid_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from the persisted indexes —
+    the RAG deployment shape: the lexical leg searches the incremental
+    BM25 inverted index (build 80% + append 20%), the dense leg
+    searches the incremental IVFADC index over the embeddings table
+    (same 80/20 split, frozen base-trained quantizers), and the two
+    top-10 lists fuse by reciprocal rank (rrf_fuse, k0=60). Query ids
+    are the five BM25 benchmark docs (doc and vector id spaces align
+    by construction of the test tables). The oracle composes the full
+    BM25 SQL, the COMPLETE IVFPQ pipeline SQL (assign → probe → encode
+    → ADC → candidate cut → exact rescore), and the fusion arithmetic
+    — every stage of both persisted-index paths plus the merge must
+    agree for the hash to match."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_search,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _bm25_queries(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="hybrid_increment_")
+    try:
+        bpath, apath = f"{scratch}/bm25", f"{scratch}/ann"
+        bm25_index_build(d.where(F.col("doc_id") % 5 != 0), bpath,
+                         term_buckets=16)
+        bm25_index_append(d.where(F.col("doc_id") % 5 == 0), bpath, "w2")
+        ann_index_build(
+            emb.where(F.col("vec_id") % 5 != 0), apath, dim=64,
+            n_cells=32, m=4, k_codes=16, quantizers="first",
+        )
+        ann_index_append(emb.where(F.col("vec_id") % 5 == 0), apath, "w2")
+        bm = bm25_index_search(queries, bpath, k=10).select(
+            "query_id", "doc_id", "rank"
+        )
+        q_vecs = emb.join(
+            queries.select(F.col("query_id").alias("vec_id")), "vec_id"
+        )
+        dense = ann_index_search(
+            q_vecs, apath, k=10, n_probe=8, n_candidates=50
+        ).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        out = rrf_fuse([bm, dense], k0=60, k=10)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# the dense leg: the ann_increment pipeline SQL (80/20-trained IVFPQ)
+# with the query set swapped to the five BM25 benchmark ids and the
+# final cut widened to top-10
+_ORACLE_HYBRID_DENSE_LEG = ORACLE_ANN_INCREMENT.replace(
+    "WHERE a.vec_id < 10",
+    "WHERE a.vec_id IN (SELECT doc_id FROM documents"
+    " WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 5)",
+).replace(") WHERE rank_k <= 5", ") WHERE rank_k <= 10")
+assert "rank_k <= 10" in _ORACLE_HYBRID_DENSE_LEG
+assert "doc_id % 97" in _ORACLE_HYBRID_DENSE_LEG
+
+ORACLE_HYBRID_INCREMENT = f"""
+WITH bm AS ({ORACLE_BM25_SEARCH}),
+dense AS ({_ORACLE_HYBRID_DENSE_LEG}),
+fused AS (
+  SELECT coalesce(bm.query_id, dn.query_id) AS query_id,
+         coalesce(bm.doc_id, dn.neighbor_id) AS doc_id,
+         (CASE WHEN bm.rank IS NOT NULL
+               THEN 1.0 / (60.0 + bm.rank) ELSE 0.0 END
+          + CASE WHEN dn.rank_k IS NOT NULL
+                 THEN 1.0 / (60.0 + dn.rank_k) ELSE 0.0 END) AS score
+  FROM bm FULL OUTER JOIN dense dn
+    ON bm.query_id = dn.query_id AND bm.doc_id = dn.neighbor_id
+)
+SELECT query_id, doc_id, round(score, 6) AS rrf_score,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= 10
+"""
+
+
+def q_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown lifecycle on the persisted IVFADC index
+    (operators/ann_index.py ``ann_index_delete``): build over the full
+    embeddings table (frozen ``quantizers="first"``), tombstone every
+    ``vec_id % 9 == 4`` vector — including one of the ten query ids,
+    so a deleted vector querying the index is exercised — and search.
+    The oracle is the one-shot IVFPQ pipeline with the SAME full-
+    corpus-trained quantizers scanning only the undeleted vectors:
+    green means the pre-candidate anti-join (freed candidate slots go
+    to live vectors) reproduces the reduced-corpus search exactly."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_delete,
+        ann_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="ann_delete_")
+    try:
+        path = f"{scratch}/idx"
+        ann_index_build(
+            emb, path, dim=64, n_cells=32, m=4, k_codes=16,
+            quantizers="first",
+        )
+        ann_index_delete(
+            spark, path,
+            emb.where(F.col("vec_id") % 9 == 4).select("vec_id"),
+            "takedown",
+        )
+        out = ann_index_search(
+            emb.where(F.col("vec_id") < 10), path,
+            k=5, n_probe=8, n_candidates=50,
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank_k"),
+            F.round("cosine_sim", 6).alias("cos_sim"),
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# quantizers from the FULL corpus (the build preceded the delete — the
+# frozen-model contract), corpus scan reduced to the undeleted vectors
+ORACLE_ANN_DELETE = ORACLE_COSINE_TOPK_IVFPQ.replace(
+    "    FROM e a CROSS JOIN ccents c\n  ) WHERE rn = 1",
+    "    FROM e a CROSS JOIN ccents c\n"
+    "    WHERE NOT (a.vec_id % 9 = 4)\n"
+    "  ) WHERE rn = 1",
+)
+assert ORACLE_ANN_DELETE != ORACLE_COSINE_TOPK_IVFPQ
+
+
+def q_semantic_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown lifecycle on the persisted SemDeDup index
+    (operators/semantic_index.py ``semantic_index_delete``): the first
+    id-half builds the index (frozen ``centroids="first"``), every
+    ``vec_id % 11 == 3`` stored vector is tombstoned, and the second
+    half arrives as a shard — whose dispositions must equal the
+    one-shot ``semantic_dedup`` over (reduced first half) ∪ (second
+    half) restricted to the shard: a deleted near-twin no longer
+    suppresses a new arrival. Same geometry as q_semantic_increment
+    (n_cells=16, threshold=0.3)."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_increment,
+        semantic_index_build,
+        semantic_index_delete,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    scratch = tempfile.mkdtemp(prefix="semantic_delete_")
+    try:
+        path = f"{scratch}/idx"
+        semantic_index_build(
+            emb.where(F.col("vec_id") <= half), path,
+            n_cells=16, threshold=0.3, centroids="first",
+        )
+        semantic_index_delete(
+            spark, path,
+            emb.where(F.col("vec_id") % 11 == 3).select("vec_id"),
+            "takedown",
+        )
+        out = semantic_increment(emb.where(F.col("vec_id") > half), path)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# centroids from the full table's first 16 ids (identical to the
+# build's first-half sample — prefix split), the stored side reduced
+# to the undeleted first-half vectors, output restricted to the shard
+ORACLE_SEMANTIC_DELETE = ORACLE_SEMANTIC_DEDUP.replace(
+    "    FROM e a CROSS JOIN cents c\n  ) WHERE rn = 1",
+    "    FROM e a CROSS JOIN cents c\n"
+    "    WHERE NOT (a.vec_id % 11 = 3 AND a.vec_id <="
+    " (SELECT max(vec_id) // 2 FROM embeddings))\n"
+    "  ) WHERE rn = 1",
+) + "WHERE n.vec_id > (SELECT max(vec_id) // 2 FROM embeddings)\n"
+assert "% 11" in ORACLE_SEMANTIC_DELETE
+
+
+def q_dedup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown lifecycle on the persisted MinHash band index
+    (operators/dedup_index.py ``minhash_index_delete`` — the one
+    delete that must REPAIR state): build 80% + update-increment 20%,
+    tombstone every ``doc_id % 13 == 6`` document (removing canonical
+    min-ids and cluster bridges), then annotate the reduced corpus
+    through the repaired index. The oracle is the one-shot clustering
+    SQL (exact pairs → recursive closure) over the REDUCED corpus:
+    green means the touched-component re-clustering relabeled and
+    split exactly as a from-scratch run on the remaining documents
+    would."""
+    import shutil
+    import tempfile
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        dedup_increment,
+        minhash_index_build,
+        minhash_index_delete,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", "text"
+    )
+    shard = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="dedup_delete_")
+    try:
+        path = f"{scratch}/idx"
+        minhash_index_build(corpus, path, id_col="doc_id", threshold=0.5)
+        dedup_increment(
+            corpus, shard, path, id_col="doc_id",
+            update_index=True, update_label="w2",
+        ).write.format("noop").mode("overwrite").save()
+        minhash_index_delete(
+            spark, path,
+            docs.where(F.col("doc_id") % 13 == 6).select("doc_id"),
+            "takedown",
+        )
+        reduced = docs.where(~(F.col("doc_id") % 13 == 6)).select(
+            "doc_id", "lang", "text"
+        )
+        out = dedup_increment(
+            reduced, reduced.limit(0), path, id_col="doc_id"
+        ).select("doc_id", "lang", "component_id", "is_canonical")
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ETL core (SURVEY §2)
     "prom_parse": q_prom_parse,
@@ -7843,7 +8203,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CROSS_CHECKED (same exact-Jaccard oracle, still swept every
     # pytest + check_correctness run)
     "dedup_increment": q_dedup_increment,
-    "dup_clusters": q_dup_clusters,
+    # round-14 swap (demote-to-fund): dup_clusters (pairs → closure →
+    # annotate alone) is dominated by dedup_increment, which runs the
+    # same closure machinery in-window plus the probe/verify/merge
+    # stages; it demotes to CROSS_CHECKED beside its twostar twin
+    # (same recursive-CTE oracle, swept every run) to fund bm25_delete
     # embeddings — round-9 swap: the persisted-code-table PQ face and
     # the IVFADC composition take the window; cosine_topk_ivfpq runs a
     # strict superset of cosine_topk_ivf's probe machinery (coarse
@@ -7864,13 +8228,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_increment": q_semantic_increment,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk_pq_codes": q_cosine_topk_pq_codes,
-    # round-11 swap (demote-to-fund): ann_increment — persisted-model
-    # IVFADC with an incremental shard append — runs a strict superset
-    # of cosine_topk_ivfpq's machinery (same train/encode/ADC/rescore,
-    # PLUS model persistence, the mb= increment lifecycle, and the
-    # codes-table probe), so the inline IVFADC face demotes to
-    # CROSS_CHECKED (same oracle family, swept every run)
-    "ann_increment": q_ann_increment,
+    # round-14 swap (demote-to-fund): ann_increment — whose build →
+    # persist-model → append → probe-pruned search pipeline is now a
+    # strict SUBSET of hybrid_increment's dense leg (identical config
+    # and oracle CTEs, plus the lexical leg and fusion on top) —
+    # demotes to CROSS_CHECKED beside stream_ann to fund
+    # hybrid_increment's slot (same oracle family, swept every run)
     # multimodal
     "multimodal_meta": q_multimodal_meta,
     # round-9 swap: decode_jpeg_ac strictly supersedes decode_jpeg —
@@ -7900,6 +8263,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidate→exact-rescore contract, same jaccard oracle family)
     # and SimHash stays oracle-verified cross-checked.
     "events_ewma": q_events_ewma,
+    # round-14: the deletion/tombstone lifecycle (the VERDICT's #2 gap)
+    # and hybrid retrieval served from the persisted indexes (#4) join
+    # the driver window — bm25_delete exercises anti-joined postings +
+    # negative stats against the reduced-corpus one-shot;
+    # hybrid_increment composes BOTH persisted index searches (BM25
+    # inverted file + IVFADC) through reciprocal-rank fusion. The
+    # sibling deletes (ann/semantic/dedup) and the BM25 geometry
+    # migration are oracle-verified in CROSS_CHECKED.
+    "bm25_delete": q_bm25_delete,
+    "hybrid_increment": q_hybrid_increment,
 }
 
 # Alternate formulations of operators verified above - each is a
@@ -8150,6 +8523,19 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: per-series OLS drift — decimal-exact sufficient
     # statistics, double arithmetic only after both engines agree
     "events_trend": q_events_trend,
+    # round-14: the deletion-lifecycle siblings of the in-window
+    # bm25_delete (each faces the reduced-corpus one-shot) and the
+    # BM25 geometry migration (shares the union-corpus one-shot —
+    # migration is physical)
+    "bm25_rebucket": q_bm25_rebucket,
+    "ann_delete": q_ann_delete,
+    "semantic_delete": q_semantic_delete,
+    "dedup_delete": q_dedup_delete,
+    # round-14 demotions funding bm25_delete + hybrid_increment:
+    # dup_clusters (closure covered in-window by dedup_increment),
+    # ann_increment (a strict subset of hybrid_increment's dense leg)
+    "dup_clusters": q_dup_clusters,
+    "ann_increment": q_ann_increment,
 }
 
 ORACLES: dict[str, str] = {
@@ -8184,10 +8570,8 @@ ORACLES: dict[str, str] = {
     # incremental ≡ one-shot: the oracle is the full-union one-shot
     # pipeline (exact pairs → recursive closure → annotate)
     "dedup_increment": _oracle_corpus_dedup(),
-    "dup_clusters": _oracle_dup_clusters(),
     "semantic_increment": ORACLE_SEMANTIC_INCREMENT,
     "cosine_topk_pq_codes": ORACLE_COSINE_TOPK_PQ,
-    "ann_increment": ORACLE_ANN_INCREMENT,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
@@ -8209,6 +8593,9 @@ ORACLES: dict[str, str] = {
     "stream_join": ORACLE_STREAM_JOIN,
     "stream_sessions": ORACLE_STREAM_SESSIONS,
     "events_quantiles_sketch": ORACLE_EVENTS_QUANTILES_SKETCH,
+    # round-14: deletion lifecycle + persisted-index hybrid retrieval
+    "bm25_delete": ORACLE_BM25_DELETE,
+    "hybrid_increment": ORACLE_HYBRID_INCREMENT,
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {
@@ -8322,6 +8709,14 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_anomalies": ORACLE_EVENTS_ANOMALIES,
     "mmr_rerank": _oracle_mmr(),
     "stream_funnel": ORACLE_WINDOW_FUNNEL,
+    # round-14 deletion lifecycle + geometry migration
+    "bm25_rebucket": ORACLE_BM25_SEARCH,
+    "ann_delete": ORACLE_ANN_DELETE,
+    "semantic_delete": ORACLE_SEMANTIC_DELETE,
+    "dedup_delete": _oracle_corpus_dedup("NOT (doc_id % 13 = 6)"),
+    # round-14 demotions (see the QUERIES swap comments)
+    "dup_clusters": _oracle_dup_clusters(),
+    "ann_increment": ORACLE_ANN_INCREMENT,
 }
 
 # Everything, for bench.py and local verification.

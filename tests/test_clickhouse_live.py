@@ -31,7 +31,12 @@ import uuid
 
 import pytest
 
-CLICKHOUSE_URL = os.environ.get("CLICKHOUSE_URL")
+# reachability PROBE, not an env flag: when CLICKHOUSE_URL is unset,
+# the standard local daemon address is probed — the matrix auto-enables
+# the first time the environment grows a reachable server, with zero
+# configuration. A connection-refused probe fails in milliseconds, so
+# service-less sandboxes still skip instantly.
+CLICKHOUSE_URL = os.environ.get("CLICKHOUSE_URL", "http://localhost:8123")
 
 
 def _execute(query: str, data: bytes | None = None) -> str:
@@ -56,8 +61,9 @@ def _reachable() -> bool:
 
 pytestmark = pytest.mark.skipif(
     not _reachable(),
-    reason="CLICKHOUSE_URL unset or unreachable — live wire tests need "
-    "a real server (see module docstring for the one-command stack)",
+    reason="no reachable ClickHouse (probed $CLICKHOUSE_URL or the "
+    "localhost default) — live wire tests need a real server (see "
+    "module docstring for the one-command stack)",
 )
 
 
