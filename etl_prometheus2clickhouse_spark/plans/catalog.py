@@ -182,6 +182,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_path(name: str, sf_dir: str) -> str:
+    """Fixed per-(process, sf) scratch dir for build-once/probe-many
+    index artifacts: overwritten on every run inside one process
+    (bounded disk; lazily-read artifacts stay valid for the driver's
+    later collect), but tagged with the PID so two CONCURRENT
+    bench/correctness runs over the same scale factor can never race
+    each other's build/delete cycles — the q_bm25_increment race
+    pattern, fixed for every entry that keeps a scratch index. A stale
+    same-PID leftover from a dead process is harmless: every build is
+    a semantic overwrite."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{name}_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to the canonical ``timestamp_ntz``
     (wall time = UTC; see :mod:`functions.ts`).
@@ -1499,10 +1519,7 @@ def q_decontaminate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bench_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("bench_index", sf_dir)
     benchmark_index_build(d.where(F.col("doc_id") % 97 == 0), path, n=3)
     shard = d.where(
         (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0)
@@ -1899,10 +1916,7 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed per-sf scratch path, overwritten each run: bounded disk,
     # and the probe below is a genuine partition-filtered parquet scan
     # of the artifact (the pq_codes build-once/probe-many pattern)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"minhash_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("minhash_index", sf_dir)
     minhash_index_build(corpus, path, id_col="doc_id", threshold=0.5)
     out = dedup_increment(corpus, shard, path, id_col="doc_id")
     return out.select("doc_id", "lang", "component_id", "is_canonical")
@@ -2286,10 +2300,7 @@ def q_cosine_topk_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed per-sf scratch path, overwritten each run: bounded disk,
     # and the read below is a genuine parquet scan of the artifact
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"pq_codes_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("pq_codes", sf_dir)
     pq_encode(emb, model, id_col="vec_id").write.mode("overwrite").parquet(
         path
     )
@@ -2449,10 +2460,7 @@ def q_cosine_topk_ivfpq_codes(
         emb, dim=64, n_cells=32, m=4, k_codes=16, id_col="vec_id",
         quantizers="first",
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ivfpq_codes_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("ivfpq_codes", sf_dir)
     ivfpq_encode(emb, model, id_col="vec_id").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
@@ -2535,10 +2543,7 @@ def q_ann_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 5 != 0)
     shard = emb.where(F.col("vec_id") % 5 == 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"ann_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("ann_index", sf_dir)
     ann_index_build(
         base, path, dim=64, n_cells=32, m=4, k_codes=16,
         quantizers="first",
@@ -4704,10 +4709,7 @@ def q_substring_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"substr_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("substr_index", sf_dir)
     substring_index_build(
         d.where(F.col("doc_id") % 5 != 0), path, min_len=_ESS_L
     )
@@ -5428,10 +5430,7 @@ def q_semantic_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     mx = emb.agg(F.max("vec_id")).first()[0]
     half, q3 = mx // 2, 3 * mx // 4
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"semantic_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("semantic_index", sf_dir)
     semantic_index_build(
         emb.where(F.col("vec_id") <= half), path,
         n_cells=16, threshold=0.3, centroids="first",
@@ -5972,10 +5971,7 @@ def q_paragraph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _chunk5(F.col("text")).alias("text")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"para_index_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    path = _scratch_path("para_index", sf_dir)
     b = d.agg(F.max("doc_id")).first()[0] + 1
     paragraph_index_build(d.where(F.col("doc_id") < 4 * b // 5), path)
     return paragraph_increment(
