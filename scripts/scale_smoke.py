@@ -1462,6 +1462,147 @@ def main() -> None:
     finally:
         shutil.rmtree(bm_dir2.rsplit("/", 1)[0], ignore_errors=True)
 
+    # round-14: the identity/deletion lifecycle's scale claims, on one
+    # wide-vocab corpus (the law-of-large-numbers adversary again):
+    # (1) REBUCKET — after migrating term_buckets 16 → 64 from the
+    #     stored postings, search rows are IDENTICAL and the probe's
+    #     byte witness is green AT THE NEW GEOMETRY (the probed share
+    #     re-bounds to |query buckets|/64);
+    # (2) DELETE — tombstoning docs keeps the probe a partition filter
+    #     (the anti-join is a row-level cut on top of the pruned read),
+    #     and the tombstone table the search additionally reads is
+    #     delete-set-sized, orders below the postings it masks;
+    # (3) OVERLAP GUARD — an append's id probe reads only the shard's
+    #     own ip= buckets of the identity table (bounded share), never
+    #     the postings.
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+        bm25_index_rebucket,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _ip as _smoke_ip,
+    )
+
+    bm_dir3 = tempfile.mkdtemp(prefix="smoke_bm25life_") + "/idx"
+    try:
+        n_ldocs = 30_000
+        lwide = spark.range(n_ldocs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda j: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("id") * 37 + j),
+                            F.lit(100_000),
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        bm25_index_build(
+            lwide.where(F.col("doc_id") % 10 != 0), bm_dir3,
+            term_buckets=16, id_buckets=64,
+        )
+        l_q = lwide.where(
+            F.col("doc_id").isin([11, 1001, 4243])
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(_smoke_words(F.col("text")), 1, 4).alias("terms"),
+        )
+        before = sorted(
+            (r.query_id, r.doc_id, r.bm25, r.rank)
+            for r in bm25_index_search(l_q, bm_dir3, k=10).collect()
+        )
+        t0 = time.perf_counter()
+        rb = bm25_index_rebucket(spark, bm_dir3, 64)
+        t_rebucket = round(time.perf_counter() - t0, 1)
+        after = sorted(
+            (r.query_id, r.doc_id, r.bm25, r.rank)
+            for r in bm25_index_search(l_q, bm_dir3, k=10).collect()
+        )
+        assert before == after and after, "rebucket changed results"
+        l_tps = sorted(
+            r.tp
+            for r in l_q.select(F.explode("terms").alias("t"))
+            .select(_tp(F.col("t"), 64).alias("tp")).distinct().collect()
+        )
+        l_plan = probed_partition_plan(
+            spark, f"{bm_dir3}/postings", "tp", l_tps
+        )
+        assert any(
+            "PartitionFilters: [tp" in ln for ln in l_plan.splitlines()
+        ), "rebucketed tp set not pushed as a partition filter"
+        l_econ = probe_economics(
+            spark, f"{bm_dir3}/postings", "tp", l_tps
+        )
+        assert l_econ["bytes_probed"] <= 2 * (
+            len(l_tps) / 64
+        ) * l_econ["bytes_total"], l_econ
+        print(
+            f"bm25_rebucket: 16→64 migration ({rb['posting_rows']} "
+            f"stored postings, no corpus re-read) in {t_rebucket}s; "
+            f"results identical; NEW-geometry probe economics "
+            f"{l_econ['bytes_probed']}/{l_econ['bytes_total']} bytes "
+            f"for {len(l_tps)}/64 buckets (≤ 2× uniform share)"
+        )
+
+        # (2) delete: tombstone 1% of the corpus, search stays pruned,
+        # tombstone bytes are delete-sized
+        dele = lwide.where(
+            (F.col("doc_id") % 100 == 7) & (F.col("doc_id") % 10 != 0)
+        ).select("doc_id")
+        t0 = time.perf_counter()
+        drep = bm25_index_delete(spark, bm_dir3, dele, "takedown")
+        t_delete = round(time.perf_counter() - t0, 1)
+        gone = {r.doc_id for r in dele.collect()}
+        post_del = bm25_index_search(l_q, bm_dir3, k=10)
+        assert not any(
+            r.doc_id in gone for r in post_del.collect()
+        ), "deleted doc surfaced in search"
+        tomb_econ = probe_economics(
+            spark, f"{bm_dir3}/tombstones", "ip",
+            list(range(64)),
+        )
+        assert tomb_econ["bytes_total"] < 0.05 * l_econ["bytes_total"], (
+            tomb_econ, l_econ,
+        )
+        print(
+            f"bm25_delete: {drep['deleted_docs']} docs tombstoned in "
+            f"{t_delete}s; searches stay partition-pruned and the "
+            f"anti-join side reads {tomb_econ['bytes_total']} tombstone "
+            f"bytes vs {l_econ['bytes_total']} postings bytes "
+            "(delete-set-sized, not corpus-sized)"
+        )
+
+        # (3) overlap guard: the append probe reads only the shard's
+        # own ip= buckets of the identity table
+        shard = lwide.where(F.col("doc_id") % 10_000 == 1)
+        shard_ips = sorted(
+            r.ip
+            for r in shard.select(
+                _smoke_ip(
+                    F.col("doc_id").cast("string"), 64
+                ).alias("ip")
+            ).distinct().collect()
+        )
+        ids_econ = probe_economics(
+            spark, f"{bm_dir3}/ids", "ip", shard_ips
+        )
+        assert ids_econ["bytes_probed"] <= 2 * max(
+            len(shard_ips) / 64, 1 / 64
+        ) * ids_econ["bytes_total"] + 4096, ids_econ
+        print(
+            f"bm25 append overlap-guard probe: "
+            f"{ids_econ['bytes_probed']}/{ids_econ['bytes_total']} "
+            f"identity bytes for {len(shard_ips)}/64 id buckets — "
+            "guard cost is shard-sized, zero postings bytes"
+        )
+    finally:
+        shutil.rmtree(bm_dir3.rsplit("/", 1)[0], ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
