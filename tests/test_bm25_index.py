@@ -488,3 +488,52 @@ def test_delete_requires_identity_layer(spark, docs, tmp_path):
         spark.createDataFrame([(30, "legacy ok")], "doc_id long, text string"),
         path, "w9",
     )
+
+
+def test_delete_amid_streaming_ingest(spark, docs, shard, queries, tmp_path):
+    """The takedown arrives BETWEEN streaming ingest waves, with
+    scheduled maintenance running: tombstones survive the in-flight-
+    batch-excluded compaction (excluded increments are not rewritten,
+    so the tombstone table must stay live), later batches' overlap
+    guards keep passing, and the final search equals the one-shot over
+    (base ∪ shard) minus the deleted docs. A later FULL compaction
+    clears the tombstones and physically drops the rows."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_manifest,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        run_streaming_bm25_ingest,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    src = os.path.join(str(tmp_path), "in")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    bm25_index_build(docs, path, term_buckets=8)
+    w1 = shard.where(F.col("doc_id") % 2 == 1)
+    w2 = shard.where(F.col("doc_id") % 2 == 0)
+    w1.coalesce(1).write.parquet(f"{src}/b0")
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    run_streaming_bm25_ingest(stream(), path, ckpt, max_live_dirs=2)
+    # the takedown lands between waves: one base doc and one streamed
+    dele = spark.createDataFrame([(1,), (9,)], "doc_id long")
+    rep = bm25_index_delete(spark, path, dele, "takedown")
+    assert rep["deleted_docs"] == 2
+    w2.coalesce(1).write.parquet(f"{src}/b1")
+    run_streaming_bm25_ingest(stream(), path, ckpt, max_live_dirs=2)
+    # maintenance ran with an in-flight exclusion → tombstones LIVE
+    m = _read_manifest(spark, path)
+    assert m["tables"].get("tombstones"), m["tables"]
+    reduced = docs.unionByName(shard).where(~F.col("doc_id").isin(1, 9))
+    got = _rows(bm25_index_search(queries, path, k=5))
+    assert got == _rows(bm25_search(reduced, queries, k=5)) and got
+    # a full (no-exclusion) compaction clears them; results unchanged
+    out = bm25_index_compact(spark, path)
+    assert out.get("tombstones_cleared") is True
+    assert _rows(bm25_index_search(queries, path, k=5)) == got
