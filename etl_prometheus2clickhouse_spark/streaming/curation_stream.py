@@ -70,6 +70,7 @@ def _maintain_curation_stores(
     spark, batch_id: int, dispositions_dir: str, index_path: str,
     para_index_path: str | None, max_live_dirs: int,
     serve_index_path: str | None = None,
+    ann_serve_index_path: str | None = None,
 ) -> None:
     """The streaming lifecycle's scheduled compaction + vacuum: when
     any tracked surface's live-unit count reaches ``max_live_dirs``
@@ -84,6 +85,9 @@ def _maintain_curation_stores(
     (recover_stream_outputs heals any window), index folds are atomic
     manifest commits, and ``index_vacuum`` only deletes directories no
     committed manifest references."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_compact,
+    )
     from etl_prometheus2clickhouse_spark.operators.bm25_index import (
         bm25_index_compact,
     )
@@ -107,11 +111,16 @@ def _maintain_curation_stores(
         (index_path, minhash_index_compact),
         (para_index_path, paragraph_index_compact),
         (serve_index_path, bm25_index_compact),
+        (ann_serve_index_path, ann_index_compact),
     ):
         if path is None:
             continue
         live = index_live_increments(spark, path)
-        live.pop("meta", None)  # single-row geometry stays at one dir
+        # single-row geometry tables legitimately stay at one dir per
+        # lifecycle event — only data tables trigger the fold
+        live.pop("meta", None)
+        live.pop("model", None)
+        live.pop("idmeta", None)
         if live and max(live.values()) >= max_live_dirs:
             compact(spark, path, exclude_labels=guard)
             index_vacuum(spark, path)
@@ -130,6 +139,8 @@ def curation_batch_body(
     min_contaminated: int = 1,
     max_live_dirs: int | None = None,
     serve_index_path: str | None = None,
+    ann_serve_index_path: str | None = None,
+    serve_vec_dim: int = 32,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
@@ -147,6 +158,18 @@ def curation_batch_body(
     moment the batch commits. A batch with zero kept documents still
     appends its (empty-postings, zero-docs) stats row — harmless and
     replay-stable.
+
+    With ``ann_serve_index_path`` the DENSE retrieval leg is served
+    too: each batch's kept documents are feature-hash embedded
+    (``operators.text.hashed_doc_vectors`` — model-free, exactly the
+    hybrid_search configuration at ``serve_vec_dim``) and appended
+    into a persisted IVFADC index built beforehand over the seed's
+    kept vectors (frozen quantizers — the ann_index_append contract),
+    under the same replay-idempotent label. Together the two serve
+    paths make HYBRID retrieval (BM25 + dense RRF) live over exactly
+    the curated corpus at batch commit. All-zero hash vectors (empty
+    text) are excluded on both the ingest and one-shot sides, so the
+    serve index equals the one-shot encoding of the kept set.
 
     With ``para_index_path`` the funnel runs FOUR stages — the full
     one-shot ``curation_funnel`` lineage: incremental PARAGRAPH dedup
@@ -190,6 +213,7 @@ def curation_batch_body(
             _maintain_curation_stores(
                 spark, batch_id, dispositions_dir, index_path,
                 para_index_path, max_live_dirs, serve_index_path,
+                ann_serve_index_path,
             )
         with cached_scope():
             label = f"b{int(batch_id)}"
@@ -250,15 +274,11 @@ def curation_batch_body(
             ppl = lm_perplexity(
                 kept_quality, reference, text_col, id_col, alpha=alpha
             ).select(id_col, "perplexity")
-            if serve_index_path is not None:
-                # one LM scoring, two consumers (the contaminated
+            if serve_index_path is not None or ann_serve_index_path is not None:  # noqa: E501
+                # one LM scoring, N consumers (the contaminated
                 # checkpoint pattern): the disposition write below and
-                # the serve-index append here
+                # the serve-index appends here
                 ppl = ppl.localCheckpoint()
-                from etl_prometheus2clickhouse_spark.operators.bm25_index import (  # noqa: E501
-                    bm25_index_append,
-                )
-
                 kept_docs = (
                     kept_quality.join(ppl, id_col)
                     .where(
@@ -267,10 +287,44 @@ def curation_batch_body(
                     )
                     .select(id_col, text_col)
                 )
-                bm25_index_append(
-                    kept_docs, serve_index_path, label,
-                    text_col=text_col, id_col=id_col,
-                )
+                if serve_index_path and ann_serve_index_path:
+                    # two serve legs consume the kept set — pin it so
+                    # the funnel upstream runs once, not per leg
+                    kept_docs = kept_docs.localCheckpoint()
+                if serve_index_path is not None:
+                    from etl_prometheus2clickhouse_spark.operators.bm25_index import (  # noqa: E501
+                        bm25_index_append,
+                    )
+
+                    bm25_index_append(
+                        kept_docs, serve_index_path, label,
+                        text_col=text_col, id_col=id_col,
+                    )
+                if ann_serve_index_path is not None:
+                    from etl_prometheus2clickhouse_spark.operators.ann_index import (  # noqa: E501
+                        ann_index_append,
+                    )
+                    from etl_prometheus2clickhouse_spark.operators.text import (  # noqa: E501
+                        hashed_doc_vectors,
+                    )
+
+                    kept_vecs = (
+                        hashed_doc_vectors(
+                            kept_docs, dim=serve_vec_dim,
+                            text_col=text_col, id_col=id_col,
+                        )
+                        .where(F.exists("vec", lambda x: x != 0))
+                        .select(
+                            F.col(id_col),
+                            F.transform(
+                                "vec", lambda v: v.cast("double")
+                            ).alias("embedding"),
+                        )
+                    )
+                    ann_index_append(
+                        kept_vecs, ann_serve_index_path, label,
+                        id_col=id_col, vec_col="embedding",
+                    )
             base = inc.select(id_col, "is_canonical")
             if contaminated is not None:
                 base = base.join(
@@ -334,6 +388,8 @@ def run_streaming_curation(
     min_contaminated: int = 1,
     max_live_dirs: int | None = None,
     serve_index_path: str | None = None,
+    ann_serve_index_path: str | None = None,
+    serve_vec_dim: int = 32,
 ) -> None:
     """Run ``src`` (a streaming frame of documents) to completion of
     currently-available input (AvailableNow) through
@@ -348,7 +404,10 @@ def run_streaming_curation(
     per micro-batch until an operator remembers to compact — the
     listing itself becomes the bottleneck on a long-running stream.
     ``serve_index_path`` closes the curate → serve loop: each batch's
-    kept documents are appended to a persisted BM25 index (see
+    kept documents are appended to a persisted BM25 index;
+    ``ann_serve_index_path`` additionally serves the DENSE leg
+    (feature-hashed vectors into a persisted IVFADC index), making
+    hybrid retrieval live over the curated corpus (see
     :func:`curation_batch_body`)."""
     q = (
         src.writeStream.foreachBatch(
@@ -365,6 +424,8 @@ def run_streaming_curation(
                 min_contaminated,
                 max_live_dirs,
                 serve_index_path,
+                ann_serve_index_path,
+                serve_vec_dim,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

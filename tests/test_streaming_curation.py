@@ -568,3 +568,133 @@ def test_serve_index_receives_kept_docs(spark, tmp_path):
         for r in bm25_index_search(queries, serve, k=5).collect()
     )
     assert again == got
+
+
+def test_hybrid_serve_feeds_both_indexes(spark, tmp_path):
+    """ann_serve_index_path closes the DENSE half of the curate → serve
+    loop: each batch's kept documents are feature-hash embedded and
+    appended to a persisted IVFADC index beside the BM25 one, so
+    HYBRID retrieval (RRF over both persisted indexes) is live over
+    exactly the curated corpus — and equals the same fusion computed
+    from one-shot retrieval over the kept set."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq_codes,
+        ivfpq_encode,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        bm25_search,
+        hashed_doc_vectors,
+        rrf_fuse,
+    )
+
+    def _vecs(df):
+        return (
+            hashed_doc_vectors(df, dim=32)
+            .where(F.exists("vec", lambda x: x != 0))
+            .select(
+                "doc_id",
+                F.transform("vec", lambda v: v.cast("double")).alias(
+                    "embedding"
+                ),
+            )
+        )
+
+    with cached_scope():
+        thr = _median_ppl(spark)
+        want = _one_shot(spark, thr)
+    seed, ref, idx = _setup(spark, tmp_path, "hs")
+    src = str(tmp_path / "hs_src")
+    disp_dir = str(tmp_path / "hs_disp")
+    ckpt = str(tmp_path / "hs_ckpt")
+    serve = str(tmp_path / "hs_serve")
+    ann_serve = str(tmp_path / "hs_ann_serve")
+
+    all_rows = _SEED + [r for b in _BATCHES for r in b]
+    kept_ids = {k for k, v in want.items() if v == "kept"}
+    seed_kept_df = spark.createDataFrame(
+        [r for r in _SEED if r[0] in kept_ids], _SCHEMA
+    )
+    bm25_index_build(seed_kept_df, serve, term_buckets=8)
+    with cached_scope():
+        model = ann_index_build(
+            _vecs(seed_kept_df), ann_serve, dim=32,
+            id_col="doc_id", vec_col="embedding",
+            n_cells=2, m=4, k_codes=2, quantizers="first",
+        )
+
+        for n, b in enumerate(_BATCHES):
+            _write_batch(spark, src, b, n)
+        run_streaming_curation(
+            _stream(spark, src), idx, ref, disp_dir, ckpt, thr,
+            serve_index_path=serve,
+            ann_serve_index_path=ann_serve,
+            serve_vec_dim=32,
+        )
+
+        kept_docs = spark.createDataFrame(
+            [r for r in all_rows if r[0] in kept_ids], _SCHEMA
+        )
+        queries = spark.createDataFrame(
+            [
+                (1, ["curious", "engineers", "documents"]),
+                (2, ["gentle", "rain", "harvest"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        q_ids = [r[0] for r in _SEED if r[0] in kept_ids][:2]
+        q_vecs = _vecs(kept_docs).where(
+            F.col("doc_id").isin(q_ids)
+        ).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("embedding"),
+        )
+
+        # lexical leg ≡ one-shot BM25 over the kept set
+        bm_got = bm25_index_search(queries, serve, k=5).select(
+            "query_id", "doc_id", "rank"
+        )
+        bm_want = bm25_search(kept_docs, queries, k=5).select(
+            "query_id", "doc_id", "rank"
+        )
+        assert sorted(map(tuple, bm_got.collect())) == sorted(
+            map(tuple, bm_want.collect())
+        )
+
+        # dense leg ≡ one-shot IVFADC over the kept vectors with the
+        # SEED-trained frozen model
+        ann_got = ann_index_search(
+            q_vecs, ann_serve, k=3, n_probe=2, n_candidates=5,
+            id_col="vec_id", vec_col="embedding",
+        ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        all_vecs = _vecs(kept_docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        ann_want = cosine_topk_ivfpq_codes(
+            ivfpq_encode(all_vecs, model, id_col="vec_id",
+                         vec_col="embedding"),
+            model, all_vecs, q_vecs,
+            id_col="vec_id", vec_col="embedding",
+            k=3, n_probe=2, n_candidates=5,
+        ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        assert sorted(map(tuple, ann_got.collect())) == sorted(
+            map(tuple, ann_want.collect())
+        )
+        assert ann_got.count() > 0  # non-vacuous
+
+        # the hybrid fusion over the two PERSISTED serve indexes equals
+        # the fusion of the one-shot legs
+        got_fused = sorted(
+            map(tuple, rrf_fuse([bm_got, ann_got], k0=60, k=5).collect())
+        )
+        want_fused = sorted(
+            map(tuple, rrf_fuse([bm_want, ann_want], k0=60, k=5).collect())
+        )
+    assert got_fused == want_fused and got_fused
