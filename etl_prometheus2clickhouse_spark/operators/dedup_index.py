@@ -1154,7 +1154,14 @@ def substring_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
-    _manifest_add(spark, path, ["windows"], "base")
+    # identity layer: window rows carry ids but are hash-partitioned,
+    # so the append-overlap guard needs its own ip=-bucketed id table
+    _ids_write(
+        corpus.select(_id_str(id_col).alias("id")).distinct(),
+        path, "base", index_buckets,
+    )
+    _ids_init(spark, path, index_buckets)
+    _manifest_add(spark, path, ["windows", "ids", "idmeta"], "base")
 
 
 def _window_positions(
@@ -1225,6 +1232,23 @@ def substring_increment(
     meta = _read_sub_meta(spark, path)
     min_len, index_buckets = meta["min_len"], meta["index_buckets"]
 
+    if update_index:
+        # id-overlap detection before anything is written: a
+        # re-ingested doc's windows would all hit the index and mark
+        # the whole doc duplicated-against-itself. Pruned identity
+        # probe; own-label excluded (replays legal); indexes built
+        # before the identity layer keep their original semantics.
+        id_buckets = _ids_buckets(spark, path, None)
+        if id_buckets is not None:
+            new_ids = shard.select(_id_str(id_col).alias("id")).distinct()
+            stored_ids = _read_id_table_probed(
+                spark, path, _IDS_TABLE, new_ids, id_buckets, None,
+                exclude_label=update_label,
+            ).select("id")
+            _ids_overlap_guard(
+                spark, path, new_ids, stored_ids, "substring_increment"
+            )
+
     win = _window_positions(shard, id_col, text_col, min_len).persist()
     _register_cached(win)
 
@@ -1277,7 +1301,14 @@ def substring_increment(
         ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
             "hp"
         ).parquet(os.path.join(path, "windows", f"mb={update_label}"))
-        _manifest_add(spark, path, ["windows"], update_label)
+        tables = ["windows"]
+        if id_buckets is not None:
+            _ids_write(
+                shard.select(_id_str(id_col).alias("id")).distinct(),
+                path, update_label, id_buckets,
+            )
+            tables.append(_IDS_TABLE)
+        _manifest_add(spark, path, tables, update_label)
     return _with_cached_deps(spans, [win])
 
 
@@ -2054,11 +2085,16 @@ def minhash_index_compact(
 
 def substring_index_compact(spark: SparkSession, path: str) -> dict:
     """Compact the substring window index's increments."""
-    return {
+    out = {
         "windows_rows": _compact_increment_table(
             spark, path, "windows", "hp"
         )
     }
+    if _ids_buckets(spark, path, None) is not None:
+        out["id_rows"] = _compact_increment_table(
+            spark, path, _IDS_TABLE, "ip"
+        )
+    return out
 
 
 def paragraph_index_compact(
@@ -2069,11 +2105,16 @@ def paragraph_index_compact(
     sibling of :func:`minhash_index_compact` — same manifest-committed
     fold, same ``exclude_labels`` replay guard for the streaming
     lifecycle)."""
-    return {
+    out = {
         "paras_rows": _compact_increment_table(
             spark, path, "paras", "hp", exclude_labels=exclude_labels
         )
     }
+    if _ids_buckets(spark, path, None) is not None:
+        out["id_rows"] = _compact_increment_table(
+            spark, path, _IDS_TABLE, "ip", exclude_labels=exclude_labels
+        )
+    return out
 
 
 def index_live_increments(spark: SparkSession, path: str) -> dict:
@@ -2129,7 +2170,15 @@ def paragraph_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta")
     )
-    _manifest_add(spark, path, ["paras"], "base")
+    # identity layer: the paras table stores DISTINCT HASHES ONLY — a
+    # re-ingested doc would silently lose every paragraph to itself;
+    # the overlap guard needs an explicit ip=-bucketed id table
+    _ids_write(
+        corpus.select(_id_str(id_col).alias("id")).distinct(),
+        path, "base", index_buckets,
+    )
+    _ids_init(spark, path, index_buckets)
+    _manifest_add(spark, path, ["paras", "ids", "idmeta"], "base")
 
 
 def paragraph_increment(
@@ -2167,6 +2216,21 @@ def paragraph_increment(
             f"({len(rows)} rows, expected 1)"
         )
     sep, index_buckets = rows[0].sep, rows[0].index_buckets
+
+    if update_index:
+        # id-overlap detection (see substring_increment): a re-ingested
+        # doc's paragraphs are all "already indexed" — the doc would
+        # silently dedup against itself to empty
+        id_buckets = _ids_buckets(spark, path, None)
+        if id_buckets is not None:
+            new_ids = shard.select(_id_str(id_col).alias("id")).distinct()
+            stored_ids = _read_id_table_probed(
+                spark, path, _IDS_TABLE, new_ids, id_buckets, None,
+                exclude_label=update_label,
+            ).select("id")
+            _ids_overlap_guard(
+                spark, path, new_ids, stored_ids, "paragraph_increment"
+            )
 
     slim = _para_slim(shard, id_col, text_col, sep).persist()
     _register_cached(slim)
@@ -2220,7 +2284,14 @@ def paragraph_increment(
         ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
             "hp"
         ).parquet(os.path.join(path, "paras", f"mb={update_label}"))
-        _manifest_add(spark, path, ["paras"], update_label)
+        tables = ["paras"]
+        if id_buckets is not None:
+            _ids_write(
+                shard.select(_id_str(id_col).alias("id")).distinct(),
+                path, update_label, id_buckets,
+            )
+            tables.append(_IDS_TABLE)
+        _manifest_add(spark, path, tables, update_label)
     return _with_cached_deps(result, [slim])
 
 

@@ -470,10 +470,11 @@ def _maintain_vector_store(
             spark, dispositions_dir, partition_col=_MB, keep_latest=1
         )
     live = index_live_increments(spark, index_path)
-    # the single-row model/meta tables legitimately stay at one
+    # the single-row geometry tables legitimately stay at one
     # increment per lifecycle event — only data tables trigger the fold
     live.pop("model", None)
     live.pop("meta", None)
+    live.pop("idmeta", None)
     if live and max(live.values()) >= max_live_dirs:
         compact(spark, index_path, exclude_labels={f"b{int(batch_id)}"})
         index_vacuum(spark, index_path)

@@ -1078,3 +1078,49 @@ def test_compact_drops_tombstones_and_reingest(spark, tmp_path):
         got = _resolved(dedup_increment(old, old.limit(0), path))
         want = _one_shot(old)
     assert got == want
+
+
+def test_substring_and_paragraph_overlap_guards(spark, tmp_path):
+    """The remaining two append faces detect id overlap too: the
+    window index would mark a re-ingested doc duplicated-against-
+    itself, and the paragraph index (hashes only) would silently dedup
+    it to empty. Both now fail loud; same-label replays stay legal."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_increment,
+        paragraph_index_build,
+        paragraph_index_compact,
+        substring_increment,
+        substring_index_build,
+        substring_index_compact,
+    )
+
+    _, old, new = _frames(spark)
+    with cached_scope():
+        sub = str(tmp_path / "sub_idx")
+        substring_index_build(old, sub, id_col="doc_id", min_len=5)
+        substring_increment(
+            new, sub, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        # replay same label: legal
+        substring_increment(
+            new, sub, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            substring_increment(
+                new.limit(1), sub, update_index=True, update_label="w3"
+            ).write.format("noop").mode("overwrite").save()
+        assert "id_rows" in substring_index_compact(spark, sub)
+
+        para = str(tmp_path / "para_idx")
+        paragraph_index_build(old, para, id_col="doc_id")
+        paragraph_increment(
+            new, para, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        paragraph_increment(  # replay
+            new, para, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            paragraph_increment(
+                new.limit(2), para, update_index=True, update_label="w3"
+            ).write.format("noop").mode("overwrite").save()
+        assert "id_rows" in paragraph_index_compact(spark, para)
