@@ -557,21 +557,23 @@ def test_compaction_preserves_decisions(spark, tmp_path):
     }
     assert mbs == set(live)
 
-    # substring index: same contract
+    # substring index: same contract (the update shard is id-DISJOINT
+    # from the build corpus — the round-14 overlap guard refuses the
+    # re-ingestion this test previously, incidentally, performed)
     spath = str(tmp_path / "csub")
     with cached_scope():
         substring_index_build(old, spath, min_len=5, index_buckets=8)
         substring_increment(
-            old.limit(2), spath, update_index=True, update_label="w2"
+            w2, spath, update_index=True, update_label="w2"
         ).write.format("noop").mode("overwrite").save()
         s_want = {
             (r.doc_id, r.span_start, r.span_end)
-            for r in substring_increment(new, spath).collect()
+            for r in substring_increment(w3, spath).collect()
         }
         substring_index_compact(spark, spath)
         s_got = {
             (r.doc_id, r.span_start, r.span_end)
-            for r in substring_increment(new, spath).collect()
+            for r in substring_increment(w3, spath).collect()
         }
     assert s_got == s_want
     s_live = _read_manifest(spark, spath)["tables"]["windows"]
