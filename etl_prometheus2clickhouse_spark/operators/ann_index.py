@@ -709,14 +709,19 @@ def ann_index_compact(
     def _drop_tombstoned(rows: DataFrame) -> DataFrame:
         return _anti_tombstones(rows, tomb, "id")
 
+    # physical drop only when tombstones clear in the same pass (see
+    # bm25_index_compact): dropping rows while tombstones stay live
+    # would let a re-ingest pass the overlap guard yet stay invisible
+    drop = _drop_tombstoned if not exclude_labels else None
+
     out = {
         "codes_rows": _compact_increment_table(
             spark, path, "codes", "cell", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         ),
         "vectors_rows": _compact_increment_table(
             spark, path, "vectors", "vp", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         ),
     }
     if tomb is not None and not exclude_labels:

@@ -553,6 +553,13 @@ def bm25_index_compact(
     def _drop_tombstoned(rows: DataFrame) -> DataFrame:
         return _anti_tombstones(rows, tomb, "id")
 
+    # Physical drop ONLY when the tombstone table is cleared in the
+    # same pass: with exclude_labels tombstones stay live, and dropping
+    # identity rows while the tombstone survives would let a re-ingest
+    # pass the overlap guard yet be anti-joined out of every search —
+    # then lost for good at the next full compaction.
+    drop = _drop_tombstoned if not exclude_labels else None
+
     def _net_stats(rows: DataFrame) -> DataFrame:
         return rows.agg(
             F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias(
@@ -566,7 +573,7 @@ def bm25_index_compact(
     out = {
         "posting_rows": _compact_increment_table(
             spark, path, "postings", "tp", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         ),
         "stats_rows": _compact_increment_table(
             spark, path, "stats", None, exclude_labels=exclude_labels,
@@ -576,7 +583,7 @@ def bm25_index_compact(
     if (live or {}).get("ids") or _ids_buckets(spark, path, live):
         out["id_rows"] = _compact_increment_table(
             spark, path, "ids", "ip", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         )
     if tomb is not None and not exclude_labels:
         _set_manifest_table(spark, path, "tombstones", [])

@@ -2063,10 +2063,15 @@ def minhash_index_compact(
         # (a no-op on the reduced rows), never resurrects a doc
         return _anti_tombstones(rows, tomb, "id")
 
+    # physical drop only when tombstones clear in the same pass (see
+    # bm25_index_compact): dropping rows while tombstones stay live
+    # would let a re-ingest pass the overlap guard yet stay invisible
+    drop = _drop_tombstoned if not exclude_labels else None
+
     out = {
         "bands_rows": _compact_increment_table(
             spark, path, "bands", "bb", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         ),
         "shingles_rows": _compact_increment_table(
             spark, path, "shingles", "ip",
@@ -2074,7 +2079,7 @@ def minhash_index_compact(
                 "ip", _ip(F.col("id"), ib)
             ),
             exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         ),
     }
     if tomb is not None and not exclude_labels:

@@ -593,16 +593,21 @@ def semantic_index_compact(
     def _drop_tombstoned(rows: DataFrame) -> DataFrame:
         return _anti_tombstones(rows, tomb, "id")
 
+    # physical drop only when tombstones clear in the same pass (see
+    # bm25_index_compact): dropping rows while tombstones stay live
+    # would let a re-ingest pass the overlap guard yet stay invisible
+    drop = _drop_tombstoned if not exclude_labels else None
+
     out = {
         "vector_rows": _compact_increment_table(
             spark, path, "vectors", "cell", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         )
     }
     if (live or {}).get("ids") or _ids_buckets(spark, path, live):
         out["id_rows"] = _compact_increment_table(
             spark, path, "ids", "ip", exclude_labels=exclude_labels,
-            transform=_drop_tombstoned,
+            transform=drop,
         )
     if tomb is not None and not exclude_labels:
         _set_manifest_table(spark, path, "tombstones", [])

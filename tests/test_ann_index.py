@@ -663,3 +663,40 @@ def test_delete_compact_reingest_lifecycle(spark, sf_dir, tmp_path):
             )
         )
     assert got == want
+
+
+def test_excluded_compact_keeps_tombstoned_rows_physical(
+    spark, sf_dir, tmp_path
+):
+    """A maintenance fold with exclude_labels keeps tombstones live —
+    so it must also keep tombstoned rows PHYSICAL, or a re-ingest of
+    the id would pass the overlap guard yet stay invisible and be lost
+    at the next full compaction (the physical-drop/tombstone-clear
+    atomicity contract)."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_delete,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        ann_index_build(
+            emb.where(F.col("vec_id") < 40), path, dim=64, n_cells=8,
+            m=4, k_codes=16, quantizers="first",
+        )
+        ann_index_append(
+            emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 60)),
+            path, "w1",
+        )
+        dele = spark.createDataFrame([(0,)], "vec_id long")
+        ann_index_delete(spark, path, dele, "d1")
+        out = ann_index_compact(spark, path, exclude_labels={"w1"})
+        assert out.get("tombstones_cleared") is None
+        # id 0 must still occupy the identity layer
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            ann_index_append(emb.where(F.col("vec_id") == 0), path, "w2")
+        # full compaction frees it
+        out2 = ann_index_compact(spark, path)
+        assert out2.get("tombstones_cleared") is True
+        ann_index_append(emb.where(F.col("vec_id") == 0), path, "w2")

@@ -537,3 +537,45 @@ def test_delete_amid_streaming_ingest(spark, docs, shard, queries, tmp_path):
     out = bm25_index_compact(spark, path)
     assert out.get("tombstones_cleared") is True
     assert _rows(bm25_index_search(queries, path, k=5)) == got
+
+
+def test_excluded_compact_keeps_tombstoned_rows_physical(
+    spark, docs, shard, queries, tmp_path
+):
+    """A maintenance fold that keeps tombstones (exclude_labels set)
+    must NOT physically drop tombstoned rows: if it did, the id would
+    vanish from the identity table while its tombstone stayed live, so
+    a re-ingest would pass the overlap guard yet be anti-joined out of
+    every search — and silently lost at the next full compaction.
+    Contract: physical drop happens ONLY in the pass that also clears
+    the tombstone table."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_delete,
+    )
+
+    path = os.path.join(str(tmp_path), "idx")
+    bm25_index_build(docs, path, term_buckets=8)
+    bm25_index_append(shard, path, "w2")
+    dele = spark.createDataFrame([(1,)], "doc_id long")
+    bm25_index_delete(spark, path, dele, "d1")
+    # streaming maintenance fold: w2 is in-flight, tombstones kept
+    out = bm25_index_compact(spark, path, exclude_labels={"w2"})
+    assert out.get("tombstones_cleared") is None
+    # the tombstoned id must still occupy the identity table: a
+    # re-ingest is REFUSED (the bug made this pass, then eat the doc)
+    redoc = spark.createDataFrame(
+        [(1, "the resurrected document")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="overlaps ids already live"):
+        bm25_index_append(redoc, path, "w3")
+    # search still equals the reduced corpus (tombstone anti-join)
+    reduced = docs.unionByName(shard).where(F.col("doc_id") != 1)
+    got = _rows(bm25_index_search(queries, path, k=5))
+    assert got == _rows(bm25_search(reduced, queries, k=5))
+    # the eventual FULL compaction drops rows + clears tombstones in
+    # one pass, after which the id is genuinely free
+    out2 = bm25_index_compact(spark, path)
+    assert out2.get("tombstones_cleared") is True
+    bm25_index_append(redoc, path, "w3")
+    want = _rows(bm25_search(reduced.unionByName(redoc), queries, k=5))
+    assert _rows(bm25_index_search(queries, path, k=5)) == want

@@ -1126,3 +1126,39 @@ def test_substring_and_paragraph_overlap_guards(spark, tmp_path):
                 new.limit(2), para, update_index=True, update_label="w3"
             ).write.format("noop").mode("overwrite").save()
         assert "id_rows" in paragraph_index_compact(spark, para)
+
+
+def test_excluded_compact_keeps_tombstoned_rows_physical(spark, tmp_path):
+    """Same atomicity contract as the BM25/ANN/semantic siblings: a
+    maintenance fold that keeps tombstones (exclude_labels set) keeps
+    the tombstoned band/shingle rows physical, so the overlap guard
+    still refuses re-ingest; only the tombstone-clearing full
+    compaction drops the rows."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        minhash_index_compact,
+        minhash_index_delete,
+    )
+
+    union_df, old, new = _frames(spark)
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5)
+        dedup_increment(
+            old, new, path, update_index=True, update_label="w1"
+        ).write.format("noop").mode("overwrite").save()
+        dele = spark.createDataFrame([(2,)], "doc_id long")
+        minhash_index_delete(spark, path, dele, "d1")
+        out = minhash_index_compact(spark, path, exclude_labels={"w1"})
+        assert out.get("tombstones_cleared") is None
+        redoc = old.where(F.col("doc_id") == 2)
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            dedup_increment(
+                union_df.where(F.col("doc_id") != 2), redoc, path,
+                update_index=True, update_label="w2",
+            ).write.format("noop").mode("overwrite").save()
+        out2 = minhash_index_compact(spark, path)
+        assert out2.get("tombstones_cleared") is True
+        dedup_increment(
+            union_df.where(F.col("doc_id") != 2), redoc, path,
+            update_index=True, update_label="w2",
+        ).write.format("noop").mode("overwrite").save()

@@ -472,3 +472,39 @@ def test_delete_compact_reingest_lifecycle(spark, tmp_path):
         probe = _mk(spark, [(20, 10.5)])
         got = _disp(semantic_increment(probe, path))
     assert got[20][1] == 1 and got[20][2] is False
+
+
+def test_excluded_compact_keeps_tombstoned_rows_physical(spark, tmp_path):
+    """Same atomicity contract as the BM25/ANN siblings: a fold that
+    keeps tombstones (exclude_labels) keeps tombstoned rows physical,
+    so the overlap guard still refuses re-ingest; only the full
+    compaction that clears tombstones drops the rows."""
+    from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+        semantic_index_delete,
+    )
+
+    path = str(tmp_path / "idx")
+    base = _mk(spark, [(1, 0.0), (2, 45.0), (3, 90.0)])
+    with cached_scope():
+        semantic_index_build(
+            base, path, n_cells=2, threshold=0.95, centroids="first"
+        )
+        semantic_increment(
+            _mk(spark, [(4, 130.0)]), path,
+            update_index=True, update_label="w1",
+        ).collect()
+        semantic_index_delete(
+            spark, path, spark.createDataFrame([(1,)], "vec_id long"), "d1"
+        )
+        out = semantic_index_compact(spark, path, exclude_labels={"w1"})
+        assert out.get("tombstones_cleared") is None
+        redo = _mk(spark, [(1, 10.0)])
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            semantic_increment(
+                redo, path, update_index=True, update_label="w2"
+            ).collect()
+        out2 = semantic_index_compact(spark, path)
+        assert out2.get("tombstones_cleared") is True
+        semantic_increment(
+            redo, path, update_index=True, update_label="w2"
+        ).collect()
