@@ -281,20 +281,29 @@ def ann_index_append(
             "rebuild the index once with ann_index_build"
         )
     vec_buckets = int(row.vec_buckets)
-    new_ids = shard.select(F.col(id_col).alias("id")).distinct()
-    probe = [
-        r.vp
-        for r in new_ids.select(
-            _ip(F.col("id").cast("long"), vec_buckets).alias("vp")
-        ).distinct().collect()
-    ]
-    stored = (
-        _read_pinned_table(spark, path, "vectors", live)
-        .where(F.col("mb") != F.lit(update_label))
-        .where(F.col("vp").isin(probe) if probe else F.lit(False))
-        .select("id")
-    )
-    _ids_overlap_guard(spark, path, new_ids, stored, "ann_index_append")
+    # cached: the vp collect materializes it, the guard join reuses it
+    # — one shard id scan, not two; an empty probe set (empty shard)
+    # skips the guard read entirely (zero stored ids can overlap)
+    new_ids = shard.select(F.col(id_col).alias("id")).distinct().persist()
+    try:
+        probe = [
+            r.vp
+            for r in new_ids.select(
+                _ip(F.col("id").cast("long"), vec_buckets).alias("vp")
+            ).distinct().collect()
+        ]
+        if probe:
+            stored = (
+                _read_pinned_table(spark, path, "vectors", live)
+                .where(F.col("mb") != F.lit(update_label))
+                .where(F.col("vp").isin(probe))
+                .select("id")
+            )
+            _ids_overlap_guard(
+                spark, path, new_ids, stored, "ann_index_append"
+            )
+    finally:
+        new_ids.unpersist()
     _write_codes(shard, model, path, update_label, id_col, vec_col)
     _write_vectors(
         shard, path, update_label, id_col, vec_col, vec_buckets

@@ -138,54 +138,67 @@ def _write_increment(
     postings would leave every future read schemaless, so it fails
     loud instead."""
     spark = df.sparkSession
+    # tokenize the shard ONCE: the stats collect materializes the
+    # cache, and the postings write + the identity write reuse it (an
+    # uncached plan would run the tokenizer three times per increment —
+    # the round-14 append-regression's biggest fixed cost)
     toks = df.select(
         F.col(id_col).alias("id"), _words(F.col(text_col)).alias("toks")
-    )
-    # one additive stats row per increment — N and sum_dl range over
-    # EVERY document (zero-token docs emit no postings but do count
-    # here, exactly like the one-shot's avg over all corpus rows);
-    # collected so the build can validate, written driver-local
-    st = toks.select(F.size("toks").cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    ).collect()[0]
-    if require_tokens and st.sum_dl == 0:
-        raise ValueError(
-            "bm25_index_build: the corpus has no tokens — an index "
-            "whose base increment holds zero postings has no readable "
-            "postings schema; build from a corpus with text"
-        )
-    posts = (
-        toks.select(
-            "id", F.size("toks").alias("dl"), F.explode("toks").alias("t")
-        )
-        .groupBy("t", "id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    posts.select(
-        _tp(F.col("t"), term_buckets).alias("tp"), "t", "id", "dl", "tf"
-    ).repartition(F.col("tp")).write.mode("overwrite").partitionBy(
-        "tp"
-    ).parquet(os.path.join(path, "postings", f"mb={label}"))
-    local_df(
-        spark,
-        [(int(st.n_docs), int(st.sum_dl))],
-        "n_docs long, sum_dl long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "stats", f"mb={label}")
-    )
-    if id_buckets is not None:
-        # the identity-layer rows: one (id, dl) per document — the
-        # overlap guard probes these (postings can't serve: they are
-        # term-bucketed, and zero-token docs emit none) and a delete
-        # reads dl here to write its negative stats row
-        _ids_write(
-            toks.select(
-                _id_str("id").alias("id"),
-                F.size("toks").cast("long").alias("dl"),
+    ).persist()
+    try:
+        # one additive stats row per increment — N and sum_dl range
+        # over EVERY document (zero-token docs emit no postings but do
+        # count here, exactly like the one-shot's avg over all corpus
+        # rows); collected so the build can validate, written
+        # driver-local
+        st = toks.select(F.size("toks").cast("long").alias("dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
+                "sum_dl"
             ),
-            path, label, id_buckets,
+        ).collect()[0]
+        if require_tokens and st.sum_dl == 0:
+            raise ValueError(
+                "bm25_index_build: the corpus has no tokens — an index "
+                "whose base increment holds zero postings has no "
+                "readable postings schema; build from a corpus with "
+                "text"
+            )
+        posts = (
+            toks.select(
+                "id", F.size("toks").alias("dl"),
+                F.explode("toks").alias("t"),
+            )
+            .groupBy("t", "id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
+        posts.select(
+            _tp(F.col("t"), term_buckets).alias("tp"), "t", "id", "dl",
+            "tf",
+        ).repartition(F.col("tp")).write.mode("overwrite").partitionBy(
+            "tp"
+        ).parquet(os.path.join(path, "postings", f"mb={label}"))
+        local_df(
+            spark,
+            [(int(st.n_docs), int(st.sum_dl))],
+            "n_docs long, sum_dl long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "stats", f"mb={label}")
+        )
+        if id_buckets is not None:
+            # the identity-layer rows: one (id, dl) per document — the
+            # overlap guard probes these (postings can't serve: they
+            # are term-bucketed, and zero-token docs emit none) and a
+            # delete reads dl here to write its negative stats row
+            _ids_write(
+                toks.select(
+                    _id_str("id").alias("id"),
+                    F.size("toks").cast("long").alias("dl"),
+                ),
+                path, label, id_buckets,
+            )
+    finally:
+        toks.unpersist()
 
 
 def _read_meta(
@@ -272,12 +285,21 @@ def bm25_index_append(
     term_buckets = _read_meta(spark, path, live)
     id_buckets = _ids_buckets(spark, path, live)
     if id_buckets is not None:
-        new_ids = shard.select(_id_str(id_col).alias("id")).distinct()
-        stored = _read_id_table_probed(
-            spark, path, "ids", new_ids, id_buckets, live,
-            exclude_label=label,
-        ).select("id")
-        _ids_overlap_guard(spark, path, new_ids, stored, "bm25_index_append")
+        # cached: the probe's ip collect materializes it, the guard
+        # join reuses it — one shard id scan, not two
+        new_ids = shard.select(
+            _id_str(id_col).alias("id")
+        ).distinct().persist()
+        try:
+            stored = _read_id_table_probed(
+                spark, path, "ids", new_ids, id_buckets, live,
+                exclude_label=label,
+            ).select("id")
+            _ids_overlap_guard(
+                spark, path, new_ids, stored, "bm25_index_append"
+            )
+        finally:
+            new_ids.unpersist()
     _write_increment(
         shard, path, label, text_col, id_col, term_buckets,
         id_buckets=id_buckets,
@@ -434,6 +456,7 @@ def bm25_index_delete(
     want = ids.select(_id_str(id_col).alias("id")).distinct()
     present = _read_id_table_probed(
         spark, path, "ids", want, id_buckets, live,
+        empty_schema="id string, dl long",
     ).select("id", "dl").join(want, "id", "leftsemi")
     # already-tombstoned ids must not be double-subtracted — anti-join
     # PRIOR tombstones only: a replayed delete (same label) must not

@@ -596,24 +596,27 @@ def dedup_increment(
         # no-detection semantics until compacted/rebuilt.
         sh_guard = _read_increment_table(spark, path, "shingles")
         if "ip" in sh_guard.columns:
-            new_ids = shard.select(F.col(id_col).alias("id")).distinct()
+            # cached: the ip collect materializes it, the guard join
+            # reuses it — one shard id scan, not two
+            new_ids = shard.select(
+                F.col(id_col).alias("id")
+            ).distinct().persist()
+            _register_cached(new_ids)
             guard_ips = [
                 r.ip
                 for r in new_ids.select(
                     _ip(F.col("id"), index_buckets).alias("ip")
                 ).distinct().collect()
             ]
-            stored_ids = (
-                sh_guard.where(F.col("mb") != F.lit(update_label))
-                .where(
-                    F.col("ip").isin(guard_ips)
-                    if guard_ips else F.lit(False)
+            if guard_ips:
+                stored_ids = (
+                    sh_guard.where(F.col("mb") != F.lit(update_label))
+                    .where(F.col("ip").isin(guard_ips))
+                    .select("id")
                 )
-                .select("id")
-            )
-            _ids_overlap_guard(
-                spark, path, new_ids, stored_ids, "dedup_increment"
-            )
+                _ids_overlap_guard(
+                    spark, path, new_ids, stored_ids, "dedup_increment"
+                )
 
     sh_new, banded_new = _shingle_sig_bands(
         shard, id_col, text_col, n, num_hashes, bands, index_buckets
@@ -1232,6 +1235,7 @@ def substring_increment(
     meta = _read_sub_meta(spark, path)
     min_len, index_buckets = meta["min_len"], meta["index_buckets"]
 
+    new_ids = None
     if update_index:
         # id-overlap detection before anything is written: a
         # re-ingested doc's windows would all hit the index and mark
@@ -1240,7 +1244,13 @@ def substring_increment(
         # before the identity layer keep their original semantics.
         id_buckets = _ids_buckets(spark, path, None)
         if id_buckets is not None:
-            new_ids = shard.select(_id_str(id_col).alias("id")).distinct()
+            # cached: the probe collect materializes it; the guard
+            # join AND the identity write below reuse it — one shard
+            # id scan for the whole identity machinery
+            new_ids = shard.select(
+                _id_str(id_col).alias("id")
+            ).distinct().persist()
+            _register_cached(new_ids)
             stored_ids = _read_id_table_probed(
                 spark, path, _IDS_TABLE, new_ids, id_buckets, None,
                 exclude_label=update_label,
@@ -1302,11 +1312,8 @@ def substring_increment(
             "hp"
         ).parquet(os.path.join(path, "windows", f"mb={update_label}"))
         tables = ["windows"]
-        if id_buckets is not None:
-            _ids_write(
-                shard.select(_id_str(id_col).alias("id")).distinct(),
-                path, update_label, id_buckets,
-            )
+        if id_buckets is not None and new_ids is not None:
+            _ids_write(new_ids, path, update_label, id_buckets)
             tables.append(_IDS_TABLE)
         _manifest_add(spark, path, tables, update_label)
     return _with_cached_deps(spans, [win])
@@ -1668,22 +1675,30 @@ def _read_id_table_probed(
     id_buckets: int,
     live: "dict[str, list[str]] | None",
     exclude_label: str | None = None,
+    probe: "list[int] | None" = None,
+    empty_schema: str = "id string",
 ) -> DataFrame:
     """The ``ip``-bucketed id table pruned to the probe ids' buckets
     (a PARTITION filter — bounded by ``id_buckets`` literals) minus
-    the replayed increment's own rows."""
-    probe = [
-        r.ip
-        for r in new_ids.select(
-            _ip(F.col("id"), id_buckets).alias("ip")
-        ).distinct().collect()
-    ]
+    the replayed increment's own rows. ``probe`` lets a caller that
+    already collected the shard's bucket set (e.g. alongside its cell
+    probe) pass it in and skip this function's collect. An EMPTY probe
+    set (empty shard) short-circuits to a driver-local empty frame —
+    zero file listings, the guard costs nothing on an empty append
+    (``empty_schema`` names the columns the caller will select)."""
+    if probe is None:
+        probe = [
+            r.ip
+            for r in new_ids.select(
+                _ip(F.col("id"), id_buckets).alias("ip")
+            ).distinct().collect()
+        ]
+    if not probe:
+        return local_df(spark, [], empty_schema)
     tbl = _read_pinned_table(spark, path, table, live)
     if exclude_label is not None:
         tbl = tbl.where(F.col("mb") != F.lit(exclude_label))
-    return tbl.where(
-        F.col("ip").isin(probe) if probe else F.lit(False)
-    )
+    return tbl.where(F.col("ip").isin(probe))
 
 
 def _tomb_write(
@@ -2222,13 +2237,19 @@ def paragraph_increment(
         )
     sep, index_buckets = rows[0].sep, rows[0].index_buckets
 
+    new_ids = None
     if update_index:
         # id-overlap detection (see substring_increment): a re-ingested
         # doc's paragraphs are all "already indexed" — the doc would
         # silently dedup against itself to empty
         id_buckets = _ids_buckets(spark, path, None)
         if id_buckets is not None:
-            new_ids = shard.select(_id_str(id_col).alias("id")).distinct()
+            # cached: probe collect materializes it; the guard join
+            # and the identity write reuse it — one shard id scan
+            new_ids = shard.select(
+                _id_str(id_col).alias("id")
+            ).distinct().persist()
+            _register_cached(new_ids)
             stored_ids = _read_id_table_probed(
                 spark, path, _IDS_TABLE, new_ids, id_buckets, None,
                 exclude_label=update_label,
@@ -2290,11 +2311,8 @@ def paragraph_increment(
             "hp"
         ).parquet(os.path.join(path, "paras", f"mb={update_label}"))
         tables = ["paras"]
-        if id_buckets is not None:
-            _ids_write(
-                shard.select(_id_str(id_col).alias("id")).distinct(),
-                path, update_label, id_buckets,
-            )
+        if id_buckets is not None and new_ids is not None:
+            _ids_write(new_ids, path, update_label, id_buckets)
             tables.append(_IDS_TABLE)
         _manifest_add(spark, path, tables, update_label)
     return _with_cached_deps(result, [slim])

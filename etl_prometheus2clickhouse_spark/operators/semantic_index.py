@@ -69,6 +69,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _delete_path,
     _id_str,
     _ids_buckets,
+    _ip,
     _ids_init,
     _ids_overlap_guard,
     _ids_write,
@@ -268,29 +269,40 @@ def semantic_increment(
     vecs = shard.select(
         F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("vec")
     )
-    if update_index and id_buckets is not None:
-        # id-overlap detection before anything is written: an
-        # overlapping update would give the one-shot's lower-id
-        # relation two rows for one identity (self-duplicate at cos
-        # 1.0). Pruned to the shard's own ip= buckets; the increment's
-        # own replayed label is excluded, so at-least-once replays pass.
-        new_ids = vecs.select(_id_str("id").alias("id")).distinct()
-        stored_ids = _read_id_table_probed(
-            spark, path, "ids", new_ids, id_buckets, live,
-            exclude_label=update_label,
-        ).select("id")
-        _ids_overlap_guard(
-            spark, path, new_ids, stored_ids, "semantic_increment"
-        )
     cells = vecs.withColumn("cell", _cell_udf(C)(F.col("vec"))).persist()
     _register_cached(cells)
 
     # the probe set: the distinct cells the shard itself lands in —
     # bounded by n_cells literals, pushed as a PARTITION filter so the
-    # stored-vector read prunes file listings to those directories
+    # stored-vector read prunes file listings to those directories.
+    # This collect also MATERIALIZES the cache, so the guard probe,
+    # the guard join, and the identity write below all reuse the one
+    # shard scan (the append's fixed job count was the round-14
+    # regression: three extra shard scans per append).
     probe_cells = [
         r.cell for r in cells.select("cell").distinct().collect()
     ]
+    if update_index and id_buckets is not None:
+        # id-overlap detection before anything is written: an
+        # overlapping update would give the one-shot's lower-id
+        # relation two rows for one identity (self-duplicate at cos
+        # 1.0). Pruned to the shard's own ip= buckets (collected from
+        # the cached frame); the increment's own replayed label is
+        # excluded, so at-least-once replays pass.
+        new_ids = cells.select(_id_str("id").alias("id")).distinct()
+        probe_ips = [
+            r.ip
+            for r in new_ids.select(
+                _ip(F.col("id"), id_buckets).alias("ip")
+            ).distinct().collect()
+        ]
+        stored_ids = _read_id_table_probed(
+            spark, path, "ids", new_ids, id_buckets, live,
+            exclude_label=update_label, probe=probe_ips,
+        ).select("id")
+        _ids_overlap_guard(
+            spark, path, new_ids, stored_ids, "semantic_increment"
+        )
     stored = _read_pinned_table(spark, path, "vectors", live)
     if update_index:
         # at-least-once replay: a failed first attempt's own mb= rows
@@ -341,8 +353,9 @@ def semantic_increment(
     if update_index:
         _write_cell_vectors(cells, path, update_label)
         if id_buckets is not None:
+            # from the CACHED frame — no shard re-scan for the id rows
             _ids_write(
-                vecs.select(_id_str("id").alias("id")),
+                cells.select(_id_str("id").alias("id")),
                 path, update_label, id_buckets,
             )
         # data dirs land first, the manifest commit makes them live — a
