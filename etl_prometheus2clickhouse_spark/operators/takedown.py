@@ -1,0 +1,295 @@
+"""Corpus-level takedown orchestrator: one call that honors a
+right-to-be-forgotten request across EVERY persisted index.
+
+Deletion exists per index (``bm25_index_delete``, ``ann_index_delete``,
+``semantic_index_delete``, ``minhash_index_delete`` — each tombstone-
+committed, replay-idempotent under its label, oracled against the
+one-shot on the reduced corpus). What a real deployment needs on top is
+the SEQUENCE: a takedown touches four analytics indexes plus the serve
+indexes, and a crash mid-sequence must not leave the document live in
+some indexes and gone from others with nothing recording which.
+
+This module adds exactly that coordination layer:
+
+- the requested ids are STAGED once (parquet under the takedown
+  record's own directory) so every resume deletes the same set the
+  original request named, not whatever frame the caller happens to
+  hold;
+- a versioned state file (same atomic create-then-rename commit as the
+  index manifests, first-writer-wins) records per-index progress —
+  ``pending`` → ``deleted`` [→ ``compacted``];
+- each per-index step reuses the index's OWN delete under the
+  takedown's label, so a crash between a delete and its state commit
+  is healed by the per-index replay contract (same label ⇒ overwrite,
+  idempotent — pinned by each index's pytest);
+- optional compaction (+ vacuum) per index physically reclaims the
+  rows after all deletes land, under the same resumable bookkeeping.
+
+The state file is also the AUDIT record: which indexes have committed
+the takedown and when (by state version), queryable long after.
+
+100 TB shape: the orchestrator adds no data-plane work of its own —
+every read and write inside it is the per-index delete/compact, each
+already partition-pruned to the delete set's own buckets and
+byte-witnessed in ``scripts/scale_smoke.py``. The staged id set is
+delete-request-sized, never corpus-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _hadoop_fs,
+    index_vacuum,
+)
+
+_STATE_DIR = "_takedown"
+
+
+def _kind_fns(kind: str):
+    """(delete_fn, compact_fn) for one index kind — imported lazily to
+    keep module import acyclic; the registry IS the supported surface."""
+    if kind == "bm25":
+        from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+            bm25_index_compact,
+            bm25_index_delete,
+        )
+
+        return bm25_index_delete, bm25_index_compact
+    if kind == "ann":
+        from etl_prometheus2clickhouse_spark.operators.ann_index import (
+            ann_index_compact,
+            ann_index_delete,
+        )
+
+        return ann_index_delete, ann_index_compact
+    if kind == "semantic":
+        from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+            semantic_index_compact,
+            semantic_index_delete,
+        )
+
+        return semantic_index_delete, semantic_index_compact
+    if kind == "minhash":
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            minhash_index_compact,
+            minhash_index_delete,
+        )
+
+        return minhash_index_delete, minhash_index_compact
+    raise ValueError(
+        f"takedown: unknown index kind {kind!r} — supported: "
+        "bm25, ann, semantic, minhash"
+    )
+
+
+def _state_root(takedown_path: str, label: str) -> str:
+    return os.path.join(takedown_path, _STATE_DIR, label)
+
+
+def _read_state(spark: SparkSession, root: str) -> "dict | None":
+    """Latest committed state version (max v*.json), or None."""
+    jvm, fs, hdir = _hadoop_fs(spark, root)
+    if not fs.exists(hdir):
+        return None
+    best_v, best_path = -1, None
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v > best_v:
+                best_v, best_path = v, st.getPath()
+    if best_path is None:
+        return None
+    stream = fs.open(best_path)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    out = json.loads(data.decode("utf-8"))
+    out["version"] = best_v
+    return out
+
+
+def _commit_state(spark: SparkSession, root: str, state: dict) -> int:
+    """Atomic create-then-rename commit of the next state version —
+    the index-manifest discipline (first writer wins; rename to an
+    existing name fails)."""
+    jvm, fs, hdir = _hadoop_fs(spark, root)
+    fs.mkdirs(hdir)
+    cur = _read_state(spark, root)
+    next_v = (cur["version"] + 1) if cur else 1
+    payload = json.dumps(
+        {k: v for k, v in state.items() if k != "version"}, sort_keys=True
+    ).encode("utf-8")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(root, f".tmp-{uuid.uuid4().hex}")
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(payload)
+    finally:
+        out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(root, f"v{next_v:08d}.json")
+    )
+    if not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"takedown state commit lost the race for version {next_v} "
+            f"at {root!r} — single-writer contract violated"
+        )
+    return next_v
+
+
+def takedown(
+    spark: SparkSession,
+    ids: "DataFrame | None",
+    indexes: "list[tuple[str, str]]",
+    takedown_path: str,
+    label: str,
+    id_col: str = "id",
+    compact: bool = False,
+    vacuum: bool = False,
+) -> dict:
+    """Tombstone ``ids`` out of every index in ``indexes`` — a list of
+    ``(kind, path)`` pairs, kinds ``bm25 | ann | semantic | minhash``
+    (the serve indexes are the same kinds at their own paths) — under
+    ONE resumable record at ``takedown_path/_takedown/<label>``.
+
+    First call: stages the id set (parquet, OVERWRITE — re-staging on
+    a pre-first-commit crash is idempotent), commits the ``pending``
+    state, then walks the indexes in order, re-committing state after
+    each index's tombstone lands. A crash anywhere leaves a record
+    saying exactly which indexes have committed; calling again with
+    the SAME label resumes from it — completed indexes are skipped,
+    the in-flight one re-runs its per-index delete under the same
+    label (replay-idempotent by that index's own contract), and the
+    staged ids (not the caller's frame, which may have drifted) define
+    the set. The passed ``indexes`` must match the staged record —
+    a takedown is defined by its first call; divergence fails loud.
+
+    ``compact=True`` runs each index's compaction (physically dropping
+    the tombstoned rows and clearing its tombstone table) after ALL
+    deletes have landed, under the same resumable bookkeeping;
+    ``vacuum=True`` additionally reclaims superseded directories (run
+    it outside any reader grace window — the per-index retention
+    contract).
+
+    Returns ``{label, resumed, indexes: {name: {status, report}},
+    complete}`` where ``name`` is ``"<pos>:<kind>"``.
+    """
+    if not label or any(c in label for c in "/=%"):
+        raise ValueError(
+            f"takedown: needs a filesystem-safe label, got {label!r}"
+        )
+    if not indexes:
+        raise ValueError("takedown: needs at least one (kind, path) index")
+    plan = [
+        {"name": f"{i}:{kind}", "kind": kind, "path": p}
+        for i, (kind, p) in enumerate(indexes)
+    ]
+    for e in plan:
+        _kind_fns(e["kind"])  # validate kinds before any write
+    root = _state_root(takedown_path, label)
+    ids_dir = os.path.join(root, "ids")
+    state = _read_state(spark, root)
+    resumed = state is not None
+    if state is None:
+        if ids is None:
+            raise ValueError(
+                f"takedown: no staged record at {root!r} and no ids "
+                "frame — a first call must name the ids to delete"
+            )
+        # stage the request: the id set this record will always mean
+        ids.select(id_col).distinct().write.mode("overwrite").parquet(
+            ids_dir
+        )
+        state = {
+            "label": label,
+            "id_col": id_col,
+            "indexes": [
+                {**e, "status": "pending", "report": None} for e in plan
+            ],
+        }
+        _commit_state(spark, root, state)
+    else:
+        staged_plan = [
+            {"name": e["name"], "kind": e["kind"], "path": e["path"]}
+            for e in state["indexes"]
+        ]
+        if staged_plan != plan:
+            raise ValueError(
+                f"takedown: the staged record at {root!r} names a "
+                f"different index set ({staged_plan}) than this call "
+                f"({plan}) — a takedown is defined by its first call; "
+                "use a new label for a different scope"
+            )
+        id_col = state["id_col"]
+    staged_ids = spark.read.parquet(ids_dir)
+
+    done_statuses = (
+        {"deleted", "compacted"} if not compact else {"compacted"}
+    )
+    for entry in state["indexes"]:
+        delete_fn, compact_fn = _kind_fns(entry["kind"])
+        if entry["status"] == "pending":
+            # per-index label = the takedown label: a resume replays
+            # the SAME delete (overwrite-idempotent per that index's
+            # contract), never compounds it
+            entry["report"] = delete_fn(
+                spark, entry["path"], staged_ids, label, id_col=id_col
+            )
+            entry["status"] = "deleted"
+            _commit_state(spark, root, state)
+    if compact:
+        for entry in state["indexes"]:
+            if entry["status"] == "deleted":
+                _, compact_fn = _kind_fns(entry["kind"])
+                entry["compact_report"] = compact_fn(spark, entry["path"])
+                if vacuum:
+                    index_vacuum(spark, entry["path"])
+                entry["status"] = "compacted"
+                _commit_state(spark, root, state)
+    return {
+        "label": label,
+        "resumed": resumed,
+        "complete": all(e["status"] in done_statuses
+                        for e in state["indexes"]),
+        "indexes": {
+            e["name"]: {"status": e["status"], "report": e["report"]}
+            for e in state["indexes"]
+        },
+    }
+
+
+def takedown_status(
+    spark: SparkSession, takedown_path: str, label: str
+) -> "dict | None":
+    """The audit view: the latest committed state of one takedown
+    record (per-index status + reports + state version), or ``None``
+    if no record exists under this label."""
+    state = _read_state(spark, _state_root(takedown_path, label))
+    if state is None:
+        return None
+    return {
+        "label": state["label"],
+        "version": state["version"],
+        "indexes": {
+            e["name"]: {"status": e["status"], "report": e["report"]}
+            for e in state["indexes"]
+        },
+    }
+
+
+__all__ = ["takedown", "takedown_status"]

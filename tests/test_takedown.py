@@ -1,0 +1,192 @@
+"""Corpus-level takedown orchestrator (operators/takedown.py): one
+call sequences tombstone commits across every persisted index under a
+resumable, auditable record — a crash mid-sequence never leaves the
+document half-deleted with nothing recording which indexes committed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+    bm25_index_build,
+    bm25_index_search,
+)
+from etl_prometheus2clickhouse_spark.operators.dedup import cached_scope
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    minhash_index_build,
+)
+from etl_prometheus2clickhouse_spark.operators.semantic_index import (
+    semantic_index_build,
+)
+from etl_prometheus2clickhouse_spark.operators.takedown import (
+    takedown,
+    takedown_status,
+)
+from etl_prometheus2clickhouse_spark.operators.text import bm25_search
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick red fox runs past the barn"),
+    (3, "lazy dogs sleep all day the dog said"),
+    (4, "quick thinking wins the day every day"),
+    (5, "a completely unrelated sentence about spark"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _vecs(spark):
+    import math
+
+    rows = [
+        (i, [math.cos(math.radians(d)), math.sin(math.radians(d))])
+        for i, d in [(1, 0.0), (2, 30.0), (3, 60.0), (4, 90.0), (5, 120.0)]
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _build_two(spark, tmp_path):
+    bm25 = str(tmp_path / "bm25")
+    sem = str(tmp_path / "sem")
+    bm25_index_build(_docs(spark), bm25, term_buckets=8)
+    semantic_index_build(
+        _vecs(spark), sem, n_cells=2, threshold=0.95, centroids="first"
+    )
+    return bm25, sem
+
+
+def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
+    """Happy path across all four kinds + compact + vacuum: every
+    index reports its delete, every status reaches 'compacted', and
+    the bm25 search equals the one-shot on the reduced corpus (the
+    per-index oracle contract composed through the orchestrator)."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_build,
+    )
+
+    docs = _docs(spark)
+    bm25, sem = _build_two(spark, tmp_path)
+    mh = str(tmp_path / "mh")
+    ann = str(tmp_path / "ann")
+    with cached_scope():
+        minhash_index_build(docs, mh, threshold=0.5)
+        import math
+
+        rows = [
+            (i, [float(i == j % 8) for j in range(64)]) for i in range(1, 6)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        ann_index_build(
+            emb, ann, dim=64, n_cells=2, m=4, k_codes=4, quantizers="first"
+        )
+        dele = spark.createDataFrame([(1,)], "id long")
+        out = takedown(
+            spark,
+            dele,
+            [("bm25", bm25), ("semantic", sem), ("minhash", mh),
+             ("ann", ann)],
+            str(tmp_path),
+            "gdpr-1",
+            compact=True,
+            vacuum=True,
+        )
+        assert out["complete"] and not out["resumed"]
+        assert set(out["indexes"]) == {
+            "0:bm25", "1:semantic", "2:minhash", "3:ann"
+        }
+        assert all(
+            v["status"] == "compacted" for v in out["indexes"].values()
+        )
+        assert out["indexes"]["0:bm25"]["report"]["deleted_docs"] == 1
+        assert out["indexes"]["3:ann"]["report"]["deleted_vectors"] == 1
+        # the composed effect is the per-index reduced-corpus contract
+        queries = spark.createDataFrame(
+            [(100, ["quick", "fox"])], "query_id long, terms array<string>"
+        )
+        got = sorted(
+            (r.query_id, r.doc_id, r.bm25, r.rank)
+            for r in bm25_index_search(queries, bm25, k=5).collect()
+        )
+        want = sorted(
+            (r.query_id, r.doc_id, r.bm25, r.rank)
+            for r in bm25_search(
+                docs.where(F.col("doc_id") != 1), queries, k=5
+            ).collect()
+        )
+        assert got == want
+    # audit record survives and shows the terminal state
+    st = takedown_status(spark, str(tmp_path), "gdpr-1")
+    assert st is not None and all(
+        v["status"] == "compacted" for v in st["indexes"].values()
+    )
+
+
+def test_crash_mid_sequence_resumes_without_replaying_done(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the sequence after the first index commits: the record
+    says exactly which index committed; a resume with the same label
+    skips it (no second delete call) and completes the rest from the
+    STAGED ids even when the caller passes no frame at all."""
+    import etl_prometheus2clickhouse_spark.operators.bm25_index as bm
+    import etl_prometheus2clickhouse_spark.operators.semantic_index as sm
+
+    bm25, sem = _build_two(spark, tmp_path)
+    calls = {"bm25": 0, "sem": 0}
+    real_bm, real_sm = bm.bm25_index_delete, sm.semantic_index_delete
+
+    def counting_bm(*a, **k):
+        calls["bm25"] += 1
+        return real_bm(*a, **k)
+
+    def crashing_sm(*a, **k):
+        calls["sem"] += 1
+        raise RuntimeError("simulated crash before the semantic commit")
+
+    monkeypatch.setattr(bm, "bm25_index_delete", counting_bm)
+    monkeypatch.setattr(sm, "semantic_index_delete", crashing_sm)
+    dele = spark.createDataFrame([(2,)], "id long")
+    idx = [("bm25", bm25), ("semantic", sem)]
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        takedown(spark, dele, idx, str(tmp_path), "gdpr-2")
+    st = takedown_status(spark, str(tmp_path), "gdpr-2")
+    assert st["indexes"]["0:bm25"]["status"] == "deleted"
+    assert st["indexes"]["1:semantic"]["status"] == "pending"
+
+    # resume: semantic heals, bm25 is NOT re-deleted
+    def healed_sm(*a, **k):
+        calls["sem"] += 1
+        return real_sm(*a, **k)
+
+    monkeypatch.setattr(sm, "semantic_index_delete", healed_sm)
+    out = takedown(spark, None, idx, str(tmp_path), "gdpr-2")
+    assert out["resumed"] and out["complete"]
+    assert calls == {"bm25": 1, "sem": 2}
+    assert out["indexes"]["1:semantic"]["report"]["deleted_vectors"] == 1
+    # a further call is a no-op pass over a complete record
+    out2 = takedown(spark, None, idx, str(tmp_path), "gdpr-2")
+    assert out2["complete"] and calls["bm25"] == 1
+
+
+def test_record_is_defined_by_first_call(spark, tmp_path):
+    """A resume naming a different index set fails loud — the staged
+    record is the authority; and a first call without ids fails."""
+    bm25, sem = _build_two(spark, tmp_path)
+    dele = spark.createDataFrame([(3,)], "id long")
+    takedown(spark, dele, [("bm25", bm25)], str(tmp_path), "gdpr-3")
+    with pytest.raises(ValueError, match="different index set"):
+        takedown(
+            spark, None, [("bm25", bm25), ("semantic", sem)],
+            str(tmp_path), "gdpr-3",
+        )
+    with pytest.raises(ValueError, match="must name the ids"):
+        takedown(spark, None, [("bm25", bm25)], str(tmp_path), "gdpr-9")
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        takedown(spark, dele, [("bm25", bm25)], str(tmp_path), "a/b")
+    with pytest.raises(ValueError, match="unknown index kind"):
+        takedown(spark, dele, [("lucene", bm25)], str(tmp_path), "gdpr-4")
