@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "bpe_tokenize_arrow",
     "bpe_encode_ids",
     "bpe_pack_ids",
+    # round-15: unigram-LM (SentencePiece-style) tokenizer
+    "unigram_tokenize",
     "nb_classify",
     "bm25_search",
     # round-13: graded ranking evaluation over the BM25 lists

@@ -5132,6 +5132,128 @@ FROM toks"""
 
 ORACLE_BPE_ENCODE_IDS = _build_bpe_ids_oracle()
 
+
+# Unigram-LM (SentencePiece-style) tokenizer: the capability most
+# modern tokenizer stacks actually ship beside BPE. The ENGINE trains
+# hard-EM over the distributed word-frequency table and encodes with
+# the Arrow-batched Viterbi (operators/unigram.py); the ORACLE embeds
+# the piece table from the INDEPENDENT plain-Python trainer
+# (unigram_reference_model) and UNROLLS the same Viterbi DP in DuckDB
+# — float64 edge sums on identical literals, ties to the
+# lexicographically smaller token string — so training drift OR a
+# segmenter drift changes the token stream and fails the value hash.
+_UNIGRAM_TRAIN_TEXTS = _BPE_TRAIN_TEXTS + [
+    "running runner run runs running runner",
+    "tokens token tokenize tokenized tokens",
+]
+_UNIGRAM_VOCAB = 48
+_UNIGRAM_MPL = 4
+_UNIGRAM_ITERS = 3
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (operators/unigram.py): train the piece
+    table on the planted reference corpus (hard-EM over the word-
+    frequency table), then Viterbi-encode every document. Same output
+    shape as ``bpe_tokenize``; the oracle replays the exact DP."""
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    ref = local_df(
+        spark, [(t,) for t in _UNIGRAM_TRAIN_TEXTS], "text string"
+    )
+    model = unigram_train(
+        ref, vocab_size=_UNIGRAM_VOCAB, max_piece_len=_UNIGRAM_MPL,
+        em_iters=_UNIGRAM_ITERS,
+    )
+    return unigram_apply(_t(spark, sf_dir, "documents"), model)
+
+
+def _build_unigram_oracle() -> str:
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        MAX_WORD_LEN,
+        UNK_NLL,
+        unigram_reference_model,
+    )
+
+    model = unigram_reference_model(
+        _UNIGRAM_TRAIN_TEXTS, vocab_size=_UNIGRAM_VOCAB,
+        max_piece_len=_UNIGRAM_MPL, em_iters=_UNIGRAM_ITERS,
+    )
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "', " + repr(nll) + ")"
+        for p, nll in model
+    )
+    L, P = MAX_WORD_LEN, _UNIGRAM_MPL
+    parts = [f"WITH ug_pieces(p, nll) AS (VALUES {vals}),"]
+    parts.append(
+        "ug_docw AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w,"
+        " generate_subscripts(ws, 1) AS ord FROM (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '\\s+'),"
+        " t -> t <> '') AS ws FROM documents)),"
+    )
+    parts.append(
+        f"ug_w AS MATERIALIZED (SELECT DISTINCT w FROM ug_docw"
+        f" WHERE len(w) <= {L}),"
+    )
+    parts.append(
+        "ug_d0 AS MATERIALIZED (SELECT w, CAST(0.0 AS DOUBLE) AS cost,"
+        " '' AS toks FROM ug_w),"
+    )
+    for i in range(1, L + 1):
+        branches = []
+        for k in range(1, min(i, P) + 1):
+            branches.append(
+                f"SELECT d.w, d.cost + p.nll AS cost,"
+                f" d.toks || ' ' || p.p AS toks"
+                f" FROM ug_d{i - k} d JOIN ug_pieces p"
+                f" ON len(p.p) = {k}"
+                f" AND p.p = substr(d.w, {i - k + 1}, {k})"
+                f" WHERE len(d.w) >= {i}"
+            )
+        branches.append(
+            f"SELECT d.w, d.cost + {UNK_NLL!r} AS cost,"
+            f" d.toks || ' ' || substr(d.w, {i}, 1) AS toks"
+            f" FROM ug_d{i - 1} d WHERE len(d.w) >= {i}"
+            f" AND NOT EXISTS (SELECT 1 FROM ug_pieces p"
+            f" WHERE p.p = substr(d.w, {i}, 1))"
+        )
+        u = " UNION ALL ".join(branches)
+        parts.append(
+            f"ug_d{i} AS MATERIALIZED (SELECT w, cost, toks FROM (SELECT w, cost,"
+            f" toks, row_number() OVER (PARTITION BY w ORDER BY cost"
+            f" ASC, toks ASC) AS rn FROM ({u}) cand) rnk"
+            f" WHERE rn = 1),"
+        )
+    fin = " UNION ALL ".join(
+        f"SELECT w, toks FROM ug_d{i} WHERE len(w) = {i}"
+        for i in range(1, L + 1)
+    )
+    parts.append(f"ug_fin AS ({fin}),")
+    parts.append(
+        "ug_seg AS (SELECT w, list_filter(string_split(toks, ' '),"
+        " s -> s <> '') AS ps FROM ug_fin UNION ALL"
+        f" SELECT w, [w] AS ps FROM (SELECT DISTINCT w FROM ug_docw"
+        f" WHERE len(w) > {L}) lw),"
+    )
+    parts.append(
+        "ug_doc AS (SELECT d.doc_id, flatten(list(s.ps ORDER BY d.ord))"
+        " AS allps FROM ug_docw d JOIN ug_seg s USING (w)"
+        " GROUP BY d.doc_id)"
+    )
+    parts.append(
+        "SELECT docs.doc_id,"
+        " CAST(coalesce(len(p.allps), 0) AS BIGINT) AS n_tokens,"
+        " coalesce(array_to_string(p.allps, ' '), '') AS tokens"
+        " FROM documents docs LEFT JOIN ug_doc p USING (doc_id)"
+    )
+    return "\n".join(parts)
+
+
+ORACLE_UNIGRAM_TOKENIZE = _build_unigram_oracle()
+
 _PACK_IDS_BUDGET = 512
 
 
@@ -8417,6 +8539,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize_arrow": q_bpe_tokenize_arrow,
     "bpe_encode_ids": q_bpe_encode_ids,
     "bpe_pack_ids": q_bpe_pack_ids,
+    # round-15: unigram-LM (SentencePiece-style) tokenizer — hard-EM
+    # training + Arrow-batched Viterbi encode, oracle-unrolled DP
+    "unigram_tokenize": q_unigram_tokenize,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -8663,6 +8788,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quality_score": _oracle_quality_score(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
+    "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
