@@ -332,6 +332,24 @@ PROBE_FLOOR_SEC = 0.2  # sub-200ms entries are driver-overhead noise
 # recordings (probe_steady ≈ its reference both times) stop consuming
 # probe slots: their flag is recorded with a pin note instead of a
 # fresh-JVM re-run. Remove a pin if the entry's plan changes.
+# Entries whose PLAN was touched in the current round (maintained per
+# round from the git diff): they take probe slots before the
+# swing-ranked rest — the round-14 lesson, where all 8 slots went to
+# untouched host-variance entries while the four touched appends went
+# unadjudicated.
+TOUCHED_THIS_ROUND = {
+    # round-15: append-path fixed-cost trims (cached identity frames,
+    # shared tokenization, precomputed probe sets) on every
+    # persisted-index append + the deferred-physical-drop compactor fix
+    "semantic_increment", "bm25_increment", "substring_increment",
+    "paragraph_increment", "dedup_increment", "ann_increment",
+    "stream_bm25", "stream_semantic", "stream_curation", "stream_ann",
+    "bm25_delete", "dedup_delete", "ann_delete", "semantic_delete",
+    "hybrid_increment", "bm25_rebucket",
+    # round-15: new entry (no reference yet)
+    "unigram_tokenize",
+}
+
 PROBE_PINNED = {
     # r11: 1.48→probe 1.25s ≈ ref; r12: 2.56→probe 1.32s ≈ ref 1.25s —
     # the postings-build shuffle is cache/GC-sensitive in-suite only
@@ -529,6 +547,17 @@ def main() -> None:
             "pinned": PROBE_PINNED[n],
         }
     flagged = [x for x in flagged if x not in PROBE_PINNED]
+    # touched-plan probe policy (round-15, VERDICT item 4): entries
+    # whose plan changed in-round take probe slots BEFORE the
+    # swing-size-ranked rest — new-guard/new-trim cost and host noise
+    # must be separated on exactly the entries that moved, not on
+    # whichever untouched entries swung hardest
+    flagged.sort(
+        key=lambda n: (
+            n not in TOUCHED_THIS_ROUND,
+            -(times_warm.get(n, 0.0) / ref[n]),
+        )
+    )
     dropped_probes = flagged[PROBE_MAX:]
     for n in flagged[:PROBE_MAX]:
         runs = _probe_once(n, sf_dir, cpus)

@@ -858,6 +858,13 @@ def minhash_index_delete(
        nodes and relabels/splits survivors — EXACTLY the one-shot
        clustering of the reduced corpus restricted to those components.
 
+    The touched set covers CAP RELEASE too: a bucket over
+    ``max_bucket`` only because of deleted members falls under the cap
+    on the reduced corpus, newly admitting pairs among docs outside the
+    deleted docs' own components — every component holding a member of
+    such a released bucket is re-clustered as well (detected from the
+    deleted docs' own band buckets, delete-set-proportional reads).
+
     Work is bounded by the touched clusters (pruned shingle/band reads
     + cluster-sized pair verify), never the corpus. Crash between the
     tombstone commit and the swap is repaired by REPLAYING the delete
@@ -932,26 +939,106 @@ def minhash_index_delete(
             _ip(F.col("node"), index_buckets).alias("nb")
         ).distinct().collect()
     ]
-    touched = (
+    touched_del = (
         comp_tbl.where(
             F.col("nb").isin(del_nbs) if del_nbs else F.lit(False)
         )
         .join(dele_nodes, "node")
         .select("component")
         .distinct()
-        .persist()
     )
+    # cap-release detection: a bucket that was over max_bucket ONLY
+    # because of deleted members falls under the cap on the reduced
+    # corpus — admitting candidate pairs among docs entirely OUTSIDE
+    # the deleted docs' own components. Every component holding a
+    # member of such a RELEASED bucket joins the touched set, so the
+    # re-cluster below re-examines those pairs exactly as the one-shot
+    # on the reduced corpus admits them. All reads are pruned to the
+    # deleted docs' own band buckets — delete-set-proportional work.
+    del_sh = (
+        sh_tbl.where(
+            F.col("ip").isin(want_ips) if want_ips else F.lit(False)
+        )
+        .select("id", "sh")
+        .join(effective, "id", "leftsemi")
+    )
+    del_bands = _bands_from_shingles(
+        del_sh, num_hashes, bands_n, index_buckets
+    )
+    del_bbs = [
+        r.bb for r in del_bands.select("bb").distinct().collect()
+    ]
+    released_comps = touched_del.limit(0)
+    rel_members = dele_nodes.limit(0)
+    if del_bbs:
+        pruned = _anti_tombstones(
+            _read_increment_table(spark, path, "bands").where(
+                F.col("bb").isin(del_bbs)
+            ),
+            tomb_prior,
+            "id",
+        )
+        marked = pruned.join(
+            effective.withColumnRenamed("id", "__del_id"),
+            F.col("id") == F.col("__del_id"),
+            "left",
+        )
+        released = (
+            marked.groupBy("band", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("pre_n"),
+                F.sum(
+                    F.when(F.col("__del_id").isNotNull(), 1).otherwise(0)
+                ).alias("del_n"),
+            )
+            .where(
+                (F.col("pre_n") > max_bucket)
+                & (F.col("pre_n") - F.col("del_n") <= max_bucket)
+            )
+            .select("band", "bucket")
+        )
+        rel_members = (
+            pruned.join(released, ["band", "bucket"])
+            .join(dele_nodes, pruned["id"] == dele_nodes["node"],
+                  "left_anti")
+            .select(F.col("id").alias("node"))
+            .distinct()
+            .persist()
+        )
+        _register_cached(rel_members)
+        rel_nbs = [
+            r.nb
+            for r in rel_members.select(
+                _ip(F.col("node"), index_buckets).alias("nb")
+            ).distinct().collect()
+        ]
+        if rel_nbs:
+            released_comps = (
+                comp_tbl.where(F.col("nb").isin(rel_nbs))
+                .join(rel_members, "node")
+                .select("component")
+                .distinct()
+            )
+    touched = touched_del.unionByName(released_comps).distinct().persist()
     _register_cached(touched)
     members_all = comp_tbl.join(F.broadcast(touched), "component").persist()
     _register_cached(members_all)
-    survivors = members_all.join(dele_nodes, "node", "left_anti").select(
+    # released-bucket members may be SINGLETONS (no component rows at
+    # all — exactly how the cap suppressed their pairs); they join the
+    # survivor set directly so the re-cluster ranges over them too
+    member_nodes = (
+        members_all.select("node").unionByName(rel_members).distinct()
+    )
+    survivors = member_nodes.join(dele_nodes, "node", "left_anti").select(
         F.col("node").alias("id")
     )
     n_touched = touched.count()
-    if n_touched == 0:
+    n_released = rel_members.count()
+    if n_touched == 0 and n_released == 0:
         return {
             "deleted_docs": int(n_deleted),
             "touched_components": 0,
+            "released_members": 0,
             "new_pairs": 0,
         }
     # re-cluster the survivors exactly as the one-shot on the reduced
@@ -1021,6 +1108,7 @@ def minhash_index_delete(
     return {
         "deleted_docs": int(n_deleted),
         "touched_components": int(n_touched),
+        "released_members": int(n_released),
         "new_pairs": int(n_pairs),
     }
 

@@ -1162,3 +1162,47 @@ def test_excluded_compact_keeps_tombstoned_rows_physical(spark, tmp_path):
             union_df.where(F.col("doc_id") != 2), redoc, path,
             update_index=True, update_label="w2",
         ).write.format("noop").mode("overwrite").save()
+
+
+def test_delete_releases_capped_bucket_and_reclusters(spark, tmp_path):
+    """Cap release: four identical docs swamp every band bucket past
+    max_bucket=3, so the one-shot build caps them into singletons.
+    Deleting ONE drops the buckets to the cap, and the one-shot on the
+    reduced corpus would now pair the remaining three — the delete's
+    repair must detect the released buckets and re-cluster those
+    components even though none of them contained the deleted doc."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        minhash_index_delete,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog near the bank"
+    rows = [(20, same), (21, same), (22, same), (23, same),
+            (1, "a totally unrelated singleton document about spark"),
+            (2, "another unrelated singleton text never repeated here")]
+    old = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    with cached_scope():
+        minhash_index_build(old, path, threshold=0.5, max_bucket=3)
+        pre = _resolved(dedup_increment(old, old.limit(0), path))
+        # capped: the quad resolves to four singletons pre-delete
+        assert {pre[i][0] for i in (20, 21, 22, 23)} == {20, 21, 22, 23}
+        dele = spark.createDataFrame([(20,)], "doc_id long")
+        rep = minhash_index_delete(spark, path, dele, "d1")
+        assert rep["deleted_docs"] == 1
+        # the released buckets' members (all singletons — the cap
+        # suppressed their pairs) were re-examined
+        assert rep["released_members"] == 3
+        reduced = old.where(F.col("doc_id") != 20)
+        got = _resolved(dedup_increment(reduced, reduced.limit(0), path))
+        pairs = minhash_lsh_pairs(
+            reduced, "doc_id", threshold=0.5, max_bucket=3
+        ).select("id_a", "id_b")
+        want = _resolved(
+            resolve_near_duplicates(
+                reduced.select("doc_id"), pairs, id_col="doc_id"
+            )
+        )
+    assert got == want
+    # and the reduced one-shot really does merge the surviving trio
+    assert got[21] == (21, True) and got[22] == (21, False)
+    assert got[23] == (21, False)
