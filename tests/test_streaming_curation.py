@@ -698,3 +698,146 @@ def test_hybrid_serve_feeds_both_indexes(spark, tmp_path):
             map(tuple, rrf_fuse([bm_want, ann_want], k0=60, k=5).collect())
         )
     assert got_fused == want_fused and got_fused
+
+
+def test_takedown_between_waves_hits_dense_serve_leg(spark, tmp_path):
+    """The right-to-be-forgotten request lands BETWEEN funnel waves and
+    must hit the DENSE serve leg too: one takedown() call tombstones a
+    seed kept doc out of BOTH serve indexes, the tombstoned doc
+    disappears from lexical AND dense retrieval immediately, later
+    waves keep appending (overlap guards pass), and the final searches
+    equal the one-shot legs over (kept set minus the taken-down doc)."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        cosine_topk_ivfpq_codes,
+        ivfpq_encode,
+    )
+    from etl_prometheus2clickhouse_spark.operators.takedown import (
+        takedown,
+        takedown_status,
+    )
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        bm25_search,
+        hashed_doc_vectors,
+    )
+
+    def _vecs(df):
+        return (
+            hashed_doc_vectors(df, dim=32)
+            .where(F.exists("vec", lambda x: x != 0))
+            .select(
+                "doc_id",
+                F.transform("vec", lambda v: v.cast("double")).alias(
+                    "embedding"
+                ),
+            )
+        )
+
+    with cached_scope():
+        thr = _median_ppl(spark)
+        want = _one_shot(spark, thr)
+    seed, ref, idx = _setup(spark, tmp_path, "td")
+    src = str(tmp_path / "td_src")
+    disp_dir = str(tmp_path / "td_disp")
+    ckpt = str(tmp_path / "td_ckpt")
+    serve = str(tmp_path / "td_serve")
+    ann_serve = str(tmp_path / "td_ann_serve")
+
+    all_rows = _SEED + [r for b in _BATCHES for r in b]
+    kept_ids = {k for k, v in want.items() if v == "kept"}
+    seed_kept = [r for r in _SEED if r[0] in kept_ids]
+    gone = seed_kept[0][0]  # the seed kept doc the request names
+    seed_kept_df = spark.createDataFrame(seed_kept, _SCHEMA)
+    bm25_index_build(seed_kept_df, serve, term_buckets=8)
+    with cached_scope():
+        model = ann_index_build(
+            _vecs(seed_kept_df), ann_serve, dim=32,
+            id_col="doc_id", vec_col="embedding",
+            n_cells=2, m=4, k_codes=2, quantizers="first",
+        )
+        # wave 1
+        _write_batch(spark, src, _BATCHES[0], 0)
+        run_streaming_curation(
+            _stream(spark, src), idx, ref, disp_dir, ckpt, thr,
+            serve_index_path=serve,
+            ann_serve_index_path=ann_serve,
+            serve_vec_dim=32,
+        )
+        # the takedown lands between waves — ONE call, both serve legs
+        out = takedown(
+            spark,
+            spark.createDataFrame([(gone,)], "id long"),
+            [("bm25", serve), ("ann", ann_serve)],
+            str(tmp_path), "rtbf-1",
+        )
+        assert out["complete"]
+        assert out["indexes"]["0:bm25"]["report"]["deleted_docs"] == 1
+        assert out["indexes"]["1:ann"]["report"]["deleted_vectors"] == 1
+        # waves 2 and 3: later appends pass the overlap guards
+        for n, b in enumerate(_BATCHES[1:], start=1):
+            _write_batch(spark, src, b, n)
+        run_streaming_curation(
+            _stream(spark, src), idx, ref, disp_dir, ckpt, thr,
+            serve_index_path=serve,
+            ann_serve_index_path=ann_serve,
+            serve_vec_dim=32,
+        )
+
+        final_kept = spark.createDataFrame(
+            [r for r in all_rows if r[0] in kept_ids and r[0] != gone],
+            _SCHEMA,
+        )
+        queries = spark.createDataFrame(
+            [
+                (1, ["curious", "engineers", "documents"]),
+                (2, ["gentle", "rain", "harvest"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        # lexical leg: reduced one-shot, the deleted id never surfaces
+        bm_got = sorted(
+            (r.query_id, r.doc_id, r.rank)
+            for r in bm25_index_search(queries, serve, k=5).collect()
+        )
+        bm_want = sorted(
+            (r.query_id, r.doc_id, r.rank)
+            for r in bm25_search(final_kept, queries, k=5).collect()
+        )
+        assert bm_got == bm_want and all(r[1] != gone for r in bm_got)
+        # dense leg: reduced one-shot under the frozen seed model; the
+        # QUERY is the taken-down doc's own vector — a deleted doc may
+        # still query the index, it just never comes back as a result
+        q_vecs = _vecs(seed_kept_df).where(
+            F.col("doc_id") == gone
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        all_vecs = _vecs(final_kept).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        ann_got = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_index_search(
+                q_vecs, ann_serve, k=3, n_probe=2, n_candidates=5,
+                id_col="vec_id", vec_col="embedding",
+            ).collect()
+        )
+        ann_want = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in cosine_topk_ivfpq_codes(
+                ivfpq_encode(all_vecs, model, id_col="vec_id",
+                             vec_col="embedding"),
+                model, all_vecs, q_vecs,
+                id_col="vec_id", vec_col="embedding",
+                k=3, n_probe=2, n_candidates=5,
+            ).collect()
+        )
+    assert ann_got == ann_want and ann_got
+    assert all(r[1] != gone for r in ann_got)
+    st = takedown_status(spark, str(tmp_path), "rtbf-1")
+    assert {v["status"] for v in st["indexes"].values()} == {"deleted"}
