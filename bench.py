@@ -102,8 +102,10 @@ BENCH_QUERIES = [
     "bpe_tokenize_arrow",
     "bpe_encode_ids",
     "bpe_pack_ids",
-    # round-15: unigram-LM (SentencePiece-style) tokenizer
+    # round-15: unigram-LM (SentencePiece-style) tokenizer + the
+    # one-call takedown compliance path over both retrieval indexes
     "unigram_tokenize",
+    "takedown_lifecycle",
     "nb_classify",
     "bm25_search",
     # round-13: graded ranking evaluation over the BM25 lists
@@ -346,8 +348,8 @@ TOUCHED_THIS_ROUND = {
     "stream_bm25", "stream_semantic", "stream_curation", "stream_ann",
     "bm25_delete", "dedup_delete", "ann_delete", "semantic_delete",
     "hybrid_increment", "bm25_rebucket",
-    # round-15: new entry (no reference yet)
-    "unigram_tokenize",
+    # round-15: new entries (no reference yet)
+    "unigram_tokenize", "takedown_lifecycle",
 }
 
 PROBE_PINNED = {

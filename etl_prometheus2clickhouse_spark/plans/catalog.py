@@ -8384,6 +8384,66 @@ def q_dedup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_takedown_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level takedown (operators/takedown.py): ONE ``takedown``
+    call tombstones the ``doc_id % 7 == 3`` documents out of BOTH
+    persisted retrieval indexes (the BM25 inverted file and the IVFADC
+    serve index) under the resumable state record, then the lexical
+    search over the swept index faces the one-shot BM25 SQL on the
+    REDUCED corpus — the per-index reduced-corpus oracle reused
+    verbatim through the orchestrator (the compliance path a real
+    deployment runs). The dense leg's reduced-corpus contract is
+    oracled separately by ``ann_delete``; the crash-resume and
+    audit-record semantics are pinned in tests/test_takedown.py."""
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+    )
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.takedown import (
+        takedown,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _build(base: str) -> None:
+        bm25_index_build(d.where(F.col("doc_id") % 5 != 0),
+                         f"{base}/bm25", term_buckets=16)
+        bm25_index_append(d.where(F.col("doc_id") % 5 == 0),
+                          f"{base}/bm25", "w2")
+        ann_index_build(
+            emb.where(F.col("vec_id") % 5 != 0), f"{base}/ann", dim=64,
+            n_cells=32, m=4, k_codes=16, quantizers="first",
+        )
+        ann_index_append(emb.where(F.col("vec_id") % 5 == 0),
+                         f"{base}/ann", "w2")
+
+    scratch = _lifecycle_scratch("takedown_8020", sf_dir, _build)
+    try:
+        rep = takedown(
+            spark,
+            d.where(F.col("doc_id") % 7 == 3).select(
+                F.col("doc_id").alias("id")
+            ),
+            [("bm25", f"{scratch}/bm25"), ("ann", f"{scratch}/ann")],
+            scratch, "rtbf",
+        )
+        assert rep["complete"]
+        out = bm25_index_search(
+            _bm25_queries(spark, sf_dir), f"{scratch}/bm25", k=10
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ETL core (SURVEY §2)
     "prom_parse": q_prom_parse,
@@ -8702,6 +8762,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-15: unigram-LM (SentencePiece-style) tokenizer — hard-EM
     # training + Arrow-batched Viterbi encode, oracle-unrolled DP
     "unigram_tokenize": q_unigram_tokenize,
+    # round-15: the one-call compliance path — takedown() sweeping
+    # both retrieval indexes, faced with the reduced-corpus BM25 SQL
+    "takedown_lifecycle": q_takedown_lifecycle,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -8949,6 +9012,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
     "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
+    "takedown_lifecycle": ORACLE_BM25_DELETE,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
