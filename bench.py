@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     # one-call takedown compliance path over both retrieval indexes
     "unigram_tokenize",
     "takedown_lifecycle",
+    "substring_delete",
     "nb_classify",
     "bm25_search",
     # round-13: graded ranking evaluation over the BM25 lists
@@ -349,7 +350,7 @@ TOUCHED_THIS_ROUND = {
     "bm25_delete", "dedup_delete", "ann_delete", "semantic_delete",
     "hybrid_increment", "bm25_rebucket",
     # round-15: new entries (no reference yet)
-    "unigram_tokenize", "takedown_lifecycle",
+    "unigram_tokenize", "takedown_lifecycle", "substring_delete",
 }
 
 PROBE_PINNED = {

@@ -1359,8 +1359,16 @@ def substring_increment(
         .collect()
     ]
     # the probe reads ONLY the hash column of the probed partitions —
-    # ReadSchema h, PartitionFilters hp (asserted in pytest)
-    win_tbl = _read_increment_table(spark, path, "windows")
+    # ReadSchema h, PartitionFilters hp (asserted in pytest).
+    # Tombstoned docs' windows are anti-joined immediately: a deleted
+    # doc must no longer mark shard windows as already-indexed (the
+    # one-shot on the reduced corpus never sees them); no-op when the
+    # index holds no tombstones.
+    win_tbl = _anti_tombstones(
+        _read_increment_table(spark, path, "windows"),
+        _read_tombstones(spark, path, None),
+        "id",
+    )
     if update_index:
         # at-least-once replay: exclude this increment's own rows (a
         # failed first attempt would otherwise make every shard window
@@ -2191,17 +2199,87 @@ def minhash_index_compact(
     return out
 
 
-def substring_index_compact(spark: SparkSession, path: str) -> dict:
-    """Compact the substring window index's increments."""
+def substring_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    label: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """Tombstone documents out of the window index — the takedown
+    lifecycle event for exact-substring dedup: a deleted doc's windows
+    must stop marking future shard windows as already-indexed (the
+    one-shot spans of the REDUCED union never see them), and the id
+    stays occupied for the overlap guard until compaction physically
+    drops its rows (delete → compact → re-ingest). Same tombstone
+    mechanics as the BM25/ANN/semantic/minhash siblings: the delete is
+    one ``mb=`` tombstone commit (replay-idempotent under its label);
+    every read anti-joins live tombstones; bytes reclaim at
+    :func:`substring_index_compact`. Returns ``{deleted_docs}``."""
+    if not label or any(c in label for c in "/=%"):
+        raise ValueError(
+            "substring_index_delete needs a filesystem-safe label, "
+            f"got {label!r}"
+        )
+    id_buckets = _ids_buckets(spark, path, None)
+    if id_buckets is None:
+        raise ValueError(
+            f"substring_index_delete: the index at {path!r} predates "
+            "the identity layer (no idmeta table) — rebuild it once "
+            "with substring_index_build to enable deletes"
+        )
+    want = ids.select(_id_str(id_col).alias("id")).distinct()
+    present = _read_id_table_probed(
+        spark, path, _IDS_TABLE, want, id_buckets, None
+    ).select("id").join(want, "id", "leftsemi")
+    tomb_prior = None
+    m = _read_manifest(spark, path)
+    if m is not None and m["tables"].get(_TOMB_TABLE):
+        prior = [
+            d for d in m["tables"][_TOMB_TABLE] if d != f"mb={label}"
+        ]
+        if prior:
+            root = os.path.join(path, _TOMB_TABLE)
+            tomb_prior = spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, d) for d in prior]
+            ).select("id")
+    effective = _anti_tombstones(present, tomb_prior, "id")
+    n = effective.count()
+    _tomb_write(spark, path, effective, label, id_buckets)
+    _manifest_add(spark, path, [_TOMB_TABLE], label)
+    return {"deleted_docs": int(n)}
+
+
+def substring_index_compact(
+    spark: SparkSession, path: str,
+    exclude_labels: set[str] | None = None,
+) -> dict:
+    """Compact the substring window index's increments. Deletion
+    integration mirrors the siblings: tombstoned window/identity rows
+    are physically dropped ONLY in the pass that also clears the
+    tombstone table (see bm25_index_compact — dropping rows while
+    tombstones stay live would let a re-ingest pass the overlap guard
+    yet stay invisible)."""
+    tomb = _read_tombstones(spark, path, None)
+
+    def _drop_tombstoned(rows: DataFrame) -> DataFrame:
+        return _anti_tombstones(rows, tomb, "id")
+
+    drop = _drop_tombstoned if not exclude_labels else None
     out = {
         "windows_rows": _compact_increment_table(
-            spark, path, "windows", "hp"
+            spark, path, "windows", "hp", exclude_labels=exclude_labels,
+            transform=drop,
         )
     }
     if _ids_buckets(spark, path, None) is not None:
         out["id_rows"] = _compact_increment_table(
-            spark, path, _IDS_TABLE, "ip"
+            spark, path, _IDS_TABLE, "ip", exclude_labels=exclude_labels,
+            transform=drop,
         )
+    if tomb is not None and not exclude_labels:
+        _set_manifest_table(spark, path, _TOMB_TABLE, [])
+        out["tombstones_cleared"] = True
     return out
 
 

@@ -82,9 +82,21 @@ def _kind_fns(kind: str):
         )
 
         return minhash_index_delete, minhash_index_compact
+    if kind == "substring":
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            substring_index_compact,
+            substring_index_delete,
+        )
+
+        return substring_index_delete, substring_index_compact
+    # NOTE the paragraph index is deliberately absent: its paras table
+    # stores (hp, h) HASHES with no document attribution, so a
+    # per-document delete is not expressible against it — a deployment
+    # that must purge paragraph hashes rebuilds that index from the
+    # reduced corpus (it is seed-sized, not corpus-sized).
     raise ValueError(
         f"takedown: unknown index kind {kind!r} — supported: "
-        "bm25, ann, semantic, minhash"
+        "bm25, ann, semantic, minhash, substring"
     )
 
 

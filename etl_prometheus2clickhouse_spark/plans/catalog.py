@@ -4840,6 +4840,55 @@ FROM spans WHERE doc_id % 5 = 0
 )
 
 
+def q_substring_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown lifecycle on the persisted window index
+    (operators/dedup_index.py ``substring_index_delete``): tombstone
+    every indexed ``doc_id % 7 == 3`` document, then probe the shard —
+    a deleted doc's windows must no longer mark shard windows as
+    already-indexed. The oracle is the one-shot spans CTE over the
+    REDUCED union (corpus minus the deleted docs, plus the shard),
+    restricted to shard docs."""
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+        substring_index_delete,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _build(b: str) -> None:
+        substring_index_build(
+            d.where(F.col("doc_id") % 5 != 0), f"{b}/idx", min_len=_ESS_L
+        )
+
+    # same cached base as q_substring_increment; the delete MUTATES,
+    # so each run tombstones its own copy
+    scratch = _lifecycle_scratch("substr_base80", sf_dir, _build)
+    try:
+        path = f"{scratch}/idx"
+        substring_index_delete(
+            spark, path,
+            d.where(
+                (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
+            ).select("doc_id"),
+            "takedown",
+        )
+        out = substring_increment(d.where(F.col("doc_id") % 5 == 0), path)
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_SUBSTRING_DELETE = ORACLE_SUBSTRING_INCREMENT.replace(
+    "  FROM documents\n),\npos AS (",
+    "  FROM documents\n"
+    "  WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 3)\n),\npos AS (",
+)
+assert ORACLE_SUBSTRING_DELETE != ORACLE_SUBSTRING_INCREMENT
+
+
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring deduplication, document level
     (operators/dedup.py:exact_substring_dedup — Lee et al. ACL 2022
@@ -8813,6 +8862,8 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_increment": q_substring_increment,
     "paragraph_increment": q_paragraph_increment,
     "decontaminate_increment": q_decontaminate_increment,
+    # round-15: takedown on the window index (reduced-union oracle)
+    "substring_delete": q_substring_delete,
     # round-9 late: supervised classification (multinomial NB — the
     # closed-form member of the CCNet/fastText classifier family) and
     # BM25 inverted-index retrieval, both full-pipeline oracles
@@ -9058,6 +9109,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "exact_substring_spans": ORACLE_EXACT_SUBSTRING_SPANS,
     "substring_increment": ORACLE_SUBSTRING_INCREMENT,
+    "substring_delete": ORACLE_SUBSTRING_DELETE,
     "paragraph_increment": ORACLE_PARAGRAPH_INCREMENT,
     "decontaminate_increment": ORACLE_DECONTAMINATE_INCREMENT,
     "nb_classify": ORACLE_NB_CLASSIFY,

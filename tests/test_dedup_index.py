@@ -1206,3 +1206,78 @@ def test_delete_releases_capped_bucket_and_reclusters(spark, tmp_path):
     # and the reduced one-shot really does merge the surviving trio
     assert got[21] == (21, True) and got[22] == (21, False)
     assert got[23] == (21, False)
+
+
+def test_substring_delete_lifecycle(spark, tmp_path):
+    """Takedown on the window index: after substring_index_delete the
+    shard's spans equal the one-shot over the REDUCED union (a deleted
+    doc's windows no longer mark shard windows as already-indexed);
+    re-ingest of the tombstoned id is refused until compaction clears
+    it; an excluded maintenance fold keeps the tombstoned rows
+    physical (the atomicity contract the sibling indexes pin)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+        substring_index_compact,
+        substring_index_delete,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    # doc 1 shares a 5-window with shard doc 20; doc 2 is independent
+    seed = mk([(1, "p q r s t u v w"), (2, "a b c d e f g h")])
+    shard = mk([(20, "p q r s t zz yy xx")])
+    path = str(tmp_path / "sidx")
+    with cached_scope():
+        substring_index_build(seed, path, min_len=5, index_buckets=8)
+        # pre-delete: the shared window is found through the index
+        assert substring_increment(shard, path).count() == 1
+        rep = substring_index_delete(
+            spark, path, mk([(1, "x")]).select("doc_id"), "d1"
+        )
+        assert rep == {"deleted_docs": 1}
+        # post-delete: equals the one-shot on the REDUCED union
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring_increment(shard, path).collect()
+        }
+        reduced_union = mk(
+            [(2, "a b c d e f g h"), (20, "p q r s t zz yy xx")]
+        )
+        want = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in exact_substring_spans(reduced_union, min_len=5)
+            .where(F.col("doc_id") == 20)
+            .collect()
+        }
+        assert got == want == set()
+        # re-ingest refused while the tombstone lives
+        redoc = mk([(1, "p q r s t u v w")])
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            substring_increment(
+                redoc, path, update_index=True, update_label="w2"
+            ).write.format("noop").mode("overwrite").save()
+        # an excluded fold keeps rows physical + tombstones live
+        out = substring_index_compact(spark, path, exclude_labels={"zz"})
+        assert out.get("tombstones_cleared") is None
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            substring_increment(
+                redoc, path, update_index=True, update_label="w2"
+            ).write.format("noop").mode("overwrite").save()
+        # the full compaction frees the id and drops the rows
+        out2 = substring_index_compact(spark, path)
+        assert out2.get("tombstones_cleared") is True
+        substring_increment(
+            redoc, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        # the re-ingested doc's windows are live again
+        assert substring_increment(shard, path).count() == 1
+        # replayed delete under the same label is idempotent
+        rep2 = substring_index_delete(
+            spark, path, mk([(999, "x")]).select("doc_id"), "d2"
+        )
+        assert rep2 == {"deleted_docs": 0}

@@ -66,13 +66,18 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
     from etl_prometheus2clickhouse_spark.operators.ann_index import (
         ann_index_build,
     )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_index_build,
+    )
 
     docs = _docs(spark)
     bm25, sem = _build_two(spark, tmp_path)
     mh = str(tmp_path / "mh")
     ann = str(tmp_path / "ann")
+    sub = str(tmp_path / "sub")
     with cached_scope():
         minhash_index_build(docs, mh, threshold=0.5)
+        substring_index_build(docs, sub, min_len=5)
         import math
 
         rows = [
@@ -89,7 +94,7 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
             spark,
             dele,
             [("bm25", bm25), ("semantic", sem), ("minhash", mh),
-             ("ann", ann)],
+             ("ann", ann), ("substring", sub)],
             str(tmp_path),
             "gdpr-1",
             compact=True,
@@ -97,13 +102,14 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
         )
         assert out["complete"] and not out["resumed"]
         assert set(out["indexes"]) == {
-            "0:bm25", "1:semantic", "2:minhash", "3:ann"
+            "0:bm25", "1:semantic", "2:minhash", "3:ann", "4:substring"
         }
         assert all(
             v["status"] == "compacted" for v in out["indexes"].values()
         )
         assert out["indexes"]["0:bm25"]["report"]["deleted_docs"] == 1
         assert out["indexes"]["3:ann"]["report"]["deleted_vectors"] == 1
+        assert out["indexes"]["4:substring"]["report"]["deleted_docs"] == 1
         # the composed effect is the per-index reduced-corpus contract
         queries = spark.createDataFrame(
             [(100, ["quick", "fox"])], "query_id long, terms array<string>"
