@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # round-15: unigram-LM (SentencePiece-style) tokenizer + the
     # one-call takedown compliance path over both retrieval indexes
     "unigram_tokenize",
+    "unigram_encode_ids",
     "takedown_lifecycle",
     "substring_delete",
     "nb_classify",
@@ -350,7 +351,8 @@ TOUCHED_THIS_ROUND = {
     "bm25_delete", "dedup_delete", "ann_delete", "semantic_delete",
     "hybrid_increment", "bm25_rebucket",
     # round-15: new entries (no reference yet)
-    "unigram_tokenize", "takedown_lifecycle", "substring_delete",
+    "unigram_tokenize", "unigram_encode_ids", "takedown_lifecycle",
+    "substring_delete",
 }
 
 PROBE_PINNED = {

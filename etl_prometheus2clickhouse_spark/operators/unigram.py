@@ -368,6 +368,77 @@ def unigram_apply(
     )
 
 
+def unigram_vocab(model: "list[tuple[str, float]]") -> "dict[str, int]":
+    """Deterministic token-id table: pieces take ids in the model's
+    piece-sorted order (the layout :func:`unigram_train` already
+    emits). The UNK id is ``len(vocab)`` by convention — encode maps
+    out-of-alphabet single-character tokens there (the only unseen-
+    token source: every in-alphabet word decomposes to base chars)."""
+    return {p: i for i, (p, _) in enumerate(model)}
+
+
+def unigram_encode_ids(
+    corpus: DataFrame,
+    model: "list[tuple[str, float]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """Tokenize to TOKEN IDS — what a training pipeline actually ships
+    (ids feed sequence packing; strings are a debugging view). Same
+    Arrow-batched memoized Viterbi as :func:`unigram_apply`, then the
+    broadcast vocab maps each piece; out-of-vocabulary tokens (UNK
+    single chars, and words over ``MAX_WORD_LEN`` passed through
+    opaque) map to ``len(vocab)``. Output ``(id, n_tokens,
+    ids array<int>)``."""
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    nll = dict(model)
+    vocab = unigram_vocab(model)
+    unk = len(vocab)
+    mpl = (
+        max_piece_len
+        if max_piece_len is not None
+        else max((len(p) for p in nll), default=1)
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__uid"), _words(F.col(text_col)).alias("__uw")
+    )
+
+    def gen(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        memo: "dict[str, list[int]]" = {}
+        for pdf in batches:
+            ids_col, n_toks, toks = [], [], []
+            for i, ws in zip(pdf["__uid"], pdf["__uw"]):
+                enc: "list[int]" = []
+                for w in ws:
+                    w = str(w)
+                    got = memo.get(w)
+                    if got is None:
+                        got = [
+                            vocab.get(t, unk)
+                            for t in viterbi_segment(w, nll, mpl)
+                        ]
+                        memo[w] = got
+                    enc.extend(got)
+                ids_col.append(i)
+                n_toks.append(len(enc))
+                toks.append(enc)
+            yield pd.DataFrame(
+                {"__uid": ids_col, "n_tokens": n_toks, "ids": toks}
+            )
+
+    out_schema = (
+        f"__uid {base.schema['__uid'].dataType.simpleString()}, "
+        "n_tokens long, ids array<int>"
+    )
+    return base.mapInPandas(gen, out_schema).withColumnRenamed(
+        "__uid", id_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # independent reference trainer (the oracle's model source)
 # ---------------------------------------------------------------------------
@@ -502,6 +573,8 @@ __all__ = [
     "MAX_WORD_LEN",
     "unigram_train",
     "unigram_apply",
+    "unigram_encode_ids",
+    "unigram_vocab",
     "unigram_reference_model",
     "unigram_reference_segment",
     "viterbi_segment",

@@ -5416,6 +5416,59 @@ def _build_unigram_oracle() -> str:
 
 ORACLE_UNIGRAM_TOKENIZE = _build_unigram_oracle()
 
+
+def q_unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token-ID encoding (operators/unigram.py
+    ``unigram_encode_ids``): the trained piece table plus the
+    deterministic piece-sorted vocab (UNK = len(vocab) for
+    out-of-alphabet characters and opaque over-length words). The
+    oracle maps the unrolled-DP token stream through a literal CASE
+    built from the INDEPENDENT reference model — training,
+    segmentation, and id assignment all have to agree for the id
+    arrays to hash-match."""
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_train,
+    )
+
+    ref = local_df(
+        spark, [(t,) for t in _UNIGRAM_TRAIN_TEXTS], "text string"
+    )
+    model = unigram_train(
+        ref, vocab_size=_UNIGRAM_VOCAB, max_piece_len=_UNIGRAM_MPL,
+        em_iters=_UNIGRAM_ITERS,
+    )
+    return unigram_encode_ids(_t(spark, sf_dir, "documents"), model)
+
+
+def _build_unigram_ids_oracle() -> str:
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        unigram_reference_model,
+        unigram_vocab,
+    )
+
+    model = unigram_reference_model(
+        _UNIGRAM_TRAIN_TEXTS, vocab_size=_UNIGRAM_VOCAB,
+        max_piece_len=_UNIGRAM_MPL, em_iters=_UNIGRAM_ITERS,
+    )
+    vocab = unigram_vocab(model)
+    whens = " ".join(
+        "WHEN '" + p.replace("'", "''") + f"' THEN {i}"
+        for p, i in vocab.items()
+    )
+    case = f"CASE t {whens} ELSE {len(vocab)} END"
+    head = ORACLE_UNIGRAM_TOKENIZE.rsplit("SELECT docs.doc_id,", 1)[0]
+    return head + (
+        "SELECT docs.doc_id,"
+        " CAST(coalesce(len(p.allps), 0) AS BIGINT) AS n_tokens,"
+        f" coalesce(list_transform(p.allps, t -> CAST({case} AS"
+        " INTEGER)), CAST([] AS INTEGER[])) AS ids"
+        " FROM documents docs LEFT JOIN ug_doc p USING (doc_id)"
+    )
+
+
+ORACLE_UNIGRAM_ENCODE_IDS = _build_unigram_ids_oracle()
+
 _PACK_IDS_BUDGET = 512
 
 
@@ -8850,6 +8903,7 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-15: unigram-LM (SentencePiece-style) tokenizer — hard-EM
     # training + Arrow-batched Viterbi encode, oracle-unrolled DP
     "unigram_tokenize": q_unigram_tokenize,
+    "unigram_encode_ids": q_unigram_encode_ids,
     # round-15: the one-call compliance path — takedown() sweeping
     # both retrieval indexes, faced with the reduced-corpus BM25 SQL
     "takedown_lifecycle": q_takedown_lifecycle,
@@ -9102,6 +9156,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
     "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
+    "unigram_encode_ids": ORACLE_UNIGRAM_ENCODE_IDS,
     "takedown_lifecycle": ORACLE_BM25_DELETE,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,

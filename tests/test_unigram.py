@@ -101,3 +101,33 @@ def test_viterbi_prefers_cheaper_multichar_path():
 def test_oov_char_uses_unk_edge():
     model = [("a", 1.0)]
     assert viterbi_segment("a9a", dict(model), 1) == ["a", "9", "a"]
+
+
+def test_encode_ids_matches_vocab_mapping(spark, ref_df):
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_vocab,
+    )
+
+    model = unigram_train(
+        ref_df, vocab_size=VOCAB, max_piece_len=MPL, em_iters=ITERS
+    )
+    vocab = unigram_vocab(model)
+    unk = len(vocab)
+    docs = spark.createDataFrame(
+        [(1, "the lowest runner"), (2, "zq9"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, list(r.ids))
+        for r in unigram_encode_ids(docs, model).collect()
+    }
+    for doc_id, text in [(1, "the lowest runner"), (2, "zq9"), (3, "")]:
+        ids = []
+        for w in text.lower().split():
+            for t in unigram_reference_segment(w, model):
+                ids.append(vocab.get(t, unk))
+        assert got[doc_id] == (len(ids), ids), doc_id
+    # the OOV chars 'z','q','9' are not in the training alphabet → UNK
+    assert unk in got[2][1]
+    assert got[3] == (0, [])
