@@ -8752,6 +8752,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # migration are oracle-verified in CROSS_CHECKED.
     "bm25_delete": q_bm25_delete,
     "hybrid_increment": q_hybrid_increment,
+    # round-15 distinct operators: unigram-LM tokenization (hard-EM
+    # train + Viterbi encode vs the unrolled-DP oracle) and the
+    # one-call corpus takedown sweeping both retrieval indexes
+    "unigram_tokenize": q_unigram_tokenize,
+    "takedown_lifecycle": q_takedown_lifecycle,
 }
 
 # Alternate formulations of operators verified above - each is a
@@ -8900,13 +8905,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize_arrow": q_bpe_tokenize_arrow,
     "bpe_encode_ids": q_bpe_encode_ids,
     "bpe_pack_ids": q_bpe_pack_ids,
-    # round-15: unigram-LM (SentencePiece-style) tokenizer — hard-EM
-    # training + Arrow-batched Viterbi encode, oracle-unrolled DP
-    "unigram_tokenize": q_unigram_tokenize,
+    # round-15: the variant faces of the new driver-window entries —
+    # token-ID encoding beside the primary unigram tokenizer, and the
+    # single-index substring takedown beside the orchestrated one
     "unigram_encode_ids": q_unigram_encode_ids,
-    # round-15: the one-call compliance path — takedown() sweeping
-    # both retrieval indexes, faced with the reduced-corpus BM25 SQL
-    "takedown_lifecycle": q_takedown_lifecycle,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -9084,6 +9086,8 @@ ORACLES: dict[str, str] = {
     # round-14: deletion lifecycle + persisted-index hybrid retrieval
     "bm25_delete": ORACLE_BM25_DELETE,
     "hybrid_increment": ORACLE_HYBRID_INCREMENT,
+    "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
+    "takedown_lifecycle": ORACLE_BM25_DELETE,
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {
@@ -9155,9 +9159,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quality_score": _oracle_quality_score(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
-    "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
     "unigram_encode_ids": ORACLE_UNIGRAM_ENCODE_IDS,
-    "takedown_lifecycle": ORACLE_BM25_DELETE,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
