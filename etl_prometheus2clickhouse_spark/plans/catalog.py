@@ -8722,7 +8722,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational analytics
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
-    "events_rate": q_events_rate,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
     # round-10 behavior-analytics swap (demote-to-fund): the ClickHouse
@@ -8742,19 +8741,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidate→exact-rescore contract, same jaccard oracle family)
     # and SimHash stays oracle-verified cross-checked.
     "events_ewma": q_events_ewma,
-    # round-14: the deletion/tombstone lifecycle (the VERDICT's #2 gap)
-    # and hybrid retrieval served from the persisted indexes (#4) join
-    # the driver window — bm25_delete exercises anti-joined postings +
-    # negative stats against the reduced-corpus one-shot;
-    # hybrid_increment composes BOTH persisted index searches (BM25
-    # inverted file + IVFADC) through reciprocal-rank fusion. The
-    # sibling deletes (ann/semantic/dedup) and the BM25 geometry
-    # migration are oracle-verified in CROSS_CHECKED.
-    "bm25_delete": q_bm25_delete,
+    # round-14: hybrid retrieval served from the persisted indexes —
+    # composes BOTH persisted index searches (BM25 inverted file +
+    # IVFADC) through reciprocal-rank fusion.
     "hybrid_increment": q_hybrid_increment,
     # round-15 distinct operators: unigram-LM tokenization (hard-EM
     # train + Viterbi encode vs the unrolled-DP oracle) and the
-    # one-call corpus takedown sweeping both retrieval indexes
+    # one-call corpus takedown sweeping both retrieval indexes with
+    # the resumable state record. takedown_lifecycle DOMINATES the
+    # round-14 bm25_delete window slot (same reduced-corpus oracle,
+    # the delete now exercised THROUGH the orchestrator) — bm25_delete
+    # and every sibling delete stay oracle-verified in CROSS_CHECKED.
     "unigram_tokenize": q_unigram_tokenize,
     "takedown_lifecycle": q_takedown_lifecycle,
 }
@@ -8905,6 +8902,12 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize_arrow": q_bpe_tokenize_arrow,
     "bpe_encode_ids": q_bpe_encode_ids,
     "bpe_pack_ids": q_bpe_pack_ids,
+    # round-15 demotions (window cap): events_rate is the batch twin
+    # of the streaming-fed stream_rate (same counter-rate operator);
+    # bm25_delete is exercised through takedown_lifecycle's
+    # orchestrated sweep against the same reduced-corpus oracle
+    "events_rate": q_events_rate,
+    "bm25_delete": q_bm25_delete,
     # round-15: the variant faces of the new driver-window entries —
     # token-ID encoding beside the primary unigram tokenizer, and the
     # single-index substring takedown beside the orchestrated one
@@ -9067,7 +9070,6 @@ ORACLES: dict[str, str] = {
     "decode_jpeg_ac": ORACLE_DECODE_JPEG_AC,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_top_orders": ORACLE_Q3,
-    "events_rate": ORACLE_EVENTS_RATE,
     "events_asof": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "window_funnel": ORACLE_WINDOW_FUNNEL,
@@ -9083,8 +9085,7 @@ ORACLES: dict[str, str] = {
     "stream_join": ORACLE_STREAM_JOIN,
     "stream_sessions": ORACLE_STREAM_SESSIONS,
     "events_quantiles_sketch": ORACLE_EVENTS_QUANTILES_SKETCH,
-    # round-14: deletion lifecycle + persisted-index hybrid retrieval
-    "bm25_delete": ORACLE_BM25_DELETE,
+    # round-14: persisted-index hybrid retrieval
     "hybrid_increment": ORACLE_HYBRID_INCREMENT,
     "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
     "takedown_lifecycle": ORACLE_BM25_DELETE,
@@ -9159,6 +9160,8 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "quality_score": _oracle_quality_score(),
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "bpe_tokenize_arrow": ORACLE_BPE_TOKENIZE,
+    "events_rate": ORACLE_EVENTS_RATE,
+    "bm25_delete": ORACLE_BM25_DELETE,
     "unigram_encode_ids": ORACLE_UNIGRAM_ENCODE_IDS,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
