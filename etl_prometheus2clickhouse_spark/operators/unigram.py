@@ -163,6 +163,12 @@ def _em_and_prune(
     counts: "dict[str, int]" = {p: seed_counts[p] for p in chars}
     counts.update(dict(multi))
 
+    if not counts:
+        raise ValueError(
+            "unigram_train: the reference corpus has no tokens — a "
+            "piece table cannot be estimated from an empty vocabulary"
+        )
+
     def _driver_e_step(nll: "dict[str, float]") -> "dict[str, int]":
         new: "dict[str, int]" = {}
         for w, c in word_counts.items():

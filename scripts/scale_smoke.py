@@ -1603,6 +1603,53 @@ def main() -> None:
     finally:
         shutil.rmtree(bm_dir3.rsplit("/", 1)[0], ignore_errors=True)
 
+    # ---- substring-index takedown economics (round-15) ---------------
+    # the window-index delete is one tombstone commit: the search-side
+    # anti-join reads delete-set-sized tombstone bytes, never the
+    # windows table, and probes stay partition-pruned
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        substring_increment,
+        substring_index_build,
+        substring_index_delete,
+    )
+
+    sub_root = tempfile.mkdtemp(prefix="smoke_subdel_")
+    sub_dir = f"{sub_root}/idx"
+    try:
+        sub_corpus = docs.where(F.col("doc_id") % 4 == 0)
+        t0 = time.perf_counter()
+        substring_index_build(sub_corpus, sub_dir, min_len=5)
+        t_build = round(time.perf_counter() - t0, 1)
+        sdele = sub_corpus.where(F.col("doc_id") % 100 == 4).select(
+            "doc_id"
+        )
+        t0 = time.perf_counter()
+        srep = substring_index_delete(spark, sub_dir, sdele, "takedown")
+        t_sdel = round(time.perf_counter() - t0, 1)
+        assert srep["deleted_docs"] > 0
+        win_econ = probe_economics(
+            spark, f"{sub_dir}/windows", "hp", list(range(64))
+        )
+        stomb_econ = probe_economics(
+            spark, f"{sub_dir}/tombstones", "ip", list(range(64))
+        )
+        assert stomb_econ["bytes_total"] < 0.05 * win_econ["bytes_total"], (
+            stomb_econ, win_econ,
+        )
+        # the post-delete probe still runs (pruned reads + anti-join)
+        sshard = docs.where(F.col("doc_id") % 4 == 1).limit(200)
+        n_spans = substring_increment(sshard, sub_dir).count()
+        print(
+            f"substring takedown: build {t_build}s, "
+            f"{srep['deleted_docs']} docs tombstoned in {t_sdel}s; "
+            f"anti-join side reads {stomb_econ['bytes_total']} tombstone "
+            f"bytes vs {win_econ['bytes_total']} window bytes "
+            f"(delete-set-sized); post-delete shard probe: {n_spans} "
+            "spans"
+        )
+    finally:
+        shutil.rmtree(sub_root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

@@ -131,3 +131,9 @@ def test_encode_ids_matches_vocab_mapping(spark, ref_df):
     # the OOV chars 'z','q','9' are not in the training alphabet → UNK
     assert unk in got[2][1]
     assert got[3] == (0, [])
+
+
+def test_empty_reference_fails_loud(spark):
+    empty = spark.createDataFrame([("",), ("   ",)], "text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        unigram_train(empty, vocab_size=8)
