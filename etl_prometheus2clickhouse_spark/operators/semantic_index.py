@@ -275,27 +275,34 @@ def semantic_increment(
     # the probe set: the distinct cells the shard itself lands in —
     # bounded by n_cells literals, pushed as a PARTITION filter so the
     # stored-vector read prunes file listings to those directories.
-    # This collect also MATERIALIZES the cache, so the guard probe,
-    # the guard join, and the identity write below all reuse the one
-    # shard scan (the append's fixed job count was the round-14
-    # regression: three extra shard scans per append).
-    probe_cells = [
-        r.cell for r in cells.select("cell").distinct().collect()
-    ]
-    if update_index and id_buckets is not None:
+    # ONE collect serves both probe sets (cells AND the guard's id
+    # buckets) and MATERIALIZES the cache, so the guard join and the
+    # identity write below reuse the one shard scan (the append's
+    # fixed job count was the round-14 regression: three extra shard
+    # scans + two probe collects per append). The pair-distinct
+    # collect is bounded by n_cells × id_buckets rows of two ints.
+    need_guard = update_index and id_buckets is not None
+    probe_pairs = (
+        cells.select(
+            "cell",
+            (
+                _ip(_id_str("id"), id_buckets)
+                if need_guard else F.lit(0)
+            ).alias("ip"),
+        )
+        .distinct()
+        .collect()
+    )
+    probe_cells = sorted({r.cell for r in probe_pairs})
+    if need_guard:
         # id-overlap detection before anything is written: an
         # overlapping update would give the one-shot's lower-id
         # relation two rows for one identity (self-duplicate at cos
-        # 1.0). Pruned to the shard's own ip= buckets (collected from
-        # the cached frame); the increment's own replayed label is
-        # excluded, so at-least-once replays pass.
+        # 1.0). Pruned to the shard's own ip= buckets; the increment's
+        # own replayed label is excluded, so at-least-once replays
+        # pass.
         new_ids = cells.select(_id_str("id").alias("id")).distinct()
-        probe_ips = [
-            r.ip
-            for r in new_ids.select(
-                _ip(F.col("id"), id_buckets).alias("ip")
-            ).distinct().collect()
-        ]
+        probe_ips = sorted({r.ip for r in probe_pairs})
         stored_ids = _read_id_table_probed(
             spark, path, "ids", new_ids, id_buckets, live,
             exclude_label=update_label, probe=probe_ips,
