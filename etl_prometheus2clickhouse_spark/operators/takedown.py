@@ -254,7 +254,7 @@ def takedown(
         {"deleted", "compacted"} if not compact else {"compacted"}
     )
     for entry in state["indexes"]:
-        delete_fn, compact_fn = _kind_fns(entry["kind"])
+        delete_fn, _ = _kind_fns(entry["kind"])
         if entry["status"] == "pending":
             # per-index label = the takedown label: a resume replays
             # the SAME delete (overwrite-idempotent per that index's
