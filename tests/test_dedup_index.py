@@ -1281,3 +1281,35 @@ def test_substring_delete_lifecycle(spark, tmp_path):
             spark, path, mk([(999, "x")]).select("doc_id"), "d2"
         )
         assert rep2 == {"deleted_docs": 0}
+
+
+def test_empty_probe_guard_lists_no_files(spark, tmp_path):
+    """VERDICT r14 item 7's done-criterion: an EMPTY probe set (empty
+    shard) short-circuits `_read_id_table_probed` to a driver-local
+    frame — the physical plan contains NO file scan of the identity
+    table, so the guard costs zero file listings on an empty append."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _read_id_table_probed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    bm25_index_build(docs, path, term_buckets=4, id_buckets=8)
+    empty = docs.where(F.lit(False)).select(
+        F.col("doc_id").cast("string").alias("id")
+    )
+    out = _read_id_table_probed(spark, path, "ids", empty, 8, None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Parquet" not in plan, plan
+    assert out.count() == 0
+    # and the full empty append goes through end-to-end
+    bm25_index_append(
+        docs.where(F.lit(False)), path, "w-empty"
+    )

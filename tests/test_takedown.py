@@ -196,3 +196,53 @@ def test_record_is_defined_by_first_call(spark, tmp_path):
         takedown(spark, dele, [("bm25", bm25)], str(tmp_path), "a/b")
     with pytest.raises(ValueError, match="unknown index kind"):
         takedown(spark, dele, [("lucene", bm25)], str(tmp_path), "gdpr-4")
+
+
+def test_crash_mid_compact_phase_resumes(spark, tmp_path, monkeypatch):
+    """A crash AFTER all deletes landed but during the compaction
+    phase: the record says which indexes compacted; the resume
+    compacts only the remainder — deletes are never re-run."""
+    import etl_prometheus2clickhouse_spark.operators.bm25_index as bm
+    import etl_prometheus2clickhouse_spark.operators.semantic_index as sm
+
+    bm25, sem = _build_two(spark, tmp_path)
+    calls = {"del": 0, "cmp_bm": 0, "cmp_sm": 0}
+    real_del = bm.bm25_index_delete
+    real_cbm, real_csm = bm.bm25_index_compact, sm.semantic_index_compact
+
+    monkeypatch.setattr(
+        bm, "bm25_index_delete",
+        lambda *a, **k: (calls.__setitem__("del", calls["del"] + 1),
+                         real_del(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        bm, "bm25_index_compact",
+        lambda *a, **k: (calls.__setitem__("cmp_bm", calls["cmp_bm"] + 1),
+                         real_cbm(*a, **k))[1],
+    )
+
+    def crashing_csm(*a, **k):
+        calls["cmp_sm"] += 1
+        raise RuntimeError("simulated crash mid-compaction")
+
+    monkeypatch.setattr(sm, "semantic_index_compact", crashing_csm)
+    dele = spark.createDataFrame([(2,)], "id long")
+    idx = [("bm25", bm25), ("semantic", sem)]
+    with pytest.raises(RuntimeError, match="mid-compaction"):
+        takedown(spark, dele, idx, str(tmp_path), "gdpr-5", compact=True)
+    st = takedown_status(spark, str(tmp_path), "gdpr-5")
+    assert st["indexes"]["0:bm25"]["status"] == "compacted"
+    assert st["indexes"]["1:semantic"]["status"] == "deleted"
+
+    monkeypatch.setattr(
+        sm, "semantic_index_compact",
+        lambda *a, **k: (calls.__setitem__("cmp_sm", calls["cmp_sm"] + 1),
+                         real_csm(*a, **k))[1],
+    )
+    out = takedown(spark, None, idx, str(tmp_path), "gdpr-5", compact=True)
+    assert out["resumed"] and out["complete"]
+    # deletes ran once per index; the bm25 compact was NOT re-run
+    assert calls == {"del": 1, "cmp_bm": 1, "cmp_sm": 2}
+    assert all(
+        v["status"] == "compacted" for v in out["indexes"].values()
+    )
