@@ -304,4 +304,23 @@ def takedown_status(
     }
 
 
-__all__ = ["takedown", "takedown_status"]
+def takedown_list(spark: SparkSession, takedown_path: str) -> "list[dict]":
+    """Every takedown record under ``takedown_path`` (label + latest
+    per-index status summary) — the compliance-audit sweep view."""
+    jvm, fs, hdir = _hadoop_fs(
+        spark, os.path.join(takedown_path, _STATE_DIR)
+    )
+    if not fs.exists(hdir):
+        return []
+    out = []
+    for st in fs.listStatus(hdir):
+        if not st.isDirectory():
+            continue
+        label = st.getPath().getName()
+        rec = takedown_status(spark, takedown_path, label)
+        if rec is not None:
+            out.append(rec)
+    return sorted(out, key=lambda r: r["label"])
+
+
+__all__ = ["takedown", "takedown_list", "takedown_status"]

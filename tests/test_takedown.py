@@ -246,3 +246,26 @@ def test_crash_mid_compact_phase_resumes(spark, tmp_path, monkeypatch):
     assert all(
         v["status"] == "compacted" for v in out["indexes"].values()
     )
+
+
+def test_takedown_list_sweeps_all_records(spark, tmp_path):
+    from etl_prometheus2clickhouse_spark.operators.takedown import (
+        takedown_list,
+    )
+
+    assert takedown_list(spark, str(tmp_path)) == []
+    bm25, sem = _build_two(spark, tmp_path)
+    takedown(
+        spark, spark.createDataFrame([(3,)], "id long"),
+        [("bm25", bm25)], str(tmp_path), "case-a",
+    )
+    takedown(
+        spark, spark.createDataFrame([(4,)], "id long"),
+        [("semantic", sem)], str(tmp_path), "case-b",
+    )
+    recs = takedown_list(spark, str(tmp_path))
+    assert [r["label"] for r in recs] == ["case-a", "case-b"]
+    assert all(
+        v["status"] == "deleted"
+        for r in recs for v in r["indexes"].values()
+    )
