@@ -2283,6 +2283,72 @@ def substring_index_compact(
     return out
 
 
+def paragraph_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    label: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """Tombstone documents out of the paragraph hash index — the
+    takedown lifecycle event for the CCNet stage: a deleted doc's
+    contributor rows stop suppressing future occurrences of its
+    paragraphs (a hash it ALONE contributed becomes electable again —
+    the one-shot election on the reduced corpus), while hashes with
+    surviving contributors keep suppressing. Same tombstone mechanics
+    as the siblings; the id stays occupied for the overlap guard
+    until compaction. Requires the contributor-attributed layout —
+    every live paras increment must carry the ``id`` column (indexes
+    built before attribution refuse loudly until rebuilt; their ids
+    are unknowable after the fact). Returns ``{deleted_docs}``."""
+    if not label or any(c in label for c in "/=%"):
+        raise ValueError(
+            "paragraph_index_delete needs a filesystem-safe label, "
+            f"got {label!r}"
+        )
+    id_buckets = _ids_buckets(spark, path, None)
+    if id_buckets is None:
+        raise ValueError(
+            f"paragraph_index_delete: the index at {path!r} predates "
+            "the identity layer (no idmeta table) — rebuild it once "
+            "with paragraph_index_build to enable deletes"
+        )
+    # every live increment must be contributor-attributed: a legacy
+    # hash-only increment's rows cannot be attributed to the deleted
+    # doc, so deletion over a mixed index would silently miss rows
+    live = _manifest_tables(spark, path, ["paras"]).get("paras", [])
+    root = os.path.join(path, "paras")
+    for d in live:
+        cols = spark.read.parquet(os.path.join(root, d)).columns
+        if "id" not in cols:
+            raise ValueError(
+                f"paragraph_index_delete: increment {d!r} at {path!r} "
+                "predates contributor attribution (hash-only rows) — "
+                "rebuild the index from the reduced corpus to enable "
+                "deletes"
+            )
+    want = ids.select(_id_str(id_col).alias("id")).distinct()
+    present = _read_id_table_probed(
+        spark, path, _IDS_TABLE, want, id_buckets, None
+    ).select("id").join(want, "id", "leftsemi")
+    tomb_prior = None
+    m = _read_manifest(spark, path)
+    if m is not None and m["tables"].get(_TOMB_TABLE):
+        prior = [
+            d for d in m["tables"][_TOMB_TABLE] if d != f"mb={label}"
+        ]
+        if prior:
+            troot = os.path.join(path, _TOMB_TABLE)
+            tomb_prior = spark.read.option("basePath", troot).parquet(
+                *[os.path.join(troot, d) for d in prior]
+            ).select("id")
+    effective = _anti_tombstones(present, tomb_prior, "id")
+    n = effective.count()
+    _tomb_write(spark, path, effective, label, id_buckets)
+    _manifest_add(spark, path, [_TOMB_TABLE], label)
+    return {"deleted_docs": int(n)}
+
+
 def paragraph_index_compact(
     spark: SparkSession, path: str,
     exclude_labels: set[str] | None = None,
@@ -2290,16 +2356,32 @@ def paragraph_index_compact(
     """Compact the paragraph hash index's increments (the CCNet-stage
     sibling of :func:`minhash_index_compact` — same manifest-committed
     fold, same ``exclude_labels`` replay guard for the streaming
-    lifecycle)."""
+    lifecycle). Deletion integration mirrors the siblings: tombstoned
+    contributor rows are physically dropped ONLY in the pass that also
+    clears the tombstone table (legacy hash-only rows pass through the
+    fold unchanged — they carry no id to drop)."""
+    tomb = _read_tombstones(spark, path, None)
+
+    def _drop_tombstoned(rows: DataFrame) -> DataFrame:
+        if "id" not in rows.columns:
+            return rows
+        return _anti_tombstones(rows, tomb, "id")
+
+    drop = _drop_tombstoned if not exclude_labels else None
     out = {
         "paras_rows": _compact_increment_table(
-            spark, path, "paras", "hp", exclude_labels=exclude_labels
+            spark, path, "paras", "hp", exclude_labels=exclude_labels,
+            transform=drop,
         )
     }
     if _ids_buckets(spark, path, None) is not None:
         out["id_rows"] = _compact_increment_table(
-            spark, path, _IDS_TABLE, "ip", exclude_labels=exclude_labels
+            spark, path, _IDS_TABLE, "ip", exclude_labels=exclude_labels,
+            transform=drop,
         )
+    if tomb is not None and not exclude_labels:
+        _set_manifest_table(spark, path, _TOMB_TABLE, [])
+        out["tombstones_cleared"] = True
     return out
 
 
@@ -2337,17 +2419,26 @@ def paragraph_index_build(
     sep: str = "\n",
     index_buckets: int = 64,
 ) -> None:
-    """Persist the corpus's DISTINCT paragraph hashes — (hp, h),
-    partitioned by (increment, hash-prefix) — the CCNet-stage sibling
-    of the window index. Only hashes persist: with id-ordered arrival
+    """Persist the corpus's paragraph-hash CONTRIBUTOR relation —
+    (hp, h, id) distinct pairs, partitioned by (increment,
+    hash-prefix) — the CCNet-stage sibling of the window index.
+    Membership reads only ever consume ``h`` (with id-ordered arrival
     an indexed paragraph beats every later shard occurrence, so the
-    winner's (id, pos) never needs to leave the corpus."""
+    winner's (id, pos) never needs to leave the corpus); the ``id``
+    attribution exists for DELETION: tombstoning a doc removes exactly
+    its rows, so a hash it alone contributed stops suppressing future
+    occurrences — the one-shot election on the reduced corpus.
+    Pre-attribution indexes (hash-only rows) keep working for
+    membership and refuse deletes until rebuilt."""
     spark = corpus.sparkSession
     _delete_path(spark, path)
-    h = _para_slim(corpus, id_col, text_col, sep).select("h").distinct()
+    h = _para_slim(corpus, id_col, text_col, sep).select(
+        "h", "id"
+    ).distinct()
     h.select(
         F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
         "h",
+        _id_str("id").alias("id"),
     ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
         "hp"
     ).parquet(os.path.join(path, "paras", "mb=base"))
@@ -2438,6 +2529,15 @@ def paragraph_increment(
     if update_index:
         # replay exclusion — see substring_increment
         para_tbl = para_tbl.where(F.col("mb") != F.lit(update_label))
+    if "id" in para_tbl.columns:
+        # deletion read-side: a tombstoned doc's contributor rows stop
+        # suppressing future occurrences (the one-shot on the reduced
+        # corpus); no-op when the index holds no tombstones, and
+        # pre-attribution indexes (no id column) never have any —
+        # paragraph_index_delete refuses them
+        para_tbl = _anti_tombstones(
+            para_tbl, _read_tombstones(spark, path, None), "id"
+        )
     idx_h = para_tbl.where(F.col("hp").isin(probe_hps)).select("h")
     fresh = slim.join(idx_h, "h", "left_anti")
     winners = fresh.groupBy("h").agg(
@@ -2468,11 +2568,14 @@ def paragraph_increment(
     )
     if update_index:
         result = result.localCheckpoint()  # pin before the index write
-        slim.select("h").distinct().select(
+        # contributor attribution (h, id) — deletion needs to remove
+        # exactly one doc's rows; membership reads still consume h only
+        slim.select("h", "id").distinct().select(
             F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias(
                 "hp"
             ),
             "h",
+            _id_str("id").alias("id"),
         ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
             "hp"
         ).parquet(os.path.join(path, "paras", f"mb={update_label}"))

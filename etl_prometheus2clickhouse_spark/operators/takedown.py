@@ -2,9 +2,10 @@
 right-to-be-forgotten request across EVERY persisted index.
 
 Deletion exists per index (``bm25_index_delete``, ``ann_index_delete``,
-``semantic_index_delete``, ``minhash_index_delete`` — each tombstone-
-committed, replay-idempotent under its label, oracled against the
-one-shot on the reduced corpus). What a real deployment needs on top is
+``semantic_index_delete``, ``minhash_index_delete``,
+``substring_index_delete``, ``paragraph_index_delete`` — each
+tombstone-committed, replay-idempotent under its label, oracled
+against the one-shot on the reduced corpus). What a real deployment needs on top is
 the SEQUENCE: a takedown touches four analytics indexes plus the serve
 indexes, and a crash mid-sequence must not leave the document live in
 some indexes and gone from others with nothing recording which.
@@ -89,14 +90,16 @@ def _kind_fns(kind: str):
         )
 
         return substring_index_delete, substring_index_compact
-    # NOTE the paragraph index is deliberately absent: its paras table
-    # stores (hp, h) HASHES with no document attribution, so a
-    # per-document delete is not expressible against it — a deployment
-    # that must purge paragraph hashes rebuilds that index from the
-    # reduced corpus (it is seed-sized, not corpus-sized).
+    if kind == "paragraph":
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            paragraph_index_compact,
+            paragraph_index_delete,
+        )
+
+        return paragraph_index_delete, paragraph_index_compact
     raise ValueError(
         f"takedown: unknown index kind {kind!r} — supported: "
-        "bm25, ann, semantic, minhash, substring"
+        "bm25, ann, semantic, minhash, substring, paragraph"
     )
 
 

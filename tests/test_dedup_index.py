@@ -1313,3 +1313,70 @@ def test_empty_probe_guard_lists_no_files(spark, tmp_path):
     bm25_index_append(
         docs.where(F.lit(False)), path, "w-empty"
     )
+
+
+def test_paragraph_delete_lifecycle(spark, tmp_path):
+    """Takedown on the paragraph index: contributor attribution makes
+    the delete exact — a hash the deleted doc ALONE contributed stops
+    suppressing future occurrences, while a hash with a surviving
+    contributor keeps suppressing (the one-shot election on the
+    reduced corpus); re-ingest stays refused until compaction clears
+    the tombstone."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_increment,
+        paragraph_index_build,
+        paragraph_index_compact,
+        paragraph_index_delete,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    # doc 1 alone contributes "alpha beta"; "gamma delta" has TWO
+    # contributors (docs 1 and 2)
+    seed = mk([
+        (1, "alpha beta\ngamma delta"),
+        (2, "gamma delta\nepsilon zeta"),
+    ])
+    shard = mk([(20, "alpha beta\ngamma delta\nfresh paragraph")])
+    path = str(tmp_path / "pidx")
+    with cached_scope():
+        paragraph_index_build(seed, path, index_buckets=8)
+        pre = {
+            r.doc_id: (r.n_paras, r.n_kept, r.text)
+            for r in paragraph_increment(shard, path).collect()
+        }
+        assert pre[20] == (3, 1, "fresh paragraph")
+        rep = paragraph_index_delete(
+            spark, path, mk([(1, "x")]).select("doc_id"), "d1"
+        )
+        assert rep == {"deleted_docs": 1}
+        # "alpha beta" (sole contributor deleted) is electable again;
+        # "gamma delta" still suppressed by surviving doc 2
+        post = {
+            r.doc_id: (r.n_paras, r.n_kept, r.text)
+            for r in paragraph_increment(shard, path).collect()
+        }
+        assert post[20] == (3, 2, "alpha beta\nfresh paragraph")
+        # re-ingest of the tombstoned id refused until compaction
+        redoc = mk([(1, "alpha beta")])
+        with pytest.raises(ValueError, match="overlaps ids already live"):
+            paragraph_increment(
+                redoc, path, update_index=True, update_label="w2"
+            ).write.format("noop").mode("overwrite").save()
+        out = paragraph_index_compact(spark, path)
+        assert out.get("tombstones_cleared") is True
+        paragraph_increment(
+            redoc, path, update_index=True, update_label="w2"
+        ).write.format("noop").mode("overwrite").save()
+        # the re-ingested doc suppresses "alpha beta" again
+        post2 = {
+            r.doc_id: r.n_kept
+            for r in paragraph_increment(shard, path).collect()
+        }
+        assert post2[20] == 1
+        # replayed delete under a fresh label with no matching ids
+        rep2 = paragraph_index_delete(
+            spark, path, mk([(999, "x")]).select("doc_id"), "d2"
+        )
+        assert rep2 == {"deleted_docs": 0}

@@ -67,6 +67,7 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
         ann_index_build,
     )
     from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_index_build,
         substring_index_build,
     )
 
@@ -75,9 +76,11 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
     mh = str(tmp_path / "mh")
     ann = str(tmp_path / "ann")
     sub = str(tmp_path / "sub")
+    par = str(tmp_path / "par")
     with cached_scope():
         minhash_index_build(docs, mh, threshold=0.5)
         substring_index_build(docs, sub, min_len=5)
+        paragraph_index_build(docs, par)
         import math
 
         rows = [
@@ -94,7 +97,7 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
             spark,
             dele,
             [("bm25", bm25), ("semantic", sem), ("minhash", mh),
-             ("ann", ann), ("substring", sub)],
+             ("ann", ann), ("substring", sub), ("paragraph", par)],
             str(tmp_path),
             "gdpr-1",
             compact=True,
@@ -102,7 +105,8 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
         )
         assert out["complete"] and not out["resumed"]
         assert set(out["indexes"]) == {
-            "0:bm25", "1:semantic", "2:minhash", "3:ann", "4:substring"
+            "0:bm25", "1:semantic", "2:minhash", "3:ann", "4:substring",
+            "5:paragraph",
         }
         assert all(
             v["status"] == "compacted" for v in out["indexes"].values()
@@ -110,6 +114,7 @@ def test_takedown_spans_all_kinds_and_compacts(spark, tmp_path):
         assert out["indexes"]["0:bm25"]["report"]["deleted_docs"] == 1
         assert out["indexes"]["3:ann"]["report"]["deleted_vectors"] == 1
         assert out["indexes"]["4:substring"]["report"]["deleted_docs"] == 1
+        assert out["indexes"]["5:paragraph"]["report"]["deleted_docs"] == 1
         # the composed effect is the per-index reduced-corpus contract
         queries = spark.createDataFrame(
             [(100, ["quick", "fox"])], "query_id long, terms array<string>"
