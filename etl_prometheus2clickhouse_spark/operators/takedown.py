@@ -178,9 +178,10 @@ def takedown(
     vacuum: bool = False,
 ) -> dict:
     """Tombstone ``ids`` out of every index in ``indexes`` — a list of
-    ``(kind, path)`` pairs, kinds ``bm25 | ann | semantic | minhash``
-    (the serve indexes are the same kinds at their own paths) — under
-    ONE resumable record at ``takedown_path/_takedown/<label>``.
+    ``(kind, path)`` pairs, kinds ``bm25 | ann | semantic | minhash |
+    substring | paragraph`` (the serve indexes are the same kinds at
+    their own paths) — under ONE resumable record at
+    ``takedown_path/_takedown/<label>``.
 
     First call: stages the id set (parquet, OVERWRITE — re-staging on
     a pre-first-commit crash is idempotent), commits the ``pending``
