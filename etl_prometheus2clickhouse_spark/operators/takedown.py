@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -205,12 +206,23 @@ def takedown(
     Returns ``{label, resumed, indexes: {name: {status, report}},
     complete}`` where ``name`` is ``"<pos>:<kind>"``.
     """
-    if not label or any(c in label for c in "/=%"):
+    # allowlist, not blocklist: '..' or '.' would resolve the state
+    # root to _takedown's parent and scribble state into takedown_path
+    # itself — mirror the per-index label checks
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", label or ""):
         raise ValueError(
-            f"takedown: needs a filesystem-safe label, got {label!r}"
+            "takedown: label must match [A-Za-z0-9][A-Za-z0-9._-]* "
+            f"(and not be '.'/'..'), got {label!r}"
         )
     if not indexes:
         raise ValueError("takedown: needs at least one (kind, path) index")
+    if vacuum and not compact:
+        raise ValueError(
+            "takedown: vacuum=True requires compact=True — vacuum "
+            "reclaims directories superseded BY compaction; without it "
+            "there is nothing to reclaim and the flag would be a "
+            "silent no-op"
+        )
     plan = [
         {"name": f"{i}:{kind}", "kind": kind, "path": p}
         for i, (kind, p) in enumerate(indexes)
@@ -253,6 +265,21 @@ def takedown(
             )
         id_col = state["id_col"]
     staged_ids = spark.read.parquet(ids_dir)
+    if resumed and ids is not None:
+        # a resume that silently ignored a DIVERGENT caller frame would
+        # report complete=True without ever deleting the new ids — the
+        # id set, like the index plan, is defined by the first call
+        passed = ids.select(id_col).distinct()
+        extra = passed.join(staged_ids, id_col, "left_anti").count()
+        missing = staged_ids.join(passed, id_col, "left_anti").count()
+        if extra or missing:
+            raise ValueError(
+                f"takedown: the ids passed on resume diverge from the "
+                f"staged set at {root!r} ({extra} not staged, "
+                f"{missing} staged but not passed) — a takedown is "
+                "defined by its first call; use a new label for a "
+                "different id set"
+            )
 
     done_statuses = (
         {"deleted", "compacted"} if not compact else {"compacted"}
@@ -283,10 +310,18 @@ def takedown(
         "complete": all(e["status"] in done_statuses
                         for e in state["indexes"]),
         "indexes": {
-            e["name"]: {"status": e["status"], "report": e["report"]}
-            for e in state["indexes"]
+            e["name"]: _entry_view(e) for e in state["indexes"]
         },
     }
+
+
+def _entry_view(e: dict) -> dict:
+    """Per-index audit dict: delete report always, compact report when
+    the compaction phase has run (what it physically reclaimed)."""
+    view = {"status": e["status"], "report": e["report"]}
+    if e.get("compact_report") is not None:
+        view["compact_report"] = e["compact_report"]
+    return view
 
 
 def takedown_status(
@@ -302,8 +337,7 @@ def takedown_status(
         "label": state["label"],
         "version": state["version"],
         "indexes": {
-            e["name"]: {"status": e["status"], "report": e["report"]}
-            for e in state["indexes"]
+            e["name"]: _entry_view(e) for e in state["indexes"]
         },
     }
 

@@ -204,7 +204,15 @@ def _scratch_path(name: str, sf_dir: str) -> str:
     import tempfile
 
     tmp = tempfile.gettempdir()
-    base = os.path.basename(os.path.normpath(sf_dir))
+    # key on basename + a hash of the FULL normalized path: two sf_dirs
+    # sharing a basename (e.g. .../a/sf0.01 vs .../b/sf0.01) must never
+    # alias each other's scratch (the build cache would silently serve
+    # the wrong corpus's index)
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    import hashlib
+
+    digest = hashlib.sha256(norm.encode("utf-8")).hexdigest()[:8]
+    base = f"{os.path.basename(norm)}-{digest}"
     pid = os.getpid()
     prefix, suffix = f"{name}_", f"_{base}"
     try:
@@ -274,12 +282,23 @@ def _lifecycle_scratch_ro(name: str, sf_dir: str, build_fn) -> str:
 
     base = _scratch_path(f"lcb_{name}", sf_dir)
     marker = os.path.join(base, "_COMPLETE")
+    # the marker RECORDS what was built (full normalized sf_dir): a
+    # stale/adopted dir (PID recycling) whose contents disagree with
+    # this request is rebuilt, never silently reused
+    expect = os.path.abspath(os.path.normpath(sf_dir))
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if f.read().strip() != expect:
+                    shutil.rmtree(base, ignore_errors=True)
+        except OSError:
+            shutil.rmtree(base, ignore_errors=True)
     if not os.path.exists(marker):
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
         build_fn(base)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(expect)
     return base
 
 

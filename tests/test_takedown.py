@@ -197,10 +197,58 @@ def test_record_is_defined_by_first_call(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="must name the ids"):
         takedown(spark, None, [("bm25", bm25)], str(tmp_path), "gdpr-9")
-    with pytest.raises(ValueError, match="filesystem-safe"):
-        takedown(spark, dele, [("bm25", bm25)], str(tmp_path), "a/b")
+    for bad in ("a/b", "..", ".", "", ".hidden", "a b", "-x"):
+        with pytest.raises(ValueError, match="label must match"):
+            takedown(spark, dele, [("bm25", bm25)], str(tmp_path), bad)
     with pytest.raises(ValueError, match="unknown index kind"):
         takedown(spark, dele, [("lucene", bm25)], str(tmp_path), "gdpr-4")
+    with pytest.raises(ValueError, match="requires compact=True"):
+        takedown(
+            spark, dele, [("bm25", bm25)], str(tmp_path), "gdpr-10",
+            vacuum=True,
+        )
+
+
+def test_resume_with_divergent_ids_fails_loud(spark, tmp_path):
+    """A resume that passes a DIFFERENT ids frame must not silently
+    report complete without deleting the new ids — the staged set is
+    the record's identity, same as the index plan."""
+    bm25, _ = _build_two(spark, tmp_path)
+    idx = [("bm25", bm25)]
+    dele = spark.createDataFrame([(3,)], "id long")
+    takedown(spark, dele, idx, str(tmp_path), "gdpr-6")
+    with pytest.raises(ValueError, match="diverge from the staged"):
+        takedown(
+            spark, spark.createDataFrame([(4,)], "id long"),
+            idx, str(tmp_path), "gdpr-6",
+        )
+    # resuming with the SAME set (even a re-built frame) is fine
+    out = takedown(
+        spark, spark.createDataFrame([(3,)], "id long"),
+        idx, str(tmp_path), "gdpr-6",
+    )
+    assert out["resumed"] and out["complete"]
+
+
+def test_compact_report_exposed_in_audit_views(spark, tmp_path):
+    """The compaction phase's report (what it physically reclaimed) is
+    visible in both the takedown() return and takedown_status()."""
+    bm25, _ = _build_two(spark, tmp_path)
+    dele = spark.createDataFrame([(2,)], "id long")
+    out = takedown(
+        spark, dele, [("bm25", bm25)], str(tmp_path), "gdpr-7",
+        compact=True,
+    )
+    assert out["indexes"]["0:bm25"]["compact_report"] is not None
+    st = takedown_status(spark, str(tmp_path), "gdpr-7")
+    assert st["indexes"]["0:bm25"]["compact_report"] is not None
+    # delete-only records omit the key rather than carrying null
+    takedown(
+        spark, spark.createDataFrame([(3,)], "id long"),
+        [("bm25", bm25)], str(tmp_path), "gdpr-8",
+    )
+    st8 = takedown_status(spark, str(tmp_path), "gdpr-8")
+    assert "compact_report" not in st8["indexes"]["0:bm25"]
 
 
 def test_crash_mid_compact_phase_resumes(spark, tmp_path, monkeypatch):
