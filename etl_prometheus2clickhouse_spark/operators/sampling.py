@@ -406,6 +406,7 @@ def write_training_shards(
     path: str,
     n_shards: int,
     order_col: str = "mix_key",
+    key_spec: "dict | None" = None,
 ) -> DataFrame:
     """Materialize a corpus (typically a :func:`mix_corpora` output)
     into ``n_shards`` internally-sorted parquet shards keyed on
@@ -424,6 +425,13 @@ def write_training_shards(
     sizes, and engines, auditable with one line of SQL. The write is
     ``partitionBy`` on the shard id (one directory per shard); the
     single shuffle is the per-shard clustering for the sorted write.
+
+    ``key_spec`` (optional) records how ``order_col`` derives from the
+    row id (:func:`.shards.write_shards_meta` format) in a
+    ``_shards_meta.json`` beside the shards — it makes a later
+    :func:`.shards.shards_delete` takedown scan-free (the affected
+    shard set is recomputed from the delete ids alone). The geometry
+    (order_col, n_shards, width) is recorded unconditionally.
 
     Returns a slim audit manifest read back from the written table:
     one row per shard with its row count and observed key range."""
@@ -447,6 +455,13 @@ def write_training_shards(
         .write.mode("overwrite")
         .partitionBy("__shard")
         .parquet(path)
+    )
+    from etl_prometheus2clickhouse_spark.operators.shards import (
+        write_shards_meta,
+    )
+
+    write_shards_meta(
+        df.sparkSession, path, order_col, n_shards, key_spec=key_spec
     )
     back = df.sparkSession.read.parquet(path)
     return (

@@ -5,7 +5,9 @@ Deletion exists per index (``bm25_index_delete``, ``ann_index_delete``,
 ``semantic_index_delete``, ``minhash_index_delete``,
 ``substring_index_delete``, ``paragraph_index_delete`` — each
 tombstone-committed, replay-idempotent under its label, oracled
-against the one-shot on the reduced corpus). What a real deployment needs on top is
+against the one-shot on the reduced corpus) and per materialized
+output (``shards_delete`` / ``dispositions_delete`` in
+:mod:`.shards` — physical at delete time, replay-idempotent). What a real deployment needs on top is
 the SEQUENCE: a takedown touches four analytics indexes plus the serve
 indexes, and a crash mid-sequence must not leave the document live in
 some indexes and gone from others with nothing recording which.
@@ -98,9 +100,24 @@ def _kind_fns(kind: str):
         )
 
         return paragraph_index_delete, paragraph_index_compact
+    if kind == "shards":
+        from etl_prometheus2clickhouse_spark.operators.shards import (
+            shards_compact,
+            shards_delete,
+        )
+
+        return shards_delete, shards_compact
+    if kind == "dispositions":
+        from etl_prometheus2clickhouse_spark.operators.shards import (
+            dispositions_compact,
+            dispositions_delete,
+        )
+
+        return dispositions_delete, dispositions_compact
     raise ValueError(
         f"takedown: unknown index kind {kind!r} — supported: "
-        "bm25, ann, semantic, minhash, substring, paragraph"
+        "bm25, ann, semantic, minhash, substring, paragraph, "
+        "shards, dispositions"
     )
 
 
@@ -181,7 +198,11 @@ def takedown(
     """Tombstone ``ids`` out of every index in ``indexes`` — a list of
     ``(kind, path)`` pairs, kinds ``bm25 | ann | semantic | minhash |
     substring | paragraph`` (the serve indexes are the same kinds at
-    their own paths) — under ONE resumable record at
+    their own paths) plus the MATERIALIZED outputs ``shards`` (a
+    :func:`.sampling.write_training_shards` table — the published
+    training data itself) and ``dispositions`` (the streaming funnel's
+    audit table), whose deletes are physical at delete time
+    (:mod:`.shards`) — under ONE resumable record at
     ``takedown_path/_takedown/<label>``.
 
     First call: stages the id set (parquet, OVERWRITE — re-staging on

@@ -8604,6 +8604,92 @@ def q_takedown_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_shards_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown of the MATERIALIZED training output (operators/
+    shards.py): the corpus_mix mixture is written as a sorted training
+    shard table (``write_training_shards`` + its recorded key spec),
+    then ONE ``takedown`` call with kind ``shards`` physically removes
+    the ``doc_id % 17 == 3`` documents — the affected shard set is
+    recomputed SCAN-FREE from the delete ids via the key spec (shard
+    id is a pure hash of the row id; zero corpus bytes read to plan
+    the rewrite), and only those ``__shard=`` directories are
+    rewritten through the crash-safe staged swap. The read-back faces
+    the corpus_mix oracle with the id filter spliced — post-takedown
+    shards ≡ the mixture written from the reduced corpus, the
+    compliance contract for published data. Crash-mid-rewrite resume
+    and the untouched-shard byte witness are pinned in
+    tests/test_shards_takedown.py."""
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_corpora,
+        write_training_shards,
+    )
+    from etl_prometheus2clickhouse_spark.operators.takedown import (
+        takedown,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def _build(base: str) -> None:
+        out = mix_corpora(
+            [
+                (d.where(F.col("lang") == "en"), "web_en", 0.25),
+                (d.where(F.col("lang") != "en"), "curated", 1.0),
+            ],
+            id_col="doc_id",
+        )
+        write_training_shards(
+            out.select("doc_id", "lang", "source", "u_bucket", "mix_key"),
+            f"{base}/shards",
+            8,
+            key_spec={
+                "kind": "mix_corpora",
+                "salt": 12345,
+                "sources": [
+                    {"name": "web_en", "rate": 0.25},
+                    {"name": "curated", "rate": 1.0},
+                ],
+            },
+        )
+
+    scratch = _lifecycle_scratch("shards_takedown", sf_dir, _build)
+    try:
+        rep = takedown(
+            spark,
+            d.where(F.col("doc_id") % 17 == 3).select("doc_id"),
+            [("shards", f"{scratch}/shards")],
+            scratch,
+            "rtbf-shards",
+            id_col="doc_id",
+        )
+        assert rep["complete"]
+        assert (
+            rep["indexes"]["0:shards"]["report"]["planned_via"]
+            == "key_spec"
+        )
+        out = spark.read.parquet(f"{scratch}/shards").select(
+            "doc_id",
+            "lang",
+            "source",
+            "u_bucket",
+            "mix_key",
+            F.col("__shard").alias("shard"),
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ceil(2^32 / 8) — the equal-width shard cut of q_shards_takedown
+ORACLE_SHARDS_TAKEDOWN = f"""
+SELECT doc_id, lang, source, u_bucket, mix_key,
+       CAST(FLOOR(mix_key / 536870912.0) AS INT) AS shard
+FROM ({ORACLE_CORPUS_MIX}) m
+WHERE doc_id % 17 <> 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ETL core (SURVEY §2)
     "prom_parse": q_prom_parse,
@@ -8773,6 +8859,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and every sibling delete stay oracle-verified in CROSS_CHECKED.
     "unigram_tokenize": q_unigram_tokenize,
     "takedown_lifecycle": q_takedown_lifecycle,
+    # round-16: takedown extended to the PUBLISHED data — the training
+    # shard table itself, swept scan-free via the recorded key spec
+    "shards_takedown": q_shards_takedown,
 }
 
 # Alternate formulations of operators verified above - each is a
@@ -9108,6 +9197,7 @@ ORACLES: dict[str, str] = {
     "hybrid_increment": ORACLE_HYBRID_INCREMENT,
     "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
     "takedown_lifecycle": ORACLE_BM25_DELETE,
+    "shards_takedown": ORACLE_SHARDS_TAKEDOWN,
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {

@@ -1650,6 +1650,92 @@ def main() -> None:
     finally:
         shutil.rmtree(sub_root, ignore_errors=True)
 
+    # ---- training-shard takedown economics (round-16) ----------------
+    # the published-output sweep: with a recorded key spec the affected
+    # shard set is recomputed from the delete ids alone (zero corpus
+    # bytes, zero file listings to PLAN), and the rewrite touches only
+    # those __shard= dirs — bytes rewritten ≈ affected-shard bytes,
+    # never the table
+    import os as _os
+
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_corpora,
+        write_training_shards,
+    )
+    from etl_prometheus2clickhouse_spark.operators.shards import (
+        shards_delete,
+    )
+
+    shard_root = tempfile.mkdtemp(prefix="smoke_shards_")
+    shard_dir = f"{shard_root}/shards"
+    n_shards = 64
+    try:
+        # _multiplied_docs carries no lang — synthesize a deterministic
+        # two-way split so both mix sources are exercised
+        ids_only = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .otherwise("de")
+            .alias("lang"),
+        )
+        mixed = mix_corpora(
+            [
+                (ids_only.where(F.col("lang") == "en"), "web_en", 0.25),
+                (ids_only.where(F.col("lang") != "en"), "curated", 1.0),
+            ],
+            id_col="doc_id",
+        )
+        t0 = time.perf_counter()
+        write_training_shards(
+            mixed, shard_dir, n_shards,
+            key_spec={
+                "kind": "mix_corpora", "salt": 12345,
+                "sources": [{"name": "web_en", "rate": 0.25},
+                            {"name": "curated", "rate": 1.0}],
+            },
+        )
+        t_write = round(time.perf_counter() - t0, 1)
+
+        def _dir_bytes(d):
+            return sum(
+                _os.path.getsize(_os.path.join(d, f))
+                for f in _os.listdir(d) if not f.startswith(".")
+            )
+
+        total_bytes = sum(
+            _dir_bytes(_os.path.join(shard_dir, d))
+            for d in _os.listdir(shard_dir) if d.startswith("__shard=")
+        )
+        sdel = ids_only.where(F.col("doc_id") % 10_000 == 7).select(
+            "doc_id"
+        )
+        n_del_ids = sdel.count()
+        t0 = time.perf_counter()
+        rep = shards_delete(spark, shard_dir, sdel, "takedown")
+        t_del = round(time.perf_counter() - t0, 1)
+        assert rep["planned_via"] == "key_spec"
+        assert rep["deleted_rows"] > 0
+        # plan bound: ≤ one candidate shard per (id, source)
+        assert len(rep["affected_shards"]) <= 2 * n_del_ids, rep
+        rewritten_bytes = sum(
+            _dir_bytes(_os.path.join(shard_dir, f"__shard={s}"))
+            for s in rep["affected_shards"]
+        )
+        frac = len(rep["affected_shards"]) / n_shards
+        assert rewritten_bytes <= 1.5 * frac * total_bytes + 65536, (
+            rewritten_bytes, total_bytes, rep,
+        )
+        print(
+            f"shards takedown: {n_shards}-shard table written in "
+            f"{t_write}s ({total_bytes} bytes); {n_del_ids} ids "
+            f"({rep['deleted_rows']} rows) deleted in {t_del}s touching "
+            f"{len(rep['affected_shards'])}/{n_shards} shards "
+            f"({rewritten_bytes} bytes rewritten) — plan computed from "
+            "the key spec, zero corpus bytes read"
+        )
+    finally:
+        shutil.rmtree(shard_root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
