@@ -185,6 +185,25 @@ def _commit_state(spark: SparkSession, root: str, state: dict) -> int:
     return next_v
 
 
+def _live_labels(spark: SparkSession, index_path: str) -> "set[str]":
+    """Every live ``mb=`` increment label across the index's tables —
+    what the compact guard inspects for in-flight batches."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _list_index_tables,
+        _manifest_tables,
+    )
+
+    tables = _manifest_tables(
+        spark, index_path, _list_index_tables(spark, index_path)
+    )
+    return {
+        d[3:]
+        for dirs in tables.values()
+        for d in dirs
+        if d.startswith("mb=")
+    }
+
+
 def takedown(
     spark: SparkSession,
     ids: "DataFrame | None",
@@ -194,6 +213,7 @@ def takedown(
     id_col: str = "id",
     compact: bool = False,
     vacuum: bool = False,
+    exclude_labels: "set[str] | None" = None,
 ) -> dict:
     """Tombstone ``ids`` out of every index in ``indexes`` — a list of
     ``(kind, path)`` pairs, kinds ``bm25 | ann | semantic | minhash |
@@ -223,6 +243,18 @@ def takedown(
     ``vacuum=True`` additionally reclaims superseded directories (run
     it outside any reader grace window — the per-index retention
     contract).
+
+    WRITER CONTRACT for the compact phase: every streaming-lifecycle
+    compaction excludes the in-flight micro-batch's increments
+    (folding an uncommitted batch double-counts its rows on replay —
+    ``curation_stream``'s guard), so takedown REFUSES to compact an
+    index whose live increments carry a streaming batch label
+    (``b<digits>``) or any label in ``exclude_labels`` — the index
+    stays at ``deleted`` (tombstones anti-joined on every read,
+    semantics already correct) and the call fails loud. Resume
+    ``takedown(compact=True)`` once the stream has committed and
+    compacted its batch, or run the takedown against a stopped
+    stream. Already-compacted indexes are never re-run by the resume.
 
     Returns ``{label, resumed, indexes: {name: {status, report}},
     complete}`` where ``name`` is ``"<pos>:<kind>"``.
@@ -319,6 +351,34 @@ def takedown(
     if compact:
         for entry in state["indexes"]:
             if entry["status"] == "deleted":
+                # in-flight guard (the curation_stream discipline):
+                # folding an uncommitted micro-batch's increments
+                # double-counts its rows on replay, so an index whose
+                # live labels look like a streaming batch (b<digits>)
+                # or are named by the caller is refused — it stays at
+                # 'deleted' (reads already anti-join the tombstones)
+                # and this call resumes cleanly after the stream
+                # commits and compacts
+                live = _live_labels(spark, entry["path"])
+                inflight = sorted(
+                    x
+                    for x in live
+                    if re.fullmatch(r"b\d+", x)
+                    or (exclude_labels and x in exclude_labels)
+                )
+                if inflight:
+                    raise RuntimeError(
+                        f"takedown {label!r}: refusing to compact "
+                        f"{entry['name']} at {entry['path']!r} — live "
+                        f"increment labels {inflight} look like "
+                        "in-flight streaming batches (or were named "
+                        "in exclude_labels); compacting them could "
+                        "fold an uncommitted batch. The index stays "
+                        "at 'deleted' (tombstones suppress on every "
+                        "read); resume takedown(compact=True) after "
+                        "the stream has committed and compacted, or "
+                        "run against a stopped stream"
+                    )
                 _, compact_fn = _kind_fns(entry["kind"])
                 entry["compact_report"] = compact_fn(spark, entry["path"])
                 if vacuum:

@@ -301,6 +301,51 @@ def test_crash_mid_compact_phase_resumes(spark, tmp_path, monkeypatch):
     )
 
 
+def test_compact_refuses_in_flight_streaming_batch(spark, tmp_path):
+    """The curation_stream replay guard, honored by takedown: an index
+    whose live increments carry a streaming batch label (b<digits>)
+    must not be compacted by the takedown's compact phase — folding an
+    uncommitted batch double-counts its rows on replay. The index
+    stays at 'deleted' and the takedown resumes cleanly once the
+    stream has committed and compacted."""
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_compact,
+    )
+
+    bm25, _ = _build_two(spark, tmp_path)
+    with cached_scope():
+        # fabricate an in-flight micro-batch increment
+        extra = spark.createDataFrame(
+            [(9, "streaming batch doc about foxes")],
+            "doc_id long, text string",
+        )
+        bm25_index_append(extra, bm25, "b7")
+        dele = spark.createDataFrame([(2,)], "id long")
+        idx = [("bm25", bm25)]
+        with pytest.raises(RuntimeError, match="refusing to compact"):
+            takedown(
+                spark, dele, idx, str(tmp_path), "gdpr-live",
+                compact=True,
+            )
+        st = takedown_status(spark, str(tmp_path), "gdpr-live")
+        assert st["indexes"]["0:bm25"]["status"] == "deleted"
+        # caller-supplied exclusion set refuses the same way
+        bm25_index_compact(spark, bm25)  # the stream commits + folds b7
+        with pytest.raises(RuntimeError, match="refusing to compact"):
+            takedown(
+                spark, None, idx, str(tmp_path), "gdpr-live",
+                compact=True,
+                exclude_labels={"base"},
+            )
+        # stream committed: the resume completes the compaction
+        out = takedown(
+            spark, None, idx, str(tmp_path), "gdpr-live", compact=True
+        )
+        assert out["resumed"] and out["complete"]
+        assert out["indexes"]["0:bm25"]["status"] == "compacted"
+
+
 def test_takedown_list_sweeps_all_records(spark, tmp_path):
     from etl_prometheus2clickhouse_spark.operators.takedown import (
         takedown_list,
