@@ -128,6 +128,57 @@ def viterbi_segment(
     return final[1].split()
 
 
+def viterbi_nbest(
+    word: str, nll: "dict[str, float]", max_piece_len: int, n: int
+) -> "list[list[str]]":
+    """The ``n`` best segmentations of one word, ranked by
+    ``(cost, joined-token-string)`` — the subword-regularization lattice
+    of Kudo ACL'18 §3, DP-exact: keeping the top-``n`` partial paths
+    per end position is lossless because the ``(cost, toks)`` order is
+    preserved under appending a common suffix (costs add equally, and
+    two distinct same-position partials are never string-prefixes of
+    each other — their token strings cover the same characters — so
+    the first differing character decides both before and after the
+    append). Words over ``MAX_WORD_LEN`` have exactly one
+    segmentation (the opaque pass-through), so they return a single
+    entry. Deterministic: same tie-break rule as
+    :func:`viterbi_segment`; ``viterbi_nbest(...)[0]`` equals it."""
+    return [t.split() for _, t in _nbest(word, nll, max_piece_len, n)]
+
+
+def _nbest(
+    word: str, nll: "dict[str, float]", max_piece_len: int, n: int
+) -> "list[tuple[float, str]]":
+    """(cost, ' tok1 tok2 ...') n-best tuples, ascending — the
+    sampling face needs the costs; :func:`viterbi_nbest` exposes the
+    token lists."""
+    if n < 1:
+        raise ValueError(f"viterbi_nbest: n must be >= 1, got {n}")
+    if len(word) > MAX_WORD_LEN:
+        return [(0.0, " " + word)]
+    ln = len(word)
+    # best[i] = up to n (cost, " tok1 tok2 ...") tuples, ascending
+    best: "list[list[tuple[float, str]]]" = [[] for _ in range(ln + 1)]
+    best[0] = [(0.0, "")]
+    for i in range(1, ln + 1):
+        cand: "list[tuple[float, str]]" = []
+        for k in range(1, min(i, max_piece_len) + 1):
+            piece = word[i - k: i]
+            c = nll.get(piece)
+            if c is None:
+                continue
+            for pc, pt in best[i - k]:
+                cand.append((pc + c, pt + " " + piece))
+        ch = word[i - 1: i]
+        if ch not in nll:
+            for pc, pt in best[i - 1]:
+                cand.append((pc + UNK_NLL, pt + " " + ch))
+        cand.sort()
+        best[i] = cand[:n]
+    assert best[ln]  # single-char edges make every word reachable
+    return best[ln]
+
+
 # ---------------------------------------------------------------------------
 # training
 # ---------------------------------------------------------------------------
@@ -374,6 +425,155 @@ def unigram_apply(
     )
 
 
+def unigram_word_nbest(
+    corpus: DataFrame,
+    model: "list[tuple[str, float]]",
+    n: int = 3,
+    text_col: str = "text",
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """The ``n``-best segmentations of every DISTINCT word in the
+    corpus — the deterministic, oracle-able face of subword
+    regularization (the candidate lists :func:`unigram_apply_sampled`
+    draws from). Emits ``(w, rank, n_tokens, tokens)``, rank 1-based
+    in ``(cost, token-string)`` order; words with fewer than ``n``
+    distinct segmentations (including the over-``MAX_WORD_LEN``
+    pass-throughs, which have exactly one) emit fewer rows.
+
+    Scale shape: word splitting and the distinct are JVM-side (one
+    shuffle on the word — vocabulary-sized, not corpus-sized); the
+    n-best DP runs Arrow-batched per distinct word."""
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    nll = dict(model)
+    mpl = (
+        max_piece_len
+        if max_piece_len is not None
+        else max((len(p) for p in nll), default=1)
+    )
+    words = corpus.select(
+        F.explode(_words(F.col(text_col))).alias("w")
+    ).distinct()
+
+    def gen(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ws, ranks, n_toks, toks = [], [], [], []
+            for w in pdf["w"]:
+                w = str(w)
+                for r, (_, t) in enumerate(_nbest(w, nll, mpl, n), 1):
+                    seg = t.split()
+                    ws.append(w)
+                    ranks.append(r)
+                    n_toks.append(len(seg))
+                    toks.append(" ".join(seg))
+            yield pd.DataFrame(
+                {"w": ws, "rank": ranks, "n_tokens": n_toks,
+                 "tokens": toks}
+            )
+
+    return words.mapInPandas(
+        gen, "w string, rank int, n_tokens long, tokens string"
+    )
+
+
+def unigram_apply_sampled(
+    corpus: DataFrame,
+    model: "list[tuple[str, float]]",
+    n: int = 4,
+    alpha: float = 0.2,
+    seed: int = 12345,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """Sampled segmentation — the actual regularization training trick
+    of Kudo ACL'18: each word OCCURRENCE draws one of its ``n``-best
+    segmentations with probability ∝ ``exp(-alpha * cost)`` (α→∞
+    recovers Viterbi, α=0 is uniform over the candidates). The draw is
+    a pure multiplicative hash of ``(doc position, word position,
+    seed)`` — reproducible across runs, partitionings, and cluster
+    sizes, NEVER a per-partition RNG — but the output is deliberately
+    NOT oracle-paired: sampling has no single right answer to hash,
+    so its contract is pinned by pytest instead (every emitted
+    segmentation is a member of the word's n-best list; the empirical
+    draw frequencies track the model probabilities; large α equals
+    :func:`unigram_apply`). Same output shape as ``unigram_apply``."""
+    from etl_prometheus2clickhouse_spark.operators.text import _words
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    nll = dict(model)
+    mpl = (
+        max_piece_len
+        if max_piece_len is not None
+        else max((len(p) for p in nll), default=1)
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__uid"), _words(F.col(text_col)).alias("__uw")
+    )
+    _MULT, _MOD = 2654435761, 2 ** 32  # Knuth multiplicative (public)
+
+    def gen(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        import zlib
+
+        memo: "dict[str, tuple[list[list[str]], list[float]]]" = {}
+        for pdf in batches:
+            ids, n_toks, toks = [], [], []
+            for i, ws in zip(pdf["__uid"], pdf["__uw"]):
+                # doc-key hash: stable under repartitioning AND across
+                # processes (crc32, never Python's salted hash()) —
+                # id-based, never position-in-partition
+                dkey = zlib.crc32(str(i).encode("utf-8"))
+                pieces: "list[str]" = []
+                for j, w in enumerate(ws):
+                    w = str(w)
+                    got = memo.get(w)
+                    if got is None:
+                        cands = _nbest(w, nll, mpl, n)
+                        segs = [t.split() for _, t in cands]
+                        weights = [
+                            math.exp(-alpha * (c - cands[0][0]))
+                            for c, _ in cands
+                        ]
+                        tot = sum(weights)
+                        cum, acc = [], 0.0
+                        for x in weights:
+                            acc += x / tot
+                            cum.append(acc)
+                        got = (segs, cum)
+                        memo[w] = got
+                    segs, cum = got
+                    if len(segs) == 1:
+                        pieces.extend(segs[0])
+                        continue
+                    u = (
+                        ((dkey + j * 7919 + seed) * _MULT + seed)
+                        % _MOD
+                    ) / _MOD
+                    pick = 0
+                    while pick < len(cum) - 1 and u >= cum[pick]:
+                        pick += 1
+                    pieces.extend(segs[pick])
+                ids.append(i)
+                n_toks.append(len(pieces))
+                toks.append(" ".join(pieces))
+            yield pd.DataFrame(
+                {"__uid": ids, "n_tokens": n_toks, "tokens": toks}
+            )
+
+    out_schema = (
+        f"__uid {base.schema['__uid'].dataType.simpleString()}, "
+        "n_tokens long, tokens string"
+    )
+    return base.mapInPandas(gen, out_schema).withColumnRenamed(
+        "__uid", id_col
+    )
+
+
 def unigram_vocab(model: "list[tuple[str, float]]") -> "dict[str, int]":
     """Deterministic token-id table: pieces take ids in the model's
     piece-sorted order (the layout :func:`unigram_train` already
@@ -579,9 +779,12 @@ __all__ = [
     "MAX_WORD_LEN",
     "unigram_train",
     "unigram_apply",
+    "unigram_apply_sampled",
     "unigram_encode_ids",
     "unigram_vocab",
+    "unigram_word_nbest",
     "unigram_reference_model",
     "unigram_reference_segment",
+    "viterbi_nbest",
     "viterbi_segment",
 ]

@@ -5435,6 +5435,116 @@ def _build_unigram_oracle() -> str:
 
 ORACLE_UNIGRAM_TOKENIZE = _build_unigram_oracle()
 
+_UNIGRAM_NBEST = 3
+
+
+def q_unigram_nbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-regularization candidates (operators/unigram.py
+    ``unigram_word_nbest``): the 3-best segmentations of every
+    distinct corpus word under the trained piece table — the n-best
+    half of Kudo ACL'18 the hard-EM face doesn't cover, DP-exact
+    (top-n per lattice position is lossless under the (cost, token-
+    string) order) and therefore oracle-able: the DuckDB oracle
+    unrolls the SAME 48-level lattice keeping rank ≤ 3 per position.
+    The sampled-segmentation production face draws from exactly these
+    lists (pinned by pytest, deliberately non-oracled)."""
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        unigram_train,
+        unigram_word_nbest,
+    )
+
+    ref = local_df(
+        spark, [(t,) for t in _UNIGRAM_TRAIN_TEXTS], "text string"
+    )
+    model = unigram_train(
+        ref, vocab_size=_UNIGRAM_VOCAB, max_piece_len=_UNIGRAM_MPL,
+        em_iters=_UNIGRAM_ITERS,
+    )
+    return unigram_word_nbest(
+        _t(spark, sf_dir, "documents"), model, n=_UNIGRAM_NBEST
+    )
+
+
+def _build_unigram_nbest_oracle(n: int) -> str:
+    """The unrolled n-best lattice: identical to
+    :func:`_build_unigram_oracle` except each DP level keeps the top
+    ``n`` partial paths per word (``rn <= n``) and the final select
+    emits every rank for the word's own length level."""
+    from etl_prometheus2clickhouse_spark.operators.unigram import (
+        MAX_WORD_LEN,
+        UNK_NLL,
+        unigram_reference_model,
+    )
+
+    model = unigram_reference_model(
+        _UNIGRAM_TRAIN_TEXTS, vocab_size=_UNIGRAM_VOCAB,
+        max_piece_len=_UNIGRAM_MPL, em_iters=_UNIGRAM_ITERS,
+    )
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "', " + repr(nll) + ")"
+        for p, nll in model
+    )
+    L, P = MAX_WORD_LEN, _UNIGRAM_MPL
+    parts = [f"WITH ug_pieces(p, nll) AS (VALUES {vals}),"]
+    parts.append(
+        "ug_w AS MATERIALIZED (SELECT DISTINCT unnest(ws) AS w"
+        " FROM (SELECT list_filter(string_split_regex(lower(text),"
+        " '\\s+'), t -> t <> '') AS ws FROM documents)),"
+    )
+    parts.append(
+        f"ug_sw AS MATERIALIZED (SELECT w FROM ug_w"
+        f" WHERE len(w) <= {L}),"
+    )
+    parts.append(
+        "ug_d0 AS MATERIALIZED (SELECT w, CAST(0.0 AS DOUBLE) AS cost,"
+        " '' AS toks FROM ug_sw),"
+    )
+    for i in range(1, L + 1):
+        branches = []
+        for k in range(1, min(i, P) + 1):
+            branches.append(
+                f"SELECT d.w, d.cost + p.nll AS cost,"
+                f" d.toks || ' ' || p.p AS toks"
+                f" FROM ug_d{i - k} d JOIN ug_pieces p"
+                f" ON len(p.p) = {k}"
+                f" AND p.p = substr(d.w, {i - k + 1}, {k})"
+                f" WHERE len(d.w) >= {i}"
+            )
+        branches.append(
+            f"SELECT d.w, d.cost + {UNK_NLL!r} AS cost,"
+            f" d.toks || ' ' || substr(d.w, {i}, 1) AS toks"
+            f" FROM ug_d{i - 1} d WHERE len(d.w) >= {i}"
+            f" AND NOT EXISTS (SELECT 1 FROM ug_pieces p"
+            f" WHERE p.p = substr(d.w, {i}, 1))"
+        )
+        u = " UNION ALL ".join(branches)
+        parts.append(
+            f"ug_d{i} AS MATERIALIZED (SELECT w, cost, toks, rn FROM"
+            f" (SELECT w, cost, toks, row_number() OVER (PARTITION BY"
+            f" w ORDER BY cost ASC, toks ASC) AS rn FROM ({u}) cand)"
+            f" rnk WHERE rn <= {n}),"
+        )
+    fin = " UNION ALL ".join(
+        f"SELECT w, rn, toks FROM ug_d{i} WHERE len(w) = {i}"
+        for i in range(1, L + 1)
+    )
+    parts.append(f"ug_fin AS ({fin}),")
+    parts.append(
+        "ug_seg AS (SELECT w, rn, list_filter(string_split(toks, ' '),"
+        " s -> s <> '') AS ps FROM ug_fin UNION ALL"
+        " SELECT w, 1 AS rn, [w] AS ps FROM (SELECT w FROM ug_w"
+        f" WHERE len(w) > {L}) lw)"
+    )
+    parts.append(
+        "SELECT w, CAST(rn AS INTEGER) AS rank,"
+        " CAST(len(ps) AS BIGINT) AS n_tokens,"
+        " array_to_string(ps, ' ') AS tokens FROM ug_seg"
+    )
+    return "\n".join(parts)
+
+
+ORACLE_UNIGRAM_NBEST = _build_unigram_nbest_oracle(_UNIGRAM_NBEST)
+
 
 def q_unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram token-ID encoding (operators/unigram.py
@@ -9020,6 +9130,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # token-ID encoding beside the primary unigram tokenizer, and the
     # single-index substring takedown beside the orchestrated one
     "unigram_encode_ids": q_unigram_encode_ids,
+    # round-16: the n-best half of subword regularization — top-3
+    # segmentations per distinct word vs the rank-carrying unrolled DP
+    "unigram_nbest": q_unigram_nbest,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -9272,6 +9385,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "events_rate": ORACLE_EVENTS_RATE,
     "bm25_delete": ORACLE_BM25_DELETE,
     "unigram_encode_ids": ORACLE_UNIGRAM_ENCODE_IDS,
+    "unigram_nbest": ORACLE_UNIGRAM_NBEST,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
