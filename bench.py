@@ -342,17 +342,17 @@ PROBE_FLOOR_SEC = 0.2  # sub-200ms entries are driver-overhead noise
 # untouched host-variance entries while the four touched appends went
 # unadjudicated.
 TOUCHED_THIS_ROUND = {
-    # round-15: append-path fixed-cost trims (cached identity frames,
-    # shared tokenization, precomputed probe sets) on every
-    # persisted-index append + the deferred-physical-drop compactor fix
-    "semantic_increment", "bm25_increment", "substring_increment",
-    "paragraph_increment", "dedup_increment", "ann_increment",
-    "stream_bm25", "stream_semantic", "stream_curation", "stream_ann",
-    "bm25_delete", "dedup_delete", "ann_delete", "semantic_delete",
-    "hybrid_increment", "bm25_rebucket",
-    # round-15: new entries (no reference yet)
-    "unigram_tokenize", "unigram_encode_ids", "takedown_lifecycle",
-    "substring_delete",
+    # round-16: the paragraph index membership/attribution split
+    # touches every persisted-paragraph-index plan (the one-shot
+    # paragraph_dedup operator is untouched)
+    "paragraph_increment", "stream_curation",
+    # round-16: takedown orchestrator changes (id-divergence check,
+    # in-flight compact guard) ride through the lifecycle entry
+    "takedown_lifecycle",
+    # round-16: new entries (no reference yet)
+    "shards_takedown", "unigram_nbest",
+    # round-15 flagged-not-cleared residual (VERDICT item 4)
+    "url_caps",
 }
 
 PROBE_PINNED = {

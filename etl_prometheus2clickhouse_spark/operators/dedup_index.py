@@ -2283,6 +2283,20 @@ def substring_index_compact(
     return out
 
 
+def _heal_paras_swaps(spark: SparkSession, path: str) -> None:
+    """Writer-touch recovery for the paragraph MEMBERSHIP table: a
+    crashed delete-time partition swap inside any live ``paras``
+    increment dir is rolled forward/back from directory state (the
+    components-swap protocol, generalized in :mod:`.shards`)."""
+    from etl_prometheus2clickhouse_spark.operators.shards import (
+        recover_partition_swap,
+    )
+
+    root = os.path.join(path, "paras")
+    for d in _manifest_tables(spark, path, ["paras"]).get("paras", []):
+        recover_partition_swap(spark, os.path.join(root, d), "hp=")
+
+
 def paragraph_index_delete(
     spark: SparkSession,
     path: str,
@@ -2291,16 +2305,30 @@ def paragraph_index_delete(
     id_col: str = "doc_id",
 ) -> dict:
     """Tombstone documents out of the paragraph hash index — the
-    takedown lifecycle event for the CCNet stage: a deleted doc's
-    contributor rows stop suppressing future occurrences of its
-    paragraphs (a hash it ALONE contributed becomes electable again —
-    the one-shot election on the reduced corpus), while hashes with
-    surviving contributors keep suppressing. Same tombstone mechanics
-    as the siblings; the id stays occupied for the overlap guard
-    until compaction. Requires the contributor-attributed layout —
-    every live paras increment must carry the ``id`` column (indexes
-    built before attribution refuse loudly until rebuilt; their ids
-    are unknowable after the fact). Returns ``{deleted_docs}``."""
+    takedown lifecycle event for the CCNet stage: a hash the deleted
+    docs ALONE contributed becomes electable again (the one-shot
+    election on the reduced corpus), while hashes with surviving
+    contributors keep suppressing. The id stays occupied for the
+    overlap guard until compaction.
+
+    Split layout (``attrib`` table present): the delete finds the
+    staged ids' containment pairs in the attribution table, elects the
+    DEAD hashes (no surviving contributor — prior tombstones counted
+    as dead), and REWRITES the membership rows for those hashes
+    through the crash-safe partition swap, touched ``hp=`` buckets
+    only — so the hot probe path never needs a tombstone join.
+    Economics: the by-id attribution lookup is one slim two-column
+    scan (deletes are the rare compliance event; the per-increment
+    probe path is what must stay distinct-h-sized); the survivor
+    check and the membership rewrite are pruned to the dead
+    candidates' own buckets.
+
+    Legacy v1 (attributed rows inside ``paras``): tombstone-only —
+    reads anti-join as before. v0 (hash-only) refuses loudly; its
+    contributor ids are unknowable after the fact.
+
+    Returns ``{deleted_docs, dead_hashes, touched_buckets}`` (the
+    latter two zero/empty on the legacy path)."""
     if not label or any(c in label for c in "/=%"):
         raise ValueError(
             "paragraph_index_delete needs a filesystem-safe label, "
@@ -2313,20 +2341,27 @@ def paragraph_index_delete(
             "the identity layer (no idmeta table) — rebuild it once "
             "with paragraph_index_build to enable deletes"
         )
-    # every live increment must be contributor-attributed: a legacy
-    # hash-only increment's rows cannot be attributed to the deleted
-    # doc, so deletion over a mixed index would silently miss rows
+    has_attrib = bool(
+        _manifest_tables(spark, path, ["attrib"]).get("attrib", [])
+    )
     live = _manifest_tables(spark, path, ["paras"]).get("paras", [])
     root = os.path.join(path, "paras")
-    for d in live:
-        cols = spark.read.parquet(os.path.join(root, d)).columns
-        if "id" not in cols:
-            raise ValueError(
-                f"paragraph_index_delete: increment {d!r} at {path!r} "
-                "predates contributor attribution (hash-only rows) — "
-                "rebuild the index from the reduced corpus to enable "
-                "deletes"
-            )
+    if not has_attrib:
+        # every live increment must be contributor-attributed: a
+        # legacy hash-only increment's rows cannot be attributed to
+        # the deleted doc, so deletion over a mixed index would
+        # silently miss rows
+        for d in live:
+            cols = spark.read.parquet(os.path.join(root, d)).columns
+            if "id" not in cols:
+                raise ValueError(
+                    f"paragraph_index_delete: increment {d!r} at "
+                    f"{path!r} predates contributor attribution "
+                    "(hash-only rows) — rebuild the index from the "
+                    "reduced corpus to enable deletes"
+                )
+    else:
+        _heal_paras_swaps(spark, path)
     want = ids.select(_id_str(id_col).alias("id")).distinct()
     present = _read_id_table_probed(
         spark, path, _IDS_TABLE, want, id_buckets, None
@@ -2344,9 +2379,72 @@ def paragraph_index_delete(
             ).select("id")
     effective = _anti_tombstones(present, tomb_prior, "id")
     n = effective.count()
+    dead_hashes = 0
+    touched: list[int] = []
+    if has_attrib and n:
+        from etl_prometheus2clickhouse_spark.operators.shards import (
+            _swap_partitions,
+        )
+
+        tomb_all = (
+            effective
+            if tomb_prior is None
+            else tomb_prior.unionByName(effective).distinct()
+        )
+        attrib = _read_increment_table(spark, path, "attrib")
+        # candidate hashes: one slim by-id scan (cannot be bucket-
+        # pruned — attribution is hash-partitioned for the pruned
+        # survivor pass below)
+        h1 = (
+            attrib.join(F.broadcast(effective), "id", "leftsemi")
+            .select("hp", "h")
+            .distinct()
+            .localCheckpoint()
+        )
+        cand_hps = [
+            r.hp for r in h1.select("hp").distinct().collect()
+        ]
+        if cand_hps:
+            alive = (
+                attrib.where(F.col("hp").isin(cand_hps))
+                .join(h1.select("h"), "h", "leftsemi")
+                .join(tomb_all, "id", "left_anti")
+                .select("h")
+                .distinct()
+            )
+            dead = h1.join(alive, "h", "left_anti").localCheckpoint()
+            dead_hashes = dead.count()
+            touched = sorted(
+                r.hp for r in dead.select("hp").distinct().collect()
+            )
+        if touched:
+            dead_h = dead.select("h")
+            for d in live:
+                inc_dir = os.path.join(root, d)
+                inc = spark.read.option("basePath", inc_dir).parquet(
+                    inc_dir
+                )
+                kept = inc.where(F.col("hp").isin(touched)).join(
+                    dead_h, "h", "left_anti"
+                )
+
+                def _write(staged: str, kept=kept) -> None:
+                    (
+                        kept.select("hp", "h")
+                        .repartition(F.col("hp"))
+                        .write.mode("overwrite")
+                        .partitionBy("hp")
+                        .parquet(staged)
+                    )
+
+                _swap_partitions(spark, inc_dir, "hp", touched, _write)
     _tomb_write(spark, path, effective, label, id_buckets)
     _manifest_add(spark, path, [_TOMB_TABLE], label)
-    return {"deleted_docs": int(n)}
+    return {
+        "deleted_docs": int(n),
+        "dead_hashes": int(dead_hashes),
+        "touched_buckets": touched,
+    }
 
 
 def paragraph_index_compact(
@@ -2356,11 +2454,20 @@ def paragraph_index_compact(
     """Compact the paragraph hash index's increments (the CCNet-stage
     sibling of :func:`minhash_index_compact` — same manifest-committed
     fold, same ``exclude_labels`` replay guard for the streaming
-    lifecycle). Deletion integration mirrors the siblings: tombstoned
-    contributor rows are physically dropped ONLY in the pass that also
-    clears the tombstone table (legacy hash-only rows pass through the
-    fold unchanged — they carry no id to drop)."""
+    lifecycle). Split layout: the membership fold COLLAPSES
+    cross-increment repeats of a hash to one row (distinct-h is the
+    table's whole point — deletion already rewrote dead hashes out at
+    delete time), and the attribution fold physically drops tombstoned
+    docs' containment pairs ONLY in the pass that also clears the
+    tombstone table (the deferred-drop discipline). Legacy v1 keeps
+    its behavior: tombstoned contributor rows dropped from ``paras``
+    in that same pass; hash-only v0 rows pass through unchanged."""
     tomb = _read_tombstones(spark, path, None)
+    has_attrib = bool(
+        _manifest_tables(spark, path, ["attrib"]).get("attrib", [])
+    )
+    if has_attrib:
+        _heal_paras_swaps(spark, path)
 
     def _drop_tombstoned(rows: DataFrame) -> DataFrame:
         if "id" not in rows.columns:
@@ -2368,12 +2475,20 @@ def paragraph_index_compact(
         return _anti_tombstones(rows, tomb, "id")
 
     drop = _drop_tombstoned if not exclude_labels else None
+    paras_transform = drop
+    if has_attrib:
+        paras_transform = lambda rows: rows.dropDuplicates(["h"])  # noqa: E731
     out = {
         "paras_rows": _compact_increment_table(
             spark, path, "paras", "hp", exclude_labels=exclude_labels,
-            transform=drop,
+            transform=paras_transform,
         )
     }
+    if has_attrib:
+        out["attrib_rows"] = _compact_increment_table(
+            spark, path, "attrib", "hp", exclude_labels=exclude_labels,
+            transform=drop,
+        )
     if _ids_buckets(spark, path, None) is not None:
         out["id_rows"] = _compact_increment_table(
             spark, path, _IDS_TABLE, "ip", exclude_labels=exclude_labels,
@@ -2419,26 +2534,43 @@ def paragraph_index_build(
     sep: str = "\n",
     index_buckets: int = 64,
 ) -> None:
-    """Persist the corpus's paragraph-hash CONTRIBUTOR relation —
-    (hp, h, id) distinct pairs, partitioned by (increment,
-    hash-prefix) — the CCNet-stage sibling of the window index.
-    Membership reads only ever consume ``h`` (with id-ordered arrival
-    an indexed paragraph beats every later shard occurrence, so the
-    winner's (id, pos) never needs to leave the corpus); the ``id``
-    attribution exists for DELETION: tombstoning a doc removes exactly
-    its rows, so a hash it alone contributed stops suppressing future
-    occurrences — the one-shot election on the reduced corpus.
-    Pre-attribution indexes (hash-only rows) keep working for
-    membership and refuse deletes until rebuilt."""
+    """Persist the corpus's paragraph-hash index as TWO tables under
+    one manifest commit — the CCNet-stage sibling of the window index,
+    laid out so membership probes never pay contributor fanout:
+
+    - ``paras`` (MEMBERSHIP): distinct ``(hp, h)`` — what every
+      increment probes. At CCNet scale the hottest paragraphs
+      (boilerplate) appear in a corpus-proportional number of docs;
+      storing one row per distinct hash keeps probe bytes
+      |distinct hashes|-sized, and compaction collapses
+      cross-increment repeats of a hash back to one row.
+    - ``attrib`` (ATTRIBUTION): distinct ``(hp, h, id)`` containment
+      pairs — read ONLY by :func:`paragraph_index_delete` (to find
+      which hashes lost their last contributor) and by compaction
+      (to physically drop a tombstoned doc's pairs). Deletion
+      REWRITES the membership rows for dead hashes through the
+      crash-safe partition swap, so the hot probe path stays a plain
+      distinct-h read with no tombstone join.
+
+    Legacy layouts keep working for reads: v1 (attributed rows inside
+    ``paras``, no ``attrib`` table) probes with the tombstone
+    anti-join as before; v0 (hash-only) probes plainly and refuses
+    deletes until rebuilt."""
     spark = corpus.sparkSession
     _delete_path(spark, path)
-    h = _para_slim(corpus, id_col, text_col, sep).select(
+    pairs = _para_slim(corpus, id_col, text_col, sep).select(
         "h", "id"
     ).distinct()
-    h.select(
+    pairs.select(
         F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
         "h",
         _id_str("id").alias("id"),
+    ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
+        "hp"
+    ).parquet(os.path.join(path, "attrib", "mb=base"))
+    pairs.select("h").distinct().select(
+        F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
+        "h",
     ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
         "hp"
     ).parquet(os.path.join(path, "paras", "mb=base"))
@@ -2455,7 +2587,9 @@ def paragraph_index_build(
         path, "base", index_buckets,
     )
     _ids_init(spark, path, index_buckets)
-    _manifest_add(spark, path, ["paras", "ids", "idmeta"], "base")
+    _manifest_add(
+        spark, path, ["paras", "attrib", "ids", "idmeta"], "base"
+    )
 
 
 def paragraph_increment(
@@ -2525,16 +2659,20 @@ def paragraph_increment(
         .distinct()
         .collect()
     ]
+    if update_index:
+        # writer-touch discipline: heal any crashed delete-time
+        # membership partition swap before reading/writing the table
+        _heal_paras_swaps(spark, path)
     para_tbl = _read_increment_table(spark, path, "paras")
     if update_index:
         # replay exclusion — see substring_increment
         para_tbl = para_tbl.where(F.col("mb") != F.lit(update_label))
     if "id" in para_tbl.columns:
-        # deletion read-side: a tombstoned doc's contributor rows stop
-        # suppressing future occurrences (the one-shot on the reduced
-        # corpus); no-op when the index holds no tombstones, and
-        # pre-attribution indexes (no id column) never have any —
-        # paragraph_index_delete refuses them
+        # LEGACY v1 read-side (attributed rows inside paras, no attrib
+        # table): a tombstoned doc's contributor rows stop suppressing
+        # future occurrences via the anti-join. The split layout has
+        # no id column here — deletion already rewrote membership, so
+        # the hot probe is a plain distinct-h read
         para_tbl = _anti_tombstones(
             para_tbl, _read_tombstones(spark, path, None), "id"
         )
@@ -2568,18 +2706,48 @@ def paragraph_increment(
     )
     if update_index:
         result = result.localCheckpoint()  # pin before the index write
-        # contributor attribution (h, id) — deletion needs to remove
-        # exactly one doc's rows; membership reads still consume h only
-        slim.select("h", "id").distinct().select(
-            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias(
-                "hp"
-            ),
-            "h",
-            _id_str("id").alias("id"),
-        ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
-            "hp"
-        ).parquet(os.path.join(path, "paras", f"mb={update_label}"))
+        pairs = slim.select("h", "id").distinct()
+        has_attrib = bool(
+            _manifest_tables(spark, path, ["attrib"]).get("attrib", [])
+        )
         tables = ["paras"]
+        if has_attrib:
+            # split layout: membership gets the shard's distinct
+            # hashes only (probe-sized); the containment pairs go to
+            # the attribution table deletes/compaction read
+            pairs.select(
+                F.pmod(F.col("h"), F.lit(index_buckets))
+                .cast("int")
+                .alias("hp"),
+                "h",
+                _id_str("id").alias("id"),
+            ).repartition(F.col("hp")).write.mode(
+                "overwrite"
+            ).partitionBy("hp").parquet(
+                os.path.join(path, "attrib", f"mb={update_label}")
+            )
+            membership = pairs.select("h").distinct().select(
+                F.pmod(F.col("h"), F.lit(index_buckets))
+                .cast("int")
+                .alias("hp"),
+                "h",
+            )
+            tables.append("attrib")
+        else:
+            # legacy v1 index: keep its layout — attributed rows
+            # inside paras (read-side tombstone anti-join)
+            membership = pairs.select(
+                F.pmod(F.col("h"), F.lit(index_buckets))
+                .cast("int")
+                .alias("hp"),
+                "h",
+                _id_str("id").alias("id"),
+            )
+        membership.repartition(F.col("hp")).write.mode(
+            "overwrite"
+        ).partitionBy("hp").parquet(
+            os.path.join(path, "paras", f"mb={update_label}")
+        )
         if id_buckets is not None and new_ids is not None:
             _ids_write(new_ids, path, update_label, id_buckets)
             tables.append(_IDS_TABLE)

@@ -1736,6 +1736,64 @@ def main() -> None:
     finally:
         shutil.rmtree(shard_root, ignore_errors=True)
 
+    # ---- paragraph-index membership economics (round-16) -------------
+    # the split layout's whole point: on a K×-duplicated corpus the
+    # hottest paragraphs have K contributors, so the ATTRIBUTION table
+    # (read only by deletes/compaction) carries instance-fanout rows
+    # while the MEMBERSHIP table every increment probes stays
+    # |distinct hashes|-sized — membership bytes must NOT scale with K
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_increment,
+        paragraph_index_build,
+        paragraph_index_delete,
+        probe_economics,
+    )
+
+    para_root = tempfile.mkdtemp(prefix="smoke_paraidx_")
+    pidx = f"{para_root}/idx"
+    try:
+        chunked = _chunked(docs)
+        t0 = time.perf_counter()
+        paragraph_index_build(chunked, pidx, index_buckets=64)
+        t_build = round(time.perf_counter() - t0, 1)
+        mem = probe_economics(spark, f"{pidx}/paras", "hp", list(range(64)))
+        att = probe_economics(spark, f"{pidx}/attrib", "hp", list(range(64)))
+        # fanout factor ~K on body paragraphs; demand at least K/3 so
+        # the witness fails loudly if membership ever re-absorbs the
+        # contributor pairs
+        assert att["bytes_total"] >= max(2, k // 3) * mem["bytes_total"], (
+            mem, att, k,
+        )
+        # the increment's probe path reads membership only, pruned to
+        # the shard's own buckets
+        pshard = _chunked(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(50)
+            .select(
+                (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"
+            )
+        )
+        n_inc = paragraph_increment(pshard, pidx).count()
+        # deletion rewrites touched membership buckets only
+        pdel = chunked.where(F.col("doc_id") % 100_000 == 3).select(
+            "doc_id"
+        )
+        t0 = time.perf_counter()
+        prep = paragraph_index_delete(spark, pidx, pdel, "takedown")
+        t_pdel = round(time.perf_counter() - t0, 1)
+        print(
+            f"paragraph index @K={k}: build {t_build}s; membership "
+            f"{mem['bytes_total']} bytes vs attribution "
+            f"{att['bytes_total']} bytes ({att['bytes_total'] / max(1, mem['bytes_total']):.1f}x fanout "
+            "kept OUT of the probe path); increment probed "
+            f"{n_inc} docs against membership only; delete: "
+            f"{prep['deleted_docs']} docs, {prep['dead_hashes']} dead "
+            f"hashes, {len(prep['touched_buckets'])}/64 buckets "
+            f"rewritten in {t_pdel}s"
+        )
+    finally:
+        shutil.rmtree(para_root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1350,7 +1350,11 @@ def test_paragraph_delete_lifecycle(spark, tmp_path):
         rep = paragraph_index_delete(
             spark, path, mk([(1, "x")]).select("doc_id"), "d1"
         )
-        assert rep == {"deleted_docs": 1}
+        # doc 1 died; "alpha beta" lost its only contributor (1 dead
+        # hash, its membership row rewritten out), "gamma delta" kept
+        # doc 2
+        assert rep["deleted_docs"] == 1 and rep["dead_hashes"] == 1
+        assert len(rep["touched_buckets"]) == 1
         # "alpha beta" (sole contributor deleted) is electable again;
         # "gamma delta" still suppressed by surviving doc 2
         post = {
@@ -1379,4 +1383,4 @@ def test_paragraph_delete_lifecycle(spark, tmp_path):
         rep2 = paragraph_index_delete(
             spark, path, mk([(999, "x")]).select("doc_id"), "d2"
         )
-        assert rep2 == {"deleted_docs": 0}
+        assert rep2["deleted_docs"] == 0 and rep2["dead_hashes"] == 0
