@@ -46,6 +46,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _hadoop_fs,
@@ -423,6 +424,168 @@ def takedown_status(
     }
 
 
+def _residual_ids(
+    spark: SparkSession, kind: str, path: str, staged: DataFrame,
+    id_col: str,
+) -> int:
+    """How many staged ids are still VISIBLE to reads of one index —
+    0 is the verified-takedown condition. 'Visible' honors each
+    kind's own read contract: tombstone kinds count ids present in
+    the identity/content store and NOT suppressed by a live
+    tombstone; physical kinds (shards/dispositions) count rows
+    actually on disk. Point-in-time: a legitimately re-ingested id
+    (delete → compact → re-ingest) counts as visible again."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        _IDS_TABLE,
+        _anti_tombstones,
+        _id_str,
+        _ids_buckets,
+        _ip,
+        _read_id_table_probed,
+        _read_increment_table,
+        _read_meta,
+        _read_tombstones,
+    )
+
+    if kind in ("bm25", "semantic", "substring", "paragraph"):
+        idb = _ids_buckets(spark, path, None)
+        if idb is None:
+            raise ValueError(
+                f"takedown_verify: index at {path!r} has no identity "
+                "layer — cannot verify"
+            )
+        want = staged.select(_id_str(id_col).alias("id")).distinct()
+        present = _read_id_table_probed(
+            spark, path, _IDS_TABLE, want, idb, None
+        ).select("id").join(want, "id", "leftsemi")
+        visible = _anti_tombstones(
+            present, _read_tombstones(spark, path, None), "id"
+        )
+        return int(visible.distinct().count())
+    if kind == "minhash":
+        meta = _read_meta(spark, path)
+        want = staged.select(F.col(id_col).alias("id")).distinct()
+        ips = [
+            r.ip
+            for r in want.select(
+                _ip(F.col("id"), meta["index_buckets"]).alias("ip")
+            ).distinct().collect()
+        ]
+        sh = _read_increment_table(spark, path, "shingles")
+        present = (
+            sh.where(F.col("ip").isin(ips) if ips else F.lit(False))
+            .select("id")
+            .join(want, "id", "leftsemi")
+        )
+        visible = _anti_tombstones(
+            present, _read_tombstones(spark, path, None), "id"
+        )
+        return int(visible.distinct().count())
+    if kind == "ann":
+        from etl_prometheus2clickhouse_spark.operators.ann_index import (
+            _model_row,
+            _pinned_live,
+            _read_pinned_table,
+        )
+
+        live = _pinned_live(spark, path)
+        row = _model_row(spark, path, live)
+        want = staged.select(F.col(id_col).alias("id")).distinct()
+        probe = [
+            r.vp
+            for r in want.select(
+                _ip(F.col("id").cast("long"), int(row.vec_buckets))
+                .alias("vp")
+            ).distinct().collect()
+        ]
+        present = (
+            _read_pinned_table(spark, path, "vectors", live)
+            .where(F.col("vp").isin(probe) if probe else F.lit(False))
+            .select("id")
+            .join(want, "id", "leftsemi")
+        )
+        visible = _anti_tombstones(
+            present, _read_tombstones(spark, path, live), "id"
+        )
+        return int(visible.distinct().count())
+    if kind == "shards":
+        from etl_prometheus2clickhouse_spark.operators.shards import (
+            _spec_candidate_shards,
+            read_shards_meta,
+        )
+
+        want = staged.select(F.col(id_col).alias(id_col)).distinct()
+        meta = read_shards_meta(spark, path)
+        if meta is not None and meta.get("key_spec"):
+            cand = _spec_candidate_shards(want, id_col, meta)
+            jvm, fs, _ = _hadoop_fs(spark, path)
+            dirs = [
+                os.path.join(path, f"__shard={s}")
+                for s in cand
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(path, f"__shard={s}")
+                    )
+                )
+            ]
+            if not dirs:
+                return 0
+            tbl = spark.read.option("basePath", path).parquet(*dirs)
+        else:
+            tbl = spark.read.option("basePath", path).parquet(path)
+        return int(
+            tbl.select(id_col).join(
+                F.broadcast(want), id_col, "leftsemi"
+            ).distinct().count()
+        )
+    if kind == "dispositions":
+        from pyspark.errors import AnalysisException
+
+        want = staged.select(
+            F.col(id_col).alias("doc_id")
+        ).distinct()
+        try:
+            tbl = spark.read.option("basePath", path).parquet(path)
+        except AnalysisException:
+            return 0
+        return int(
+            tbl.select("doc_id").join(
+                F.broadcast(want), "doc_id", "leftsemi"
+            ).distinct().count()
+        )
+    raise ValueError(f"takedown_verify: unknown kind {kind!r}")
+
+
+def takedown_verify(
+    spark: SparkSession, takedown_path: str, label: str
+) -> dict:
+    """Compliance VERIFICATION: prove the takedown actually took.
+    Re-reads the staged id set and counts, per index, the ids still
+    visible to that index's reads (tombstone suppression honored for
+    the tombstone kinds; bytes-on-disk for the physical kinds).
+    Returns ``{label, clean, indexes: {name: {status,
+    residual_ids}}}`` — ``clean`` iff every residual is zero. An
+    auditor runs this after the delete (tombstone suppression in
+    effect) and again after compact+vacuum (bytes gone); a non-zero
+    residual means a step was skipped, a crash was never resumed, or
+    the id was re-ingested since."""
+    root = _state_root(takedown_path, label)
+    state = _read_state(spark, root)
+    if state is None:
+        raise ValueError(
+            f"takedown_verify: no takedown record {label!r} at "
+            f"{takedown_path!r}"
+        )
+    staged = spark.read.parquet(os.path.join(root, "ids"))
+    id_col = state["id_col"]
+    out, clean = {}, True
+    for e in state["indexes"]:
+        n = _residual_ids(spark, e["kind"], e["path"], staged, id_col)
+        clean = clean and n == 0
+        out[e["name"]] = {"status": e["status"], "residual_ids": n}
+    return {"label": label, "clean": clean, "indexes": out}
+
+
 def takedown_list(spark: SparkSession, takedown_path: str) -> "list[dict]":
     """Every takedown record under ``takedown_path`` (label + latest
     per-index status summary) — the compliance-audit sweep view."""
@@ -442,4 +605,9 @@ def takedown_list(spark: SparkSession, takedown_path: str) -> "list[dict]":
     return sorted(out, key=lambda r: r["label"])
 
 
-__all__ = ["takedown", "takedown_list", "takedown_status"]
+__all__ = [
+    "takedown",
+    "takedown_list",
+    "takedown_status",
+    "takedown_verify",
+]

@@ -286,3 +286,12 @@ def test_takedown_orchestrator_spans_materialized_outputs(
     assert st is not None and all(
         v["status"] == "compacted" for v in st["indexes"].values()
     )
+    # the auditor's closing step over the physical kinds
+    from etl_prometheus2clickhouse_spark.operators.takedown import (
+        takedown_verify,
+    )
+
+    ver = takedown_verify(spark, str(tmp_path), "gdpr-outputs")
+    assert ver["clean"] and all(
+        v["residual_ids"] == 0 for v in ver["indexes"].values()
+    )

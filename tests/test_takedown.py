@@ -346,6 +346,45 @@ def test_compact_refuses_in_flight_streaming_batch(spark, tmp_path):
         assert out["indexes"]["0:bm25"]["status"] == "compacted"
 
 
+def test_takedown_verify_reports_residuals(spark, tmp_path, monkeypatch):
+    """The auditor's closing step: takedown_verify counts staged ids
+    still visible to each index's reads — non-zero exactly on the
+    index a crash left pending; clean after the resume and still
+    clean after compaction."""
+    import etl_prometheus2clickhouse_spark.operators.semantic_index as sm
+    from etl_prometheus2clickhouse_spark.operators.takedown import (
+        takedown_verify,
+    )
+
+    bm25, sem = _build_two(spark, tmp_path)
+    real_sm = sm.semantic_index_delete
+    monkeypatch.setattr(
+        sm, "semantic_index_delete",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash")
+        ),
+    )
+    dele = spark.createDataFrame([(2,)], "id long")
+    idx = [("bm25", bm25), ("semantic", sem)]
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        takedown(spark, dele, idx, str(tmp_path), "v-1")
+    rep = takedown_verify(spark, str(tmp_path), "v-1")
+    assert not rep["clean"]
+    assert rep["indexes"]["0:bm25"]["residual_ids"] == 0  # tombstoned
+    assert rep["indexes"]["1:semantic"]["residual_ids"] == 1  # pending
+    monkeypatch.setattr(sm, "semantic_index_delete", real_sm)
+    takedown(spark, None, idx, str(tmp_path), "v-1")
+    rep2 = takedown_verify(spark, str(tmp_path), "v-1")
+    assert rep2["clean"] and all(
+        v["residual_ids"] == 0 for v in rep2["indexes"].values()
+    )
+    # physically reclaimed state stays clean
+    takedown(spark, None, idx, str(tmp_path), "v-1", compact=True)
+    assert takedown_verify(spark, str(tmp_path), "v-1")["clean"]
+    with pytest.raises(ValueError, match="no takedown record"):
+        takedown_verify(spark, str(tmp_path), "no-such-label")
+
+
 def test_takedown_list_sweeps_all_records(spark, tmp_path):
     from etl_prometheus2clickhouse_spark.operators.takedown import (
         takedown_list,
