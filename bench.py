@@ -109,9 +109,11 @@ BENCH_QUERIES = [
     "takedown_lifecycle",
     "substring_delete",
     # round-16: takedown extended to the published training shards;
-    # the n-best half of subword regularization
+    # the n-best half of subword regularization; snapshot reads of
+    # the persisted index layer
     "shards_takedown",
     "unigram_nbest",
+    "bm25_time_travel",
     "nb_classify",
     "bm25_search",
     # round-13: graded ranking evaluation over the BM25 lists
@@ -354,7 +356,7 @@ TOUCHED_THIS_ROUND = {
     # in-flight compact guard) ride through the lifecycle entry
     "takedown_lifecycle",
     # round-16: new entries (no reference yet)
-    "shards_takedown", "unigram_nbest",
+    "shards_takedown", "unigram_nbest", "bm25_time_travel",
 }
 
 PROBE_PINNED = {

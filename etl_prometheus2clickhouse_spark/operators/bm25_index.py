@@ -321,6 +321,7 @@ def bm25_index_search(
     k1: float = 1.2,
     b: float = 0.75,
     max_query_terms: int = 1_000_000,
+    at_version: "int | None" = None,
 ) -> DataFrame:
     """BM25 top-k against the PERSISTED index — identical scoring
     arithmetic to :func:`operators.text.bm25_search` (idf
@@ -340,9 +341,23 @@ def bm25_index_search(
     argument). The manifest is resolved ONCE per search and every
     table read from that snapshot (:func:`.dedup_index.
     _read_pinned_table`), so a commit landing mid-query can never mix
-    one version's postings with another's corpus stats."""
+    one version's postings with another's corpus stats.
+
+    ``at_version`` pins the search to a RETAINED manifest version
+    (:func:`.dedup_index.index_snapshot`) — the time-travel read:
+    the result is exactly the one-shot BM25 on the corpus as of that
+    commit, later appends/deletes invisible (tombstone visibility
+    binds to the snapshot too). Versions survive until pruned from
+    the manifest window or reclaimed by ``index_vacuum``."""
     spark = queries.sparkSession
-    live = _pinned_live(spark, path)
+    if at_version is not None:
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            index_snapshot,
+        )
+
+        live = index_snapshot(spark, path, at_version)
+    else:
+        live = _pinned_live(spark, path)
     term_buckets = _read_meta(spark, path, live)
     qterms = queries.select(
         F.col(query_id_col),

@@ -1531,6 +1531,76 @@ def _commit_manifest(
     return next_v
 
 
+def index_versions(spark: SparkSession, index_path: str) -> "list[dict]":
+    """Every RETAINED manifest version of an index, ascending —
+    ``[{version, tables}]``. The manifest keeps the last
+    ``_MANIFEST_KEEP`` commits (the read grace), so this is the
+    snapshot-read window: any listed version can be pinned with
+    :func:`index_snapshot` as long as ``index_vacuum`` has not yet
+    reclaimed the directories it references."""
+    import json
+
+    mdir = os.path.join(index_path, _MANIFEST_DIR)
+    jvm, fs, hdir = _hadoop_fs(spark, mdir)
+    if not fs.exists(hdir):
+        return []
+    out = []
+    for st in fs.listStatus(hdir):
+        name = st.getPath().getName()
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-5])
+        except ValueError:
+            continue
+        stream = fs.open(st.getPath())
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        rec = json.loads(data.decode("utf-8"))
+        out.append({"version": v, "tables": rec["tables"]})
+    return sorted(out, key=lambda r: r["version"])
+
+
+def index_snapshot(
+    spark: SparkSession, index_path: str, version: int
+) -> "dict[str, list[str]]":
+    """The pinned live-dir map of one RETAINED manifest version — the
+    time-travel read: pass it wherever a reader takes a ``live``
+    resolution (e.g. ``bm25_index_search(at_version=...)``) and every
+    table read binds to that commit, tombstone visibility included (a
+    snapshot taken before a delete does not see its tombstones — the
+    index as it WAS). Fails loudly when the version has been pruned
+    from the manifest window or a directory it references has been
+    vacuumed — a silent fallback to latest would be a lie about what
+    the caller is reading."""
+    for rec in index_versions(spark, index_path):
+        if rec["version"] == version:
+            jvm, fs, _ = _hadoop_fs(spark, index_path)
+            for t, dirs in rec["tables"].items():
+                for d in dirs:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(index_path, t, d)
+                    )
+                    if not fs.exists(p):
+                        raise ValueError(
+                            f"index snapshot v{version} at "
+                            f"{index_path!r} references {t}/{d} which "
+                            "has been vacuumed — the version is no "
+                            "longer readable (vacuum is the retention "
+                            "boundary)"
+                        )
+            return {k: list(v) for k, v in rec["tables"].items()}
+    have = [r["version"] for r in index_versions(spark, index_path)]
+    raise ValueError(
+        f"index at {index_path!r} has no retained manifest version "
+        f"{version} — retained: {have}"
+    )
+
+
 def _list_increment_dirs(
     spark: SparkSession, table_path: str
 ) -> list[str]:

@@ -6188,6 +6188,66 @@ def q_bm25_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q_bm25_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (time-travel) read of the persisted BM25 index
+    (operators/dedup_index.py ``index_snapshot`` +
+    ``bm25_index_search(at_version=...)``): the 80% base builds the
+    index (manifest v1), the 20% shard is APPENDED (v2), and the
+    search pins the PRE-APPEND version — the log-structured manifest's
+    retained-versions window doing what Delta/Iceberg time travel
+    does, on plain Hadoop FS semantics. The oracle is the one-shot
+    BM25 on the 80% corpus alone: green means the pinned resolution
+    binds every table (postings, additive stats, tombstone
+    visibility) to the old commit even though newer increments are
+    live on disk. Version pruning/vacuum failure modes pinned in
+    tests/test_index_snapshot.py."""
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.operators.bm25_index import (
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        index_versions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 5 != 0)
+    shard = d.where(F.col("doc_id") % 5 == 0)
+
+    def _build(b: str) -> None:
+        bm25_index_build(base, f"{b}/idx", term_buckets=16)
+
+    # shares q_bm25_increment's cached 80% base build
+    scratch = _lifecycle_scratch("bm25_base80_tb16", sf_dir, _build)
+    try:
+        path = f"{scratch}/idx"
+        v0 = index_versions(spark, path)[0]["version"]
+        bm25_index_append(shard, path, "w2")
+        out = bm25_index_search(
+            _bm25_queries(spark, sf_dir), path, k=10, at_version=v0
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# the one-shot BM25 SQL with the corpus reduced to the PRE-APPEND 80%
+# (the snapshot pins the build commit; the appended shard is invisible)
+ORACLE_BM25_TIME_TRAVEL = ORACLE_BM25_SEARCH.replace(
+    "    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM toks",
+    "    SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM toks\n"
+    "    WHERE NOT (doc_id % 5 = 0)",
+).replace(
+    "  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl"
+    " FROM toks",
+    "  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl"
+    " FROM toks WHERE NOT (doc_id % 5 = 0)",
+)
+assert ORACLE_BM25_TIME_TRAVEL != ORACLE_BM25_SEARCH  # both spliced
+
+
 def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index ingestion (streaming/curation_stream.py:
     run_streaming_bm25_ingest): the base-built index receives the shard
@@ -9133,6 +9193,10 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-16: the n-best half of subword regularization — top-3
     # segmentations per distinct word vs the rank-carrying unrolled DP
     "unigram_nbest": q_unigram_nbest,
+    # round-16: snapshot read of the persisted BM25 index at a pinned
+    # manifest version — search at the pre-append commit ≡ one-shot
+    # on the pre-append corpus
+    "bm25_time_travel": q_bm25_time_travel,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -9386,6 +9450,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "bm25_delete": ORACLE_BM25_DELETE,
     "unigram_encode_ids": ORACLE_UNIGRAM_ENCODE_IDS,
     "unigram_nbest": ORACLE_UNIGRAM_NBEST,
+    "bm25_time_travel": ORACLE_BM25_TIME_TRAVEL,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,
