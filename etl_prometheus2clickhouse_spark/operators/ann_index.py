@@ -321,6 +321,7 @@ def ann_index_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    at_version: "int | None" = None,
 ) -> DataFrame:
     """ADC search over ALL increments of the persisted table with the
     stored model: probe cells prune ``cell=`` partition directories;
@@ -336,11 +337,25 @@ def ann_index_search(
     vectors all read from that snapshot — the one-commit retrain swap
     guarantees a reader never pairs new codes with old quantizers only
     if the reader binds every table to one resolution (the
-    ``_read_pinned_table`` contract)."""
+    ``_read_pinned_table`` contract).
+
+    ``at_version`` pins the search to a RETAINED manifest version
+    (:func:`.dedup_index.index_snapshot` — the time-travel read):
+    model, codes, vectors, and tombstone visibility all bind to that
+    commit, so the result is the one-shot search on the corpus as of
+    that version. Note the rescore's ``corpus`` override bypasses the
+    pin for raw vectors — omit it when snapshotting."""
     if n_candidates < k:
         raise ValueError("n_candidates must be >= k")
     spark = queries.sparkSession
-    live = _pinned_live(spark, path)
+    if at_version is not None:
+        from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+            index_snapshot,
+        )
+
+        live = index_snapshot(spark, path, at_version)
+    else:
+        live = _pinned_live(spark, path)
     row = _model_row(spark, path, live)
     model = ivfpq_model_from_json(row.model_json)
     table = _read_pinned_table(spark, path, "codes", live).select(

@@ -105,3 +105,54 @@ def test_snapshot_pins_appends_and_tombstones(spark, tmp_path):
         assert _search(spark, path) == _oneshot(
             spark, _docs(spark, lambda i: i != 2)
         )
+
+
+def test_ann_search_snapshot(spark, tmp_path):
+    """The dense leg pins too: an ANN search at the pre-append version
+    equals the search that ran before the append (frozen quantizers —
+    appends don't retrain, so the only difference is the snapshot's
+    code/vector tables)."""
+    from etl_prometheus2clickhouse_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+
+    path = str(tmp_path / "ann")
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(16)])
+        for i in range(1, 41)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    with cached_scope():
+        ann_index_build(
+            emb.where(F.col("vec_id") <= 30), path, dim=16, n_cells=4,
+            m=4, k_codes=8, quantizers="first",
+        )
+        v0 = index_versions(spark, path)[-1]["version"]
+        q = emb.where(F.col("vec_id") <= 3).selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        pre = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_index_search(
+                q, path, k=5, id_col="query_id"
+            ).collect()
+        )
+        ann_index_append(emb.where(F.col("vec_id") > 30), path, "w2")
+        pinned = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_index_search(
+                q, path, k=5, id_col="query_id", at_version=v0
+            ).collect()
+        )
+        assert pinned == pre
+        latest = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_index_search(
+                q, path, k=5, id_col="query_id"
+            ).collect()
+        )
+        assert latest != pre  # the append is visible at latest
