@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "shards_takedown",
     "unigram_nbest",
     "bm25_time_travel",
+    "shards_append",
     "nb_classify",
     "bm25_search",
     # round-13: graded ranking evaluation over the BM25 lists
@@ -357,6 +358,7 @@ TOUCHED_THIS_ROUND = {
     "takedown_lifecycle",
     # round-16: new entries (no reference yet)
     "shards_takedown", "unigram_nbest", "bm25_time_travel",
+    "shards_append",
 }
 
 PROBE_PINNED = {

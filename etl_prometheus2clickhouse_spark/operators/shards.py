@@ -389,6 +389,100 @@ def shards_delete(
     }
 
 
+def shards_append(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    label: str,
+) -> dict:
+    """Merge a new batch of mixture rows into an existing
+    :func:`.sampling.write_training_shards` table — the incremental
+    face of the final write step (a curation pipeline publishes
+    batches daily; rewriting the whole table per batch is the thing
+    this module exists to avoid). The batch's shard ids derive from
+    its own ``order_col`` values (``floor(key / width)`` from the
+    recorded geometry — no spec lookup needed, the keys are IN the
+    frame), so ONLY the receiving ``__shard=`` directories are
+    re-merged (read + union + sorted rewrite) through the same
+    crash-safe staged swap as :func:`shards_delete`.
+
+    Replay contract: the merge drops exact-duplicate rows, and mix
+    rows are unique by construction (``(id, source[, copy])`` is a
+    key and every emitted column is a pure function of it), so
+    replaying a crashed append under any label converges to the same
+    table — idempotent without an append log. Do NOT use this to
+    re-deliver intentionally-duplicated rows; epoch replication must
+    come through ``mix_epochs``'s ``copy`` column, which
+    disambiguates them.
+
+    100 TB shape: work is receiving-shard-bounded — a batch whose
+    keys land in B shards reads and rewrites those B directories
+    only, never the table."""
+    recover_partition_swap(spark, path, "__shard=")
+    meta = read_shards_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"shards_append: no _shards_meta.json at {path!r} — the "
+            "table predates the recorded geometry; rewrite it once "
+            "with write_training_shards"
+        )
+    order_col, width = meta["order_col"], int(meta["width"])
+    if "__shard" in rows.columns:
+        raise ValueError("shards_append reserves column '__shard'")
+    new = rows.withColumn(
+        "__shard", (F.col(order_col) / F.lit(width)).cast("int")
+    )
+    affected = sorted(
+        r.s for r in new.select(
+            F.col("__shard").alias("s")
+        ).distinct().collect()
+    )
+    if not affected:
+        return {"appended_rows": 0, "affected_shards": [], "label": label}
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    existing = [
+        s
+        for s in affected
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, f"__shard={s}")
+            )
+        )
+    ]
+    from pyspark.errors import AnalysisException
+
+    try:
+        old = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f"__shard={s}") for s in existing]
+        ) if existing else None
+    except AnalysisException:  # every receiving shard emptied before
+        old = None
+    before = old.count() if old is not None else 0
+    merged = (
+        new if old is None
+        else old.unionByName(new).dropDuplicates()
+    )
+
+    def _write(staged: str) -> None:
+        (
+            merged.repartition(len(affected), F.col("__shard"))
+            .sortWithinPartitions("__shard", order_col)
+            .write.mode("overwrite")
+            .partitionBy("__shard")
+            .parquet(staged)
+        )
+
+    _swap_partitions(spark, path, "__shard", affected, _write)
+    after = _count_or_zero(
+        spark, path, [f"__shard={s}" for s in affected]
+    )
+    return {
+        "appended_rows": int(after - before),
+        "affected_shards": [int(s) for s in affected],
+        "label": label,
+    }
+
+
 def shards_compact(
     spark: SparkSession, path: str, exclude_labels: "set[str] | None" = None
 ) -> dict:
@@ -477,6 +571,7 @@ __all__ = [
     "dispositions_delete",
     "read_shards_meta",
     "recover_partition_swap",
+    "shards_append",
     "shards_compact",
     "shards_delete",
     "write_shards_meta",

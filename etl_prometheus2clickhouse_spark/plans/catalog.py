@@ -8860,6 +8860,71 @@ WHERE doc_id % 17 <> 3
 """
 
 
+def q_shards_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental publication of the training shard table
+    (operators/shards.py ``shards_append``): the ``doc_id % 3 != 1``
+    slice of the corpus_mix mixture is written as the base shard
+    table, the remaining slice arrives as a BATCH whose shard ids
+    derive from its own mix keys — only the receiving ``__shard=``
+    directories are re-merged (sorted rewrite through the crash-safe
+    staged swap). The read-back faces the corpus_mix oracle over the
+    FULL corpus: green means base write + append ≡ the one-shot
+    mixture write, the daily-batch publication contract. Replay
+    idempotence and receiving-shard byte bounds pinned in
+    tests/test_shards_takedown.py."""
+    import shutil
+
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        mix_corpora,
+        write_training_shards,
+    )
+    from etl_prometheus2clickhouse_spark.operators.shards import (
+        shards_append,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = mix_corpora(
+        [
+            (d.where(F.col("lang") == "en"), "web_en", 0.25),
+            (d.where(F.col("lang") != "en"), "curated", 1.0),
+        ],
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source", "u_bucket", "mix_key")
+
+    def _build(base: str) -> None:
+        write_training_shards(
+            mixed.where(F.col("doc_id") % 3 != 1), f"{base}/shards", 8
+        )
+
+    scratch = _lifecycle_scratch("shards_append", sf_dir, _build)
+    try:
+        rep = shards_append(
+            spark,
+            f"{scratch}/shards",
+            mixed.where(F.col("doc_id") % 3 == 1),
+            "batch-1",
+        )
+        assert rep["appended_rows"] > 0
+        out = spark.read.parquet(f"{scratch}/shards").select(
+            "doc_id",
+            "lang",
+            "source",
+            "u_bucket",
+            "mix_key",
+            F.col("__shard").alias("shard"),
+        )
+        return local_df(spark, out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ORACLE_SHARDS_APPEND = f"""
+SELECT doc_id, lang, source, u_bucket, mix_key,
+       CAST(FLOOR(mix_key / 536870912.0) AS INT) AS shard
+FROM ({ORACLE_CORPUS_MIX}) m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ETL core (SURVEY §2)
     "prom_parse": q_prom_parse,
@@ -9197,6 +9262,9 @@ CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # manifest version — search at the pre-append commit ≡ one-shot
     # on the pre-append corpus
     "bm25_time_travel": q_bm25_time_travel,
+    # round-16: incremental shard-table publication — base write +
+    # batch append ≡ the one-shot mixture write
+    "shards_append": q_shards_append,
     "cosine_topk": q_cosine_topk,
     # round-9 late: the span-level face of the in-window
     # exact_substring_dedup (same dup-window pipeline, pre-cut output)
@@ -9451,6 +9519,7 @@ CROSS_CHECKED_ORACLES: dict[str, str] = {
     "unigram_encode_ids": ORACLE_UNIGRAM_ENCODE_IDS,
     "unigram_nbest": ORACLE_UNIGRAM_NBEST,
     "bm25_time_travel": ORACLE_BM25_TIME_TRAVEL,
+    "shards_append": ORACLE_SHARDS_APPEND,
     "bpe_encode_ids": ORACLE_BPE_ENCODE_IDS,
     "bpe_pack_ids": ORACLE_BPE_PACK_IDS,
     "events_ewma_bucketed": ORACLE_EVENTS_EWMA_BUCKETED,

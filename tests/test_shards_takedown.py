@@ -210,6 +210,53 @@ def test_crash_mid_swap_heals_on_replay(spark, tmp_path, monkeypatch):
     assert _rows(spark, path) == want
 
 
+def test_shards_append_merges_only_receiving_shards(spark, tmp_path):
+    """Incremental publication: a batch re-merges ONLY the shards its
+    keys land in (others byte-identical), the merged table equals the
+    one-shot write of the union, sorted order survives, and a replayed
+    append is a no-op (mix rows are unique by construction)."""
+    from etl_prometheus2clickhouse_spark.operators.shards import (
+        shards_append,
+    )
+
+    docs = _docs(spark, 300)
+    full = _mix(spark, docs)
+    base = full.where(F.col("doc_id") % 4 != 2)
+    batch = full.where(F.col("doc_id") % 4 == 2)
+    path = str(tmp_path / "inc")
+    write_training_shards(base, path, N_SHARDS)
+    listing0 = _listing(path)
+    rep = shards_append(spark, path, batch, "b1")
+    assert rep["appended_rows"] == batch.count() > 0
+    # equals the one-shot write of the union
+    oneshot = str(tmp_path / "oneshot")
+    write_training_shards(full, oneshot, N_SHARDS)
+    assert _rows(spark, path) == _rows(spark, oneshot)
+    # non-receiving shards untouched
+    for d, files in listing0.items():
+        s = int(d.split("=")[1])
+        if s not in set(rep["affected_shards"]):
+            assert _listing(path)[d] == files, d
+    # sorted within files
+    import pyarrow.parquet as pq
+
+    for d, files in _listing(path).items():
+        for f, _, _ in files:
+            if f.endswith(".parquet"):
+                keys = pq.read_table(
+                    os.path.join(path, d, f), columns=["mix_key"]
+                )["mix_key"].to_pylist()
+                assert keys == sorted(keys)
+    # replay converges (no duplicates)
+    rep2 = shards_append(spark, path, batch, "b1")
+    assert rep2["appended_rows"] == 0
+    assert _rows(spark, path) == _rows(spark, oneshot)
+    # a geometry-less legacy table refuses loudly
+    os.remove(os.path.join(path, "_shards_meta.json"))
+    with pytest.raises(ValueError, match="no _shards_meta"):
+        shards_append(spark, path, batch, "b2")
+
+
 def _write_dispositions(spark, root):
     for b, rows in [
         (0, [(1, "kept"), (2, "duplicate")]),
