@@ -302,19 +302,24 @@ def _read_components(
     return df.select("nb", "node", "component")
 
 
-def _recover_components(spark: SparkSession, comp_dir: str) -> None:
-    """Finish (or discard) an interrupted touched-partition swap.
+def recover_partition_swap(
+    spark: SparkSession, path: str, part_prefix: str
+) -> None:
+    """Finish (or discard) an interrupted staged partition swap — ONE
+    copy of the crash-recovery state machine, shared by the components
+    table (``nb=``), the paragraph membership rewrites (``hp=``), and
+    the shards/dispositions tables (``__shard=``/``mb=``).
 
-    :func:`_rewrite_touched_components` stages recomputed partitions
-    under a dot-directory (invisible to parquet readers), then RENAMES
-    the staged root to a ``.commit-*`` marker before any live
-    directory is deleted — so every crash window is decidable from the
-    directory state alone: a ``.staged-*`` root means the swap never
-    reached the point of no return (discard it — the live table is
-    untouched and the increment replays); a ``.commit-*`` root means
-    the new content is fully durable (roll FORWARD: finish the
-    per-partition swap). Both recoveries are idempotent."""
-    jvm, fs, root = _hadoop_fs(spark, comp_dir)
+    The writer stages recomputed partitions under a dot-directory
+    (invisible to parquet readers), then RENAMES the staged root to a
+    ``.commit-*`` marker before any live directory is deleted — so
+    every crash window is decidable from the directory state alone: a
+    ``.staged-*`` root means the swap never reached the point of no
+    return (discard it — the live table is untouched and the work
+    replays); a ``.commit-*`` root means the new content is fully
+    durable (roll FORWARD: finish the per-partition swap). Both
+    recoveries are idempotent."""
+    jvm, fs, root = _hadoop_fs(spark, path)
     if not fs.exists(root):
         return
     for st in fs.listStatus(root):
@@ -324,19 +329,79 @@ def _recover_components(spark: SparkSession, comp_dir: str) -> None:
         elif name.startswith(".commit-"):
             for part in fs.listStatus(st.getPath()):
                 pname = part.getPath().getName()
-                if not pname.startswith("nb="):
+                if not pname.startswith(part_prefix):
                     continue
                 live = jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(comp_dir, pname)
+                    os.path.join(path, pname)
                 )
                 if fs.exists(live):
                     fs.delete(live, True)
                 if not fs.rename(part.getPath(), live):
                     raise IOError(
-                        f"components swap recovery: rename of {pname} "
-                        f"under {comp_dir!r} reported failure"
+                        f"partition swap recovery: rename of {pname} "
+                        f"under {path!r} reported failure"
                     )
             fs.delete(st.getPath(), True)
+
+
+def swap_partitions(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    affected: "list",
+    writer_fn,
+) -> None:
+    """Crash-safe replacement of the ``part_col=<v>`` directories in
+    ``affected``: ``writer_fn(staged_dir)`` writes the new content
+    partitioned by ``part_col``; then stage → ``.commit-*`` → per-
+    partition delete+rename → drop the marker (the protocol
+    :func:`recover_partition_swap` heals). Partitions the writer
+    emitted no rows for are staged as explicit empty directories so
+    every affected value has a rename source — a delete can empty a
+    partition entirely."""
+    import uuid
+
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    tag = uuid.uuid4().hex[:8]
+    staged = os.path.join(path, f".staged-{tag}")
+    writer_fn(staged)
+    for v in affected:
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(staged, f"{part_col}={v}")
+        )
+        if not fs.exists(p):
+            fs.mkdirs(p)
+    commit = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f".commit-{tag}")
+    )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), commit):
+        raise IOError(
+            f"partition swap: staging rename to {commit} reported "
+            f"failure; live table untouched, staged content at "
+            f"{staged!r}"
+        )
+    for v in affected:
+        live = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"{part_col}={v}")
+        )
+        if fs.exists(live):
+            fs.delete(live, True)
+        src = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f".commit-{tag}", f"{part_col}={v}")
+        )
+        if not fs.rename(src, live):
+            raise IOError(
+                f"partition swap: rename of {part_col}={v} into place "
+                f"reported failure; recovery completes it from "
+                f".commit-{tag}"
+            )
+    fs.delete(commit, True)
+
+
+def _recover_components(spark: SparkSession, comp_dir: str) -> None:
+    """Components-table writer-touch recovery — the shared protocol at
+    the ``nb=`` prefix (see :func:`recover_partition_swap`)."""
+    recover_partition_swap(spark, comp_dir, "nb=")
 
 
 def _closure_with_new_pairs(
@@ -2357,11 +2422,7 @@ def _heal_paras_swaps(spark: SparkSession, path: str) -> None:
     """Writer-touch recovery for the paragraph MEMBERSHIP table: a
     crashed delete-time partition swap inside any live ``paras``
     increment dir is rolled forward/back from directory state (the
-    components-swap protocol, generalized in :mod:`.shards`)."""
-    from etl_prometheus2clickhouse_spark.operators.shards import (
-        recover_partition_swap,
-    )
-
+    shared :func:`recover_partition_swap` protocol at ``hp=``)."""
     root = os.path.join(path, "paras")
     for d in _manifest_tables(spark, path, ["paras"]).get("paras", []):
         recover_partition_swap(spark, os.path.join(root, d), "hp=")
@@ -2452,10 +2513,6 @@ def paragraph_index_delete(
     dead_hashes = 0
     touched: list[int] = []
     if has_attrib and n:
-        from etl_prometheus2clickhouse_spark.operators.shards import (
-            _swap_partitions,
-        )
-
         tomb_all = (
             effective
             if tomb_prior is None
@@ -2488,13 +2545,39 @@ def paragraph_index_delete(
                 r.hp for r in dead.select("hp").distinct().collect()
             )
         if touched:
+            from pyspark.errors import AnalysisException
+
             dead_h = dead.select("h")
+            # one pass over the touched buckets of the live table
+            # names exactly the (increment, bucket) partitions holding
+            # dead hashes — the swap touches only those: an increment
+            # without a dead hash is never read or rewritten, no empty
+            # hp= dirs are planted in increments lacking the bucket,
+            # and an increment a previous delete emptied entirely (no
+            # parquet files left) can never crash the per-dir read
+            try:
+                hit_rows = (
+                    _read_increment_table(spark, path, "paras")
+                    .where(F.col("hp").isin(touched))
+                    .join(dead_h, "h", "leftsemi")
+                    .select("mb", "hp")
+                    .distinct()
+                    .collect()
+                )
+            except AnalysisException:
+                hit_rows = []  # every live increment already emptied
+            per_inc: "dict[str, list[int]]" = {}
+            for r in hit_rows:
+                per_inc.setdefault(str(r.mb), []).append(int(r.hp))
             for d in live:
+                tp = sorted(per_inc.get(d[3:], []))
+                if not tp:
+                    continue
                 inc_dir = os.path.join(root, d)
                 inc = spark.read.option("basePath", inc_dir).parquet(
                     inc_dir
                 )
-                kept = inc.where(F.col("hp").isin(touched)).join(
+                kept = inc.where(F.col("hp").isin(tp)).join(
                     dead_h, "h", "left_anti"
                 )
 
@@ -2507,7 +2590,7 @@ def paragraph_index_delete(
                         .parquet(staged)
                     )
 
-                _swap_partitions(spark, inc_dir, "hp", touched, _write)
+                swap_partitions(spark, inc_dir, "hp", tp, _write)
     _tomb_write(spark, path, effective, label, id_buckets)
     _manifest_add(spark, path, [_TOMB_TABLE], label)
     return {
@@ -2638,12 +2721,16 @@ def paragraph_index_build(
     ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
         "hp"
     ).parquet(os.path.join(path, "attrib", "mb=base"))
-    pairs.select("h").distinct().select(
-        F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
-        "h",
-    ).repartition(F.col("hp")).write.mode("overwrite").partitionBy(
-        "hp"
-    ).parquet(os.path.join(path, "paras", "mb=base"))
+    # membership derives from the just-written slim attribution table
+    # (one corpus scan total, not two — the second pass reads (hp, h)
+    # parquet, not the corpus text)
+    spark.read.option(
+        "basePath", os.path.join(path, "attrib")
+    ).parquet(os.path.join(path, "attrib", "mb=base")).select(
+        "hp", "h"
+    ).distinct().repartition(F.col("hp")).write.mode(
+        "overwrite"
+    ).partitionBy("hp").parquet(os.path.join(path, "paras", "mb=base"))
     local_df(
         spark, [(sep, index_buckets)], "sep string, index_buckets int"
     ).coalesce(1).write.mode("overwrite").parquet(

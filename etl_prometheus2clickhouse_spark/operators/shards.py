@@ -53,12 +53,17 @@ from __future__ import annotations
 import json
 import math
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_prometheus2clickhouse_spark.operators.dedup_index import _hadoop_fs
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    _hadoop_fs,
+    recover_partition_swap,
+)
+from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+    swap_partitions as _swap_partitions,
+)
 from etl_prometheus2clickhouse_spark.operators.sampling import (
     _MODULUS,
     _MULT,
@@ -131,90 +136,11 @@ def read_shards_meta(spark: SparkSession, path: str) -> "dict | None":
     return json.loads(data.decode("utf-8"))
 
 
-# ------------------------------------------------- staged-swap machinery
-
-
-def recover_partition_swap(
-    spark: SparkSession, path: str, part_prefix: str
-) -> None:
-    """Finish (or discard) an interrupted partition swap — the
-    components-table recovery protocol (dedup_index
-    ``_recover_components``) generalized over the partition prefix.
-    ``.staged-*`` = never reached the point of no return: discard;
-    ``.commit-*`` = new content durable: roll forward. Idempotent."""
-    jvm, fs, root = _hadoop_fs(spark, path)
-    if not fs.exists(root):
-        return
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith(".staged-"):
-            fs.delete(st.getPath(), True)
-        elif name.startswith(".commit-"):
-            for part in fs.listStatus(st.getPath()):
-                pname = part.getPath().getName()
-                if not pname.startswith(part_prefix):
-                    continue
-                live = jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(path, pname)
-                )
-                if fs.exists(live):
-                    fs.delete(live, True)
-                if not fs.rename(part.getPath(), live):
-                    raise IOError(
-                        f"partition swap recovery: rename of {pname} "
-                        f"under {path!r} reported failure"
-                    )
-            fs.delete(st.getPath(), True)
-
-
-def _swap_partitions(
-    spark: SparkSession,
-    path: str,
-    part_col: str,
-    affected: "list",
-    writer_fn,
-) -> None:
-    """Crash-safe replacement of the ``part_col=<v>`` directories in
-    ``affected``: ``writer_fn(staged_dir)`` writes the new content
-    partitioned by ``part_col``; then stage→commit→swap (see
-    :func:`recover_partition_swap`). Partitions the writer emitted no
-    rows for are staged as explicit empty directories so every
-    affected value has a rename source — a delete can empty a
-    partition entirely."""
-    jvm, fs, _ = _hadoop_fs(spark, path)
-    tag = uuid.uuid4().hex[:8]
-    staged = os.path.join(path, f".staged-{tag}")
-    writer_fn(staged)
-    for v in affected:
-        p = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(staged, f"{part_col}={v}")
-        )
-        if not fs.exists(p):
-            fs.mkdirs(p)
-    commit = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(path, f".commit-{tag}")
-    )
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), commit):
-        raise IOError(
-            f"shards swap: staging rename to {commit} reported failure; "
-            f"live table untouched, staged content at {staged!r}"
-        )
-    for v in affected:
-        live = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, f"{part_col}={v}")
-        )
-        if fs.exists(live):
-            fs.delete(live, True)
-        src = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, f".commit-{tag}", f"{part_col}={v}")
-        )
-        if not fs.rename(src, live):
-            raise IOError(
-                f"shards swap: rename of {part_col}={v} into place "
-                f"reported failure; recovery completes it from "
-                f".commit-{tag}"
-            )
-    fs.delete(commit, True)
+# staged-swap machinery: ONE copy of the crash-recovery state machine
+# lives in dedup_index (recover_partition_swap / swap_partitions — the
+# components-table protocol generalized over the partition prefix);
+# imported at the top and re-exported in __all__ for the
+# shards/dispositions callers and their tests.
 
 
 def _count_or_zero(
@@ -362,10 +288,24 @@ def shards_delete(
             "planned_via": planned_via,
             "label": label,
         }
-    sub = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f"__shard={s}") for s in affected]
-    )
-    before = sub.count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        sub = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f"__shard={s}") for s in affected]
+        )
+        before = sub.count()
+    except AnalysisException:
+        # every affected dir was emptied by a previous delete (zero
+        # parquet files — nothing left to infer a schema from, and
+        # nothing left to delete): the replay/resume contract must
+        # still complete
+        return {
+            "deleted_rows": 0,
+            "affected_shards": [int(s) for s in affected],
+            "planned_via": planned_via,
+            "label": label,
+        }
     kept = sub.join(F.broadcast(dele), id_col, "left_anti")
 
     def _write(staged: str) -> None:

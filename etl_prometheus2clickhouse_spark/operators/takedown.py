@@ -268,6 +268,13 @@ def takedown(
             "takedown: label must match [A-Za-z0-9][A-Za-z0-9._-]* "
             f"(and not be '.'/'..'), got {label!r}"
         )
+    if re.fullmatch(r"b\d+", label):
+        raise ValueError(
+            f"takedown: label {label!r} matches the streaming batch "
+            "pattern b<digits> — the compact phase's in-flight guard "
+            "would refuse the takedown's OWN tombstone increments and "
+            "it could never reach 'compacted'; pick another label"
+        )
     if not indexes:
         raise ValueError("takedown: needs at least one (kind, path) index")
     if vacuum and not compact:

@@ -6245,7 +6245,9 @@ ORACLE_BM25_TIME_TRAVEL = ORACLE_BM25_SEARCH.replace(
     "  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl"
     " FROM toks WHERE NOT (doc_id % 5 = 0)",
 )
-assert ORACLE_BM25_TIME_TRAVEL != ORACLE_BM25_SEARCH  # both spliced
+# BOTH splices must land (a reformat of either anchor would silently
+# no-op its replace and leave stats covering the full corpus)
+assert ORACLE_BM25_TIME_TRAVEL.count("NOT (doc_id % 5 = 0)") == 2
 
 
 def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8401,7 +8403,9 @@ ORACLE_BM25_DELETE = ORACLE_BM25_SEARCH.replace(
     "  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl"
     " FROM toks WHERE NOT (doc_id % 7 = 3)",
 )
-assert ORACLE_BM25_DELETE != ORACLE_BM25_SEARCH  # both spliced
+# BOTH splices must land (a reformat of either anchor would silently
+# no-op its replace and leave stats covering the full corpus)
+assert ORACLE_BM25_DELETE.count("NOT (doc_id % 7 = 3)") == 2
 
 
 def q_bm25_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,60 @@ def _forge_v1(spark, path):
     _commit_manifest(spark, path, tables)
 
 
+def test_split_delete_skips_emptied_increments(spark, tmp_path):
+    """A delete that empties an increment's membership entirely must
+    not break LATER deletes: the one-pass (increment, bucket) hit
+    election never reads a file-less directory, and an increment
+    holding none of the dead hashes is not rewritten."""
+    from etl_prometheus2clickhouse_spark.operators.dedup_index import (
+        paragraph_index_delete,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    seed = mk([(1, "alpha beta\ngamma delta"),
+               (2, "gamma delta\nepsilon zeta")])
+    w1 = mk([(30, "uniquely w1 paragraph")])
+    path = str(tmp_path / "pidx_empty")
+    with cached_scope():
+        paragraph_index_build(seed, path, index_buckets=8)
+        paragraph_increment(
+            w1, path, update_index=True, update_label="w1"
+        ).write.format("noop").mode("overwrite").save()
+        # delete doc 30: w1's only membership hash dies → mb=w1 is
+        # left with empty hp= dirs only
+        r1 = paragraph_index_delete(
+            spark, path, mk([(30, "x")]).select("doc_id"), "d1"
+        )
+        assert r1["dead_hashes"] == 1
+        # a LATER delete over a base-increment hash must not crash on
+        # the emptied mb=w1 (and must not rewrite it)
+        import os as _os
+
+        w1_mtime = {
+            d: _os.stat(_os.path.join(path, "paras", "mb=w1", d)).st_mtime_ns
+            for d in _os.listdir(_os.path.join(path, "paras", "mb=w1"))
+            if d.startswith("hp=")
+        }
+        r2 = paragraph_index_delete(
+            spark, path, mk([(1, "x")]).select("doc_id"), "d2"
+        )
+        assert r2["dead_hashes"] == 1  # "alpha beta" lost doc 1
+        w1_after = {
+            d: _os.stat(_os.path.join(path, "paras", "mb=w1", d)).st_mtime_ns
+            for d in _os.listdir(_os.path.join(path, "paras", "mb=w1"))
+            if d.startswith("hp=")
+        }
+        assert w1_after == w1_mtime, "emptied increment was rewritten"
+        # the index still answers correctly: both dead paragraphs
+        # electable, "gamma delta" still suppressed by doc 2
+        shard = mk([(50, "alpha beta\ngamma delta\nuniquely w1 paragraph")])
+        post = paragraph_increment(shard, path).collect()[0]
+        assert post.n_kept == 2
+        assert post.text == "alpha beta\nuniquely w1 paragraph"
+
+
 def test_v1_layout_probe_delete_compact(spark, tmp_path):
     mk = lambda rows: spark.createDataFrame(  # noqa: E731
         rows, "doc_id long, text string"

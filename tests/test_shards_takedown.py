@@ -135,6 +135,43 @@ def test_shards_delete_replay_is_idempotent_and_scan_fallback(
     assert _rows(spark, path) == want
 
 
+def test_shards_delete_survives_fully_emptied_shards(spark, tmp_path):
+    """A delete that emptied its shards entirely must stay replayable:
+    the resume (and any later delete hashing into the emptied shards)
+    completes with 0 rows instead of failing schema inference on the
+    file-less directories."""
+    docs = _docs(spark, 40)
+    path = str(tmp_path / "allgone")
+    write_training_shards(_mix(spark, docs), path, 4, key_spec=SPEC)
+    # materialize the id list first — the takedown orchestrator stages
+    # ids to parquet for exactly this reason (a frame lazily reading
+    # the table being rewritten would dangle on replay)
+    every = spark.createDataFrame(
+        [(r.doc_id,) for r in
+         spark.read.parquet(path).select("doc_id").distinct().collect()],
+        "doc_id long",
+    )
+    rep = shards_delete(spark, path, every, "wipe")
+    assert rep["deleted_rows"] > 0
+    # every shard dir is now file-less (a fully-emptied table has
+    # nothing left for parquet schema inference — check at file level)
+    for d in os.listdir(path):
+        if d.startswith("__shard="):
+            assert not [
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ], d
+    # replay of the same takedown (crash-before-state-commit resume)
+    rep2 = shards_delete(spark, path, every, "wipe")
+    assert rep2["deleted_rows"] == 0
+    # a later delete whose candidates land in the emptied shards
+    rep3 = shards_delete(
+        spark, path,
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), "wipe-2",
+    )
+    assert rep3["deleted_rows"] == 0
+
+
 def test_shards_delete_epochs_spec_removes_every_copy(spark, tmp_path):
     docs = _docs(spark, 150).drop("lang")
     epochs = {"a": 2.4, "b": 0.7}

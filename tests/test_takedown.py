@@ -200,6 +200,10 @@ def test_record_is_defined_by_first_call(spark, tmp_path):
     for bad in ("a/b", "..", ".", "", ".hidden", "a b", "-x"):
         with pytest.raises(ValueError, match="label must match"):
             takedown(spark, dele, [("bm25", bm25)], str(tmp_path), bad)
+    # a label shaped like a streaming batch would trip the compact
+    # phase's own in-flight guard on the takedown's tombstones
+    with pytest.raises(ValueError, match="streaming batch pattern"):
+        takedown(spark, dele, [("bm25", bm25)], str(tmp_path), "b7")
     with pytest.raises(ValueError, match="unknown index kind"):
         takedown(spark, dele, [("lucene", bm25)], str(tmp_path), "gdpr-4")
     with pytest.raises(ValueError, match="requires compact=True"):
