@@ -53,6 +53,12 @@ from pyspark.sql import functions as F
 
 _MB = "mb"
 
+# interleave key salt for the published shard table: 12345 + 7919 —
+# the mix_corpora source-0 mix_key addend, so the funnel's published
+# keys are the single-source corpus_mix keys and an auditor (or the
+# one-shot oracle) recomputes them with the same exact SQL arithmetic
+_SHARD_KEY_SALT = 20264
+
 # target rows per file of a (doc_id, disposition)-shaped batch write —
 # small batches still land as one file, a very large micro-batch fans
 # out instead of serializing through one task
@@ -141,6 +147,7 @@ def curation_batch_body(
     serve_index_path: str | None = None,
     ann_serve_index_path: str | None = None,
     serve_vec_dim: int = 32,
+    shards_path: str | None = None,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
@@ -170,6 +177,21 @@ def curation_batch_body(
     the curated corpus at batch commit. All-zero hash vectors (empty
     text) are excluded on both the ingest and one-shot sides, so the
     serve index equals the one-shot encoding of the kept set.
+
+    With ``shards_path`` the funnel closes the curate → PUBLISH loop:
+    each batch's kept documents are merged into a persisted training
+    shard table (:func:`.shards.shards_append` — receiving-shard-
+    bounded sorted rewrite) under a deterministic interleave key
+    (``(id · 2654435761 + 20264) mod 2^32`` — the ``mix_corpora``
+    source-0 key, so an auditor recomputes it with one line of SQL).
+    Bootstrap the table beforehand: ``write_training_shards`` over the
+    seed's kept output with the same key expression (or
+    ``write_shards_meta`` alone for an empty table). Replay safety
+    comes from ``shards_append``'s converging merge — a re-delivered
+    batch re-merges identical rows and drops them as exact duplicates,
+    so at-least-once delivery yields the exactly-once table. The
+    published table is a takedown target (kind ``shards``), closing
+    curate → publish → right-to-be-forgotten end-to-end.
 
     With ``para_index_path`` the funnel runs FOUR stages — the full
     one-shot ``curation_funnel`` lineage: incremental PARAGRAPH dedup
@@ -274,10 +296,15 @@ def curation_batch_body(
             ppl = lm_perplexity(
                 kept_quality, reference, text_col, id_col, alpha=alpha
             ).select(id_col, "perplexity")
-            if serve_index_path is not None or ann_serve_index_path is not None:  # noqa: E501
+            publish_legs = sum(
+                p is not None
+                for p in (serve_index_path, ann_serve_index_path,
+                          shards_path)
+            )
+            if publish_legs:
                 # one LM scoring, N consumers (the contaminated
                 # checkpoint pattern): the disposition write below and
-                # the serve-index appends here
+                # the serve/publish appends here
                 ppl = ppl.localCheckpoint()
                 kept_docs = (
                     kept_quality.join(ppl, id_col)
@@ -287,8 +314,8 @@ def curation_batch_body(
                     )
                     .select(id_col, text_col)
                 )
-                if serve_index_path and ann_serve_index_path:
-                    # two serve legs consume the kept set — pin it so
+                if publish_legs > 1:
+                    # several legs consume the kept set — pin it so
                     # the funnel upstream runs once, not per leg
                     kept_docs = kept_docs.localCheckpoint()
                 if serve_index_path is not None:
@@ -325,6 +352,31 @@ def curation_batch_body(
                         kept_vecs, ann_serve_index_path, label,
                         id_col=id_col, vec_col="embedding",
                     )
+                if shards_path is not None:
+                    from etl_prometheus2clickhouse_spark.operators.sampling import (  # noqa: E501
+                        sample_bucket,
+                    )
+                    from etl_prometheus2clickhouse_spark.operators.shards import (  # noqa: E501
+                        read_shards_meta,
+                        shards_append,
+                    )
+
+                    smeta = read_shards_meta(spark, shards_path)
+                    if smeta is None:
+                        raise ValueError(
+                            "shards_path needs a bootstrapped table — "
+                            "write_training_shards over the seed's "
+                            "kept output (or write_shards_meta for an "
+                            f"empty table) at {shards_path!r} first"
+                        )
+                    rows = kept_docs.select(
+                        F.col(id_col),
+                        F.col(text_col),
+                        sample_bucket(id_col, salt=_SHARD_KEY_SALT)
+                        .cast("long")
+                        .alias(smeta["order_col"]),
+                    )
+                    shards_append(spark, shards_path, rows, label)
             base = inc.select(id_col, "is_canonical")
             if contaminated is not None:
                 base = base.join(
@@ -390,6 +442,7 @@ def run_streaming_curation(
     serve_index_path: str | None = None,
     ann_serve_index_path: str | None = None,
     serve_vec_dim: int = 32,
+    shards_path: str | None = None,
 ) -> None:
     """Run ``src`` (a streaming frame of documents) to completion of
     currently-available input (AvailableNow) through
@@ -407,7 +460,9 @@ def run_streaming_curation(
     kept documents are appended to a persisted BM25 index;
     ``ann_serve_index_path`` additionally serves the DENSE leg
     (feature-hashed vectors into a persisted IVFADC index), making
-    hybrid retrieval live over the curated corpus (see
+    hybrid retrieval live over the curated corpus; ``shards_path``
+    closes the curate → PUBLISH loop — kept documents merge into a
+    persisted training shard table, replay-convergent (see
     :func:`curation_batch_body`)."""
     q = (
         src.writeStream.foreachBatch(
@@ -426,6 +481,7 @@ def run_streaming_curation(
                 serve_index_path,
                 ann_serve_index_path,
                 serve_vec_dim,
+                shards_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

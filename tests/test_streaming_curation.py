@@ -570,6 +570,95 @@ def test_serve_index_receives_kept_docs(spark, tmp_path):
     assert again == got
 
 
+def test_shards_path_publishes_kept_docs(spark, tmp_path):
+    """shards_path closes the curate → PUBLISH loop: each batch's kept
+    documents merge into the persisted training shard table under the
+    deterministic interleave key, the final table equals the one-shot
+    write over (seed kept + streamed kept), and a replayed batch
+    changes nothing (shards_append's converging merge)."""
+    from etl_prometheus2clickhouse_spark.operators.sampling import (
+        sample_bucket,
+        write_training_shards,
+    )
+    from etl_prometheus2clickhouse_spark.streaming.curation_stream import (
+        _SHARD_KEY_SALT,
+    )
+
+    with cached_scope():
+        thr = _median_ppl(spark)
+        want = _one_shot(spark, thr)
+    seed, ref, idx = _setup(spark, tmp_path, "pub")
+    src = str(tmp_path / "pub_src")
+    disp_dir = str(tmp_path / "pub_disp")
+    ckpt = str(tmp_path / "pub_ckpt")
+    shards = str(tmp_path / "pub_shards")
+
+    def _keyed(df):
+        return df.select(
+            "doc_id",
+            "text",
+            sample_bucket("doc_id", salt=_SHARD_KEY_SALT)
+            .cast("long")
+            .alias("mix_key"),
+        )
+
+    all_rows = _SEED + [r for b in _BATCHES for r in b]
+    kept_ids = {k for k, v in want.items() if v == "kept"}
+    seed_kept = [r for r in _SEED if r[0] in kept_ids]
+    assert seed_kept, "seed must contribute kept docs (fixture drift)"
+    # bootstrap: the seed's kept output, written once
+    write_training_shards(
+        _keyed(spark.createDataFrame(seed_kept, _SCHEMA)), shards, 4
+    )
+    for n, b in enumerate(_BATCHES):
+        _write_batch(spark, src, b, n)
+    run_streaming_curation(
+        _stream(spark, src), idx, ref, disp_dir, ckpt, thr,
+        shards_path=shards,
+    )
+    got = sorted(
+        (r.doc_id, r.text, r.mix_key)
+        for r in spark.read.parquet(shards)
+        .select("doc_id", "text", "mix_key")
+        .collect()
+    )
+    want_rows = sorted(
+        (r.doc_id, r.text, r.mix_key)
+        for r in _keyed(
+            spark.createDataFrame(
+                [r for r in all_rows if r[0] in kept_ids], _SCHEMA
+            )
+        ).collect()
+    )
+    assert got == want_rows and got
+    # streamed kept docs actually reached the published table
+    streamed_kept = kept_ids & {r[0] for b in _BATCHES for r in b}
+    assert streamed_kept and streamed_kept <= {g[0] for g in got}
+    # at-least-once replay: re-invoking a batch body converges
+    body = curation_batch_body(
+        idx, ref, disp_dir, thr, shards_path=shards
+    )
+    body(spark.createDataFrame(_BATCHES[0], _SCHEMA), 0)
+    again = sorted(
+        (r.doc_id, r.text, r.mix_key)
+        for r in spark.read.parquet(shards)
+        .select("doc_id", "text", "mix_key")
+        .collect()
+    )
+    assert again == got
+    # a missing bootstrap refuses loudly
+    import pytest as _pytest
+
+    body2 = curation_batch_body(
+        idx, ref, disp_dir, thr,
+        shards_path=str(tmp_path / "nope"),
+    )
+    with _pytest.raises(ValueError, match="bootstrapped table"):
+        # batch 0 again: the dedup stage replays cleanly under its own
+        # label, then the missing shards bootstrap refuses
+        body2(spark.createDataFrame(_BATCHES[0], _SCHEMA), 0)
+
+
 def test_hybrid_serve_feeds_both_indexes(spark, tmp_path):
     """ann_serve_index_path closes the DENSE half of the curate → serve
     loop: each batch's kept documents are feature-hash embedded and
