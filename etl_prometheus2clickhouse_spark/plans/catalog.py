@@ -9000,7 +9000,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_caps": q_url_caps,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
-    "decontaminate": q_decontaminate,
+    # round-16 swap (demote-to-fund): shards_takedown — takedown of
+    # the PUBLISHED training shards, the compliance surface's data
+    # half — takes the one-shot decontaminate's slot: benchmark
+    # membership runs in-window live through stream_curation's
+    # decontamination stage (same shingle-collision semantics against
+    # the persisted benchmark index), the incremental face
+    # decontaminate_increment is oracle-verified cross-checked, and
+    # the one-shot itself stays oracle-verified in CROSS_CHECKED.
     "length_quantile_filter": q_length_quantile_filter,
     # round-10 late swap (demote-to-fund): paragraph_dedup — the CCNet
     # corpus-level paragraph election — takes stratified_sample's
@@ -9109,6 +9116,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # against its oracle at sf0.001 (tests/test_cross_checked.py) and
 # scripts/check_correctness.py covers them at sf0.01.
 CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-16 demotion (see QUERIES comment at length_quantile_filter)
+    "decontaminate": q_decontaminate,
     # round-10 window swap: six dominated relational twins demoted
     # to fund the new distinct operators (html_extract,
     # lm_perplexity3, bpe_tokenize, demux_mp4, gopher_filter,
@@ -9408,7 +9417,6 @@ ORACLES: dict[str, str] = {
     "url_caps": ORACLE_URL_CAPS,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
-    "decontaminate": ORACLE_DECONTAMINATE,
     "length_quantile_filter": ORACLE_LENGTH_QUANTILE_FILTER,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
@@ -9450,6 +9458,7 @@ ORACLES: dict[str, str] = {
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {
+    "decontaminate": ORACLE_DECONTAMINATE,
     "events_props": ORACLE_EVENTS_PROPS,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
