@@ -70,6 +70,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.localframe import local_df
+from etl_prometheus2clickhouse_spark.partitioning import spread
 from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _anti_tombstones,
     _commit_manifest,
@@ -142,7 +143,7 @@ def _write_increment(
     # cache, and the postings write + the identity write reuse it (an
     # uncached plan would run the tokenizer three times per increment —
     # the round-14 append-regression's biggest fixed cost)
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"), _words(F.col(text_col)).alias("toks")
     ).persist()
     try:

@@ -56,6 +56,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.partitioning import spread
 from pyspark.sql import types as T
 
 SEP = "\x01"
@@ -274,7 +276,7 @@ def bpe_apply(
     toks = F.when(
         F.length(doc_canon) > 0, _symbols(doc_canon)
     ).otherwise(F.array().cast("array<string>"))
-    return corpus.select(
+    return spread(corpus).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.replace(
@@ -377,7 +379,7 @@ def bpe_apply_arrow(
 
     _encode = _arrow_token_udf(merges)
 
-    enc = corpus.select(
+    enc = spread(corpus).select(
         F.col(id_col), _encode(_words(F.col(text_col))).alias("__toks")
     )
     return enc.select(
@@ -533,7 +535,7 @@ def bpe_encode_ids(
             out.append(ids)
         return pd.Series(out)
 
-    enc = corpus.select(
+    enc = spread(corpus).select(
         F.col(id_col), _encode_ids(_words(F.col(text_col))).alias("__ids")
     )
     return enc.select(

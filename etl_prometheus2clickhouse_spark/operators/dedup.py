@@ -33,6 +33,8 @@ from typing import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from etl_prometheus2clickhouse_spark.partitioning import spread
 from pyspark.sql import types as T
 
 # Persisted intermediates are recorded against the innermost ACTIVE
@@ -565,6 +567,7 @@ def ngram_jaccard_pairs(
     # evenly-hashed (block, shingle) key plus a map-side-combining
     # count keyed by pair; ``max_df`` (above) bounds the one remaining
     # hot-key fan-out.
+    df = spread(df)  # serial single-split scans otherwise (guide §2.5)
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
@@ -765,7 +768,7 @@ def minhash_lsh_pairs(
     # three plan branches consume it (signature→bands, and both sides of
     # the verification join); without the persist each branch re-scans
     # and re-tokenizes the corpus.
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
     ).persist()
@@ -870,6 +873,7 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, simhash64) — tuple-hashed shingles JVM-side (no shingle
     strings materialized), bit-packing in a vectorized Pandas UDF."""
+    df = spread(df)  # serial single-split scans otherwise (guide §2.5)
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("hs"),
@@ -978,6 +982,7 @@ def simhash_verified_pairs(
     radius covers every true pair) — oracle-checkable against plain
     SQL, unlike the raw Hamming distances. Output:
     (id_a, id_b, jaccard_sim)."""
+    df = spread(df)  # serial single-split scans otherwise (guide §2.5)
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
@@ -1153,7 +1158,7 @@ def exact_substring_spans(
     and the DuckDB oracle (which groups by the window STRING) would
     catch one as a hash mismatch; corpora where that risk matters
     re-verify flagged spans with one extra join on the span text."""
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("id"), _ws_tokens(F.col(text_col)).alias("toks")
     )
     pos = base.select(

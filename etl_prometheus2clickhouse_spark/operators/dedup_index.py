@@ -78,6 +78,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_prometheus2clickhouse_spark.localframe import local_df
+from etl_prometheus2clickhouse_spark.partitioning import spread
 from etl_prometheus2clickhouse_spark.operators.dedup import (
     _minhash_sig_udf,
     _register_cached,
@@ -140,7 +141,7 @@ def _shingle_sig_bands(
     """(id, sh) shingle table and (bb, band, bucket, id) band table for
     ``docs`` — one corpus scan, shingles persisted because both the
     band derivation and the verify join consume them."""
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
     ).persist()
@@ -1328,7 +1329,7 @@ def _window_positions(
         _ws_tokens,
     )
 
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).alias("id"), _ws_tokens(F.col(text_col)).alias("toks")
     )
     return base.select(
@@ -2670,7 +2671,7 @@ def _para_slim(docs: DataFrame, id_col: str, text_col: str, sep: str):
         F.split(F.col(text_col), F.lit(sep)), lambda p: F.trim(p)
     )
     return (
-        docs.select(
+        spread(docs).select(
             F.col(id_col).alias("id"),
             F.posexplode(arr).alias("pos", "para"),
         )
@@ -2938,7 +2939,7 @@ def benchmark_index_build(
     spark = benchmark.sparkSession
     _delete_path(spark, path)
     sh = (
-        benchmark.select(_words(F.col(text_col)).alias("__toks"))
+        spread(benchmark).select(_words(F.col(text_col)).alias("__toks"))
         .select(
             F.explode_outer(
                 shingles_of_tokens(F.col("__toks"), n)
@@ -2990,7 +2991,7 @@ def decontaminate_increment(
     n = rows[0].n
     bench_sh = _read_increment_table(spark, path, "shingles").select("sh")
     corpus_sh = (
-        shard.select(
+        spread(shard).select(
             F.col(id_col), _words(F.col(text_col)).alias("__toks")
         )
         .select(

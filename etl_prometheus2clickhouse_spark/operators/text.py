@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.partitioning import spread
+
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
 # (the GPT-2 pre-tokenizer family, simplified to an ASCII-safe regex).
 BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -500,7 +502,8 @@ def tfidf_top_terms(
             "it on the input frame first"
         )
     tf = (
-        df.select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__toks"))
+        spread(df)
+        .select(F.col(id_col).alias("id"), _words(F.col(text_col)).alias("__toks"))
         .select("id", F.explode_outer("__toks").alias("word"))
         .where(F.col("word").isNotNull())
         .groupBy("id", "word")
@@ -841,7 +844,7 @@ def lm_perplexity(
         big_counts, max_model_rows, "lm_perplexity", "reference bigram table"
     )
     corp = (
-        corpus.select(
+        spread(corpus).select(
             F.col(id_col), _words(F.col(text_col)).alias("toks")
         )
         .select(id_col, F.explode(bigrams(F.col("toks"))).alias("b"))
@@ -965,7 +968,8 @@ def lm_perplexity3(
         "reference trigram table",
     )
     corp = (
-        corpus.select(F.col(id_col), _words(F.col(text_col)).alias("toks"))
+        spread(corpus)
+        .select(F.col(id_col), _words(F.col(text_col)).alias("toks"))
         .select(id_col, F.explode(ngrams(F.col("toks"), 3)).alias("g"))
         .select(id_col, "g.w1", "g.w2", "g.w3")
     )
@@ -1084,6 +1088,7 @@ def nb_classify(
             "logp_unseen"
         ),
     )
+    corpus = spread(corpus)
     toks = corpus.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
     )
@@ -1313,6 +1318,7 @@ def bm25_search(
     window (WindowGroupLimit: map tasks emit ≤ k rows per query).
     Corpus statistics N and avgdl ride along as a broadcast 1-row
     frame — no driver-side scalar collect."""
+    corpus = spread(corpus)
     toks = corpus.select(
         F.col(id_col), _words(F.col(text_col)).alias("toks")
     ).select(id_col, F.size("toks").alias("dl"), F.explode("toks").alias("t"))
@@ -1508,6 +1514,9 @@ def hashed_doc_vectors(
     the trick's point."""
     if dim < 2:
         raise ValueError("dim must be >= 2")
+    # single-file corpus scans tokenize+md5 serially otherwise
+    # (guide §2.5); no-op at scale
+    df = spread(df)
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(_words(F.coalesce(F.col(text_col), F.lit("")))).alias(
@@ -1608,7 +1617,7 @@ def ngram_lang_id(
             "reference with a bounded language set (or raise the cap "
             "deliberately)"
         )
-    ref_grams = reference.select(
+    ref_grams = spread(reference).select(
         F.col(lang_col).alias("__lang"),
         F.explode(_bigrams(F.col(text_col))).alias("__g"),
     )
@@ -1622,9 +1631,36 @@ def ngram_lang_id(
         .where(F.col("__lrank") <= profile_size)
         .select("__lang", "__g", "__lrank")
     )
+    # the profiles broadcast anyway and are bounded by
+    # max_langs × profile_size rows (guarded above): collect them ONCE
+    # — the lazy plan evaluated the whole reference-explode subtree
+    # twice (language list + profile join, two broadcast builds)
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from etl_prometheus2clickhouse_spark.localframe import local_df
+
+    prof_schema = StructType(
+        [
+            StructField("__lang", reference.schema[lang_col].dataType),
+            StructField("__g", lang_prof.schema["__g"].dataType),
+            StructField("__lrank", IntegerType()),
+        ]
+    )
+    lang_prof = local_df(
+        reference.sparkSession,
+        [
+            (r["__lang"], r["__g"], r["__lrank"])
+            for r in lang_prof.collect()
+        ],
+        prof_schema,
+    )
     langs = lang_prof.select("__lang").distinct()
 
-    doc_grams = corpus.select(
+    doc_grams = spread(corpus).select(
         F.col(id_col).alias("__id"),
         F.explode(_bigrams(F.col(text_col))).alias("__g"),
     )

@@ -68,6 +68,8 @@ from typing import Iterable, Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_prometheus2clickhouse_spark.partitioning import spread
+
 # the always-available single-character fallback edge for characters
 # outside the trained alphabet — large enough that any in-vocabulary
 # segmentation beats it, finite so every word still segments
@@ -390,7 +392,7 @@ def unigram_apply(
         if max_piece_len is not None
         else max((len(p) for p in nll), default=1)
     )
-    base = corpus.select(
+    base = spread(corpus).select(
         F.col(id_col).alias("__uid"), _words(F.col(text_col)).alias("__uw")
     )
 
@@ -510,7 +512,7 @@ def unigram_apply_sampled(
         if max_piece_len is not None
         else max((len(p) for p in nll), default=1)
     )
-    base = corpus.select(
+    base = spread(corpus).select(
         F.col(id_col).alias("__uid"), _words(F.col(text_col)).alias("__uw")
     )
     _MULT, _MOD = 2654435761, 2 ** 32  # Knuth multiplicative (public)
@@ -607,7 +609,7 @@ def unigram_encode_ids(
         if max_piece_len is not None
         else max((len(p) for p in nll), default=1)
     )
-    base = corpus.select(
+    base = spread(corpus).select(
         F.col(id_col).alias("__uid"), _words(F.col(text_col)).alias("__uw")
     )
 

@@ -35,6 +35,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_prometheus2clickhouse_spark.localframe import local_df
+from etl_prometheus2clickhouse_spark.partitioning import spread
 from pyspark.sql import functions as F
 
 
@@ -2987,7 +2988,7 @@ def q_decode_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload), decode_audio parses it with the stdlib wave module
     inside mapInPandas, and the oracle restates every decoded field —
     the PCM round trip as ``hex(pcm) == upper(md5(id))``."""
-    p = _t(spark, sf_dir, "part")
+    p = spread(_t(spark, sf_dir, "part"))
     wav = F.unhex(
         F.concat(
             F.lit(_WAV_HDR_HEX), F.md5(F.col("p_partkey").cast("string"))
@@ -3027,7 +3028,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis), so the oracle recomputes every feature from the same
     16 bytes in SQL, value-for-value (sums over /16 are exact binary
     fractions; sqrt is correctly rounded on both sides)."""
-    p = _t(spark, sf_dir, "part")
+    p = spread(_t(spark, sf_dir, "part"))
     wav = F.unhex(
         F.concat(
             F.lit(_WAV_HDR_HEX), F.md5(F.col("p_partkey").cast("string"))
@@ -3110,7 +3111,9 @@ def q_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg_dc([dc], restart_interval=rid % 3))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
-    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    p = spread(
+        _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    )
     blobs = p.mapInPandas(_synth, "id bigint, content binary")
     dec = decode_images(blobs, "content", "id", mode="real")
     return dec.select(
@@ -3196,7 +3199,9 @@ def q_decode_jpeg_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"id": ids, "content": blobs})
 
-    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    p = spread(
+        _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    )
     blobs = p.mapInPandas(_synth, "id bigint, content binary")
     dec = decode_images(blobs, "content", "id", mode="real")
     return dec.select(
@@ -3311,7 +3316,9 @@ def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"id": ids, "content": blobs})
 
-    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    p = spread(
+        _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    )
     blobs = p.mapInPandas(_synth, "id bigint, content binary")
     dec = decode_images(blobs, "content", "id", mode="real")
     h = image_dhash(dec).select("id", "dhash")
@@ -3425,7 +3432,9 @@ def _synth_dc_jpeg_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg_dc([dc], restart_interval=rid % 3))
             yield pd.DataFrame({"id": ids, "content": blobs})
 
-    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    p = spread(
+        _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    )
     return p.mapInPandas(_synth, "id bigint, content binary")
 
 
@@ -3590,7 +3599,7 @@ FROM documents
 def q_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing: deterministic stub payloads are
     sha256-seeded, so the oracle can reproduce them byte-for-byte."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread(_t(spark, sf_dir, "documents"))
     df = d.select(
         F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("content")
     )
@@ -3686,7 +3695,7 @@ def q_demux_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (offset, size, timestamp, payload) rows from the encoder
     arithmetic — byte-exact, including the ts floor division
     (idx·250·1000 // 600)."""
-    p = _t(spark, sf_dir, "part")
+    p = spread(_t(spark, sf_dir, "part"))
     df = p.select(
         F.col("p_partkey").alias("id"),
         F.unhex(_mp4_file_hex(F.col("p_partkey"))).alias("content"),
@@ -3724,7 +3733,7 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature from the encoder arithmetic — payload identity reduces to
     the (byte value, size) pair because each synthesized sample is a
     single-byte run."""
-    p = _t(spark, sf_dir, "part")
+    p = spread(_t(spark, sf_dir, "part"))
     df = p.select(
         F.col("p_partkey").alias("id"),
         F.unhex(_mp4_file_hex(F.col("p_partkey"))).alias("content"),
@@ -3757,7 +3766,7 @@ def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     per synthesized MP4, sliced from the actual mdat bytes with their
     actual stts timestamps (stride = n//2, so files pick samples
     {0, n//2})."""
-    p = _t(spark, sf_dir, "part")
+    p = spread(_t(spark, sf_dir, "part"))
     df = p.select(
         F.col("p_partkey").alias("id"),
         F.unhex(_mp4_file_hex(F.col("p_partkey"))).alias("content"),

@@ -46,6 +46,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's byte-based coalescing folds CPU-dense post-shuffle
+        # stages over small byte footprints (JSON parse, tokenize,
+        # sketch build, per-round graph carries) down to 1-2 tasks —
+        # measured 1.3-3.1 s serial stages at bench SF with 31 cores
+        # idle. Lowering the coalesce floor restores parallelism for
+        # exactly those stages; at scale the target is
+        # max(stage_bytes / parallelism, floor), so once a stage
+        # carries real data the floor is inert and partitions size by
+        # bytes as before. Parameterized for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
