@@ -125,6 +125,7 @@ def _write_increment(
     term_buckets: int,
     require_tokens: bool = False,
     id_buckets: int | None = None,
+    spread_input: bool = False,
 ) -> None:
     """Land one increment's postings (term-prefix-partitioned, clustered
     on the partition key first — the band-table small-files lesson) and
@@ -143,7 +144,13 @@ def _write_increment(
     # cache, and the postings write + the identity write reuse it (an
     # uncached plan would run the tokenizer three times per increment —
     # the round-14 append-regression's biggest fixed cost)
-    toks = spread(df).select(
+    # spread only the corpus-sized BUILD input: a single-split corpus
+    # scan would tokenize serially, but an increment shard is small and
+    # its postings write re-repartitions anyway — spreading it costs a
+    # fixed exchange per append (measured 1.2× on bm25_increment)
+    if spread_input:
+        df = spread(df)
+    toks = df.select(
         F.col(id_col).alias("id"), _words(F.col(text_col)).alias("toks")
     ).persist()
     try:
@@ -244,7 +251,7 @@ def bm25_index_build(
     _delete_path(spark, path)
     _write_increment(
         corpus, path, "base", text_col, id_col, term_buckets,
-        require_tokens=True, id_buckets=id_buckets,
+        require_tokens=True, id_buckets=id_buckets, spread_input=True,
     )
     local_df(
         spark, [(int(term_buckets),)], "term_buckets int"

@@ -137,11 +137,21 @@ def _shingle_sig_bands(
     num_hashes: int,
     bands: int,
     index_buckets: int,
+    spread_input: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, sh) shingle table and (bb, band, bucket, id) band table for
     ``docs`` — one corpus scan, shingles persisted because both the
-    band derivation and the verify join consume them."""
-    sh = spread(docs).select(
+    band derivation and the verify join consume them.
+
+    ``spread_input`` is set only by the corpus-sized BUILD path: a
+    single-split corpus scan would otherwise shingle serially.
+    Increment shards stay un-spread — they are shard-sized, and the
+    downstream bucketed writes re-repartition anyway, so the extra
+    exchange is pure fixed cost there (measured 1.2-1.4× on the
+    lifecycle faces)."""
+    if spread_input:
+        docs = spread(docs)
+    sh = docs.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
     ).persist()
@@ -200,7 +210,8 @@ def minhash_index_build(
     # conflict at partition discovery)
     _delete_path(spark, path)
     sh, banded = _shingle_sig_bands(
-        corpus, id_col, text_col, n, num_hashes, bands, index_buckets
+        corpus, id_col, text_col, n, num_hashes, bands, index_buckets,
+        spread_input=True,
     )
     banded = banded.persist()
     _register_cached(banded)
@@ -1297,7 +1308,9 @@ def substring_index_build(
     touches every prefix — documented, not hidden)."""
     spark = corpus.sparkSession
     _delete_path(spark, path)
-    win = _window_positions(corpus, id_col, text_col, min_len)
+    win = _window_positions(
+        corpus, id_col, text_col, min_len, spread_input=True
+    )
     win.select(
         F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp"),
         "h",
@@ -1322,14 +1335,19 @@ def substring_index_build(
 
 
 def _window_positions(
-    docs: DataFrame, id_col: str, text_col: str, min_len: int
+    docs: DataFrame, id_col: str, text_col: str, min_len: int,
+    spread_input: bool = False,
 ) -> DataFrame:
     from etl_prometheus2clickhouse_spark.operators.dedup import (
         _positional_shingle_hashes,
         _ws_tokens,
     )
 
-    base = spread(docs).select(
+    # spread only the corpus-sized build input; increment shards pay
+    # the exchange without the parallelism win (see _shingle_sig_bands)
+    if spread_input:
+        docs = spread(docs)
+    base = docs.select(
         F.col(id_col).alias("id"), _ws_tokens(F.col(text_col)).alias("toks")
     )
     return base.select(
@@ -2666,12 +2684,18 @@ def index_live_increments(spark: SparkSession, path: str) -> dict:
 # incremental PARAGRAPH dedup (CCNet stage)
 # ---------------------------------------------------------------------------
 
-def _para_slim(docs: DataFrame, id_col: str, text_col: str, sep: str):
+def _para_slim(
+    docs: DataFrame, id_col: str, text_col: str, sep: str,
+    spread_input: bool = False,
+):
     arr = F.transform(
         F.split(F.col(text_col), F.lit(sep)), lambda p: F.trim(p)
     )
+    # spread only the corpus-sized build input (see _shingle_sig_bands)
+    if spread_input:
+        docs = spread(docs)
     return (
-        spread(docs).select(
+        docs.select(
             F.col(id_col).alias("id"),
             F.posexplode(arr).alias("pos", "para"),
         )
@@ -2712,7 +2736,9 @@ def paragraph_index_build(
     deletes until rebuilt."""
     spark = corpus.sparkSession
     _delete_path(spark, path)
-    pairs = _para_slim(corpus, id_col, text_col, sep).select(
+    pairs = _para_slim(
+        corpus, id_col, text_col, sep, spread_input=True
+    ).select(
         "h", "id"
     ).distinct()
     pairs.select(
