@@ -108,6 +108,20 @@ def _bb(bucket_col, index_buckets: int):
     return F.pmod(bucket_col, F.lit(index_buckets)).cast("int")
 
 
+def _plan_proves_empty(df: DataFrame) -> bool:
+    """True iff the OPTIMIZED plan proves ``df`` has zero rows (an
+    empty LocalRelation / limit-0 — the ``corpus.limit(0)`` and
+    ``createDataFrame([], schema)`` shapes callers pass for
+    annotate-only runs). Pure plan inspection: no job runs, and a
+    False (including on any inspection failure) only means the general
+    path runs — never a semantic change."""
+    try:
+        mx = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return bool(mx.isDefined()) and int(mx.get()) == 0
+    except Exception:
+        return False
+
+
 def _ip(id_col, index_buckets: int):
     """Partition prefix of a document id — the ``bb`` discipline applied
     to the VERIFY-side stores: shingle rows land in
@@ -656,11 +670,67 @@ def dedup_increment(
                 "the build increment"
             )
     spark = shard.sparkSession
+    if not update_index and _plan_proves_empty(shard):
+        # ANNOTATE-ONLY fast path for a provably-empty shard (the
+        # dedup_delete / funnel verification shape — corpus annotated
+        # against the stored components): an empty shard generates no
+        # probes, no candidates and no pairs, so the general path's
+        # guard/probe/verify actions are all no-op jobs that still pay
+        # full planning + scheduling fixed cost (~0.1-1 s each).
+        # comp_new is None by construction, so the output below equals
+        # the general path's exactly.
+        comp_dir = os.path.join(path, "components")
+        id_type = shard.schema[id_col].dataType.simpleString()
+        _recover_components(spark, comp_dir)
+        comp = _read_components(spark, comp_dir, id_type).select(
+            "node", "component"
+        )
+        common = [c for c in corpus.columns if c in set(shard.columns)]
+        union_docs = corpus.select(*common).unionByName(
+            shard.select(*common)
+        )
+        comp_keyed = comp.withColumnRenamed("node", id_col)
+        return (
+            union_docs.join(comp_keyed, id_col, "left")
+            .withColumn(
+                "component_id",
+                F.coalesce(F.col("component"), F.col(id_col)),
+            )
+            .drop("component")
+            .withColumn(
+                "is_canonical", F.col(id_col) == F.col("component_id")
+            )
+        )
     meta = _read_meta(spark, path)
     n, num_hashes, bands = meta["n"], meta["num_hashes"], meta["bands"]
     threshold, max_bucket = meta["threshold"], meta["max_bucket"]
     index_buckets = meta["index_buckets"]
     tomb = _read_tombstones(spark, path, None)
+
+    sh_new, banded_new = _shingle_sig_bands(
+        shard, id_col, text_col, n, num_hashes, bands, index_buckets
+    )
+    banded_new = banded_new.persist()
+    _register_cached(banded_new)
+
+    # ONE combined collect feeds both driver-side prune lists — the
+    # shard's band partition prefixes (the probe set, pushed down as a
+    # PARTITION filter on the bands read) and, for an update, its id
+    # prefixes (the overlap guard's shingle prune). Driver actions in
+    # this protocol carry ~0.1-1 s of planning/scheduling fixed cost
+    # each (measured), so the two lists share a single job, which also
+    # materializes the sh_new/banded_new caches exactly once.
+    tagged = banded_new.select(F.col("bb").alias("v"), F.lit(0).alias("t"))
+    if update_index:
+        tagged = tagged.unionByName(
+            sh_new.select(
+                _ip(F.col("id"), index_buckets).alias("v"),
+                F.lit(1).alias("t"),
+            )
+        )
+    _pg = tagged.distinct().collect()
+    probe_bbs = [r.v for r in _pg if r.t == 0]
+    guard_ips = [r.v for r in _pg if r.t == 1]
 
     if update_index:
         # id-overlap detection before anything is written: the shingle
@@ -672,42 +742,17 @@ def dedup_increment(
         # shingle stores (no ip column) keep their original
         # no-detection semantics until compacted/rebuilt.
         sh_guard = _read_increment_table(spark, path, "shingles")
-        if "ip" in sh_guard.columns:
-            # cached: the ip collect materializes it, the guard join
-            # reuses it — one shard id scan, not two
-            new_ids = shard.select(
-                F.col(id_col).alias("id")
-            ).distinct().persist()
-            _register_cached(new_ids)
-            guard_ips = [
-                r.ip
-                for r in new_ids.select(
-                    _ip(F.col("id"), index_buckets).alias("ip")
-                ).distinct().collect()
-            ]
-            if guard_ips:
-                stored_ids = (
-                    sh_guard.where(F.col("mb") != F.lit(update_label))
-                    .where(F.col("ip").isin(guard_ips))
-                    .select("id")
-                )
-                _ids_overlap_guard(
-                    spark, path, new_ids, stored_ids, "dedup_increment"
-                )
-
-    sh_new, banded_new = _shingle_sig_bands(
-        shard, id_col, text_col, n, num_hashes, bands, index_buckets
-    )
-    banded_new = banded_new.persist()
-    _register_cached(banded_new)
-
-    # the probe set: distinct partition prefixes the shard's own band
-    # rows land in — bounded by index_buckets literals, pushed down as
-    # a PARTITION filter on the bands read (file listings of every
-    # other partition are pruned before any I/O)
-    probe_bbs = [
-        r.bb for r in banded_new.select("bb").distinct().collect()
-    ]
+        if "ip" in sh_guard.columns and guard_ips:
+            stored_ids = (
+                sh_guard.where(F.col("mb") != F.lit(update_label))
+                .where(F.col("ip").isin(guard_ips))
+                .select("id")
+            )
+            _ids_overlap_guard(
+                spark, path,
+                sh_new.select("id").distinct(), stored_ids,
+                "dedup_increment",
+            )
     bands_tbl = _anti_tombstones(
         # deleted docs' band rows must not generate candidates — the
         # one-shot on the reduced corpus never sees them
@@ -1010,12 +1055,10 @@ def minhash_index_delete(
     _recover_components(spark, comp_dir)
     comp_tbl = _read_components(spark, comp_dir, id_type)
     dele_nodes = effective.withColumnRenamed("id", "node")
-    del_nbs = [
-        r.nb
-        for r in dele_nodes.select(
-            _ip(F.col("node"), index_buckets).alias("nb")
-        ).distinct().collect()
-    ]
+    # the components prune reuses want_ips: effective ⊆ want, so
+    # want's prefixes are a SUPERSET prune (the dele_nodes join below
+    # filters exactly) — one driver collect instead of two
+    del_nbs = want_ips
     touched_del = (
         comp_tbl.where(
             F.col("nb").isin(del_nbs) if del_nbs else F.lit(False)
@@ -1109,8 +1152,29 @@ def minhash_index_delete(
     survivors = member_nodes.join(dele_nodes, "node", "left_anti").select(
         F.col("node").alias("id")
     )
-    n_touched = touched.count()
-    n_released = rel_members.count()
+    # ONE combined collect for the four driver-side facts this repair
+    # needs (touched-component count, released-member count, survivor
+    # id prefixes, touched-member nb prefixes) — each separate action
+    # costs ~0.1-1 s of planning/scheduling fixed cost, and all four
+    # frames are delete-set-bounded by construction
+    _facts = (
+        touched.select(
+            F.lit("t").alias("t"), F.lit(None).cast("string").alias("v")
+        )
+        .unionByName(rel_members.select(
+            F.lit("r").alias("t"), F.lit(None).cast("string").alias("v")
+        ))
+        .unionByName(survivors.select(
+            F.lit("i").alias("t"),
+            _ip(F.col("id"), index_buckets).cast("string").alias("v"),
+        ).distinct())
+        .unionByName(members_all.select(
+            F.lit("n").alias("t"), F.col("nb").cast("string").alias("v")
+        ).distinct())
+        .collect()
+    )
+    n_touched = sum(1 for r in _facts if r.t == "t")
+    n_released = sum(1 for r in _facts if r.t == "r")
     if n_touched == 0 and n_released == 0:
         return {
             "deleted_docs": int(n_deleted),
@@ -1121,12 +1185,8 @@ def minhash_index_delete(
     # re-cluster the survivors exactly as the one-shot on the reduced
     # corpus would see them: band rows from STORED shingles, the
     # bucket cap against reduced GLOBAL sizes, exact-verify, closure
-    mem_ips = [
-        r.ip
-        for r in survivors.select(
-            _ip(F.col("id"), index_buckets).alias("ip")
-        ).distinct().collect()
-    ]
+    mem_ips = [int(r.v) for r in _facts if r.t == "i"]
+    extra_nbs = [int(r.v) for r in _facts if r.t == "n"]
     mem_sh = (
         sh_tbl.where(
             F.col("ip").isin(mem_ips) if mem_ips else F.lit(False)
@@ -1170,14 +1230,15 @@ def minhash_index_delete(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # persisted: the closure's driver collect AND the n_pairs count
+    # both consume the verified pairs — without the cache the exact
+    # verify join (the repair's one heavy stage) would run twice
     pairs = _verify_pairs(cand, mem_sh, mem_sh, threshold).select(
         "id_a", "id_b"
-    )
+    ).persist()
+    _register_cached(pairs)
     comp_new = dup_components_auto(pairs)
     n_pairs = pairs.count()
-    extra_nbs = [
-        r.nb for r in members_all.select("nb").distinct().collect()
-    ]
     _rewrite_touched_components(
         spark, comp_dir, comp_tbl, comp_new, touched, index_buckets,
         extra_affected=extra_nbs,

@@ -200,12 +200,13 @@ def main() -> None:
         )
         _plan_histogram(df)
         spark.sparkContext.setJobDescription(None)
-    # flush the event log and summarize per entry is hard to split —
-    # run one entry per invocation for clean attribution
+    # the event log cannot be split per entry, so the summary covers
+    # the LAST entry only (t_start_ms filters to it) — pass the same
+    # entry twice to profile its warm run with the lifecycle-scratch
+    # build already cached
     spark.stop()
-    if len(names) == 1:
-        print(f"\n--- event-log stage summary for {names[0]} ---")
-        _summarize_eventlog(log_dir, t_start_ms)
+    print(f"\n--- event-log stage summary for {names[-1]} ---")
+    _summarize_eventlog(log_dir, t_start_ms)
 
 
 if __name__ == "__main__":
