@@ -1469,6 +1469,7 @@ def substring_increment(
     min_len, index_buckets = meta["min_len"], meta["index_buckets"]
 
     new_ids = None
+    id_buckets = None
     if update_index:
         # id-overlap detection before anything is written: a
         # re-ingested doc's windows would all hit the index and mark
@@ -1477,32 +1478,44 @@ def substring_increment(
         # before the identity layer keep their original semantics.
         id_buckets = _ids_buckets(spark, path, None)
         if id_buckets is not None:
-            # cached: the probe collect materializes it; the guard
-            # join AND the identity write below reuse it — one shard
+            # cached: the combined collect below materializes it; the
+            # guard join AND the identity write reuse it — one shard
             # id scan for the whole identity machinery
             new_ids = shard.select(
                 _id_str(id_col).alias("id")
             ).distinct().persist()
             _register_cached(new_ids)
-            stored_ids = _read_id_table_probed(
-                spark, path, _IDS_TABLE, new_ids, id_buckets, None,
-                exclude_label=update_label,
-            ).select("id")
-            _ids_overlap_guard(
-                spark, path, new_ids, stored_ids, "substring_increment"
-            )
 
     win = _window_positions(shard, id_col, text_col, min_len).persist()
     _register_cached(win)
 
-    probe_hps = [
-        r.hp
-        for r in win.select(
-            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp")
+    # ONE combined collect feeds both driver-side prune lists — the
+    # shard's window-hash prefixes (the probe set) and, for an
+    # identity-tracked update, its id bucket prefixes (the overlap
+    # guard's prune): each separate driver action carries ~0.1-1 s of
+    # planning/scheduling fixed cost (measured on the minhash faces)
+    tagged = win.select(
+        F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("v"),
+        F.lit(0).alias("t"),
+    )
+    if new_ids is not None:
+        tagged = tagged.unionByName(
+            new_ids.select(
+                _ip(F.col("id"), id_buckets).alias("v"),
+                F.lit(1).alias("t"),
+            )
         )
-        .distinct()
-        .collect()
-    ]
+    _pg = tagged.distinct().collect()
+    probe_hps = [r.v for r in _pg if r.t == 0]
+    if new_ids is not None:
+        stored_ids = _read_id_table_probed(
+            spark, path, _IDS_TABLE, new_ids, id_buckets, None,
+            exclude_label=update_label,
+            probe=[r.v for r in _pg if r.t == 1],
+        ).select("id")
+        _ids_overlap_guard(
+            spark, path, new_ids, stored_ids, "substring_increment"
+        )
     # the probe reads ONLY the hash column of the probed partitions —
     # ReadSchema h, PartitionFilters hp (asserted in pytest).
     # Tombstoned docs' windows are anti-joined immediately: a deleted
@@ -2874,36 +2887,47 @@ def paragraph_increment(
     sep, index_buckets = rows[0].sep, rows[0].index_buckets
 
     new_ids = None
+    id_buckets = None
     if update_index:
         # id-overlap detection (see substring_increment): a re-ingested
         # doc's paragraphs are all "already indexed" — the doc would
         # silently dedup against itself to empty
         id_buckets = _ids_buckets(spark, path, None)
         if id_buckets is not None:
-            # cached: probe collect materializes it; the guard join
-            # and the identity write reuse it — one shard id scan
+            # cached: the combined collect below materializes it; the
+            # guard join and the identity write reuse it
             new_ids = shard.select(
                 _id_str(id_col).alias("id")
             ).distinct().persist()
             _register_cached(new_ids)
-            stored_ids = _read_id_table_probed(
-                spark, path, _IDS_TABLE, new_ids, id_buckets, None,
-                exclude_label=update_label,
-            ).select("id")
-            _ids_overlap_guard(
-                spark, path, new_ids, stored_ids, "paragraph_increment"
-            )
 
     slim = _para_slim(shard, id_col, text_col, sep).persist()
     _register_cached(slim)
-    probe_hps = [
-        r.hp
-        for r in slim.select(
-            F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("hp")
+    # ONE combined collect for the paragraph-hash probe prefixes and
+    # (identity-tracked updates) the guard's id bucket prefixes — see
+    # substring_increment for the fixed-cost-per-action measurement
+    tagged = slim.select(
+        F.pmod(F.col("h"), F.lit(index_buckets)).cast("int").alias("v"),
+        F.lit(0).alias("t"),
+    )
+    if new_ids is not None:
+        tagged = tagged.unionByName(
+            new_ids.select(
+                _ip(F.col("id"), id_buckets).alias("v"),
+                F.lit(1).alias("t"),
+            )
         )
-        .distinct()
-        .collect()
-    ]
+    _pg = tagged.distinct().collect()
+    probe_hps = [r.v for r in _pg if r.t == 0]
+    if new_ids is not None:
+        stored_ids = _read_id_table_probed(
+            spark, path, _IDS_TABLE, new_ids, id_buckets, None,
+            exclude_label=update_label,
+            probe=[r.v for r in _pg if r.t == 1],
+        ).select("id")
+        _ids_overlap_guard(
+            spark, path, new_ids, stored_ids, "paragraph_increment"
+        )
     if update_index:
         # writer-touch discipline: heal any crashed delete-time
         # membership partition swap before reading/writing the table
@@ -2951,7 +2975,10 @@ def paragraph_increment(
     )
     if update_index:
         result = result.localCheckpoint()  # pin before the index write
-        pairs = slim.select("h", "id").distinct()
+        # persisted: the attrib write and the membership write both
+        # consume the distinct pairs — one distinct shuffle, not two
+        pairs = slim.select("h", "id").distinct().persist()
+        _register_cached(pairs)
         has_attrib = bool(
             _manifest_tables(spark, path, ["attrib"]).get("attrib", [])
         )
