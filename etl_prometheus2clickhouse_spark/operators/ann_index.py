@@ -281,9 +281,11 @@ def ann_index_append(
             "rebuild the index once with ann_index_build"
         )
     vec_buckets = int(row.vec_buckets)
-    # cached: the vp collect materializes it, the guard join reuses it
-    # — one shard id scan, not two; an empty probe set (empty shard)
-    # skips the guard read entirely (zero stored ids can overlap)
+    # cached: the append consumes the caller's shard THREE times (id
+    # probe, codes write, vectors write) and the caller's lineage can
+    # be an arbitrarily expensive derivation (the funnel's hashed
+    # kept-vector frame) — one computation, three cache reads
+    shard = shard.persist()
     new_ids = shard.select(F.col(id_col).alias("id")).distinct().persist()
     try:
         probe = [
@@ -302,12 +304,13 @@ def ann_index_append(
             _ids_overlap_guard(
                 spark, path, new_ids, stored, "ann_index_append"
             )
+        _write_codes(shard, model, path, update_label, id_col, vec_col)
+        _write_vectors(
+            shard, path, update_label, id_col, vec_col, vec_buckets
+        )
     finally:
         new_ids.unpersist()
-    _write_codes(shard, model, path, update_label, id_col, vec_col)
-    _write_vectors(
-        shard, path, update_label, id_col, vec_col, vec_buckets
-    )
+        shard.unpersist()
     _manifest_add(spark, path, ["codes", "vectors"], update_label)
 
 
@@ -697,12 +700,17 @@ def ann_index_delete(
             tomb_prior = spark.read.option("basePath", root).parquet(
                 *[os.path.join(root, d) for d in prior]
             ).select("id")
-    effective = _anti_tombstones(present, tomb_prior, "id")
-    n = effective.count()
-    _tomb_write(
-        spark, path, effective.select(_id_str("id").alias("id")),
-        label, vec_buckets,
-    )
+    # persisted: the count and the tombstone write both consume the
+    # pruned resolve join — one computation, not two
+    effective = _anti_tombstones(present, tomb_prior, "id").persist()
+    try:
+        n = effective.count()
+        _tomb_write(
+            spark, path, effective.select(_id_str("id").alias("id")),
+            label, vec_buckets,
+        )
+    finally:
+        effective.unpersist()
     _manifest_add(spark, path, ["tombstones"], label)
     return {"deleted_vectors": int(n)}
 

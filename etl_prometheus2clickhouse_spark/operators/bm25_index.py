@@ -493,12 +493,15 @@ def bm25_index_delete(
             tomb_prior = spark.read.option("basePath", root).parquet(
                 *[os.path.join(root, d) for d in prior]
             ).select("id")
-    effective = _anti_tombstones(present, tomb_prior, "id")
+    # persisted: the stats aggregate and the tombstone write both
+    # consume the pruned resolve join — one computation, not two
+    effective = _anti_tombstones(present, tomb_prior, "id").persist()
     st = effective.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sdl"),
     ).collect()[0]
     _tomb_write(spark, path, effective.select("id"), label, id_buckets)
+    effective.unpersist()
     local_df(
         spark,
         [(-int(st.n), -int(st.sdl))],

@@ -2471,7 +2471,10 @@ def substring_index_delete(
             tomb_prior = spark.read.option("basePath", root).parquet(
                 *[os.path.join(root, d) for d in prior]
             ).select("id")
-    effective = _anti_tombstones(present, tomb_prior, "id")
+    # persisted: the count and the tombstone write both consume the
+    # pruned resolve join — one computation, not two
+    effective = _anti_tombstones(present, tomb_prior, "id").persist()
+    _register_cached(effective)
     n = effective.count()
     _tomb_write(spark, path, effective, label, id_buckets)
     _manifest_add(spark, path, [_TOMB_TABLE], label)
@@ -2601,7 +2604,10 @@ def paragraph_index_delete(
             tomb_prior = spark.read.option("basePath", troot).parquet(
                 *[os.path.join(troot, d) for d in prior]
             ).select("id")
-    effective = _anti_tombstones(present, tomb_prior, "id")
+    # persisted: the count, the candidate-hash scan, the tombstone
+    # union and the final write all consume the pruned resolve join
+    effective = _anti_tombstones(present, tomb_prior, "id").persist()
+    _register_cached(effective)
     n = effective.count()
     dead_hashes = 0
     touched: list[int] = []

@@ -584,9 +584,14 @@ def semantic_index_delete(
             tomb_prior = spark.read.option("basePath", root).parquet(
                 *[os.path.join(root, d) for d in prior]
             ).select("id")
-    effective = _anti_tombstones(present, tomb_prior, "id")
-    n = effective.count()
-    _tomb_write(spark, path, effective, label, id_buckets)
+    # persisted: the count and the tombstone write both consume the
+    # pruned resolve join — one computation, not two
+    effective = _anti_tombstones(present, tomb_prior, "id").persist()
+    try:
+        n = effective.count()
+        _tomb_write(spark, path, effective, label, id_buckets)
+    finally:
+        effective.unpersist()
     _manifest_add(spark, path, ["tombstones"], label)
     return {"deleted_vectors": int(n)}
 
