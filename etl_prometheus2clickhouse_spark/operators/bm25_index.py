@@ -78,6 +78,7 @@ from etl_prometheus2clickhouse_spark.operators.dedup_index import (
     _delete_path,
     _id_str,
     _ids_buckets,
+    _ip,
     _ids_init,
     _ids_overlap_guard,
     _ids_write,
@@ -126,6 +127,8 @@ def _write_increment(
     require_tokens: bool = False,
     id_buckets: int | None = None,
     spread_input: bool = False,
+    guard_live: "dict[str, list[str]] | None" = None,
+    guard: bool = False,
 ) -> None:
     """Land one increment's postings (term-prefix-partitioned, clustered
     on the partition key first — the band-table small-files lesson) and
@@ -138,7 +141,14 @@ def _write_increment(
     the build's — and its stats row still counts the documents. The
     BUILD is the exception (``require_tokens``): a base with zero
     postings would leave every future read schemaless, so it fails
-    loud instead."""
+    loud instead.
+
+    ``guard=True`` (appends; needs ``id_buckets``) runs the id-overlap
+    guard HERE, between the tokenize and the first write: the guard's
+    probe bucket list rides the stats aggregate (one combined collect
+    instead of a separate shard id scan + probe collect — each driver
+    action costs ~0.1-1 s of fixed planning/scheduling overhead), and
+    an overlap still fails loud before anything lands."""
     spark = df.sparkSession
     # tokenize the shard ONCE: the stats collect materializes the
     # cache, and the postings write + the identity write reuse it (an
@@ -159,18 +169,37 @@ def _write_increment(
         # count here, exactly like the one-shot's avg over all corpus
         # rows); collected so the build can validate, written
         # driver-local
-        st = toks.select(F.size("toks").cast("long").alias("dl")).agg(
+        want_guard = guard and id_buckets is not None
+        aggs = [
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias(
                 "sum_dl"
             ),
-        ).collect()[0]
+        ]
+        if want_guard:
+            # the guard's probe bucket list rides the stats pass —
+            # bounded by id_buckets distinct ints
+            aggs.append(F.collect_set("ip").alias("ips"))
+        st = toks.select(
+            F.size("toks").cast("long").alias("dl"),
+            _ip(_id_str("id"), id_buckets or 1).alias("ip"),
+        ).agg(*aggs).collect()[0]
         if require_tokens and st.sum_dl == 0:
             raise ValueError(
                 "bm25_index_build: the corpus has no tokens — an index "
                 "whose base increment holds zero postings has no "
                 "readable postings schema; build from a corpus with "
                 "text"
+            )
+        if want_guard:
+            stored = _read_id_table_probed(
+                spark, path, "ids", None, id_buckets, guard_live,
+                exclude_label=label, probe=sorted(st.ips),
+            ).select("id")
+            _ids_overlap_guard(
+                spark, path,
+                toks.select(_id_str("id").alias("id")).distinct(),
+                stored, "bm25_index_append",
             )
         posts = (
             toks.select(
@@ -292,25 +321,13 @@ def bm25_index_append(
     live = _pinned_live(spark, path)
     term_buckets = _read_meta(spark, path, live)
     id_buckets = _ids_buckets(spark, path, live)
-    if id_buckets is not None:
-        # cached: the probe's ip collect materializes it, the guard
-        # join reuses it — one shard id scan, not two
-        new_ids = shard.select(
-            _id_str(id_col).alias("id")
-        ).distinct().persist()
-        try:
-            stored = _read_id_table_probed(
-                spark, path, "ids", new_ids, id_buckets, live,
-                exclude_label=label,
-            ).select("id")
-            _ids_overlap_guard(
-                spark, path, new_ids, stored, "bm25_index_append"
-            )
-        finally:
-            new_ids.unpersist()
+    # the overlap guard runs INSIDE _write_increment (guard=True): its
+    # probe bucket list rides the stats aggregate's collect, so an
+    # append costs one shard tokenize + one combined collect + the
+    # guard read — not a separate id scan and probe collect
     _write_increment(
         shard, path, label, text_col, id_col, term_buckets,
-        id_buckets=id_buckets,
+        id_buckets=id_buckets, guard_live=live, guard=True,
     )
     _manifest_add(
         spark, path,
