@@ -777,6 +777,56 @@ def _guard_model_rows(df: DataFrame, cap: int, operator: str, what: str) -> None
         )
 
 
+def _bigrams(toks: Column) -> Column:
+    sz = F.size(toks)
+    return F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(toks, 1, sz - 1),
+            F.slice(toks, 2, sz - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def lm_reference_model(
+    reference: DataFrame,
+    text_col: str = "text",
+    max_model_rows: int = 1_000_000,
+    materialize: bool = True,
+):
+    """:func:`lm_perplexity`'s reference-side model tables — bigram
+    counts, context counts, vocabulary size — built ONCE for callers
+    that score many shards against one frozen reference (the streaming
+    funnel scores every micro-batch; inline, the model rebuild plus
+    its guard count is a per-batch fixed cost). ``materialize=True``
+    pins each table with ``localCheckpoint`` so later scoring calls
+    broadcast stored rows instead of re-aggregating the reference.
+    The counts are a pure function of the reference, so scores are
+    bit-identical to the inline path."""
+    ref_toks = reference.select(_words(F.col(text_col)).alias("toks"))
+    ref_big = ref_toks.select(
+        F.explode(_bigrams(F.col("toks"))).alias("b")
+    ).select("b.w1", "b.w2")
+    big_counts = ref_big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_big")
+    )
+    ctx_counts = big_counts.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
+    vocab = ref_toks.select(F.explode("toks").alias("t")).agg(
+        F.count_distinct("t").cast("double").alias("v_size")
+    )
+    # loud size guard on the largest broadcast frame (big_counts bounds
+    # ctx_counts: one context row per distinct w1)
+    _guard_model_rows(
+        big_counts, max_model_rows, "lm_perplexity", "reference bigram table"
+    )
+    if materialize:
+        big_counts = big_counts.localCheckpoint()
+        ctx_counts = ctx_counts.localCheckpoint()
+        vocab = vocab.localCheckpoint()
+    return big_counts, ctx_counts, vocab
+
+
 def lm_perplexity(
     corpus: DataFrame,
     reference: DataFrame,
@@ -784,6 +834,7 @@ def lm_perplexity(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     max_model_rows: int = 1_000_000,
+    model=None,
 ) -> DataFrame:
     """Per-document bigram language-model perplexity against a
     reference corpus — the CCNet-style quality signal (Wenzek et al.,
@@ -815,39 +866,24 @@ def lm_perplexity(
     aggregate with map-side partial combine — the only corpus shuffle
     is one slim (doc, sum, count) row per document. Reference counts
     are two map-side-combining aggregates on (w₁,w₂)/(w₁) — uniform
-    word keys, the word-count shape."""
-    def bigrams(toks: Column) -> Column:
-        sz = F.size(toks)
-        return F.when(
-            sz >= 2,
-            F.zip_with(
-                F.slice(toks, 1, sz - 1),
-                F.slice(toks, 2, sz - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    word keys, the word-count shape.
 
-    ref_toks = reference.select(_words(F.col(text_col)).alias("toks"))
-    ref_big = ref_toks.select(F.explode(bigrams(F.col("toks"))).alias("b")).select(
-        "b.w1", "b.w2"
-    )
-    big_counts = ref_big.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c_big")
-    )
-    ctx_counts = big_counts.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
-    vocab = ref_toks.select(F.explode("toks").alias("t")).agg(
-        F.count_distinct("t").cast("double").alias("v_size")
-    )
-    # loud size guard on the largest broadcast frame (big_counts bounds
-    # ctx_counts: one context row per distinct w1)
-    _guard_model_rows(
-        big_counts, max_model_rows, "lm_perplexity", "reference bigram table"
-    )
+    ``model`` (from :func:`lm_reference_model`) skips the reference-
+    side derivation — for callers that score MANY shards against ONE
+    frozen reference (the streaming funnel scores every micro-batch),
+    the per-call model rebuild is pure repeated fixed cost. Scoring
+    arithmetic is identical either way."""
+    if model is not None:
+        big_counts, ctx_counts, vocab = model
+    else:
+        big_counts, ctx_counts, vocab = lm_reference_model(
+            reference, text_col, max_model_rows, materialize=False
+        )
     corp = (
         spread(corpus).select(
             F.col(id_col), _words(F.col(text_col)).alias("toks")
         )
-        .select(id_col, F.explode(bigrams(F.col("toks"))).alias("b"))
+        .select(id_col, F.explode(_bigrams(F.col("toks"))).alias("b"))
         .select(id_col, "b.w1", "b.w2")
     )
     scored = (

@@ -148,6 +148,7 @@ def curation_batch_body(
     ann_serve_index_path: str | None = None,
     serve_vec_dim: int = 32,
     shards_path: str | None = None,
+    lm_model=None,
 ):
     """The ``foreachBatch`` body, factored out (the
     ``sketch_stream._durable_body`` pattern) so replay safety is
@@ -294,7 +295,8 @@ def curation_batch_body(
                 .select(id_col, text_col)
             )
             ppl = lm_perplexity(
-                kept_quality, reference, text_col, id_col, alpha=alpha
+                kept_quality, reference, text_col, id_col, alpha=alpha,
+                model=lm_model,
             ).select(id_col, "perplexity")
             publish_legs = sum(
                 p is not None
@@ -464,6 +466,16 @@ def run_streaming_curation(
     closes the curate → PUBLISH loop — kept documents merge into a
     persisted training shard table, replay-convergent (see
     :func:`curation_batch_body`)."""
+    from etl_prometheus2clickhouse_spark.operators.text import (
+        lm_reference_model,
+    )
+
+    # the reference is FROZEN before the stream starts (the CCNet
+    # frozen-KenLM contract), so its bigram model is built ONCE here
+    # and every micro-batch broadcasts the stored tables — inline, the
+    # model aggregates + guard count re-ran per batch as pure fixed
+    # cost (scores are a pure function of the counts: bit-identical)
+    lm_model = lm_reference_model(reference, text_col)
     q = (
         src.writeStream.foreachBatch(
             curation_batch_body(
@@ -482,6 +494,7 @@ def run_streaming_curation(
                 ann_serve_index_path,
                 serve_vec_dim,
                 shards_path,
+                lm_model=lm_model,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
