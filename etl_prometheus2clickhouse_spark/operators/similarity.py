@@ -1995,6 +1995,70 @@ def pq_distortion(
     )
 
 
+def _mmr_driver(cand: DataFrame, pair_rows, k: int, lam: float) -> DataFrame:
+    """Driver-local MMR greedy selection over the collected candidate
+    and pairwise-similarity rows — see the fast-path comment in
+    :func:`mmr_rerank`. ``cand`` is the eager-checkpointed candidate
+    frame (collected here: result-sized by the caller's threshold);
+    the returned frame carries the same columns and types as the
+    distributed route's output."""
+    crows = cand.select("query_id", "doc_id", "__rel").collect()
+    by_q: dict = {}
+    for r in crows:
+        # index access: Row.__getattr__ rejects dunder-named columns
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["__rel"]))
+    sims: dict = {}
+    for r in pair_rows:
+        sims[(r["query_id"], r["__a"], r["__b"])] = r["__sim"]
+    out = []
+    for q, docs in by_q.items():
+        # step 1: pure argmax relevance, ties by doc id ascending
+        first = min(docs, key=lambda d: (-d[1], d[0]))
+        selected = [first]
+        out.append((q, first[0], first[1], 1))
+        for step in range(2, k + 1):
+            chosen = None
+            for doc, rel in docs:
+                if any(doc == s[0] for s in selected):
+                    continue
+                # penalty: max similarity to any selected doc, over
+                # the pairs that EXIST (the distributed route's inner
+                # join eligibility — a candidate with no pair to any
+                # selected doc is not eligible this step)
+                pens = [
+                    sims[(q, doc, s[0])]
+                    for s in selected
+                    if (q, doc, s[0]) in sims
+                ]
+                if not pens:
+                    continue
+                score = lam * rel - (1.0 - lam) * max(pens)
+                if (
+                    chosen is None
+                    or score > chosen[0]
+                    or (score == chosen[0] and doc < chosen[1])
+                ):
+                    chosen = (score, doc, rel)
+            if chosen is None:
+                break
+            selected.append((chosen[1], chosen[2]))
+            out.append((q, chosen[1], chosen[2], step))
+    fields = {f.name: f for f in cand.schema.fields}
+    schema = T.StructType([
+        fields["query_id"],
+        fields["doc_id"],
+        T.StructField("__rel", T.DoubleType()),
+        T.StructField("__step", T.IntegerType(), False),
+    ])
+    frame = local_df(cand.sparkSession, out, schema)
+    return frame.select(
+        "query_id",
+        "doc_id",
+        F.col("__step").cast("int").alias("mmr_rank"),
+        F.round("__rel", 6).alias("relevance"),
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     vectors: DataFrame,
@@ -2005,6 +2069,7 @@ def mmr_rerank(
     rel_col: str = "relevance",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_pair_threshold: int = 65_536,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98): greedily select ``k`` of each query's candidates,
@@ -2057,7 +2122,7 @@ def mmr_rerank(
     c2 = cand.select(
         "query_id", F.col("doc_id").alias("__b"), F.col("__v").alias("__vb")
     )
-    csim = (
+    csim_plan = (
         c1.join(c2, "query_id")
         .where(F.col("__a") != F.col("__b"))
         .select(
@@ -2066,8 +2131,26 @@ def mmr_rerank(
             "__b",
             cosine(F.col("__va"), F.col("__vb")).alias("__sim"),
         )
-        .localCheckpoint(eager=True)
     )
+    if driver_pair_threshold > 0:
+        # bounded driver fast path (the dup_components_auto /
+        # bpe_train driver-threshold pattern): the greedy recursion is
+        # inherently sequential, and the distributed unrolling costs
+        # ~k eager localCheckpoint actions of cluster round-trips over
+        # RESULT-sized frames. Below the threshold the same recursion
+        # runs on the driver over the COLLECTED candidate/similarity
+        # rows — relevance, cosines and the selection score are the
+        # identical IEEE doubles Spark computed, the penalty is the
+        # same max-over-selected with the same join-eligibility rule,
+        # ties break by the same doc_id ascending, and the output
+        # rounding stays a Spark expression — so the selection is
+        # bit-identical to the distributed route (pinned by pytest on
+        # both routes). Above the threshold the distributed rounds run
+        # unchanged; pass driver_pair_threshold=0 to force them.
+        pair_rows = csim_plan.limit(driver_pair_threshold + 1).collect()
+        if len(pair_rows) <= driver_pair_threshold:
+            return _mmr_driver(cand, pair_rows, k, lam)
+    csim = csim_plan.localCheckpoint(eager=True)
 
     w_rel = Window.partitionBy("query_id").orderBy(
         F.col("__rel").desc(), F.col("doc_id").asc()

@@ -417,9 +417,13 @@ def curation_batch_body(
             # size-conditional: every batch doc gets exactly one
             # disposition row, and `inc` is already checkpointed, so
             # its count is the cheap proxy for the write's row count
-            n_rows = inc.count()
+            # (one combined count job, not one per source)
+            cnt = inc.select(F.lit(1).alias("one"))
             if para_empty is not None:
-                n_rows += para_empty.count()
+                cnt = cnt.unionByName(
+                    para_empty.select(F.lit(1).alias("one"))
+                )
+            n_rows = cnt.count()
             disp.coalesce(_disp_partitions(n_rows)).write.mode(
                 "overwrite"
             ).parquet(f"{dispositions_dir}/{_MB}={int(batch_id)}")

@@ -1029,3 +1029,47 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
         mmr_rerank(cand, vecs, k=0)
     with _pytest.raises(ValueError):
         mmr_rerank(cand, vecs, lam=1.5)
+
+
+def test_mmr_rerank_driver_route_equals_distributed(spark):
+    """The bounded driver fast path must reproduce the distributed
+    unrolled rounds EXACTLY — same selections, same order, same
+    rounded relevances — including ties, queries with fewer candidates
+    than k, and a single-candidate query (which the distributed inner
+    pen join stops after step 1)."""
+    from etl_prometheus2clickhouse_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vec_rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)])
+        for i in range(1, 13)
+    ]
+    vecs = spark.createDataFrame(
+        vec_rows, "vec_id long, embedding array<double>"
+    )
+    cand_rows = (
+        # query 1: six candidates incl. a relevance tie (ids 3 vs 4)
+        [(1, d, r) for d, r in [(1, 0.9), (2, 0.9), (3, 0.7),
+                                (4, 0.7), (5, 0.5), (6, 0.4)]]
+        # query 2: fewer candidates than k
+        + [(2, d, r) for d, r in [(7, 0.8), (8, 0.6)]]
+        # query 3: a single candidate — stops after step 1
+        + [(3, 9, 0.3)]
+    )
+    cand = spark.createDataFrame(
+        cand_rows, "query_id long, doc_id long, relevance double"
+    )
+    fast = mmr_rerank(cand, vecs, k=4, lam=0.6).collect()
+    slow = mmr_rerank(
+        cand, vecs, k=4, lam=0.6, driver_pair_threshold=0
+    ).collect()
+    key = lambda r: (r.query_id, r.mmr_rank)  # noqa: E731
+    assert sorted(map(tuple, fast), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, slow), key=lambda t: (t[0], t[2])
+    )
+    # and the fast route actually took the driver path (it plans as a
+    # local Arrow frame — no Window in the plan)
+    plan = mmr_rerank(cand, vecs, k=4, lam=0.6)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "Window" not in plan
