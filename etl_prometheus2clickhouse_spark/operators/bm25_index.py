@@ -388,19 +388,25 @@ def bm25_index_search(
         F.col(query_id_col),
         F.explode(F.array_distinct(F.col(terms_col))).alias("t"),
     )
-    _guard_model_rows(
-        qterms, max_query_terms, "bm25_index_search",
-        "exploded query-term list",
-    )
-    # the probe set: distinct term prefixes of the queries — bounded by
-    # term_buckets literals, pushed as a PARTITION filter so the
-    # postings read prunes file listings to those directories
-    probe = [
-        r.tp
-        for r in qterms.select(
-            _tp(F.col("t"), term_buckets).alias("tp")
-        ).distinct().collect()
-    ]
+    # ONE aggregate serves both the query-size guard (the
+    # _guard_model_rows contract: the query side is broadcast, so a
+    # corpus-sized "queries" frame must fail loud, not OOM) and the
+    # probe set — distinct term prefixes, bounded by term_buckets
+    # literals, pushed as a PARTITION filter so the postings read
+    # prunes file listings to those directories
+    g = qterms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(_tp(F.col("t"), term_buckets)).alias("tps"),
+    ).collect()[0]
+    if g.n > max_query_terms:
+        raise ValueError(
+            "bm25_index_search: exploded query-term list exceeds the "
+            f"broadcast cap ({max_query_terms} rows) — the model/"
+            "reference side must be reference-sized (it is broadcast "
+            "to every task). Shrink the reference or raise the cap "
+            "only with matching driver/executor memory."
+        )
+    probe = sorted(g.tps)
     postings = (
         _read_pinned_table(spark, path, "postings", live)
         .where(F.col("tp").isin(probe) if probe else F.lit(False))
