@@ -926,6 +926,20 @@ def cms_heavy_hitters_from_sketch(
     occ = df.where(F.col(item_col).isNotNull()).select(
         *group_cols, item_col
     )
+    # persisted BEFORE the geometry check: when the sketch is the
+    # composed merge of fresh partials (the cms_merge_hh shape), its
+    # subtree re-scans the occurrence corpus per action — the check's
+    # .first(), the probe's counter materialization, and the derived
+    # cms persist would each pay a full corpus explode. Pinning the
+    # sketch-sized frame once caps the whole face at the two corpus
+    # scans CMS fundamentally needs (build + probe). Registered with
+    # the cached_scope lifecycle like every operator intermediate.
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        _register_cached,
+    )
+
+    sketch = sketch.persist()
+    _register_cached(sketch)
     g = sketch.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("depth").alias("d"),

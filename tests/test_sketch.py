@@ -991,3 +991,56 @@ def test_quantile_bucket_labels_scale_lifts_fractions(spark):
     ).collect()
     lows = [r.id for r in out if r.bucket == "low"]
     assert len(lows) == 49 and max(lows) == 48
+
+
+def test_cms_from_sketch_persists_sketch_and_scope_releases(spark):
+    """r16 optimization: cms_heavy_hitters_from_sketch pins the
+    (sketch-sized) merged counter frame before its geometry check so a
+    composed partials->merge subtree is built once, not once per
+    driver action — and the pin must obey the cached_scope lifecycle
+    (released on scope exit, no storage growth in a long session)."""
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        cached_scope,
+    )
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters,
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append(("g", i % 3, "hot"))
+        rows.append(("g", i % 3, f"rare{i}"))
+    df = spark.createDataFrame(rows, "g string, b int, item string")
+
+    def persisted_ids():
+        it = (
+            spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .iterator()
+        )
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    base = persisted_ids()
+    with cached_scope():
+        partials = cms_partial_sketches(
+            df, ["g"], "item", "b", depth=3, width=64
+        )
+        merged = cms_merge(partials, ["g"])
+        out = cms_heavy_hitters_from_sketch(
+            df.drop("b"), merged, ["g"], "item", phi=0.2, depth=3, width=64
+        )
+        got = {tuple(r) for r in out.collect()}
+        # the sketch pin (and the probe's counter pin) really cached
+        assert persisted_ids() - base
+    assert not (persisted_ids() - base)
+
+    one_shot = cms_heavy_hitters(
+        df, ["g"], "item", phi=0.2, depth=3, width=64
+    )
+    assert got == {tuple(r) for r in one_shot.collect()} and got
