@@ -217,20 +217,29 @@ def test_pq_adc_scan_once_candidates_broadcast(spark):
 
 def test_decode_jpeg_is_shuffle_free_arrow(spark):
     # synth + decode are two Arrow mapInPandas stages over the part
-    # scan — embarrassingly parallel, zero exchanges, no row-at-a-time
-    # Python
+    # scan — embarrassingly parallel, no row-at-a-time Python, and the
+    # ONLY exchange is the r16 single-split input spread (round-robin
+    # repartition straight off the one-row-group scan, guide §2.5);
+    # no key shuffle anywhere
     p = _plan(spark, "decode_jpeg")
     assert p.count("MapInPandas") == 2
     assert "BatchEvalPython" not in p
-    assert "Exchange" not in p
+    assert p.count("Exchange") <= 1
+    assert "hashpartitioning" not in p
+    if "Exchange" in p:
+        assert "RoundRobinPartitioning" in p
 
 
 def test_decode_jpeg_ac_is_shuffle_free_arrow(spark):
-    # the AC face keeps the same two-Arrow-stage shape
+    # the AC face keeps the same two-Arrow-stage shape (plus the same
+    # r16 input-spread round-robin, never a key shuffle)
     p = _plan(spark, "decode_jpeg_ac")
     assert p.count("MapInPandas") == 2
     assert "BatchEvalPython" not in p
-    assert "Exchange" not in p
+    assert p.count("Exchange") <= 1
+    assert "hashpartitioning" not in p
+    if "Exchange" in p:
+        assert "RoundRobinPartitioning" in p
 
 
 def test_pii_scrub_is_shuffle_free_jvm(spark):
