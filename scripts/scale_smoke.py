@@ -692,7 +692,18 @@ def main() -> None:
     plan = applied._sc._jvm.PythonSQLUtils.explainString(
         applied._jdf.queryExecution(), "formatted"
     )
-    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+    # r16: the single-split input spread may add ONE round-robin
+    # repartition straight off the scan (it no-ops once the corpus
+    # has >= parallelism splits); a KEY shuffle or a Python eval node
+    # in the encode path still fails the witness. Formatted explain
+    # prints each node twice (tree + numbered details) — count the
+    # numbered operator entries only.
+    import re as _re
+
+    assert "hashpartitioning" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", plan, flags=_re.M))
+    assert n_ex <= 1 and (n_ex == 0 or "RoundRobinPartitioning" in plan)
     t0 = time.perf_counter()
     ap_rows = applied.count()
     dt = round(time.perf_counter() - t0, 1)
