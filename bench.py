@@ -359,6 +359,8 @@ TOUCHED_THIS_ROUND = {
     # round-16: new entries (no reference yet)
     "shards_takedown", "unigram_nbest", "bm25_time_travel",
     "shards_append",
+    # round-16 continuation: MMR driver fast path, CMS sketch persist
+    "mmr_rerank", "cms_merge_hh", "stream_cms_hh",
 }
 
 PROBE_PINNED = {
