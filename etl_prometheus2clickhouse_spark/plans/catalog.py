@@ -9009,14 +9009,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_caps": q_url_caps,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
-    # round-16 swap (demote-to-fund): shards_takedown — takedown of
-    # the PUBLISHED training shards, the compliance surface's data
-    # half — takes the one-shot decontaminate's slot: benchmark
-    # membership runs in-window live through stream_curation's
-    # decontamination stage (same shingle-collision semantics against
-    # the persisted benchmark index), the incremental face
-    # decontaminate_increment is oracle-verified cross-checked, and
-    # the one-shot itself stays oracle-verified in CROSS_CHECKED.
+    # round-17: decontaminate restored to the declared window (the
+    # round-16 demote-to-fund swap read as a dropped query at the
+    # verification gate); shards_takedown moves to CROSS_CHECKED,
+    # where it keeps its oracle and its bench entry.
+    "decontaminate": q_decontaminate,
     "length_quantile_filter": q_length_quantile_filter,
     # round-10 late swap (demote-to-fund): paragraph_dedup — the CCNet
     # corpus-level paragraph election — takes stratified_sample's
@@ -9114,9 +9111,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and every sibling delete stay oracle-verified in CROSS_CHECKED.
     "unigram_tokenize": q_unigram_tokenize,
     "takedown_lifecycle": q_takedown_lifecycle,
-    # round-16: takedown extended to the PUBLISHED data — the training
-    # shard table itself, swept scan-free via the recorded key spec
-    "shards_takedown": q_shards_takedown,
 }
 
 # Alternate formulations of operators verified above - each is a
@@ -9125,8 +9119,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # against its oracle at sf0.001 (tests/test_cross_checked.py) and
 # scripts/check_correctness.py covers them at sf0.01.
 CROSS_CHECKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round-16 demotion (see QUERIES comment at length_quantile_filter)
-    "decontaminate": q_decontaminate,
+    # round-16: takedown extended to the PUBLISHED data — the training
+    # shard table itself, swept scan-free via the recorded key spec
+    # (cross-checked from round 17; decontaminate holds the window slot)
+    "shards_takedown": q_shards_takedown,
     # round-10 window swap: six dominated relational twins demoted
     # to fund the new distinct operators (html_extract,
     # lm_perplexity3, bpe_tokenize, demux_mp4, gopher_filter,
@@ -9463,11 +9459,11 @@ ORACLES: dict[str, str] = {
     "hybrid_increment": ORACLE_HYBRID_INCREMENT,
     "unigram_tokenize": ORACLE_UNIGRAM_TOKENIZE,
     "takedown_lifecycle": ORACLE_BM25_DELETE,
-    "shards_takedown": ORACLE_SHARDS_TAKEDOWN,
+    "decontaminate": ORACLE_DECONTAMINATE,
 }
 
 CROSS_CHECKED_ORACLES: dict[str, str] = {
-    "decontaminate": ORACLE_DECONTAMINATE,
+    "shards_takedown": ORACLE_SHARDS_TAKEDOWN,
     "events_props": ORACLE_EVENTS_PROPS,
     "events_pivot": ORACLE_EVENTS_PIVOT,
     "events_moving_avg": ORACLE_EVENTS_MOVING_AVG,
