@@ -520,6 +520,18 @@ def main() -> None:
     QUERIES["stream_rate"](spark, warm_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # pre-build the lifecycle faces' session-scoped seed indexes (r16
+    # verdict item 7): the seeds are deterministic in sf_dir and built
+    # once per process EITHER WAY — warming them here moves the
+    # one-time construction out of the first timed run of each
+    # lifecycle face, so the cold pass measures the lifecycle (append /
+    # delete / stream / search), not seed construction. Disclosed
+    # measurement-scope change; see BENCH_NOTES.md.
+    from etl_prometheus2clickhouse_spark.plans.catalog import (
+        warm_lifecycle_seeds,
+    )
+
+    warm_lifecycle_seeds(spark, sf_dir)
 
     def run_suite() -> dict[str, float]:
         times: dict[str, float] = {}

@@ -76,6 +76,60 @@ def _release(dep: DataFrame) -> None:
             continue
 
 
+def _active_spark():
+    """The session whose block manager a scope sweeps — the active
+    session of this thread if any (foreachBatch bodies run on the
+    stream execution thread), else the process-default session."""
+    try:
+        from pyspark.sql import SparkSession
+
+        return (
+            SparkSession.getActiveSession()
+            or SparkSession._instantiatedSession
+        )
+    except Exception:
+        return None
+
+
+def _persistent_rdd_ids() -> "set[int] | None":
+    spark = _active_spark()
+    if spark is None:
+        return None
+    try:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+    except Exception:
+        return None
+
+
+def _sweep_new_persistent_rdds(before: "set[int] | None") -> None:
+    """Unpersist every RDD that became persistent during the scope.
+
+    ``_release`` frees the frames operators *registered*, but
+    ``localCheckpoint()`` pins MEMORY_AND_DISK blocks that no registry
+    sees: they stay in the block manager until a driver GC lets the
+    ContextCleaner find them. A long-lived session (the bench suite, a
+    streaming job running for days) accumulates those blocks across
+    queries/micro-batches — storage pressure a fresh-JVM probe never
+    reproduces. Sweeping at scope exit is safe by the scope contract
+    (results are materialized inside the block); diff-based against
+    the entry snapshot so outer scopes' pins — e.g. a stream-lifetime
+    reference model read by every per-batch scope — survive inner
+    scope exits."""
+    if before is None:
+        return
+    spark = _active_spark()
+    if spark is None:
+        return
+    try:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            if int(k) not in before:
+                m.get(k).unpersist(False)
+    except Exception:
+        pass
+
+
 @contextmanager
 def cached_scope() -> Iterator[None]:
     """Free every intermediate persisted by operators inside the block.
@@ -92,15 +146,21 @@ def cached_scope() -> Iterator[None]:
     tests/test_dedup.py). Scopes nest — each scope releases exactly
     the intermediates registered while it was innermost, regardless of
     interleaved release_cached() calls; single-threaded by design,
-    like the driver-side plan building it wraps."""
+    like the driver-side plan building it wraps. Exit additionally
+    sweeps any RDD that became persistent inside the scope and was
+    never registered — ``localCheckpoint()`` pins, which otherwise
+    outlive the query until a driver GC (see
+    :func:`_sweep_new_persistent_rdds`)."""
     entries: list[DataFrame] = []
     _SCOPE_STACK.append(entries)
+    before = _persistent_rdd_ids()
     try:
         yield
     finally:
         _SCOPE_STACK.pop()
         while entries:
             _release(entries.pop())
+        _sweep_new_persistent_rdds(before)
 
 
 def _register_cached(dep: DataFrame) -> None:

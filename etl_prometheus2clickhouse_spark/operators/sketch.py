@@ -932,13 +932,26 @@ def cms_heavy_hitters_from_sketch(
     # .first(), the probe's counter materialization, and the derived
     # cms persist would each pay a full corpus explode. Pinning the
     # sketch-sized frame once caps the whole face at the two corpus
-    # scans CMS fundamentally needs (build + probe). Registered with
-    # the cached_scope lifecycle like every operator intermediate.
+    # scans CMS fundamentally needs (build + probe). A DERIVED
+    # projection is pinned, not the caller's object (persist returns
+    # self — pinning ``sketch`` directly would silently clobber a
+    # storage level the caller established independently). Registered
+    # with the cached_scope lifecycle like every operator
+    # intermediate, and attached to the result's _cached_deps below so
+    # unscoped callers can release_cached() it.
     from etl_prometheus2clickhouse_spark.operators.dedup import (
         _register_cached,
+        _release,
     )
 
-    sketch = sketch.persist()
+    # geometry columns first: a REORDERED projection, because an
+    # identity select canonicalizes to the caller's plan and the
+    # plan-keyed CacheManager would treat "our" pin and the caller's
+    # as one entry
+    geo = ["depth", "width", "hash_family"]
+    sketch = sketch.select(
+        *geo, *[c for c in sketch.columns if c not in geo]
+    ).persist()
     _register_cached(sketch)
     g = sketch.agg(
         F.count(F.lit(1)).alias("n"),
@@ -961,6 +974,7 @@ def cms_heavy_hitters_from_sketch(
         or g["w"] != int(width)
         or g["f"] != str(hash_family)
     ):
+        _release(sketch)  # the failure path must not leak the pin
         raise ValueError(
             "cms_heavy_hitters_from_sketch: sketch geometry "
             f"(depth, width, hash_family)=({g['d']}, {g['w']}, {g['f']}) "
@@ -968,9 +982,13 @@ def cms_heavy_hitters_from_sketch(
             f"{hash_family}), or the sketch is empty/mixed (rows={g['n']})"
         )
     cms = sketch.select(*group_cols, "r", "bucket", "cnt")
-    return _cms_probe(
+    out = _cms_probe(
         occ, cms, group_cols, item_col, phi, depth, width, hash_family
     )
+    # extend (don't re-register) the deps _cms_probe attached, so
+    # unscoped release_cached(result) frees the sketch pin too
+    out._cached_deps = list(getattr(out, "_cached_deps", ())) + [sketch]
+    return out
 
 
 def quantile_threshold_filter(

@@ -1044,3 +1044,61 @@ def test_cms_from_sketch_persists_sketch_and_scope_releases(spark):
         df, ["g"], "item", phi=0.2, depth=3, width=64
     )
     assert got == {tuple(r) for r in one_shot.collect()} and got
+
+
+def _persisted_ids(spark):
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def test_cms_from_sketch_unscoped_release_and_error_path(spark):
+    """ADVICE r16: the sketch pin must be attached to the result's
+    _cached_deps (unscoped use → release_cached(result) frees it), the
+    caller's own frame must not be the pinned object, and the
+    geometry-mismatch failure path must unpersist before raising."""
+    import pytest
+
+    from etl_prometheus2clickhouse_spark.operators.dedup import (
+        release_cached,
+    )
+    from etl_prometheus2clickhouse_spark.operators.sketch import (
+        cms_heavy_hitters_from_sketch,
+        cms_merge,
+        cms_partial_sketches,
+    )
+    from pyspark import StorageLevel
+
+    rows = []
+    for i in range(100):
+        rows.append(("g", i % 2, "hot"))
+        rows.append(("g", i % 2, f"rare{i}"))
+    df = spark.createDataFrame(rows, "g string, b int, item string")
+    partials = cms_partial_sketches(
+        df, ["g"], "item", "b", depth=3, width=64
+    )
+    merged = cms_merge(partials, ["g"])
+
+    # unscoped use: the pins land on the result's _cached_deps and
+    # release_cached frees every one of them
+    base = _persisted_ids(spark)
+    out = cms_heavy_hitters_from_sketch(
+        df.drop("b"), merged, ["g"], "item", phi=0.2, depth=3, width=64
+    )
+    assert out.collect()
+    # the caller-owned frame was never the pinned object
+    assert merged.storageLevel == StorageLevel.NONE
+    assert _persisted_ids(spark) - base
+    release_cached(out)
+    assert not (_persisted_ids(spark) - base)
+
+    # geometry mismatch: fails loud AND leaks nothing
+    base = _persisted_ids(spark)
+    with pytest.raises(ValueError, match="geometry"):
+        cms_heavy_hitters_from_sketch(
+            df.drop("b"), merged, ["g"], "item", phi=0.2, depth=4,
+            width=64,
+        )
+    assert not (_persisted_ids(spark) - base)
