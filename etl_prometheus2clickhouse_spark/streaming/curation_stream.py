@@ -474,38 +474,45 @@ def run_streaming_curation(
         lm_reference_model,
     )
 
+    from etl_prometheus2clickhouse_spark.streaming.batchconf import (
+        batch_job_conf,
+    )
+
     # the reference is FROZEN before the stream starts (the CCNet
     # frozen-KenLM contract), so its bigram model is built ONCE here
     # and every micro-batch broadcasts the stored tables — inline, the
     # model aggregates + guard count re-ran per batch as pure fixed
-    # cost (scores are a pure function of the counts: bit-identical)
+    # cost (scores are a pure function of the counts: bit-identical).
+    # Built BEFORE the batch_job_conf scope: the reference is
+    # corpus-sized and wants the session's batch-scale planning.
     lm_model = lm_reference_model(reference, text_col)
-    q = (
-        src.writeStream.foreachBatch(
-            curation_batch_body(
-                index_path,
-                reference,
-                dispositions_dir,
-                ppl_threshold,
-                id_col,
-                text_col,
-                alpha,
-                para_index_path,
-                bench_index_path,
-                min_contaminated,
-                max_live_dirs,
-                serve_index_path,
-                ann_serve_index_path,
-                serve_vec_dim,
-                shards_path,
-                lm_model=lm_model,
+    with batch_job_conf(src.sparkSession):
+        q = (
+            src.writeStream.foreachBatch(
+                curation_batch_body(
+                    index_path,
+                    reference,
+                    dispositions_dir,
+                    ppl_threshold,
+                    id_col,
+                    text_col,
+                    alpha,
+                    para_index_path,
+                    bench_index_path,
+                    min_contaminated,
+                    max_live_dirs,
+                    serve_index_path,
+                    ann_serve_index_path,
+                    serve_vec_dim,
+                    shards_path,
+                    lm_model=lm_model,
+                )
             )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def read_dispositions(spark: SparkSession, dispositions_dir: str) -> DataFrame:
@@ -618,18 +625,23 @@ def run_streaming_semantic_dedup(
     :func:`semantic_dedup_body` under a checkpoint — restartable,
     replay-idempotent (the dedup-index increment discipline).
     ``max_live_dirs`` schedules in-lifecycle compaction + vacuum."""
-    q = (
-        src.writeStream.foreachBatch(
-            semantic_dedup_body(
-                index_path, dispositions_dir, id_col, vec_col,
-                max_live_dirs,
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from etl_prometheus2clickhouse_spark.streaming.batchconf import (
+        batch_job_conf,
     )
-    q.awaitTermination()
+
+    with batch_job_conf(src.sparkSession):
+        q = (
+            src.writeStream.foreachBatch(
+                semantic_dedup_body(
+                    index_path, dispositions_dir, id_col, vec_col,
+                    max_live_dirs,
+                )
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def ann_ingest_body(index_path: str, id_col: str = "vec_id",
@@ -675,15 +687,20 @@ def run_streaming_ann_ingest(
     :func:`ann_ingest_body` under a checkpoint — restartable, replay-
     idempotent (the dedup-index increment discipline).
     ``max_live_dirs`` schedules in-lifecycle compaction + vacuum."""
-    q = (
-        src.writeStream.foreachBatch(
-            ann_ingest_body(index_path, id_col, vec_col, max_live_dirs)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from etl_prometheus2clickhouse_spark.streaming.batchconf import (
+        batch_job_conf,
     )
-    q.awaitTermination()
+
+    with batch_job_conf(src.sparkSession):
+        q = (
+            src.writeStream.foreachBatch(
+                ann_ingest_body(index_path, id_col, vec_col, max_live_dirs)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def bm25_ingest_body(index_path: str, text_col: str = "text",
@@ -729,12 +746,17 @@ def run_streaming_bm25_ingest(
     :func:`bm25_ingest_body` under a checkpoint — restartable, replay-
     idempotent (the dedup-index increment discipline).
     ``max_live_dirs`` schedules in-lifecycle compaction + vacuum."""
-    q = (
-        src.writeStream.foreachBatch(
-            bm25_ingest_body(index_path, text_col, id_col, max_live_dirs)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from etl_prometheus2clickhouse_spark.streaming.batchconf import (
+        batch_job_conf,
     )
-    q.awaitTermination()
+
+    with batch_job_conf(src.sparkSession):
+        q = (
+            src.writeStream.foreachBatch(
+                bm25_ingest_body(index_path, text_col, id_col, max_live_dirs)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -84,14 +84,21 @@ def _run_partial_stream(
     double-count an appended duplicate (KMV/Bloom merges are
     idempotent and merely tolerate it). Keying makes the helper
     replay-safe for all three families."""
+    from etl_prometheus2clickhouse_spark.streaming.batchconf import (
+        batch_job_conf,
+    )
+
     spark = src.sparkSession
     acc: dict[int, list] = {}
-    q = (
-        src.writeStream.foreachBatch(_keyed_collect_body(per_batch, acc))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with batch_job_conf(spark):
+        q = (
+            src.writeStream.foreachBatch(
+                _keyed_collect_body(per_batch, acc)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = [r for b in sorted(acc) for r in acc[b]]
     return local_df(spark, rows, template.schema)
 
@@ -142,15 +149,20 @@ def run_partial_stream_durable(
     ones before doing its own work — bounded listings on a
     long-running stream without an operator remembering to compact."""
 
-    q = (
-        src.writeStream.foreachBatch(
-            _durable_body(per_batch, partials_dir, max_live_dirs)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from etl_prometheus2clickhouse_spark.streaming.batchconf import (
+        batch_job_conf,
     )
-    q.awaitTermination()
+
+    with batch_job_conf(src.sparkSession):
+        q = (
+            src.writeStream.foreachBatch(
+                _durable_body(per_batch, partials_dir, max_live_dirs)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def _durable_body(
