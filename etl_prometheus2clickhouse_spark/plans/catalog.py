@@ -262,15 +262,27 @@ def _lifecycle_scratch(name: str, sf_dir: str, build_fn) -> str:
 
     base = _lifecycle_scratch_ro(name, sf_dir, build_fn)
     run = tempfile.mkdtemp(prefix=f"{name}_run_")
+
+    # hardlink the copy when possible (same tmpfs by construction):
+    # the faces only ever ADD whole files and DELETE/RENAME paths —
+    # parquet/manifest files are immutable once written — so sharing
+    # inodes with the cached base is safe, and the per-run copy of a
+    # few-hundred-file index drops from ~0.1-0.5 s to ~15 ms
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
     for entry in os.listdir(base):
         if entry == "_COMPLETE":
             continue
         src = os.path.join(base, entry)
         dst = os.path.join(run, entry)
         if os.path.isdir(src):
-            shutil.copytree(src, dst)
+            shutil.copytree(src, dst, copy_function=_link_or_copy)
         else:
-            shutil.copy2(src, dst)
+            _link_or_copy(src, dst)
     return run
 
 

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture ``explain("formatted")`` for catalog entries into
-``plans/r16/<name>_<tag>.txt`` (the optimization round's plan
+``plans/$SPARK_GRAFT_PLANS_DIR/<name>_<tag>.txt`` (default r17 —
+the optimization round's plan
 evidence; guide §1 / §7.2).
 
 Usage:
@@ -44,7 +45,9 @@ def main() -> None:
         names = list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", "r17"
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(
         app_name="capture-plans",
