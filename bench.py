@@ -349,18 +349,21 @@ PROBE_FLOOR_SEC = 0.2  # sub-200ms entries are driver-overhead noise
 # untouched host-variance entries while the four touched appends went
 # unadjudicated.
 TOUCHED_THIS_ROUND = {
-    # round-16: the paragraph index membership/attribution split
-    # touches every persisted-paragraph-index plan (the one-shot
-    # paragraph_dedup operator is untouched)
-    "paragraph_increment", "stream_curation",
-    # round-16: takedown orchestrator changes (id-divergence check,
-    # in-flight compact guard) ride through the lifecycle entry
-    "takedown_lifecycle",
-    # round-16: new entries (no reference yet)
-    "shards_takedown", "unigram_nbest", "bm25_time_travel",
-    "shards_append",
-    # round-16 continuation: MMR driver fast path, CMS sketch persist
-    "mmr_rerank", "cms_merge_hh", "stream_cms_hh",
+    # round-17: foreachBatch bodies now plan at micro-batch size
+    # (streaming/batchconf.py) — every foreachBatch-driven face
+    "stream_curation", "stream_semantic", "stream_ann", "stream_bm25",
+    "stream_kmv", "stream_hll", "stream_cms_hh", "stream_kmv_durable",
+    # round-17: the cached_scope persistent-RDD sweep + hardlinked
+    # seed copies ride through every lifecycle face (the sweep is
+    # suite-wide, but these are where the effect concentrates)
+    "dedup_increment", "dedup_delete", "substring_increment",
+    "substring_delete", "paragraph_increment", "bm25_increment",
+    "bm25_delete", "bm25_rebucket", "bm25_time_travel",
+    "ann_increment", "ann_delete", "semantic_increment",
+    "semantic_delete", "hybrid_increment", "takedown_lifecycle",
+    "decontaminate_increment", "shards_takedown", "shards_append",
+    # round-17: sketch pin now a reordered projection (ADVICE fixes)
+    "cms_merge_hh",
 }
 
 PROBE_PINNED = {

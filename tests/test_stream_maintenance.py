@@ -46,11 +46,15 @@ def _doc(i: int, tail: str = "") -> tuple[int, str]:
 
 
 def _batches() -> list[list[tuple[int, str]]]:
-    """12 single-trigger batches: each has one fresh doc and every
+    """9 single-trigger batches: each has one fresh doc and every
     third batch re-crawls an earlier doc verbatim (a cross-batch
-    duplicate that must survive every fold in between)."""
+    duplicate that must survive every fold in between). 9 batches at
+    max_live_dirs=4 still trigger TWO folds on every surface (each
+    micro-batch costs ~10 s of fixed per-action overhead at any data
+    size — r17 durations audit — so the count stays at the minimum
+    that exercises repeated folds)."""
     out = []
-    for b in range(12):
+    for b in range(9):
         rows = [_doc(100 + 10 * b, f"entry number {b} of the audit")]
         if b % 3 == 2:
             rows.append(_doc(100 + 10 * b + 1, "entry number 0 of the audit"))
@@ -96,16 +100,33 @@ def _run(spark, tmp_path, name, max_live_dirs):
     return idx, pidx, disp, got
 
 
-def test_scheduled_compaction_bounds_live_dirs(spark, tmp_path):
-    """A 12-batch stream with max_live_dirs=4 ends with a bounded
+import pytest
+
+
+@pytest.fixture(scope="module")
+def reference_run(spark, tmp_path_factory):
+    """The maintenance-disabled 9-batch run BOTH compaction tests
+    compare against — executed once per module (it used to run inside
+    each test, ~1/3 of their combined former cost)."""
+    with cached_scope():
+        _, _, _, want = _run(
+            spark, tmp_path_factory.mktemp("maint_ref"), "ref", None
+        )
+    return want
+
+
+def test_scheduled_compaction_bounds_live_dirs(
+    spark, tmp_path, reference_run
+):
+    """A 9-batch stream with max_live_dirs=4 ends with a bounded
     live-unit count on EVERY surface (dispositions dirs, minhash index
     increments, paragraph index increments), vacuum has reclaimed the
     superseded index directories, and the dispositions equal an
     identical run with maintenance disabled."""
     with cached_scope():
         idx, pidx, disp, got = _run(spark, tmp_path, "mnt", 4)
-        _, _, _, want = _run(spark, tmp_path, "ref", None)
-    assert got == want and len(got) == 16
+    want = reference_run
+    assert got == want and len(got) == 12
     # the dedup stages stayed non-vacuous ACROSS folds: the exact
     # re-crawls lose every paragraph to the index (dedup_empty) and
     # the tail variants are near-dups of earlier batches (duplicate)
@@ -128,7 +149,7 @@ def test_scheduled_compaction_bounds_live_dirs(spark, tmp_path):
             assert len(physical) == n_live, (root, physical, n_live)
 
 
-def test_restart_mid_compaction_resumes(spark, tmp_path):
+def test_restart_mid_compaction_resumes(spark, tmp_path, reference_run):
     """Kill the stream after the first batches, leave an interrupted
     dispositions fold at BOTH crash windows' worth of state (a
     committed-but-unswapped marker), then restart with maintenance on:
@@ -136,8 +157,7 @@ def test_restart_mid_compaction_resumes(spark, tmp_path):
     the labels equal the uninterrupted run."""
     import json
 
-    with cached_scope():
-        _, _, _, want = _run(spark, tmp_path, "refr", None)
+    want = reference_run
     seed = spark.createDataFrame([_doc(1), _doc(2, "seed two")], _SCHEMA)
     ref = spark.createDataFrame([_doc(1)], _SCHEMA)
     idx = str(tmp_path / "rc_idx")
@@ -149,7 +169,7 @@ def test_restart_mid_compaction_resumes(spark, tmp_path):
     disp = str(tmp_path / "rc_disp")
     ckpt = str(tmp_path / "rc_ckpt")
     batches = _batches()
-    _land(spark, src, batches[:6])
+    _land(spark, src, batches[:5])
     run_streaming_curation(
         _stream(spark, src), idx, ref, disp, ckpt, 1e9,
         para_index_path=pidx, max_live_dirs=4,
@@ -169,9 +189,9 @@ def test_restart_mid_compaction_resumes(spark, tmp_path):
     with open(os.path.join(marker, "_plan.json"), "w") as fh:
         json.dump({"sources": lives, "dest": "mb=-1"}, fh)
 
-    # the remaining 6 arrive (fresh directories only — rewriting the
+    # the remaining 4 arrive (fresh directories only — rewriting the
     # processed ones would register new file names as new input)
-    for n, rows in enumerate(batches[6:], start=6):
+    for n, rows in enumerate(batches[5:], start=5):
         spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{src}/b{n:02d}")
